@@ -1,0 +1,134 @@
+"""Posting-list compression: delta + Stream VByte, block-max metadata.
+
+Replaces the [delegated] Lucene block-postings layer of the reference
+(delegation site: /root/reference/elasticsearch-sink/src/main/java/com/trs/smas/
+flume/ElasticsearchSink.java:66-67; semantics per Lucene 4.7 block postings and
+Lemire's "Stream VByte" (2017)).
+
+Everything here is pure NumPy — vectorized shifts/masks, no per-row Python —
+so it can run inside Arrow-batched UDF bodies on executors without the
+row-at-a-time Python penalty. Format:
+
+* Stream VByte: for n uint32 values, a control stream of ceil(n/4) bytes
+  (2 bits per value = byte-length-1) followed by a data stream of the values'
+  little-endian bytes, each truncated to its byte length.
+* Postings are doc-id DELTA encoded (first value absolute) before Stream VByte.
+* Block-max metadata: per block of ``BLOCK_SIZE`` docs we keep the max tf and
+  the first/last doc id, enabling Block-Max WAND skipping (Ding & Suel 2011).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+_SHIFTS = np.array([0, 8, 16, 24], dtype=np.uint32)
+
+
+def svb_encode(values: np.ndarray) -> bytes:
+    """Stream-VByte-encode a uint32 array. Returns control||data bytes."""
+    v = np.ascontiguousarray(values, dtype=np.uint32)
+    n = v.size
+    if n == 0:
+        return b""
+    # byte length per value: 1..4
+    lens = np.ones(n, dtype=np.uint8)
+    lens[v >= 1 << 8] = 2
+    lens[v >= 1 << 16] = 3
+    lens[v >= 1 << 24] = 4
+    # control bytes: 2 bits per value, 4 values per byte (pad with len-1=0)
+    pad = (-n) % 4
+    codes = np.concatenate([lens - 1, np.zeros(pad, dtype=np.uint8)])
+    codes = codes.reshape(-1, 4)
+    control = (
+        codes[:, 0] | (codes[:, 1] << 2) | (codes[:, 2] << 4) | (codes[:, 3] << 6)
+    ).astype(np.uint8)
+    # data bytes: scatter each value's first `len` LE bytes
+    le = (v[:, None] >> _SHIFTS[None, :]).astype(np.uint8)  # (n, 4) LE bytes
+    mask = np.arange(4, dtype=np.uint8)[None, :] < lens[:, None]
+    data = le[mask]  # row-major selection preserves per-value byte order
+    return control.tobytes() + data.tobytes()
+
+
+def svb_decode(buf: bytes, n: int) -> np.ndarray:
+    """Decode ``n`` uint32 values from a Stream VByte buffer."""
+    if n == 0:
+        return np.empty(0, dtype=np.uint32)
+    ncontrol = (n + 3) // 4
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    control = raw[:ncontrol]
+    data = raw[ncontrol:]
+    # per-value byte lengths from control stream
+    codes = np.empty(ncontrol * 4, dtype=np.uint8)
+    codes[0::4] = control & 3
+    codes[1::4] = (control >> 2) & 3
+    codes[2::4] = (control >> 4) & 3
+    codes[3::4] = (control >> 6) & 3
+    lens = (codes[:n] + 1).astype(np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    # gather into an (n, 4) LE byte matrix, zero-padded
+    out = np.zeros((n, 4), dtype=np.uint8)
+    mask = np.arange(4)[None, :] < lens[:, None]
+    idx = starts[:, None] + np.arange(4)[None, :]
+    out[mask] = data[idx[mask]]
+    return (
+        out[:, 0].astype(np.uint32)
+        | (out[:, 1].astype(np.uint32) << 8)
+        | (out[:, 2].astype(np.uint32) << 16)
+        | (out[:, 3].astype(np.uint32) << 24)
+    )
+
+
+def delta_encode(doc_ids: np.ndarray) -> np.ndarray:
+    """Strictly-increasing uint32 doc ids -> first-absolute deltas."""
+    d = np.ascontiguousarray(doc_ids, dtype=np.uint32)
+    out = np.empty_like(d)
+    out[0:1] = d[0:1]
+    np.subtract(d[1:], d[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    return np.cumsum(deltas.astype(np.uint64)).astype(np.uint32)
+
+
+class EncodedPostings(NamedTuple):
+    """One term's compressed postings + block-max metadata."""
+
+    n: int  # number of (doc, tf) entries (== df for the term)
+    doc_bytes: bytes  # delta + Stream VByte doc ids
+    tf_bytes: bytes  # Stream VByte term frequencies
+    block_first_doc: np.ndarray  # int64[nblocks] first doc id of each block
+    block_last_doc: np.ndarray  # int64[nblocks] last doc id of each block
+    block_max_tf: np.ndarray  # int32[nblocks] max tf within each block
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> EncodedPostings:
+    """Encode one sorted (doc_ids, tfs) posting list with block metadata."""
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint32)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint32)
+    n = doc_ids.size
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    bounds = np.minimum(np.arange(1, nblocks + 1) * BLOCK_SIZE, n) - 1
+    firsts = doc_ids[np.arange(nblocks) * BLOCK_SIZE].astype(np.int64)
+    lasts = doc_ids[bounds].astype(np.int64)
+    max_tf = np.maximum.reduceat(tfs, np.arange(nblocks) * BLOCK_SIZE).astype(np.int32)
+    return EncodedPostings(
+        n=n,
+        doc_bytes=svb_encode(delta_encode(doc_ids)),
+        tf_bytes=svb_encode(tfs),
+        block_first_doc=firsts,
+        block_last_doc=lasts,
+        block_max_tf=max_tf,
+    )
+
+
+def decode_postings(n: int, doc_bytes: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_postings` (doc ids absolute again)."""
+    doc_ids = delta_decode(svb_decode(doc_bytes, n))
+    tfs = svb_decode(tf_bytes, n)
+    return doc_ids, tfs

@@ -1,0 +1,52 @@
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from flume_elasticsearch_2_spark.functions.tokenizer import tokenize
+from flume_elasticsearch_2_spark.operators.topk import bm25_topk, bm25_topk_sql
+
+from .oracle import brute_force_bm25
+
+QUERIES = [
+    ("the fast scan", "or"),
+    ("spark", "or"),
+    ("join filter window", "and"),
+    ("zzzznotaterm", "or"),
+    ("the the fast", "or"),  # duplicate-term accumulation
+    ("Customer ORDER", "or"),  # case normalization
+]
+
+
+def test_tokenize_contract():
+    assert tokenize("Hello, World-42!") == ["hello", "world", "42"]
+    assert tokenize("") == []
+    # ASCII-only token alphabet: non-ASCII splits tokens (pinned contract)
+    assert tokenize("ÀÉ straße 東京 a1") == ["stra", "e", "a1"]
+
+
+def _duck(sf_dir, sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    return con.sql(sql).fetchall()
+
+
+@pytest.mark.parametrize("query,mode", QUERIES)
+def test_bm25_matches_numpy_oracle(spark, documents, query, mode):
+    rows = documents.select("doc_id", "text").collect()
+    expected = brute_force_bm25([(r.doc_id, r.text) for r in rows], query, k=10, mode=mode)
+    got = bm25_topk(documents, query, k=10, mode=mode).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in expected]
+    for r, (_, s) in zip(got, expected):
+        assert abs(r.score - s) < 1e-5
+
+
+@pytest.mark.parametrize("query,mode", QUERIES)
+def test_bm25_matches_duckdb_oracle(spark, documents, sf_dir, query, mode):
+    got = [(r.doc_id, r.score) for r in bm25_topk(documents, query, k=10, mode=mode).collect()]
+    exp = _duck(sf_dir, bm25_topk_sql(query, k=10, mode=mode))
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert abs(g[1] - e[1]) < 1e-6
