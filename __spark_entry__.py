@@ -86,10 +86,43 @@ def _doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_lengths(_docs(spark, sf_dir))
 
 
+# -- segment-index path: build once per sf_dir (temp dir), query many -------
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _segment_searcher(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from flume_elasticsearch_2_spark.plans.build_index import build_index
+    from flume_elasticsearch_2_spark.plans.query_index import IndexSearcher
+
+    if sf_dir not in _INDEX_CACHE:
+        d = os.path.join(tempfile.mkdtemp(prefix="fts_idx_"), "segidx")
+        build_index(spark, _docs(spark, sf_dir), d, n_shards=4)
+        _INDEX_CACHE[sf_dir] = d
+    return IndexSearcher(spark, _INDEX_CACHE[sf_dir])
+
+
+def _segment_query(q: str, mode: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _segment_searcher(spark, sf_dir).search(q, k=10, mode=mode, pruned=True)
+
+    return run
+
+
+SEGMENT_QUERIES = {
+    "bm25_segment_or": ("dup batch scan", "or"),
+    "bm25_segment_and": ("join filter window", "and"),
+    "bm25_segment_hot": ("batch small scan", "or"),
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _bm25_query(qq, mode) for name, (qq, mode) in BM25_QUERIES.items()
     }
+    for name, (qq, mode) in SEGMENT_QUERIES.items():
+        q[name] = _segment_query(qq, mode)
     q["term_stats"] = _term_stats
     q["corpus_stats"] = _corpus_stats
     q["doc_lengths"] = _doc_lengths
@@ -98,6 +131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     o = {name: bm25_topk_sql(qq, k=10, mode=mode) for name, (qq, mode) in BM25_QUERIES.items()}
+    for name, (qq, mode) in SEGMENT_QUERIES.items():
+        o[name] = bm25_topk_sql(qq, k=10, mode=mode)
     o["term_stats"] = """
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

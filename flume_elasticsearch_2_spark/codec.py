@@ -83,6 +83,50 @@ def svb_decode(buf: bytes, n: int) -> np.ndarray:
     )
 
 
+def svb_lens(buf: bytes, n: int) -> np.ndarray:
+    """Per-value byte lengths from the control stream only (O(n) cheap scan,
+    no data-stream touch) — enables lazy per-block decoding for BMW."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    ncontrol = (n + 3) // 4
+    control = np.frombuffer(buf, dtype=np.uint8)[:ncontrol]
+    codes = np.empty(ncontrol * 4, dtype=np.uint8)
+    codes[0::4] = control & 3
+    codes[1::4] = (control >> 2) & 3
+    codes[2::4] = (control >> 4) & 3
+    codes[3::4] = (control >> 6) & 3
+    return (codes[:n] + 1).astype(np.int64)
+
+
+def svb_decode_slice(buf: bytes, n: int, lo: int, hi: int, lens: np.ndarray | None = None) -> np.ndarray:
+    """Decode values [lo, hi) without touching other data bytes.
+
+    ``lens`` (from :func:`svb_lens`) may be passed to amortize the control
+    scan across multiple block decodes of the same stream.
+    """
+    if hi <= lo:
+        return np.empty(0, dtype=np.uint32)
+    if lens is None:
+        lens = svb_lens(buf, n)
+    ncontrol = (n + 3) // 4
+    data = np.frombuffer(buf, dtype=np.uint8)[ncontrol:]
+    base = int(lens[:lo].sum())
+    sub = lens[lo:hi]
+    m = hi - lo
+    ends = np.cumsum(sub)
+    starts = ends - sub + base
+    out = np.zeros((m, 4), dtype=np.uint8)
+    mask = np.arange(4)[None, :] < sub[:, None]
+    idx = starts[:, None] + np.arange(4)[None, :]
+    out[mask] = data[idx[mask]]
+    return (
+        out[:, 0].astype(np.uint32)
+        | (out[:, 1].astype(np.uint32) << 8)
+        | (out[:, 2].astype(np.uint32) << 16)
+        | (out[:, 3].astype(np.uint32) << 24)
+    )
+
+
 def delta_encode(doc_ids: np.ndarray) -> np.ndarray:
     """Strictly-increasing uint32 doc ids -> first-absolute deltas."""
     d = np.ascontiguousarray(doc_ids, dtype=np.uint32)

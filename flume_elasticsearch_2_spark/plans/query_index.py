@@ -1,0 +1,281 @@
+"""Segment-backed BM25 top-k query engine (SURVEY.md §2.5 Q1-Q7).
+
+Scatter/gather shape mirrors ES query-then-fetch (the [delegated] layer at
+/root/reference/elasticsearch-sink/.../ElasticsearchSink.java:66):
+
+1. driver tokenizes the query with the index-time analyzer (Q1),
+2. term stats (df) come from a pruned read of ``terms/`` (Q2),
+3. each shard scores its doc range independently — posting decode + DAAT
+   accumulation in NumPy inside a cogrouped ``applyInPandas`` (Q3/Q4),
+   with **block-max pruning** (Q5): per-128-doc blocks carry max-tf
+   metadata; doc-range segments are processed in descending score-upper-
+   bound order and processing stops as soon as the next segment's bound
+   cannot beat the current k-th score. Skipped blocks are never decoded
+   (lazy Stream-VByte slice decode via the control stream).
+4. per-shard top-k rows are merged on the driver by ``(-score, doc_id)``
+   (Q6 gather + Q7 deterministic tie-break).
+
+Parquet reads are pruned two ways: ``shard=`` directory partition pruning
+and ``term IN (...)`` row-group predicate pushdown (postings files are
+sorted by term at write).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import Counter
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..codec import BLOCK_SIZE, svb_decode_slice, svb_lens
+from ..functions.bm25 import B, K1
+from ..functions.tokenizer import tokenize
+from .build_index import shard_start
+
+
+def _score_shard(
+    postings: pd.DataFrame,
+    docs: pd.DataFrame,
+    *,
+    weights: dict[str, float],
+    dfreq: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    id_space: int,
+    n_shards: int,
+    k: int,
+    mode: str,
+    pruned: bool,
+) -> pd.DataFrame:
+    """Score one shard; returns up to k (doc_id, score) rows."""
+    if len(postings) == 0 or len(docs) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+    shard = int(postings["shard"].iloc[0])
+    base = shard_start(shard, id_space, n_shards)
+    span = shard_start(shard + 1, id_space, n_shards) - base
+
+    # dense doc-length array indexed by shard-local id
+    dl = np.zeros(span, dtype=np.float64)
+    local_doc = docs["doc_id"].to_numpy(dtype=np.int64) - base
+    dl[local_doc] = docs["dl"].to_numpy(dtype=np.float64)
+
+    terms = []
+    for row in postings.itertuples(index=False):
+        t = row.term
+        df_t = dfreq[t]
+        idf = float(np.log1p((n_docs - df_t + 0.5) / (df_t + 0.5)))
+        w = weights[t] * idf * (K1 + 1.0)
+        bmax_tf = np.asarray(row.block_max_tf, dtype=np.float64)
+        # upper bound: most favorable dl -> 0 => denom tf + k1*(1-b)
+        ub = weights[t] * idf * bmax_tf * (K1 + 1.0) / (bmax_tf + K1 * (1.0 - B))
+        terms.append(
+            {
+                "w": w,
+                "n": int(row.n),
+                "doc_bytes": row.doc_bytes,
+                "tf_bytes": row.tf_bytes,
+                "first": np.asarray(row.block_first_doc, dtype=np.int64) - base,
+                "last": np.asarray(row.block_last_doc, dtype=np.int64) - base,
+                "ub": ub,
+                "doc_lens": None,  # lazy svb control lens
+                "tf_lens": None,
+                "cache": {},
+            }
+        )
+    nterms_q = len(weights)
+    if mode == "and" and len(terms) < nterms_q:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+
+    norm = K1 * (1.0 - B + B * dl / avgdl)  # per-local-doc BM25 denominator part
+
+    def decode_block(t: dict, bi: int) -> tuple[np.ndarray, np.ndarray]:
+        got = t["cache"].get(bi)
+        if got is not None:
+            return got
+        if t["doc_lens"] is None:
+            t["doc_lens"] = svb_lens(t["doc_bytes"], t["n"])
+            t["tf_lens"] = svb_lens(t["tf_bytes"], t["n"])
+        lo, hi = bi * BLOCK_SIZE, min(t["n"], (bi + 1) * BLOCK_SIZE)
+        deltas = svb_decode_slice(t["doc_bytes"], t["n"], lo, hi, t["doc_lens"]).astype(np.int64)
+        ids = t["first"][bi] + np.cumsum(deltas) - deltas[0]
+        tfs = svb_decode_slice(t["tf_bytes"], t["n"], lo, hi, t["tf_lens"]).astype(np.float64)
+        t["cache"][bi] = (ids, tfs)
+        return ids, tfs
+
+    def score_span(lo: int, hi: int, active: list[tuple[dict, int]]) -> tuple[np.ndarray, np.ndarray]:
+        """Exact scores for docs in local-id range [lo, hi) across active
+        (term, block) pairs. Returns (local_ids, scores) for OR; AND filters
+        to docs present under every query term."""
+        id_parts, sc_parts = [], []
+        for t, bi in active:
+            ids, tfs = decode_block(t, bi)
+            m = (ids >= lo) & (ids < hi)
+            if not m.any():
+                continue
+            sid, stf = ids[m], tfs[m]
+            part = t["w"] * stf / (stf + norm[sid])
+            id_parts.append(sid)
+            sc_parts.append(part)
+        if not id_parts:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        all_ids = np.concatenate(id_parts)
+        all_sc = np.concatenate(sc_parts)
+        uniq, inv, cnt = np.unique(all_ids, return_inverse=True, return_counts=True)
+        summed = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(summed, inv, all_sc)
+        if mode == "and":
+            keep = cnt == nterms_q  # each term contributes exactly one posting per doc
+            uniq, summed = uniq[keep], summed[keep]
+        return uniq, summed
+
+    # ---- segment grid from block boundaries -------------------------------
+    bounds = {0, span}
+    for t in terms:
+        bounds.update(t["first"].tolist())
+        bounds.update((t["last"] + 1).tolist())
+    grid = np.array(sorted(bounds), dtype=np.int64)
+    nseg = len(grid) - 1
+    seg_ub = np.zeros(nseg, dtype=np.float64)
+    seg_active: list[list[tuple[dict, int]]] = [[] for _ in range(nseg)]
+    seg_nterms = np.zeros(nseg, dtype=np.int64)
+    for t in terms:
+        # block bi covers local doc range [first[bi], last[bi]]
+        s_idx = np.searchsorted(grid, t["first"], side="right") - 1
+        e_idx = np.searchsorted(grid, t["last"], side="right") - 1
+        for bi in range(len(t["first"])):
+            for si in range(s_idx[bi], e_idx[bi] + 1):
+                seg_ub[si] += t["ub"][bi]
+                seg_active[si].append((t, bi))
+                seg_nterms[si] += 1
+    if mode == "and":
+        seg_ub[seg_nterms < nterms_q] = 0.0
+
+    order = np.argsort(-seg_ub, kind="stable") if pruned else np.arange(nseg)
+    top: list[tuple[float, int]] = []  # kept sorted by (-score, doc_id)
+    theta = -1.0
+    for si in order:
+        if seg_ub[si] <= 0.0 or not seg_active[si]:
+            if pruned:
+                break
+            continue
+        if pruned and len(top) >= k and seg_ub[si] < theta:
+            break  # UB-descending order: nothing later can beat theta
+        ids, scores = score_span(int(grid[si]), int(grid[si + 1]), seg_active[si])
+        if len(ids) == 0:
+            continue
+        pos = scores > 0.0
+        ids, scores = ids[pos], scores[pos]
+        if len(ids) > k:  # vectorized per-segment top-k: (-score, doc_id) lexsort
+            sel = np.lexsort((ids, -scores))[:k]
+            ids, scores = ids[sel], scores[sel]
+        top.extend(zip(scores.tolist(), ids.tolist()))
+        top.sort(key=lambda r: (-r[0], r[1]))
+        del top[k:]
+        if len(top) >= k:
+            theta = top[-1][0]
+    return pd.DataFrame(
+        {
+            "doc_id": np.array([base + i for _, i in top], dtype=np.int64),
+            "score": np.array([s for s, _ in top], dtype=np.float64),
+        }
+    )
+
+
+class IndexSearcher:
+    """Query engine over a committed index directory (manifest-gated, I7)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "manifest.json")) as fh:
+            self.manifest: dict[str, Any] = json.load(fh)
+        self.n_docs = int(self.manifest["n_docs"])
+        self.avgdl = float(self.manifest["avgdl"])
+        self.id_space = int(self.manifest["id_space"])
+        self.n_shards = int(self.manifest["n_shards"])
+
+    def term_stats(self, terms: list[str]) -> dict[str, int]:
+        rows = (
+            self.spark.read.parquet(f"{self.index_dir}/terms")
+            .where(F.col("term").isin(terms))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "or",
+        pruned: bool = True,
+        fetch: bool = False,
+    ) -> DataFrame:
+        """Top-k BM25 as a DataFrame (doc_id, score[, fetch cols]).
+
+        Rank-identical to the declarative path (operators/topk.py) and the
+        NumPy/DuckDB oracles; scores rounded to 6 decimals in the output.
+        """
+        spark = self.spark
+        q_terms = tokenize(query)
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        if not q_terms:
+            return empty
+        weights = {t: float(c) for t, c in Counter(q_terms).items()}
+        dfreq = self.term_stats(sorted(weights))
+        present = [t for t in weights if t in dfreq]
+        if not present or (mode == "and" and len(present) < len(weights)):
+            return empty
+
+        postings = spark.read.parquet(f"{self.index_dir}/postings").where(
+            F.col("term").isin(present)
+        )
+        # shard pruning for the norms read: only doc shards that actually hold
+        # postings for a query term participate (rare-term queries touch a
+        # handful of shard dirs; partition pruning keeps the docs scan small)
+        active_shards = [int(r["shard"]) for r in postings.select("shard").distinct().collect()]
+        if not active_shards:
+            return empty
+        postings = postings.where(F.col("shard").isin(active_shards))
+        docs = (
+            spark.read.parquet(f"{self.index_dir}/docs")
+            .where(F.col("shard").isin(active_shards))
+            .select("doc_id", "dl", "shard")
+        )
+        kwargs = dict(
+            weights=weights,
+            dfreq=dfreq,
+            n_docs=self.n_docs,
+            avgdl=self.avgdl,
+            id_space=self.id_space,
+            n_shards=self.n_shards,
+            k=k,
+            mode=mode,
+            pruned=pruned,
+        )
+
+        def score(key, pdf: pd.DataFrame, ddf: pd.DataFrame) -> pd.DataFrame:
+            return _score_shard(pdf, ddf, **kwargs)
+
+        per_shard = (
+            postings.groupBy("shard")
+            .cogroup(docs.groupBy("shard"))
+            .applyInPandas(score, "doc_id long, score double")
+        )
+        out = (
+            per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .select("doc_id", F.round("score", 6).alias("score"))
+        )
+        if fetch:
+            winners = out
+            fetch_cols = spark.read.parquet(f"{self.index_dir}/docs").drop("shard", "dl")
+            out = (
+                winners.join(fetch_cols, "doc_id", "left")
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            )
+        return out

@@ -1,0 +1,95 @@
+"""End-to-end segment index: build over sf0.001 documents, rank-identity of
+pruned (block-max) and exhaustive DAAT vs the NumPy brute-force oracle and
+the declarative DataFrame path (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from flume_elasticsearch_2_spark.operators.topk import bm25_topk
+from flume_elasticsearch_2_spark.plans.build_index import build_index
+from flume_elasticsearch_2_spark.plans.query_index import IndexSearcher
+
+from .oracle import brute_force_bm25
+
+QUERIES = [
+    ("dup", "or"),
+    ("batch small scan", "or"),
+    ("dup batch", "or"),
+    ("join filter window", "and"),
+    ("the the fast", "or"),
+    ("zzzznotaterm", "or"),
+    ("batch zzzz", "and"),
+    ("a", "or"),
+]
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, documents, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx") / "segidx")
+    manifest = build_index(spark, documents, d, n_shards=4)
+    assert manifest["n_docs"] == documents.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, index_dir):
+    return IndexSearcher(spark, index_dir)
+
+
+@pytest.fixture(scope="module")
+def corpus(documents):
+    return [(r.doc_id, r.text) for r in documents.select("doc_id", "text").collect()]
+
+
+@pytest.mark.parametrize("query,mode", QUERIES)
+def test_pruned_matches_oracle(searcher, corpus, query, mode):
+    expected = brute_force_bm25(corpus, query, k=10, mode=mode)
+    got = searcher.search(query, k=10, mode=mode, pruned=True).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in expected]
+    for r, (_, s) in zip(got, expected):
+        assert abs(r.score - s) < 1e-6
+
+
+@pytest.mark.parametrize("query,mode", QUERIES)
+def test_pruned_equals_exhaustive(searcher, query, mode):
+    p = [(r.doc_id, r.score) for r in searcher.search(query, k=10, mode=mode, pruned=True).collect()]
+    e = [(r.doc_id, r.score) for r in searcher.search(query, k=10, mode=mode, pruned=False).collect()]
+    assert p == e
+
+
+def test_segment_path_equals_dataframe_path(searcher, documents):
+    q = "dup batch scan"
+    seg = [(r.doc_id, r.score) for r in searcher.search(q, k=10).collect()]
+    dfp = [(r.doc_id, r.score) for r in bm25_topk(documents, q, k=10).collect()]
+    assert seg == dfp
+
+
+def test_manifest_and_layout(index_dir):
+    with open(f"{index_dir}/manifest.json") as fh:
+        m = json.load(fh)
+    assert m["n_shards"] == 4 and m["block_size"] == 128
+    import glob
+
+    shards = sorted(glob.glob(f"{index_dir}/postings/shard=*"))
+    assert len(shards) == 4
+
+
+def test_fetch_phase(searcher):
+    rows = searcher.search("dup", k=5, fetch=True).collect()
+    assert len(rows) == 5
+    assert rows[0].score >= rows[-1].score
+
+
+def test_postings_compressed_smaller_than_raw(spark, index_dir):
+    # compression sanity: postings bytes << 8 bytes/posting
+    import pyspark.sql.functions as F
+
+    p = spark.read.parquet(f"{index_dir}/postings")
+    row = p.agg(
+        F.sum(F.length("doc_bytes") + F.length("tf_bytes")).alias("nbytes"),
+        F.sum("n").alias("npost"),
+    ).collect()[0]
+    assert row.nbytes / row.npost < 4.0
