@@ -117,6 +117,95 @@ SEGMENT_QUERIES = {
 }
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline ops: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+
+def _doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flume_elasticsearch_2_spark.functions.text import fingerprint_col
+
+    return _docs(spark, sf_dir).select("doc_id", fingerprint_col("text").alias("fp"))
+
+
+def _dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flume_elasticsearch_2_spark.operators.dedup import dedup_latest_by_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dedup_latest_by_key(ev, "user_id", "ts", tie_col="event_id").select(
+        "user_id", "event_id", "event_type"
+    )
+
+
+def _quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flume_elasticsearch_2_spark.functions.text import quality_cols
+
+    q = quality_cols("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        q["n_chars"].alias("n_chars_c"),
+        q["n_tokens"].alias("n_tokens"),
+        q["alpha_ratio"].alias("alpha_ratio"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["distinct_stopwords"].alias("distinct_stopwords"),
+    )
+
+
+def _lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flume_elasticsearch_2_spark.functions.text import lang_id_col
+
+    return _docs(spark, sf_dir).select("doc_id", lang_id_col("text").alias("lang_pred"))
+
+
+CLASSIFY_RULES = [("dup", "has_dup"), ("batch.*scan|scan.*batch", "batch_scan")]
+
+
+def _classify_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flume_elasticsearch_2_spark.functions.text import classify_col
+
+    return (
+        _docs(spark, sf_dir)
+        .select(classify_col("text", CLASSIFY_RULES).alias("doc_class"))
+        .groupBy("doc_class")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flume_elasticsearch_2_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), shingle_k=3, threshold=0.05)
+
+
+def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flume_elasticsearch_2_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.where("vec_id = 0").first().embedding)
+    return cosine_topk(emb, q, k=10)
+
+
+def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flume_elasticsearch_2_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(emb, threshold=0.45, exact=True)
+
+
+def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flume_elasticsearch_2_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=32, bands=8)
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flume_elasticsearch_2_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _bm25_query(qq, mode) for name, (qq, mode) in BM25_QUERIES.items()
@@ -126,6 +215,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["term_stats"] = _term_stats
     q["corpus_stats"] = _corpus_stats
     q["doc_lengths"] = _doc_lengths
+    q["doc_fingerprints"] = _doc_fingerprints
+    q["dedup_latest_event"] = _dedup_latest_event
+    q["quality_metrics"] = _quality_metrics
+    q["lang_id_docs"] = _lang_id_docs
+    q["classify_docs"] = _classify_docs
+    q["ngram_jaccard"] = _ngram_jaccard
+    q["cosine_topk"] = _cosine_topk
+    q["embedding_near_dup"] = _embedding_near_dup
+    q["minhash_candidates"] = _minhash_candidates  # rows-only (hash family not SQL-expressible)
+    q["simhash_pairs"] = _simhash_pairs  # rows-only (xxhash64 not in DuckDB)
     return q
 
 
@@ -148,5 +247,103 @@ SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl
 """
     o["doc_lengths"] = """
 SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl FROM documents
+"""
+    o["doc_fingerprints"] = """
+SELECT doc_id,
+       md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp
+FROM documents
+"""
+    o["dedup_latest_event"] = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+    _EN = "['the','and','of','to','in','is','that','it','for','was']"
+    o["quality_metrics"] = f"""
+SELECT doc_id,
+  length(text) AS n_chars_c,
+  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+  round(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+        / greatest(length(text), 1), 6) AS alpha_ratio,
+  round(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE
+        / greatest(length(text), 1), 6) AS punct_ratio,
+  len(list_intersect(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),
+      {_EN})) AS distinct_stopwords
+FROM documents
+"""
+    _P = {
+        "en": "['the','and','of','to','in','is','that','it','for','was']",
+        "fr": "['le','la','les','de','des','et','est','une','dans','que']",
+        "es": "['el','los','las','de','y','es','una','en','que','por']",
+        "de": "['der','die','das','und','ist','ein','eine','zu','den','von']",
+        "zh": "['de','shi','le','zai','you','wo','ta','men','zhe','na']",
+    }
+    o["lang_id_docs"] = f"""
+WITH s AS (
+  SELECT doc_id,
+    len(list_intersect(ts, {_P['en']})) AS s_en,
+    len(list_intersect(ts, {_P['fr']})) AS s_fr,
+    len(list_intersect(ts, {_P['es']})) AS s_es,
+    len(list_intersect(ts, {_P['de']})) AS s_de,
+    len(list_intersect(ts, {_P['zh']})) AS s_zh
+  FROM (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ts
+        FROM documents)
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_fr, s_es, s_de, s_zh) = 0 THEN 'und'
+       WHEN s_en >= greatest(s_fr, s_es, s_de, s_zh) THEN 'en'
+       WHEN s_fr >= greatest(s_es, s_de, s_zh) THEN 'fr'
+       WHEN s_es >= greatest(s_de, s_zh) THEN 'es'
+       WHEN s_de >= s_zh THEN 'de'
+       ELSE 'zh' END AS lang_pred
+FROM s
+"""
+    o["classify_docs"] = """
+SELECT CASE WHEN regexp_matches(text, 'dup') THEN 'has_dup'
+            WHEN regexp_matches(text, 'batch.*scan|scan.*batch') THEN 'batch_scan'
+            ELSE 'other' END AS doc_class,
+       count(*) AS n
+FROM documents GROUP BY 1
+"""
+    o["ngram_jaccard"] = """
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(ts[u.i:u.i+2], ' ') AS s
+       FROM toks, unnest(range(1, greatest(len(ts) - 1, 1))) AS u(i)),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, round(i::DOUBLE / (sa.nsh + sb.nsh - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(i::DOUBLE / (sa.nsh + sb.nsh - i), 6) >= 0.05
+"""
+    o["cosine_topk"] = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id AS id,
+         sum(e.embedding[t.i]::DOUBLE * q.qe[t.i]::DOUBLE) AS dot,
+         sqrt(sum(e.embedding[t.i]::DOUBLE * e.embedding[t.i]::DOUBLE)) AS na,
+         sqrt(sum(q.qe[t.i]::DOUBLE * q.qe[t.i]::DOUBLE)) AS nb
+  FROM embeddings e, q, unnest(range(1, 65)) AS t(i)
+  GROUP BY e.vec_id
+)
+SELECT id, round(dot / (na * nb), 6) AS cosine
+FROM d ORDER BY dot / (na * nb) DESC, id ASC LIMIT 10
+"""
+    o["embedding_near_dup"] = """
+WITH d AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         sum(a.embedding[t.i]::DOUBLE * b.embedding[t.i]::DOUBLE) AS dot,
+         sqrt(sum(a.embedding[t.i]::DOUBLE * a.embedding[t.i]::DOUBLE)) AS na,
+         sqrt(sum(b.embedding[t.i]::DOUBLE * b.embedding[t.i]::DOUBLE)) AS nb
+  FROM embeddings a, embeddings b, unnest(range(1, 65)) AS t(i)
+  WHERE a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(dot / (na * nb), 6) AS cosine
+FROM d WHERE round(dot / (na * nb), 6) >= 0.45
 """
     return o

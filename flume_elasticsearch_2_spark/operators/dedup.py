@@ -1,0 +1,252 @@
+"""Deduplication operators for the training-data pipeline.
+
+The reference's only dedup is id-keyed last-write-wins via the ES upsert
+(``setId(IR_SID)``, /root/reference/elasticsearch-sink/.../
+ElasticsearchSink.java:67 — SURVEY.md §2.2 P6); :func:`dedup_latest_by_key`
+is its faithful Spark form. The rest are the near-dup family a 100 TB text
+corpus needs: exact content hashing, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale notes:
+* exact / keyed dedup: single hash shuffle on the key; at 10^12 rows this is
+  the cheapest possible formulation (map-side partial aggregation for the
+  count variant, AQE skew splitting for pathological keys).
+* MinHash+LSH: signatures via one Arrow-batched pandas UDF (NumPy matrix
+  min over universal-hash family), banding → ``posexplode`` → self-join on
+  (band, bucket): only colliding docs are ever paired, so the quadratic
+  verify is confined to LSH buckets. Bucket join is a plain hash join that
+  AQE splits if a bucket is hot.
+* n-gram Jaccard: exact pair scores via shared-shingle equi-join (pairs with
+  zero overlap never materialize) + distinct-shingle counts; used standalone
+  at small scale and as the verify stage after LSH at large scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+from ..functions.text import fingerprint_col
+from ..functions.tokenizer import tokens_col
+
+MERSENNE_P = (1 << 31) - 1  # 31-bit Mersenne prime: a*x+b stays inside int64
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact near-dup removal: keep the first doc (lowest sort key) per
+    normalized-content fingerprint. Deterministic representative choice."""
+    other = [c for c in df.columns]
+    w = Window.partitionBy("_fp").orderBy(*other)
+    return (
+        df.withColumn("_fp", fingerprint_col(text_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+def dedup_latest_by_key(df: DataFrame, key: str, order_col: str, tie_col: str | None = None) -> DataFrame:
+    """P6: last-write-wins per key — ES ``setId(IR_SID)`` upsert semantics.
+
+    Latest ``order_col`` wins; ties broken by ``tie_col`` descending so the
+    result is deterministic (the reference's redelivery order dependence,
+    SURVEY §8.5, is resolved explicitly)."""
+    order = [F.col(order_col).desc()]
+    if tie_col:
+        order.append(F.col(tie_col).desc())
+    w = Window.partitionBy(key).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def shingles_col(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-token shingles (JVM higher-order functions, no UDF)."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    # guard: Spark sequence(1, n) DESCENDS for n < 1 — short docs get no shingles
+    return F.when(
+        F.size(toks) >= k,
+        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<long>[num_hashes]) via universal hashing
+    ``(a*x + b) mod p`` over shingle hashes — one NumPy matrix-min per
+    Arrow batch, no per-row Python."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE_P, size=num_hashes).astype(np.int64)
+    b = rng.randint(0, MERSENNE_P, size=num_hashes).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def sig_udf(shingle_hashes: pd.Series) -> pd.Series:
+        out = []
+        for hs in shingle_hashes:
+            if hs is None or len(hs) == 0:
+                out.append(np.full(num_hashes, MERSENNE_P, dtype=np.int64))
+                continue
+            # fold 64-bit shingle hashes to 31 bits so the (num_hashes,
+            # n_shingles) universal-hash matrix stays in int64 — pure
+            # vectorized NumPy, no per-row Python arithmetic
+            x = np.asarray(hs, dtype=np.int64) & MERSENNE_P
+            m = (a[:, None] * x[None, :] + b[:, None]) % MERSENNE_P
+            out.append(m.min(axis=1))
+        return pd.Series(out)
+
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles_col(text_col), lambda s: F.xxhash64(s)).alias("sh"),
+    )
+    return hashed.select("id", sig_udf("sh").alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) whose signatures collide in at
+    least one LSH band. rows_per_band = num_hashes // bands."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed)
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.xxhash64(
+                    F.concat_ws(",", F.transform(F.slice("signature", bi * r + 1, r), lambda v: v.cast("string")))
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >= t).
+
+    Pairs sharing no shingle never materialize (equi-join on the shingle);
+    ``candidates`` (e.g. LSH output) further restricts the pair space at
+    scale — semi-join pushdown before the quadratic part."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(text_col, shingle_k)).alias("s")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("nsh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("nsh", "nsh_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("nsh", "nsh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("nsh_a") + F.col("nsh_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash_col(text: Column | str, bits: int = 64) -> Column:
+    """64-bit SimHash over token hashes, pure JVM expressions: per bit,
+    sign of sum over tokens of (+1 if bit set else -1), weighted by token
+    multiplicity (aggregate over the raw token array)."""
+    toks = tokens_col(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_exprs = []
+    for i in range(bits):
+        contrib = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))) != 0, 1).otherwise(-1),
+        )
+        bit_exprs.append(F.when(contrib > 0, F.lit(1 << i if i < 63 else -(1 << 63))).otherwise(F.lit(0)))
+    out = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        out = out.bitwiseOR(e)
+    return out
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_tables: int = 4,
+) -> DataFrame:
+    """SimHash near-dup candidates: split the 64-bit hash into ``n_tables``
+    16-bit keys (pigeonhole: hamming<=3 pairs collide in >=1 of 4 tables),
+    join per table, verify exact hamming distance JVM-side."""
+    h = df.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("sh"))
+    keys = h.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(n_tables)
+                ]
+            )
+        ).alias("tbl", "key"),
+    )
+    pairs = (
+        keys.alias("a")
+        .join(
+            keys.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

@@ -1,0 +1,92 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flume_elasticsearch_2_spark.operators.dedup import (
+    dedup_exact,
+    dedup_latest_by_key,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from flume_elasticsearch_2_spark.sources.webpages import generate_webpages
+
+
+@pytest.fixture(scope="module")
+def webpages(spark):
+    df = generate_webpages(spark, 500, n_partitions=4)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def wp_docs(spark, webpages):
+    # dense ids for pair operators: url+ts unique
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("url", "warc_ts")
+    return webpages.withColumn("doc_id", F.row_number().over(w)).cache()
+
+
+def test_dedup_latest_by_key(spark, webpages):
+    out = dedup_latest_by_key(webpages, "url", "warc_ts")
+    assert out.count() == webpages.select("url").distinct().count()
+    # kept row per url is the max warc_ts
+    chk = (
+        out.alias("o")
+        .join(webpages.groupBy("url").agg(F.max("warc_ts").alias("mx")), "url")
+        .where(F.col("warc_ts") != F.col("mx"))
+    )
+    assert chk.count() == 0
+
+
+def test_dedup_exact_removes_identical_texts(spark, wp_docs):
+    n_distinct_texts = wp_docs.select("text").distinct().count()
+    out = dedup_exact(wp_docs, "text")
+    assert out.count() == n_distinct_texts
+
+
+def test_minhash_finds_exact_dups(spark, wp_docs):
+    # injected dups share identical text => identical signatures => certain pair
+    dup_pairs = (
+        wp_docs.alias("a")
+        .join(wp_docs.alias("b"), (F.col("a.text") == F.col("b.text")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    expected = {(r.id_a, r.id_b) for r in dup_pairs.collect()}
+    assert expected, "fixture should contain dups"
+    got = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(wp_docs, num_hashes=32, bands=8).collect()}
+    assert expected <= got
+
+
+def test_minhash_signature_similarity_tracks_jaccard(spark, wp_docs):
+    sigs = {r.id: list(r.signature) for r in minhash_signatures(wp_docs.limit(50), num_hashes=64).collect()}
+    ids = sorted(sigs)
+    # identical docs -> identical signatures
+    import numpy as np
+
+    a = np.array(sigs[ids[0]])
+    assert len(a) == 64
+
+
+def test_ngram_jaccard_exact_dups_score_one(spark, wp_docs):
+    pairs = ngram_jaccard_pairs(wp_docs, threshold=0.999).collect()
+    assert pairs, "exact dups must appear with jaccard 1.0"
+    assert all(abs(p.jaccard - 1.0) < 1e-9 for p in pairs)
+
+
+def test_simhash_near_dups(spark, wp_docs):
+    got = simhash_near_dup_pairs(wp_docs.limit(200), max_hamming=3).collect()
+    # exact dups have hamming 0 and must collide in every table
+    texts = {r.doc_id: r.text for r in wp_docs.limit(200).select("doc_id", "text").collect()}
+    dup_pairs = {
+        (i, j)
+        for i in texts
+        for j in texts
+        if i < j and texts[i] == texts[j]
+    }
+    found = {(r.id_a, r.id_b) for r in got}
+    assert dup_pairs <= found
+    assert all(r.hamming <= 3 for r in got)

@@ -1,0 +1,99 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flume_elasticsearch_2_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    embedding_near_dup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb_np(embeddings):
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, m
+
+
+def _brute(ids, m, q, k):
+    q = np.asarray(q, dtype=np.float64)
+    cos = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -cos))[:k]
+    return [(int(ids[i]), round(float(cos[i]), 6)) for i in order]
+
+
+def test_cosine_topk_matches_numpy(spark, embeddings, emb_np):
+    ids, m = emb_np
+    q = list(embeddings.where("vec_id = 3").first().embedding)
+    got = [(r.id, r.cosine) for r in cosine_topk(embeddings, q, k=10).collect()]
+    exp = _brute(ids, m, q, 10)
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert abs(g[1] - e[1]) < 1e-5
+
+
+def test_lsh_topk_recall(spark, embeddings, emb_np):
+    ids, m = emb_np
+    q = list(embeddings.where("vec_id = 3").first().embedding)
+    exact = {d for d, _ in _brute(ids, m, q, 10)}
+    ann = {r.id for r in cosine_topk_lsh(embeddings, q, k=10, n_planes=4, n_tables=8).collect()}
+    # the query vector itself (cosine 1.0) is always in its own bucket
+    assert 3 in ann
+    # recall@10 against brute force — near-uniform random embeddings are the
+    # LSH worst case (neighbors at cosine ~0.35), so the bar is modest here;
+    # scores of returned candidates are exact (next test)
+    recall = len(exact & ann) / 10
+    assert recall >= 0.4, f"LSH recall {recall} too low"
+
+
+def test_lsh_results_are_subset_exact_scores(spark, embeddings, emb_np):
+    ids, m = emb_np
+    q = list(embeddings.where("vec_id = 7").first().embedding)
+    ann = [(r.id, r.cosine) for r in cosine_topk_lsh(embeddings, q, k=5).collect()]
+    full = dict(_brute(ids, m, q, len(ids)))
+    for i, c in ann:
+        assert abs(full[i] - c) < 1e-5  # scores are exact even if set is approximate
+
+
+def test_embedding_near_dup_exact(spark, embeddings, emb_np):
+    ids, m = emb_np
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    iu = np.triu_indices(len(ids), 1)
+    expected = {
+        (int(ids[a]), int(ids[b]))
+        for a, b in zip(*iu)
+        if sims[a, b] >= 0.45
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(embeddings, threshold=0.45, exact=True).collect()
+    }
+    assert got == expected and got, "expect some pairs at 0.45 on this corpus"
+
+
+def test_embedding_near_dup_lsh_subset(spark, embeddings):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(embeddings, threshold=0.45, exact=True).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            embeddings, threshold=0.45, n_planes=4, n_tables=8
+        ).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.5

@@ -1,0 +1,92 @@
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from flume_elasticsearch_2_spark.functions.text import (
+    classify_col,
+    extract_text_arrow,
+    extract_text_col,
+    fingerprint_col,
+    lang_id_col,
+    quality_cols,
+    token_count_col,
+)
+from flume_elasticsearch_2_spark.sources.webpages import generate_webpages
+
+
+def test_extract_text_invariant(spark):
+    """input_hint per-row invariant: extract_text(html) == text byte-identical."""
+    wp = generate_webpages(spark, 500, n_partitions=4)
+    bad = wp.withColumn("ext", extract_text_col("html")).where(
+        F.col("ext") != F.col("text")
+    )
+    assert bad.count() == 0
+
+
+def test_extract_text_arrow_agrees(spark):
+    wp = generate_webpages(spark, 200, n_partitions=2)
+    bad = wp.withColumn("ext", extract_text_arrow("html")).where(
+        F.col("ext") != F.col("text")
+    )
+    assert bad.count() == 0
+
+
+def test_webpages_deterministic_across_parallelism(spark):
+    a = generate_webpages(spark, 300, n_partitions=2).orderBy("url", "warc_ts").collect()
+    b = generate_webpages(spark, 300, n_partitions=8).orderBy("url", "warc_ts").collect()
+    assert a == b
+
+
+def test_webpages_has_dups_and_hot_terms(spark):
+    wp = generate_webpages(spark, 500, n_partitions=4)
+    n_urls = wp.select("url").distinct().count()
+    assert n_urls < 500  # dup injection
+    hot_df = (
+        wp.select(F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") == "hot00")
+        .count()
+    )
+    assert hot_df > 0
+
+
+def test_fingerprint_md5_matches_duckdb(spark, documents, sf_dir):
+    got = {
+        r.doc_id: r.fp
+        for r in documents.select("doc_id", fingerprint_col("text").alias("fp")).collect()
+    }
+    con = duckdb.connect()
+    exp = dict(
+        con.sql(
+            f"""SELECT doc_id, md5(array_to_string(regexp_extract_all(lower(text),
+            '[a-z0-9]+'), ' ')) FROM '{sf_dir}/documents.parquet'"""
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_quality_and_lang(spark, documents):
+    q = quality_cols("text")
+    row = (
+        documents.select(
+            token_count_col("text").alias("tc"),
+            q["alpha_ratio"].alias("ar"),
+            q["punct_ratio"].alias("pr"),
+            lang_id_col("text").alias("lang"),
+        )
+        .first()
+    )
+    assert row.tc > 0 and 0 <= row.ar <= 1 and 0 <= row.pr <= 1
+    assert row.lang in {"en", "fr", "es", "de", "zh", "und"}
+
+
+def test_classify(spark, documents):
+    rules = [("dup", "has_dup"), ("batch", "has_batch")]
+    counts = dict(
+        documents.select(classify_col("text", rules).alias("c"))
+        .groupBy("c")
+        .count()
+        .collect()
+    )
+    assert set(counts) <= {"has_dup", "has_batch", "other"}
+    assert sum(counts.values()) == documents.count()
