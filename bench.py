@@ -1,0 +1,104 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Covers the engine's pillars: index build throughput (docs/sec), segment
+BM25 query latency (p50/p95 over the fixed query set), the declarative
+BM25 path, dedup (MinHash LSH + exact Jaccard), and similarity search.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+QUERY_SET = [
+    ("dup", "or"),
+    ("dup batch scan", "or"),
+    ("batch small scan", "or"),
+    ("join filter window", "and"),
+    ("the the fast", "or"),
+    ("hash join merge sort", "or"),
+    ("zzzznotaterm", "or"),
+    ("a big data table", "or"),
+]
+
+
+def main() -> None:
+    import tempfile
+
+    from flume_elasticsearch_2_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from flume_elasticsearch_2_spark.operators.similarity import cosine_topk
+    from flume_elasticsearch_2_spark.operators.topk import bm25_topk
+    from flume_elasticsearch_2_spark.plans.build_index import build_index
+    from flume_elasticsearch_2_spark.plans.query_index import IndexSearcher
+    from flume_elasticsearch_2_spark.session import get_spark
+
+    spark = get_spark(app_name="fts-bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    docs.cache().count()
+    timings: dict[str, float] = {}
+    t_all = time.time()
+
+    # 1. index build
+    idx_dir = os.path.join(tempfile.mkdtemp(prefix="fts_bench_"), "idx")
+    t0 = time.time()
+    build_index(spark, docs, idx_dir, n_shards=max(4, int(CPUS) // 4))
+    timings["index_build"] = time.time() - t0
+    timings["index_docs_per_sec"] = round(n_docs / timings["index_build"], 2)
+
+    # 2. segment query latency over the fixed set
+    searcher = IndexSearcher(spark, idx_dir)
+    lat = []
+    for q, mode in QUERY_SET:
+        t0 = time.time()
+        searcher.search(q, k=10, mode=mode, pruned=True).collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    timings["query_p50"] = lat[len(lat) // 2]
+    timings["query_p95"] = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
+
+    # 3. declarative BM25 path (one query, full plan incl. tokenize)
+    t0 = time.time()
+    bm25_topk(docs, "dup batch scan", k=10).collect()
+    timings["bm25_dataframe"] = time.time() - t0
+
+    # 4. dedup
+    t0 = time.time()
+    minhash_lsh_pairs(docs, num_hashes=32, bands=8).count()
+    timings["minhash_lsh"] = time.time() - t0
+    t0 = time.time()
+    ngram_jaccard_pairs(docs, threshold=0.05).count()
+    timings["ngram_jaccard"] = time.time() - t0
+
+    # 5. similarity
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = list(emb.where("vec_id = 0").first().embedding)
+    t0 = time.time()
+    cosine_topk(emb, qv, k=10).collect()
+    timings["cosine_topk"] = time.time() - t0
+
+    total = time.time() - t_all
+    out = {
+        "metric": "fts_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "n_docs": n_docs,
+        "cpus": int(CPUS),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Per-chunk lineage/checkpoint log (SURVEY.md §2.1 S4, §3.2).
+
+The reference's ``DiscreteWatermark`` (/root/reference/file-common/src/main/
+java/com/trs/smas/flume/DiscreteWatermark.java:31-34) checkpoints a (file
+list, file pointer, byte offset) triple — but only persists it at ``stop()``
+(FileSource.java:100-110, bug §8.5) and never advances the pointer across
+files (bug §8.1). This module implements the *intended* semantics the
+Spark-native way:
+
+* the unit of progress is an input **chunk** (a deterministic group of input
+  files), identified by a content fingerprint (path + size), not a listing
+  index (fixing bug §8.6);
+* a lineage record is written **after** the chunk's derived data is durably
+  on disk (not at shutdown), so a crash loses at most the in-flight chunk;
+* records carry per-chunk metrics (doc/posting counts, wall time) — the M1/
+  M2 counter analog (FileSource.java:195-196, ElasticsearchSink.java:72-77).
+
+One JSON file per chunk (single-file atomic rename) keeps commits
+independent across concurrent writers and restarts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from typing import Any
+
+
+class LineageLog:
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+
+    def commit(self, chunk_id: str, **fields: Any) -> None:
+        rec = {"chunk_id": chunk_id, "status": "done", "committed_at": time.time(), **fields}
+        fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(rec, fh)
+        os.rename(tmp, os.path.join(self.log_dir, f"chunk_{chunk_id}.json"))
+
+    def load(self) -> dict[str, dict[str, Any]]:
+        out: dict[str, dict[str, Any]] = {}
+        for name in os.listdir(self.log_dir):
+            if name.startswith("chunk_") and name.endswith(".json"):
+                with open(os.path.join(self.log_dir, name)) as fh:
+                    rec = json.load(fh)
+                out[rec["chunk_id"]] = rec
+        return out
+
+    def done(self, chunk_id: str, fingerprint: str) -> bool:
+        """A chunk is done only if committed with the SAME fingerprint —
+        changed input invalidates the checkpoint (reference bug §8.6: the
+        listing-index watermark silently trusted file order)."""
+        rec = self.load().get(chunk_id)
+        return bool(rec) and rec.get("fingerprint") == fingerprint

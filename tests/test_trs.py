@@ -1,0 +1,87 @@
+"""TRS compat parser vs the reference's documented edge cases (FIXTURES.md §3,
+SURVEY.md §8)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flume_elasticsearch_2_spark.sources.trs import (
+    parse_trs_text,
+    read_trs,
+    trs_dedup_by_sid,
+    trs_project,
+)
+
+FILE_A = """<REC>
+<IR_SID>=a1
+<TITLE>=hello world
+
+<BODY>=first body
+garbage line no pattern
+<REC>
+<IR_SID>=a2
+<EMPTY>=
+<TITLE>=second
+"""
+
+FILE_B = """<REC>
+<IR_SID>=a2
+<TITLE>=redelivered
+<REC>
+<IR_SID>=b1
+<TITLE>=unicode çĕ東
+"""
+
+
+def test_parse_basic_and_edge_cases():
+    recs, dropped = parse_trs_text(FILE_A, flush_final=True)
+    assert len(recs) == 2
+    assert recs[0] == {"IR_SID": "a1", "TITLE": "hello world", "BODY": "first body"}
+    # empty value field kept; blank lines skipped; garbage counted
+    assert recs[1]["EMPTY"] == ""
+    assert dropped == 1
+
+
+def test_reference_mode_drops_final_record():
+    recs, _ = parse_trs_text(FILE_A, flush_final=False)
+    assert len(recs) == 1  # reference bug §8.2: trailing record lost
+
+
+def test_empty_file():
+    recs, dropped = parse_trs_text("", flush_final=True)
+    assert recs == [] and dropped == 0
+
+
+def test_duplicate_key_last_wins():
+    recs, _ = parse_trs_text("<REC>\n<K>=1\n<K>=2\n", flush_final=True)
+    assert recs[0]["K"] == "2"
+
+
+def test_fields_before_first_rec_are_dropped():
+    recs, dropped = parse_trs_text("<K>=orphan\n<REC>\n<K>=ok\n")
+    assert recs == [{"K": "ok"}] and dropped == 1
+
+
+@pytest.fixture(scope="module")
+def trs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("trs")
+    (d / "a.trs").write_text(FILE_A, encoding="utf-8")
+    (d / "b.trs").write_text(FILE_B, encoding="utf-8")
+    (d / "empty.trs").write_text("", encoding="utf-8")  # zero-length skip (S3)
+    return str(d)
+
+
+def test_read_trs_spark(spark, trs_dir):
+    df = read_trs(spark, trs_dir)
+    rows = df.collect()
+    assert len(rows) == 4  # 2 + 2 + 0
+    proj = trs_project(df, ["TITLE"])
+    assert {r.IR_SID for r in proj.collect()} == {"a1", "a2", "b1"}
+
+
+def test_trs_dedup_by_sid(spark, trs_dir):
+    out = trs_dedup_by_sid(read_trs(spark, trs_dir), ["TITLE"])
+    got = {r.IR_SID: r.TITLE for r in out.collect()}
+    assert got["a2"] == "redelivered"  # later file wins (upsert semantics)
+    assert got["b1"] == "unicode çĕ東"  # UTF-8 intact (reference bug §8.4)
+    assert len(got) == 3
