@@ -55,8 +55,12 @@ def main() -> None:
     timings["index_build"] = time.time() - t0
     timings["index_docs_per_sec"] = round(n_docs / timings["index_build"], 2)
 
-    # 2. segment query latency over the fixed set
+    # 2. segment query latency over the fixed set (one untimed warmup pays
+    # the python-worker spawn + parquet footer read; reported as query_cold)
     searcher = IndexSearcher(spark, idx_dir)
+    t0 = time.time()
+    searcher.search("warmup query terms", k=10).collect()
+    timings["query_cold"] = time.time() - t0
     lat = []
     for q, mode in QUERY_SET:
         t0 = time.time()
@@ -85,6 +89,20 @@ def main() -> None:
     t0 = time.time()
     cosine_topk(emb, qv, k=10).collect()
     timings["cosine_topk"] = time.time() - t0
+
+    # 6. end-to-end webpages pipeline (extract → dedup → classify → index)
+    # over a 20k-doc synthesized corpus — the north_star path at a size where
+    # work dominates scheduler overhead
+    from flume_elasticsearch_2_spark.plans.pipeline import index_webpages
+    from flume_elasticsearch_2_spark.sources.webpages import write_webpages
+
+    pages_dir = os.path.join(tempfile.mkdtemp(prefix="fts_bench_"), "webpages")
+    write_webpages(spark, 20_000, pages_dir, n_partitions=32)
+    pipe_idx = os.path.join(tempfile.mkdtemp(prefix="fts_bench_"), "pipe_idx")
+    t0 = time.time()
+    manifest = index_webpages(spark, spark.read.parquet(pages_dir), pipe_idx, n_shards=8)
+    timings["pipeline_20k"] = time.time() - t0
+    timings["pipeline_docs_per_sec"] = manifest["docs_per_sec"]
 
     total = time.time() - t_all
     out = {

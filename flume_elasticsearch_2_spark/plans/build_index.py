@@ -62,7 +62,7 @@ from ..codec import BLOCK_SIZE, encode_postings
 from ..functions.tokenizer import tokens_col
 
 POSTINGS_SCHEMA = (
-    "term string, n long, doc_bytes binary, tf_bytes binary, "
+    "term string, n long, cf long, doc_bytes binary, tf_bytes binary, "
     "block_first_doc array<long>, block_last_doc array<long>, block_max_tf array<int>"
 )
 
@@ -126,6 +126,7 @@ def _make_encode_partition(id_space: int, n_shards: int):
                 {
                     "term": key,
                     "n": int(enc.n),
+                    "cf": int(fs.sum()),
                     "doc_bytes": enc.doc_bytes,
                     "tf_bytes": enc.tf_bytes,
                     "block_first_doc": (enc.block_first_doc + base).tolist(),
@@ -177,6 +178,16 @@ def build_segments(
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
 
+    # tf/dl are usually lazy views over the tokenizer — without a persist the
+    # tokenize+explode+count pipeline would re-run for every consumer below
+    # (stats, docs write, postings encode). MEMORY_AND_DISK keeps a 10^12-doc
+    # build from OOMing; the chunked build (resume.py) stages tf to Parquet
+    # instead, which is the preferred shape at full scale.
+    from pyspark import StorageLevel
+
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    dl = dl.persist(StorageLevel.MEMORY_AND_DISK)
+
     stats_row = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"), F.max("doc_id").alias("max_doc_id")
     ).collect()[0]
@@ -190,12 +201,6 @@ def build_segments(
     docs_out.repartition(n_shards, "shard").write.mode("overwrite").partitionBy("shard").parquet(
         f"{tmp}/docs"
     )
-
-    # global term stats (df, cf) — one extra reduction over tf
-    terms_df = tf.groupBy("term").agg(
-        F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf")
-    )
-    terms_df.coalesce(max(1, n_shards // 4)).write.mode("overwrite").parquet(f"{tmp}/terms")
 
     # the one big shuffle: (shard, term) — doc-range sharding bounds group size
     sharded = tf.withColumn("shard", (F.col("doc_id") * n_shards / F.lit(id_space)).cast("int"))
@@ -211,6 +216,7 @@ def build_segments(
             F.element_at("split", 1).cast("int").alias("shard"),
             F.element_at("split", 2).alias("term"),
             "n",
+            "cf",
             "doc_bytes",
             "tf_bytes",
             "block_first_doc",
@@ -225,6 +231,19 @@ def build_segments(
         .partitionBy("shard")
         .parquet(f"{tmp}/postings")
     )
+
+    # global term stats (df, cf) from a column-pruned read-back of the
+    # postings metadata (term, n, cf only — the binary columns are never
+    # touched): per-(term, shard) n sums to df. Avoids a second full
+    # aggregation pass over tf.
+    terms_df = (
+        spark.read.parquet(f"{tmp}/postings")
+        .groupBy("term")
+        .agg(F.sum("n").cast("long").alias("df"), F.sum("cf").cast("long").alias("cf"))
+    )
+    terms_df.coalesce(max(1, n_shards // 4)).write.mode("overwrite").parquet(f"{tmp}/terms")
+    tf.unpersist()
+    dl.unpersist()
 
     manifest = {
         "format_version": 1,

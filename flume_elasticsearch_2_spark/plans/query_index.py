@@ -18,6 +18,19 @@ Scatter/gather shape mirrors ES query-then-fetch (the [delegated] layer at
 Parquet reads are pruned two ways: ``shard=`` directory partition pruning
 and ``term IN (...)`` row-group predicate pushdown (postings files are
 sorted by term at write).
+
+Two physical engines, rank-identical by construction and by test:
+
+* ``engine="direct"`` (default): shuffle-FREE scatter/gather. The index is
+  already partitioned by shard on disk, so each executor task reads its own
+  shard's postings + norms straight from Parquet (pyarrow, column-pruned,
+  term-filtered) and returns its local top-k — exactly an ES data node
+  serving a shard-level query. One narrow stage, no exchange, per-query
+  driver work is a single metadata read. On a cluster the segment store
+  would be HDFS/S3 (pyarrow reads both natively).
+* ``engine="cogroup"``: the declarative shape (groupBy(shard).cogroup →
+  applyInPandas) — Catalyst-planned, used as an independent implementation
+  to cross-check the direct path.
 """
 
 from __future__ import annotations
@@ -25,10 +38,12 @@ from __future__ import annotations
 import json
 import os
 from collections import Counter
+from collections.abc import Iterator
 from typing import Any
 
 import numpy as np
 import pandas as pd
+import pyarrow.dataset as pads
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -207,6 +222,24 @@ class IndexSearcher:
         )
         return {r["term"]: int(r["df"]) for r in rows}
 
+    def _query_meta(self, terms: list[str]) -> tuple[dict[str, int], list[int]]:
+        """Driver-side metadata read: global df per term (= sum over shards
+        of n) and the set of shards holding any query term. Column-pruned
+        (binary posting bytes never touched), term-filtered via Parquet
+        row-group stats — no Spark job, ~ms even on a large index."""
+        ds = pads.dataset(
+            f"{self.index_dir}/postings", format="parquet", partitioning="hive"
+        )
+        tbl = ds.to_table(columns=["shard", "term", "n"], filter=pads.field("term").isin(terms))
+        dfreq: dict[str, int] = {}
+        shard_set: set[int] = set()
+        for shard, term, n in zip(
+            tbl["shard"].to_pylist(), tbl["term"].to_pylist(), tbl["n"].to_pylist()
+        ):
+            dfreq[term] = dfreq.get(term, 0) + int(n)
+            shard_set.add(int(shard))
+        return dfreq, sorted(shard_set)
+
     def search(
         self,
         query: str,
@@ -214,6 +247,7 @@ class IndexSearcher:
         mode: str = "or",
         pruned: bool = True,
         fetch: bool = False,
+        engine: str = "direct",
     ) -> DataFrame:
         """Top-k BM25 as a DataFrame (doc_id, score[, fetch cols]).
 
@@ -226,26 +260,10 @@ class IndexSearcher:
         if not q_terms:
             return empty
         weights = {t: float(c) for t, c in Counter(q_terms).items()}
-        dfreq = self.term_stats(sorted(weights))
-        present = [t for t in weights if t in dfreq]
+        dfreq, active_shards = self._query_meta(sorted(weights))
+        present = sorted(t for t in weights if t in dfreq)
         if not present or (mode == "and" and len(present) < len(weights)):
             return empty
-
-        postings = spark.read.parquet(f"{self.index_dir}/postings").where(
-            F.col("term").isin(present)
-        )
-        # shard pruning for the norms read: only doc shards that actually hold
-        # postings for a query term participate (rare-term queries touch a
-        # handful of shard dirs; partition pruning keeps the docs scan small)
-        active_shards = [int(r["shard"]) for r in postings.select("shard").distinct().collect()]
-        if not active_shards:
-            return empty
-        postings = postings.where(F.col("shard").isin(active_shards))
-        docs = (
-            spark.read.parquet(f"{self.index_dir}/docs")
-            .where(F.col("shard").isin(active_shards))
-            .select("doc_id", "dl", "shard")
-        )
         kwargs = dict(
             weights=weights,
             dfreq=dfreq,
@@ -258,14 +276,10 @@ class IndexSearcher:
             pruned=pruned,
         )
 
-        def score(key, pdf: pd.DataFrame, ddf: pd.DataFrame) -> pd.DataFrame:
-            return _score_shard(pdf, ddf, **kwargs)
-
-        per_shard = (
-            postings.groupBy("shard")
-            .cogroup(docs.groupBy("shard"))
-            .applyInPandas(score, "doc_id long, score double")
-        )
+        if engine == "direct":
+            per_shard = self._scatter_direct(active_shards, present, kwargs)
+        else:
+            per_shard = self._scatter_cogroup(active_shards, present, kwargs)
         out = (
             per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
@@ -279,3 +293,65 @@ class IndexSearcher:
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             )
         return out
+
+    def _scatter_direct(
+        self, active_shards: list[int], present: list[str], kwargs: dict[str, Any]
+    ) -> DataFrame:
+        """One task per active shard; each reads its own shard dir (postings
+        term-filtered + norms) with pyarrow and scores locally. No shuffle —
+        the scan IS the scatter, the driver limit is the gather. On a
+        multi-executor cluster the segment store is HDFS/S3; pyarrow reads
+        both through its filesystem layer."""
+        index_dir = self.index_dir
+        post_cols = [
+            "term", "n", "doc_bytes", "tf_bytes",
+            "block_first_doc", "block_last_doc", "block_max_tf",
+        ]
+
+        def score_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for shard in pdf["shard"].tolist():
+                    pt = (
+                        pads.dataset(f"{index_dir}/postings/shard={shard}", format="parquet")
+                        .to_table(columns=post_cols, filter=pads.field("term").isin(present))
+                        .to_pandas()
+                    )
+                    pt["shard"] = shard
+                    dt = (
+                        pads.dataset(f"{index_dir}/docs/shard={shard}", format="parquet")
+                        .to_table(columns=["doc_id", "dl"])
+                        .to_pandas()
+                    )
+                    yield _score_shard(pt, dt, **kwargs)
+
+        shard_df = self.spark.createDataFrame(
+            [(s,) for s in active_shards], "shard int"
+        ).repartition(len(active_shards), "shard")
+        return shard_df.mapInPandas(score_shards, "doc_id long, score double")
+
+    def _scatter_cogroup(
+        self, active_shards: list[int], present: list[str], kwargs: dict[str, Any]
+    ) -> DataFrame:
+        """Catalyst-planned scatter: shuffle postings+norms by shard into a
+        cogrouped applyInPandas. Independent cross-check for the direct
+        engine (tested rank-identical)."""
+        spark = self.spark
+        postings = (
+            spark.read.parquet(f"{self.index_dir}/postings")
+            .where(F.col("term").isin(present))
+            .where(F.col("shard").isin(active_shards))
+        )
+        docs = (
+            spark.read.parquet(f"{self.index_dir}/docs")
+            .where(F.col("shard").isin(active_shards))
+            .select("doc_id", "dl", "shard")
+        )
+
+        def score(key, pdf: pd.DataFrame, ddf: pd.DataFrame) -> pd.DataFrame:
+            return _score_shard(pdf, ddf, **kwargs)
+
+        return (
+            postings.groupBy("shard")
+            .cogroup(docs.groupBy("shard"))
+            .applyInPandas(score, "doc_id long, score double")
+        )

@@ -77,6 +77,34 @@ def test_manifest_and_layout(index_dir):
     assert len(shards) == 4
 
 
+@pytest.mark.parametrize("query,mode", QUERIES)
+def test_direct_equals_cogroup_engine(searcher, query, mode):
+    d = [(r.doc_id, r.score) for r in searcher.search(query, k=10, mode=mode, engine="direct").collect()]
+    c = [(r.doc_id, r.score) for r in searcher.search(query, k=10, mode=mode, engine="cogroup").collect()]
+    assert d == c
+
+
+def test_terms_table_matches_declarative_stats(spark, index_dir, documents):
+    """terms/ (df, cf) derived from postings read-back must equal a direct
+    groupBy over the tokenized corpus."""
+    import pyspark.sql.functions as F
+
+    from flume_elasticsearch_2_spark.operators.topk import corpus_tokens
+
+    got = {
+        r["term"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(f"{index_dir}/terms").collect()
+    }
+    exp = {
+        r["term"]: (r["df"], r["cf"])
+        for r in corpus_tokens(documents)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"), F.count("*").alias("cf"))
+        .collect()
+    }
+    assert got == exp
+
+
 def test_fetch_phase(searcher):
     rows = searcher.search("dup", k=5, fetch=True).collect()
     assert len(rows) == 5
