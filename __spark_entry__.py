@@ -200,6 +200,51 @@ def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=32, bands=8)
 
 
+def _bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flume_elasticsearch_2_spark.functions.text import bpe_token_count_col
+
+    return _docs(spark, sf_dir).select("doc_id", bpe_token_count_col("text").alias("bpe_tokens"))
+
+
+def _quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flume_elasticsearch_2_spark.functions.text import quality_score_col
+
+    return _docs(spark, sf_dir).select("doc_id", quality_score_col("text").alias("quality"))
+
+
+def _media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload + typed metadata through an
+    Arrow-batched mapInPandas fake decoder (operators/multimodal.py);
+    mean_byte excluded (byte-level arithmetic is not DuckDB-expressible)."""
+    from flume_elasticsearch_2_spark.operators.multimodal import (
+        image_features,
+        synth_media_from_documents,
+    )
+
+    media = synth_media_from_documents(_docs(spark, sf_dir))
+    return image_features(media).select("doc_id", "n_bytes", "width", "height", "channels")
+
+
+def _media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flume_elasticsearch_2_spark.operators.multimodal import (
+        audio_features,
+        synth_media_from_documents,
+    )
+
+    media = synth_media_from_documents(_docs(spark, sf_dir))
+    return audio_features(media).select("doc_id", "n_bytes", "sample_rate", "duration_s")
+
+
+def _cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path (rows-only: hyperplane sign-bit buckets are not
+    SQL-expressible; recall vs brute force is pinned in tests)."""
+    from flume_elasticsearch_2_spark.operators.similarity import cosine_topk_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.where("vec_id = 0").first().embedding)
+    return cosine_topk_lsh(emb, q, k=10)
+
+
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flume_elasticsearch_2_spark.operators.dedup import simhash_near_dup_pairs
 
@@ -223,8 +268,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard"] = _ngram_jaccard
     q["cosine_topk"] = _cosine_topk
     q["embedding_near_dup"] = _embedding_near_dup
+    q["bpe_token_counts"] = _bpe_token_counts
+    q["quality_scores"] = _quality_scores
+    q["media_image_features"] = _media_image_features
+    q["media_audio_features"] = _media_audio_features
     q["minhash_candidates"] = _minhash_candidates  # rows-only (hash family not SQL-expressible)
     q["simhash_pairs"] = _simhash_pairs  # rows-only (xxhash64 not in DuckDB)
+    q["cosine_topk_lsh"] = _cosine_topk_lsh  # rows-only (sign-bit buckets not SQL-expressible)
     return q
 
 
@@ -319,6 +369,40 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(i::DOUBLE / (sa.nsh + sb.nsh - i), 6) >= 0.05
+"""
+    o["bpe_token_counts"] = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS bpe_tokens
+FROM documents
+"""
+    o["quality_scores"] = """
+WITH q AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+    round(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+          / greatest(length(text), 1), 6) AS alpha_ratio,
+    round(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE
+          / greatest(length(text), 1), 6) AS punct_ratio
+  FROM documents
+)
+SELECT doc_id,
+       round((CASE WHEN n_tokens BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.3 END)
+             * (0.5 + 0.5 * alpha_ratio) * (1.0 - punct_ratio), 6) AS quality
+FROM q
+"""
+    o["media_image_features"] = """
+WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+SELECT doc_id, n::BIGINT AS n_bytes,
+       (n % 624 + 16)::INT AS width,
+       ((n // 7) % 464 + 16)::INT AS height,
+       (CASE WHEN n % 5 = 0 THEN 1 ELSE 3 END)::INT AS channels
+FROM m
+"""
+    o["media_audio_features"] = """
+WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+SELECT doc_id, n::BIGINT AS n_bytes, 16000::INT AS sample_rate,
+       round(n / 32000.0, 6) AS duration_s
+FROM m
 """
     o["cosine_topk"] = """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -76,6 +76,21 @@ def token_count_col(text: Column | str) -> Column:
     return F.size(tokens_col(text)).cast("long")
 
 
+# GPT-2-style pre-tokenizer shape: letter runs, digit runs, punct runs, each
+# optionally glued to one leading space; standalone whitespace runs dropped.
+# Deliberately RE2/ICU-compatible (no \p classes) so Spark and DuckDB agree.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count_col(text: Column | str) -> Column:
+    """BPE-ish token count: the pre-tokenization pass of a byte-pair
+    encoder (word/number/punct chunks with leading-space gluing) — the
+    standard proxy for LLM token budgeting over a training corpus. Pure
+    JVM regex; identical pattern runs in the DuckDB oracle."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0))).cast("long")
+
+
 def quality_cols(text: Column | str) -> dict[str, Column]:
     """Quality-scoring features: length, token stats, punctuation and
     stopword ratios, alpha ratio. Pure JVM expressions."""

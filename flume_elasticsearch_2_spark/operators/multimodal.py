@@ -41,6 +41,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+def _round6(x: np.ndarray) -> np.ndarray:
+    """Half-up rounding to 6 decimals (np.round is banker's; DuckDB/Spark
+    round half away from zero — ties like n/32000 = 0.0000625 must agree
+    with the SQL oracle)."""
+    return np.floor(np.abs(x) * 1e6 + 0.5) / 1e6 * np.sign(x)
+
+
 # canonical media-table schema: binary payload + typed metadata
 MEDIA_SCHEMA = (
     "doc_id long, media_type string, data binary, "
@@ -133,7 +140,7 @@ def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
                     "width": w,
                     "height": h,
                     "channels": c,
-                    "mean_byte": np.round(means, 6),
+                    "mean_byte": _round6(means),
                 }
             )
 
@@ -168,8 +175,8 @@ def audio_features(media: DataFrame, bytes_per_sample: int = 2) -> DataFrame:
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "n_bytes": n,
                     "sample_rate": pdf["sample_rate"].astype("int32"),
-                    "duration_s": np.round(dur, 6),
-                    "rms": np.round(rms, 6),
+                    "duration_s": _round6(dur),
+                    "rms": _round6(rms),
                 }
             )
 

@@ -89,18 +89,42 @@ def term_frequencies(
     return tf, dl
 
 
+def token_occurrences(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(doc_id, term) one row per token occurrence + (doc_id, dl).
+
+    The single-shuffle build input: occurrences go straight to the
+    (shard, term) exchange and tf is recovered by run-length there — skips
+    the (doc_id, term) pre-aggregation shuffle of :func:`term_frequencies`
+    (whose map-side combine saves little on natural text, where most
+    per-doc tfs are 1)."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), tokens_col(text_col).alias("toks")
+    )
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    occ = toks.select("doc_id", F.explode("toks").alias("term"))
+    return occ, dl
+
+
 def shard_start(shard: int, id_space: int, n_shards: int) -> int:
     """First doc id belonging to ``shard`` under range sharding
     ``shard = doc_id * n_shards // id_space`` (ceil division)."""
     return -(-shard * id_space // n_shards)
 
 
-def _make_encode_partition(id_space: int, n_shards: int):
+def _make_encode_partition(id_space: int, n_shards: int, occurrences: bool = False):
     """mapInPandas body factory: partition is hash-partitioned by
     (shard, term) and sorted by (shard, term, doc_id); encode each group's
     postings. Doc ids are stored SHARD-LOCAL (minus shard_start) so the
     uint32 codec holds as long as a single shard stays under 2^32 docs —
     the global id space can be arbitrarily large (10^12 target).
+
+    With ``occurrences=True`` the input rows are raw token occurrences
+    (one row per token, no ``tf`` column, repeated doc_ids within a group)
+    and tf is recovered by run-length over the sorted doc ids — this is the
+    single-shuffle build path (the (doc_id, term) pre-aggregation shuffle is
+    skipped entirely).
 
     Single pass, no per-group Spark overhead; carries incomplete trailing
     groups across Arrow batches so group boundaries never split.
@@ -109,7 +133,7 @@ def _make_encode_partition(id_space: int, n_shards: int):
     def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
         terms = pdf["term"].to_numpy()
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        tfs = None if occurrences else pdf["tf"].to_numpy(dtype=np.int64)
         change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
         starts = np.concatenate([[0], change])
         ends = np.concatenate([change, [len(pdf)]])
@@ -119,8 +143,15 @@ def _make_encode_partition(id_space: int, n_shards: int):
             shard = int(key.split("\x00", 1)[0])
             base = shard_start(shard, id_space, n_shards)
             ids = doc_ids[s:e]
+            if occurrences:
+                # run-length over sorted (possibly repeated) doc ids -> tf
+                dchange = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+                dstarts = np.concatenate([[0], dchange])
+                fs = np.diff(np.concatenate([dstarts, [len(ids)]])).astype(np.uint32)
+                ids = ids[dstarts]
+            else:
+                fs = tfs[s:e].astype(np.uint32)
             local = (ids - base).astype(np.uint32)
-            fs = tfs[s:e].astype(np.uint32)
             enc = encode_postings(local, fs)
             rows.append(
                 {
@@ -159,18 +190,177 @@ def _make_encode_partition(id_space: int, n_shards: int):
     return _encode_partition
 
 
-def build_segments(
+# ---------------------------------------------------------------------------
+# Partial-postings build (SURVEY §2.4 I2 + I5): tokenize and build posting
+# RUNS per input partition in NumPy, shuffle packed runs (one row per
+# (input-batch, shard, term) with uint32-packed doc/tf arrays), then k-way
+# merge runs into final postings. Compared to shuffling one row per token
+# occurrence this cuts the exchange row count ~200x and removes the
+# UnsafeRow-per-token materialization that made the naive build
+# memory-bandwidth-bound (profiled: ~2000 CPU-s for 130M-row shuffle vs
+# ~400 CPU-s for this path on the same corpus).
+# ---------------------------------------------------------------------------
+
+PARTIAL_SCHEMA = "shard int, term string, run_min long, ids binary, tfs binary"
+DL_TERM = ""  # sentinel term for doc-length runs ('' can never be a token)
+
+
+def _make_partial_builder(id_space: int, n_shards: int, id_col: str, text_col: str):
+    """mapInPandas body: per Arrow batch, tokenize (pre-compiled regex,
+    vectorized pandas) and emit packed posting runs + a doc-length run per
+    shard. Doc ids inside a run are SHARD-LOCAL uint32 ascending; ``run_min``
+    (global) orders runs at merge time."""
+    from ..functions.tokenizer import _TOKEN_RE
+
+    cols = ["shard", "term", "run_min", "ids", "tfs"]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            doc_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            order = np.argsort(doc_ids, kind="stable")
+            doc_ids = doc_ids[order]
+            toks = pdf[text_col].iloc[order].str.lower().str.findall(_TOKEN_RE)
+            lens = np.fromiter((len(t) for t in toks), count=n, dtype=np.int64)
+            shards = doc_ids * n_shards // id_space
+            rows: list[tuple] = []
+            # doc-length runs, one per shard present in the batch
+            for sh in np.unique(shards):
+                m = shards == sh
+                base = shard_start(int(sh), id_space, n_shards)
+                rows.append(
+                    (
+                        int(sh),
+                        DL_TERM,
+                        int(doc_ids[m][0]),
+                        (doc_ids[m] - base).astype(np.uint32).tobytes(),
+                        lens[m].astype(np.uint32).tobytes(),
+                    )
+                )
+            total = int(lens.sum())
+            if total:
+                flat = np.empty(total, dtype=object)
+                pos = 0
+                for t in toks:
+                    if t:
+                        flat[pos : pos + len(t)] = t
+                        pos += len(t)
+                codes, uniq_terms = pd.factorize(flat)
+                didx = np.repeat(np.arange(n), lens)
+                # sort by (term, doc): codes*n+didx is unique per (term, doc-pos)
+                pair = codes.astype(np.int64) * n + didx
+                sp = np.sort(pair, kind="stable")
+                change = np.flatnonzero(sp[1:] != sp[:-1]) + 1
+                starts = np.concatenate([[0], change])
+                tf = np.diff(np.concatenate([starts, [len(sp)]])).astype(np.uint32)
+                u_pair = sp[starts]
+                u_code = u_pair // n
+                u_didx = u_pair % n
+                u_doc = doc_ids[u_didx]
+                u_shard = shards[u_didx]
+                gchange = (
+                    np.flatnonzero((u_code[1:] != u_code[:-1]) | (u_shard[1:] != u_shard[:-1])) + 1
+                )
+                gs = np.concatenate([[0], gchange])
+                ge = np.concatenate([gchange, [len(u_code)]])
+                for s, e in zip(gs, ge):
+                    sh = int(u_shard[s])
+                    base = shard_start(sh, id_space, n_shards)
+                    rows.append(
+                        (
+                            sh,
+                            uniq_terms[u_code[s]],
+                            int(u_doc[s]),
+                            (u_doc[s:e] - base).astype(np.uint32).tobytes(),
+                            tf[s:e].tobytes(),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return build
+
+
+def _make_run_merge_encoder(id_space: int, n_shards: int):
+    """mapInPandas body: input hash-partitioned by (shard, term) and sorted
+    by (shard, term, run_min); key column is 'shard\\x00term'. Merges each
+    group's runs (ordered concat; stable argsort fallback if ranges ever
+    interleave) and block-encodes. Carries the trailing group across Arrow
+    batches like the occurrence encoder."""
+
+    def _merge_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf["term"].to_numpy()
+        change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(pdf)]])
+        rows: list[dict[str, Any]] = []
+        for s, e in zip(starts, ends):
+            key = keys[s]
+            shard = int(key.split("\x00", 1)[0])
+            base = shard_start(shard, id_space, n_shards)
+            ids = np.concatenate(
+                [np.frombuffer(b, dtype=np.uint32) for b in pdf["ids"].iloc[s:e]]
+            )
+            fs = np.concatenate(
+                [np.frombuffer(b, dtype=np.uint32) for b in pdf["tfs"].iloc[s:e]]
+            )
+            if e - s > 1 and not (ids[1:] > ids[:-1]).all():
+                o = np.argsort(ids, kind="stable")
+                ids, fs = ids[o], fs[o]
+            enc = encode_postings(ids, fs)
+            rows.append(
+                {
+                    "term": key,
+                    "n": int(enc.n),
+                    "cf": int(fs.sum()),
+                    "doc_bytes": enc.doc_bytes,
+                    "tf_bytes": enc.tf_bytes,
+                    "block_first_doc": (enc.block_first_doc + base).tolist(),
+                    "block_last_doc": (enc.block_last_doc + base).tolist(),
+                    "block_max_tf": enc.block_max_tf.tolist(),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            last_key = pdf["term"].iloc[-1]
+            tail_mask = pdf["term"].to_numpy() == last_key
+            first_tail = len(pdf) - int(
+                tail_mask[::-1].argmin() if not tail_mask.all() else len(pdf)
+            )
+            carry = pdf.iloc[first_tail:].reset_index(drop=True)
+            head = pdf.iloc[:first_tail]
+            if len(head):
+                yield _merge_groups(head)
+        if carry is not None and len(carry):
+            yield _merge_groups(carry)
+
+    return merge
+
+
+def build_segments_partial(
     spark: SparkSession,
-    tf: DataFrame,
-    dl: DataFrame,
+    docs: DataFrame,
     index_dir: str,
     n_shards: int,
     orig_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> dict[str, Any]:
-    """Shuffle tf rows by (shard, term), encode posting lists, write segments.
+    """Partial-postings index build: ONE pass over the corpus (tokenize +
+    run build in Python), one packed-run shuffle, run merge, segment write.
 
-    ``tf``: (doc_id, term, tf); ``dl``: (doc_id, dl); ``orig_ids`` optional
-    (doc_id, orig_id) mapping for fetch-phase display.
+    Scale shape: tokenization is embarrassingly parallel; the exchange
+    carries ~|vocab| x |input partitions| packed rows (not one row per
+    token); hot-term skew is bounded by doc-range sharding exactly as in
+    :func:`build_segments`.
     """
     t0 = time.time()
     tmp = index_dir + ".tmp"
@@ -178,14 +368,128 @@ def build_segments(
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
 
-    # tf/dl are usually lazy views over the tokenizer — without a persist the
-    # tokenize+explode+count pipeline would re-run for every consumer below
-    # (stats, docs write, postings encode). MEMORY_AND_DISK keeps a 10^12-doc
-    # build from OOMing; the chunked build (resume.py) stages tf to Parquet
-    # instead, which is the preferred shape at full scale.
     from pyspark import StorageLevel
 
-    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    id_space = int(docs.agg(F.max(F.col(id_col))).collect()[0][0]) + 1
+
+    partials = (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text"))
+        .mapInPandas(_make_partial_builder(id_space, n_shards, "doc_id", "text"), PARTIAL_SCHEMA)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # --- docs table + corpus stats from the dl sentinel runs ---------------
+    def _decode_dl(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                base = shard_start(int(row.shard), id_space, n_shards)
+                ids = np.frombuffer(row.ids, dtype=np.uint32).astype(np.int64) + base
+                dls = np.frombuffer(row.tfs, dtype=np.uint32).astype(np.int64)
+                outs.append(
+                    pd.DataFrame({"doc_id": ids, "dl": dls, "shard": int(row.shard)})
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    docs_out = (
+        partials.where(F.col("term") == DL_TERM)
+        .mapInPandas(_decode_dl, "doc_id long, dl long, shard int")
+    )
+    if orig_ids is not None:
+        docs_out = docs_out.join(orig_ids, "doc_id")
+    docs_out = docs_out.persist(StorageLevel.MEMORY_AND_DISK)
+    stats_row = docs_out.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"])
+    docs_out.repartition(n_shards, "shard").write.mode("overwrite").partitionBy("shard").parquet(
+        f"{tmp}/docs"
+    )
+    docs_out.unpersist()
+
+    # --- postings: packed-run shuffle + merge encode -----------------------
+    nparts = max(n_shards, 2 * spark.sparkContext.defaultParallelism)
+    encoded = (
+        partials.where(F.col("term") != DL_TERM)
+        .repartition(nparts, "shard", "term")
+        .sortWithinPartitions("shard", "term", "run_min")
+        .withColumn("term", F.concat_ws("\x00", F.col("shard").cast("string"), F.col("term")))
+        .select("term", "run_min", "ids", "tfs")
+        .mapInPandas(_make_run_merge_encoder(id_space, n_shards), POSTINGS_SCHEMA)
+        .withColumn("split", F.split("term", "\x00", 2))
+        .select(
+            F.element_at("split", 1).cast("int").alias("shard"),
+            F.element_at("split", 2).alias("term"),
+            "n",
+            "cf",
+            "doc_bytes",
+            "tf_bytes",
+            "block_first_doc",
+            "block_last_doc",
+            "block_max_tf",
+        )
+    )
+    (
+        encoded.repartition(n_shards, "shard")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{tmp}/postings")
+    )
+    partials.unpersist()
+
+    terms_df = (
+        spark.read.parquet(f"{tmp}/postings")
+        .groupBy("term")
+        .agg(F.sum("n").cast("long").alias("df"), F.sum("cf").cast("long").alias("cf"))
+    )
+    terms_df.coalesce(max(1, n_shards // 4)).write.mode("overwrite").parquet(f"{tmp}/terms")
+
+    manifest = {
+        "format_version": 1,
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "id_space": id_space,
+        "n_shards": n_shards,
+        "block_size": BLOCK_SIZE,
+        "built_wall_s": round(time.time() - t0, 3),
+    }
+    with open(f"{tmp}/manifest.json", "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    if os.path.exists(index_dir):
+        shutil.rmtree(index_dir)
+    os.rename(tmp, index_dir)
+    return manifest
+
+
+def build_segments(
+    spark: SparkSession,
+    tf: DataFrame,
+    dl: DataFrame,
+    index_dir: str,
+    n_shards: int,
+    orig_ids: DataFrame | None = None,
+    occurrences: bool = False,
+) -> dict[str, Any]:
+    """Shuffle token rows by (shard, term), encode posting lists, write segments.
+
+    ``tf``: (doc_id, term, tf) pre-aggregated rows — or, with
+    ``occurrences=True``, raw (doc_id, term) token-occurrence rows (one per
+    token), in which case tf is recovered by run-length inside the encoder
+    and the build has exactly ONE wide shuffle. ``dl``: (doc_id, dl);
+    ``orig_ids`` optional (doc_id, orig_id) mapping for fetch-phase display.
+
+    ``dl`` is persisted (three consumers: stats, docs write); ``tf`` is NOT —
+    it has exactly one consumer (the encode shuffle), so caching it would be
+    a pure materialization tax.
+    """
+    t0 = time.time()
+    tmp = index_dir + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+
+    from pyspark import StorageLevel
+
     dl = dl.persist(StorageLevel.MEMORY_AND_DISK)
 
     stats_row = dl.agg(
@@ -202,15 +506,17 @@ def build_segments(
         f"{tmp}/docs"
     )
 
-    # the one big shuffle: (shard, term) — doc-range sharding bounds group size
+    # the one big shuffle: (shard, term) — doc-range sharding bounds group size;
+    # 2x parallelism in the reduce stage so a straggler wave doesn't gate it
     sharded = tf.withColumn("shard", (F.col("doc_id") * n_shards / F.lit(id_space)).cast("int"))
-    nparts = max(n_shards, spark.sparkContext.defaultParallelism)
+    nparts = max(n_shards, 2 * spark.sparkContext.defaultParallelism)
+    cols = ["term", "doc_id"] + ([] if occurrences else ["tf"])
     encoded = (
         sharded.repartition(nparts, "shard", "term")
         .sortWithinPartitions("shard", "term", "doc_id")
         .withColumn("term", F.concat_ws("\x00", F.col("shard").cast("string"), F.col("term")))
-        .select("term", "doc_id", "tf")
-        .mapInPandas(_make_encode_partition(id_space, n_shards), POSTINGS_SCHEMA)
+        .select(*cols)
+        .mapInPandas(_make_encode_partition(id_space, n_shards, occurrences), POSTINGS_SCHEMA)
         .withColumn("split", F.split("term", "\x00", 2))
         .select(
             F.element_at("split", 1).cast("int").alias("shard"),
@@ -242,7 +548,6 @@ def build_segments(
         .agg(F.sum("n").cast("long").alias("df"), F.sum("cf").cast("long").alias("cf"))
     )
     terms_df.coalesce(max(1, n_shards // 4)).write.mode("overwrite").parquet(f"{tmp}/terms")
-    tf.unpersist()
     dl.unpersist()
 
     manifest = {
@@ -281,27 +586,36 @@ def build_index(
     if n_shards is None:
         n = docs.count()
         n_shards = max(4, min(spark.sparkContext.defaultParallelism, math.ceil(n / docs_per_shard)))
-    tf, dl = term_frequencies(docs, id_col=id_col, text_col=text_col)
-    return build_segments(spark, tf, dl, index_dir, n_shards)
+    return build_segments_partial(
+        spark, docs, index_dir, n_shards, id_col=id_col, text_col=text_col
+    )
 
 
 def assign_doc_ids(
-    docs: DataFrame, orig_col: str = "url", n_parts: int | None = None
+    docs: DataFrame, orig_col: str = "url", n_parts: int = 64
 ) -> DataFrame:
     """Deterministic dense doc_id for keyed corpora (SURVEY §1.3).
 
-    Range-partition by the original key, sort within partitions, then
-    ``partition offset + local row_number`` (zipWithIndex-style, two narrow
-    jobs + one tiny collect) — no global sort, deterministic for a given
-    key set regardless of input partitioning.
+    Hash-partition by the original key (`pmod(hash(key), n_parts)` as an
+    explicit column — the partitioner is part of the id contract), sort
+    within partitions, then ``partition offset + local row_number``
+    (zipWithIndex-style) — no global sort and, unlike ``repartitionByRange``,
+    no sampling job (which would re-execute the whole upstream subtree and
+    yield parallelism-dependent boundaries).
+
+    ``n_parts`` is pinned (NOT derived from the session's parallelism) so the
+    same key set gets the same ids at any cluster size — required for
+    rank-identical query results between the N- and 4N-executor runs. At
+    10^12 docs raise it so a partition's keys fit in task memory
+    (n_parts ≈ n_docs / 10M).
     """
     from pyspark.sql.window import Window
 
-    n_parts = n_parts or docs.sparkSession.sparkContext.defaultParallelism
-    parted = docs.repartitionByRange(n_parts, F.col(orig_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    counts = {r["_pid"]: r["c"] for r in parted.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
+    parted = docs.withColumn("_pid", F.pmod(F.hash(F.col(orig_col)), F.lit(n_parts)))
+    counts = {
+        r["_pid"]: r["c"]
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc

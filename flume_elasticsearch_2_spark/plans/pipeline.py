@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import extract_text_col
 from ..operators.dedup import dedup_latest_by_key
-from .build_index import assign_doc_ids, build_segments, term_frequencies
+from .build_index import assign_doc_ids, build_segments_partial
 
 
 def prepare_webpages(
@@ -51,6 +51,11 @@ def prepare_webpages(
     out = pages.withColumn("_text", extracted if use_extracted_text else F.col("text"))
     if check_invariant:
         out = out.withColumn("text_matches", extracted.eqNullSafe(F.col("text")))
+    # html is dead weight past this point — drop it BEFORE the dedup window so
+    # the shuffle+sort moves ~1KB text rows, not 3.5KB text+html rows (the
+    # binary column tripled the exchange payload and pushed 32-way sorts into
+    # spill territory; column pruning can't help once the window needs the row)
+    out = out.drop("html", "text")
     if dedup:
         out = dedup_latest_by_key(out, "url", "warc_ts")
     # P7 classification: route by language family (the conf's static
@@ -83,18 +88,26 @@ def index_webpages(
     lengths, and the tf explosion), one wide shuffle (the (shard, term)
     exchange inside ``build_segments``).
     """
+    from pyspark import StorageLevel
+
     t0 = time.time()
     n_raw = pages.count()
+    # one extract+dedup pass, cached: id assignment needs two passes over the
+    # prepared corpus (per-partition counts, then the window) and without the
+    # persist each would re-run the html-regex + dedup-window subtree —
+    # profiled as the dominant (and anti-scaling) cost at 32 cores.
     prepared = prepare_webpages(
         pages, use_extracted_text=use_extracted_text, dedup=dedup
-    )
-    with_ids = assign_doc_ids(prepared, orig_col="url").persist()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    with_ids = assign_doc_ids(prepared, orig_col="url").persist(StorageLevel.MEMORY_AND_DISK)
     n_docs = with_ids.count()
+    prepared.unpersist()
     t_prepare = time.time()
 
-    tf, dl = term_frequencies(with_ids, id_col="doc_id", text_col="text")
     orig = with_ids.select("doc_id", F.col("url").alias("orig_id"))
-    manifest = build_segments(spark, tf, dl, index_dir, n_shards, orig_ids=orig)
+    manifest = build_segments_partial(
+        spark, with_ids, index_dir, n_shards, orig_ids=orig, id_col="doc_id", text_col="text"
+    )
     with_ids.unpersist()
     t_done = time.time()
 

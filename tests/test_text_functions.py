@@ -90,3 +90,15 @@ def test_classify(spark, documents):
     )
     assert set(counts) <= {"has_dup", "has_batch", "other"}
     assert sum(counts.values()) == documents.count()
+
+
+def test_bpe_token_count_matches_python_re(spark, documents):
+    import re
+
+    from flume_elasticsearch_2_spark.functions.text import BPE_PATTERN, bpe_token_count_col
+
+    pat = re.compile(BPE_PATTERN)
+    rows = documents.select("doc_id", "text", bpe_token_count_col("text").alias("n")).collect()
+    assert rows
+    for r in rows[:50]:
+        assert r.n == len(pat.findall(r.text)), r.doc_id
