@@ -70,6 +70,16 @@ def main() -> None:
     timings["query_p50"] = lat[len(lat) // 2]
     timings["query_p95"] = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
 
+    # driver-local serving path (no Spark job per query): the latency floor
+    lat_local = []
+    for q, mode in QUERY_SET:
+        t0 = time.time()
+        searcher.search_local(q, k=10, mode=mode, pruned=True)
+        lat_local.append(time.time() - t0)
+    lat_local.sort()
+    timings["query_local_p50"] = lat_local[len(lat_local) // 2]
+    timings["query_local_p95"] = lat_local[min(len(lat_local) - 1, int(len(lat_local) * 0.95))]
+
     # 3. declarative BM25 path (one query, full plan incl. tokenize)
     t0 = time.time()
     bm25_topk(docs, "dup batch scan", k=10).collect()

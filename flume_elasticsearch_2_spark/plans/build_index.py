@@ -444,6 +444,21 @@ def build_segments_partial(
     )
     terms_df.coalesce(max(1, n_shards // 4)).write.mode("overwrite").parquet(f"{tmp}/terms")
 
+    # skew audit (north_rule "skew handled explicitly"): postings per shard
+    # from the already-pruned metadata read; doc-range sharding should keep
+    # max/median near 1 even with Zipfian stopwords, and the manifest records
+    # the evidence. Column-pruned: binary posting bytes never read.
+    shard_rows = (
+        spark.read.parquet(f"{tmp}/postings")
+        .groupBy("shard")
+        .agg(F.sum("n").alias("postings"))
+        .collect()
+    )
+    per_shard = sorted(int(r["postings"]) for r in shard_rows)
+    skew = (
+        round(per_shard[-1] / per_shard[len(per_shard) // 2], 4) if per_shard else 1.0
+    )
+
     manifest = {
         "format_version": 1,
         "n_docs": n_docs,
@@ -451,6 +466,8 @@ def build_segments_partial(
         "id_space": id_space,
         "n_shards": n_shards,
         "block_size": BLOCK_SIZE,
+        "postings_per_shard": per_shard,
+        "shard_skew_max_over_median": skew,
         "built_wall_s": round(time.time() - t0, 3),
     }
     with open(f"{tmp}/manifest.json", "w") as fh:

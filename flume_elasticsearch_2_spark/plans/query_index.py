@@ -294,6 +294,70 @@ class IndexSearcher:
             )
         return out
 
+    def search_local(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "or",
+        pruned: bool = True,
+    ) -> pd.DataFrame:
+        """Serving-path query: score all active shards IN-PROCESS (pyarrow
+        reads, no Spark job) and return a pandas frame (doc_id, score).
+
+        This is the ES data-node request path without the cluster hop — the
+        right shape for interactive/low-latency use where the per-query
+        Spark task-launch overhead (~0.5-1 s) dwarfs actual scoring (~ms).
+        Rank-identical to :meth:`search` (same _score_shard kernel, same
+        (-score, doc_id) tie-break); tested against it. On a cluster this
+        runs on whatever node holds/mounts the segment store — shards are
+        scored sequentially here, so latency grows with active-shard count;
+        use :meth:`search` for scatter/gather across executors.
+        """
+        q_terms = tokenize(query)
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+        if not q_terms:
+            return empty
+        weights = {t: float(c) for t, c in Counter(q_terms).items()}
+        dfreq, active_shards = self._query_meta(sorted(weights))
+        present = sorted(t for t in weights if t in dfreq)
+        if not present or (mode == "and" and len(present) < len(weights)):
+            return empty
+        kwargs = dict(
+            weights=weights,
+            dfreq=dfreq,
+            n_docs=self.n_docs,
+            avgdl=self.avgdl,
+            id_space=self.id_space,
+            n_shards=self.n_shards,
+            k=k,
+            mode=mode,
+            pruned=pruned,
+        )
+        post_cols = [
+            "term", "n", "doc_bytes", "tf_bytes",
+            "block_first_doc", "block_last_doc", "block_max_tf",
+        ]
+        parts = []
+        for shard in active_shards:
+            pt = (
+                pads.dataset(f"{self.index_dir}/postings/shard={shard}", format="parquet")
+                .to_table(columns=post_cols, filter=pads.field("term").isin(present))
+                .to_pandas()
+            )
+            pt["shard"] = shard
+            dt = (
+                pads.dataset(f"{self.index_dir}/docs/shard={shard}", format="parquet")
+                .to_table(columns=["doc_id", "dl"])
+                .to_pandas()
+            )
+            parts.append(_score_shard(pt, dt, **kwargs))
+        merged = pd.concat(parts, ignore_index=True) if parts else empty
+        merged = merged.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        merged["score"] = merged["score"].round(6)
+        return merged.reset_index(drop=True)
+
     def _scatter_direct(
         self, active_shards: list[int], present: list[str], kwargs: dict[str, Any]
     ) -> DataFrame:

@@ -121,3 +121,23 @@ def test_postings_compressed_smaller_than_raw(spark, index_dir):
         F.sum("n").alias("npost"),
     ).collect()[0]
     assert row.nbytes / row.npost < 4.0
+
+
+@pytest.mark.parametrize("query,mode", QUERIES)
+def test_search_local_equals_spark_path(searcher, query, mode):
+    """Driver-local serving path (no Spark job) is rank-identical to the
+    scatter/gather path."""
+    spark_rows = [
+        (r.doc_id, r.score) for r in searcher.search(query, k=10, mode=mode).collect()
+    ]
+    local = searcher.search_local(query, k=10, mode=mode)
+    local_rows = list(zip(local["doc_id"].tolist(), local["score"].tolist()))
+    assert local_rows == spark_rows
+
+
+def test_manifest_skew_metric(index_dir):
+    with open(f"{index_dir}/manifest.json") as fh:
+        m = json.load(fh)
+    assert len(m["postings_per_shard"]) == m["n_shards"]
+    # doc-range sharding bounds skew structurally: max/median stays small
+    assert m["shard_skew_max_over_median"] < 2.0
