@@ -17,9 +17,14 @@ Design (scale-first):
   doubles as ES-style doc sharding for scatter/gather queries (Q6): each
   shard is a self-contained mini-index over its doc range, so query-time
   reassembly of a hot term's postings is an ordered concat across shards.
-* **One shuffle** for the whole build: ``groupBy(term) → (doc_id, tf)`` rows
-  are shuffled once by ``(term, shard)``; doc lengths / stats / term stats
-  ride the same aggregation tree (partial map-side combine).
+* **One shuffle, packed rows** (primary path, ``build_segments_partial``):
+  each input partition tokenizes and builds posting RUNS in NumPy
+  (factorize + run-length tf), emitting one uint32-packed row per
+  (batch, shard, term) — ~200x fewer exchange rows than a per-token
+  shuffle; doc lengths ride the same pass as sentinel runs, so the corpus
+  is tokenized exactly once. A run-merge encoder k-way merges sorted runs
+  per (shard, term). The tf/occurrence-row paths (``build_segments``) are
+  kept for staged-chunk resume and as independent cross-checks.
 * **Compression** inside ``mapInPandas``: per (term, shard) the sorted doc
   ids are delta + Stream-VByte encoded (codec.py, vectorized NumPy) with
   per-128-doc block-max metadata for BMW pruning (I3).
@@ -353,6 +358,7 @@ def build_segments_partial(
     orig_ids: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    id_space: int | None = None,
 ) -> dict[str, Any]:
     """Partial-postings index build: ONE pass over the corpus (tokenize +
     run build in Python), one packed-run shuffle, run merge, segment write.
@@ -370,7 +376,11 @@ def build_segments_partial(
 
     from pyspark import StorageLevel
 
-    id_space = int(docs.agg(F.max(F.col(id_col))).collect()[0][0]) + 1
+    # id_space may be pinned by the caller so several index GENERATIONS over
+    # one doc-id space share the sharding scheme and can be merged per
+    # (shard, term) without re-sharding (plans/merge.py, Lucene I5 analog)
+    if id_space is None:
+        id_space = int(docs.agg(F.max(F.col(id_col))).collect()[0][0]) + 1
 
     partials = (
         docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text"))
@@ -593,6 +603,7 @@ def build_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     docs_per_shard: int = 1_000_000,
+    id_space: int | None = None,
 ) -> dict[str, Any]:
     """End-to-end single-shot build from a document DataFrame.
 
@@ -604,7 +615,7 @@ def build_index(
         n = docs.count()
         n_shards = max(4, min(spark.sparkContext.defaultParallelism, math.ceil(n / docs_per_shard)))
     return build_segments_partial(
-        spark, docs, index_dir, n_shards, id_col=id_col, text_col=text_col
+        spark, docs, index_dir, n_shards, id_col=id_col, text_col=text_col, id_space=id_space
     )
 
 
