@@ -1,0 +1,75 @@
+"""Catalyst plan hygiene (SURVEY §4.3): the physical plans we rely on must
+actually show predicate pushdown, partition pruning, column pruning, and
+broadcast joins — asserted on `.explain` output so a regression (e.g. a cast
+that blocks pushdown) fails loudly instead of silently scanning everything.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, documents, tmp_path_factory):
+    from flume_elasticsearch_2_spark.plans.build_index import build_index
+
+    d = str(tmp_path_factory.mktemp("hyg") / "idx")
+    build_index(spark, documents, d, n_shards=4)
+    return d
+
+
+def _plan(df) -> str:
+    """Formatted physical plan as a string (what df.explain('formatted') prints)."""
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_postings_term_filter_pushed_down(spark, index_dir):
+    df = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .where(F.col("term").isin(["dup", "batch"]))
+        .select("term", "n")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [In(term" in plan, plan
+    # column pruning: binary posting payloads must not be in the read schema
+    assert "doc_bytes" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_postings_shard_partition_pruned(spark, index_dir):
+    df = spark.read.parquet(f"{index_dir}/postings").where(F.col("shard") == 2)
+    plan = _plan(df)
+    # hive-partition pruning happens at planning: only shard=2 in partition filters
+    assert "PartitionFilters" in plan
+    assert "shard" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_topk_collapses_to_take_ordered(spark, documents):
+    from flume_elasticsearch_2_spark.operators.topk import bm25_topk
+
+    plan = _plan(bm25_topk(documents, "dup batch", k=10))
+    assert "TakeOrderedAndProject" in plan
+    # tiny stats/dfreq/weights sides must broadcast, never shuffle-join
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dedup_uses_single_shuffle_window(spark, sf_dir):
+    from flume_elasticsearch_2_spark.operators.dedup import dedup_latest_by_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(
+        dedup_latest_by_key(ev, "user_id", "ts", tie_col="event_id").select("user_id")
+    )
+    # one exchange for the window, no extra sort-merge join
+    assert plan.count("Exchange") <= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_whole_stage_codegen_in_tokenize_path(spark, documents):
+    from flume_elasticsearch_2_spark.operators.topk import doc_lengths
+
+    plan = _plan(doc_lengths(documents))
+    # formatted mode marks codegen'd operators with a leading '*'
+    assert "* Project" in plan, plan
