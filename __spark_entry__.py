@@ -251,6 +251,16 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def _cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path with full probing (nprobe = n_centroids), which is
+    provably exhaustive — so the brute-force cosine SQL IS its oracle."""
+    from flume_elasticsearch_2_spark.operators.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.where("vec_id = 0").first().embedding)
+    return cosine_topk_ivf(emb, q, k=10, n_centroids=8, nprobe=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _bm25_query(qq, mode) for name, (qq, mode) in BM25_QUERIES.items()
@@ -275,6 +285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_candidates"] = _minhash_candidates  # rows-only (hash family not SQL-expressible)
     q["simhash_pairs"] = _simhash_pairs  # rows-only (xxhash64 not in DuckDB)
     q["cosine_topk_lsh"] = _cosine_topk_lsh  # rows-only (sign-bit buckets not SQL-expressible)
+    q["cosine_topk_ivf"] = _cosine_topk_ivf  # full-probe IVF == exhaustive -> cosine oracle
     return q
 
 
@@ -417,6 +428,7 @@ d AS (
 SELECT id, round(dot / (na * nb), 6) AS cosine
 FROM d ORDER BY dot / (na * nb) DESC, id ASC LIMIT 10
 """
+    o["cosine_topk_ivf"] = o["cosine_topk"]
     o["embedding_near_dup"] = """
 WITH d AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -97,3 +97,38 @@ def test_embedding_near_dup_lsh_subset(spark, embeddings):
     assert lsh <= exact
     if exact:
         assert len(lsh) / len(exact) >= 0.5
+
+
+def test_ivf_topk_recall_and_subset(spark, embeddings, emb_np):
+    from flume_elasticsearch_2_spark.operators.similarity import (
+        cosine_topk_ivf,
+        ivf_centroids,
+    )
+
+    ids, m = emb_np
+    q = list(embeddings.where("vec_id = 3").first().embedding)
+    exact = {i for i, _ in _brute(ids, m, q, 10)}
+    C = ivf_centroids(embeddings, n_centroids=8, iters=4)
+    assert C.shape[1] == m.shape[1]
+    # probing every centroid must recover the exact answer
+    full = cosine_topk_ivf(embeddings, q, k=10, n_centroids=8, nprobe=8, centroids=C)
+    assert {r.id for r in full.collect()} == exact
+    # partial probe: survivors' scores are exact cosines (subset property)
+    part = cosine_topk_ivf(embeddings, q, k=5, n_centroids=8, nprobe=3, centroids=C)
+    brute_map = dict(_brute(ids, m, q, len(ids)))
+    for r in part.collect():
+        assert abs(r.cosine - brute_map[r.id]) < 1e-5
+
+
+def test_ivf_assignment_deterministic(spark, embeddings):
+    from flume_elasticsearch_2_spark.operators.similarity import (
+        ivf_assign_col,
+        ivf_centroids,
+    )
+
+    C1 = ivf_centroids(embeddings, n_centroids=8)
+    C2 = ivf_centroids(embeddings.repartition(7), n_centroids=8)
+    assert np.allclose(C1, C2)  # parallelism-independent training sample
+    a = embeddings.select("vec_id", ivf_assign_col(F.col("embedding"), C1).alias("c"))
+    counts = {r.c for r in a.select("c").distinct().collect()}
+    assert counts <= set(range(8)) and len(counts) > 1
