@@ -116,3 +116,40 @@ def generate_webpages(
 
 def write_webpages(spark: SparkSession, n_docs: int, path: str, n_partitions: int | None = None) -> None:
     generate_webpages(spark, n_docs, n_partitions).write.mode("overwrite").parquet(path)
+
+
+def read_webpages(
+    spark: SparkSession,
+    source: str,
+    start_snapshot_id: int | None = None,
+    end_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Read the webpages corpus — Iceberg table (``iceberg:<catalog.tbl>``)
+    or a parquet directory path.
+
+    The production input per BASELINE.json ``input_hint`` is an Iceberg
+    table: snapshot isolation gives the build a consistent corpus view, and
+    ``start/end_snapshot_id`` select an incremental range (the Spark-native
+    analog of the reference's new-file discovery + byte-offset watermark,
+    FileSource.java:115-121/145 — S1/S4). The Iceberg runtime jars are not
+    in this sandbox, so that branch is gated: it raises NotImplementedError
+    with the exact spark-submit flags needed, and every test/bench path uses
+    the parquet branch, which yields the identical DataFrame schema.
+    """
+    if source.startswith("iceberg:"):
+        tbl = source[len("iceberg:"):]
+        reader = spark.read.format("iceberg")
+        if start_snapshot_id is not None:
+            reader = reader.option("start-snapshot-id", str(start_snapshot_id))
+        if end_snapshot_id is not None:
+            reader = reader.option("end-snapshot-id", str(end_snapshot_id))
+        try:
+            return reader.load(tbl)
+        except Exception as exc:  # jars absent in this environment
+            raise NotImplementedError(
+                "Iceberg runtime not on the classpath; submit with "
+                "--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> "
+                "and a catalog config (spark.sql.catalog.<name>=org.apache.iceberg."
+                "spark.SparkCatalog)"
+            ) from exc
+    return spark.read.parquet(source)

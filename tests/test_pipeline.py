@@ -102,3 +102,15 @@ def test_pipeline_search_matches_oracle(spark, built, pages):
         assert [r.doc_id for r in got] == [d for d, _ in expected]
         for r, (_, s) in zip(got, expected):
             assert abs(r.score - s) < 1e-6
+
+
+def test_read_webpages_parquet_and_iceberg_gate(spark, tmp_path):
+    from flume_elasticsearch_2_spark.sources.webpages import read_webpages, write_webpages
+
+    d = str(tmp_path / "pages")
+    write_webpages(spark, 50, d, n_partitions=2)
+    df = read_webpages(spark, d)
+    assert df.count() == 50
+    assert [f.name for f in df.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+    with pytest.raises(NotImplementedError):
+        read_webpages(spark, "iceberg:cat.db.webpages")
