@@ -261,10 +261,19 @@ def _cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(emb, q, k=10, n_centroids=8, nprobe=8)
 
 
+def _bm25_query_k(q: str, mode: str, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return bm25_topk(_docs(spark, sf_dir), q, k=k, mode=mode)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _bm25_query(qq, mode) for name, (qq, mode) in BM25_QUERIES.items()
     }
+    q["bm25_topk_k1"] = _bm25_query_k("dup batch scan", "or", 1)
+    q["bm25_topk_k100"] = _bm25_query_k("batch small scan", "or", 100)
     for name, (qq, mode) in SEGMENT_QUERIES.items():
         q[name] = _segment_query(qq, mode)
     q["term_stats"] = _term_stats
@@ -291,6 +300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     o = {name: bm25_topk_sql(qq, k=10, mode=mode) for name, (qq, mode) in BM25_QUERIES.items()}
+    o["bm25_topk_k1"] = bm25_topk_sql("dup batch scan", k=1, mode="or")
+    o["bm25_topk_k100"] = bm25_topk_sql("batch small scan", k=100, mode="or")
     for name, (qq, mode) in SEGMENT_QUERIES.items():
         o[name] = bm25_topk_sql(qq, k=10, mode=mode)
     o["term_stats"] = """
