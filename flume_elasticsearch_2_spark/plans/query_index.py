@@ -277,14 +277,24 @@ class IndexSearcher:
         )
 
         if engine == "direct":
-            per_shard = self._scatter_direct(active_shards, present, kwargs)
+            # single narrow stage: per-shard top-k tasks -> collect -> heap
+            # merge ON THE DRIVER (the ES coordinating-node gather). Collecting
+            # here instead of orderBy().limit() removes the TakeOrdered stage
+            # and its scheduling round-trip — at most n_shards * k tiny rows
+            # cross the wire, never postings.
+            rows = self._scatter_direct(active_shards, present, kwargs).collect()
+            rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+            out = spark.createDataFrame(
+                [(int(r["doc_id"]), round(float(r["score"]), 6)) for r in rows[:k]],
+                "doc_id long, score double",
+            )
         else:
             per_shard = self._scatter_cogroup(active_shards, present, kwargs)
-        out = (
-            per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-            .limit(k)
-            .select("doc_id", F.round("score", 6).alias("score"))
-        )
+            out = (
+                per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k)
+                .select("doc_id", F.round("score", 6).alias("score"))
+            )
         if fetch:
             winners = out
             fetch_cols = spark.read.parquet(f"{self.index_dir}/docs").drop("shard", "dl")

@@ -141,3 +141,29 @@ def test_manifest_skew_metric(index_dir):
     assert len(m["postings_per_shard"]) == m["n_shards"]
     # doc-range sharding bounds skew structurally: max/median stays small
     assert m["shard_skew_max_over_median"] < 2.0
+
+
+def test_partial_builder_equals_tf_builder(spark, documents, tmp_path_factory):
+    """The packed-run build path and the pre-aggregated-tf build path must
+    produce byte-identical postings (same blocks, same compression)."""
+    from flume_elasticsearch_2_spark.plans.build_index import (
+        build_segments,
+        build_segments_partial,
+        term_frequencies,
+    )
+
+    root = tmp_path_factory.mktemp("paths")
+    a_dir, b_dir = str(root / "via_tf"), str(root / "via_runs")
+    tf, dl = term_frequencies(documents)
+    build_segments(spark, tf, dl, a_dir, n_shards=4)
+    build_segments_partial(spark, documents, b_dir, n_shards=4)
+    cols = ["shard", "term", "n", "cf", "doc_bytes", "tf_bytes"]
+    a = {
+        (r.shard, r.term): (r.n, r.cf, bytes(r.doc_bytes), bytes(r.tf_bytes))
+        for r in spark.read.parquet(f"{a_dir}/postings").select(cols).collect()
+    }
+    b = {
+        (r.shard, r.term): (r.n, r.cf, bytes(r.doc_bytes), bytes(r.tf_bytes))
+        for r in spark.read.parquet(f"{b_dir}/postings").select(cols).collect()
+    }
+    assert a == b
