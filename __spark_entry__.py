@@ -200,6 +200,19 @@ def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=32, bands=8)
 
 
+def _json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: record map -> JSON doc (the sink's Jackson serialization at
+    /root/reference/elasticsearch-sink/.../SystemUtil.java:23-32), as
+    to_json(struct(...)) - byte-compatible with DuckDB's to_json."""
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.to_json(F.struct(F.col("doc_id"), F.col("lang"), F.col("source"))).alias("doc_json"),
+    )
+
+
 def _bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flume_elasticsearch_2_spark.functions.text import bpe_token_count_col
 
@@ -287,6 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard"] = _ngram_jaccard
     q["cosine_topk"] = _cosine_topk
     q["embedding_near_dup"] = _embedding_near_dup
+    q["json_serialize"] = _json_serialize
     q["bpe_token_counts"] = _bpe_token_counts
     q["quality_scores"] = _quality_scores
     q["media_image_features"] = _media_image_features
@@ -391,6 +405,11 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(i::DOUBLE / (sa.nsh + sb.nsh - i), 6) >= 0.05
+"""
+    o["json_serialize"] = """
+SELECT doc_id,
+       to_json(struct_pack(doc_id := doc_id, lang := lang, source := source)) AS doc_json
+FROM documents
 """
     o["bpe_token_counts"] = r"""
 SELECT doc_id,
