@@ -420,15 +420,16 @@ FROM documents
 WITH q AS (
   SELECT doc_id,
     len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
-    round(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
-          / greatest(length(text), 1), 6) AS alpha_ratio,
-    round(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE
-          / greatest(length(text), 1), 6) AS punct_ratio
+    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+        / greatest(length(text), 1) AS alpha_ratio,
+    length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE
+        / greatest(length(text), 1) AS punct_ratio
   FROM documents
 )
 SELECT doc_id,
-       round((CASE WHEN n_tokens BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.3 END)
-             * (0.5 + 0.5 * alpha_ratio) * (1.0 - punct_ratio), 6) AS quality
+       floor((CASE WHEN n_tokens BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.3 END)
+             * (0.5 + 0.5 * alpha_ratio) * (1.0 - punct_ratio) * 1000000.0 + 0.5)
+           / 1000000.0 AS quality
 FROM q
 """
     o["media_image_features"] = """

@@ -114,13 +114,21 @@ def quality_cols(text: Column | str) -> dict[str, Column]:
 
 
 def quality_score_col(text: Column | str) -> Column:
-    """Composite [0,1] quality score (deterministic heuristic)."""
-    q = quality_cols(text)
-    length_ok = F.when((q["n_tokens"] >= 20) & (q["n_tokens"] <= 100000), 1.0).otherwise(0.3)
-    return F.round(
-        length_ok * (F.lit(0.5) + F.lit(0.5) * q["alpha_ratio"]) * (F.lit(1.0) - q["punct_ratio"]),
-        6,
-    )
+    """Composite [0,1] quality score (deterministic heuristic).
+
+    Built from UNROUNDED integer-ratio doubles and finished with an explicit
+    ``floor(x*1e6 + 0.5)`` — pure IEEE ops that DuckDB evaluates bit-
+    identically, so the SQL oracle can't diverge on representation ties
+    (engine round() implementations disagree exactly at .5e-6 products of
+    pre-rounded ratios)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tokens = F.size(tokens_col(c)).cast("long")
+    n_chars = F.greatest(F.length(c), F.lit(1))
+    alpha = F.length(F.regexp_replace(c, "[^A-Za-z0-9]", "")).cast("double") / n_chars
+    punct = F.length(F.regexp_replace(c, "[^!-/:-@\\[-`{-~]", "")).cast("double") / n_chars
+    length_ok = F.when((n_tokens >= 20) & (n_tokens <= 100000), 1.0).otherwise(0.3)
+    x = length_ok * (F.lit(0.5) + F.lit(0.5) * alpha) * (F.lit(1.0) - punct)
+    return F.floor(x * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
 
 def lang_id_col(text: Column | str) -> Column:
