@@ -18,16 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-QUERY_SET = [
-    ("dup", "or"),
-    ("dup batch scan", "or"),
-    ("batch small scan", "or"),
-    ("join filter window", "and"),
-    ("the the fast", "or"),
-    ("hash join merge sort", "or"),
-    ("zzzznotaterm", "or"),
-    ("a big data table", "or"),
-]
+from flume_elasticsearch_2_spark.queryset import QUERY_SET  # noqa: E402
 
 
 def main() -> None:

@@ -14,16 +14,11 @@ from flume_elasticsearch_2_spark.plans.query_index import IndexSearcher
 
 from .oracle import brute_force_bm25
 
-QUERIES = [
-    ("dup", "or"),
-    ("batch small scan", "or"),
-    ("dup batch", "or"),
-    ("join filter window", "and"),
-    ("the the fast", "or"),
-    ("zzzznotaterm", "or"),
-    ("batch zzzz", "and"),
-    ("a", "or"),
-]
+from flume_elasticsearch_2_spark.queryset import QUERY_SET as QUERIES  # noqa: E402
+
+# engine cross-checks use a subset to bound suite runtime; the full fixed
+# set runs through the oracle and pruned-vs-exhaustive identities
+ENGINE_QUERIES = QUERIES[::3]
 
 
 @pytest.fixture(scope="module")
@@ -77,7 +72,7 @@ def test_manifest_and_layout(index_dir):
     assert len(shards) == 4
 
 
-@pytest.mark.parametrize("query,mode", QUERIES)
+@pytest.mark.parametrize("query,mode", ENGINE_QUERIES)
 def test_direct_equals_cogroup_engine(searcher, query, mode):
     d = [(r.doc_id, r.score) for r in searcher.search(query, k=10, mode=mode, engine="direct").collect()]
     c = [(r.doc_id, r.score) for r in searcher.search(query, k=10, mode=mode, engine="cogroup").collect()]
@@ -123,7 +118,7 @@ def test_postings_compressed_smaller_than_raw(spark, index_dir):
     assert row.nbytes / row.npost < 4.0
 
 
-@pytest.mark.parametrize("query,mode", QUERIES)
+@pytest.mark.parametrize("query,mode", ENGINE_QUERIES)
 def test_search_local_equals_spark_path(searcher, query, mode):
     """Driver-local serving path (no Spark job) is rank-identical to the
     scatter/gather path."""
