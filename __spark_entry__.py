@@ -117,6 +117,14 @@ SEGMENT_QUERIES = {
 }
 
 
+def _bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole query set in ONE scatter/gather job over the segment index
+    (search_many): each shard task reads its postings once and scores every
+    query — the query-throughput serving shape. Rank-identical per query to
+    the per-query paths; oracle is the UNION ALL of the per-query SQL."""
+    return _segment_searcher(spark, sf_dir).search_many(BM25_QUERIES, k=10)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline ops: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
@@ -195,9 +203,12 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs on the md5 hash family — the DuckDB
+    oracle (dedup.minhash_lsh_pairs_sql) reproduces signatures, band
+    buckets, and the pair join exactly."""
     from flume_elasticsearch_2_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=32, bands=8)
+    return minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=32, bands=8, hash_fn="md5")
 
 
 def _json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,9 +270,13 @@ def _cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs on the 60-bit md5 hash — exactly reproduced
+    by the DuckDB oracle (dedup.simhash_pairs_sql)."""
     from flume_elasticsearch_2_spark.operators.dedup import simhash_near_dup_pairs
 
-    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return simhash_near_dup_pairs(
+        _docs(spark, sf_dir), max_hamming=3, bits=60, hash_fn="md5"
+    )
 
 
 def _cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,6 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk_k100"] = _bm25_query_k("batch small scan", "or", 100)
     for name, (qq, mode) in SEGMENT_QUERIES.items():
         q[name] = _segment_query(qq, mode)
+    q["bm25_multiquery"] = _bm25_multiquery
     q["term_stats"] = _term_stats
     q["corpus_stats"] = _corpus_stats
     q["doc_lengths"] = _doc_lengths
@@ -305,8 +321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_scores"] = _quality_scores
     q["media_image_features"] = _media_image_features
     q["media_audio_features"] = _media_audio_features
-    q["minhash_candidates"] = _minhash_candidates  # rows-only (hash family not SQL-expressible)
-    q["simhash_pairs"] = _simhash_pairs  # rows-only (xxhash64 not in DuckDB)
+    q["minhash_candidates"] = _minhash_candidates  # md5 hash family -> full SQL oracle
+    q["simhash_pairs"] = _simhash_pairs  # md5 hash family -> full SQL oracle
     q["cosine_topk_lsh"] = _cosine_topk_lsh  # rows-only (sign-bit buckets not SQL-expressible)
     q["cosine_topk_ivf"] = _cosine_topk_ivf  # full-probe IVF == exhaustive -> cosine oracle
     return q
@@ -318,6 +334,10 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk_k100"] = bm25_topk_sql("batch small scan", k=100, mode="or")
     for name, (qq, mode) in SEGMENT_QUERIES.items():
         o[name] = bm25_topk_sql(qq, k=10, mode=mode)
+    o["bm25_multiquery"] = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS query_id, * FROM ({bm25_topk_sql(qq, k=10, mode=mode)})"
+        for name, (qq, mode) in sorted(BM25_QUERIES.items())
+    )
     o["term_stats"] = """
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
@@ -460,6 +480,13 @@ SELECT id, round(dot / (na * nb), 6) AS cosine
 FROM d ORDER BY dot / (na * nb) DESC, id ASC LIMIT 10
 """
     o["cosine_topk_ivf"] = o["cosine_topk"]
+    from flume_elasticsearch_2_spark.operators.dedup import (
+        minhash_lsh_pairs_sql,
+        simhash_pairs_sql,
+    )
+
+    o["minhash_candidates"] = minhash_lsh_pairs_sql(num_hashes=32, bands=8)
+    o["simhash_pairs"] = simhash_pairs_sql(max_hamming=3, bits=60)
     o["embedding_near_dup"] = """
 WITH d AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -61,6 +61,15 @@ def main() -> None:
     timings["query_p50"] = lat[len(lat) // 2]
     timings["query_p95"] = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
 
+    # batched scatter/gather: the whole query set in ONE Spark job (each
+    # shard's postings read once, every query scored there) — the
+    # query-THROUGHPUT serving shape; per-query cost amortizes the task
+    # launch that dominates the per-query latency numbers above
+    t0 = time.time()
+    searcher.search_many({f"q{i}": qm for i, qm in enumerate(QUERY_SET)}, k=10).collect()
+    timings["query_batch_total"] = time.time() - t0
+    timings["query_batch_per_query"] = timings["query_batch_total"] / len(QUERY_SET)
+
     # driver-local serving path (no Spark job per query): the latency floor
     lat_local = []
     for q, mode in QUERY_SET:

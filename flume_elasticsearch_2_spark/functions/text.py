@@ -158,6 +158,23 @@ def fingerprint_col(text: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", tokens_col(text)))
 
 
+def md5_long_col(c: Column | str) -> Column:
+    """60-bit deterministic string hash: first 15 hex chars of md5 as a
+    non-negative int64 (``conv(substring(md5(s),1,15),16,10)``).
+
+    Chosen because DuckDB computes the byte-identical value as
+    ``('0x' || substr(md5(s),1,15))::BIGINT``, which makes every
+    hash-derived operator (MinHash signatures, LSH band buckets, SimHash)
+    exactly SQL-oracle-checkable. JVM-side and codegen-friendly; a few times
+    slower than xxhash64, so the dedup operators take ``hash_fn='xxhash64'``
+    for the pure-scale path and ``'md5'`` for the verified path."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+MD5_LONG_SQL = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
 def classify_col(text: Column | str, rules: list[tuple[str, str]], default: str = "other") -> Column:
     """P7 classification transform: first-match regex routing of every doc
     to a class label (the reference routes every doc to one index/type at

@@ -29,10 +29,30 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
-from ..functions.text import fingerprint_col
+from ..functions.text import fingerprint_col, md5_long_col
 from ..functions.tokenizer import tokens_col
 
 MERSENNE_P = (1 << 31) - 1  # 31-bit Mersenne prime: a*x+b stays inside int64
+
+
+def _hash64(c: Column, hash_fn: str) -> Column:
+    """64-bit string hash family. ``xxhash64``: fastest, JVM-native (scale
+    path). ``md5``: 60-bit md5 prefix reproducible bit-for-bit in DuckDB SQL
+    (``functions.text.md5_long_col``) — the oracle-checkable path."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(c)
+    if hash_fn == "md5":
+        return md5_long_col(c)
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (expected 'xxhash64' or 'md5')")
+
+
+def _minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Universal-hash family coefficients, shared by the Spark operator and
+    the generated DuckDB oracle SQL (inlined there as a VALUES table)."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE_P, size=num_hashes).astype(np.int64)
+    b = rng.randint(0, MERSENNE_P, size=num_hashes).astype(np.int64)
+    return a, b
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -79,13 +99,12 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature array<long>[num_hashes]) via universal hashing
     ``(a*x + b) mod p`` over shingle hashes — one NumPy matrix-min per
     Arrow batch, no per-row Python."""
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, MERSENNE_P, size=num_hashes).astype(np.int64)
-    b = rng.randint(0, MERSENNE_P, size=num_hashes).astype(np.int64)
+    a, b = _minhash_params(num_hashes, seed)
 
     @pandas_udf("array<long>")
     def sig_udf(shingle_hashes: pd.Series) -> pd.Series:
@@ -104,7 +123,7 @@ def minhash_signatures(
 
     hashed = df.select(
         F.col(id_col).alias("id"),
-        F.transform(shingles_col(text_col), lambda s: F.xxhash64(s)).alias("sh"),
+        F.transform(shingles_col(text_col, shingle_k), lambda s: _hash64(s, hash_fn)).alias("sh"),
     )
     return hashed.select("id", sig_udf("sh").alias("signature"))
 
@@ -117,19 +136,21 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) whose signatures collide in at
     least one LSH band. rows_per_band = num_hashes // bands."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed, hash_fn)
     banded = sigs.select(
         "id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.xxhash64(
-                    F.concat_ws(",", F.transform(F.slice("signature", bi * r + 1, r), lambda v: v.cast("string")))
+                lambda bi: _hash64(
+                    F.concat_ws(",", F.transform(F.slice("signature", bi * r + 1, r), lambda v: v.cast("string"))),
+                    hash_fn,
                 ),
             )
         ).alias("band", "bucket"),
@@ -190,12 +211,13 @@ def ngram_jaccard_pairs(
     return out
 
 
-def simhash_col(text: Column | str, bits: int = 64) -> Column:
-    """64-bit SimHash over token hashes, pure JVM expressions: per bit,
-    sign of sum over tokens of (+1 if bit set else -1), weighted by token
-    multiplicity (aggregate over the raw token array)."""
+def simhash_col(text: Column | str, bits: int = 64, hash_fn: str = "xxhash64") -> Column:
+    """SimHash over token hashes, pure JVM expressions: per bit, sign of sum
+    over tokens of (+1 if bit set else -1), weighted by token multiplicity
+    (aggregate over the raw token array). ``bits=64`` with xxhash64;
+    ``bits=60`` with the md5 hash (its 60 informative bits)."""
     toks = tokens_col(text)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: _hash64(t, hash_fn))
     bit_exprs = []
     for i in range(bits):
         contrib = F.aggregate(
@@ -216,18 +238,23 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     n_tables: int = 4,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-dup candidates: split the 64-bit hash into ``n_tables``
-    16-bit keys (pigeonhole: hamming<=3 pairs collide in >=1 of 4 tables),
-    join per table, verify exact hamming distance JVM-side."""
-    h = df.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("sh"))
+    """SimHash near-dup candidates: split the ``bits``-bit hash into
+    ``n_tables`` equal-width keys (pigeonhole: hamming <= n_tables-1 pairs
+    collide in >=1 table), join per table, verify exact hamming JVM-side."""
+    assert bits % n_tables == 0
+    key_bits = bits // n_tables
+    key_mask = (1 << key_bits) - 1
+    h = df.select(F.col(id_col).alias("id"), simhash_col(text_col, bits, hash_fn).alias("sh"))
     keys = h.select(
         "id",
         "sh",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned(F.col("sh"), key_bits * i).bitwiseAND(F.lit(key_mask))
                     for i in range(n_tables)
                 ]
             )
@@ -244,9 +271,106 @@ def simhash_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).cast("int").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL generators (hash_fn='md5' path). The md5-prefix hash is
+# the only primitive both engines share bit-for-bit; the universal-hash
+# coefficients are inlined as a VALUES table from the same seed, so the SQL
+# below reproduces the Spark operators EXACTLY — full value-hash oracles for
+# MinHash-LSH candidates and SimHash near-dup pairs.
+# ---------------------------------------------------------------------------
+
+_MD5_LONG = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
+
+
+def _shingle_cte(table: str, shingle_k: int) -> str:
+    """Distinct k-token shingles per doc (mirrors :func:`shingles_col`)."""
+    return f"""
+toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM {table}),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[u.i:u.i+{shingle_k - 1}], ' ') AS s
+  FROM toks, unnest(range(1, greatest(len(ts) - {shingle_k - 2}, 1))) AS u(i)
+  WHERE len(ts) >= {shingle_k}
+)"""
+
+
+def minhash_lsh_pairs_sql(
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for ``minhash_lsh_pairs(..., hash_fn='md5')``."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    a, b = _minhash_params(num_hashes, seed)
+    params = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_hashes))
+    x_expr = _MD5_LONG.format(e="s")
+    bucket_expr = _MD5_LONG.format(e="string_agg(sig::VARCHAR, ',' ORDER BY i)")
+    return f"""
+WITH {_shingle_cte(table, shingle_k)},
+x AS (SELECT doc_id, {x_expr} & {MERSENNE_P} AS x FROM sh),
+params(i, a, b) AS (VALUES {params}),
+sig AS (
+  SELECT d.doc_id AS id, p.i,
+         coalesce(min((p.a * x.x + p.b) % {MERSENNE_P}), {MERSENNE_P}) AS sig
+  FROM {table} d CROSS JOIN params p LEFT JOIN x ON x.doc_id = d.doc_id
+  GROUP BY d.doc_id, p.i
+),
+banded AS (
+  SELECT id, (i // {r})::INT AS band, {bucket_expr} AS bucket
+  FROM sig GROUP BY id, (i // {r})
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+"""
+
+
+def simhash_pairs_sql(
+    max_hamming: int = 3,
+    n_tables: int = 4,
+    bits: int = 60,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for ``simhash_near_dup_pairs(..., bits=60,
+    hash_fn='md5')`` — per-bit sign aggregation over token md5 hashes with
+    multiplicity, pigeonhole table keys, exact hamming verify."""
+    assert bits % n_tables == 0
+    key_bits = bits // n_tables
+    key_mask = (1 << key_bits) - 1
+    h_expr = _MD5_LONG.format(e="t")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM {table}
+),
+h AS (SELECT doc_id, {h_expr} AS h FROM toks),
+bitsum AS (
+  SELECT doc_id, u.i AS i, sum(CASE WHEN (h >> u.i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+  FROM h, unnest(range(0, {bits})) AS u(i) GROUP BY doc_id, u.i
+),
+sh0 AS (
+  SELECT doc_id, sum(CASE WHEN c > 0 THEN (1::BIGINT << i) ELSE 0 END) AS sh
+  FROM bitsum GROUP BY doc_id
+),
+sh AS (
+  SELECT d.doc_id AS id, coalesce(s.sh, 0)::BIGINT AS sh
+  FROM {table} d LEFT JOIN sh0 s ON s.doc_id = d.doc_id
+),
+keys AS (
+  SELECT id, sh, u.i::INT AS tbl, (sh >> ({key_bits} * u.i)) & {key_mask} AS key
+  FROM sh, unnest(range(0, {n_tables})) AS u(i)
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.sh, b.sh))::INT AS hamming
+FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.key = b.key AND a.id < b.id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""

@@ -222,9 +222,11 @@ class IndexSearcher:
         )
         return {r["term"]: int(r["df"]) for r in rows}
 
-    def _query_meta(self, terms: list[str]) -> tuple[dict[str, int], list[int]]:
+    def _query_meta_terms(
+        self, terms: list[str]
+    ) -> tuple[dict[str, int], dict[str, set[int]]]:
         """Driver-side metadata read: global df per term (= sum over shards
-        of n) and the set of shards holding any query term. Column-pruned
+        of n) and, per term, the set of shards holding it. Column-pruned
         (binary posting bytes never touched), term-filtered via Parquet
         row-group stats — no Spark job, ~ms even on a large index."""
         ds = pads.dataset(
@@ -232,12 +234,19 @@ class IndexSearcher:
         )
         tbl = ds.to_table(columns=["shard", "term", "n"], filter=pads.field("term").isin(terms))
         dfreq: dict[str, int] = {}
-        shard_set: set[int] = set()
+        term_shards: dict[str, set[int]] = {}
         for shard, term, n in zip(
             tbl["shard"].to_pylist(), tbl["term"].to_pylist(), tbl["n"].to_pylist()
         ):
             dfreq[term] = dfreq.get(term, 0) + int(n)
-            shard_set.add(int(shard))
+            term_shards.setdefault(term, set()).add(int(shard))
+        return dfreq, term_shards
+
+    def _query_meta(self, terms: list[str]) -> tuple[dict[str, int], list[int]]:
+        dfreq, term_shards = self._query_meta_terms(terms)
+        shard_set: set[int] = set()
+        for s in term_shards.values():
+            shard_set |= s
         return dfreq, sorted(shard_set)
 
     def search(
@@ -367,6 +376,124 @@ class IndexSearcher:
         ).head(k)
         merged["score"] = merged["score"].round(6)
         return merged.reset_index(drop=True)
+
+    def search_many(
+        self,
+        queries: dict[str, tuple[str, str]],
+        k: int = 10,
+        pruned: bool = True,
+    ) -> DataFrame:
+        """Batched top-k BM25: score a whole query set in ONE scatter/gather
+        job — (query_id, doc_id, score), rank-identical per query to
+        :meth:`search`.
+
+        This is the serving shape for query *throughput* at scale: per-query
+        ``search`` pays one Spark job (task launch dominates the ~ms NumPy
+        scoring), while here each shard task reads its postings once
+        (Parquet-filtered to the union of all query terms) and scores every
+        query that touches the shard, so N queries cost one job and one
+        postings read per shard. The gather stays tiny: at most
+        n_queries * n_shards * k rows reach the driver heap-merge.
+        """
+        spark = self.spark
+        out_schema = "query_id string, doc_id long, score double"
+        parsed: dict[str, tuple[dict[str, float], str]] = {}
+        all_terms: set[str] = set()
+        for qid, (query, mode) in queries.items():
+            q_terms = tokenize(query)
+            if not q_terms:
+                continue
+            weights = {t: float(c) for t, c in Counter(q_terms).items()}
+            parsed[qid] = (weights, mode)
+            all_terms.update(weights)
+        if not parsed:
+            return spark.createDataFrame([], out_schema)
+        dfreq, term_shards = self._query_meta_terms(sorted(all_terms))
+
+        # per-query spec + shard routing (a query hits only shards holding
+        # at least one of its present terms — same activation rule as search)
+        specs: dict[str, dict[str, Any]] = {}
+        shard_qids: dict[int, list[str]] = {}
+        for qid, (weights, mode) in sorted(parsed.items()):
+            present = sorted(t for t in weights if t in dfreq)
+            if not present or (mode == "and" and len(present) < len(weights)):
+                continue
+            shards: set[int] = set()
+            for t in present:
+                shards |= term_shards[t]
+            specs[qid] = {
+                "weights": weights,
+                "dfreq": {t: dfreq[t] for t in present},
+                "present": present,
+                "mode": mode,
+            }
+            for s in shards:
+                shard_qids.setdefault(s, []).append(qid)
+        if not specs:
+            return spark.createDataFrame([], out_schema)
+        shard_terms = {
+            s: sorted({t for qid in qids for t in specs[qid]["present"]})
+            for s, qids in shard_qids.items()
+        }
+
+        index_dir = self.index_dir
+        base = dict(
+            n_docs=self.n_docs,
+            avgdl=self.avgdl,
+            id_space=self.id_space,
+            n_shards=self.n_shards,
+            k=k,
+            pruned=pruned,
+        )
+        post_cols = [
+            "term", "n", "doc_bytes", "tf_bytes",
+            "block_first_doc", "block_last_doc", "block_max_tf",
+        ]
+
+        def score_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for shard in pdf["shard"].tolist():
+                    pt = (
+                        pads.dataset(f"{index_dir}/postings/shard={shard}", format="parquet")
+                        .to_table(
+                            columns=post_cols,
+                            filter=pads.field("term").isin(shard_terms[shard]),
+                        )
+                        .to_pandas()
+                    )
+                    pt["shard"] = shard
+                    dt = (
+                        pads.dataset(f"{index_dir}/docs/shard={shard}", format="parquet")
+                        .to_table(columns=["doc_id", "dl"])
+                        .to_pandas()
+                    )
+                    for qid in shard_qids[shard]:
+                        spec = specs[qid]
+                        res = _score_shard(
+                            pt[pt["term"].isin(spec["present"])],
+                            dt,
+                            weights=spec["weights"],
+                            dfreq=spec["dfreq"],
+                            mode=spec["mode"],
+                            **base,
+                        )
+                        if len(res):
+                            res.insert(0, "query_id", qid)
+                            yield res
+
+        active = sorted(shard_qids)
+        shard_df = spark.createDataFrame([(s,) for s in active], "shard int").repartition(
+            len(active), "shard"
+        )
+        rows = shard_df.mapInPandas(score_shards, out_schema).collect()
+        merged: list[tuple[str, int, float]] = []
+        for qid in sorted(specs):
+            qrows = [r for r in rows if r["query_id"] == qid]
+            qrows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+            merged.extend(
+                (qid, int(r["doc_id"]), round(float(r["score"]), 6)) for r in qrows[:k]
+            )
+        return spark.createDataFrame(merged, out_schema)
 
     def _scatter_direct(
         self, active_shards: list[int], present: list[str], kwargs: dict[str, Any]

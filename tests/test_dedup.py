@@ -77,6 +77,41 @@ def test_ngram_jaccard_exact_dups_score_one(spark, wp_docs):
     assert all(abs(p.jaccard - 1.0) < 1e-9 for p in pairs)
 
 
+def test_minhash_md5_matches_duckdb_oracle(spark, documents, sf_dir):
+    """hash_fn='md5' makes the whole MinHash-LSH pipeline (shingle hash,
+    universal-hash signatures, band buckets, pair join) bit-identical to
+    the generated DuckDB SQL oracle."""
+    import duckdb
+
+    from flume_elasticsearch_2_spark.operators.dedup import minhash_lsh_pairs_sql
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(documents, num_hashes=32, bands=8, hash_fn="md5").collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    exp = {(a, b) for a, b in con.sql(minhash_lsh_pairs_sql(num_hashes=32, bands=8)).fetchall()}
+    assert got == exp
+    assert exp, "fixture contains dups; candidate set must be non-empty"
+
+
+def test_simhash_md5_matches_duckdb_oracle(spark, documents, sf_dir):
+    import duckdb
+
+    from flume_elasticsearch_2_spark.operators.dedup import simhash_pairs_sql
+
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs(documents, max_hamming=3, bits=60, hash_fn="md5").collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    exp = set(con.sql(simhash_pairs_sql(max_hamming=3, bits=60)).fetchall())
+    assert got == exp
+    assert exp, "fixture contains exact dups (hamming 0); pair set must be non-empty"
+
+
 def test_simhash_near_dups(spark, wp_docs):
     got = simhash_near_dup_pairs(wp_docs.limit(200), max_hamming=3).collect()
     # exact dups have hamming 0 and must collide in every table

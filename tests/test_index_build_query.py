@@ -130,6 +130,22 @@ def test_search_local_equals_spark_path(searcher, query, mode):
     assert local_rows == spark_rows
 
 
+def test_search_many_rank_identical_to_per_query(searcher):
+    """Batched scatter/gather (one job, all queries) must be rank-identical
+    per query to the per-query search path — including empty-result queries
+    (absent term) and AND-mode."""
+    batch = {f"q{i}": qm for i, qm in enumerate(QUERIES)}
+    batch["q_absent"] = ("zzzznotaterm", "or")
+    batch["q_empty"] = ("", "or")
+    got = searcher.search_many(batch, k=10).collect()
+    by_qid: dict[str, list] = {}
+    for r in got:
+        by_qid.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    for qid, (query, mode) in batch.items():
+        exp = [(r.doc_id, r.score) for r in searcher.search(query, k=10, mode=mode).collect()]
+        assert by_qid.get(qid, []) == exp, qid
+
+
 def test_manifest_skew_metric(index_dir):
     with open(f"{index_dir}/manifest.json") as fh:
         m = json.load(fh)
