@@ -224,6 +224,41 @@ def _json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 TRS compatibility source, end to end: render every document as a
+    ``<REC>`` / ``<KEY>=value`` record (the reference's on-disk format,
+    FileSource.java:151,168), write as text files, parse back through
+    sources.trs.read_trs (Arrow-batched mapInPandas), and project the field
+    map to columns. The oracle is the identity projection on documents —
+    proving render→parse→project loses nothing (incl. bug-§8.2 final
+    records, empty values, and the _SUCCESS zero-length-file skip, S3)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flume_elasticsearch_2_spark.sources.trs import read_trs, trs_project
+
+    d = os.path.join(tempfile.mkdtemp(prefix="fts_trs_"), "trs")
+    docs = _docs(spark, sf_dir)
+    rendered = docs.select(
+        F.concat(
+            F.lit("<REC>\n<IR_SID>=doc_"),
+            F.col("doc_id").cast("string"),
+            F.lit("\n<LANG>="),
+            F.col("lang"),
+            F.lit("\n<TEXT>="),
+            F.translate(F.col("text"), "\r\n", "  "),
+        ).alias("value")
+    )
+    rendered.coalesce(4).write.mode("overwrite").text(d)
+    parsed = read_trs(spark, d)
+    return trs_project(parsed, ["LANG", "TEXT"]).select(
+        F.col("IR_SID").alias("ir_sid"),
+        F.col("LANG").alias("lang"),
+        F.col("TEXT").alias("text"),
+    )
+
+
 def _bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flume_elasticsearch_2_spark.functions.text import bpe_token_count_col
 
@@ -317,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cosine_topk"] = _cosine_topk
     q["embedding_near_dup"] = _embedding_near_dup
     q["json_serialize"] = _json_serialize
+    q["trs_roundtrip"] = _trs_roundtrip
     q["bpe_token_counts"] = _bpe_token_counts
     q["quality_scores"] = _quality_scores
     q["media_image_features"] = _media_image_features
@@ -429,6 +465,11 @@ WHERE round(i::DOUBLE / (sa.nsh + sb.nsh - i), 6) >= 0.05
     o["json_serialize"] = """
 SELECT doc_id,
        to_json(struct_pack(doc_id := doc_id, lang := lang, source := source)) AS doc_json
+FROM documents
+"""
+    o["trs_roundtrip"] = """
+SELECT 'doc_' || doc_id AS ir_sid, lang,
+       replace(replace(text, chr(13), ' '), chr(10), ' ') AS text
 FROM documents
 """
     o["bpe_token_counts"] = r"""
