@@ -46,6 +46,17 @@ def _hash64(c: Column, hash_fn: str) -> Column:
     raise ValueError(f"unknown hash_fn {hash_fn!r} (expected 'xxhash64' or 'md5')")
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition up to default parallelism when the input scan yields
+    fewer splits (small/few parquet files): the shingle/signature stages fan
+    each doc out ~dl-fold, so inheriting a narrow scan partitioning would
+    serialize the expensive map side."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """Universal-hash family coefficients, shared by the Spark operator and
     the generated DuckDB oracle SQL (inlined there as a VALUES table)."""
@@ -121,7 +132,7 @@ def minhash_signatures(
             out.append(m.min(axis=1))
         return pd.Series(out)
 
-    hashed = df.select(
+    hashed = _widen(df).select(
         F.col(id_col).alias("id"),
         F.transform(shingles_col(text_col, shingle_k), lambda s: _hash64(s, hash_fn)).alias("sh"),
     )
@@ -182,6 +193,7 @@ def ngram_jaccard_pairs(
     Pairs sharing no shingle never materialize (equi-join on the shingle);
     ``candidates`` (e.g. LSH output) further restricts the pair space at
     scale — semi-join pushdown before the quadratic part."""
+    df = _widen(df)
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles_col(text_col, shingle_k)).alias("s")
     )
@@ -247,7 +259,7 @@ def simhash_near_dup_pairs(
     assert bits % n_tables == 0
     key_bits = bits // n_tables
     key_mask = (1 << key_bits) - 1
-    h = df.select(F.col(id_col).alias("id"), simhash_col(text_col, bits, hash_fn).alias("sh"))
+    h = _widen(df).select(F.col(id_col).alias("id"), simhash_col(text_col, bits, hash_fn).alias("sh"))
     keys = h.select(
         "id",
         "sh",
