@@ -58,48 +58,67 @@ def bm25_topk(
     if not q_terms:
         return docs.sparkSession.createDataFrame([], "doc_id long, score double")
     # weight = number of occurrences of the term in the query
-    weights = {}
+    weights: dict[str, int] = {}
     for t in q_terms:
         weights[t] = weights.get(t, 0) + 1
     distinct_terms = sorted(weights)
 
-    toks = corpus_tokens(docs, id_col, text_col)
-    dl = doc_lengths(docs, id_col, text_col)
-    # global stats over the full corpus (SURVEY §2.4 I6); tiny → broadcast via
-    # scalar subquery-style crossJoin of a 1-row DF
-    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    # df over the full corpus restricted to query terms (all that scoring needs)
-    dfreq = (
-        toks.where(F.col("term").isin(distinct_terms))
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
+    # Query terms are few, so per-doc tf per term is a JVM array `filter`
+    # over the token array — NO explode, NO (doc,term) shuffle. The whole
+    # query is then two narrow passes over the table:
+    #   pass 1: one global aggregation -> n_docs, avgdl, df per term
+    #           (a 1-row result collected to the driver);
+    #   pass 2: score each doc with those constants folded in as literals,
+    #           ending in TakeOrderedAndProject (per-partition top-k +
+    #           driver merge — the ES scatter/gather shape, Q6).
+    # At 10^12 docs pass 1 is a pure map-side-combine agg and pass 2 ships
+    # only k rows per partition; nothing ever shuffles doc-level data.
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(text_col)).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(tokens_col(text_col), lambda x: x == F.lit(t)))
+            .cast("double")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(distinct_terms)
+        ],
     )
-    tf = (
-        toks.where(F.col("term").isin(distinct_terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    w = docs.sparkSession.createDataFrame(
-        [(t, float(c)) for t, c in sorted(weights.items())], "term string, qw double"
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(w), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "partial",
-            F.col("qw")
-            * bm25_col(F.col("tf"), F.col("df"), F.col("dl"), F.col("n_docs"), F.col("avgdl"), k1, b),
+    stats_row = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(distinct_terms))
+        ],
+    ).collect()[0]
+    n_docs = int(stats_row["n_docs"])
+    avgdl = float(stats_row["avgdl"]) if stats_row["avgdl"] is not None else 0.0
+    if n_docs == 0 or avgdl == 0.0:
+        return docs.sparkSession.createDataFrame([], "doc_id long, score double")
+
+    score = F.lit(0.0)
+    any_present = False
+    for i, t in enumerate(distinct_terms):
+        df_t = int(stats_row[f"df_{i}"])
+        if df_t == 0:
+            continue
+        any_present = True
+        score = score + float(weights[t]) * bm25_col(
+            F.col(f"tf_{i}"), F.lit(df_t), F.col("dl"), F.lit(n_docs), F.lit(avgdl), k1, b
         )
-    )
-    agg = scored.groupBy("doc_id").agg(
-        F.sum("partial").alias("score_exact"), F.countDistinct("term").alias("nterms")
-    )
+    present_n = sum(1 for i in range(len(distinct_terms)) if int(stats_row[f"df_{i}"]) > 0)
+    if not any_present or (mode == "and" and present_n < len(distinct_terms)):
+        return docs.sparkSession.createDataFrame([], "doc_id long, score double")
+
+    scored = per_doc.withColumn("score_exact", score)
     if mode == "and":
-        agg = agg.where(F.col("nterms") == len(distinct_terms))
+        cond = F.lit(True)
+        for i in range(len(distinct_terms)):
+            cond = cond & (F.col(f"tf_{i}") > 0)
+        scored = scored.where(cond)
     return (
-        agg.orderBy(F.col("score_exact").desc(), F.col("doc_id").asc())
+        scored.where(F.col("score_exact") > 0.0)
+        .orderBy(F.col("score_exact").desc(), F.col("doc_id").asc())
         .limit(k)
         .select("doc_id", F.round("score_exact", 6).alias("score"))
     )

@@ -51,8 +51,10 @@ def test_topk_collapses_to_take_ordered(spark, documents):
 
     plan = _plan(bm25_topk(documents, "dup batch", k=10))
     assert "TakeOrderedAndProject" in plan
-    # tiny stats/dfreq/weights sides must broadcast, never shuffle-join
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # per-term tf via JVM array filter: the scoring pass is ONE narrow scan —
+    # no joins, no exchanges, no doc-level shuffle of any kind
+    assert "Join" not in plan
+    assert "Exchange" not in plan
 
 
 def test_dedup_uses_single_shuffle_window(spark, sf_dir):
