@@ -201,6 +201,15 @@ def _score_shard(
     )
 
 
+def _one_task_per_shard(spark: SparkSession, shards: list[int]) -> DataFrame:
+    """(shard) DataFrame pre-sliced one shard per partition — the scatter
+    needs exactly one task per shard, and building the slices directly
+    (parallelize with numSlices=len) avoids the repartition exchange a
+    createDataFrame().repartition() plan would pay on every query."""
+    rdd = spark.sparkContext.parallelize([(s,) for s in shards], max(1, len(shards)))
+    return spark.createDataFrame(rdd, "shard int")
+
+
 class IndexSearcher:
     """Query engine over a committed index directory (manifest-gated, I7)."""
 
@@ -482,10 +491,7 @@ class IndexSearcher:
                             yield res
 
         active = sorted(shard_qids)
-        shard_df = spark.createDataFrame([(s,) for s in active], "shard int").repartition(
-            len(active), "shard"
-        )
-        rows = shard_df.mapInPandas(score_shards, out_schema).collect()
+        rows = _one_task_per_shard(spark, active).mapInPandas(score_shards, out_schema).collect()
         merged: list[tuple[str, int, float]] = []
         for qid in sorted(specs):
             qrows = [r for r in rows if r["query_id"] == qid]
@@ -525,10 +531,9 @@ class IndexSearcher:
                     )
                     yield _score_shard(pt, dt, **kwargs)
 
-        shard_df = self.spark.createDataFrame(
-            [(s,) for s in active_shards], "shard int"
-        ).repartition(len(active_shards), "shard")
-        return shard_df.mapInPandas(score_shards, "doc_id long, score double")
+        return _one_task_per_shard(self.spark, active_shards).mapInPandas(
+            score_shards, "doc_id long, score double"
+        )
 
     def _scatter_cogroup(
         self, active_shards: list[int], present: list[str], kwargs: dict[str, Any]
