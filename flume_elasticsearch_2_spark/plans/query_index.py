@@ -492,13 +492,16 @@ class IndexSearcher:
 
         active = sorted(shard_qids)
         rows = _one_task_per_shard(spark, active).mapInPandas(score_shards, out_schema).collect()
+        # single-pass gather: group once, then one O(m log m) sort per query —
+        # the driver coordinator must stay O(total rows), not O(queries x rows)
+        by_qid: dict[str, list] = {}
+        for r in rows:
+            by_qid.setdefault(r[0], []).append(r)
         merged: list[tuple[str, int, float]] = []
         for qid in sorted(specs):
-            qrows = [r for r in rows if r["query_id"] == qid]
-            qrows.sort(key=lambda r: (-r["score"], r["doc_id"]))
-            merged.extend(
-                (qid, int(r["doc_id"]), round(float(r["score"]), 6)) for r in qrows[:k]
-            )
+            qrows = by_qid.get(qid, [])
+            qrows.sort(key=lambda r: (-r[2], r[1]))
+            merged.extend((qid, int(r[1]), round(float(r[2]), 6)) for r in qrows[:k])
         return spark.createDataFrame(merged, out_schema)
 
     def _scatter_direct(
