@@ -50,6 +50,33 @@ def test_webpages_has_dups_and_hot_terms(spark):
     assert hot_df > 0
 
 
+def test_md5_long_matches_duckdb_on_adversarial_strings(spark):
+    """The 60-bit md5-prefix hash must agree bit-for-bit between Spark and
+    DuckDB for any string — it is the foundation of the MinHash/SimHash/LSH
+    oracle family. Pins unicode, controls, quotes, long strings, digits."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flume_elasticsearch_2_spark.functions.text import md5_long_col
+
+    rng = random.Random(123)
+    alphabet = "abc 0123456789 \t'\"\\%_<>=,;:ÀÉüß東京🎉\u00a0\u2028"
+    vals = ["", " ", "a"] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 200))) for _ in range(200)
+    ]
+    got = {
+        r["s"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], "s string")
+        .select("s", md5_long_col("s").alias("h"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        exp = con.execute("SELECT ('0x' || substr(md5(?),1,15))::BIGINT", [v]).fetchone()[0]
+        assert got[v] == exp, repr(v)
+
+
 def test_fingerprint_md5_matches_duckdb(spark, documents, sf_dir):
     got = {
         r.doc_id: r.fp
