@@ -15,10 +15,13 @@ latter via ``build_index(..., id_space=...)``) is:
       -> run-merge encoder (same kernel as the partial-postings build)
       -> write merged segments + union'd docs + recomputed terms + manifest
 
-Doc ids must be disjoint across generations (they are, when generations
-come from disjoint input chunks of one id space — the streaming/chunked
-ingest contract). Identical query results to a single-shot build over the
-union corpus, by test.
+Doc ids are disjoint across generations (generations come from disjoint
+input chunks of one id space — the streaming/chunked ingest contract), but
+a *key* (url) may recur when a page is re-crawled: ``dedup_key`` applies the
+ES id-keyed upsert (``setId``, ElasticsearchSink.java:67) at merge time as
+Lucene-style tombstones — newest generation wins per key, superseded doc
+ids are masked out of every posting run during decode. Identical query
+results to a single-shot build over the (deduped) union corpus, by test.
 """
 
 from __future__ import annotations
@@ -44,9 +47,14 @@ from .build_index import (
 )
 
 
-def _decode_to_runs(id_space: int, n_shards: int):
+def _decode_to_runs(id_space: int, n_shards: int, dead_ids: np.ndarray | None = None):
     """mapInPandas body: committed postings rows -> packed runs
-    (shard, term, run_min, ids, tfs) with shard-local absolute uint32 ids."""
+    (shard, term, run_min, ids, tfs) with shard-local absolute uint32 ids.
+
+    ``dead_ids`` (sorted global doc ids) are Lucene-style tombstones: their
+    postings are dropped during decode, so the re-encode never sees deleted
+    docs — the id-keyed overwrite ES gave the reference sink (``setId``,
+    ElasticsearchSink.java:67) applied at segment-merge time."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -56,12 +64,23 @@ def _decode_to_runs(id_space: int, n_shards: int):
                 deltas = svb_decode(row.doc_bytes, n).astype(np.uint64)
                 ids = np.cumsum(deltas).astype(np.uint32)  # local absolute
                 tfs = svb_decode(row.tf_bytes, n)
-                base = shard_start(int(row.shard), id_space, n_shards)
+                shard = int(row.shard)
+                base = shard_start(shard, id_space, n_shards)
+                if dead_ids is not None and len(dead_ids):
+                    lo = np.searchsorted(dead_ids, base)
+                    hi = np.searchsorted(dead_ids, shard_start(shard + 1, id_space, n_shards))
+                    if hi > lo:
+                        dead_local = (dead_ids[lo:hi] - base).astype(np.uint32)
+                        keep = ~np.isin(ids, dead_local)
+                        if not keep.all():
+                            ids, tfs = ids[keep], tfs[keep]
+                            if len(ids) == 0:
+                                continue
                 rows.append(
                     (
-                        int(row.shard),
+                        shard,
                         row.term,
-                        int(row.block_first_doc[0]) if len(row.block_first_doc) else base,
+                        int(base + ids[0]),
                         ids.tobytes(),
                         tfs.tobytes(),
                     )
@@ -72,9 +91,27 @@ def _decode_to_runs(id_space: int, n_shards: int):
 
 
 def merge_indexes(
-    spark: SparkSession, index_dirs: list[str], out_dir: str
+    spark: SparkSession,
+    index_dirs: list[str],
+    out_dir: str,
+    dedup_key: str | None = None,
 ) -> dict[str, Any]:
-    """Merge committed index generations into one index at ``out_dir``."""
+    """Merge committed index generations into one index at ``out_dir``.
+
+    ``index_dirs`` are ordered oldest -> newest. With ``dedup_key`` (e.g.
+    ``"url"``), a key present in several generations keeps only its newest
+    generation's doc — the ES id-keyed upsert (``setId(IR_SID)`` overwrite,
+    ElasticsearchSink.java:67) realized as Lucene-style tombstones: the
+    superseded doc ids are masked out of every posting run during decode and
+    dropped from the docs table, and global stats/df are recomputed from the
+    survivors. Without ``dedup_key`` generations must have disjoint doc ids
+    (the chunked/streaming ingest contract).
+
+    Scale note: the tombstone set is shipped to executors as a sorted int64
+    array inside the task closure (8 B/id) — right for the expected regime
+    where overwrites are a small fraction of the corpus. If a workload ever
+    tombstones a large fraction, replace the closure array with a per-shard
+    anti-join on the runs; the decode kernel is the only touch point."""
     t0 = time.time()
     manifests = []
     for d in index_dirs:
@@ -95,16 +132,32 @@ def merge_indexes(
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
 
-    # --- docs: union (disjoint ids by contract) ----------------------------
-    docs = spark.read.parquet(f"{index_dirs[0]}/docs")
-    for d in index_dirs[1:]:
+    # --- docs: union; with dedup_key, newest generation wins per key -------
+    docs = spark.read.parquet(f"{index_dirs[0]}/docs").withColumn("_gen", F.lit(0))
+    for i, d in enumerate(index_dirs[1:], start=1):
         docs = docs.unionByName(
-            spark.read.parquet(f"{d}/docs"), allowMissingColumns=True
+            spark.read.parquet(f"{d}/docs").withColumn("_gen", F.lit(i)),
+            allowMissingColumns=True,
         )
-    docs = docs.persist()
-    stats = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    dead_ids: np.ndarray | None = None
+    if dedup_key is not None:
+        if dedup_key not in docs.columns:
+            raise ValueError(f"dedup_key {dedup_key!r} not in docs columns {docs.columns}")
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(dedup_key).orderBy(
+            F.col("_gen").desc(), F.col("doc_id").desc()
+        )
+        docs = docs.withColumn("_rn", F.row_number().over(w)).persist()
+        dead_rows = docs.where(F.col("_rn") > 1).select("doc_id").collect()
+        dead_ids = np.sort(np.array([r["doc_id"] for r in dead_rows], dtype=np.int64))
+        docs_keep = docs.where(F.col("_rn") == 1).drop("_rn", "_gen")
+    else:
+        docs = docs.persist()
+        docs_keep = docs.drop("_gen")
+    stats = docs_keep.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
     n_docs, avgdl = int(stats["n"]), float(stats["a"])
-    docs.repartition(n_shards_v, "shard").write.mode("overwrite").partitionBy(
+    docs_keep.repartition(n_shards_v, "shard").write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(f"{tmp}/docs")
     docs.unpersist()
@@ -115,7 +168,7 @@ def merge_indexes(
         postings = postings.unionByName(spark.read.parquet(f"{d}/postings"))
     nparts = max(n_shards_v, 2 * spark.sparkContext.defaultParallelism)
     merged = (
-        postings.mapInPandas(_decode_to_runs(id_space, n_shards_v), PARTIAL_SCHEMA)
+        postings.mapInPandas(_decode_to_runs(id_space, n_shards_v, dead_ids), PARTIAL_SCHEMA)
         .repartition(nparts, "shard", "term")
         .sortWithinPartitions("shard", "term", "run_min")
         .withColumn("term", F.concat_ws("\x00", F.col("shard").cast("string"), F.col("term")))
@@ -157,6 +210,7 @@ def merge_indexes(
         "n_shards": n_shards_v,
         "block_size": BLOCK_SIZE,
         "merged_generations": len(index_dirs),
+        "tombstoned_docs": int(len(dead_ids)) if dead_ids is not None else 0,
         "built_wall_s": round(time.time() - t0, 3),
     }
     with open(f"{tmp}/manifest.json", "w") as fh:

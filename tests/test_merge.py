@@ -68,3 +68,69 @@ def test_merged_postings_identical(spark, merged_and_full):
         for r in spark.read.parquet(f"{full_dir}/postings").select(cols).collect()
     }
     assert m == f
+
+
+@pytest.fixture(scope="module")
+def overwrite_merged_and_ref(spark, documents, tmp_path_factory):
+    """Re-crawl scenario: gen2 re-ingests every 5th url with NEW text under
+    NEW doc ids; merge with dedup_key='url' must equal a single-shot build
+    over the latest-per-url corpus (ES setId upsert at merge time)."""
+    from pyspark.sql import functions as F
+
+    from flume_elasticsearch_2_spark.plans.build_index import build_segments_partial
+
+    root = tmp_path_factory.mktemp("ow_merge")
+    n = documents.agg({"doc_id": "max"}).collect()[0][0] + 1
+    id_space = 2 * n
+    base = documents.select("doc_id", "text", F.concat(F.lit("u"), F.col("doc_id")).alias("url"))
+    recrawl = base.where("doc_id % 5 = 0").select(
+        (F.col("doc_id") + n).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" refreshed dup content")).alias("text"),
+        "url",
+    )
+    g1, g2 = str(root / "gen1"), str(root / "gen2")
+    build_segments_partial(
+        spark, base, g1, 4, id_space=id_space, orig_ids=base.select("doc_id", "url")
+    )
+    build_segments_partial(
+        spark, recrawl, g2, 4, id_space=id_space, orig_ids=recrawl.select("doc_id", "url")
+    )
+    merged = str(root / "merged")
+    manifest = merge_indexes(spark, [g1, g2], merged, dedup_key="url")
+    latest = base.where("doc_id % 5 != 0").unionByName(recrawl)
+    ref = str(root / "ref")
+    build_segments_partial(
+        spark, latest, ref, 4, id_space=id_space, orig_ids=latest.select("doc_id", "url")
+    )
+    return merged, ref, manifest, base.where("doc_id % 5 = 0").count()
+
+
+def test_overwrite_merge_manifest(spark, overwrite_merged_and_ref, documents):
+    merged, ref, manifest, n_overwritten = overwrite_merged_and_ref
+    rm = json.load(open(f"{ref}/manifest.json"))
+    assert manifest["tombstoned_docs"] == n_overwritten
+    assert manifest["n_docs"] == rm["n_docs"] == documents.count()
+    assert abs(manifest["avgdl"] - rm["avgdl"]) < 1e-9
+
+
+def test_overwrite_merge_postings_identical(spark, overwrite_merged_and_ref):
+    merged, ref, _, _ = overwrite_merged_and_ref
+    cols = ["shard", "term", "n", "cf", "doc_bytes", "tf_bytes"]
+    m = {
+        (r.shard, r.term): (r.n, r.cf, bytes(r.doc_bytes), bytes(r.tf_bytes))
+        for r in spark.read.parquet(f"{merged}/postings").select(cols).collect()
+    }
+    f = {
+        (r.shard, r.term): (r.n, r.cf, bytes(r.doc_bytes), bytes(r.tf_bytes))
+        for r in spark.read.parquet(f"{ref}/postings").select(cols).collect()
+    }
+    assert m == f
+
+
+@pytest.mark.parametrize("query,mode", QUERIES)
+def test_overwrite_merge_query_identical(spark, overwrite_merged_and_ref, query, mode):
+    merged, ref, _, _ = overwrite_merged_and_ref
+    sm, sr = IndexSearcher(spark, merged), IndexSearcher(spark, ref)
+    got = [(r.doc_id, r.score) for r in sm.search(query, k=10, mode=mode).collect()]
+    want = [(r.doc_id, r.score) for r in sr.search(query, k=10, mode=mode).collect()]
+    assert got == want
