@@ -324,6 +324,16 @@ def _cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(emb, q, k=10, n_centroids=8, nprobe=8)
 
 
+def _bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool-filter semantics: candidates restricted to lang='en', idf/
+    avgdl/N index-wide (operators/topk.py doc_filter)."""
+    from pyspark.sql import functions as F
+
+    return bm25_topk(
+        _docs(spark, sf_dir), "dup batch scan", k=10, doc_filter=F.col("lang") == "en"
+    )
+
+
 def _bm25_query_k(q: str, mode: str, k: int):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return bm25_topk(_docs(spark, sf_dir), q, k=k, mode=mode)
@@ -337,6 +347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     q["bm25_topk_k1"] = _bm25_query_k("dup batch scan", "or", 1)
     q["bm25_topk_k100"] = _bm25_query_k("batch small scan", "or", 100)
+    q["bm25_topk_filtered"] = _bm25_filtered
     for name, (qq, mode) in SEGMENT_QUERIES.items():
         q[name] = _segment_query(qq, mode)
     q["bm25_multiquery"] = _bm25_multiquery
@@ -368,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
     o = {name: bm25_topk_sql(qq, k=10, mode=mode) for name, (qq, mode) in BM25_QUERIES.items()}
     o["bm25_topk_k1"] = bm25_topk_sql("dup batch scan", k=1, mode="or")
     o["bm25_topk_k100"] = bm25_topk_sql("batch small scan", k=100, mode="or")
+    o["bm25_topk_filtered"] = bm25_topk_sql("dup batch scan", k=10, filter_sql="lang = 'en'")
     for name, (qq, mode) in SEGMENT_QUERIES.items():
         o[name] = bm25_topk_sql(qq, k=10, mode=mode)
     o["bm25_multiquery"] = "\nUNION ALL\n".join(

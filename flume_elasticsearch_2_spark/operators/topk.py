@@ -45,6 +45,7 @@ def bm25_topk(
     mode: str = "or",
     k1: float = K1,
     b: float = B,
+    doc_filter=None,
 ) -> DataFrame:
     """Top-k BM25 over a document DataFrame, pure declarative plan.
 
@@ -53,6 +54,11 @@ def bm25_topk(
     query terms accumulate per occurrence (FIXTURES.md §4). Deterministic
     tie-break ``(-score, doc_id)`` (Q7). Scores rounded to 6 decimals in the
     output for cross-engine hash stability; ordering uses the exact float64.
+
+    ``doc_filter`` (a boolean Column over ``docs``, e.g. ``F.col("lang") ==
+    "en"``) is the ES bool-filter: it restricts the CANDIDATE docs in the
+    scoring pass while idf/avgdl/N stay index-wide — exactly how a filtered
+    ES ``match`` scores.
     """
     q_terms = tokenize(query)
     if not q_terms:
@@ -73,16 +79,19 @@ def bm25_topk(
     #           driver merge — the ES scatter/gather shape, Q6).
     # At 10^12 docs pass 1 is a pure map-side-combine agg and pass 2 ships
     # only k rows per partition; nothing ever shuffles doc-level data.
-    per_doc = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tokens_col(text_col)).cast("long").alias("dl"),
-        *[
-            F.size(F.filter(tokens_col(text_col), lambda x: x == F.lit(t)))
-            .cast("double")
-            .alias(f"tf_{i}")
-            for i, t in enumerate(distinct_terms)
-        ],
-    )
+    def project(src: DataFrame) -> DataFrame:
+        return src.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens_col(text_col)).cast("long").alias("dl"),
+            *[
+                F.size(F.filter(tokens_col(text_col), lambda x: x == F.lit(t)))
+                .cast("double")
+                .alias(f"tf_{i}")
+                for i, t in enumerate(distinct_terms)
+            ],
+        )
+
+    per_doc = project(docs)
     stats_row = per_doc.agg(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -110,7 +119,9 @@ def bm25_topk(
     if not any_present or (mode == "and" and present_n < len(distinct_terms)):
         return docs.sparkSession.createDataFrame([], "doc_id long, score double")
 
-    scored = per_doc.withColumn("score_exact", score)
+    # filter restricts candidates only; the stats above stay index-wide
+    scored_src = per_doc if doc_filter is None else project(docs.where(doc_filter))
+    scored = scored_src.withColumn("score_exact", score)
     if mode == "and":
         cond = F.lit(True)
         for i in range(len(distinct_terms)):
@@ -124,8 +135,17 @@ def bm25_topk(
     )
 
 
-def bm25_topk_sql(query: str, k: int = 10, mode: str = "or", table: str = "documents") -> str:
-    """DuckDB oracle SQL equivalent of :func:`bm25_topk` (same rounding)."""
+def bm25_topk_sql(
+    query: str,
+    k: int = 10,
+    mode: str = "or",
+    table: str = "documents",
+    filter_sql: str | None = None,
+) -> str:
+    """DuckDB oracle SQL equivalent of :func:`bm25_topk` (same rounding).
+
+    ``filter_sql`` mirrors ``doc_filter``: a WHERE predicate over ``table``
+    restricting candidates, with stats/df/avgdl still computed index-wide."""
     q_terms = tokenize(query)
     weights: dict[str, int] = {}
     for t in q_terms:
@@ -133,6 +153,9 @@ def bm25_topk_sql(query: str, k: int = 10, mode: str = "or", table: str = "docum
     terms_values = ", ".join(f"('{t}', {c}.0)" for t, c in sorted(weights.items()))
     in_list = ", ".join(f"'{t}'" for t in sorted(weights))
     and_filter = f"HAVING count(DISTINCT term) = {len(weights)}" if mode == "and" else ""
+    cand_filter = (
+        f"WHERE doc_id IN (SELECT doc_id FROM {table} WHERE {filter_sql})" if filter_sql else ""
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
@@ -163,6 +186,7 @@ scored AS (
 )
 SELECT doc_id, round(sum(partial), 6) AS score
 FROM scored
+{cand_filter}
 GROUP BY doc_id
 {and_filter}
 ORDER BY sum(partial) DESC, doc_id ASC
