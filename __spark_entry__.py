@@ -88,6 +88,7 @@ def _doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- segment-index path: build once per sf_dir (temp dir), query many -------
 _INDEX_CACHE: dict[str, str] = {}
+_TRS_CACHE: dict[str, tuple] = {}  # sf_dir -> (rendered dir, result DataFrame)
 
 
 def _segment_searcher(spark: SparkSession, sf_dir: str):
@@ -238,6 +239,8 @@ def _trs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flume_elasticsearch_2_spark.sources.trs import read_trs, trs_project
 
+    if sf_dir in _TRS_CACHE:  # render once per sf_dir (mirrors _INDEX_CACHE)
+        return _TRS_CACHE[sf_dir][1]
     d = os.path.join(tempfile.mkdtemp(prefix="fts_trs_"), "trs")
     docs = _docs(spark, sf_dir)
     rendered = docs.select(
@@ -252,11 +255,13 @@ def _trs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rendered.coalesce(4).write.mode("overwrite").text(d)
     parsed = read_trs(spark, d)
-    return trs_project(parsed, ["LANG", "TEXT"]).select(
+    out = trs_project(parsed, ["LANG", "TEXT"]).select(
         F.col("IR_SID").alias("ir_sid"),
         F.col("LANG").alias("lang"),
         F.col("TEXT").alias("text"),
     )
+    _TRS_CACHE[sf_dir] = (d, out)
+    return out
 
 
 def _bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

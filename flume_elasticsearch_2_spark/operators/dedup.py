@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
-from ..functions.text import fingerprint_col, md5_long_col
+from ..functions.text import MD5_LONG_SQL, fingerprint_col, md5_long_col
 from ..functions.tokenizer import tokens_col
 
 MERSENNE_P = (1 << 31) - 1  # 31-bit Mersenne prime: a*x+b stays inside int64
@@ -299,9 +299,6 @@ def simhash_near_dup_pairs(
 # MinHash-LSH candidates and SimHash near-dup pairs.
 # ---------------------------------------------------------------------------
 
-_MD5_LONG = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
-
-
 def _shingle_cte(table: str, shingle_k: int) -> str:
     """Distinct k-token shingles per doc (mirrors :func:`shingles_col`)."""
     return f"""
@@ -325,8 +322,8 @@ def minhash_lsh_pairs_sql(
     r = num_hashes // bands
     a, b = _minhash_params(num_hashes, seed)
     params = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_hashes))
-    x_expr = _MD5_LONG.format(e="s")
-    bucket_expr = _MD5_LONG.format(e="string_agg(sig::VARCHAR, ',' ORDER BY i)")
+    x_expr = MD5_LONG_SQL.format(expr="s")
+    bucket_expr = MD5_LONG_SQL.format(expr="string_agg(sig::VARCHAR, ',' ORDER BY i)")
     return f"""
 WITH {_shingle_cte(table, shingle_k)},
 x AS (SELECT doc_id, {x_expr} & {MERSENNE_P} AS x FROM sh),
@@ -359,7 +356,7 @@ def simhash_pairs_sql(
     assert bits % n_tables == 0
     key_bits = bits // n_tables
     key_mask = (1 << key_bits) - 1
-    h_expr = _MD5_LONG.format(e="t")
+    h_expr = MD5_LONG_SQL.format(expr="t")
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM {table}

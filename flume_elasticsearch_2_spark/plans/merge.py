@@ -61,6 +61,8 @@ def _decode_to_runs(id_space: int, n_shards: int, dead_ids: np.ndarray | None = 
             rows: list[tuple] = []
             for row in pdf.itertuples(index=False):
                 n = int(row.n)
+                if n == 0:
+                    continue  # degenerate empty posting row: nothing to merge
                 deltas = svb_decode(row.doc_bytes, n).astype(np.uint64)
                 ids = np.cumsum(deltas).astype(np.uint32)  # local absolute
                 tfs = svb_decode(row.tf_bytes, n)
@@ -148,7 +150,13 @@ def merge_indexes(
         w = Window.partitionBy(dedup_key).orderBy(
             F.col("_gen").desc(), F.col("doc_id").desc()
         )
-        docs = docs.withColumn("_rn", F.row_number().over(w)).persist()
+        # NULL keys never supersede each other: a generation built without
+        # the key column (unionByName fills NULL) or a legitimately-null key
+        # must not collapse into one "duplicate group" and mass-tombstone
+        docs = docs.withColumn(
+            "_rn",
+            F.when(F.col(dedup_key).isNull(), F.lit(1)).otherwise(F.row_number().over(w)),
+        ).persist()
         dead_rows = docs.where(F.col("_rn") > 1).select("doc_id").collect()
         dead_ids = np.sort(np.array([r["doc_id"] for r in dead_rows], dtype=np.int64))
         docs_keep = docs.where(F.col("_rn") == 1).drop("_rn", "_gen")

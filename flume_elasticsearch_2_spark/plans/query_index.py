@@ -201,6 +201,32 @@ def _score_shard(
     )
 
 
+POST_COLS = [
+    "term", "n", "doc_bytes", "tf_bytes",
+    "block_first_doc", "block_last_doc", "block_max_tf",
+]
+
+
+def _read_shard_tables(
+    index_dir: str, shard: int, terms: list[str]
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """One shard's postings (column-pruned, term-filtered via Parquet
+    row-group stats) and docs (doc_id, dl) as pandas frames — the data-node
+    read shared by search_local, search_many, and the direct scatter."""
+    pt = (
+        pads.dataset(f"{index_dir}/postings/shard={shard}", format="parquet")
+        .to_table(columns=POST_COLS, filter=pads.field("term").isin(terms))
+        .to_pandas()
+    )
+    pt["shard"] = shard
+    dt = (
+        pads.dataset(f"{index_dir}/docs/shard={shard}", format="parquet")
+        .to_table(columns=["doc_id", "dl"])
+        .to_pandas()
+    )
+    return pt, dt
+
+
 def _one_task_per_shard(spark: SparkSession, shards: list[int]) -> DataFrame:
     """(shard) DataFrame pre-sliced one shard per partition — the scatter
     needs exactly one task per shard, and building the slices directly
@@ -361,23 +387,9 @@ class IndexSearcher:
             mode=mode,
             pruned=pruned,
         )
-        post_cols = [
-            "term", "n", "doc_bytes", "tf_bytes",
-            "block_first_doc", "block_last_doc", "block_max_tf",
-        ]
         parts = []
         for shard in active_shards:
-            pt = (
-                pads.dataset(f"{self.index_dir}/postings/shard={shard}", format="parquet")
-                .to_table(columns=post_cols, filter=pads.field("term").isin(present))
-                .to_pandas()
-            )
-            pt["shard"] = shard
-            dt = (
-                pads.dataset(f"{self.index_dir}/docs/shard={shard}", format="parquet")
-                .to_table(columns=["doc_id", "dl"])
-                .to_pandas()
-            )
+            pt, dt = _read_shard_tables(self.index_dir, shard, present)
             parts.append(_score_shard(pt, dt, **kwargs))
         merged = pd.concat(parts, ignore_index=True) if parts else empty
         merged = merged.sort_values(
@@ -454,28 +466,10 @@ class IndexSearcher:
             k=k,
             pruned=pruned,
         )
-        post_cols = [
-            "term", "n", "doc_bytes", "tf_bytes",
-            "block_first_doc", "block_last_doc", "block_max_tf",
-        ]
-
         def score_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 for shard in pdf["shard"].tolist():
-                    pt = (
-                        pads.dataset(f"{index_dir}/postings/shard={shard}", format="parquet")
-                        .to_table(
-                            columns=post_cols,
-                            filter=pads.field("term").isin(shard_terms[shard]),
-                        )
-                        .to_pandas()
-                    )
-                    pt["shard"] = shard
-                    dt = (
-                        pads.dataset(f"{index_dir}/docs/shard={shard}", format="parquet")
-                        .to_table(columns=["doc_id", "dl"])
-                        .to_pandas()
-                    )
+                    pt, dt = _read_shard_tables(index_dir, shard, shard_terms[shard])
                     for qid in shard_qids[shard]:
                         spec = specs[qid]
                         res = _score_shard(
@@ -513,25 +507,11 @@ class IndexSearcher:
         multi-executor cluster the segment store is HDFS/S3; pyarrow reads
         both through its filesystem layer."""
         index_dir = self.index_dir
-        post_cols = [
-            "term", "n", "doc_bytes", "tf_bytes",
-            "block_first_doc", "block_last_doc", "block_max_tf",
-        ]
 
         def score_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 for shard in pdf["shard"].tolist():
-                    pt = (
-                        pads.dataset(f"{index_dir}/postings/shard={shard}", format="parquet")
-                        .to_table(columns=post_cols, filter=pads.field("term").isin(present))
-                        .to_pandas()
-                    )
-                    pt["shard"] = shard
-                    dt = (
-                        pads.dataset(f"{index_dir}/docs/shard={shard}", format="parquet")
-                        .to_table(columns=["doc_id", "dl"])
-                        .to_pandas()
-                    )
+                    pt, dt = _read_shard_tables(index_dir, shard, present)
                     yield _score_shard(pt, dt, **kwargs)
 
         return _one_task_per_shard(self.spark, active_shards).mapInPandas(

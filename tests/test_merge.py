@@ -134,3 +134,29 @@ def test_overwrite_merge_query_identical(spark, overwrite_merged_and_ref, query,
     got = [(r.doc_id, r.score) for r in sm.search(query, k=10, mode=mode).collect()]
     want = [(r.doc_id, r.score) for r in sr.search(query, k=10, mode=mode).collect()]
     assert got == want
+
+
+def test_null_keys_never_tombstoned(spark, documents, tmp_path_factory):
+    """A generation built without the key column (union fills NULL) or a
+    legitimately-null key must NOT collapse into one duplicate group — every
+    null-key doc survives the dedup_key merge."""
+    from pyspark.sql import functions as F
+
+    from flume_elasticsearch_2_spark.plans.build_index import build_segments_partial
+
+    root = tmp_path_factory.mktemp("null_merge")
+    n = documents.agg({"doc_id": "max"}).collect()[0][0] + 1
+    id_space = 2 * n
+    half_a = documents.where("doc_id % 2 = 0").select("doc_id", "text")
+    half_b = documents.where("doc_id % 2 = 1").select("doc_id", "text")
+    g1, g2 = str(root / "g1"), str(root / "g2")
+    # gen1 has NO url column; gen2 has urls
+    build_segments_partial(spark, half_a, g1, 4, id_space=id_space)
+    build_segments_partial(
+        spark, half_b, g2, 4, id_space=id_space,
+        orig_ids=half_b.select("doc_id", F.concat(F.lit("u"), F.col("doc_id")).alias("url")),
+    )
+    merged = str(root / "m")
+    manifest = merge_indexes(spark, [g1, g2], merged, dedup_key="url")
+    assert manifest["tombstoned_docs"] == 0
+    assert manifest["n_docs"] == documents.count()

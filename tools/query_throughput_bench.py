@@ -46,11 +46,12 @@ def gen_queries(index_dir: str, n_queries: int, seed: int = 7) -> dict[str, tupl
     hot = tbl.iloc[: max(1, n // 20)]["term"].tolist()
     mid = tbl.iloc[n // 20 : n // 2]["term"].tolist()
     rare = tbl.iloc[n // 2 :]["term"].tolist()
+    pools = [p for p in (hot, mid, rare) if p]  # tiny dictionaries: skip empty bands
     rng = np.random.RandomState(seed)
     out: dict[str, tuple[str, str]] = {}
     for i in range(n_queries):
         n_terms = int(rng.randint(1, 4))
-        pool = [hot, mid, rare][int(rng.randint(0, 3))]
+        pool = pools[int(rng.randint(0, len(pools)))]
         terms = [pool[int(rng.randint(0, len(pool)))] for _ in range(n_terms)]
         mode = "and" if (n_terms > 1 and rng.rand() < 0.3) else "or"
         out[f"q{i:04d}"] = (" ".join(terms), mode)
