@@ -94,12 +94,18 @@ _TRS_CACHE: dict[str, tuple] = {}  # sf_dir -> (rendered dir, result DataFrame)
 def _segment_searcher(spark: SparkSession, sf_dir: str):
     import tempfile
 
-    from flume_elasticsearch_2_spark.plans.build_index import build_index
     from flume_elasticsearch_2_spark.plans.query_index import IndexSearcher
 
     if sf_dir not in _INDEX_CACHE:
+        from flume_elasticsearch_2_spark.plans.build_index import build_segments_partial
+
         d = os.path.join(tempfile.mkdtemp(prefix="fts_idx_"), "segidx")
-        build_index(spark, _docs(spark, sf_dir), d, n_shards=4)
+        docs = _docs(spark, sf_dir)
+        # docs table carries lang so the serving path can answer filtered
+        # queries (ES bool-filter; bm25_segment_filtered)
+        build_segments_partial(
+            spark, docs, d, n_shards=4, orig_ids=docs.select("doc_id", "lang")
+        )
         _INDEX_CACHE[sf_dir] = d
     return IndexSearcher(spark, _INDEX_CACHE[sf_dir])
 
@@ -116,6 +122,15 @@ SEGMENT_QUERIES = {
     "bm25_segment_and": ("join filter window", "and"),
     "bm25_segment_hot": ("batch small scan", "or"),
 }
+
+
+def _bm25_segment_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool-filter on the SERVING path: docs-table read pruned to
+    lang='en' per shard, excluded docs masked during DAAT scoring, stats
+    index-wide — same oracle as the declarative bm25_topk_filtered."""
+    return _segment_searcher(spark, sf_dir).search(
+        "dup batch scan", k=10, doc_filter=("lang", "==", "en")
+    )
 
 
 def _bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -356,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, (qq, mode) in SEGMENT_QUERIES.items():
         q[name] = _segment_query(qq, mode)
     q["bm25_multiquery"] = _bm25_multiquery
+    q["bm25_segment_filtered"] = _bm25_segment_filtered
     q["term_stats"] = _term_stats
     q["corpus_stats"] = _corpus_stats
     q["doc_lengths"] = _doc_lengths
@@ -385,6 +401,7 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk_k1"] = bm25_topk_sql("dup batch scan", k=1, mode="or")
     o["bm25_topk_k100"] = bm25_topk_sql("batch small scan", k=100, mode="or")
     o["bm25_topk_filtered"] = bm25_topk_sql("dup batch scan", k=10, filter_sql="lang = 'en'")
+    o["bm25_segment_filtered"] = o["bm25_topk_filtered"]
     for name, (qq, mode) in SEGMENT_QUERIES.items():
         o[name] = bm25_topk_sql(qq, k=10, mode=mode)
     o["bm25_multiquery"] = "\nUNION ALL\n".join(

@@ -74,10 +74,16 @@ def _score_shard(
     base = shard_start(shard, id_space, n_shards)
     span = shard_start(shard + 1, id_space, n_shards) - base
 
-    # dense doc-length array indexed by shard-local id
+    # dense doc-length array indexed by shard-local id; `present` marks docs
+    # admitted by the docs-table read — when a doc_filter pruned that read,
+    # postings of excluded docs are masked out of every candidate set (the
+    # ES bool-filter on the serving path). Unfiltered reads admit the whole
+    # shard, so the mask is a no-op.
     dl = np.zeros(span, dtype=np.float64)
+    present = np.zeros(span, dtype=bool)
     local_doc = docs["doc_id"].to_numpy(dtype=np.int64) - base
     dl[local_doc] = docs["dl"].to_numpy(dtype=np.float64)
+    present[local_doc] = True
 
     terms = []
     for row in postings.itertuples(index=False):
@@ -146,6 +152,9 @@ def _score_shard(
         if mode == "and":
             keep = cnt == nterms_q  # each term contributes exactly one posting per doc
             uniq, summed = uniq[keep], summed[keep]
+        adm = present[uniq]  # doc_filter admission (all-true when unfiltered)
+        if not adm.all():
+            uniq, summed = uniq[adm], summed[adm]
         return uniq, summed
 
     # ---- segment grid from block boundaries -------------------------------
@@ -207,12 +216,38 @@ POST_COLS = [
 ]
 
 
+_FILTER_OPS = {
+    "==": lambda f, v: f == v,
+    "!=": lambda f, v: f != v,
+    "<": lambda f, v: f < v,
+    "<=": lambda f, v: f <= v,
+    ">": lambda f, v: f > v,
+    ">=": lambda f, v: f >= v,
+    "in": lambda f, v: f.isin(list(v)),
+}
+
+
+def _docs_filter_expr(doc_filter: tuple | None):
+    """(column, op, value) -> pyarrow dataset expression; the triple form
+    keeps the filter picklable into executor task closures."""
+    if doc_filter is None:
+        return None
+    col, op, value = doc_filter
+    return _FILTER_OPS[op](pads.field(col), value)
+
+
 def _read_shard_tables(
-    index_dir: str, shard: int, terms: list[str]
+    index_dir: str, shard: int, terms: list[str], doc_filter: tuple | None = None
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """One shard's postings (column-pruned, term-filtered via Parquet
     row-group stats) and docs (doc_id, dl) as pandas frames — the data-node
-    read shared by search_local, search_many, and the direct scatter."""
+    read shared by search_local, search_many, and the direct scatter.
+
+    ``doc_filter`` = (column, op, value) over the docs table (e.g.
+    ``("lang", "==", "en")``): the ES bool-filter on the serving path —
+    candidates restricted at the docs read (Parquet row-group pruned),
+    postings of excluded docs masked during scoring; idf/avgdl/N stay
+    index-wide."""
     pt = (
         pads.dataset(f"{index_dir}/postings/shard={shard}", format="parquet")
         .to_table(columns=POST_COLS, filter=pads.field("term").isin(terms))
@@ -221,7 +256,7 @@ def _read_shard_tables(
     pt["shard"] = shard
     dt = (
         pads.dataset(f"{index_dir}/docs/shard={shard}", format="parquet")
-        .to_table(columns=["doc_id", "dl"])
+        .to_table(columns=["doc_id", "dl"], filter=_docs_filter_expr(doc_filter))
         .to_pandas()
     )
     return pt, dt
@@ -292,11 +327,15 @@ class IndexSearcher:
         pruned: bool = True,
         fetch: bool = False,
         engine: str = "direct",
+        doc_filter: tuple | None = None,
     ) -> DataFrame:
         """Top-k BM25 as a DataFrame (doc_id, score[, fetch cols]).
 
         Rank-identical to the declarative path (operators/topk.py) and the
         NumPy/DuckDB oracles; scores rounded to 6 decimals in the output.
+        ``doc_filter`` = (column, op, value) over docs-table attributes —
+        ES bool-filter semantics (see ``_read_shard_tables``); the direct
+        engine only.
         """
         spark = self.spark
         q_terms = tokenize(query)
@@ -326,13 +365,15 @@ class IndexSearcher:
             # here instead of orderBy().limit() removes the TakeOrdered stage
             # and its scheduling round-trip — at most n_shards * k tiny rows
             # cross the wire, never postings.
-            rows = self._scatter_direct(active_shards, present, kwargs).collect()
+            rows = self._scatter_direct(active_shards, present, kwargs, doc_filter).collect()
             rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
             out = spark.createDataFrame(
                 [(int(r["doc_id"]), round(float(r["score"]), 6)) for r in rows[:k]],
                 "doc_id long, score double",
             )
         else:
+            if doc_filter is not None:
+                raise ValueError("doc_filter is supported by the direct engine only")
             per_shard = self._scatter_cogroup(active_shards, present, kwargs)
             out = (
                 per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -354,6 +395,7 @@ class IndexSearcher:
         k: int = 10,
         mode: str = "or",
         pruned: bool = True,
+        doc_filter: tuple | None = None,
     ) -> pd.DataFrame:
         """Serving-path query: score all active shards IN-PROCESS (pyarrow
         reads, no Spark job) and return a pandas frame (doc_id, score).
@@ -389,7 +431,7 @@ class IndexSearcher:
         )
         parts = []
         for shard in active_shards:
-            pt, dt = _read_shard_tables(self.index_dir, shard, present)
+            pt, dt = _read_shard_tables(self.index_dir, shard, present, doc_filter)
             parts.append(_score_shard(pt, dt, **kwargs))
         merged = pd.concat(parts, ignore_index=True) if parts else empty
         merged = merged.sort_values(
@@ -403,6 +445,7 @@ class IndexSearcher:
         queries: dict[str, tuple[str, str]],
         k: int = 10,
         pruned: bool = True,
+        doc_filter: tuple | None = None,
     ) -> DataFrame:
         """Batched top-k BM25: score a whole query set in ONE scatter/gather
         job — (query_id, doc_id, score), rank-identical per query to
@@ -469,7 +512,7 @@ class IndexSearcher:
         def score_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 for shard in pdf["shard"].tolist():
-                    pt, dt = _read_shard_tables(index_dir, shard, shard_terms[shard])
+                    pt, dt = _read_shard_tables(index_dir, shard, shard_terms[shard], doc_filter)
                     for qid in shard_qids[shard]:
                         spec = specs[qid]
                         res = _score_shard(
@@ -499,7 +542,11 @@ class IndexSearcher:
         return spark.createDataFrame(merged, out_schema)
 
     def _scatter_direct(
-        self, active_shards: list[int], present: list[str], kwargs: dict[str, Any]
+        self,
+        active_shards: list[int],
+        present: list[str],
+        kwargs: dict[str, Any],
+        doc_filter: tuple | None = None,
     ) -> DataFrame:
         """One task per active shard; each reads its own shard dir (postings
         term-filtered + norms) with pyarrow and scores locally. No shuffle —
@@ -511,7 +558,7 @@ class IndexSearcher:
         def score_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 for shard in pdf["shard"].tolist():
-                    pt, dt = _read_shard_tables(index_dir, shard, present)
+                    pt, dt = _read_shard_tables(index_dir, shard, present, doc_filter)
                     yield _score_shard(pt, dt, **kwargs)
 
         return _one_task_per_shard(self.spark, active_shards).mapInPandas(

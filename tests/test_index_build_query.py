@@ -146,6 +146,46 @@ def test_search_many_rank_identical_to_per_query(searcher):
         assert by_qid.get(qid, []) == exp, qid
 
 
+def test_doc_filter_matches_declarative(spark, documents, tmp_path_factory):
+    """ES bool-filter on the serving path (docs read pruned, candidates
+    masked in DAAT) must be rank-identical to the declarative doc_filter
+    path — both with index-wide idf/avgdl/N. search_local and search_many
+    agree too."""
+    from pyspark.sql import functions as F
+
+    from flume_elasticsearch_2_spark.plans.build_index import build_segments_partial
+
+    d = str(tmp_path_factory.mktemp("fidx") / "segidx")
+    build_segments_partial(
+        spark, documents, d, 4, orig_ids=documents.select("doc_id", "lang")
+    )
+    s = IndexSearcher(spark, d)
+    flt = ("lang", "==", "en")
+    for query, mode in [("dup batch scan", "or"), ("join filter window", "and")]:
+        want = [
+            (r.doc_id, r.score)
+            for r in bm25_topk(
+                documents, query, k=10, mode=mode, doc_filter=F.col("lang") == "en"
+            ).collect()
+        ]
+        got = [
+            (r.doc_id, r.score)
+            for r in s.search(query, k=10, mode=mode, doc_filter=flt).collect()
+        ]
+        loc = [
+            (int(r.doc_id), round(float(r.score), 6))
+            for r in s.search_local(query, k=10, mode=mode, doc_filter=flt).itertuples(
+                index=False
+            )
+        ]
+        assert got == want == loc, (query, mode)
+        assert want, "filtered result should be non-empty on the fixture"
+    many = s.search_many({"q0": ("dup batch scan", "or")}, k=10, doc_filter=flt).collect()
+    assert [(r.doc_id, r.score) for r in many] == [
+        (r.doc_id, r.score) for r in s.search("dup batch scan", k=10, doc_filter=flt).collect()
+    ]
+
+
 def test_manifest_skew_metric(index_dir):
     with open(f"{index_dir}/manifest.json") as fh:
         m = json.load(fh)
