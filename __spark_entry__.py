@@ -344,6 +344,14 @@ def _cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(emb, q, k=10, n_centroids=8, nprobe=8)
 
 
+def _bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase (Lucene ExactPhraseScorer under BM25): sliding-window
+    phrase freq as tf, summed per-position idf (operators/topk.py)."""
+    from flume_elasticsearch_2_spark.operators.topk import bm25_phrase_topk
+
+    return bm25_phrase_topk(_docs(spark, sf_dir), "part filter", k=10)
+
+
 def _bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bool-filter semantics: candidates restricted to lang='en', idf/
     avgdl/N index-wide (operators/topk.py doc_filter)."""
@@ -368,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk_k1"] = _bm25_query_k("dup batch scan", "or", 1)
     q["bm25_topk_k100"] = _bm25_query_k("batch small scan", "or", 100)
     q["bm25_topk_filtered"] = _bm25_filtered
+    q["bm25_phrase"] = _bm25_phrase
     for name, (qq, mode) in SEGMENT_QUERIES.items():
         q[name] = _segment_query(qq, mode)
     q["bm25_multiquery"] = _bm25_multiquery
@@ -402,6 +411,9 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk_k100"] = bm25_topk_sql("batch small scan", k=100, mode="or")
     o["bm25_topk_filtered"] = bm25_topk_sql("dup batch scan", k=10, filter_sql="lang = 'en'")
     o["bm25_segment_filtered"] = o["bm25_topk_filtered"]
+    from flume_elasticsearch_2_spark.operators.topk import bm25_phrase_topk_sql
+
+    o["bm25_phrase"] = bm25_phrase_topk_sql("part filter", k=10)
     for name, (qq, mode) in SEGMENT_QUERIES.items():
         o[name] = bm25_topk_sql(qq, k=10, mode=mode)
     o["bm25_multiquery"] = "\nUNION ALL\n".join(

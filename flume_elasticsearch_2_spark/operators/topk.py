@@ -135,6 +135,135 @@ def bm25_topk(
     )
 
 
+def bm25_phrase_topk(
+    docs: DataFrame,
+    phrase: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k ``match_phrase``: docs containing the exact token sequence,
+    scored like Lucene's ExactPhraseScorer under BM25 —
+
+        tf  = sliding-window phrase frequency (overlaps count)
+        idf = sum over phrase positions of idf(term_i)  (duplicates counted)
+        score = idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+
+    Same two-narrow-pass shape as :func:`bm25_topk`: per-doc phrase freq is
+    a JVM expression (count of i where toks[i..i+m-1] == phrase), stats are
+    one map-side-combine aggregation collected as driver constants, and the
+    scoring pass ends in TakeOrderedAndProject — no joins, no shuffles.
+    Replaces the [delegated] ES phrase query at the reference delegation
+    site (ElasticsearchSink.java:66; Lucene 4.7 PhraseQuery semantics)."""
+    q_terms = tokenize(phrase)
+    spark = docs.sparkSession
+    if not q_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    m = len(q_terms)
+    toks = tokens_col(text_col)
+
+    def phrase_at(i):  # i is a 1-based Column index into the token array
+        cond = F.element_at(toks, i) == F.lit(q_terms[0])
+        for j in range(1, m):
+            cond = cond & (F.element_at(toks, i + j) == F.lit(q_terms[j]))
+        return cond
+
+    pf_expr = F.when(
+        F.size(toks) >= m,
+        F.size(F.filter(F.sequence(F.lit(1), F.size(toks) - (m - 1)), phrase_at)),
+    ).otherwise(F.lit(0))
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        pf_expr.cast("double").alias("pf"),
+        # NB: a `lambda x, t=t:` default-arg capture would make pyspark's
+        # higher-order-function introspection treat this as an (element,
+        # index) lambda and bind t to the array index; F.filter evaluates
+        # the lambda eagerly, so the plain closure is correct here
+        *[
+            F.size(F.filter(toks, lambda x: x == F.lit(t))).alias(f"tf_{i}")
+            for i, t in enumerate(sorted(set(q_terms)))
+        ],
+    )
+    stats_row = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(set(q_terms)))
+        ],
+    ).collect()[0]
+    n_docs = int(stats_row["n_docs"])
+    avgdl = float(stats_row["avgdl"]) if stats_row["avgdl"] is not None else 0.0
+    if n_docs == 0 or avgdl == 0.0:
+        return spark.createDataFrame([], "doc_id long, score double")
+    df_by_term = {t: int(stats_row[f"df_{i}"]) for i, t in enumerate(sorted(set(q_terms)))}
+    if any(df_by_term[t] == 0 for t in q_terms):
+        return spark.createDataFrame([], "doc_id long, score double")
+    import math
+
+    idf = sum(
+        math.log1p((n_docs - df_by_term[t] + 0.5) / (df_by_term[t] + 0.5)) for t in q_terms
+    )
+    score = (
+        F.lit(idf)
+        * F.col("pf")
+        * (k1 + 1.0)
+        / (F.col("pf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    )
+    return (
+        per_doc.where(F.col("pf") > 0)
+        .withColumn("score_exact", score)
+        .orderBy(F.col("score_exact").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.round("score_exact", 6).alias("score"))
+    )
+
+
+def bm25_phrase_topk_sql(phrase: str, k: int = 10, table: str = "documents") -> str:
+    """DuckDB oracle for :func:`bm25_phrase_topk`: phrase freq via m-gram
+    equality over the token list (sliding window, overlaps count)."""
+    q_terms = tokenize(phrase)
+    m = len(q_terms)
+    phrase_lit = " ".join(q_terms).replace("'", "''")
+    uniq = sorted(set(q_terms))
+    df_cols = ",\n    ".join(
+        f"sum(CASE WHEN list_contains(ts, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(uniq)
+    )
+    idf_sum = " + ".join(
+        f"ln(1 + (s.n_docs - s.df_{uniq.index(t)} + 0.5) / (s.df_{uniq.index(t)} + 0.5))"
+        for t in q_terms
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM {table}
+),
+pf AS (
+  SELECT t.doc_id,
+         (SELECT count(*) FROM unnest(range(1, greatest(len(t.ts) - {m - 1}, 0) + 1)) AS u(i)
+          WHERE array_to_string(t.ts[u.i:u.i+{m - 1}], ' ') = '{phrase_lit}') AS pf
+  FROM toks t
+),
+s AS (
+  SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl,
+    {df_cols}
+  FROM toks
+)
+SELECT t.doc_id,
+       round(({idf_sum}) * pf.pf * (1.2 + 1.0)
+             / (pf.pf + 1.2 * (1.0 - 0.75 + 0.75 * len(t.ts) / s.avgdl)), 6) AS score
+FROM toks t JOIN pf ON pf.doc_id = t.doc_id CROSS JOIN s
+WHERE pf.pf > 0
+ORDER BY ({idf_sum}) * pf.pf * (1.2 + 1.0)
+         / (pf.pf + 1.2 * (1.0 - 0.75 + 0.75 * len(t.ts) / s.avgdl)) DESC,
+         t.doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_topk_sql(
     query: str,
     k: int = 10,

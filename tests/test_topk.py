@@ -50,3 +50,40 @@ def test_bm25_matches_duckdb_oracle(spark, documents, sf_dir, query, mode):
     assert [g[0] for g in got] == [e[0] for e in exp]
     for g, e in zip(got, exp):
         assert abs(g[1] - e[1]) < 1e-6
+
+
+PHRASES = ["part filter", "order fast", "the zzznope", "dup"]
+
+
+@pytest.mark.parametrize("phrase", PHRASES)
+def test_phrase_matches_duckdb_oracle(spark, documents, sf_dir, phrase):
+    from flume_elasticsearch_2_spark.operators.topk import (
+        bm25_phrase_topk,
+        bm25_phrase_topk_sql,
+    )
+
+    got = [(r.doc_id, r.score) for r in bm25_phrase_topk(documents, phrase, k=10).collect()]
+    exp = _duck(sf_dir, bm25_phrase_topk_sql(phrase, k=10))
+    assert [g[0] for g in got] == [e[0] for e in exp], phrase
+    for g, e in zip(got, exp):
+        assert abs(g[1] - e[1]) < 1e-6
+
+
+def test_phrase_overlapping_occurrences_count():
+    """Sliding-window phrase freq: 'a a a' contains 'a a' twice (Lucene
+    ExactPhraseScorer semantics), and the idf sum counts duplicate terms."""
+    import math
+
+    from flume_elasticsearch_2_spark.operators.topk import bm25_phrase_topk
+    from flume_elasticsearch_2_spark.session import get_spark
+
+    spark = get_spark(app_name="phrase-test", master="local[2]", shuffle_partitions=2)
+    docs = spark.createDataFrame(
+        [(0, "a a a"), (1, "a b a"), (2, "b b b")], "doc_id long, text string"
+    )
+    got = bm25_phrase_topk(docs, "a a", k=10).collect()
+    assert [r.doc_id for r in got] == [0]
+    # pf=2, dl=3, n=3, df(a)=2, avgdl=3; idf = 2*ln(1+(3-2+0.5)/(2+0.5))
+    idf = 2 * math.log1p((3 - 2 + 0.5) / (2 + 0.5))
+    expected = idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3 / 3.0))
+    assert abs(got[0].score - expected) < 1e-6
