@@ -124,6 +124,26 @@ SEGMENT_QUERIES = {
 }
 
 
+_POS_INDEX_CACHE: dict[str, str] = {}
+
+
+def _bm25_segment_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase on the SERVING path: positional index
+    (store_positions=True, the Lucene index_options analog), per-shard
+    posting intersection + position-adjacency pf, rank-identical to the
+    declarative path — shares the m-gram DuckDB oracle."""
+    import tempfile
+
+    from flume_elasticsearch_2_spark.plans.build_index import build_index
+    from flume_elasticsearch_2_spark.plans.query_index import IndexSearcher
+
+    if sf_dir not in _POS_INDEX_CACHE:
+        d = os.path.join(tempfile.mkdtemp(prefix="fts_pidx_"), "segidx")
+        build_index(spark, _docs(spark, sf_dir), d, n_shards=4, store_positions=True)
+        _POS_INDEX_CACHE[sf_dir] = d
+    return IndexSearcher(spark, _POS_INDEX_CACHE[sf_dir]).search_phrase("part filter", k=10)
+
+
 def _bm25_segment_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bool-filter on the SERVING path: docs-table read pruned to
     lang='en' per shard, excluded docs masked during DAAT scoring, stats
@@ -377,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk_k100"] = _bm25_query_k("batch small scan", "or", 100)
     q["bm25_topk_filtered"] = _bm25_filtered
     q["bm25_phrase"] = _bm25_phrase
+    q["bm25_segment_phrase"] = _bm25_segment_phrase
     for name, (qq, mode) in SEGMENT_QUERIES.items():
         q[name] = _segment_query(qq, mode)
     q["bm25_multiquery"] = _bm25_multiquery
@@ -414,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
     from flume_elasticsearch_2_spark.operators.topk import bm25_phrase_topk_sql
 
     o["bm25_phrase"] = bm25_phrase_topk_sql("part filter", k=10)
+    o["bm25_segment_phrase"] = o["bm25_phrase"]
     for name, (qq, mode) in SEGMENT_QUERIES.items():
         o[name] = bm25_topk_sql(qq, k=10, mode=mode)
     o["bm25_multiquery"] = "\nUNION ALL\n".join(

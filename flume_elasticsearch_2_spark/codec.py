@@ -176,3 +176,36 @@ def decode_postings(n: int, doc_bytes: bytes, tf_bytes: bytes) -> tuple[np.ndarr
     doc_ids = delta_decode(svb_decode(doc_bytes, n))
     tfs = svb_decode(tf_bytes, n)
     return doc_ids, tfs
+
+
+def encode_positions(flat_pos: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Compress a positions stream (Lucene ``index_options=positions``
+    analog): ``flat_pos`` is the concatenation, posting by posting, of each
+    doc's ascending token positions; segment lengths are ``tfs``. Deltas are
+    taken WITHIN each segment (the first position of every posting stays
+    absolute), then Stream-VByte packed."""
+    flat_pos = np.ascontiguousarray(flat_pos, dtype=np.uint32)
+    if flat_pos.size == 0:
+        return b""
+    d = np.empty_like(flat_pos)
+    d[0] = flat_pos[0]
+    d[1:] = flat_pos[1:] - flat_pos[:-1]
+    seg = np.asarray(tfs, dtype=np.int64)
+    starts = np.cumsum(seg[:-1])
+    d[starts] = flat_pos[starts]  # reset: absolute first position per posting
+    return svb_encode(d)
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_positions`: the flat absolute positions
+    stream, segment lengths ``tfs`` (fully vectorized segmented cumsum)."""
+    seg = np.asarray(tfs, dtype=np.int64)
+    n = int(seg.sum())
+    if n == 0:
+        return np.zeros(0, dtype=np.uint32)
+    d = svb_decode(buf, n).astype(np.int64)
+    c = np.cumsum(d)
+    off = np.zeros(len(seg), dtype=np.int64)
+    if len(seg) > 1:
+        off[1:] = c[np.cumsum(seg)[:-1] - 1]
+    return (c - np.repeat(off, seg)).astype(np.uint32)

@@ -63,12 +63,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..codec import BLOCK_SIZE, encode_postings
+from ..codec import BLOCK_SIZE, encode_positions, encode_postings
 from ..functions.tokenizer import tokens_col
 
 POSTINGS_SCHEMA = (
     "term string, n long, cf long, doc_bytes binary, tf_bytes binary, "
-    "block_first_doc array<long>, block_last_doc array<long>, block_max_tf array<int>"
+    "block_first_doc array<long>, block_last_doc array<long>, block_max_tf array<int>, "
+    "pos_bytes binary"
 )
 
 
@@ -168,6 +169,7 @@ def _make_encode_partition(id_space: int, n_shards: int, occurrences: bool = Fal
                     "block_first_doc": (enc.block_first_doc + base).tolist(),
                     "block_last_doc": (enc.block_last_doc + base).tolist(),
                     "block_max_tf": enc.block_max_tf.tolist(),
+                    "pos_bytes": b"",  # tf/occurrence path stores freqs only
                 }
             )
         return pd.DataFrame(rows)
@@ -206,18 +208,26 @@ def _make_encode_partition(id_space: int, n_shards: int, occurrences: bool = Fal
 # ~400 CPU-s for this path on the same corpus).
 # ---------------------------------------------------------------------------
 
-PARTIAL_SCHEMA = "shard int, term string, run_min long, ids binary, tfs binary"
+PARTIAL_SCHEMA = "shard int, term string, run_min long, ids binary, tfs binary, pos binary"
 DL_TERM = ""  # sentinel term for doc-length runs ('' can never be a token)
 
 
-def _make_partial_builder(id_space: int, n_shards: int, id_col: str, text_col: str):
+def _make_partial_builder(
+    id_space: int, n_shards: int, id_col: str, text_col: str, store_positions: bool = False
+):
     """mapInPandas body: per Arrow batch, tokenize (pre-compiled regex,
     vectorized pandas) and emit packed posting runs + a doc-length run per
     shard. Doc ids inside a run are SHARD-LOCAL uint32 ascending; ``run_min``
-    (global) orders runs at merge time."""
+    (global) orders runs at merge time.
+
+    ``store_positions`` (Lucene ``index_options=positions`` analog) also
+    packs each posting's within-doc token positions (the stable (term, doc)
+    sort preserves occurrence order, so a group's occurrence slice IS its
+    concatenated positions stream); default off — freqs-only, the BM25
+    contract needs no positions and the stream costs index bytes."""
     from ..functions.tokenizer import _TOKEN_RE
 
-    cols = ["shard", "term", "run_min", "ids", "tfs"]
+    cols = ["shard", "term", "run_min", "ids", "tfs", "pos"]
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -242,6 +252,7 @@ def _make_partial_builder(id_space: int, n_shards: int, id_col: str, text_col: s
                         int(doc_ids[m][0]),
                         (doc_ids[m] - base).astype(np.uint32).tobytes(),
                         lens[m].astype(np.uint32).tobytes(),
+                        b"",
                     )
                 )
             total = int(lens.sum())
@@ -256,10 +267,20 @@ def _make_partial_builder(id_space: int, n_shards: int, id_col: str, text_col: s
                 didx = np.repeat(np.arange(n), lens)
                 # sort by (term, doc): codes*n+didx is unique per (term, doc-pos)
                 pair = codes.astype(np.int64) * n + didx
-                sp = np.sort(pair, kind="stable")
+                if store_positions:
+                    # occurrence position within its doc, aligned with flat
+                    pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(
+                        np.concatenate([[0], np.cumsum(lens[:-1])]), lens
+                    )
+                    order_occ = np.argsort(pair, kind="stable")
+                    sp = pair[order_occ]
+                    pos_sorted = pos_in_doc[order_occ]
+                else:
+                    sp = np.sort(pair, kind="stable")
                 change = np.flatnonzero(sp[1:] != sp[:-1]) + 1
                 starts = np.concatenate([[0], change])
                 tf = np.diff(np.concatenate([starts, [len(sp)]])).astype(np.uint32)
+                occ_ends = np.concatenate([starts[1:], [len(sp)]])
                 u_pair = sp[starts]
                 u_code = u_pair // n
                 u_didx = u_pair % n
@@ -280,6 +301,11 @@ def _make_partial_builder(id_space: int, n_shards: int, id_col: str, text_col: s
                             int(u_doc[s]),
                             (u_doc[s:e] - base).astype(np.uint32).tobytes(),
                             tf[s:e].tobytes(),
+                            pos_sorted[starts[s] : occ_ends[e - 1]]
+                            .astype(np.uint32)
+                            .tobytes()
+                            if store_positions
+                            else b"",
                         )
                     )
             yield pd.DataFrame(rows, columns=cols)
@@ -310,8 +336,19 @@ def _make_run_merge_encoder(id_space: int, n_shards: int):
             fs = np.concatenate(
                 [np.frombuffer(b, dtype=np.uint32) for b in pdf["tfs"].iloc[s:e]]
             )
+            poscat = np.concatenate(
+                [np.frombuffer(b, dtype=np.uint32) for b in pdf["pos"].iloc[s:e]]
+            )
+            has_pos = len(poscat) == int(fs.sum()) and len(poscat) > 0
             if e - s > 1 and not (ids[1:] > ids[:-1]).all():
                 o = np.argsort(ids, kind="stable")
+                if has_pos:
+                    # positions are per-posting segments aligned with the
+                    # pre-sort posting order: permute segments with it
+                    bounds = np.concatenate([[0], np.cumsum(fs.astype(np.int64))])
+                    poscat = np.concatenate(
+                        [poscat[bounds[i] : bounds[i + 1]] for i in o]
+                    )
                 ids, fs = ids[o], fs[o]
             enc = encode_postings(ids, fs)
             rows.append(
@@ -324,6 +361,7 @@ def _make_run_merge_encoder(id_space: int, n_shards: int):
                     "block_first_doc": (enc.block_first_doc + base).tolist(),
                     "block_last_doc": (enc.block_last_doc + base).tolist(),
                     "block_max_tf": enc.block_max_tf.tolist(),
+                    "pos_bytes": encode_positions(poscat, fs) if has_pos else b"",
                 }
             )
         return pd.DataFrame(rows)
@@ -359,6 +397,7 @@ def build_segments_partial(
     id_col: str = "doc_id",
     text_col: str = "text",
     id_space: int | None = None,
+    store_positions: bool = False,
 ) -> dict[str, Any]:
     """Partial-postings index build: ONE pass over the corpus (tokenize +
     run build in Python), one packed-run shuffle, run merge, segment write.
@@ -384,7 +423,10 @@ def build_segments_partial(
 
     partials = (
         docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text"))
-        .mapInPandas(_make_partial_builder(id_space, n_shards, "doc_id", "text"), PARTIAL_SCHEMA)
+        .mapInPandas(
+            _make_partial_builder(id_space, n_shards, "doc_id", "text", store_positions),
+            PARTIAL_SCHEMA,
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
@@ -423,7 +465,7 @@ def build_segments_partial(
         .repartition(nparts, "shard", "term")
         .sortWithinPartitions("shard", "term", "run_min")
         .withColumn("term", F.concat_ws("\x00", F.col("shard").cast("string"), F.col("term")))
-        .select("term", "run_min", "ids", "tfs")
+        .select("term", "run_min", "ids", "tfs", "pos")
         .mapInPandas(_make_run_merge_encoder(id_space, n_shards), POSTINGS_SCHEMA)
         .withColumn("split", F.split("term", "\x00", 2))
         .select(
@@ -436,6 +478,7 @@ def build_segments_partial(
             "block_first_doc",
             "block_last_doc",
             "block_max_tf",
+            "pos_bytes",
         )
     )
     (
@@ -476,6 +519,7 @@ def build_segments_partial(
         "id_space": id_space,
         "n_shards": n_shards,
         "block_size": BLOCK_SIZE,
+        "positions": bool(store_positions),
         "postings_per_shard": per_shard,
         "shard_skew_max_over_median": skew,
         "built_wall_s": round(time.time() - t0, 3),
@@ -555,6 +599,7 @@ def build_segments(
             "block_first_doc",
             "block_last_doc",
             "block_max_tf",
+            "pos_bytes",
         )
     )
     (
@@ -604,6 +649,7 @@ def build_index(
     text_col: str = "text",
     docs_per_shard: int = 1_000_000,
     id_space: int | None = None,
+    store_positions: bool = False,
 ) -> dict[str, Any]:
     """End-to-end single-shot build from a document DataFrame.
 
@@ -615,7 +661,8 @@ def build_index(
         n = docs.count()
         n_shards = max(4, min(spark.sparkContext.defaultParallelism, math.ceil(n / docs_per_shard)))
     return build_segments_partial(
-        spark, docs, index_dir, n_shards, id_col=id_col, text_col=text_col, id_space=id_space
+        spark, docs, index_dir, n_shards, id_col=id_col, text_col=text_col,
+        id_space=id_space, store_positions=store_positions,
     )
 
 

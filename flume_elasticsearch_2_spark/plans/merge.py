@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..codec import BLOCK_SIZE, svb_decode
+from ..codec import BLOCK_SIZE, decode_positions, svb_decode
 from .build_index import (
     PARTIAL_SCHEMA,
     POSTINGS_SCHEMA,
@@ -66,6 +66,10 @@ def _decode_to_runs(id_space: int, n_shards: int, dead_ids: np.ndarray | None = 
                 deltas = svb_decode(row.doc_bytes, n).astype(np.uint64)
                 ids = np.cumsum(deltas).astype(np.uint32)  # local absolute
                 tfs = svb_decode(row.tf_bytes, n)
+                # positions (indexes built with store_positions; absent or
+                # empty column in freqs-only indexes)
+                pos_buf = getattr(row, "pos_bytes", b"") or b""
+                pos = decode_positions(pos_buf, tfs) if len(pos_buf) else None
                 shard = int(row.shard)
                 base = shard_start(shard, id_space, n_shards)
                 if dead_ids is not None and len(dead_ids):
@@ -75,6 +79,17 @@ def _decode_to_runs(id_space: int, n_shards: int, dead_ids: np.ndarray | None = 
                         dead_local = (dead_ids[lo:hi] - base).astype(np.uint32)
                         keep = ~np.isin(ids, dead_local)
                         if not keep.all():
+                            if pos is not None:
+                                # drop the masked postings' position segments
+                                bounds = np.concatenate(
+                                    [[0], np.cumsum(tfs.astype(np.int64))]
+                                )
+                                pos = np.concatenate(
+                                    [
+                                        pos[bounds[i] : bounds[i + 1]]
+                                        for i in np.flatnonzero(keep)
+                                    ]
+                                ) if keep.any() else pos[:0]
                             ids, tfs = ids[keep], tfs[keep]
                             if len(ids) == 0:
                                 continue
@@ -85,9 +100,12 @@ def _decode_to_runs(id_space: int, n_shards: int, dead_ids: np.ndarray | None = 
                         int(base + ids[0]),
                         ids.tobytes(),
                         tfs.tobytes(),
+                        pos.astype(np.uint32).tobytes() if pos is not None else b"",
                     )
                 )
-            yield pd.DataFrame(rows, columns=["shard", "term", "run_min", "ids", "tfs"])
+            yield pd.DataFrame(
+                rows, columns=["shard", "term", "run_min", "ids", "tfs", "pos"]
+            )
 
     return decode
 
@@ -180,7 +198,7 @@ def merge_indexes(
         .repartition(nparts, "shard", "term")
         .sortWithinPartitions("shard", "term", "run_min")
         .withColumn("term", F.concat_ws("\x00", F.col("shard").cast("string"), F.col("term")))
-        .select("term", "run_min", "ids", "tfs")
+        .select("term", "run_min", "ids", "tfs", "pos")
         .mapInPandas(_make_run_merge_encoder(id_space, n_shards_v), POSTINGS_SCHEMA)
         .withColumn("split", F.split("term", "\x00", 2))
         .select(
@@ -193,6 +211,7 @@ def merge_indexes(
             "block_first_doc",
             "block_last_doc",
             "block_max_tf",
+            "pos_bytes",
         )
     )
     (

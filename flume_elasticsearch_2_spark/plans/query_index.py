@@ -214,6 +214,85 @@ POST_COLS = [
     "term", "n", "doc_bytes", "tf_bytes",
     "block_first_doc", "block_last_doc", "block_max_tf",
 ]
+POST_COLS_POSITIONAL = POST_COLS + ["pos_bytes"]
+
+
+def _phrase_score_shard(
+    postings: pd.DataFrame,
+    docs: pd.DataFrame,
+    *,
+    q_terms: list[str],
+    idf: float,
+    avgdl: float,
+    id_space: int,
+    n_shards: int,
+    k: int,
+) -> pd.DataFrame:
+    """Exact-phrase scoring for one shard (Lucene ExactPhraseScorer under
+    BM25): candidate docs = posting intersection of the distinct phrase
+    terms; pf per doc = positions of term_0 whose successors at +1..+m-1
+    match each following term; score = idf * pf*(k1+1)/(pf + k1*(1-b+b*dl/
+    avgdl)). Python loops only over candidate docs (already intersected)."""
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+    if len(postings) == 0 or len(docs) == 0:
+        return empty
+    shard = int(postings["shard"].iloc[0])
+    base = shard_start(shard, id_space, n_shards)
+    from ..codec import decode_positions, svb_decode
+
+    decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    for row in postings.itertuples(index=False):
+        n = int(row.n)
+        deltas = svb_decode(row.doc_bytes, n).astype(np.int64)
+        ids = np.cumsum(deltas)  # shard-local absolute
+        tfs = svb_decode(row.tf_bytes, n).astype(np.int64)
+        pos = decode_positions(row.pos_bytes, tfs).astype(np.int64)
+        decoded[row.term] = (ids, tfs, pos)
+    terms = list(dict.fromkeys(q_terms))
+    if any(t not in decoded for t in terms):
+        return empty
+    cand = decoded[terms[0]][0]
+    for t in terms[1:]:
+        cand = np.intersect1d(cand, decoded[t][0], assume_unique=True)
+        if len(cand) == 0:
+            return empty
+    # admitted docs + dl lookup (docs read may be doc_filter-pruned)
+    doc_ids_local = docs["doc_id"].to_numpy(dtype=np.int64) - base
+    dls = docs["dl"].to_numpy(dtype=np.float64)
+    order = np.argsort(doc_ids_local)
+    doc_ids_local, dls = doc_ids_local[order], dls[order]
+    adm = np.searchsorted(doc_ids_local, cand)
+    ok = (adm < len(doc_ids_local)) & (doc_ids_local[np.minimum(adm, len(doc_ids_local) - 1)] == cand)
+    cand, adm = cand[ok], adm[ok]
+
+    bounds = {t: np.concatenate([[0], np.cumsum(decoded[t][1])]) for t in decoded}
+    out: list[tuple[int, float]] = []
+    for local_id, di in zip(cand.tolist(), adm.tolist()):
+        cur = None
+        for j, t in enumerate(q_terms):
+            ids_t, _, pos_t = decoded[t]
+            pi = int(np.searchsorted(ids_t, local_id))
+            seg = pos_t[bounds[t][pi] : bounds[t][pi + 1]]
+            if cur is None:
+                cur = seg
+            else:
+                cur = np.intersect1d(cur + 1, seg, assume_unique=True)
+            if len(cur) == 0:
+                break
+        pf = len(cur) if cur is not None else 0
+        if pf == 0:
+            continue
+        dl = dls[di]
+        score = idf * pf * (K1 + 1.0) / (pf + K1 * (1.0 - B + B * dl / avgdl))
+        out.append((base + local_id, score))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    del out[k:]
+    return pd.DataFrame(
+        {
+            "doc_id": np.array([d for d, _ in out], dtype=np.int64),
+            "score": np.array([s for _, s in out], dtype=np.float64),
+        }
+    )
 
 
 _FILTER_OPS = {
@@ -237,7 +316,11 @@ def _docs_filter_expr(doc_filter: tuple | None):
 
 
 def _read_shard_tables(
-    index_dir: str, shard: int, terms: list[str], doc_filter: tuple | None = None
+    index_dir: str,
+    shard: int,
+    terms: list[str],
+    doc_filter: tuple | None = None,
+    cols: list[str] = POST_COLS,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """One shard's postings (column-pruned, term-filtered via Parquet
     row-group stats) and docs (doc_id, dl) as pandas frames — the data-node
@@ -250,7 +333,7 @@ def _read_shard_tables(
     index-wide."""
     pt = (
         pads.dataset(f"{index_dir}/postings/shard={shard}", format="parquet")
-        .to_table(columns=POST_COLS, filter=pads.field("term").isin(terms))
+        .to_table(columns=cols, filter=pads.field("term").isin(terms))
         .to_pandas()
     )
     pt["shard"] = shard
@@ -439,6 +522,70 @@ class IndexSearcher:
         ).head(k)
         merged["score"] = merged["score"].round(6)
         return merged.reset_index(drop=True)
+
+    def search_phrase(
+        self,
+        phrase: str,
+        k: int = 10,
+        doc_filter: tuple | None = None,
+    ) -> DataFrame:
+        """ES ``match_phrase`` on the SERVING path: exact-token-sequence
+        match scored with Lucene ExactPhraseScorer semantics (tf = sliding
+        phrase freq, idf summed over phrase positions). Requires an index
+        built with ``store_positions=True`` (Lucene ``index_options``
+        analog; manifest records it). Rank-identical to the declarative
+        ``operators.topk.bm25_phrase_topk`` by test."""
+        import math
+
+        spark = self.spark
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        if not self.manifest.get("positions"):
+            raise ValueError(
+                "index stores freqs only — build with store_positions=True for phrase queries"
+            )
+        q_terms = tokenize(phrase)
+        if not q_terms:
+            return empty
+        terms = sorted(set(q_terms))
+        dfreq, term_shards = self._query_meta_terms(terms)
+        if any(t not in dfreq for t in terms):
+            return empty
+        shards: set[int] = set(term_shards[terms[0]])
+        for t in terms[1:]:
+            shards &= term_shards[t]
+        if not shards:
+            return empty
+        idf = sum(
+            math.log1p((self.n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5)) for t in q_terms
+        )
+        index_dir = self.index_dir
+        kwargs = dict(
+            q_terms=q_terms,
+            idf=idf,
+            avgdl=self.avgdl,
+            id_space=self.id_space,
+            n_shards=self.n_shards,
+            k=k,
+        )
+
+        def score_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for shard in pdf["shard"].tolist():
+                    pt, dt = _read_shard_tables(
+                        index_dir, shard, terms, doc_filter, cols=POST_COLS_POSITIONAL
+                    )
+                    yield _phrase_score_shard(pt, dt, **kwargs)
+
+        rows = (
+            _one_task_per_shard(spark, sorted(shards))
+            .mapInPandas(score_shards, "doc_id long, score double")
+            .collect()
+        )
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        return spark.createDataFrame(
+            [(int(r["doc_id"]), round(float(r["score"]), 6)) for r in rows[:k]],
+            "doc_id long, score double",
+        )
 
     def search_many(
         self,

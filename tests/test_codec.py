@@ -74,3 +74,33 @@ def test_compression_is_compact():
     v = np.arange(10_000, dtype=np.uint32) * 3 + 7
     enc = svb_encode(delta_encode(v))
     assert len(enc) < 10_000 * 1.3  # ~1.25 bytes/doc
+
+
+def test_positions_roundtrip_property():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flume_elasticsearch_2_spark.codec import decode_positions, encode_positions
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(0, 100_000), min_size=1, max_size=40, unique=True),
+            min_size=0,
+            max_size=30,
+        )
+    )
+    def check(segments):
+        segs = [np.sort(np.array(s, dtype=np.uint32)) for s in segments]
+        tfs = np.array([len(s) for s in segs], dtype=np.uint32)
+        flat = (
+            np.concatenate(segs).astype(np.uint32)
+            if segs
+            else np.zeros(0, dtype=np.uint32)
+        )
+        buf = encode_positions(flat, tfs)
+        out = decode_positions(buf, tfs)
+        assert np.array_equal(out, flat)
+
+    check()

@@ -218,3 +218,56 @@ def test_partial_builder_equals_tf_builder(spark, documents, tmp_path_factory):
         for r in spark.read.parquet(f"{b_dir}/postings").select(cols).collect()
     }
     assert a == b
+
+
+def test_segment_phrase_matches_declarative(spark, documents, tmp_path_factory):
+    """Positional index (store_positions=True): serving-path match_phrase
+    must be rank-identical to the declarative bm25_phrase_topk for hot,
+    rare, single-term, repeated-term, and absent phrases."""
+    from flume_elasticsearch_2_spark.operators.topk import bm25_phrase_topk
+
+    d = str(tmp_path_factory.mktemp("pidx") / "segidx")
+    manifest = build_index(spark, documents, d, n_shards=4, store_positions=True)
+    assert manifest["positions"] is True
+    s = IndexSearcher(spark, d)
+    for phrase in ["order fast", "scan a", "dup", "order order", "zzz nope"]:
+        want = [
+            (r.doc_id, r.score) for r in bm25_phrase_topk(documents, phrase, k=10).collect()
+        ]
+        got = [(r.doc_id, r.score) for r in s.search_phrase(phrase, k=10).collect()]
+        assert got == want, phrase
+    assert [
+        (r.doc_id, r.score) for r in s.search_phrase("order fast", k=10).collect()
+    ], "hot phrase must be non-empty"
+
+
+def test_phrase_requires_positional_index(searcher):
+    with pytest.raises(ValueError, match="store_positions"):
+        searcher.search_phrase("any phrase")
+
+
+def test_positional_merge_byte_identical(spark, documents, tmp_path_factory):
+    """Two positional half-corpus generations merged must equal the
+    single-shot positional build — including the positions stream."""
+    from flume_elasticsearch_2_spark.plans.merge import merge_indexes
+
+    root = tmp_path_factory.mktemp("pmerge")
+    id_space = documents.agg({"doc_id": "max"}).collect()[0][0] + 1
+    a, b = str(root / "a"), str(root / "b")
+    build_index(spark, documents.where("doc_id % 2 = 0"), a, n_shards=4,
+                id_space=id_space, store_positions=True)
+    build_index(spark, documents.where("doc_id % 2 = 1"), b, n_shards=4,
+                id_space=id_space, store_positions=True)
+    merged, full = str(root / "m"), str(root / "f")
+    merge_indexes(spark, [a, b], merged)
+    build_index(spark, documents, full, n_shards=4, id_space=id_space, store_positions=True)
+    cols = ["shard", "term", "n", "cf", "doc_bytes", "tf_bytes", "pos_bytes"]
+    m = {
+        (r.shard, r.term): (r.n, r.cf, bytes(r.doc_bytes), bytes(r.tf_bytes), bytes(r.pos_bytes))
+        for r in spark.read.parquet(f"{merged}/postings").select(cols).collect()
+    }
+    f = {
+        (r.shard, r.term): (r.n, r.cf, bytes(r.doc_bytes), bytes(r.tf_bytes), bytes(r.pos_bytes))
+        for r in spark.read.parquet(f"{full}/postings").select(cols).collect()
+    }
+    assert m == f
