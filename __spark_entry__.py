@@ -88,7 +88,7 @@ def _doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- segment-index path: build once per sf_dir (temp dir), query many -------
 _INDEX_CACHE: dict[str, str] = {}
-_TRS_CACHE: dict[str, tuple] = {}  # sf_dir -> (rendered dir, result DataFrame)
+_TRS_CACHE: dict[str, str] = {}  # sf_dir -> rendered TRS directory
 
 
 def _segment_searcher(spark: SparkSession, sf_dir: str):
@@ -101,10 +101,15 @@ def _segment_searcher(spark: SparkSession, sf_dir: str):
 
         d = os.path.join(tempfile.mkdtemp(prefix="fts_idx_"), "segidx")
         docs = _docs(spark, sf_dir)
-        # docs table carries lang so the serving path can answer filtered
-        # queries (ES bool-filter; bm25_segment_filtered)
+        # one index serves every segment entry: docs table carries lang for
+        # bool-filter queries, positions stream for match_phrase
         build_segments_partial(
-            spark, docs, d, n_shards=4, orig_ids=docs.select("doc_id", "lang")
+            spark,
+            docs,
+            d,
+            n_shards=4,
+            orig_ids=docs.select("doc_id", "lang"),
+            store_positions=True,
         )
         _INDEX_CACHE[sf_dir] = d
     return IndexSearcher(spark, _INDEX_CACHE[sf_dir])
@@ -124,24 +129,13 @@ SEGMENT_QUERIES = {
 }
 
 
-_POS_INDEX_CACHE: dict[str, str] = {}
-
-
 def _bm25_segment_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES match_phrase on the SERVING path: positional index
     (store_positions=True, the Lucene index_options analog), per-shard
     posting intersection + position-adjacency pf, rank-identical to the
-    declarative path — shares the m-gram DuckDB oracle."""
-    import tempfile
-
-    from flume_elasticsearch_2_spark.plans.build_index import build_index
-    from flume_elasticsearch_2_spark.plans.query_index import IndexSearcher
-
-    if sf_dir not in _POS_INDEX_CACHE:
-        d = os.path.join(tempfile.mkdtemp(prefix="fts_pidx_"), "segidx")
-        build_index(spark, _docs(spark, sf_dir), d, n_shards=4, store_positions=True)
-        _POS_INDEX_CACHE[sf_dir] = d
-    return IndexSearcher(spark, _POS_INDEX_CACHE[sf_dir]).search_phrase("part filter", k=10)
+    declarative path — shares the m-gram DuckDB oracle and the one cached
+    segment index (built positional)."""
+    return _segment_searcher(spark, sf_dir).search_phrase("part filter", k=10)
 
 
 def _bm25_segment_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,8 +268,15 @@ def _trs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flume_elasticsearch_2_spark.sources.trs import read_trs, trs_project
 
-    if sf_dir in _TRS_CACHE:  # render once per sf_dir (mirrors _INDEX_CACHE)
-        return _TRS_CACHE[sf_dir][1]
+    # render once per sf_dir; cache only the DIRECTORY (a DataFrame would be
+    # bound to the session that built it) and re-derive the plan per call
+    if sf_dir in _TRS_CACHE:
+        parsed = read_trs(spark, _TRS_CACHE[sf_dir])
+        return trs_project(parsed, ["LANG", "TEXT"]).select(
+            F.col("IR_SID").alias("ir_sid"),
+            F.col("LANG").alias("lang"),
+            F.col("TEXT").alias("text"),
+        )
     d = os.path.join(tempfile.mkdtemp(prefix="fts_trs_"), "trs")
     docs = _docs(spark, sf_dir)
     rendered = docs.select(
@@ -295,7 +296,7 @@ def _trs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("LANG").alias("lang"),
         F.col("TEXT").alias("text"),
     )
-    _TRS_CACHE[sf_dir] = (d, out)
+    _TRS_CACHE[sf_dir] = d
     return out
 
 

@@ -85,6 +85,13 @@ def main() -> None:
     bm25_topk(docs, "dup batch scan", k=10).collect()
     timings["bm25_dataframe"] = time.time() - t0
 
+    # 3b. match_phrase, declarative (Lucene ExactPhraseScorer semantics)
+    from flume_elasticsearch_2_spark.operators.topk import bm25_phrase_topk
+
+    t0 = time.time()
+    bm25_phrase_topk(docs, "part filter", k=10).collect()
+    timings["bm25_phrase_dataframe"] = time.time() - t0
+
     # 4. dedup
     t0 = time.time()
     minhash_lsh_pairs(docs, num_hashes=32, bands=8).count()

@@ -47,7 +47,12 @@ from .build_index import (
 )
 
 
-def _decode_to_runs(id_space: int, n_shards: int, dead_ids: np.ndarray | None = None):
+def _decode_to_runs(
+    id_space: int,
+    n_shards: int,
+    dead_ids: np.ndarray | None = None,
+    keep_positions: bool = True,
+):
     """mapInPandas body: committed postings rows -> packed runs
     (shard, term, run_min, ids, tfs) with shard-local absolute uint32 ids.
 
@@ -68,7 +73,7 @@ def _decode_to_runs(id_space: int, n_shards: int, dead_ids: np.ndarray | None = 
                 tfs = svb_decode(row.tf_bytes, n)
                 # positions (indexes built with store_positions; absent or
                 # empty column in freqs-only indexes)
-                pos_buf = getattr(row, "pos_bytes", b"") or b""
+                pos_buf = (getattr(row, "pos_bytes", b"") or b"") if keep_positions else b""
                 pos = decode_positions(pos_buf, tfs) if len(pos_buf) else None
                 shard = int(row.shard)
                 base = shard_start(shard, id_space, n_shards)
@@ -189,12 +194,22 @@ def merge_indexes(
     docs.unpersist()
 
     # --- postings: decode to runs, one (shard, term) exchange, re-encode ---
+    # the merged index is positional only if EVERY generation is: a mixed
+    # merge strips positions consistently (silent part-positional indexes
+    # would crash phrase decode); allowMissingColumns covers pre-positions
+    # generations whose postings lack the pos_bytes column entirely
+    merged_positional = all(bool(m.get("positions")) for m in manifests)
     postings = spark.read.parquet(f"{index_dirs[0]}/postings")
     for d in index_dirs[1:]:
-        postings = postings.unionByName(spark.read.parquet(f"{d}/postings"))
+        postings = postings.unionByName(
+            spark.read.parquet(f"{d}/postings"), allowMissingColumns=True
+        )
     nparts = max(n_shards_v, 2 * spark.sparkContext.defaultParallelism)
     merged = (
-        postings.mapInPandas(_decode_to_runs(id_space, n_shards_v, dead_ids), PARTIAL_SCHEMA)
+        postings.mapInPandas(
+            _decode_to_runs(id_space, n_shards_v, dead_ids, keep_positions=merged_positional),
+            PARTIAL_SCHEMA,
+        )
         .repartition(nparts, "shard", "term")
         .sortWithinPartitions("shard", "term", "run_min")
         .withColumn("term", F.concat_ws("\x00", F.col("shard").cast("string"), F.col("term")))
@@ -236,6 +251,7 @@ def merge_indexes(
         "id_space": id_space,
         "n_shards": n_shards_v,
         "block_size": BLOCK_SIZE,
+        "positions": merged_positional,
         "merged_generations": len(index_dirs),
         "tombstoned_docs": int(len(dead_ids)) if dead_ids is not None else 0,
         "built_wall_s": round(time.time() - t0, 3),

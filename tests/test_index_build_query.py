@@ -271,3 +271,41 @@ def test_positional_merge_byte_identical(spark, documents, tmp_path_factory):
         for r in spark.read.parquet(f"{full}/postings").select(cols).collect()
     }
     assert m == f
+
+
+def test_merged_positional_index_answers_phrases(spark, documents, tmp_path_factory):
+    """The merged manifest must propagate the positions flag, and phrase
+    queries on the merged index must equal the single-shot positional build.
+    A MIXED merge (one positional, one freqs-only generation) must strip
+    positions consistently and refuse phrase queries."""
+    from flume_elasticsearch_2_spark.plans.merge import merge_indexes
+
+    root = tmp_path_factory.mktemp("pmerge2")
+    id_space = documents.agg({"doc_id": "max"}).collect()[0][0] + 1
+    a, b, c = str(root / "a"), str(root / "b"), str(root / "c")
+    build_index(spark, documents.where("doc_id % 2 = 0"), a, n_shards=4,
+                id_space=id_space, store_positions=True)
+    build_index(spark, documents.where("doc_id % 2 = 1"), b, n_shards=4,
+                id_space=id_space, store_positions=True)
+    build_index(spark, documents.where("doc_id % 2 = 1"), c, n_shards=4,
+                id_space=id_space, store_positions=False)
+    merged, full = str(root / "m"), str(root / "f")
+    m = merge_indexes(spark, [a, b], merged)
+    assert m["positions"] is True
+    build_index(spark, documents, full, n_shards=4, id_space=id_space, store_positions=True)
+    sm, sf_ = IndexSearcher(spark, merged), IndexSearcher(spark, full)
+    for phrase in ["order fast", "dup"]:
+        got = [(r.doc_id, r.score) for r in sm.search_phrase(phrase, k=10).collect()]
+        want = [(r.doc_id, r.score) for r in sf_.search_phrase(phrase, k=10).collect()]
+        assert got == want and got, phrase
+    mixed = str(root / "mx")
+    mm = merge_indexes(spark, [a, c], mixed)
+    assert mm["positions"] is False
+    import pyspark.sql.functions as F
+
+    stripped = spark.read.parquet(f"{mixed}/postings").agg(
+        F.sum(F.length("pos_bytes")).alias("nb")
+    ).collect()[0]
+    assert int(stripped.nb) == 0, "mixed merge must strip positions consistently"
+    with pytest.raises(ValueError, match="store_positions"):
+        IndexSearcher(spark, mixed).search_phrase("order fast")
