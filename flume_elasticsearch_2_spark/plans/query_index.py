@@ -587,6 +587,59 @@ class IndexSearcher:
             "doc_id long, score double",
         )
 
+    def search_phrase_local(
+        self,
+        phrase: str,
+        k: int = 10,
+        doc_filter: tuple | None = None,
+    ) -> pd.DataFrame:
+        """In-process ``match_phrase`` (no Spark job): the phrase analog of
+        :meth:`search_local`, rank-identical to :meth:`search_phrase`."""
+        import math
+
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+        )
+        if not self.manifest.get("positions"):
+            raise ValueError(
+                "index stores freqs only — build with store_positions=True for phrase queries"
+            )
+        q_terms = tokenize(phrase)
+        if not q_terms:
+            return empty
+        terms = sorted(set(q_terms))
+        dfreq, term_shards = self._query_meta_terms(terms)
+        if any(t not in dfreq for t in terms):
+            return empty
+        shards: set[int] = set(term_shards[terms[0]])
+        for t in terms[1:]:
+            shards &= term_shards[t]
+        if not shards:
+            return empty
+        idf = sum(
+            math.log1p((self.n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5)) for t in q_terms
+        )
+        kwargs = dict(
+            q_terms=q_terms,
+            idf=idf,
+            avgdl=self.avgdl,
+            id_space=self.id_space,
+            n_shards=self.n_shards,
+            k=k,
+        )
+        parts = []
+        for shard in sorted(shards):
+            pt, dt = _read_shard_tables(
+                self.index_dir, shard, terms, doc_filter, cols=POST_COLS_POSITIONAL
+            )
+            parts.append(_phrase_score_shard(pt, dt, **kwargs))
+        merged = pd.concat(parts, ignore_index=True) if parts else empty
+        merged = merged.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        merged["score"] = merged["score"].round(6)
+        return merged.reset_index(drop=True)
+
     def search_many(
         self,
         queries: dict[str, tuple[str, str]],

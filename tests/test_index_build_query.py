@@ -236,6 +236,11 @@ def test_segment_phrase_matches_declarative(spark, documents, tmp_path_factory):
         ]
         got = [(r.doc_id, r.score) for r in s.search_phrase(phrase, k=10).collect()]
         assert got == want, phrase
+        loc = [
+            (int(r.doc_id), round(float(r.score), 6))
+            for r in s.search_phrase_local(phrase, k=10).itertuples(index=False)
+        ]
+        assert loc == want, phrase
     assert [
         (r.doc_id, r.score) for r in s.search_phrase("order fast", k=10).collect()
     ], "hot phrase must be non-empty"
