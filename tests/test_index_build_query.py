@@ -314,3 +314,34 @@ def test_merged_positional_index_answers_phrases(spark, documents, tmp_path_fact
     assert int(stripped.nb) == 0, "mixed merge must strip positions consistently"
     with pytest.raises(ValueError, match="store_positions"):
         IndexSearcher(spark, mixed).search_phrase("order fast")
+
+
+def test_randomized_corpus_pruned_vs_oracle(spark, tmp_path_factory):
+    """Adversarial sweep: random Zipf-ish corpus (tiny vocab forces hot
+    terms, empty docs, dup-heavy docs), 40 random queries — BMW-pruned
+    serving path must match the brute-force NumPy oracle rank-identically."""
+    import random
+
+    rng = random.Random(2026)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(800):
+        n = rng.choice([0, 1, 2, 5, 20, 60])
+        # Zipf-ish: low-index words much more likely
+        words = [vocab[min(int(rng.expovariate(0.15)), 29)] for _ in range(n)]
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path_factory.mktemp("ridx") / "segidx")
+    build_index(spark, docs, d, n_shards=4)
+    s = IndexSearcher(spark, d)
+    corpus = rows
+    for qi in range(40):
+        nq = rng.choice([1, 1, 2, 3, 4])
+        q = " ".join(rng.choice(vocab + ["absent"]) for _ in range(nq))
+        mode = rng.choice(["or", "and"])
+        expected = brute_force_bm25(corpus, q, k=10, mode=mode)
+        local = s.search_local(q, k=10, mode=mode, pruned=True)
+        got = list(zip(local["doc_id"].tolist(), local["score"].tolist()))
+        assert [g[0] for g in got] == [e[0] for e in expected], (qi, q, mode)
+        for g, e in zip(got, expected):
+            assert abs(g[1] - e[1]) < 1e-6, (qi, q, mode)
