@@ -373,6 +373,18 @@ def _bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_phrase_topk(_docs(spark, sf_dir), "part filter", k=10)
 
 
+EN_STOPWORDS = ["the", "and", "of", "to", "in", "is", "a"]
+
+
+def _bm25_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES analyzer stopwords option: tokens filtered AFTER tokenization in
+    both corpus and query analysis (changes dl/tf/df/avgdl consistently);
+    oracle applies the identical list_filter in DuckDB."""
+    return bm25_topk(
+        _docs(spark, sf_dir), "the dup batch scan", k=10, stopwords=EN_STOPWORDS
+    )
+
+
 def _bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bool-filter semantics: candidates restricted to lang='en', idf/
     avgdl/N index-wide (operators/topk.py doc_filter)."""
@@ -399,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk_filtered"] = _bm25_filtered
     q["bm25_phrase"] = _bm25_phrase
     q["bm25_segment_phrase"] = _bm25_segment_phrase
+    q["bm25_stopwords"] = _bm25_stopwords
     for name, (qq, mode) in SEGMENT_QUERIES.items():
         q[name] = _segment_query(qq, mode)
     q["bm25_multiquery"] = _bm25_multiquery
@@ -437,6 +450,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["bm25_phrase"] = bm25_phrase_topk_sql("part filter", k=10)
     o["bm25_segment_phrase"] = o["bm25_phrase"]
+    o["bm25_stopwords"] = bm25_topk_sql("the dup batch scan", k=10, stopwords=EN_STOPWORDS)
     for name, (qq, mode) in SEGMENT_QUERIES.items():
         o[name] = bm25_topk_sql(qq, k=10, mode=mode)
     o["bm25_multiquery"] = "\nUNION ALL\n".join(

@@ -25,18 +25,33 @@ TOKEN_PATTERN = "[a-z0-9]+"
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 
 
-def tokenize(text: str) -> list[str]:
-    """Driver-side / oracle tokenizer. Must match :func:`tokens_col` exactly."""
-    return _TOKEN_RE.findall(text.lower())
+def tokenize(text: str, stopwords: list[str] | None = None) -> list[str]:
+    """Driver-side / oracle tokenizer. Must match :func:`tokens_col` exactly.
+
+    ``stopwords`` is the ES analyzer ``stopwords`` option (default
+    ``_none_``, matching the ES standard analyzer): matching tokens are
+    removed AFTER tokenization, duplicates preserved."""
+    toks = _TOKEN_RE.findall(text.lower())
+    if stopwords:
+        stop = set(stopwords)
+        toks = [t for t in toks if t not in stop]
+    return toks
 
 
-def tokens_col(col: Column | str) -> Column:
+def tokens_col(col: Column | str, stopwords: list[str] | None = None) -> Column:
     """JVM-side tokenizer column: array<string> of analyzed tokens.
 
     Stays inside whole-stage codegen — no Python UDF in the hot path.
+    ``stopwords`` filters tokens with a JVM array filter (duplicates of
+    non-stop tokens preserved — `array_except` would dedup); the identical
+    chain in DuckDB is ``list_filter(regexp_extract_all(lower(text),
+    '[a-z0-9]+'), t -> t NOT IN (...))``.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), F.lit(0))
+    toks = F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), F.lit(0))
+    if stopwords:
+        toks = F.filter(toks, lambda t: ~t.isin(list(stopwords)))
+    return toks
 
 
 def tokenize_series(texts) -> "list[list[str]]":

@@ -46,6 +46,7 @@ def bm25_topk(
     k1: float = K1,
     b: float = B,
     doc_filter=None,
+    stopwords: list[str] | None = None,
 ) -> DataFrame:
     """Top-k BM25 over a document DataFrame, pure declarative plan.
 
@@ -58,9 +59,10 @@ def bm25_topk(
     ``doc_filter`` (a boolean Column over ``docs``, e.g. ``F.col("lang") ==
     "en"``) is the ES bool-filter: it restricts the CANDIDATE docs in the
     scoring pass while idf/avgdl/N stay index-wide — exactly how a filtered
-    ES ``match`` scores.
+    ES ``match`` scores. ``stopwords`` is the ES analyzer stopwords option
+    (applied to both corpus and query analysis; default _none_).
     """
-    q_terms = tokenize(query)
+    q_terms = tokenize(query, stopwords)
     if not q_terms:
         return docs.sparkSession.createDataFrame([], "doc_id long, score double")
     # weight = number of occurrences of the term in the query
@@ -80,11 +82,12 @@ def bm25_topk(
     # At 10^12 docs pass 1 is a pure map-side-combine agg and pass 2 ships
     # only k rows per partition; nothing ever shuffles doc-level data.
     def project(src: DataFrame) -> DataFrame:
+        toks = tokens_col(text_col, stopwords)
         return src.select(
             F.col(id_col).alias("doc_id"),
-            F.size(tokens_col(text_col)).cast("long").alias("dl"),
+            F.size(toks).cast("long").alias("dl"),
             *[
-                F.size(F.filter(tokens_col(text_col), lambda x: x == F.lit(t)))
+                F.size(F.filter(toks, lambda x: x == F.lit(t)))
                 .cast("double")
                 .alias(f"tf_{i}")
                 for i, t in enumerate(distinct_terms)
@@ -270,12 +273,14 @@ def bm25_topk_sql(
     mode: str = "or",
     table: str = "documents",
     filter_sql: str | None = None,
+    stopwords: list[str] | None = None,
 ) -> str:
     """DuckDB oracle SQL equivalent of :func:`bm25_topk` (same rounding).
 
     ``filter_sql`` mirrors ``doc_filter``: a WHERE predicate over ``table``
-    restricting candidates, with stats/df/avgdl still computed index-wide."""
-    q_terms = tokenize(query)
+    restricting candidates, with stats/df/avgdl still computed index-wide;
+    ``stopwords`` mirrors the analyzer option via ``list_filter``."""
+    q_terms = tokenize(query, stopwords)
     weights: dict[str, int] = {}
     for t in q_terms:
         weights[t] = weights.get(t, 0) + 1
@@ -285,13 +290,17 @@ def bm25_topk_sql(
     cand_filter = (
         f"WHERE doc_id IN (SELECT doc_id FROM {table} WHERE {filter_sql})" if filter_sql else ""
     )
+    tok_expr = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    if stopwords:
+        stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
+        tok_expr = f"list_filter({tok_expr}, t -> t NOT IN ({stop_list}))"
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  SELECT doc_id, unnest({tok_expr}) AS term
   FROM {table}
 ),
 dl AS (
-  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl FROM {table}
+  SELECT doc_id, len({tok_expr}) AS dl FROM {table}
 ),
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
 qterms(term, qw) AS (VALUES {terms_values}),

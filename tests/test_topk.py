@@ -87,3 +87,24 @@ def test_phrase_overlapping_occurrences_count():
     idf = 2 * math.log1p((3 - 2 + 0.5) / (2 + 0.5))
     expected = idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3 / 3.0))
     assert abs(got[0].score - expected) < 1e-6
+
+
+def test_stopword_analyzer_matches_duckdb(spark, documents, sf_dir):
+    """Analyzer stopwords option: dl/tf/df/avgdl all shift consistently and
+    still match the DuckDB list_filter formulation exactly."""
+    from flume_elasticsearch_2_spark.operators.topk import bm25_topk as bt
+
+    stop = ["the", "and", "a", "fast"]
+    got = [
+        (r.doc_id, r.score)
+        for r in bt(documents, "the fast scan dup", k=10, stopwords=stop).collect()
+    ]
+    exp = _duck(sf_dir, bm25_topk_sql("the fast scan dup", k=10, stopwords=stop))
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert abs(g[1] - e[1]) < 1e-6
+    # stopword-only query -> empty
+    assert bt(documents, "the and a", k=10, stopwords=stop).count() == 0
+    # differs from the unfiltered analysis (dl changed -> scores changed)
+    base = [(r.doc_id, r.score) for r in bt(documents, "scan dup", k=10).collect()]
+    assert got != base
