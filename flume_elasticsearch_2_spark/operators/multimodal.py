@@ -160,7 +160,9 @@ def audio_features(media: DataFrame, bytes_per_sample: int = 2) -> DataFrame:
             n = np.fromiter(
                 (0 if b is None else len(b) for b in payloads), count=len(payloads), dtype=np.int64
             )
-            sr = pdf["sample_rate"].to_numpy(dtype=np.int64)
+            # nullable int: Arrow->pandas may deliver float64 with NaN for
+            # null sample_rate (image/video rows) — treat null as 0 (no rate)
+            sr = pdf["sample_rate"].fillna(0).to_numpy(dtype=np.int64)
             dur = np.where(sr > 0, n / (sr * float(bytes_per_sample)), 0.0)
             buf = np.frombuffer(b"".join(b or b"" for b in payloads), dtype=np.uint8)
             starts = np.concatenate([[0], np.cumsum(n)[:-1]])
@@ -174,7 +176,7 @@ def audio_features(media: DataFrame, bytes_per_sample: int = 2) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "n_bytes": n,
-                    "sample_rate": pdf["sample_rate"].astype("int32"),
+                    "sample_rate": sr.astype(np.int32),
                     "duration_s": _round6(dur),
                     "rms": _round6(rms),
                 }
@@ -191,20 +193,28 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_rows = []
-            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+            resized_col = []
+            for data in pdf["data"]:
                 b = bytes(data or b"")
                 n = len(b)
                 _, _, c = fake_image_dims(np.array([n], dtype=np.int64))
                 target = target_w * target_h * int(c[0])
                 # REAL RESAMPLE GOES HERE (PIL.Image.resize); deterministic fake:
-                resized = (b * (target // max(n, 1) + 1))[:target] if n else b"\x00" * target
-                out_rows.append((int(doc_id), resized))
-            yield pd.DataFrame(out_rows, columns=["doc_id", "data"])
+                resized_col.append(
+                    (b * (target // max(n, 1) + 1))[:target] if n else b"\x00" * target
+                )
+            out = pdf.copy()
+            out["data"] = resized_col
+            yield out
 
+    # output conforms to MEDIA_SCHEMA: payload + declared dims updated in
+    # place, every other typed metadata column passes through (columns
+    # pinned to schema order — mapInPandas matches positionally)
+    media_cols = ["doc_id", "media_type", "data", "declared_w", "declared_h",
+                  "sample_rate", "n_frames"]
     return (
-        media.select("doc_id", "data")
-        .mapInPandas(resize, "doc_id long, data binary")
+        media.select(*media_cols)
+        .mapInPandas(resize, MEDIA_SCHEMA)
         .withColumn("declared_w", F.lit(target_w))
         .withColumn("declared_h", F.lit(target_h))
     )

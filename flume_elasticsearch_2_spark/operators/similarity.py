@@ -208,25 +208,29 @@ def embedding_near_dup_pairs(
                 )
             ).alias("tbl", "bucket"),
         )
-        pairs = (
-            with_buckets.alias("a")
+        # dedup cross-table collisions on the ID PAIR ALONE — the vectors
+        # are functionally determined by the ids, and carrying two
+        # d-dimensional arrays through the distinct() shuffle would multiply
+        # its volume ~2d-fold; vectors are joined back once per unique pair
+        id_pairs = (
+            with_buckets.select("id", "tbl", "bucket").alias("a")
             .join(
-                with_buckets.alias("b"),
+                with_buckets.select("id", "tbl", "bucket").alias("b"),
                 (F.col("a.tbl") == F.col("b.tbl"))
                 & (F.col("a.bucket") == F.col("b.bucket"))
                 & (F.col("a.id") < F.col("b.id")),
             )
-            .select("a.id", "a.v", F.col("b.id").alias("id_b"), F.col("b.v").alias("v_b"))
-            .alias("a")
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
         )
-        pairs = pairs.select(
-            F.col("a.id").alias("id"), F.col("a.v").alias("v"),
-            F.col("id_b").alias("bid"), F.col("v_b").alias("bv"),
-        ).distinct().alias("p")
+        va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
         return (
-            pairs.withColumn("cosine", F.round(cosine_col(F.col("v"), F.col("bv")), 6))
+            id_pairs.join(va, "id_a")
+            .join(vb, "id_b")
+            .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
             .where(F.col("cosine") >= threshold)
-            .select(F.col("id").alias("id_a"), F.col("bid").alias("id_b"), "cosine")
+            .select("id_a", "id_b", "cosine")
         )
     return (
         pairs.withColumn("cosine", F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6))

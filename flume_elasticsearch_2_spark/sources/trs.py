@@ -47,6 +47,8 @@ def parse_trs_text(text: str, flush_final: bool = True) -> tuple[list[dict[str, 
     cur: dict[str, str] | None = None
     dropped = 0
     for line in text.split("\n"):
+        if line.endswith("\r"):  # CRLF files: the \r is an EOL artifact,
+            line = line[:-1]  # not part of the field value
         if line.strip() == "":
             continue
         if line.strip() == REC_MARK:
@@ -75,8 +77,14 @@ def read_trs(spark: SparkSession, path: str, flush_final: bool = True) -> DataFr
             rows = []
             for fname, text in zip(pdf["file"], pdf["value"]):
                 recs, dropped = parse_trs_text(text, flush_final)
+                # dropped-line accounting (fixing reference bug §8.3's silent
+                # drops): attributed ONCE per file — on its first record, or
+                # on a rec_idx=-1 sentinel row when the file yields no
+                # records at all — so sum(dropped_lines) is the true count
                 for i, r in enumerate(recs):
-                    rows.append((fname, i, r, dropped))
+                    rows.append((fname, i, r, dropped if i == 0 else 0))
+                if not recs and dropped:
+                    rows.append((fname, -1, {}, dropped))
             yield pd.DataFrame(rows, columns=["file", "rec_idx", "fields", "dropped_lines"])
 
     return raw.mapInPandas(parse, TRS_SCHEMA)

@@ -74,7 +74,9 @@ def _gen_rows(idx: np.ndarray) -> pd.DataFrame:
     for s, L in zip(src, src_n_tok):
         js = np.arange(L, dtype=np.uint64)
         u = _splitmix64(np.uint64(s) * np.uint64(0x51_7C_C1B7) + js * np.uint64(0x2545F491)) / 2.0**64
-        toks = _TERMS[np.searchsorted(_CDF, u)]
+        # clamp: _CDF[-1] is 1-eps in float64, so u in (CDF[-1], 1) would
+        # index one past the end (~3e-16/draw — real at 10^12-row scale)
+        toks = _TERMS[np.minimum(np.searchsorted(_CDF, u), len(_TERMS) - 1)]
         if s % 100 == 7:  # ~1% docs: non-ASCII + digit tokens
             extra_ix = _splitmix64(np.uint64(s) + js[: min(3, L)]) % np.uint64(len(_EXTRA))
             toks = np.concatenate([toks, _EXTRA[extra_ix.astype(np.int64)]])
@@ -145,11 +147,18 @@ def read_webpages(
             reader = reader.option("end-snapshot-id", str(end_snapshot_id))
         try:
             return reader.load(tbl)
-        except Exception as exc:  # jars absent in this environment
-            raise NotImplementedError(
-                "Iceberg runtime not on the classpath; submit with "
-                "--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> "
-                "and a catalog config (spark.sql.catalog.<name>=org.apache.iceberg."
-                "spark.SparkCatalog)"
-            ) from exc
+        except Exception as exc:
+            # translate ONLY the missing-runtime failure; a wrong table
+            # name / bad snapshot on a configured cluster must surface as-is
+            msg = str(exc)
+            if "iceberg" in msg.lower() and (
+                "Failed to find" in msg or "ClassNotFound" in msg or "data source" in msg
+            ):
+                raise NotImplementedError(
+                    "Iceberg runtime not on the classpath; submit with "
+                    "--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> "
+                    "and a catalog config (spark.sql.catalog.<name>=org.apache.iceberg."
+                    "spark.SparkCatalog)"
+                ) from exc
+            raise
     return spark.read.parquet(source)

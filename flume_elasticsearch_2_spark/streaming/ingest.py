@@ -71,15 +71,21 @@ def start_ingest(
     return writer.start()
 
 
-def staged_docs(spark: SparkSession, stage_dir: str) -> DataFrame:
+def staged_docs(
+    spark: SparkSession, stage_dir: str, schema: str = WEBPAGES_SCHEMA
+) -> DataFrame:
     """All committed chunks as one DataFrame (uncommitted chunks — crash
     between write and lineage commit — are excluded, mirroring manifest
-    gating I7)."""
+    gating I7).
+
+    ``schema`` is the POST-transform schema used only for the empty case
+    (no committed chunks yet): pass it when ``start_ingest``'s transform
+    adds columns, so the empty and non-empty paths agree."""
     log = LineageLog(os.path.join(stage_dir, "lineage"))
     done = sorted(log.load())
     paths = [f"{stage_dir}/docs/chunk={cid}" for cid in done]
     if not paths:
-        return spark.createDataFrame([], WEBPAGES_SCHEMA)
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(*paths)
 
 

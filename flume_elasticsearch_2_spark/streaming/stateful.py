@@ -31,37 +31,50 @@ def dedup_stream_first_wins(
     key_col: str = "url",
     out_cols: tuple[str, ...] = ("url", "warc_ts", "lang"),
     state_timeout: str = "NoTimeout",
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """First occurrence of each key passes; replays/duplicates in the same
     or ANY LATER micro-batch are dropped.
 
     ``events`` must be a streaming DataFrame. Output columns = ``out_cols``
-    (all must exist on the input). Deterministic within a batch: rows are
-    considered in (key-group, input-order) order, matching the reference's
-    queue order.
+    (all must exist on the input). Within a micro-batch the shuffle does not
+    preserve input order, so the admitted row is the MINIMUM of the key's
+    rows under ``out_cols`` sort order (put an event-time column first after
+    the key to make "first" mean earliest) — deterministic across reruns.
+
+    Bounded state: pass ``state_timeout='ProcessingTimeTimeout'`` with
+    ``ttl_ms`` = the redelivery horizon (the reference's channel retained
+    500 000 events, conf:26-27 — replays arrive within it, not forever).
+    Keys idle past the TTL are EVICTED (state.remove on timeout), so state
+    is O(keys active inside the horizon), not O(all keys ever); a replay
+    arriving after the horizon is re-admitted, the same contract the
+    reference had once its channel rolled over.
     """
     out_schema = ", ".join(f"{c} {_spark_type(events, c)}" for c in out_cols)
     state_schema = "seen boolean"
     cols = list(out_cols)
+    with_ttl = state_timeout == "ProcessingTimeTimeout" and ttl_ms is not None
 
     def admit(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # evict: key idle past the redelivery horizon
+            return
         if state.exists:
             # key already admitted in an earlier batch: drop everything
             for _ in pdfs:
                 pass
+            if with_ttl:
+                state.setTimeoutDuration(ttl_ms)  # refresh the horizon
             return
-        first = None
-        for pdf in pdfs:
-            if len(pdf):
-                first = pdf.iloc[[0]][cols]
-                break
-        for _ in pdfs:  # drain remaining batches for this key
-            pass
+        chunks = [pdf[cols] for pdf in pdfs if len(pdf)]
         state.update((True,))
-        if first is not None:
-            yield first
+        if with_ttl:
+            state.setTimeoutDuration(ttl_ms)
+        if chunks:
+            allr = pd.concat(chunks, ignore_index=True)
+            yield allr.sort_values(cols, kind="mergesort").iloc[[0]]
 
     timeout = getattr(GroupStateTimeout, state_timeout)
     return events.groupBy(key_col).applyInPandasWithState(

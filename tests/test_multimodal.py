@@ -115,3 +115,32 @@ def test_media_repartition_bytes_budget(media):
     parted = media_repartition(media, target_bytes=budget)
     assert parted.rdd.getNumPartitions() == -(-total // budget)
     assert parted.count() == media.count()
+
+
+def test_audio_features_null_sample_rate(spark):
+    from flume_elasticsearch_2_spark.operators.multimodal import audio_features
+
+    media = spark.createDataFrame(
+        [(1, "image", b"\x01\x02\x03\x04", 2, 2, None, None),
+         (2, "audio", b"\x01\x02\x03\x04", None, None, 16000, None)],
+        "doc_id long, media_type string, data binary, declared_w int, "
+        "declared_h int, sample_rate int, n_frames int",
+    )
+    rows = {r.doc_id: r for r in audio_features(media).collect()}
+    assert rows[1].sample_rate == 0 and rows[1].duration_s == 0.0
+    assert rows[2].duration_s > 0
+
+
+def test_resize_preserves_media_schema(spark):
+    from flume_elasticsearch_2_spark.operators.multimodal import (
+        audio_features,
+        resize_images,
+        synth_media_from_documents,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    media = synth_media_from_documents(docs)
+    resized = resize_images(media, 32, 16)
+    assert set(resized.columns) == set(media.columns)
+    # downstream operators still work on the resized table
+    assert audio_features(resized).count() == 20

@@ -85,3 +85,20 @@ def test_trs_dedup_by_sid(spark, trs_dir):
     assert got["a2"] == "redelivered"  # later file wins (upsert semantics)
     assert got["b1"] == "unicode çĕ東"  # UTF-8 intact (reference bug §8.4)
     assert len(got) == 3
+
+
+def test_crlf_values_not_corrupted():
+    recs, dropped = parse_trs_text("<REC>\r\n<K>=abc\r\n<L>=\r\n")
+    assert recs == [{"K": "abc", "L": ""}] and dropped == 0
+
+
+def test_dropped_lines_counted_once_per_file(spark, tmp_path):
+    from flume_elasticsearch_2_spark.sources.trs import read_trs
+
+    (tmp_path / "a.trs").write_text("<REC>\n<K>=1\njunk\n<REC>\n<K>=2\nmorejunk\n")
+    (tmp_path / "b.trs").write_text("only junk\nno recs\n")
+    out = read_trs(spark, str(tmp_path)).collect()
+    total = sum(r.dropped_lines for r in out)
+    assert total == 4  # 2 junk lines in a.trs + 2 in b.trs, counted once
+    assert sum(1 for r in out if r.rec_idx == -1) == 1  # b.trs sentinel
+    assert sum(1 for r in out if r.rec_idx >= 0) == 2
