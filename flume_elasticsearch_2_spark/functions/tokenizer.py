@@ -55,6 +55,7 @@ def tokens_col(col: Column | str, stopwords: list[str] | None = None) -> Column:
 
 
 def tokenize_series(texts) -> "list[list[str]]":
-    """Batch tokenizer for pandas/Arrow UDF bodies (pre-compiled regex)."""
-    lowered = texts.str.lower()
+    """Batch tokenizer for pandas/Arrow UDF bodies (pre-compiled regex).
+    Null text tokenizes to [] — the JVM tokenizer's behavior for NULL."""
+    lowered = texts.fillna("").str.lower()
     return lowered.str.findall(_TOKEN_RE).tolist()

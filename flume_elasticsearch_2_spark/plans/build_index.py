@@ -225,7 +225,7 @@ def _make_partial_builder(
     sort preserves occurrence order, so a group's occurrence slice IS its
     concatenated positions stream); default off — freqs-only, the BM25
     contract needs no positions and the stream costs index bytes."""
-    from ..functions.tokenizer import _TOKEN_RE
+    from ..functions.tokenizer import tokenize_series
 
     cols = ["shard", "term", "run_min", "ids", "tfs", "pos"]
 
@@ -237,7 +237,7 @@ def _make_partial_builder(
             doc_ids = pdf[id_col].to_numpy(dtype=np.int64)
             order = np.argsort(doc_ids, kind="stable")
             doc_ids = doc_ids[order]
-            toks = pdf[text_col].iloc[order].str.lower().str.findall(_TOKEN_RE)
+            toks = tokenize_series(pdf[text_col].iloc[order])
             lens = np.fromiter((len(t) for t in toks), count=n, dtype=np.int64)
             shards = doc_ids * n_shards // id_space
             rows: list[tuple] = []
@@ -568,7 +568,10 @@ def build_segments(
     ).collect()[0]
     n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"])
     id_space = int(stats_row["max_doc_id"]) + 1
-    shard_expr = (F.col("doc_id") * n_shards / F.lit(id_space)).cast("int").alias("shard")
+    # exact integer floor division: the float form loses precision once
+    # doc_id * n_shards exceeds 2^53, which would disagree with shard_start's
+    # integer math at the 10^12-doc id-space target (wrapped uint32 locals)
+    shard_expr = F.expr(f"CAST((doc_id * {n_shards}) DIV {id_space} AS INT)").alias("shard")
 
     docs_out = dl.select("doc_id", "dl", shard_expr)
     if orig_ids is not None:
@@ -579,7 +582,9 @@ def build_segments(
 
     # the one big shuffle: (shard, term) — doc-range sharding bounds group size;
     # 2x parallelism in the reduce stage so a straggler wave doesn't gate it
-    sharded = tf.withColumn("shard", (F.col("doc_id") * n_shards / F.lit(id_space)).cast("int"))
+    sharded = tf.withColumn(
+        "shard", F.expr(f"CAST((doc_id * {n_shards}) DIV {id_space} AS INT)")
+    )
     nparts = max(n_shards, 2 * spark.sparkContext.defaultParallelism)
     cols = ["term", "doc_id"] + ([] if occurrences else ["tf"])
     encoded = (
@@ -659,7 +664,12 @@ def build_index(
     """
     if n_shards is None:
         n = docs.count()
-        n_shards = max(4, min(spark.sparkContext.defaultParallelism, math.ceil(n / docs_per_shard)))
+        # size-derived count must never be CAPPED by parallelism: a shard's
+        # local ids must fit uint32, so at 10^12 docs we need ~10^6 shards
+        # regardless of cluster size (more shards than cores just queue)
+        n_shards = max(
+            4, spark.sparkContext.defaultParallelism // 4, math.ceil(n / docs_per_shard)
+        )
     return build_segments_partial(
         spark, docs, index_dir, n_shards, id_col=id_col, text_col=text_col,
         id_space=id_space, store_positions=store_positions,
@@ -667,7 +677,10 @@ def build_index(
 
 
 def assign_doc_ids(
-    docs: DataFrame, orig_col: str = "url", n_parts: int = 64
+    docs: DataFrame,
+    orig_col: str = "url",
+    n_parts: int = 64,
+    tie_cols: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic dense doc_id for keyed corpora (SURVEY §1.3).
 
@@ -698,7 +711,10 @@ def assign_doc_ids(
     off_df = parted.sparkSession.createDataFrame(
         [(p, o) for p, o in offsets.items()], "_pid int, _off long"
     )
-    w = Window.partitionBy("_pid").orderBy(orig_col)
+    # tie_cols make id assignment deterministic when orig_col recurs (e.g.
+    # re-crawled urls before the stage-2 dedup): equal keys would otherwise
+    # get ids in shuffle order
+    w = Window.partitionBy("_pid").orderBy(orig_col, *(tie_cols or []))
     return (
         parted.join(F.broadcast(off_df), "_pid")
         .withColumn("doc_id", F.row_number().over(w) - 1 + F.col("_off"))

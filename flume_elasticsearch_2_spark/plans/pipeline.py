@@ -57,7 +57,13 @@ def prepare_webpages(
     # spill territory; column pruning can't help once the window needs the row)
     out = out.drop("html", "text")
     if dedup:
-        out = dedup_latest_by_key(out, "url", "warc_ts")
+        # tie on the text fingerprint so two rows with identical (url, ts)
+        # but different payloads have a DETERMINISTIC winner across reruns
+        out = (
+            out.withColumn("_tfp", F.md5(F.col("_text")))
+            .transform(lambda d: dedup_latest_by_key(d, "url", "warc_ts", tie_col="_tfp"))
+            .drop("_tfp")
+        )
     # P7 classification: route by language family (the conf's static
     # index/type label generalized to a per-doc class; conf:19)
     out = out.withColumn(

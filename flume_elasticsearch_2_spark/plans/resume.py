@@ -44,7 +44,10 @@ def plan_chunks(input_dir: str, files_per_chunk: int = 8) -> list[dict[str, Any]
     chunks = []
     for i in range(0, len(files), files_per_chunk):
         group = files[i : i + files_per_chunk]
-        fp = ";".join(f"{os.path.basename(p)}:{os.path.getsize(p)}" for p in group)
+        fp = ";".join(
+            f"{os.path.basename(p)}:{os.path.getsize(p)}:{os.stat(p).st_mtime_ns}"
+            for p in group
+        )  # size+mtime: an in-place same-size rewrite must invalidate (§8.6)
         chunks.append({"chunk_id": f"{i // files_per_chunk:05d}", "files": group, "fingerprint": fp})
     return chunks
 
@@ -74,7 +77,11 @@ def build_index_chunked(
     for ch in chunks:
         cid, fp = ch["chunk_id"], ch["fingerprint"]
         rec = existing.get(cid)
-        if rec and rec.get("fingerprint") == fp:
+        # staged output is reusable only if the content fingerprint AND the
+        # id-space offset both match: when an earlier chunk's doc count
+        # changes, every later chunk's ids shift, so its staged tf/docmeta
+        # (built under the old prefix sum) would collide — rebuild it
+        if rec and rec.get("fingerprint") == fp and int(rec.get("offset", -1)) == offset:
             offset += int(rec["n_docs"])  # committed: reuse staged output
             continue
         t0 = time.time()
@@ -91,7 +98,7 @@ def build_index_chunked(
                 return df.withColumn("_t", _tick(F.monotonically_increasing_id())).drop("_t")
 
             raw = bump(raw)
-        with_ids = assign_doc_ids(raw, orig_col=key_col).withColumn(
+        with_ids = assign_doc_ids(raw, orig_col=key_col, tie_cols=[order_col]).withColumn(
             "doc_id", F.col("doc_id") + F.lit(offset)
         )
         with_ids = with_ids.persist()
@@ -107,6 +114,7 @@ def build_index_chunked(
         log.commit(
             cid,
             fingerprint=fp,
+            offset=offset,
             n_docs=n_docs,
             n_postings=n_postings,
             wall_ms=int((time.time() - t0) * 1000),
@@ -117,8 +125,12 @@ def build_index_chunked(
             raise RuntimeError(f"injected failure after {n_processed} chunks")
 
     # ---- stage 2: global dedup + segment build (idempotent) ---------------
-    tf = spark.read.parquet(f"{work_dir}/tf")
-    meta = spark.read.parquet(f"{work_dir}/docmeta")
+    # read ONLY the planned chunks: stale chunk=<id> dirs from a previous
+    # run with a different plan must not leak ghost documents into the index
+    tf = spark.read.parquet(*[f"{work_dir}/tf/chunk={c['chunk_id']}" for c in chunks])
+    meta = spark.read.parquet(
+        *[f"{work_dir}/docmeta/chunk={c['chunk_id']}" for c in chunks]
+    )
     if dedup:
         from pyspark.sql.window import Window
 

@@ -345,3 +345,17 @@ def test_randomized_corpus_pruned_vs_oracle(spark, tmp_path_factory):
         assert [g[0] for g in got] == [e[0] for e in expected], (qi, q, mode)
         for g, e in zip(got, expected):
             assert abs(g[1] - e[1]) < 1e-6, (qi, q, mode)
+
+
+def test_build_tolerates_null_text(spark, tmp_path_factory):
+    """NULL text (e.g. failed html extraction) must build as an empty doc,
+    not crash the Arrow batch (pandas findall yields NaN for nulls)."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, None), (2, "beta gamma")], "doc_id long, text string"
+    )
+    d = str(tmp_path_factory.mktemp("nidx") / "segidx")
+    manifest = build_index(spark, docs, d, n_shards=4)
+    assert manifest["n_docs"] == 3
+    s = IndexSearcher(spark, d)
+    got = [(r.doc_id, r.score) for r in s.search("beta", k=10).collect()]
+    assert [g[0] for g in got] == [0, 2] or [g[0] for g in got] == [2, 0]

@@ -82,3 +82,68 @@ def test_chunk_fingerprint_invalidation(spark, corpus_dir, tmp_path_factory):
     assert log.done("00000", "a:1")
     assert not log.done("00000", "a:2")  # changed input invalidates
     assert not log.done("00001", "a:1")
+
+
+def test_changed_early_chunk_invalidates_later_offsets(spark, tmp_path_factory):
+    """If an earlier chunk's doc count changes, every later chunk's staged
+    ids are stale (prefix-sum offsets shifted) — the rebuild must produce an
+    index identical to a fresh build, never colliding doc ids."""
+    import shutil
+
+    base = tmp_path_factory.mktemp("offsets")
+    corpus = str(base / "corpus")
+    write_webpages(spark, 900, corpus, n_partitions=6)
+    idx, work = str(base / "idx"), str(base / "work")
+    build_index_chunked(spark, corpus, idx, work, files_per_chunk=2)
+
+    # grow ONLY the first chunk's input in place: later files keep their
+    # fingerprints, so without the offset gate their staged ids (built under
+    # the old prefix sum) would be reused and collide with the new layout
+    import glob
+
+    files = sorted(glob.glob(f"{corpus}/*.parquet"))
+    first = spark.read.parquet(files[0])
+    grown = first.unionByName(
+        first.withColumn("url", F.concat(F.col("url"), F.lit("?v=2")))
+    )
+    tmp_out = str(base / "grown")
+    grown.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+    gfile = glob.glob(f"{tmp_out}/*.parquet")[0]
+    shutil.copyfile(gfile, files[0])
+    import os
+
+    for crc in glob.glob(f"{corpus}/.*.crc"):  # stale Hadoop checksum sidecars
+        os.remove(crc)
+    manifest = build_index_chunked(spark, corpus, idx, work, files_per_chunk=2)
+
+    ref = str(base / "idx_ref")
+    ref_manifest = build_index_chunked(
+        spark, corpus, ref, str(base / "work_ref"), files_per_chunk=2
+    )
+    assert manifest["n_docs"] == ref_manifest["n_docs"]
+    p1, d1 = _index_content(spark, ref)
+    p2, d2 = _index_content(spark, idx)
+    assert p1 == p2 and d1 == d2
+    # sanity: no duplicate doc ids survived the offset shift
+    ids = [r.doc_id for r in d2]
+    assert len(ids) == len(set(ids))
+
+
+def test_stale_chunks_excluded_after_plan_shrinks(spark, tmp_path_factory):
+    """Deleting input files must remove their docs from the rebuilt index
+    even though their staged chunk dirs remain in work_dir."""
+    import glob
+    import os
+
+    base = tmp_path_factory.mktemp("shrink")
+    corpus = str(base / "corpus")
+    write_webpages(spark, 600, corpus, n_partitions=6)
+    idx, work = str(base / "idx"), str(base / "work")
+    m1 = build_index_chunked(spark, corpus, idx, work, files_per_chunk=1)
+    files = sorted(glob.glob(f"{corpus}/*.parquet"))
+    kept = spark.read.parquet(*files[:-2]).count()
+    for f in files[-2:]:
+        os.remove(f)
+    m2 = build_index_chunked(spark, corpus, idx, work, files_per_chunk=1)
+    assert m2["n_docs"] < m1["n_docs"]
+    assert spark.read.parquet(f"{idx}/docs").count() == m2["n_docs"]
