@@ -187,25 +187,71 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >= t).
 
-    Pairs sharing no shingle never materialize (equi-join on the shingle);
-    ``candidates`` (e.g. LSH output) further restricts the pair space at
-    scale — semi-join pushdown before the quadratic part."""
+    Pairs sharing no shingle never materialize (equi-join on the shingle).
+
+    Scale levers — both applied BEFORE any pairwise join so the quadratic
+    blowup of a hot shingle never materializes:
+
+    * ``candidates`` (e.g. LSH output): the pair space is *driven by* the
+      candidate set — ``candidates ⋈ sh(id_a) ⋈ sh(id_b)`` — instead of a
+      shingle self-join. Cost is O(|candidates| · avg_shingles), independent
+      of any shingle's document frequency. This is the verify stage after
+      MinHash-LSH at 100 TB.
+    * ``max_shingle_df``: drop shingles whose corpus document frequency
+      exceeds the cap (standard hot-shingle suppression — any stopword
+      trigram appears in a constant fraction of the corpus and contributes
+      O(df^2) join rows while carrying no discriminative signal). Jaccard is
+      then computed over the capped shingle vocabulary for BOTH the
+      intersection and the per-doc sizes, so the metric stays a true Jaccard
+      on that vocabulary. ``None`` (default) keeps the exact full-vocabulary
+      semantics the DuckDB oracle checks."""
     df = _widen(df)
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles_col(text_col, shingle_k)).alias("s")
     )
-    sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("nsh"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").cast("long").alias("inter"))
-    )
+    if max_shingle_df is not None:
+        # hot-shingle suppression: df computed on the full corpus (map-side
+        # partial agg), survivors anti-joined; the hot set is tiny by
+        # construction (≤ total_postings / cap distinct shingles) → broadcast
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_shingle_df)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        cand = candidates.select("id_a", "id_b")
+        ids = (
+            cand.select(F.col("id_a").alias("id"))
+            .union(cand.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        # prune the shingle table to candidate docs, then drive the pair
+        # space from the candidate list itself — no shingle self-join exists
+        # in this plan, so a hot shingle costs O(df), not O(df^2)
+        sh = sh.join(ids, "id", "left_semi")
+        inter = (
+            cand.join(sh.alias("a"), F.col("id_a") == F.col("a.id"))
+            .join(
+                sh.alias("b"),
+                (F.col("id_b") == F.col("b.id")) & (F.col("a.s") == F.col("b.s")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").cast("long").alias("inter"))
+        )
+    else:
+        inter = (
+            sh.alias("a")
+            .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").cast("long").alias("inter"))
+        )
+    sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("nsh"))
     out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("nsh", "nsh_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("nsh", "nsh_b"), "id_b")
@@ -224,24 +270,32 @@ def ngram_jaccard_pairs(
 
 
 def simhash_col(text: Column | str, bits: int = 64, hash_fn: str = "xxhash64") -> Column:
-    """SimHash over token hashes, pure JVM expressions: per bit, sign of sum
-    over tokens of (+1 if bit set else -1), weighted by token multiplicity
-    (aggregate over the raw token array). ``bits=64`` with xxhash64;
-    ``bits=60`` with the md5 hash (its 60 informative bits)."""
+    """SimHash over token hashes: per bit, sign of sum over tokens of
+    (+1 if bit set else -1), weighted by token multiplicity. ``bits=64``
+    with xxhash64; ``bits=60`` with the md5 hash (its 60 informative bits).
+
+    Token hashing stays JVM-side (``transform`` over the token array); the
+    O(bits·doc_len) bit-sign aggregation runs as ONE Arrow-batched NumPy
+    pass over the hash array — a single (tokens × bits) matrix reduction per
+    doc — instead of ``bits`` nested JVM ``aggregate`` traversals (which were
+    correct but O(bits·dl) codegen-heavy expression trees)."""
     toks = tokens_col(text)
     hashes = F.transform(toks, lambda t: _hash64(t, hash_fn))
-    bit_exprs = []
-    for i in range(bits):
-        contrib = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))) != 0, 1).otherwise(-1),
-        )
-        bit_exprs.append(F.when(contrib > 0, F.lit(1 << i if i < 63 else -(1 << 63))).otherwise(F.lit(0)))
-    out = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        out = out.bitwiseOR(e)
-    return out
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def _simhash(hs: pd.Series) -> pd.Series:
+        out = np.zeros(len(hs), dtype=np.uint64)
+        for i, arr in enumerate(hs):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            bitset = (h[:, None] >> shifts[None, :]) & np.uint64(1)
+            contrib = (2 * bitset.astype(np.int64) - 1).sum(axis=0)
+            out[i] = ((contrib > 0).astype(np.uint64) << shifts).sum()
+        return pd.Series(out.view(np.int64))
+
+    return _simhash(hashes)
 
 
 def simhash_near_dup_pairs(
@@ -256,6 +310,10 @@ def simhash_near_dup_pairs(
     """SimHash near-dup candidates: split the ``bits``-bit hash into
     ``n_tables`` equal-width keys (pigeonhole: hamming <= n_tables-1 pairs
     collide in >=1 table), join per table, verify exact hamming JVM-side."""
+    if hash_fn == "md5" and bits > 60:
+        # md5_long_col carries only 60 informative bits (15 hex chars); bits
+        # above 60 are always 0, silently weakening one pigeonhole table's key
+        raise ValueError("hash_fn='md5' supports at most bits=60 (60-bit md5 prefix)")
     assert bits % n_tables == 0
     key_bits = bits // n_tables
     key_mask = (1 << key_bits) - 1

@@ -125,3 +125,46 @@ def test_simhash_near_dups(spark, wp_docs):
     found = {(r.id_a, r.id_b) for r in got}
     assert dup_pairs <= found
     assert all(r.hamming <= 3 for r in got)
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_ngram_jaccard_candidates_drives_pair_space(spark, wp_docs):
+    """With a candidate set, results equal the exact run restricted to the
+    candidates — and the plan contains NO shingle self-join (no non-equi
+    id<id join): the pair space is driven by the candidate list, so a hot
+    shingle costs O(df), not O(df^2)."""
+    import re
+
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(wp_docs, threshold=0.05).collect()
+    }
+    assert exact
+    picked = sorted(exact)[: max(3, len(exact) // 2)]
+    negatives = [(-1, -2), (10**6, 10**6 + 1)]  # absent pairs must not appear
+    cand = spark.createDataFrame(picked + negatives, "id_a int, id_b int")
+    out = ngram_jaccard_pairs(wp_docs, threshold=0.05, candidates=cand)
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert got == {p: exact[p] for p in picked}
+    plan = _plan(out)
+    # the exact path carries the quadratic self-join's non-equi (id < id)
+    # condition; the candidate-driven path must not
+    assert re.search(r"id#\d+L? < id#\d+", _plan(ngram_jaccard_pairs(wp_docs, threshold=0.05)))
+    assert not re.search(r"id#\d+L? < id#\d+", plan), plan
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """Skew guard: one shingle present in 100% of docs. max_shingle_df drops
+    it before any pairwise join, so only true near-dups (over the capped
+    vocabulary) pair up — and the join never materializes the O(n^2) hot
+    blowup."""
+    n = 1000
+    rows = [(i, f"common alpha beta tok{i}a tok{i}b tok{i}c tok{i}d") for i in range(n)]
+    rows.append((n, rows[5][1]))  # exact dup of doc 5
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = ngram_jaccard_pairs(df, threshold=0.9, max_shingle_df=50).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(5, n)}
+    assert abs(out[0].jaccard - 1.0) < 1e-9
