@@ -365,6 +365,34 @@ def _cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(emb, q, k=10, n_centroids=8, nprobe=8)
 
 
+def _cosine_topk_lsh_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH with probe_hamming = n_planes probes every bucket in
+    every table — provably exhaustive, so the brute-force cosine SQL IS its
+    oracle (the full-probe IVF trick applied to the LSH path). Exercises the
+    same bucket/probe machinery as the approximate entry above."""
+    from flume_elasticsearch_2_spark.operators.similarity import cosine_topk_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.where("vec_id = 0").first().embedding)
+    return cosine_topk_lsh(emb, q, k=10, n_planes=8, probe_hamming=8)
+
+
+def _cosine_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized IVF index: build-once (cluster-partitioned Parquet +
+    centroids sidecar), then probe via hive-partition pruning. Full probe
+    (nprobe = n_centroids) is exhaustive -> brute-force cosine oracle;
+    nprobe < n partition pruning is asserted in tests/test_plan_hygiene.py."""
+    import tempfile
+
+    from flume_elasticsearch_2_spark.operators.similarity import ivf_build, ivf_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = tempfile.mkdtemp(prefix="ivf_idx_")
+    ivf_build(emb, d, n_centroids=8)
+    q = list(emb.where("vec_id = 0").first().embedding)
+    return ivf_search(spark, d, q, k=10, nprobe=8)
+
+
 def _bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES match_phrase (Lucene ExactPhraseScorer under BM25): sliding-window
     phrase freq as tf, summed per-position idf (operators/topk.py)."""
@@ -437,6 +465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_pairs"] = _simhash_pairs  # md5 hash family -> full SQL oracle
     q["cosine_topk_lsh"] = _cosine_topk_lsh  # rows-only (sign-bit buckets not SQL-expressible)
     q["cosine_topk_ivf"] = _cosine_topk_ivf  # full-probe IVF == exhaustive -> cosine oracle
+    q["cosine_topk_lsh_exhaustive"] = _cosine_topk_lsh_exhaustive  # all-buckets probe -> cosine oracle
+    q["cosine_topk_ivf_indexed"] = _cosine_topk_ivf_indexed  # materialized index, full probe -> cosine oracle
     return q
 
 
@@ -604,6 +634,8 @@ SELECT id, round(dot / (na * nb), 6) AS cosine
 FROM d ORDER BY dot / (na * nb) DESC, id ASC LIMIT 10
 """
     o["cosine_topk_ivf"] = o["cosine_topk"]
+    o["cosine_topk_lsh_exhaustive"] = o["cosine_topk"]
+    o["cosine_topk_ivf_indexed"] = o["cosine_topk"]
     from flume_elasticsearch_2_spark.operators.dedup import (
         minhash_lsh_pairs_sql,
         simhash_pairs_sql,

@@ -75,3 +75,25 @@ def test_whole_stage_codegen_in_tokenize_path(spark, documents):
     plan = _plan(doc_lengths(documents))
     # formatted mode marks codegen'd operators with a leading '*'
     assert "* Project" in plan, plan
+
+
+def test_ivf_probe_prunes_partitions(spark, tmp_path_factory):
+    """Materialized IVF: probing nprobe clusters is hive-partition pruning at
+    the scan — non-probed cluster directories are never read."""
+    from flume_elasticsearch_2_spark.operators.similarity import ivf_build, ivf_search
+
+    sf = __import__("os").environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    d = str(tmp_path_factory.mktemp("ivfidx") / "ivf")
+    ivf_build(emb, d, n_centroids=8)
+    q = list(emb.where("vec_id = 0").first().embedding)
+    df = ivf_search(spark, d, q, k=5, nprobe=2)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    assert "ivf_cluster" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    # planning-time file pruning: 2 of 8 cluster partitions survive
+    import re
+
+    m = re.search(r"partition count: (\d+)", plan)
+    if m:  # Spark prints the scanned-partition count in formatted plans
+        assert int(m.group(1)) == 2, plan

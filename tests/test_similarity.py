@@ -132,3 +132,39 @@ def test_ivf_assignment_deterministic(spark, embeddings):
     a = embeddings.select("vec_id", ivf_assign_col(F.col("embedding"), C1).alias("c"))
     counts = {r.c for r in a.select("c").distinct().collect()}
     assert counts <= set(range(8)) and len(counts) > 1
+
+
+def test_lsh_multiprobe_exhaustive_equals_brute(spark, embeddings, emb_np):
+    """probe_hamming = n_planes probes every bucket -> rank-identical to the
+    exact baseline; intermediate radii only grow the candidate set."""
+    ids, m = emb_np
+    q = list(embeddings.where("vec_id = 11").first().embedding)
+    exact = [(r.id, r.cosine) for r in cosine_topk(embeddings, q, k=10).collect()]
+    allb = [
+        (r.id, r.cosine)
+        for r in cosine_topk_lsh(embeddings, q, k=10, n_planes=8, probe_hamming=8).collect()
+    ]
+    assert allb == exact
+    base = {r.id for r in cosine_topk_lsh(embeddings, q, k=10, n_planes=8).collect()}
+    wider = {r.id for r in cosine_topk_lsh(embeddings, q, k=10, n_planes=8, probe_hamming=1).collect()}
+    exact_ids = {i for i, _ in exact}
+    assert len(wider & exact_ids) >= len(base & exact_ids)  # recall is monotone in radius
+
+
+def test_ivf_build_search_roundtrip(spark, embeddings, tmp_path):
+    from flume_elasticsearch_2_spark.operators.similarity import ivf_build, ivf_search
+
+    d = str(tmp_path / "ivf")
+    C = ivf_build(embeddings, d, n_centroids=8)
+    assert C.shape[0] == 8
+    q = list(embeddings.where("vec_id = 5").first().embedding)
+    exact = [(r.id, r.cosine) for r in cosine_topk(embeddings, q, k=10).collect()]
+    # full probe over the materialized index == exhaustive
+    got = [(r.id, r.cosine) for r in ivf_search(spark, d, q, k=10, nprobe=8).collect()]
+    assert got == exact
+    # partial probe: subset of corpus, exact scores for what it returns
+    part = [(r.id, r.cosine) for r in ivf_search(spark, d, q, k=5, nprobe=2).collect()]
+    full = dict(exact)
+    exact_all = {r.id: r.cosine for r in cosine_topk(embeddings, q, k=10**6).collect()}
+    for i, c in part:
+        assert abs(exact_all[i] - c) < 1e-9
