@@ -155,6 +155,17 @@ def _bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _segment_searcher(spark, sf_dir).search_many(BM25_QUERIES, k=10)
 
 
+MIXED_QUERIES = dict(BM25_QUERIES) | {"p_phrase": ("part filter", "phrase")}
+
+
+def _bm25_multiquery_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_many with a MIXED batch — or/and AND match_phrase in the same
+    one-job scatter (phrase queries route to the shard intersection and score
+    through the vectorized positional kernel); oracle = UNION ALL of the
+    per-query SQL including the m-gram phrase oracle."""
+    return _segment_searcher(spark, sf_dir).search_many(MIXED_QUERIES, k=10)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline ops: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
@@ -401,6 +412,24 @@ def _bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_phrase_topk(_docs(spark, sf_dir), "part filter", k=10)
 
 
+# bm25_unicode: the test tables are pure ASCII, so non-ASCII text is injected
+# IDENTICALLY in Spark and DuckDB (same literal prefix + a->á substitution) and
+# analyzed with the opt-in unicode analyzer ([\p{L}\p{N}] token class — same
+# class in Java regex, RE2 and Python; parity pinned in
+# tests/test_text_functions.py; known divergence: U+0130 İ, excluded here).
+_UNI_PREFIX = "Čaféß ÜBER Ñoño 北京 Кириллица ΕΛΛΗΝΙΚΆ "
+_UNI_QUERY = "café 北京 bátch scán"
+
+
+def _bm25_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit(_UNI_PREFIX), F.regexp_replace("text", "a", "á"))
+    )
+    return bm25_topk(docs, _UNI_QUERY, k=10, analyzer="unicode")
+
+
 EN_STOPWORDS = ["the", "and", "of", "to", "in", "is", "a"]
 
 
@@ -440,9 +469,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_phrase"] = _bm25_phrase
     q["bm25_segment_phrase"] = _bm25_segment_phrase
     q["bm25_stopwords"] = _bm25_stopwords
+    q["bm25_unicode"] = _bm25_unicode
     for name, (qq, mode) in SEGMENT_QUERIES.items():
         q[name] = _segment_query(qq, mode)
     q["bm25_multiquery"] = _bm25_multiquery
+    q["bm25_multiquery_mixed"] = _bm25_multiquery_mixed
     q["bm25_segment_filtered"] = _bm25_segment_filtered
     q["term_stats"] = _term_stats
     q["corpus_stats"] = _corpus_stats
@@ -481,11 +512,26 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_phrase"] = bm25_phrase_topk_sql("part filter", k=10)
     o["bm25_segment_phrase"] = o["bm25_phrase"]
     o["bm25_stopwords"] = bm25_topk_sql("the dup batch scan", k=10, stopwords=EN_STOPWORDS)
+    o["bm25_unicode"] = bm25_topk_sql(
+        _UNI_QUERY,
+        k=10,
+        analyzer="unicode",
+        text_expr=f"('{_UNI_PREFIX}' || replace(text, 'a', 'á'))",
+    )
     for name, (qq, mode) in SEGMENT_QUERIES.items():
         o[name] = bm25_topk_sql(qq, k=10, mode=mode)
     o["bm25_multiquery"] = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS query_id, * FROM ({bm25_topk_sql(qq, k=10, mode=mode)})"
         for name, (qq, mode) in sorted(BM25_QUERIES.items())
+    )
+    o["bm25_multiquery_mixed"] = "\nUNION ALL\n".join(
+        "SELECT '{}' AS query_id, * FROM ({})".format(
+            name,
+            bm25_phrase_topk_sql(qq, k=10)
+            if mode == "phrase"
+            else bm25_topk_sql(qq, k=10, mode=mode),
+        )
+        for name, (qq, mode) in sorted(MIXED_QUERIES.items())
     )
     o["term_stats"] = """
 WITH toks AS (

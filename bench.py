@@ -80,6 +80,24 @@ def main() -> None:
     timings["query_local_p50"] = lat_local[len(lat_local) // 2]
     timings["query_local_p95"] = lat_local[min(len(lat_local) - 1, int(len(lat_local) * 0.95))]
 
+    # 2c. positional index + HOT phrase serving latency. "stream value" is
+    # the adversarial ExactPhraseScorer case: both terms sit in ~78% of docs,
+    # so the candidate intersection is ~60% of the corpus and the position-
+    # adjacency check runs over every candidate — the vectorized segmented
+    # kernel (plans/query_index._phrase_score_shard) must stay flat here.
+    pidx_dir = os.path.join(tempfile.mkdtemp(prefix="fts_bench_"), "pidx")
+    t0 = time.time()
+    build_index(spark, docs, pidx_dir, n_shards=max(4, int(CPUS) // 4), store_positions=True)
+    timings["index_build_positional"] = time.time() - t0
+    psearcher = IndexSearcher(spark, pidx_dir)
+    psearcher.search_phrase("stream value", k=10).collect()  # warmup
+    t0 = time.time()
+    psearcher.search_phrase("stream value", k=10).collect()
+    timings["phrase_hot"] = time.time() - t0
+    t0 = time.time()
+    psearcher.search_phrase_local("stream value", k=10)
+    timings["phrase_hot_local"] = time.time() - t0
+
     # 3. declarative BM25 path (one query, full plan incl. tokenize)
     t0 = time.time()
     bm25_topk(docs, "dup batch scan", k=10).collect()

@@ -47,6 +47,7 @@ def bm25_topk(
     b: float = B,
     doc_filter=None,
     stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
 ) -> DataFrame:
     """Top-k BM25 over a document DataFrame, pure declarative plan.
 
@@ -61,8 +62,11 @@ def bm25_topk(
     scoring pass while idf/avgdl/N stay index-wide — exactly how a filtered
     ES ``match`` scores. ``stopwords`` is the ES analyzer stopwords option
     (applied to both corpus and query analysis; default _none_).
+    ``analyzer`` selects the token class ("ascii" default; "unicode" =
+    maximal runs of \\p{L}\\p{N} for multilingual text — identical class in
+    Spark/DuckDB/Python, see functions/tokenizer.py).
     """
-    q_terms = tokenize(query, stopwords)
+    q_terms = tokenize(query, stopwords, analyzer)
     if not q_terms:
         return docs.sparkSession.createDataFrame([], "doc_id long, score double")
     # weight = number of occurrences of the term in the query
@@ -82,7 +86,7 @@ def bm25_topk(
     # At 10^12 docs pass 1 is a pure map-side-combine agg and pass 2 ships
     # only k rows per partition; nothing ever shuffles doc-level data.
     def project(src: DataFrame) -> DataFrame:
-        toks = tokens_col(text_col, stopwords)
+        toks = tokens_col(text_col, stopwords, analyzer)
         return src.select(
             F.col(id_col).alias("doc_id"),
             F.size(toks).cast("long").alias("dl"),
@@ -274,13 +278,17 @@ def bm25_topk_sql(
     table: str = "documents",
     filter_sql: str | None = None,
     stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+    text_expr: str = "text",
 ) -> str:
     """DuckDB oracle SQL equivalent of :func:`bm25_topk` (same rounding).
 
     ``filter_sql`` mirrors ``doc_filter``: a WHERE predicate over ``table``
     restricting candidates, with stats/df/avgdl still computed index-wide;
-    ``stopwords`` mirrors the analyzer option via ``list_filter``."""
-    q_terms = tokenize(query, stopwords)
+    ``stopwords`` mirrors the analyzer option via ``list_filter``;
+    ``analyzer``/``text_expr`` mirror the token class and an optional SQL
+    expression replacing the raw ``text`` column."""
+    q_terms = tokenize(query, stopwords, analyzer)
     weights: dict[str, int] = {}
     for t in q_terms:
         weights[t] = weights.get(t, 0) + 1
@@ -290,7 +298,9 @@ def bm25_topk_sql(
     cand_filter = (
         f"WHERE doc_id IN (SELECT doc_id FROM {table} WHERE {filter_sql})" if filter_sql else ""
     )
-    tok_expr = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    from ..functions.tokenizer import duckdb_token_pattern
+
+    tok_expr = f"regexp_extract_all(lower({text_expr}), '{duckdb_token_pattern(analyzer)}')"
     if stopwords:
         stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
         tok_expr = f"list_filter({tok_expr}, t -> t NOT IN ({stop_list}))"

@@ -232,7 +232,15 @@ def _phrase_score_shard(
     BM25): candidate docs = posting intersection of the distinct phrase
     terms; pf per doc = positions of term_0 whose successors at +1..+m-1
     match each following term; score = idf * pf*(k1+1)/(pf + k1*(1-b+b*dl/
-    avgdl)). Python loops only over candidate docs (already intersected)."""
+    avgdl)).
+
+    Fully vectorized across candidates: per phrase position, ALL candidate
+    docs' position lists are gathered into one flat array (segmented gather,
+    same style as the posting builders) and encoded as ``doc_idx * 2^40 +
+    position`` keys, so the adjacency check for the whole shard is a chain
+    of sorted-array intersections — no per-candidate Python loop, hot
+    phrases ("the the") included. Position values are bounded by doc length
+    (< 2^40 by construction), so the key encoding is collision-free."""
     empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
     if len(postings) == 0 or len(docs) == 0:
         return empty
@@ -266,31 +274,41 @@ def _phrase_score_shard(
     cand, adm = cand[ok], adm[ok]
 
     bounds = {t: np.concatenate([[0], np.cumsum(decoded[t][1])]) for t in decoded}
-    out: list[tuple[int, float]] = []
-    for local_id, di in zip(cand.tolist(), adm.tolist()):
-        cur = None
-        for j, t in enumerate(q_terms):
-            ids_t, _, pos_t = decoded[t]
-            pi = int(np.searchsorted(ids_t, local_id))
-            seg = pos_t[bounds[t][pi] : bounds[t][pi + 1]]
-            if cur is None:
-                cur = seg
-            else:
-                cur = np.intersect1d(cur + 1, seg, assume_unique=True)
-            if len(cur) == 0:
-                break
-        pf = len(cur) if cur is not None else 0
-        if pf == 0:
-            continue
-        dl = dls[di]
-        score = idf * pf * (K1 + 1.0) / (pf + K1 * (1.0 - B + B * dl / avgdl))
-        out.append((base + local_id, score))
-    out.sort(key=lambda r: (-r[1], r[0]))
-    del out[k:]
+    ncand = len(cand)
+    big = np.int64(1) << 40  # > any position; (doc_idx, pos) -> one int64 key
+
+    def cand_pos_keys(t: str) -> np.ndarray:
+        """All candidates' position lists for term t as sorted
+        ``doc_idx*big + pos`` keys (one segmented gather, no per-doc loop)."""
+        ids_t = decoded[t][0]
+        pos_t = decoded[t][2]
+        pi = np.searchsorted(ids_t, cand)
+        starts = bounds[t][pi].astype(np.int64)
+        lens = (bounds[t][pi + 1] - starts).astype(np.int64)
+        total = int(lens.sum())
+        seg_id = np.repeat(np.arange(ncand, dtype=np.int64), lens)
+        offs = np.repeat(starts - np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        flat = pos_t[offs + np.arange(total)]
+        return seg_id * big + flat
+
+    keys = {t: cand_pos_keys(t) for t in dict.fromkeys(q_terms)}
+    cur = keys[q_terms[0]]
+    for t in q_terms[1:]:
+        # phrase adjacency: a match survives iff its successor position
+        # exists in the next term's postings FOR THE SAME DOC (key arithmetic
+        # keeps doc_idx aligned because pos+1 < big)
+        cur = np.intersect1d(cur + 1, keys[t], assume_unique=True)
+        if len(cur) == 0:
+            return empty
+    pf = np.bincount((cur // big).astype(np.int64), minlength=ncand).astype(np.float64)
+    hit = pf > 0
+    pf, doc_ids, dl = pf[hit], base + cand[hit], dls[adm[hit]]
+    scores = idf * pf * (K1 + 1.0) / (pf + K1 * (1.0 - B + B * dl / avgdl))
+    sel = np.lexsort((doc_ids, -scores))[:k]
     return pd.DataFrame(
         {
-            "doc_id": np.array([d for d, _ in out], dtype=np.int64),
-            "score": np.array([s for _, s in out], dtype=np.float64),
+            "doc_id": doc_ids[sel].astype(np.int64),
+            "score": scores[sel].astype(np.float64),
         }
     )
 
@@ -649,7 +667,10 @@ class IndexSearcher:
     ) -> DataFrame:
         """Batched top-k BM25: score a whole query set in ONE scatter/gather
         job — (query_id, doc_id, score), rank-identical per query to
-        :meth:`search`.
+        :meth:`search`. ``mode`` may be ``"or"``, ``"and"``, or ``"phrase"``
+        (rank-identical to :meth:`search_phrase`; requires a positional
+        index; phrase queries route only to shards holding ALL phrase
+        terms).
 
         This is the serving shape for query *throughput* at scale: per-query
         ``search`` pays one Spark job (task launch dominates the ~ms NumPy
@@ -659,44 +680,77 @@ class IndexSearcher:
         postings read per shard. The gather stays tiny: at most
         n_queries * n_shards * k rows reach the driver heap-merge.
         """
+        import math
+
         spark = self.spark
         out_schema = "query_id string, doc_id long, score double"
-        parsed: dict[str, tuple[dict[str, float], str]] = {}
+        parsed: dict[str, tuple[list[str], str]] = {}
         all_terms: set[str] = set()
         for qid, (query, mode) in queries.items():
             q_terms = tokenize(query)
             if not q_terms:
                 continue
-            weights = {t: float(c) for t, c in Counter(q_terms).items()}
-            parsed[qid] = (weights, mode)
-            all_terms.update(weights)
+            if mode == "phrase" and not self.manifest.get("positions"):
+                raise ValueError(
+                    "index stores freqs only — build with store_positions=True for phrase queries"
+                )
+            parsed[qid] = (q_terms, mode)
+            all_terms.update(q_terms)
         if not parsed:
             return spark.createDataFrame([], out_schema)
         dfreq, term_shards = self._query_meta_terms(sorted(all_terms))
 
-        # per-query spec + shard routing (a query hits only shards holding
-        # at least one of its present terms — same activation rule as search)
+        # per-query spec + shard routing: or/and queries hit shards holding
+        # at least one present term (same activation rule as search); phrase
+        # queries need every term co-present, so they route to the shard
+        # INTERSECTION (same rule as search_phrase)
         specs: dict[str, dict[str, Any]] = {}
         shard_qids: dict[int, list[str]] = {}
-        for qid, (weights, mode) in sorted(parsed.items()):
+        for qid, (q_terms, mode) in sorted(parsed.items()):
+            weights = {t: float(c) for t, c in Counter(q_terms).items()}
             present = sorted(t for t in weights if t in dfreq)
-            if not present or (mode == "and" and len(present) < len(weights)):
+            if not present or (mode in ("and", "phrase") and len(present) < len(weights)):
                 continue
-            shards: set[int] = set()
-            for t in present:
-                shards |= term_shards[t]
-            specs[qid] = {
-                "weights": weights,
-                "dfreq": {t: dfreq[t] for t in present},
-                "present": present,
-                "mode": mode,
-            }
+            if mode == "phrase":
+                shards = set(term_shards[present[0]])
+                for t in present[1:]:
+                    shards &= term_shards[t]
+                if not shards:
+                    continue
+                specs[qid] = {
+                    "mode": mode,
+                    "present": present,
+                    "q_terms": q_terms,
+                    "idf": sum(
+                        math.log1p((self.n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                        for t in q_terms
+                    ),
+                }
+            else:
+                shards = set()
+                for t in present:
+                    shards |= term_shards[t]
+                specs[qid] = {
+                    "weights": weights,
+                    "dfreq": {t: dfreq[t] for t in present},
+                    "present": present,
+                    "mode": mode,
+                }
             for s in shards:
                 shard_qids.setdefault(s, []).append(qid)
         if not specs:
             return spark.createDataFrame([], out_schema)
         shard_terms = {
             s: sorted({t for qid in qids for t in specs[qid]["present"]})
+            for s, qids in shard_qids.items()
+        }
+        # read the positional columns only where a phrase query lands
+        shard_cols = {
+            s: (
+                POST_COLS_POSITIONAL
+                if any(specs[qid]["mode"] == "phrase" for qid in qids)
+                else POST_COLS
+            )
             for s, qids in shard_qids.items()
         }
 
@@ -709,20 +763,36 @@ class IndexSearcher:
             k=k,
             pruned=pruned,
         )
+        avgdl, id_space, n_shards = self.avgdl, self.id_space, self.n_shards
+
         def score_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 for shard in pdf["shard"].tolist():
-                    pt, dt = _read_shard_tables(index_dir, shard, shard_terms[shard], doc_filter)
+                    pt, dt = _read_shard_tables(
+                        index_dir, shard, shard_terms[shard], doc_filter, cols=shard_cols[shard]
+                    )
                     for qid in shard_qids[shard]:
                         spec = specs[qid]
-                        res = _score_shard(
-                            pt[pt["term"].isin(spec["present"])],
-                            dt,
-                            weights=spec["weights"],
-                            dfreq=spec["dfreq"],
-                            mode=spec["mode"],
-                            **base,
-                        )
+                        if spec["mode"] == "phrase":
+                            res = _phrase_score_shard(
+                                pt[pt["term"].isin(spec["present"])],
+                                dt,
+                                q_terms=spec["q_terms"],
+                                idf=spec["idf"],
+                                avgdl=avgdl,
+                                id_space=id_space,
+                                n_shards=n_shards,
+                                k=k,
+                            )
+                        else:
+                            res = _score_shard(
+                                pt[pt["term"].isin(spec["present"])],
+                                dt,
+                                weights=spec["weights"],
+                                dfreq=spec["dfreq"],
+                                mode=spec["mode"],
+                                **base,
+                            )
                         if len(res):
                             res.insert(0, "query_id", qid)
                             yield res

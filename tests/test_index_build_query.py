@@ -359,3 +359,30 @@ def test_build_tolerates_null_text(spark, tmp_path_factory):
     s = IndexSearcher(spark, d)
     got = [(r.doc_id, r.score) for r in s.search("beta", k=10).collect()]
     assert [g[0] for g in got] == [0, 2] or [g[0] for g in got] == [2, 0]
+
+
+def test_search_many_phrase_mode(spark, documents, tmp_path_factory):
+    """Batched search_many with mode='phrase' is rank-identical per query to
+    search_phrase (and or/and entries to search) in the SAME one-job batch;
+    repeated-term and absent phrases included. Non-positional index raises."""
+    d = str(tmp_path_factory.mktemp("mpidx") / "segidx")
+    build_index(spark, documents, d, n_shards=4, store_positions=True)
+    s = IndexSearcher(spark, d)
+    batch = {
+        "p_hot": ("order fast", "phrase"),
+        "p_rep": ("order order", "phrase"),
+        "p_absent": ("zzz nope", "phrase"),
+        "q_or": ("dup batch scan", "or"),
+        "q_and": ("join filter window", "and"),
+    }
+    got = s.search_many(batch, k=10).collect()
+    by_qid: dict[str, list] = {}
+    for r in got:
+        by_qid.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    for qid, (q, mode) in batch.items():
+        if mode == "phrase":
+            exp = [(r.doc_id, r.score) for r in s.search_phrase(q, k=10).collect()]
+        else:
+            exp = [(r.doc_id, r.score) for r in s.search(q, k=10, mode=mode).collect()]
+        assert by_qid.get(qid, []) == exp, qid
+    assert by_qid["p_hot"], "hot phrase must return rows"

@@ -129,3 +129,50 @@ def test_bpe_token_count_matches_python_re(spark, documents):
     assert rows
     for r in rows[:50]:
         assert r.n == len(pat.findall(r.text)), r.doc_id
+
+
+def test_unicode_analyzer_three_engine_parity(spark):
+    """Opt-in unicode analyzer: Spark (Java \\p{L}\\p{N}), DuckDB (RE2
+    \\pL\\pN) and Python ([^\\W_]) must tokenize multilingual text
+    identically — accented Latin, Greek, Cyrillic, CJK, digits (incl.
+    Arabic-Indic), ligatures, titlecase digraphs, combining marks.
+
+    Known divergence, deliberately excluded: U+0130 (İ) — DuckDB's utf8proc
+    lowercases it to a single 'i' while Java/Python produce 'i' + combining
+    dot (U+0307), which splits the token. ES handles this with a dedicated
+    turkish analyzer; same posture here."""
+    import duckdb
+
+    from flume_elasticsearch_2_spark.functions.tokenizer import tokenize, tokens_col
+
+    samples = [
+        "Čaféß ÜBER Ñoño 北京 mixed ASCII 123 naïve déjà-vu résumé",
+        "ΕΛΛΗΝΙΚΆ Кириллица ǅungla ﬁ ligature",
+        "snake_case under_score é combining",
+        "٣٤٥ arabic digits ½ fraction Ⅻ roman",
+        "",
+    ]
+    df = spark.createDataFrame(list(enumerate(samples)), "i int, text string")
+    got_spark = {
+        r.i: r.t
+        for r in df.select("i", tokens_col("text", analyzer="unicode").alias("t")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        py = tokenize(s, analyzer="unicode")
+        duck = con.sql(
+            "SELECT regexp_extract_all(lower(?::VARCHAR), '[\\pL\\pN]+')", params=[s]
+        ).fetchone()[0]
+        assert got_spark[i] == py, (s, got_spark[i], py)
+        assert duck == py, (s, duck, py)
+
+
+def test_ascii_analyzer_unchanged_by_default(spark):
+    """Default analyzer stays byte-identical to round 1: pure-ASCII text
+    tokenizes the same under both analyzers."""
+    from flume_elasticsearch_2_spark.functions.tokenizer import tokenize
+
+    s = "The Quick-Brown fox 123 jumps_over"
+    assert tokenize(s) == tokenize(s, analyzer="unicode") == [
+        "the", "quick", "brown", "fox", "123", "jumps", "over"
+    ]
