@@ -149,18 +149,36 @@ class EncodedPostings(NamedTuple):
     block_first_doc: np.ndarray  # int64[nblocks] first doc id of each block
     block_last_doc: np.ndarray  # int64[nblocks] last doc id of each block
     block_max_tf: np.ndarray  # int32[nblocks] max tf within each block
+    block_min_dl: np.ndarray  # int32[nblocks] min doc length within each block
 
 
-def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> EncodedPostings:
-    """Encode one sorted (doc_ids, tfs) posting list with block metadata."""
+def encode_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray | None = None
+) -> EncodedPostings:
+    """Encode one sorted (doc_ids, tfs) posting list with block metadata.
+
+    ``dls`` (doc length per posting, aligned with ``doc_ids``) enables TRUE
+    block-max bounds: BM25's per-term score is increasing in tf and
+    decreasing in dl, so ``f(block_max_tf, block_min_dl)`` upper-bounds every
+    doc in the block much tighter than the dl->0 bound. Stored as raw
+    (tf, dl) extrema — parameter-free, so the bound stays valid for any
+    (k1, b, avgdl) chosen at query time (Lucene BMW stores impact pairs for
+    the same reason). ``dls=None`` stores 0, which the query side reads as
+    "unknown" and degrades to the dl->0 bound."""
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint32)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint32)
     n = doc_ids.size
     nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
-    bounds = np.minimum(np.arange(1, nblocks + 1) * BLOCK_SIZE, n) - 1
-    firsts = doc_ids[np.arange(nblocks) * BLOCK_SIZE].astype(np.int64)
+    starts = np.arange(nblocks) * BLOCK_SIZE
+    bounds = np.minimum(starts + BLOCK_SIZE, n) - 1
+    firsts = doc_ids[starts].astype(np.int64)
     lasts = doc_ids[bounds].astype(np.int64)
-    max_tf = np.maximum.reduceat(tfs, np.arange(nblocks) * BLOCK_SIZE).astype(np.int32)
+    max_tf = np.maximum.reduceat(tfs, starts).astype(np.int32) if n else np.empty(0, np.int32)
+    if dls is None:
+        min_dl = np.zeros(nblocks, dtype=np.int32)
+    else:
+        dls = np.ascontiguousarray(dls, dtype=np.int64)
+        min_dl = np.minimum.reduceat(dls, starts).astype(np.int32) if n else np.empty(0, np.int32)
     return EncodedPostings(
         n=n,
         doc_bytes=svb_encode(delta_encode(doc_ids)),
@@ -168,6 +186,7 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> EncodedPostings:
         block_first_doc=firsts,
         block_last_doc=lasts,
         block_max_tf=max_tf,
+        block_min_dl=min_dl,
     )
 
 

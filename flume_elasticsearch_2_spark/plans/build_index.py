@@ -69,8 +69,39 @@ from ..functions.tokenizer import tokens_col
 POSTINGS_SCHEMA = (
     "term string, n long, cf long, doc_bytes binary, tf_bytes binary, "
     "block_first_doc array<long>, block_last_doc array<long>, block_max_tf array<int>, "
-    "pos_bytes binary"
+    "block_min_dl array<int>, pos_bytes binary"
 )
+
+
+def _shard_dl_dense(docs_dir: str, shard: int, id_space: int, n_shards: int) -> np.ndarray:
+    """Dense doc-length array (indexed by shard-local id) from the already-
+    written docs table of ONE shard — the encoders read it to compute true
+    block-max metadata (block_min_dl). One pyarrow read per shard per task,
+    amortized across every term group of that shard."""
+    import pyarrow.dataset as pads
+
+    base = shard_start(shard, id_space, n_shards)
+    span = shard_start(shard + 1, id_space, n_shards) - base
+    tbl = pads.dataset(f"{docs_dir}/shard={shard}", format="parquet").to_table(
+        columns=["doc_id", "dl"]
+    )
+    dense = np.zeros(span, dtype=np.int64)
+    dense[tbl["doc_id"].to_numpy() - base] = tbl["dl"].to_numpy()
+    return dense
+
+
+def _check_shard_span(id_space: int, n_shards: int) -> None:
+    """Shard-local ids are stored uint32: the encoders compute
+    ``doc_id - shard_start`` whose span is ``ceil(id_space / n_shards)`` —
+    NOT ``n_docs`` (a sparse or caller-pinned id space can dwarf the doc
+    count). Wrapping would silently corrupt postings, so fail loudly and
+    say how many shards the id space needs."""
+    max_span = -(-id_space // n_shards)
+    if max_span >= 1 << 32:
+        raise ValueError(
+            f"shard-local id span {max_span} exceeds uint32: id_space={id_space} "
+            f"needs n_shards >= {-(-id_space // ((1 << 32) - 1))}"
+        )
 
 
 def term_frequencies(
@@ -119,7 +150,9 @@ def shard_start(shard: int, id_space: int, n_shards: int) -> int:
     return -(-shard * id_space // n_shards)
 
 
-def _make_encode_partition(id_space: int, n_shards: int, occurrences: bool = False):
+def _make_encode_partition(
+    id_space: int, n_shards: int, occurrences: bool = False, docs_dir: str | None = None
+):
     """mapInPandas body factory: partition is hash-partitioned by
     (shard, term) and sorted by (shard, term, doc_id); encode each group's
     postings. Doc ids are stored SHARD-LOCAL (minus shard_start) so the
@@ -135,6 +168,15 @@ def _make_encode_partition(id_space: int, n_shards: int, occurrences: bool = Fal
     Single pass, no per-group Spark overhead; carries incomplete trailing
     groups across Arrow batches so group boundaries never split.
     """
+
+    dl_cache: dict[int, np.ndarray] = {}
+
+    def _shard_dls(shard: int) -> np.ndarray | None:
+        if docs_dir is None:
+            return None
+        if shard not in dl_cache:
+            dl_cache[shard] = _shard_dl_dense(docs_dir, shard, id_space, n_shards)
+        return dl_cache[shard]
 
     def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
         terms = pdf["term"].to_numpy()
@@ -158,7 +200,10 @@ def _make_encode_partition(id_space: int, n_shards: int, occurrences: bool = Fal
             else:
                 fs = tfs[s:e].astype(np.uint32)
             local = (ids - base).astype(np.uint32)
-            enc = encode_postings(local, fs)
+            dl_dense = _shard_dls(shard)
+            enc = encode_postings(
+                local, fs, None if dl_dense is None else dl_dense[local]
+            )
             rows.append(
                 {
                     "term": key,
@@ -169,6 +214,7 @@ def _make_encode_partition(id_space: int, n_shards: int, occurrences: bool = Fal
                     "block_first_doc": (enc.block_first_doc + base).tolist(),
                     "block_last_doc": (enc.block_last_doc + base).tolist(),
                     "block_max_tf": enc.block_max_tf.tolist(),
+                    "block_min_dl": enc.block_min_dl.tolist(),
                     "pos_bytes": b"",  # tf/occurrence path stores freqs only
                 }
             )
@@ -313,12 +359,21 @@ def _make_partial_builder(
     return build
 
 
-def _make_run_merge_encoder(id_space: int, n_shards: int):
+def _make_run_merge_encoder(id_space: int, n_shards: int, docs_dir: str | None = None):
     """mapInPandas body: input hash-partitioned by (shard, term) and sorted
     by (shard, term, run_min); key column is 'shard\\x00term'. Merges each
     group's runs (ordered concat; stable argsort fallback if ranges ever
     interleave) and block-encodes. Carries the trailing group across Arrow
     batches like the occurrence encoder."""
+
+    dl_cache: dict[int, np.ndarray] = {}
+
+    def _shard_dls(shard: int) -> np.ndarray | None:
+        if docs_dir is None:
+            return None
+        if shard not in dl_cache:
+            dl_cache[shard] = _shard_dl_dense(docs_dir, shard, id_space, n_shards)
+        return dl_cache[shard]
 
     def _merge_groups(pdf: pd.DataFrame) -> pd.DataFrame:
         keys = pdf["term"].to_numpy()
@@ -350,7 +405,10 @@ def _make_run_merge_encoder(id_space: int, n_shards: int):
                         [poscat[bounds[i] : bounds[i + 1]] for i in o]
                     )
                 ids, fs = ids[o], fs[o]
-            enc = encode_postings(ids, fs)
+            dl_dense = _shard_dls(shard)
+            enc = encode_postings(
+                ids, fs, None if dl_dense is None else dl_dense[ids]
+            )
             rows.append(
                 {
                     "term": key,
@@ -361,6 +419,7 @@ def _make_run_merge_encoder(id_space: int, n_shards: int):
                     "block_first_doc": (enc.block_first_doc + base).tolist(),
                     "block_last_doc": (enc.block_last_doc + base).tolist(),
                     "block_max_tf": enc.block_max_tf.tolist(),
+                    "block_min_dl": enc.block_min_dl.tolist(),
                     "pos_bytes": encode_positions(poscat, fs) if has_pos else b"",
                 }
             )
@@ -420,6 +479,7 @@ def build_segments_partial(
     # (shard, term) without re-sharding (plans/merge.py, Lucene I5 analog)
     if id_space is None:
         id_space = int(docs.agg(F.max(F.col(id_col))).collect()[0][0]) + 1
+    _check_shard_span(id_space, n_shards)
 
     partials = (
         docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text"))
@@ -466,7 +526,7 @@ def build_segments_partial(
         .sortWithinPartitions("shard", "term", "run_min")
         .withColumn("term", F.concat_ws("\x00", F.col("shard").cast("string"), F.col("term")))
         .select("term", "run_min", "ids", "tfs", "pos")
-        .mapInPandas(_make_run_merge_encoder(id_space, n_shards), POSTINGS_SCHEMA)
+        .mapInPandas(_make_run_merge_encoder(id_space, n_shards, docs_dir=f"{tmp}/docs"), POSTINGS_SCHEMA)
         .withColumn("split", F.split("term", "\x00", 2))
         .select(
             F.element_at("split", 1).cast("int").alias("shard"),
@@ -478,6 +538,7 @@ def build_segments_partial(
             "block_first_doc",
             "block_last_doc",
             "block_max_tf",
+            "block_min_dl",
             "pos_bytes",
         )
     )
@@ -568,6 +629,7 @@ def build_segments(
     ).collect()[0]
     n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"])
     id_space = int(stats_row["max_doc_id"]) + 1
+    _check_shard_span(id_space, n_shards)
     # exact integer floor division: the float form loses precision once
     # doc_id * n_shards exceeds 2^53, which would disagree with shard_start's
     # integer math at the 10^12-doc id-space target (wrapped uint32 locals)
@@ -592,7 +654,10 @@ def build_segments(
         .sortWithinPartitions("shard", "term", "doc_id")
         .withColumn("term", F.concat_ws("\x00", F.col("shard").cast("string"), F.col("term")))
         .select(*cols)
-        .mapInPandas(_make_encode_partition(id_space, n_shards, occurrences), POSTINGS_SCHEMA)
+        .mapInPandas(
+            _make_encode_partition(id_space, n_shards, occurrences, docs_dir=f"{tmp}/docs"),
+            POSTINGS_SCHEMA,
+        )
         .withColumn("split", F.split("term", "\x00", 2))
         .select(
             F.element_at("split", 1).cast("int").alias("shard"),
@@ -604,6 +669,7 @@ def build_segments(
             "block_first_doc",
             "block_last_doc",
             "block_max_tf",
+            "block_min_dl",
             "pos_bytes",
         )
     )

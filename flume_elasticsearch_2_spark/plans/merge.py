@@ -120,6 +120,7 @@ def merge_indexes(
     index_dirs: list[str],
     out_dir: str,
     dedup_key: str | None = None,
+    max_tombstones: int = 10_000_000,
 ) -> dict[str, Any]:
     """Merge committed index generations into one index at ``out_dir``.
 
@@ -136,7 +137,11 @@ def merge_indexes(
     array inside the task closure (8 B/id) — right for the expected regime
     where overwrites are a small fraction of the corpus. If a workload ever
     tombstones a large fraction, replace the closure array with a per-shard
-    anti-join on the runs; the decode kernel is the only touch point."""
+    anti-join on the runs; the decode kernel is the only touch point.
+    ``max_tombstones`` enforces that assumption: the set is COUNTED before
+    it is ever collected, and a re-crawl-heavy merge that exceeds the cap
+    fails loudly (instead of exhausting driver memory) with the anti-join
+    route named in the error."""
     t0 = time.time()
     manifests = []
     for d in index_dirs:
@@ -151,6 +156,9 @@ def merge_indexes(
             "pin id_space at build time (build_index(..., id_space=...))"
         )
     n_shards_v, id_space = n_shards.pop(), id_spaces.pop()
+    from .build_index import _check_shard_span
+
+    _check_shard_span(id_space, n_shards_v)
 
     tmp = out_dir + ".tmp"
     if os.path.exists(tmp):
@@ -180,6 +188,15 @@ def merge_indexes(
             "_rn",
             F.when(F.col(dedup_key).isNull(), F.lit(1)).otherwise(F.row_number().over(w)),
         ).persist()
+        n_dead = docs.where(F.col("_rn") > 1).count()
+        if n_dead > max_tombstones:
+            raise ValueError(
+                f"{n_dead} tombstoned docs exceed max_tombstones={max_tombstones}: "
+                "the closure-array tombstone path assumes overwrites are a small "
+                "fraction of the corpus; for re-crawl-heavy merges switch the "
+                "decode stage to a per-shard anti-join on the runs (see docstring) "
+                "or raise max_tombstones explicitly"
+            )
         dead_rows = docs.where(F.col("_rn") > 1).select("doc_id").collect()
         dead_ids = np.sort(np.array([r["doc_id"] for r in dead_rows], dtype=np.int64))
         docs_keep = docs.where(F.col("_rn") == 1).drop("_rn", "_gen")
@@ -214,7 +231,10 @@ def merge_indexes(
         .sortWithinPartitions("shard", "term", "run_min")
         .withColumn("term", F.concat_ws("\x00", F.col("shard").cast("string"), F.col("term")))
         .select("term", "run_min", "ids", "tfs", "pos")
-        .mapInPandas(_make_run_merge_encoder(id_space, n_shards_v), POSTINGS_SCHEMA)
+        .mapInPandas(
+            _make_run_merge_encoder(id_space, n_shards_v, docs_dir=f"{tmp}/docs"),
+            POSTINGS_SCHEMA,
+        )
         .withColumn("split", F.split("term", "\x00", 2))
         .select(
             F.element_at("split", 1).cast("int").alias("shard"),
@@ -226,6 +246,7 @@ def merge_indexes(
             "block_first_doc",
             "block_last_doc",
             "block_max_tf",
+            "block_min_dl",
             "pos_bytes",
         )
     )

@@ -66,8 +66,11 @@ def _score_shard(
     k: int,
     mode: str,
     pruned: bool,
+    counters: dict | None = None,
 ) -> pd.DataFrame:
-    """Score one shard; returns up to k (doc_id, score) rows."""
+    """Score one shard; returns up to k (doc_id, score) rows. ``counters``
+    (optional dict) accumulates ``blocks_decoded`` — BMW effectiveness
+    instrumentation for tests/bench."""
     if len(postings) == 0 or len(docs) == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
     shard = int(postings["shard"].iloc[0])
@@ -92,8 +95,19 @@ def _score_shard(
         idf = float(np.log1p((n_docs - df_t + 0.5) / (df_t + 0.5)))
         w = weights[t] * idf * (K1 + 1.0)
         bmax_tf = np.asarray(row.block_max_tf, dtype=np.float64)
-        # upper bound: most favorable dl -> 0 => denom tf + k1*(1-b)
-        ub = weights[t] * idf * bmax_tf * (K1 + 1.0) / (bmax_tf + K1 * (1.0 - B))
+        # TRUE block-max bound: per-block (max tf, min dl) extrema from
+        # encode time — score is increasing in tf, decreasing in dl, so
+        # f(max_tf, min_dl) bounds every doc in the block. min_dl=0 means
+        # "unknown" (pre-block_min_dl index) and degrades to the dl->0 bound.
+        bmin_dl = (
+            np.asarray(row.block_min_dl, dtype=np.float64)
+            if getattr(row, "block_min_dl", None) is not None
+            else np.zeros_like(bmax_tf)
+        )
+        ub = (
+            weights[t] * idf * bmax_tf * (K1 + 1.0)
+            / (bmax_tf + K1 * (1.0 - B + B * bmin_dl / avgdl))
+        )
         terms.append(
             {
                 "w": w,
@@ -118,6 +132,8 @@ def _score_shard(
         got = t["cache"].get(bi)
         if got is not None:
             return got
+        if counters is not None:
+            counters["blocks_decoded"] = counters.get("blocks_decoded", 0) + 1
         if t["doc_lens"] is None:
             t["doc_lens"] = svb_lens(t["doc_bytes"], t["n"])
             t["tf_lens"] = svb_lens(t["tf_bytes"], t["n"])
@@ -212,7 +228,7 @@ def _score_shard(
 
 POST_COLS = [
     "term", "n", "doc_bytes", "tf_bytes",
-    "block_first_doc", "block_last_doc", "block_max_tf",
+    "block_first_doc", "block_last_doc", "block_max_tf", "block_min_dl",
 ]
 POST_COLS_POSITIONAL = POST_COLS + ["pos_bytes"]
 

@@ -32,15 +32,21 @@ def dedup_stream_first_wins(
     out_cols: tuple[str, ...] = ("url", "warc_ts", "lang"),
     state_timeout: str = "NoTimeout",
     ttl_ms: int | None = None,
+    order_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """First occurrence of each key passes; replays/duplicates in the same
     or ANY LATER micro-batch are dropped.
 
     ``events`` must be a streaming DataFrame. Output columns = ``out_cols``
     (all must exist on the input). Within a micro-batch the shuffle does not
-    preserve input order, so the admitted row is the MINIMUM of the key's
-    rows under ``out_cols`` sort order (put an event-time column first after
-    the key to make "first" mean earliest) — deterministic across reruns.
+    preserve input order, so "first" must be DEFINED, not inherited:
+    ``order_cols`` names the event-time/arrival ordering (the admitted row
+    is the minimum under it, ties broken by the remaining out_cols for
+    determinism across reruns). When omitted, the fallback is ``out_cols``
+    sort order — only equivalent to earliest-arrival if an event-time column
+    directly follows the key — and a warning is emitted so the divergence
+    from the reference's queue-order "first" (ElasticsearchSink.java:62
+    takes events in channel order) can't pass silently.
 
     Bounded state: pass ``state_timeout='ProcessingTimeTimeout'`` with
     ``ttl_ms`` = the redelivery horizon (the reference's channel retained
@@ -53,6 +59,21 @@ def dedup_stream_first_wins(
     out_schema = ", ".join(f"{c} {_spark_type(events, c)}" for c in out_cols)
     state_schema = "seen boolean"
     cols = list(out_cols)
+    if order_cols is None:
+        import warnings
+
+        warnings.warn(
+            "dedup_stream_first_wins: no order_cols given — the admitted row is "
+            f"the minimum under out_cols order {cols}; pass order_cols=(<event-"
+            "time col>,) to make 'first' mean earliest",
+            stacklevel=2,
+        )
+        sort_cols = cols
+    else:
+        missing = [c for c in order_cols if c not in cols]
+        if missing:
+            raise ValueError(f"order_cols {missing} not in out_cols {cols}")
+        sort_cols = list(order_cols) + [c for c in cols if c not in order_cols]
     with_ttl = state_timeout == "ProcessingTimeTimeout" and ttl_ms is not None
 
     def admit(
@@ -74,7 +95,7 @@ def dedup_stream_first_wins(
             state.setTimeoutDuration(ttl_ms)
         if chunks:
             allr = pd.concat(chunks, ignore_index=True)
-            yield allr.sort_values(cols, kind="mergesort").iloc[[0]]
+            yield allr.sort_values(sort_cols, kind="mergesort").iloc[[0]][cols]
 
     timeout = getattr(GroupStateTimeout, state_timeout)
     return events.groupBy(key_col).applyInPandasWithState(

@@ -386,3 +386,49 @@ def test_search_many_phrase_mode(spark, documents, tmp_path_factory):
             exp = [(r.doc_id, r.score) for r in s.search(q, k=10, mode=mode).collect()]
         assert by_qid.get(qid, []) == exp, qid
     assert by_qid["p_hot"], "hot phrase must return rows"
+
+
+def test_true_block_max_decodes_fewer_blocks(spark, tmp_path_factory):
+    """True block-max metadata (block_min_dl from encode time): on a long
+    posting list with widely varying doc lengths, the (max_tf, min_dl) bound
+    lets BMW skip high-dl blocks entirely, while the dl->0 bound (simulated
+    by zeroing block_min_dl) must decode every block. Results identical."""
+    import numpy as np
+
+    from flume_elasticsearch_2_spark.plans.query_index import (
+        _read_shard_tables,
+        _score_shard,
+    )
+
+    n = 1500
+    rows = [(i, "hot" + " pad" * (3 + i // 4)) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path_factory.mktemp("bmw") / "idx")
+    build_index(spark, df, d, n_shards=1)
+    s = IndexSearcher(spark, d)
+    kwargs = dict(
+        weights={"hot": 1.0},
+        dfreq=s.term_stats(["hot"]),
+        n_docs=s.n_docs,
+        avgdl=s.avgdl,
+        id_space=s.id_space,
+        n_shards=s.n_shards,
+        k=10,
+        mode="or",
+        pruned=True,
+    )
+    pt, dt = _read_shard_tables(d, 0, ["hot"])
+    assert len(pt) == 1 and int(pt["n"].iloc[0]) == n  # ~12 blocks of 128
+    tight_c, loose_c = {}, {}
+    tight = _score_shard(pt, dt, **kwargs, counters=tight_c)
+    pt_loose = pt.copy()
+    pt_loose["block_min_dl"] = pt_loose["block_min_dl"].apply(
+        lambda a: np.zeros(len(a), dtype=np.int32)
+    )
+    loose = _score_shard(pt_loose, dt, **kwargs, counters=loose_c)
+    assert tight.values.tolist() == loose.values.tolist()
+    # top-10 = the 10 shortest docs (ids 0..9), all in block 0
+    assert tight["doc_id"].tolist() == list(range(10))
+    nblocks = (n + 127) // 128
+    assert loose_c["blocks_decoded"] == nblocks
+    assert tight_c["blocks_decoded"] < nblocks // 2, (tight_c, loose_c)

@@ -102,3 +102,56 @@ def test_dropped_lines_counted_once_per_file(spark, tmp_path):
     assert total == 4  # 2 junk lines in a.trs + 2 in b.trs, counted once
     assert sum(1 for r in out if r.rec_idx == -1) == 1  # b.trs sentinel
     assert sum(1 for r in out if r.rec_idx >= 0) == 2
+
+
+def test_chunked_reader_matches_wholetext(spark, tmp_path):
+    """Byte-range splits must parse IDENTICALLY to the wholetext path even
+    when chunk boundaries land mid-record, mid-field-line, or inside a
+    multi-byte UTF-8 char — records heal across splits via the ownership
+    rule, dropped-line totals agree, and rec_idx stays monotone in file
+    order."""
+    from flume_elasticsearch_2_spark.sources.trs import read_trs_chunked
+
+    d = tmp_path / "trs"
+    d.mkdir()
+    # many records with unicode + garbage + CRLF + blank lines + no final REC
+    body = []
+    for i in range(60):
+        body.append("<REC>")
+        body.append(f"<IR_SID>=doc{i}")
+        body.append(f"<TITLE>=çĕ東 multi-byte {i} ✓")
+        if i % 7 == 0:
+            body.append("garbage line no pattern")
+        if i % 5 == 0:
+            body.append("")
+        body.append(f"<BODY>=text body {i} with some padding to cross chunks")
+    (d / "a.trs").write_text("\n".join(body) + "\n", encoding="utf-8")
+    (d / "b.trs").write_bytes(
+        "<REC>\r\n<IR_SID>=crlf1\r\n<T>=v\r\n".encode("utf-8")
+    )
+    (d / "_SUCCESS").write_bytes(b"")  # zero-length skip
+
+    whole = read_trs(spark, str(d / "*")).collect()
+    for chunk in (48, 97, 1 << 20):  # mid-line, mid-record, single-chunk
+        chunked = read_trs_chunked(spark, str(d), chunk_bytes=chunk).collect()
+        # same records in the same per-file order, same fields
+        w = sorted(
+            ((r.file.split("/")[-1], r.rec_idx, tuple(sorted(r.fields.items()))) for r in whole if r.rec_idx >= 0),
+        )
+        c = sorted(
+            ((r.file.split("/")[-1], r.rec_idx, tuple(sorted(r.fields.items()))) for r in chunked if r.rec_idx >= 0),
+        )
+        assert [x[0] for x in w] == [x[0] for x in c]
+        assert [x[2] for x in w] == [x[2] for x in c], f"chunk={chunk}"
+        # rec_idx monotone within each file on the chunked path
+        from collections import defaultdict
+
+        by_file = defaultdict(list)
+        for f, idx, _ in c:
+            by_file[f].append(idx)
+        for idxs in by_file.values():
+            assert idxs == sorted(idxs)
+        # dropped-line totals identical
+        assert sum(r.dropped_lines for r in chunked) == sum(
+            r.dropped_lines for r in whole
+        ), f"chunk={chunk}"
