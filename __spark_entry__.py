@@ -376,6 +376,22 @@ def _cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(emb, q, k=10, n_centroids=8, nprobe=8)
 
 
+def _lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB dedup pipeline COMPOSED: MinHash-LSH candidate pairs drive
+    the exact n-gram Jaccard verify — the candidate set replaces the shingle
+    self-join entirely (operators/dedup.py), so a hot shingle costs O(df)
+    not O(df^2). md5 hash family -> the whole two-stage pipeline is
+    oracle-exact in DuckDB."""
+    from flume_elasticsearch_2_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cand = minhash_lsh_pairs(docs, num_hashes=32, bands=8, hash_fn="md5")
+    return ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.05, candidates=cand)
+
+
 def _cosine_topk_lsh_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH with probe_hamming = n_planes probes every bucket in
     every table — provably exhaustive, so the brute-force cosine SQL IS its
@@ -484,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id_docs"] = _lang_id_docs
     q["classify_docs"] = _classify_docs
     q["ngram_jaccard"] = _ngram_jaccard
+    q["lsh_jaccard_verify"] = _lsh_jaccard_verify  # LSH candidates -> exact verify, full oracle
     q["cosine_topk"] = _cosine_topk
     q["embedding_near_dup"] = _embedding_near_dup
     q["json_serialize"] = _json_serialize
@@ -688,6 +705,12 @@ FROM d ORDER BY dot / (na * nb) DESC, id ASC LIMIT 10
     )
 
     o["minhash_candidates"] = minhash_lsh_pairs_sql(num_hashes=32, bands=8)
+    o["lsh_jaccard_verify"] = f"""
+WITH cand AS ({minhash_lsh_pairs_sql(num_hashes=32, bands=8)}),
+j AS ({o["ngram_jaccard"]})
+SELECT j.id_a, j.id_b, j.jaccard FROM j
+WHERE EXISTS (SELECT 1 FROM cand WHERE cand.id_a = j.id_a AND cand.id_b = j.id_b)
+"""
     o["simhash_pairs"] = simhash_pairs_sql(max_hamming=3, bits=60)
     o["embedding_near_dup"] = """
 WITH d AS (

@@ -117,6 +117,12 @@ def main() -> None:
     t0 = time.time()
     ngram_jaccard_pairs(docs, threshold=0.05).count()
     timings["ngram_jaccard"] = time.time() - t0
+    # composed scale path: LSH candidates DRIVE the exact verify (no shingle
+    # self-join in the plan) — the shape a 100 TB dedup actually runs
+    t0 = time.time()
+    cand = minhash_lsh_pairs(docs, num_hashes=32, bands=8)
+    ngram_jaccard_pairs(docs, threshold=0.05, candidates=cand).count()
+    timings["lsh_jaccard_verify"] = time.time() - t0
 
     # 5. similarity
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")

@@ -114,3 +114,42 @@ def test_read_webpages_parquet_and_iceberg_gate(spark, tmp_path):
     assert [f.name for f in df.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
     with pytest.raises(NotImplementedError):
         read_webpages(spark, "iceberg:cat.db.webpages")
+
+
+def test_metrics_viz_renders(spark, tmp_path):
+    """M3: the same-shaped metrics.json renders to a standalone HTML flow
+    diagram — direct labels on every band (identity never color-alone), raw
+    counters repeated as a table."""
+    from flume_elasticsearch_2_spark.plans.metrics_viz import (
+        render_metrics_file,
+        render_metrics_html,
+    )
+    from flume_elasticsearch_2_spark.plans.pipeline import index_webpages
+    from flume_elasticsearch_2_spark.sources.webpages import generate_webpages
+
+    pages = generate_webpages(spark, 200, n_partitions=2)
+    mpath = str(tmp_path / "metrics.json")
+    manifest = index_webpages(
+        spark, pages, str(tmp_path / "idx"), n_shards=4, metrics_path=mpath
+    )
+    out = render_metrics_file(mpath, str(tmp_path / "metrics.html"))
+    htm = open(out).read()
+    m = manifest["metrics"]
+    src = m["SOURCE.webpages"]
+    assert "<svg" in htm and "</table>" in htm
+    # node + band labels present with counts
+    assert "SOURCE.webpages" in htm and "SINK.segments" in htm
+    assert f"accepted: {src['EventAcceptedCount']:,}" in htm
+    assert src["DedupDroppedCount"] > 0  # fixture injects dups
+    assert f"dedup dropped: {src['DedupDroppedCount']:,}" in htm
+    # every counter appears in the table view
+    for grp in m.values():
+        for k in grp:
+            assert k in htm
+    # zero-drop metrics render without a drop band
+    htm2 = render_metrics_html(
+        {"SOURCE.s": {"EventReceivedCount": 5, "EventAcceptedCount": 5},
+         "CHANNEL.c": {"EventTakeSuccessCount": 5},
+         "SINK.k": {"EventDrainSuccessCount": 5}}
+    )
+    assert "dedup dropped" not in htm2
