@@ -225,7 +225,15 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(F.broadcast(hot), "s", "left_anti")
     if candidates is not None:
+        from pyspark import StorageLevel
+
         cand = candidates.select("id_a", "id_b")
+        # the candidate plan (typically a full MinHash-LSH subtree) is
+        # referenced three times below (two id-projection branches + the
+        # pair join); without materialization Spark re-executes it each
+        # time. Skip if the caller already persisted/checkpointed it.
+        if candidates.storageLevel == StorageLevel.NONE:
+            cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
         ids = (
             cand.select(F.col("id_a").alias("id"))
             .union(cand.select(F.col("id_b").alias("id")))
@@ -235,6 +243,11 @@ def ngram_jaccard_pairs(
         # space from the candidate list itself — no shingle self-join exists
         # in this plan, so a hot shingle costs O(df), not O(df^2)
         sh = sh.join(ids, "id", "left_semi")
+        # one corpus tokenize+shingle pass instead of three: sizes and both
+        # join sides below all reference this subtree, and the post-prune
+        # table is proportional to the CANDIDATE docs (small by
+        # construction), so materializing it is cheap at any corpus size
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
         inter = (
             cand.join(sh.alias("a"), F.col("id_a") == F.col("a.id"))
             .join(
