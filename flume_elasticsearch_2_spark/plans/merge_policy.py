@@ -1,0 +1,106 @@
+"""Tiered merge scheduling (SURVEY.md §2.4 I5): WHICH generations to merge.
+
+``plans/merge.py`` gives the mechanism (k-way generation merge with
+tombstones); this module gives the policy — a Lucene-4.7
+TieredMergePolicy-style selector (the policy the reference's ES deployment
+ran under the hood at its delegation site,
+/root/reference/elasticsearch-sink/.../ElasticsearchSink.java:66) so a
+continuously-ingesting pipeline keeps a bounded generation count without
+merging everything after every micro-batch:
+
+* generations are bucketed into TIERS by size: tier = floor(log_B(docs /
+  floor_docs)), i.e. each tier spans a B-fold size range;
+* a tier holding more than ``segs_per_tier`` generations triggers ONE merge
+  of its ``max_merge_at_once`` smallest members (merging small generations
+  first maximizes write-amortization, exactly Lucene's preference);
+* merged output lands in a higher tier, so total write amplification is
+  O(log_B(corpus / floor)) per doc — the Lucene/LSM argument.
+
+Pure functions + a thin driver loop over ``merge_indexes``; policy decisions
+are unit-tested without Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from .merge import merge_indexes
+
+
+def generation_sizes(gen_dirs: list[str]) -> dict[str, int]:
+    """doc count per generation directory (from each committed manifest)."""
+    out = {}
+    for d in gen_dirs:
+        with open(os.path.join(d, "manifest.json")) as fh:
+            out[d] = int(json.load(fh)["n_docs"])
+    return out
+
+
+def plan_merges(
+    gen_docs: dict[str, int],
+    segs_per_tier: int = 10,
+    max_merge_at_once: int = 10,
+    floor_docs: int = 1000,
+    tier_base: float = 10.0,
+) -> list[list[str]]:
+    """One round of merge selection: list of merge groups (each a list of
+    generation dirs, smallest-first within its tier). Deterministic: ties
+    broken by name. Empty list = nothing to do (the steady state)."""
+    tiers: dict[int, list[tuple[int, str]]] = {}
+    for name, n in gen_docs.items():
+        t = 0 if n <= floor_docs else int(math.floor(math.log(n / floor_docs, tier_base))) + 1
+        tiers.setdefault(t, []).append((n, name))
+    plans: list[list[str]] = []
+    for t in sorted(tiers):
+        members = sorted(tiers[t])  # by (docs, name): smallest first
+        if len(members) > segs_per_tier:
+            group = [name for _, name in members[:max_merge_at_once]]
+            if len(group) >= 2:
+                plans.append(group)
+    return plans
+
+
+def auto_merge(
+    spark: SparkSession,
+    gen_dirs: list[str],
+    out_root: str,
+    dedup_key: str | None = None,
+    segs_per_tier: int = 10,
+    max_merge_at_once: int = 10,
+    floor_docs: int = 1000,
+    tier_base: float = 10.0,
+    max_rounds: int = 32,
+) -> list[str]:
+    """Apply :func:`plan_merges` repeatedly until no tier overflows.
+
+    Returns the surviving generation list (merged outputs replace their
+    inputs; input generation dirs are left on disk for the caller to GC
+    after queries drain — the Lucene commit-point contract). Merged outputs
+    are written under ``out_root/merged_NNNN``.
+
+    Generations must be ordered OLDEST FIRST when ``dedup_key`` is used —
+    group members keep that order so newest-wins stays correct."""
+    order = {d: i for i, d in enumerate(gen_dirs)}
+    live = list(gen_dirs)
+    counter = 0
+    for _ in range(max_rounds):
+        plans = plan_merges(
+            generation_sizes(live), segs_per_tier, max_merge_at_once, floor_docs, tier_base
+        )
+        if not plans:
+            return live
+        for group in plans:
+            group_in_order = sorted(group, key=lambda d: order[d])
+            out_dir = os.path.join(out_root, f"merged_{counter:04d}")
+            counter += 1
+            merge_indexes(spark, group_in_order, out_dir, dedup_key=dedup_key)
+            # the merged output inherits the NEWEST member's recency
+            order[out_dir] = max(order[d] for d in group)
+            live = [d for d in live if d not in group] + [out_dir]
+            live.sort(key=lambda d: order[d])
+    raise RuntimeError(f"auto_merge did not converge in {max_rounds} rounds")

@@ -160,3 +160,55 @@ def test_null_keys_never_tombstoned(spark, documents, tmp_path_factory):
     manifest = merge_indexes(spark, [g1, g2], merged, dedup_key="url")
     assert manifest["tombstoned_docs"] == 0
     assert manifest["n_docs"] == documents.count()
+
+
+def test_merge_policy_tier_selection():
+    """Pure policy: overflowing tiers merge their smallest members first;
+    balanced tiers are left alone; deterministic ordering."""
+    from flume_elasticsearch_2_spark.plans.merge_policy import plan_merges
+
+    # 12 tiny generations (tier 0) + 2 big ones: only tier 0 overflows
+    gens = {f"g{i:02d}": 100 + i for i in range(12)}
+    gens["big_a"] = 50_000
+    gens["big_b"] = 80_000
+    plans = plan_merges(gens, segs_per_tier=10, max_merge_at_once=10, floor_docs=1000)
+    assert len(plans) == 1
+    assert plans[0] == [f"g{i:02d}" for i in range(10)]  # 10 smallest of tier 0
+    # steady state: nothing to merge
+    assert plan_merges({"a": 100, "b": 200, "big": 50_000}, segs_per_tier=10) == []
+    # write amplification shape: merging the group lands in a higher tier
+    merged = {"m": sum(gens[f"g{i:02d}"] for i in range(10)), "g10": 110, "g11": 111,
+              "big_a": 50_000, "big_b": 80_000}
+    assert plan_merges(merged, segs_per_tier=10) == []
+
+
+def test_auto_merge_end_to_end(spark, documents, tmp_path_factory):
+    """auto_merge collapses an overflowing tier of real generations and the
+    merged index answers queries identically to a single-shot build."""
+    from flume_elasticsearch_2_spark.plans.build_index import build_segments_partial
+    from flume_elasticsearch_2_spark.plans.merge_policy import auto_merge
+    from flume_elasticsearch_2_spark.plans.query_index import IndexSearcher
+
+    from pyspark.sql import functions as F
+
+    root = tmp_path_factory.mktemp("amerge")
+    id_space = documents.agg({"doc_id": "max"}).collect()[0][0] + 1
+    # 4 quarter-corpus generations, segs_per_tier=3 -> one merge round
+    gens = []
+    for i in range(4):
+        part = documents.where(F.col("doc_id") % 4 == i)
+        d = str(root / f"gen{i}")
+        build_segments_partial(spark, part, d, 4, id_space=id_space)
+        gens.append(d)
+    live = auto_merge(
+        spark, gens, str(root / "out"), segs_per_tier=3, max_merge_at_once=4,
+        floor_docs=10_000,
+    )
+    assert len(live) == 1 and "merged_" in live[0]
+    single = str(root / "single")
+    build_segments_partial(spark, documents, single, 4, id_space=id_space)
+    sm, ss = IndexSearcher(spark, live[0]), IndexSearcher(spark, single)
+    for q in ["dup batch scan", "order fast"]:
+        got = [(r.doc_id, r.score) for r in sm.search(q, k=10).collect()]
+        want = [(r.doc_id, r.score) for r in ss.search(q, k=10).collect()]
+        assert got == want and want, q
