@@ -468,6 +468,36 @@ def _bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES minimum_should_match on the declarative path: OR query, but a doc
+    qualifies only with >= 2 distinct matched terms."""
+    return bm25_topk(_docs(spark, sf_dir), "dup batch scan small", k=10, min_should_match=2)
+
+
+def _bm25_segment_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match on the SERVING path (distinct-term match count
+    filtered inside the per-shard DAAT kernel; segments with fewer than msm
+    active terms pruned before decode)."""
+    return _segment_searcher(spark, sf_dir).search(
+        "dup batch scan small", k=10, min_should_match=2
+    )
+
+
+_BOOSTS = {"dup": 0.2, "scan": 3.0}  # demote the rare term, promote a hot one
+
+
+def _bm25_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES per-term boosts (term^boost) on the declarative path: boost
+    multiplies the query-side weight, reordering results materially."""
+    return bm25_topk(_docs(spark, sf_dir), "dup batch scan", k=10, boosts=_BOOSTS)
+
+
+def _bm25_segment_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term boosts on the SERVING path (weights scaled before the DAAT
+    kernel; block-max bounds scale with them, so pruning stays admissible)."""
+    return _segment_searcher(spark, sf_dir).search("dup batch scan", k=10, boosts=_BOOSTS)
+
+
 def _bm25_query_k(q: str, mode: str, k: int):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return bm25_topk(_docs(spark, sf_dir), q, k=k, mode=mode)
@@ -486,6 +516,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_segment_phrase"] = _bm25_segment_phrase
     q["bm25_stopwords"] = _bm25_stopwords
     q["bm25_unicode"] = _bm25_unicode
+    q["bm25_msm"] = _bm25_msm
+    q["bm25_segment_msm"] = _bm25_segment_msm
+    q["bm25_boosted"] = _bm25_boosted
+    q["bm25_segment_boosted"] = _bm25_segment_boosted
     for name, (qq, mode) in SEGMENT_QUERIES.items():
         q[name] = _segment_query(qq, mode)
     q["bm25_multiquery"] = _bm25_multiquery
@@ -529,6 +563,10 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_phrase"] = bm25_phrase_topk_sql("part filter", k=10)
     o["bm25_segment_phrase"] = o["bm25_phrase"]
     o["bm25_stopwords"] = bm25_topk_sql("the dup batch scan", k=10, stopwords=EN_STOPWORDS)
+    o["bm25_msm"] = bm25_topk_sql("dup batch scan small", k=10, min_should_match=2)
+    o["bm25_segment_msm"] = o["bm25_msm"]
+    o["bm25_boosted"] = bm25_topk_sql("dup batch scan", k=10, boosts=_BOOSTS)
+    o["bm25_segment_boosted"] = o["bm25_boosted"]
     o["bm25_unicode"] = bm25_topk_sql(
         _UNI_QUERY,
         k=10,

@@ -48,6 +48,8 @@ def bm25_topk(
     doc_filter=None,
     stopwords: list[str] | None = None,
     analyzer: str = "ascii",
+    min_should_match: int | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Top-k BM25 over a document DataFrame, pure declarative plan.
 
@@ -64,15 +66,20 @@ def bm25_topk(
     (applied to both corpus and query analysis; default _none_).
     ``analyzer`` selects the token class ("ascii" default; "unicode" =
     maximal runs of \\p{L}\\p{N} for multilingual text — identical class in
-    Spark/DuckDB/Python, see functions/tokenizer.py).
+    Spark/DuckDB/Python, see functions/tokenizer.py). ``min_should_match``
+    (OR mode): a doc qualifies only if it contains at least that many
+    DISTINCT query terms — the ES ``minimum_should_match`` clause-count
+    contract applied to distinct analyzed terms. ``boosts`` maps analyzed
+    terms to multiplicative score boosts — ES ``term^boost`` (boosts for
+    terms not in the query are ignored; duplicates still accumulate).
     """
     q_terms = tokenize(query, stopwords, analyzer)
     if not q_terms:
         return docs.sparkSession.createDataFrame([], "doc_id long, score double")
-    # weight = number of occurrences of the term in the query
-    weights: dict[str, int] = {}
+    # weight = occurrences of the term in the query, times its boost
+    weights: dict[str, float] = {}
     for t in q_terms:
-        weights[t] = weights.get(t, 0) + 1
+        weights[t] = weights.get(t, 0.0) + float((boosts or {}).get(t, 1.0))
     distinct_terms = sorted(weights)
 
     # Query terms are few, so per-doc tf per term is a JVM array `filter`
@@ -134,6 +141,11 @@ def bm25_topk(
         for i in range(len(distinct_terms)):
             cond = cond & (F.col(f"tf_{i}") > 0)
         scored = scored.where(cond)
+    elif min_should_match is not None:
+        matched = sum(
+            (F.col(f"tf_{i}") > 0).cast("int") for i in range(len(distinct_terms))
+        )
+        scored = scored.where(matched >= F.lit(int(min_should_match)))
     return (
         scored.where(F.col("score_exact") > 0.0)
         .orderBy(F.col("score_exact").desc(), F.col("doc_id").asc())
@@ -280,6 +292,8 @@ def bm25_topk_sql(
     stopwords: list[str] | None = None,
     analyzer: str = "ascii",
     text_expr: str = "text",
+    min_should_match: int | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> str:
     """DuckDB oracle SQL equivalent of :func:`bm25_topk` (same rounding).
 
@@ -289,12 +303,14 @@ def bm25_topk_sql(
     ``analyzer``/``text_expr`` mirror the token class and an optional SQL
     expression replacing the raw ``text`` column."""
     q_terms = tokenize(query, stopwords, analyzer)
-    weights: dict[str, int] = {}
+    weights: dict[str, float] = {}
     for t in q_terms:
-        weights[t] = weights.get(t, 0) + 1
-    terms_values = ", ".join(f"('{t}', {c}.0)" for t, c in sorted(weights.items()))
+        weights[t] = weights.get(t, 0.0) + float((boosts or {}).get(t, 1.0))
+    terms_values = ", ".join(f"('{t}', {c!r})" for t, c in sorted(weights.items()))
     in_list = ", ".join(f"'{t}'" for t in sorted(weights))
     and_filter = f"HAVING count(DISTINCT term) = {len(weights)}" if mode == "and" else ""
+    if mode != "and" and min_should_match is not None:
+        and_filter = f"HAVING count(DISTINCT term) >= {int(min_should_match)}"
     cand_filter = (
         f"WHERE doc_id IN (SELECT doc_id FROM {table} WHERE {filter_sql})" if filter_sql else ""
     )

@@ -67,10 +67,13 @@ def _score_shard(
     mode: str,
     pruned: bool,
     counters: dict | None = None,
+    msm: int | None = None,
 ) -> pd.DataFrame:
     """Score one shard; returns up to k (doc_id, score) rows. ``counters``
     (optional dict) accumulates ``blocks_decoded`` — BMW effectiveness
-    instrumentation for tests/bench."""
+    instrumentation for tests/bench. ``msm`` (OR mode) keeps only docs
+    matching at least that many distinct query terms (ES
+    minimum_should_match)."""
     if len(postings) == 0 or len(docs) == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
     shard = int(postings["shard"].iloc[0])
@@ -168,6 +171,9 @@ def _score_shard(
         if mode == "and":
             keep = cnt == nterms_q  # each term contributes exactly one posting per doc
             uniq, summed = uniq[keep], summed[keep]
+        elif msm is not None:
+            keep = cnt >= msm  # distinct-term match count (one posting per term per doc)
+            uniq, summed = uniq[keep], summed[keep]
         adm = present[uniq]  # doc_filter admission (all-true when unfiltered)
         if not adm.all():
             uniq, summed = uniq[adm], summed[adm]
@@ -194,6 +200,10 @@ def _score_shard(
                 seg_nterms[si] += 1
     if mode == "and":
         seg_ub[seg_nterms < nterms_q] = 0.0
+    elif msm is not None:
+        # grid cuts at every block boundary, so a segment overlaps at most
+        # one block per term: seg_nterms == distinct active terms
+        seg_ub[seg_nterms < msm] = 0.0
 
     order = np.argsort(-seg_ub, kind="stable") if pruned else np.arange(nseg)
     top: list[tuple[float, int]] = []  # kept sorted by (-score, doc_id)
@@ -445,6 +455,8 @@ class IndexSearcher:
         fetch: bool = False,
         engine: str = "direct",
         doc_filter: tuple | None = None,
+        min_should_match: int | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> DataFrame:
         """Top-k BM25 as a DataFrame (doc_id, score[, fetch cols]).
 
@@ -459,10 +471,14 @@ class IndexSearcher:
         empty = spark.createDataFrame([], "doc_id long, score double")
         if not q_terms:
             return empty
-        weights = {t: float(c) for t, c in Counter(q_terms).items()}
+        weights = {
+            t: c * float((boosts or {}).get(t, 1.0)) for t, c in Counter(q_terms).items()
+        }
         dfreq, active_shards = self._query_meta(sorted(weights))
         present = sorted(t for t in weights if t in dfreq)
         if not present or (mode == "and" and len(present) < len(weights)):
+            return empty
+        if min_should_match is not None and len(present) < min_should_match:
             return empty
         kwargs = dict(
             weights=weights,
@@ -474,6 +490,7 @@ class IndexSearcher:
             k=k,
             mode=mode,
             pruned=pruned,
+            msm=min_should_match,
         )
 
         if engine == "direct":
@@ -513,6 +530,7 @@ class IndexSearcher:
         mode: str = "or",
         pruned: bool = True,
         doc_filter: tuple | None = None,
+        min_should_match: int | None = None,
     ) -> pd.DataFrame:
         """Serving-path query: score all active shards IN-PROCESS (pyarrow
         reads, no Spark job) and return a pandas frame (doc_id, score).
@@ -535,6 +553,8 @@ class IndexSearcher:
         present = sorted(t for t in weights if t in dfreq)
         if not present or (mode == "and" and len(present) < len(weights)):
             return empty
+        if min_should_match is not None and len(present) < min_should_match:
+            return empty
         kwargs = dict(
             weights=weights,
             dfreq=dfreq,
@@ -545,6 +565,7 @@ class IndexSearcher:
             k=k,
             mode=mode,
             pruned=pruned,
+            msm=min_should_match,
         )
         parts = []
         for shard in active_shards:
@@ -702,7 +723,9 @@ class IndexSearcher:
         out_schema = "query_id string, doc_id long, score double"
         parsed: dict[str, tuple[list[str], str]] = {}
         all_terms: set[str] = set()
-        for qid, (query, mode) in queries.items():
+        for qid, spec_t in queries.items():
+            query, mode, *rest = spec_t  # optional 3rd element: min_should_match
+            q_msm = int(rest[0]) if rest and rest[0] is not None else None
             q_terms = tokenize(query)
             if not q_terms:
                 continue
@@ -710,7 +733,7 @@ class IndexSearcher:
                 raise ValueError(
                     "index stores freqs only — build with store_positions=True for phrase queries"
                 )
-            parsed[qid] = (q_terms, mode)
+            parsed[qid] = (q_terms, mode, q_msm)
             all_terms.update(q_terms)
         if not parsed:
             return spark.createDataFrame([], out_schema)
@@ -722,10 +745,12 @@ class IndexSearcher:
         # INTERSECTION (same rule as search_phrase)
         specs: dict[str, dict[str, Any]] = {}
         shard_qids: dict[int, list[str]] = {}
-        for qid, (q_terms, mode) in sorted(parsed.items()):
+        for qid, (q_terms, mode, q_msm) in sorted(parsed.items()):
             weights = {t: float(c) for t, c in Counter(q_terms).items()}
             present = sorted(t for t in weights if t in dfreq)
             if not present or (mode in ("and", "phrase") and len(present) < len(weights)):
+                continue
+            if q_msm is not None and len(present) < q_msm:
                 continue
             if mode == "phrase":
                 shards = set(term_shards[present[0]])
@@ -751,6 +776,7 @@ class IndexSearcher:
                     "dfreq": {t: dfreq[t] for t in present},
                     "present": present,
                     "mode": mode,
+                    "msm": q_msm,
                 }
             for s in shards:
                 shard_qids.setdefault(s, []).append(qid)
@@ -807,6 +833,7 @@ class IndexSearcher:
                                 weights=spec["weights"],
                                 dfreq=spec["dfreq"],
                                 mode=spec["mode"],
+                                msm=spec["msm"],
                                 **base,
                             )
                         if len(res):

@@ -432,3 +432,53 @@ def test_true_block_max_decodes_fewer_blocks(spark, tmp_path_factory):
     nblocks = (n + 127) // 128
     assert loose_c["blocks_decoded"] == nblocks
     assert tight_c["blocks_decoded"] < nblocks // 2, (tight_c, loose_c)
+
+
+def test_min_should_match_rank_identical_and_semantics(spark, documents, searcher):
+    """ES minimum_should_match: declarative, serving scatter, serving local
+    and batched search_many agree; every result doc matches >= msm distinct
+    query terms; msm=1 equals plain OR; msm > present terms is empty."""
+    q = "dup batch scan small"
+    for msm in (1, 2, 3):
+        want = [
+            (r.doc_id, r.score)
+            for r in bm25_topk(documents, q, k=10, min_should_match=msm).collect()
+        ]
+        got = [
+            (r.doc_id, r.score)
+            for r in searcher.search(q, k=10, min_should_match=msm).collect()
+        ]
+        loc = [
+            (int(r.doc_id), round(float(r.score), 6))
+            for r in searcher.search_local(q, k=10, min_should_match=msm).itertuples(index=False)
+        ]
+        many = searcher.search_many({"m": (q, "or", msm)}, k=10).collect()
+        assert got == want == loc == [(r.doc_id, r.score) for r in many], msm
+        assert want, msm
+    # msm=1 == plain OR
+    assert [
+        (r.doc_id, r.score) for r in searcher.search(q, k=10, min_should_match=1).collect()
+    ] == [(r.doc_id, r.score) for r in searcher.search(q, k=10).collect()]
+    # semantics: every hit matches >= 2 distinct terms (verified on raw text)
+    from flume_elasticsearch_2_spark.functions.tokenizer import tokenize
+
+    texts = {r.doc_id: set(tokenize(r.text)) for r in documents.collect()}
+    hits = searcher.search(q, k=10, min_should_match=2).collect()
+    for r in hits:
+        assert len(texts[r.doc_id] & set(q.split())) >= 2
+    # more terms required than exist in the index -> empty
+    assert searcher.search("dup zzzznotaterm", k=10, min_should_match=2).count() == 0
+
+
+def test_boosts_rank_identical_and_reorder(spark, documents, searcher):
+    """Per-term boosts: declarative and serving paths agree; a strong boost
+    actually reorders the top-k vs the unboosted query; boost=1 is a no-op."""
+    q = "dup batch scan"
+    boosts = {"dup": 0.2, "scan": 3.0}
+    want = [(r.doc_id, r.score) for r in bm25_topk(documents, q, k=10, boosts=boosts).collect()]
+    got = [(r.doc_id, r.score) for r in searcher.search(q, k=10, boosts=boosts).collect()]
+    assert got == want and want
+    plain = [(r.doc_id, r.score) for r in searcher.search(q, k=10).collect()]
+    assert [d for d, _ in got] != [d for d, _ in plain], "boost must reorder"
+    noop = [(r.doc_id, r.score) for r in searcher.search(q, k=10, boosts={"dup": 1.0}).collect()]
+    assert noop == plain
