@@ -135,6 +135,17 @@ def main() -> None:
     t0 = time.time()
     cosine_topk(emb, qv, k=10).collect()
     timings["cosine_topk"] = time.time() - t0
+    # materialized IVF: build once (cluster-partitioned parquet + centroid
+    # sidecar), then each probe is hive-partition pruning at the scan
+    from flume_elasticsearch_2_spark.operators.similarity import ivf_build, ivf_search
+
+    ivf_dir = os.path.join(tempfile.mkdtemp(prefix="fts_bench_"), "ivf")
+    t0 = time.time()
+    ivf_build(emb, ivf_dir, n_centroids=16)
+    timings["ivf_build"] = time.time() - t0
+    t0 = time.time()
+    ivf_search(spark, ivf_dir, qv, k=10, nprobe=4).collect()
+    timings["ivf_search_nprobe4"] = time.time() - t0
 
     # 6. end-to-end webpages pipeline (extract → dedup → classify → index)
     # over a 20k-doc synthesized corpus — the north_star path at a size where
