@@ -483,6 +483,42 @@ def _bm25_segment_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- multi-term queries (ES prefix/wildcard/fuzzy, SURVEY §2.5) -------------
+# expansion is computed independently by both engines (Spark dictionary agg /
+# SQL dict CTE, same df DESC, term ASC cap), so the oracle cross-checks
+# expansion + rewrite + scoring, not just the final ranking.
+_MT_CASES = {
+    # prefix 's' expands to 6 terms; max_expansions=4 exercises the df cap;
+    # scoring_boolean reuses the full BM25 engine on the expanded OR query
+    "bm25_prefix": ("s", "prefix", {"rewrite": "scoring_boolean", "max_expansions": 4}),
+    # ES default rewrite for wildcard = constant_score (k smallest ids @ boost)
+    "bm25_wildcard": ("s*r*", "wildcard", {"boost": 2.5}),
+    # fuzzy defaults to scoring_boolean; 'part'~2 -> {part, fast, sort}
+    "bm25_fuzzy": ("part", "fuzzy", {"fuzziness": 2}),
+}
+
+
+def _bm25_multiterm(pattern: str, kind: str, kw: dict):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flume_elasticsearch_2_spark.operators.multiterm import bm25_multiterm_topk
+
+        return bm25_multiterm_topk(_docs(spark, sf_dir), pattern, kind, k=10, **kw)
+
+    return run
+
+
+def _bm25_segment_multiterm(pattern: str, kind: str, kw: dict):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SERVING path: range-pruned dictionary expansion over the prebuilt
+        terms/ table, then the BMW scatter (scoring_boolean) or the
+        shard-ascending early-exit id scan (constant_score)."""
+        return _segment_searcher(spark, sf_dir).search_multiterm(
+            pattern, kind, k=10, **kw
+        )
+
+    return run
+
+
 _BOOSTS = {"dup": 0.2, "scan": 3.0}  # demote the rare term, promote a hot one
 
 
@@ -520,6 +556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_segment_msm"] = _bm25_segment_msm
     q["bm25_boosted"] = _bm25_boosted
     q["bm25_segment_boosted"] = _bm25_segment_boosted
+    for name, (pat, kind, kw) in _MT_CASES.items():
+        q[name] = _bm25_multiterm(pat, kind, kw)
+        q[name.replace("bm25_", "bm25_segment_")] = _bm25_segment_multiterm(pat, kind, kw)
     for name, (qq, mode) in SEGMENT_QUERIES.items():
         q[name] = _segment_query(qq, mode)
     q["bm25_multiquery"] = _bm25_multiquery
@@ -567,6 +606,11 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_segment_msm"] = o["bm25_msm"]
     o["bm25_boosted"] = bm25_topk_sql("dup batch scan", k=10, boosts=_BOOSTS)
     o["bm25_segment_boosted"] = o["bm25_boosted"]
+    from flume_elasticsearch_2_spark.operators.multiterm import multiterm_topk_sql
+
+    for name, (pat, kind, kw) in _MT_CASES.items():
+        o[name] = multiterm_topk_sql(pat, kind, k=10, **kw)
+        o[name.replace("bm25_", "bm25_segment_")] = o[name]
     o["bm25_unicode"] = bm25_topk_sql(
         _UNI_QUERY,
         k=10,

@@ -1,0 +1,311 @@
+"""Multi-term queries: ES ``prefix`` / ``wildcard`` / ``fuzzy`` (SURVEY §2.5).
+
+The reference deployment's ES 1.x query surface includes the Lucene
+MultiTermQuery family (delegation site: ElasticsearchSink.java:54 — the sink
+indexes into ES and every query runs there). Semantics re-expressed here:
+
+1. **Expansion** against the term dictionary: all analyzed terms matching the
+   pattern, capped at ``max_expansions`` (Lucene/ES default 50) ordered by
+   ``(df DESC, term ASC)`` — Lucene's top-terms rewrite keeps the
+   highest-docFreq terms; the term tiebreak makes the cap deterministic.
+2. **Rewrite** of the expanded set (the ES ``rewrite`` parameter):
+   - ``scoring_boolean``: OR-of-terms BM25, each expanded term keeping its
+     own idf (Lucene ``SCORING_BOOLEAN_REWRITE``). Divergence note: ES
+     fuzzy defaults to *blended* freqs (``top_terms_blended_freqs_N``, one
+     shared idf across the expansion); per-term idf is the documented
+     ``rewrite=scoring_boolean`` contract, chosen because it is exactly
+     SQL-expressible and oracle-checkable.
+   - ``constant_score``: every matching doc scores ``boost`` (default 1.0)
+     — the ES default for prefix/wildcard. Deterministic order is then the
+     ``(score, doc_id)`` tiebreak, i.e. the k smallest matching doc ids.
+
+Patterns are NOT analyzed (ES contract for term-level queries) but are
+lowercased to the index's case normalization; wildcard ``*``/``?`` translate
+to SQL LIKE ``%``/``_`` (terms are ``[a-z0-9]+`` so no escape collisions).
+Fuzzy uses plain Levenshtein distance with Lucene's ``prefix_length`` exact
+prefix guard; Spark's ``levenshtein`` and DuckDB's ``levenshtein`` are
+bit-identical on the analyzer's token class (pinned in tests).
+
+Scale shape: the declarative expansion is one map-side-combine aggregation
+over ``array_distinct`` tokens (df per term) + a ≤``max_expansions`` collect;
+the scoring pass is the existing two-narrow-pass :func:`bm25_topk` plan. On
+the serving path (plans/query_index.py) expansion reads the prebuilt global
+``terms`` dictionary instead — prefix via a range-pruned Parquet read, never
+a corpus pass.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.tokenizer import duckdb_token_pattern, tokens_col
+from .topk import bm25_topk, bm25_topk_sql
+
+MAX_EXPANSIONS = 50  # Lucene/ES default
+
+_PREFIX_RE = re.compile(r"^[a-z0-9]+$")
+_WILDCARD_RE = re.compile(r"^[a-z0-9*?]+$")
+
+
+def translate_wildcard(pattern: str) -> str:
+    """ES/Lucene wildcard (``*``/``?``) → SQL LIKE (``%``/``_``).
+
+    Identical LIKE semantics in Spark and DuckDB; the token class
+    ``[a-z0-9]+`` cannot contain ``%``/``_`` so no escaping is needed."""
+    pattern = pattern.lower()
+    if not _WILDCARD_RE.match(pattern):
+        raise ValueError(f"wildcard pattern must be [a-z0-9*?]+, got {pattern!r}")
+    return pattern.replace("*", "%").replace("?", "_")
+
+
+def _normalize_pattern(pattern: str, kind: str, prefix_length: int) -> str:
+    pattern = pattern.lower()
+    if kind in ("prefix", "fuzzy"):
+        if not _PREFIX_RE.match(pattern):
+            raise ValueError(f"{kind} pattern must be [a-z0-9]+, got {pattern!r}")
+    elif kind == "wildcard":
+        if not _WILDCARD_RE.match(pattern):
+            raise ValueError(f"wildcard pattern must be [a-z0-9*?]+, got {pattern!r}")
+    else:
+        raise ValueError(f"unknown multi-term kind {kind!r}")
+    if prefix_length < 0:
+        raise ValueError("prefix_length must be >= 0")
+    return pattern
+
+
+def literal_prefix(pattern: str, kind: str, prefix_length: int = 0) -> str:
+    """The longest literal prefix every match must share — the dictionary
+    range-pruning key on the serving path (prefix: the whole pattern;
+    wildcard: chars before the first meta; fuzzy: the exact-prefix guard)."""
+    if kind == "prefix":
+        return pattern
+    if kind == "wildcard":
+        for i, ch in enumerate(pattern):
+            if ch in "*?":
+                return pattern[:i]
+        return pattern
+    return pattern[:prefix_length]
+
+
+def levenshtein_py(a: str, b: str) -> int:
+    """Plain Levenshtein — same definition as Spark's ``levenshtein`` and
+    DuckDB's ``levenshtein`` (three-engine parity pinned in tests)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def match_term_py(
+    term: str, pattern: str, kind: str, fuzziness: int = 1, prefix_length: int = 0
+) -> bool:
+    """Driver-side term matcher, semantics-identical to
+    :func:`term_match_cond` / :func:`term_match_sql` — used for serving-path
+    expansion over the prebuilt term dictionary."""
+    if kind == "prefix":
+        return term.startswith(pattern)
+    if kind == "wildcard":
+        rx = "".join(".*" if c == "*" else "." if c == "?" else re.escape(c) for c in pattern)
+        return re.fullmatch(rx, term) is not None
+    if prefix_length > 0 and term[:prefix_length] != pattern[:prefix_length]:
+        return False
+    return levenshtein_py(term, pattern) <= int(fuzziness)
+
+
+def term_match_cond(
+    pattern: str, kind: str, fuzziness: int = 1, prefix_length: int = 0
+) -> F.Column:
+    """JVM boolean Column over a ``term`` column for one pattern kind."""
+    term = F.col("term")
+    if kind == "prefix":
+        return term.startswith(pattern)
+    if kind == "wildcard":
+        return term.like(translate_wildcard(pattern))
+    # fuzzy: whole-term edit distance with an exact-prefix guard
+    cond = F.levenshtein(term, F.lit(pattern)) <= F.lit(int(fuzziness))
+    if prefix_length > 0:
+        cond = cond & (term.substr(1, prefix_length) == F.lit(pattern[:prefix_length]))
+    return cond
+
+
+def term_match_sql(
+    pattern: str, kind: str, fuzziness: int = 1, prefix_length: int = 0
+) -> str:
+    """The identical predicate as DuckDB SQL (term dictionary CTE filter)."""
+    if kind == "prefix":
+        return f"term LIKE '{pattern}%'"
+    if kind == "wildcard":
+        return f"term LIKE '{translate_wildcard(pattern)}'"
+    cond = f"levenshtein(term, '{pattern}') <= {int(fuzziness)}"
+    if prefix_length > 0:
+        cond += f" AND substr(term, 1, {prefix_length}) = '{pattern[:prefix_length]}'"
+    return cond
+
+
+def expand_pattern(
+    docs: DataFrame,
+    pattern: str,
+    kind: str,
+    fuzziness: int = 1,
+    prefix_length: int = 0,
+    max_expansions: int = MAX_EXPANSIONS,
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> list[str]:
+    """Expand a pattern against the corpus term dictionary (declarative path).
+
+    One aggregation: ``explode(array_distinct(tokens))`` → df per term
+    (map-side combine, ≤ vocabulary rows shuffled), pattern filter, then the
+    deterministic Lucene-style cap ``ORDER BY df DESC, term ASC LIMIT n``.
+    Returns analyzed terms sorted ascending (order does not affect scoring).
+    """
+    pattern = _normalize_pattern(pattern, kind, prefix_length)
+    toks = tokens_col(text_col, stopwords, analyzer)
+    dictionary = (
+        docs.select(F.explode(F.array_distinct(toks)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    rows = (
+        dictionary.where(term_match_cond(pattern, kind, fuzziness, prefix_length))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(int(max_expansions))
+        .collect()
+    )
+    return sorted(r["term"] for r in rows)
+
+
+def bm25_multiterm_topk(
+    docs: DataFrame,
+    pattern: str,
+    kind: str,
+    k: int = 10,
+    rewrite: str | None = None,
+    fuzziness: int = 1,
+    prefix_length: int = 0,
+    max_expansions: int = MAX_EXPANSIONS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+    boost: float = 1.0,
+) -> DataFrame:
+    """Top-k for a multi-term query, declarative plan (expansion + rewrite).
+
+    ``rewrite=None`` picks the ES default per kind: ``constant_score`` for
+    prefix/wildcard, ``scoring_boolean`` for fuzzy.
+    """
+    if rewrite is None:
+        rewrite = "scoring_boolean" if kind == "fuzzy" else "constant_score"
+    terms = expand_pattern(
+        docs, pattern, kind, fuzziness, prefix_length, max_expansions,
+        text_col, stopwords, analyzer,
+    )
+    spark = docs.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    if rewrite == "scoring_boolean":
+        # expanded terms are analyzed tokens ([a-z0-9]+) — a space join
+        # round-trips through the analyzer unchanged
+        return bm25_topk(
+            docs, " ".join(terms), k=k, id_col=id_col, text_col=text_col,
+            mode="or", stopwords=stopwords, analyzer=analyzer,
+            boosts={t: boost for t in terms} if boost != 1.0 else None,
+        )
+    if rewrite != "constant_score":
+        raise ValueError(f"unknown rewrite {rewrite!r}")
+    toks = tokens_col(text_col, stopwords, analyzer)
+    matched = F.exists(toks, lambda x: x.isin(terms))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), matched.alias("m"))
+        .where(F.col("m"))
+        .orderBy(F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.lit(round(float(boost), 6)).alias("score"))
+    )
+
+
+def multiterm_topk_sql(
+    pattern: str,
+    kind: str,
+    k: int = 10,
+    rewrite: str | None = None,
+    fuzziness: int = 1,
+    prefix_length: int = 0,
+    max_expansions: int = MAX_EXPANSIONS,
+    table: str = "documents",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+    boost: float = 1.0,
+) -> str:
+    """DuckDB oracle for :func:`bm25_multiterm_topk`.
+
+    The expansion itself is computed IN SQL (dictionary CTE + the same
+    ``df DESC, term ASC LIMIT n`` cap), so the oracle independently
+    cross-checks expansion, rewrite, and scoring — not just the final sum.
+    """
+    if rewrite is None:
+        rewrite = "scoring_boolean" if kind == "fuzzy" else "constant_score"
+    pattern = _normalize_pattern(pattern, kind, prefix_length)
+    tok_expr = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    if stopwords:
+        stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
+        tok_expr = f"list_filter({tok_expr}, t -> t NOT IN ({stop_list}))"
+    match_sql = term_match_sql(pattern, kind, fuzziness, prefix_length)
+    expansion = f"""
+dterm AS (
+  SELECT DISTINCT doc_id, unnest({tok_expr}) AS term FROM {table}
+),
+dict AS (SELECT term, count(*) AS df FROM dterm GROUP BY term),
+expanded AS (
+  SELECT term FROM dict WHERE {match_sql}
+  ORDER BY df DESC, term ASC LIMIT {int(max_expansions)}
+)"""
+    if rewrite == "constant_score":
+        return f"""
+WITH {expansion.lstrip()}
+SELECT doc_id, round({float(boost)!r}, 6) AS score
+FROM dterm JOIN expanded USING (term)
+GROUP BY doc_id
+ORDER BY doc_id ASC
+LIMIT {k}
+"""
+    if rewrite != "scoring_boolean":
+        raise ValueError(f"unknown rewrite {rewrite!r}")
+    return f"""
+WITH {expansion.lstrip()},
+toks AS (
+  SELECT doc_id, unnest({tok_expr}) AS term FROM {table}
+),
+dl AS (
+  SELECT doc_id, len({tok_expr}) AS dl FROM {table}
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, df FROM dict JOIN expanded USING (term)),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  JOIN expanded USING (term) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         {float(boost)!r} * ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS partial
+  FROM tf
+  JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT doc_id, round(sum(partial), 6) AS score
+FROM scored
+GROUP BY doc_id
+ORDER BY sum(partial) DESC, doc_id ASC
+LIMIT {k}
+"""

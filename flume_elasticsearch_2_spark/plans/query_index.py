@@ -854,6 +854,112 @@ class IndexSearcher:
             merged.extend((qid, int(r[1]), round(float(r[2]), 6)) for r in qrows[:k])
         return spark.createDataFrame(merged, out_schema)
 
+    def expand_terms(
+        self,
+        pattern: str,
+        kind: str = "prefix",
+        fuzziness: int = 1,
+        prefix_length: int = 0,
+        max_expansions: int = 50,
+    ) -> list[str]:
+        """Multi-term expansion against the prebuilt global ``terms/``
+        dictionary (the Lucene MultiTermQuery rewrite's first half on the
+        serving path). The read is RANGE-PRUNED on the pattern's literal
+        prefix (``term >= p AND term < p⁺`` via Parquet row-group stats — the
+        classic prefix-to-range trick), never a corpus pass; fine matching
+        and the deterministic Lucene cap ``(df DESC, term ASC) LIMIT n`` run
+        driver-side over the pruned slice. Semantics shared with the
+        declarative path via operators/multiterm.py."""
+        from ..operators.multiterm import _normalize_pattern, literal_prefix, match_term_py
+
+        pattern = _normalize_pattern(pattern, kind, prefix_length)
+        lit = literal_prefix(pattern, kind, prefix_length)
+        filt = None
+        if lit:
+            filt = (pads.field("term") >= lit) & (
+                pads.field("term") < lit[:-1] + chr(ord(lit[-1]) + 1)
+            )
+        tbl = pads.dataset(f"{self.index_dir}/terms", format="parquet").to_table(
+            columns=["term", "df"], filter=filt
+        )
+        cand = [
+            (t, int(d))
+            for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist())
+            if match_term_py(t, pattern, kind, fuzziness, prefix_length)
+        ]
+        cand.sort(key=lambda td: (-td[1], td[0]))
+        return sorted(t for t, _ in cand[: int(max_expansions)])
+
+    def search_multiterm(
+        self,
+        pattern: str,
+        kind: str = "prefix",
+        k: int = 10,
+        rewrite: str | None = None,
+        fuzziness: int = 1,
+        prefix_length: int = 0,
+        max_expansions: int = 50,
+        boost: float = 1.0,
+    ) -> DataFrame:
+        """ES ``prefix`` / ``wildcard`` / ``fuzzy`` on the SERVING path:
+        dictionary expansion (:meth:`expand_terms`) + rewrite.
+
+        ``scoring_boolean`` reuses the whole scatter/gather BM25 engine on
+        the expanded OR query (rank-identical to the declarative rewrite).
+        ``constant_score`` (the ES default for prefix/wildcard) returns the
+        k smallest matching doc ids at ``score = boost``: shards are doc-
+        range partitioned, so ids are scanned shard-ascending with an early
+        exit — only the lowest shards' postings for the expanded terms are
+        ever decoded."""
+        if rewrite is None:
+            rewrite = "scoring_boolean" if kind == "fuzzy" else "constant_score"
+        terms = self.expand_terms(pattern, kind, fuzziness, prefix_length, max_expansions)
+        spark = self.spark
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        if not terms:
+            return empty
+        if rewrite == "scoring_boolean":
+            return self.search(
+                " ".join(terms),
+                k=k,
+                boosts={t: boost for t in terms} if boost != 1.0 else None,
+            )
+        if rewrite != "constant_score":
+            raise ValueError(f"unknown rewrite {rewrite!r}")
+        dfreq, active_shards = self._query_meta(terms)
+        present = [t for t in terms if t in dfreq]
+        got: set[int] = set()
+        for shard in active_shards:  # ascending == ascending doc-id ranges
+            got |= self._matching_ids_shard(shard, present)
+            if len(got) >= k:
+                break
+        ids = sorted(got)[:k]
+        return spark.createDataFrame(
+            [(int(i), round(float(boost), 6)) for i in ids], "doc_id long, score double"
+        )
+
+    def _matching_ids_shard(self, shard: int, terms: list[str]) -> set[int]:
+        """All doc ids in one shard matching any of ``terms`` (postings
+        doc-stream decode only; tf streams never touched)."""
+        pt = (
+            pads.dataset(f"{self.index_dir}/postings/shard={shard}", format="parquet")
+            .to_table(
+                columns=["term", "n", "doc_bytes", "block_first_doc"],
+                filter=pads.field("term").isin(terms),
+            )
+            .to_pandas()
+        )
+        ids: set[int] = set()
+        for row in pt.itertuples(index=False):
+            n = int(row.n)
+            lens = svb_lens(row.doc_bytes, n)
+            first = np.asarray(row.block_first_doc, dtype=np.int64)
+            for bi in range(len(first)):
+                lo, hi = bi * BLOCK_SIZE, min(n, (bi + 1) * BLOCK_SIZE)
+                deltas = svb_decode_slice(row.doc_bytes, n, lo, hi, lens).astype(np.int64)
+                ids.update((first[bi] + np.cumsum(deltas) - deltas[0]).tolist())
+        return ids
+
     def _scatter_direct(
         self,
         active_shards: list[int],

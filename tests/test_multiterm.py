@@ -1,0 +1,176 @@
+"""Multi-term queries (ES prefix/wildcard/fuzzy, SURVEY §2.5): expansion,
+rewrite, and scoring checked three ways — declarative plan vs DuckDB SQL
+oracle, serving path vs declarative path (rank identity), and Levenshtein
+three-engine parity (Python / Spark / DuckDB) that the fuzzy oracle rests on.
+
+Reference analog: the ES 1.x MultiTermQuery surface behind the sink
+(ElasticsearchSink.java:54)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from flume_elasticsearch_2_spark.operators.multiterm import (
+    bm25_multiterm_topk,
+    expand_pattern,
+    levenshtein_py,
+    match_term_py,
+    multiterm_topk_sql,
+    translate_wildcard,
+)
+from flume_elasticsearch_2_spark.plans.build_index import build_index
+from flume_elasticsearch_2_spark.plans.query_index import IndexSearcher
+
+# (pattern, kind, kwargs) — the fixed multi-term case set; the sf0.001
+# vocabulary is ~31 terms so expansions are known: prefix 's' -> scan slow
+# small sort spark stream, fuzzy 'part'~2 -> part fast sort, ...
+CASES = [
+    ("s", "prefix", {}),
+    ("ba", "prefix", {}),
+    ("s", "prefix", {"max_expansions": 3}),  # exercises the (df DESC, term) cap
+    ("s*r*", "wildcard", {}),
+    ("?a???", "wildcard", {}),
+    ("scam", "fuzzy", {"fuzziness": 1}),
+    ("part", "fuzzy", {"fuzziness": 2}),
+    ("part", "fuzzy", {"fuzziness": 2, "prefix_length": 1}),
+]
+REWRITES = ["constant_score", "scoring_boolean"]
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, documents, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mtidx") / "segidx")
+    build_index(spark, documents, d, n_shards=4)
+    return d
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, index_dir):
+    return IndexSearcher(spark, index_dir)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    return con
+
+
+def test_levenshtein_three_engine_parity(spark, duck):
+    """The fuzzy predicate is only oracle-valid if all three engines agree
+    on edit distance over the analyzer's token class."""
+    words = [
+        "scan", "scam", "spark", "sort", "part", "fast", "batch", "a",
+        "aa", "ab", "", "window", "windows", "widow", "stream", "steam",
+    ]
+    pairs = [(a, b) for a in words for b in words]
+    rows = spark.createDataFrame(pairs, "a string, b string").select(
+        "a", "b", F.levenshtein("a", "b").alias("d")
+    ).collect()
+    for r in rows:
+        assert r.d == levenshtein_py(r.a, r.b), (r.a, r.b)
+    for a, b in pairs:
+        (d,) = duck.sql(f"SELECT levenshtein('{a}', '{b}')").fetchone()
+        assert d == levenshtein_py(a, b), (a, b)
+
+
+def test_wildcard_translation_and_validation():
+    assert translate_wildcard("s*r?") == "s%r_"
+    with pytest.raises(ValueError):
+        translate_wildcard("bad pattern")
+    with pytest.raises(ValueError):
+        translate_wildcard("a%b")
+
+
+@pytest.mark.parametrize("pattern,kind,kw", CASES)
+def test_expansion_serving_equals_declarative(documents, searcher, pattern, kind, kw):
+    """Serving-path dictionary expansion (range-pruned terms/ read) must equal
+    the declarative corpus aggregation — same matches, same df-ordered cap."""
+    decl = expand_pattern(documents, pattern, kind, **kw)
+    serv = searcher.expand_terms(pattern, kind, **kw)
+    assert serv == decl
+    assert decl, f"case {pattern!r}/{kind} should expand to >=1 term on the fixture"
+
+
+def test_expansion_cap_keeps_top_df():
+    # pure matcher sanity: fuzzy prefix guard
+    assert match_term_py("part", "part", "fuzzy", 2, 1)
+    assert not match_term_py("sort", "part", "fuzzy", 2, 1)  # prefix guard blocks
+    assert match_term_py("sort", "part", "fuzzy", 2, 0)
+
+
+@pytest.mark.parametrize("pattern,kind,kw", CASES)
+@pytest.mark.parametrize("rewrite", REWRITES)
+def test_declarative_matches_duckdb(documents, duck, pattern, kind, kw, rewrite):
+    got = [
+        (r.doc_id, r.score)
+        for r in bm25_multiterm_topk(
+            documents, pattern, kind, k=10, rewrite=rewrite, **kw
+        ).collect()
+    ]
+    exp = [
+        (int(d), float(s))
+        for d, s in duck.sql(
+            multiterm_topk_sql(pattern, kind, k=10, rewrite=rewrite, **kw)
+        ).fetchall()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, a), (_, b) in zip(got, exp):
+        assert abs(a - b) < 1e-6
+    assert got, f"{pattern!r}/{kind}/{rewrite} should match docs on the fixture"
+
+
+@pytest.mark.parametrize("pattern,kind,kw", CASES)
+@pytest.mark.parametrize("rewrite", REWRITES)
+def test_serving_rank_identical_to_declarative(
+    documents, searcher, pattern, kind, kw, rewrite
+):
+    """search_multiterm (dictionary expansion + BMW engine / early-exit id
+    scan) is rank-identical to the declarative plan."""
+    decl = [
+        (r.doc_id, r.score)
+        for r in bm25_multiterm_topk(
+            documents, pattern, kind, k=10, rewrite=rewrite, **kw
+        ).collect()
+    ]
+    serv = [
+        (r.doc_id, r.score)
+        for r in searcher.search_multiterm(
+            pattern, kind, k=10, rewrite=rewrite, **kw
+        ).collect()
+    ]
+    assert [d for d, _ in serv] == [d for d, _ in decl]
+    for (_, a), (_, b) in zip(serv, decl):
+        assert abs(a - b) < 1e-6
+
+
+def test_boost_plumbs_through(documents, searcher):
+    got = searcher.search_multiterm("ba", "prefix", k=5, boost=2.5).collect()
+    assert got and all(abs(r.score - 2.5) < 1e-9 for r in got)
+    decl = bm25_multiterm_topk(documents, "ba", "prefix", k=5, boost=2.5).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in decl]
+
+
+def test_empty_expansion_returns_empty(documents, searcher):
+    assert bm25_multiterm_topk(documents, "zzq", "prefix", k=10).count() == 0
+    assert searcher.search_multiterm("zzq", "prefix", k=10).count() == 0
+
+
+def test_constant_score_early_exit_is_k_smallest_ids(documents, searcher):
+    """constant_score = the k smallest matching doc ids at score boost; the
+    serving path early-exits after the lowest shards — verify against a
+    corpus-computed ground truth."""
+    ids = [
+        r.doc_id
+        for r in documents.select("doc_id")
+        .where(F.exists(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t.startswith("ba")))
+        .orderBy("doc_id")
+        .limit(3)
+        .collect()
+    ]
+    got = [r.doc_id for r in searcher.search_multiterm("ba", "prefix", k=3).collect()]
+    assert got == ids
