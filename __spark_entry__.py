@@ -541,6 +541,44 @@ def _bm25_query_k(q: str, mode: str, k: int):
     return run
 
 
+def _facet_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms facet over the query's match scope (declarative path): one
+    corpus pass, JVM array-overlap match predicate, map-side-combined
+    groupBy (operators/facets.py)."""
+    from flume_elasticsearch_2_spark.operators.facets import terms_facet
+
+    return terms_facet(_docs(spark, sf_dir), "dup batch scan", "lang", size=10)
+
+
+def _facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats facet (count/min/max/sum/avg of a numeric field) over the
+    match scope, declarative path."""
+    from flume_elasticsearch_2_spark.operators.facets import stats_facet
+
+    return stats_facet(_docs(spark, sf_dir), "dup batch scan", "n_chars")
+
+
+def _facet_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram facet, match_all scope (whole-corpus distribution)."""
+    from flume_elasticsearch_2_spark.operators.facets import histogram_facet
+
+    return histogram_facet(_docs(spark, sf_dir), None, "n_chars", 100)
+
+
+def _facet_segment_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms facet on the SERVING path: per-shard match-set decode from
+    postings doc streams (tf/positions never read) + (doc_id, field)-only
+    docs read, partial counts merged in one tiny final aggregation."""
+    return _segment_searcher(spark, sf_dir).facet("dup batch scan", "lang", size=10)
+
+
+def _facet_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats facet on the SERVING path over the stored dl column (field
+    oracled as the DuckDB token count — exercises the numeric partial
+    merge: sum-of-sums / sum-of-counts avg)."""
+    return _segment_searcher(spark, sf_dir).facet("dup batch scan", "dl", kind="stats")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _bm25_query(qq, mode) for name, (qq, mode) in BM25_QUERIES.items()
@@ -588,6 +626,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cosine_topk_ivf"] = _cosine_topk_ivf  # full-probe IVF == exhaustive -> cosine oracle
     q["cosine_topk_lsh_exhaustive"] = _cosine_topk_lsh_exhaustive  # all-buckets probe -> cosine oracle
     q["cosine_topk_ivf_indexed"] = _cosine_topk_ivf_indexed  # materialized index, full probe -> cosine oracle
+    q["facet_terms"] = _facet_terms
+    q["facet_stats"] = _facet_stats
+    q["facet_histogram"] = _facet_histogram
+    q["facet_segment_terms"] = _facet_segment_terms
+    q["facet_segment_stats"] = _facet_segment_stats
     return q
 
 
@@ -807,4 +850,18 @@ WITH d AS (
 SELECT id_a, id_b, round(dot / (na * nb), 6) AS cosine
 FROM d WHERE round(dot / (na * nb), 6) >= 0.45
 """
+    from flume_elasticsearch_2_spark.operators.facets import (
+        histogram_facet_sql,
+        stats_facet_sql,
+        terms_facet_sql,
+    )
+
+    o["facet_terms"] = terms_facet_sql("dup batch scan", "lang", size=10)
+    o["facet_stats"] = stats_facet_sql("dup batch scan", "n_chars")
+    o["facet_histogram"] = histogram_facet_sql(None, "n_chars", 100)
+    o["facet_segment_terms"] = o["facet_terms"]
+    # serving-path dl == DuckDB token count (same analyzer)
+    o["facet_segment_stats"] = stats_facet_sql(
+        "dup batch scan", "len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+    )
     return o

@@ -389,6 +389,69 @@ def _read_shard_tables(
     return pt, dt
 
 
+_ARROW_DDL = {
+    "string": "string", "large_string": "string",
+    "int64": "long", "int32": "int", "int16": "short",
+    "double": "double", "float": "float", "bool": "boolean",
+}
+
+
+def _arrow_ddl(schema, field: str) -> str:
+    """Spark DDL type of one docs-table column (facet partial schemas)."""
+    t = str(schema.field(field).type)
+    if t not in _ARROW_DDL:
+        raise ValueError(f"unsupported facet field type {t!r} for {field!r}")
+    return _ARROW_DDL[t]
+
+
+def _read_postings_docstream(index_dir: str, shard: int, terms: list[str]) -> pd.DataFrame:
+    """Postings for ``terms`` in one shard, doc-id stream columns only (tf /
+    position streams never read) — the candidate-set read for constant_score
+    and facets."""
+    return (
+        pads.dataset(f"{index_dir}/postings/shard={shard}", format="parquet")
+        .to_table(
+            columns=["term", "n", "doc_bytes", "block_first_doc"],
+            filter=pads.field("term").isin(terms),
+        )
+        .to_pandas()
+    )
+
+
+def _decode_posting_doc_ids(row) -> np.ndarray:
+    """Full doc-id stream of one posting row (global ids, ascending)."""
+    n = int(row.n)
+    lens = svb_lens(row.doc_bytes, n)
+    first = np.asarray(row.block_first_doc, dtype=np.int64)
+    out = np.empty(n, dtype=np.int64)
+    for bi in range(len(first)):
+        lo, hi = bi * BLOCK_SIZE, min(n, (bi + 1) * BLOCK_SIZE)
+        deltas = svb_decode_slice(row.doc_bytes, n, lo, hi, lens).astype(np.int64)
+        out[lo:hi] = first[bi] + np.cumsum(deltas) - deltas[0]
+    return out
+
+
+def _facet_match_ids(index_dir: str, shard: int, terms: list[str], mode: str) -> np.ndarray:
+    """Global doc ids in one shard matching the query terms (OR: union,
+    AND: ids present under every term — docs live in exactly one shard, so
+    the per-shard intersection is the global AND)."""
+    pt = _read_postings_docstream(index_dir, shard, terms)
+    by_term: dict[str, list[np.ndarray]] = {}
+    for row in pt.itertuples(index=False):
+        by_term.setdefault(row.term, []).append(_decode_posting_doc_ids(row))
+    per_term = [np.unique(np.concatenate(a)) for a in by_term.values()]
+    if mode == "and":
+        if len(per_term) < len(terms):
+            return np.empty(0, dtype=np.int64)
+        out = per_term[0]
+        for ids in per_term[1:]:
+            out = out[np.isin(out, ids, assume_unique=True)]
+        return out
+    if not per_term:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(per_term))
+
+
 def _one_task_per_shard(spark: SparkSession, shards: list[int]) -> DataFrame:
     """(shard) DataFrame pre-sliced one shard per partition — the scatter
     needs exactly one task per shard, and building the slices directly
@@ -941,24 +1004,146 @@ class IndexSearcher:
     def _matching_ids_shard(self, shard: int, terms: list[str]) -> set[int]:
         """All doc ids in one shard matching any of ``terms`` (postings
         doc-stream decode only; tf streams never touched)."""
-        pt = (
-            pads.dataset(f"{self.index_dir}/postings/shard={shard}", format="parquet")
-            .to_table(
-                columns=["term", "n", "doc_bytes", "block_first_doc"],
-                filter=pads.field("term").isin(terms),
-            )
-            .to_pandas()
-        )
+        pt = _read_postings_docstream(self.index_dir, shard, terms)
         ids: set[int] = set()
         for row in pt.itertuples(index=False):
-            n = int(row.n)
-            lens = svb_lens(row.doc_bytes, n)
-            first = np.asarray(row.block_first_doc, dtype=np.int64)
-            for bi in range(len(first)):
-                lo, hi = bi * BLOCK_SIZE, min(n, (bi + 1) * BLOCK_SIZE)
-                deltas = svb_decode_slice(row.doc_bytes, n, lo, hi, lens).astype(np.int64)
-                ids.update((first[bi] + np.cumsum(deltas) - deltas[0]).tolist())
+            ids.update(_decode_posting_doc_ids(row).tolist())
         return ids
+
+    def facet(
+        self,
+        query: str | None,
+        field: str,
+        kind: str = "terms",
+        size: int = 10,
+        interval: int | None = None,
+        mode: str = "or",
+    ) -> DataFrame:
+        """ES facet/aggregation over the query's match set on the SERVING
+        path (operators/facets.py has the declarative twin and semantics).
+
+        Scale shape: one task per active shard decodes the match set from
+        postings DOC STREAMS only (tf/positions never read), reads just
+        ``(doc_id, field)`` from its docs partition, and emits a partial
+        aggregate (≤ field cardinality rows per shard — never the match
+        set). One tiny final aggregation merges partials; ``match_all``
+        (query=None) skips postings entirely and aggregates the stored docs
+        table declaratively."""
+        spark, index_dir = self.spark, self.index_dir
+        ddl = _arrow_ddl(
+            pads.dataset(f"{index_dir}/docs/shard=0", format="parquet").schema, field
+        )
+        if kind == "terms":
+            partial_schema = f"value {ddl}, count long"
+        elif kind == "histogram":
+            if not interval or int(interval) <= 0:
+                raise ValueError("histogram facet needs a positive interval")
+            partial_schema = "bucket long, count long"
+        elif kind == "stats":
+            partial_schema = f"cnt long, mn {ddl}, mx {ddl}, sm double"
+        else:
+            raise ValueError(f"unknown facet kind {kind!r}")
+
+        if query is None:
+            docs = spark.read.parquet(f"{index_dir}/docs")
+            partials = None
+        else:
+            terms = sorted(set(tokenize(query)))
+            dfreq, term_shards = self._query_meta_terms(terms)
+            present = [t for t in terms if t in dfreq]
+            shard_sets = [term_shards[t] for t in present]
+            if mode == "and":
+                active = sorted(set.intersection(*shard_sets)) if (
+                    shard_sets and len(present) == len(terms)
+                ) else []
+            else:
+                active = sorted(set.union(*shard_sets)) if shard_sets else []
+            ival = int(interval) if interval else 0
+
+            def shard_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    for shard in pdf["shard"].tolist():
+                        ids = _facet_match_ids(index_dir, shard, present, mode)
+                        if len(ids) == 0:
+                            continue
+                        dt = (
+                            pads.dataset(
+                                f"{index_dir}/docs/shard={shard}", format="parquet"
+                            )
+                            .to_table(columns=["doc_id", field])
+                            .to_pandas()
+                        )
+                        vals = dt.loc[
+                            np.isin(dt["doc_id"].to_numpy(), ids, assume_unique=True),
+                            field,
+                        ]
+                        if kind == "terms":
+                            vc = vals.value_counts()
+                            yield pd.DataFrame(
+                                {"value": vc.index, "count": vc.to_numpy()}
+                            )
+                        elif kind == "histogram":
+                            b = (
+                                np.floor(vals.to_numpy() / ival).astype(np.int64) * ival
+                            )
+                            bu, bc = np.unique(b, return_counts=True)
+                            yield pd.DataFrame({"bucket": bu, "count": bc})
+                        else:
+                            yield pd.DataFrame(
+                                {
+                                    "cnt": [len(vals)],
+                                    "mn": [vals.min()],
+                                    "mx": [vals.max()],
+                                    "sm": [float(vals.sum())],
+                                }
+                            )
+
+            if active:
+                partials = _one_task_per_shard(spark, active).mapInPandas(
+                    shard_partials, partial_schema
+                )
+            else:
+                partials = spark.createDataFrame([], partial_schema)
+
+        if kind == "terms":
+            src = (
+                partials.groupBy("value").agg(F.sum("count").alias("count"))
+                if partials is not None
+                else docs.groupBy(F.col(field).alias("value")).agg(
+                    F.count("*").alias("count")
+                )
+            )
+            return src.orderBy(F.col("count").desc(), F.col("value").asc()).limit(
+                int(size)
+            )
+        if kind == "histogram":
+            if partials is None:
+                bucket = (F.floor(F.col(field) / F.lit(int(interval))) * int(interval)).cast("long")
+                return (
+                    docs.groupBy(bucket.alias("bucket"))
+                    .agg(F.count("*").alias("count"))
+                    .orderBy("bucket")
+                )
+            return (
+                partials.groupBy("bucket")
+                .agg(F.sum("count").alias("count"))
+                .orderBy("bucket")
+            )
+        if partials is None:
+            return docs.agg(
+                F.count("*").alias("count"),
+                F.min(field).alias("min"),
+                F.max(field).alias("max"),
+                F.round(F.sum(field).cast("double"), 6).alias("sum"),
+                F.round(F.avg(field).cast("double"), 6).alias("avg"),
+            )
+        return partials.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("count"),
+            F.min("mn").alias("min"),
+            F.max("mx").alias("max"),
+            F.round(F.sum("sm"), 6).alias("sum"),
+            F.round(F.sum("sm") / F.sum("cnt"), 6).alias("avg"),
+        )
 
     def _scatter_direct(
         self,
