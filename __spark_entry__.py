@@ -108,7 +108,7 @@ def _segment_searcher(spark: SparkSession, sf_dir: str):
             docs,
             d,
             n_shards=4,
-            orig_ids=docs.select("doc_id", "lang"),
+            orig_ids=docs.select("doc_id", "lang", "n_chars"),
             store_positions=True,
         )
         _INDEX_CACHE[sf_dir] = d
@@ -579,6 +579,81 @@ def _facet_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _segment_searcher(spark, sf_dir).facet("dup batch scan", "dl", kind="stats")
 
 
+def _match_sorted_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sort-by-field + from/size, declarative path: page 2 of the match
+    set ordered by a stored field — compiles to ONE
+    TakeOrderedAndProject(limit=from+size, offset=from), no global sort."""
+    from flume_elasticsearch_2_spark.operators.sorting import match_sorted
+
+    return match_sorted(
+        _docs(spark, sf_dir), "batch small scan", [("n_chars", "desc")], size=10, from_=10
+    )
+
+
+def _search_sorted_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-by-field on the SERVING path: each shard returns its local
+    top-(from+size) over (doc_id, field) only — the ES coordinator merge."""
+    return _segment_searcher(spark, sf_dir).search_sorted(
+        "dup batch scan", [("n_chars", "desc")], size=10, from_=10
+    )
+
+
+def _bm25_segment_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored deep paging (ES from/size) on the serving path: shards return
+    top-(from+k), gather slices [from, from+k)."""
+    return _segment_searcher(spark, sf_dir).search("batch small scan", k=10, from_=10)
+
+
+# fixed keyset cursor: (n_chars of last hit, doc_id of last hit)
+_AFTER_CURSOR = (300, 250)
+
+
+def _match_sorted_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search_after keyset paging, declarative: strictly-after WHERE
+    predicate instead of an offset — page N costs page-1 work (the
+    deep-scan path past max_result_window)."""
+    from flume_elasticsearch_2_spark.operators.sorting import match_sorted
+
+    return match_sorted(
+        _docs(spark, sf_dir),
+        "batch small scan",
+        [("n_chars", "desc")],
+        size=10,
+        after=_AFTER_CURSOR,
+    )
+
+
+def _events_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram agg with a filter scope and value-field stats:
+    daily purchase volume. TimestampNTZ date_trunc — tz-independent, exact
+    DuckDB parity."""
+    from pyspark.sql import functions as F
+
+    from flume_elasticsearch_2_spark.operators.facets import date_histogram_facet
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return date_histogram_facet(
+        ev, "ts", "day", where=F.col("event_type") == "purchase", value_col="value"
+    )
+
+
+def _events_terms_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x terms_stats facet (terms agg + stats sub-agg): per event
+    type, count and value stats."""
+    from flume_elasticsearch_2_spark.operators.facets import terms_stats_facet
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return terms_stats_facet(ev, "event_type", "value", size=10)
+
+
+def _search_sorted_after_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_after on the SERVING path: the cursor filters inside each
+    shard's partial BEFORE its local truncation."""
+    return _segment_searcher(spark, sf_dir).search_sorted(
+        "batch small scan", [("n_chars", "desc")], size=10, after=_AFTER_CURSOR
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _bm25_query(qq, mode) for name, (qq, mode) in BM25_QUERIES.items()
@@ -631,6 +706,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_histogram"] = _facet_histogram
     q["facet_segment_terms"] = _facet_segment_terms
     q["facet_segment_stats"] = _facet_segment_stats
+    q["match_sorted_page"] = _match_sorted_page
+    q["search_sorted_segment"] = _search_sorted_segment
+    q["bm25_segment_page2"] = _bm25_segment_page2
+    q["match_sorted_after"] = _match_sorted_after
+    q["search_sorted_after_segment"] = _search_sorted_after_segment
+    q["events_date_histogram"] = _events_date_histogram
+    q["events_terms_stats"] = _events_terms_stats
     return q
 
 
@@ -864,4 +946,26 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["facet_segment_stats"] = stats_facet_sql(
         "dup batch scan", "len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
     )
+    from flume_elasticsearch_2_spark.operators.sorting import match_sorted_sql
+
+    o["match_sorted_page"] = match_sorted_sql(
+        "batch small scan", [("n_chars", "desc")], size=10, from_=10
+    )
+    o["search_sorted_segment"] = match_sorted_sql(
+        "dup batch scan", [("n_chars", "desc")], size=10, from_=10
+    )
+    o["bm25_segment_page2"] = bm25_topk_sql("batch small scan", k=10, offset=10)
+    o["match_sorted_after"] = match_sorted_sql(
+        "batch small scan", [("n_chars", "desc")], size=10, after=_AFTER_CURSOR
+    )
+    o["search_sorted_after_segment"] = o["match_sorted_after"]
+    from flume_elasticsearch_2_spark.operators.facets import (
+        date_histogram_facet_sql,
+        terms_stats_facet_sql,
+    )
+
+    o["events_date_histogram"] = date_histogram_facet_sql(
+        "ts", "day", where_sql="event_type = 'purchase'", value_col="value"
+    )
+    o["events_terms_stats"] = terms_stats_facet_sql("event_type", "value", size=10)
     return o

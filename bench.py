@@ -115,6 +115,18 @@ def main() -> None:
     bm25_phrase_topk(docs, "part filter", k=10).collect()
     timings["bm25_phrase_dataframe"] = time.time() - t0
 
+    # 3c. facets over a hot query's match scope (~60%+ of the corpus):
+    # declarative = one corpus pass; serving = per-shard match-set decode
+    # from postings doc streams + (doc_id, field)-only docs read
+    from flume_elasticsearch_2_spark.operators.facets import terms_facet
+
+    t0 = time.time()
+    terms_facet(docs, "batch small scan", "lang", size=10).collect()
+    timings["facet_terms_dataframe"] = time.time() - t0
+    t0 = time.time()
+    searcher.facet("batch small scan", "dl", kind="stats").collect()
+    timings["facet_serving_stats"] = time.time() - t0
+
     # 4. dedup
     t0 = time.time()
     minhash_lsh_pairs(docs, num_hashes=32, bands=8).count()

@@ -138,6 +138,67 @@ def histogram_facet(
     )
 
 
+_DATE_UNITS = ("hour", "day", "week", "month", "year")
+
+
+def date_histogram_facet(
+    df: DataFrame,
+    ts_col: str = "ts",
+    interval: str = "day",
+    where: Column | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """ES ``date_histogram`` facet: count per calendar bucket
+    (``date_trunc`` — identical ISO semantics in Spark and DuckDB, week
+    starts Monday), bucket-ordered. ``where`` = optional filter scope (the
+    ES filtered-query analog for non-text tables). ``value_col`` adds the
+    ES value-field stats (min/max/sum/avg) per bucket.
+
+    Scale shape: one pass, map-side-combined groupBy; rows shuffled ≤
+    bucket cardinality × partitions."""
+    if interval not in _DATE_UNITS:
+        raise ValueError(f"interval must be one of {_DATE_UNITS}, got {interval!r}")
+    src = df if where is None else df.where(where)
+    aggs = [F.count("*").alias("count")]
+    if value_col is not None:
+        aggs += [
+            F.round(F.min(value_col).cast("double"), 6).alias("min"),
+            F.round(F.max(value_col).cast("double"), 6).alias("max"),
+            F.round(F.sum(value_col).cast("double"), 6).alias("sum"),
+            F.round(F.avg(value_col).cast("double"), 6).alias("avg"),
+        ]
+    return (
+        src.groupBy(F.date_trunc(interval, F.col(ts_col)).alias("bucket"))
+        .agg(*aggs)
+        .orderBy("bucket")
+    )
+
+
+def terms_stats_facet(
+    df: DataFrame,
+    key_field: str,
+    value_field: str,
+    size: int = 10,
+    where: Column | None = None,
+) -> DataFrame:
+    """ES 1.x ``terms_stats`` facet: per key-field value, count + stats of
+    the value field, top-``size`` by (count DESC, term ASC) — the composed
+    terms+stats aggregation shape (sub-aggs, renamed in the 1.0 aggs API)."""
+    src = df if where is None else df.where(where)
+    return (
+        src.groupBy(F.col(key_field).alias("term"))
+        .agg(
+            F.count("*").alias("count"),
+            F.round(F.min(value_field).cast("double"), 6).alias("min"),
+            F.round(F.max(value_field).cast("double"), 6).alias("max"),
+            F.round(F.sum(value_field).cast("double"), 6).alias("total"),
+            F.round(F.avg(value_field).cast("double"), 6).alias("mean"),
+        )
+        .orderBy(F.col("count").desc(), F.col("term").asc())
+        .limit(int(size))
+    )
+
+
 # -- DuckDB oracles ----------------------------------------------------------
 
 
@@ -174,6 +235,55 @@ SELECT count(*) AS count, min({field}) AS min, max({field}) AS max,
        round(CAST(avg({field}) AS DOUBLE), 6) AS avg
 FROM {table}
 WHERE {_match_sql(query, mode, stopwords, analyzer)}
+"""
+
+
+def date_histogram_facet_sql(
+    ts_col: str = "ts",
+    interval: str = "day",
+    where_sql: str | None = None,
+    value_col: str | None = None,
+    table: str = "events",
+) -> str:
+    if interval not in _DATE_UNITS:
+        raise ValueError(f"interval must be one of {_DATE_UNITS}, got {interval!r}")
+    stats = ""
+    if value_col is not None:
+        stats = f""",
+       round(CAST(min({value_col}) AS DOUBLE), 6) AS min,
+       round(CAST(max({value_col}) AS DOUBLE), 6) AS max,
+       round(CAST(sum({value_col}) AS DOUBLE), 6) AS sum,
+       round(CAST(avg({value_col}) AS DOUBLE), 6) AS avg"""
+    # DuckDB date_trunc returns DATE for day-and-coarser units; Spark always
+    # returns timestamp — cast for cross-engine value equality
+    return f"""
+SELECT CAST(date_trunc('{interval}', {ts_col}) AS TIMESTAMP) AS bucket,
+       count(*) AS count{stats}
+FROM {table}
+WHERE {where_sql or 'TRUE'}
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+def terms_stats_facet_sql(
+    key_field: str,
+    value_field: str,
+    size: int = 10,
+    where_sql: str | None = None,
+    table: str = "events",
+) -> str:
+    return f"""
+SELECT {key_field} AS term, count(*) AS count,
+       round(CAST(min({value_field}) AS DOUBLE), 6) AS min,
+       round(CAST(max({value_field}) AS DOUBLE), 6) AS max,
+       round(CAST(sum({value_field}) AS DOUBLE), 6) AS total,
+       round(CAST(avg({value_field}) AS DOUBLE), 6) AS mean
+FROM {table}
+WHERE {where_sql or 'TRUE'}
+GROUP BY 1
+ORDER BY count(*) DESC, term ASC
+LIMIT {int(size)}
 """
 
 

@@ -1,0 +1,167 @@
+"""Sort-by-field and from/size paging over a query's match set (ES `sort`
++ `from`/`size`; delegation site: ElasticsearchSink.java:54 — every search
+option runs in ES; Lucene `Sort`/`TopFieldCollector` analog).
+
+ES semantics: when `sort` names stored fields, hits are ordered by those
+fields (not by score; scores are skipped entirely unless asked for), and
+`from`/`size` page into the globally sorted list. Each shard returns its
+local top-(from+size); the coordinator merges and slices — deep pages cost
+every shard from+size work, which is why ES caps `from` (index.max_result_
+window, default 10 000). Both paths here reproduce that shape exactly:
+
+- Declarative (:func:`match_sorted`): `WHERE <match> ORDER BY fields
+  LIMIT size OFFSET from` — Catalyst compiles the orderBy+offset+limit to a
+  single `TakeOrderedAndProject(limit=from+size, offset=from)`: per
+  partition top-(from+size) heaps, one driver merge, never a global sort.
+- Serving (`IndexSearcher.search_sorted`, plans/query_index.py): per-shard
+  match-set decode from postings doc streams, `(doc_id, fields)`-pruned
+  docs read, local top-(from+size) per shard, tiny final merge.
+
+A trailing `doc_id ASC` tiebreak is always appended so pages are
+deterministic and non-overlapping (ES uses internal doc order; a stable
+key is the reproducible analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .facets import _match_sql, match_condition
+
+MAX_RESULT_WINDOW = 10_000  # ES index.max_result_window default
+
+
+def _check_window(size: int, from_: int) -> None:
+    if size < 0 or from_ < 0:
+        raise ValueError("size and from_ must be non-negative")
+    if from_ + size > MAX_RESULT_WINDOW:
+        raise ValueError(
+            f"from_+size = {from_ + size} exceeds max_result_window "
+            f"({MAX_RESULT_WINDOW}); use search_after-style keyset paging "
+            "for deeper scans"
+        )
+
+
+def _ascending(sort_by: list[tuple[str, str]]) -> list[bool]:
+    out = []
+    for _, o in sort_by:
+        if o not in ("asc", "desc"):
+            raise ValueError(f"sort order must be asc|desc, got {o!r}")
+        out.append(o == "asc")
+    return out
+
+
+def after_condition(sort_by: list[tuple[str, str]], after: tuple, id_col: str = "doc_id"):
+    """Boolean Column: row is STRICTLY after the ``after`` cursor in the
+    composite (fields..., doc_id) sort order — ES ``search_after``. The
+    cursor is the previous page's last hit's sort values + doc_id."""
+    fields = [f for f, _ in sort_by] + [id_col]
+    asc = _ascending(sort_by) + [True]
+    if len(after) != len(fields):
+        raise ValueError(f"after cursor needs {len(fields)} values (sort fields + id)")
+    cond = F.lit(False)
+    eq = F.lit(True)
+    for f, a, av in zip(fields, asc, after):
+        this = (F.col(f) > F.lit(av)) if a else (F.col(f) < F.lit(av))
+        cond = cond | (eq & this)
+        eq = eq & (F.col(f) == F.lit(av))
+    return cond
+
+
+def after_mask_pandas(df, sort_by: list[tuple[str, str]], after: tuple, id_col: str = "doc_id"):
+    """NumPy boolean mask version of :func:`after_condition` — used by the
+    serving path inside the per-shard partial (the cursor must filter
+    BEFORE the local top-(size) truncation)."""
+    import numpy as np
+
+    fields = [f for f, _ in sort_by] + [id_col]
+    asc = _ascending(sort_by) + [True]
+    mask = np.zeros(len(df), dtype=bool)
+    eq = np.ones(len(df), dtype=bool)
+    for f, a, av in zip(fields, asc, after):
+        col = df[f].to_numpy()
+        this = (col > av) if a else (col < av)
+        mask |= eq & this
+        eq &= col == av
+    return mask
+
+
+def _after_sql(sort_by: list[tuple[str, str]], after: tuple) -> str:
+    """The identical strictly-after predicate as SQL (explicit expansion —
+    row-value compare only works for all-ascending keys)."""
+    fields = [f for f, _ in sort_by] + ["doc_id"]
+    asc = _ascending(sort_by) + [True]
+
+    def lit(v):
+        return f"'{v}'" if isinstance(v, str) else repr(v)
+
+    clauses, eqs = [], []
+    for f, a, av in zip(fields, asc, after):
+        op = ">" if a else "<"
+        prefix = " AND ".join(eqs + [f"{f} {op} {lit(av)}"])
+        clauses.append(f"({prefix})")
+        eqs.append(f"{f} = {lit(av)}")
+    return "(" + " OR ".join(clauses) + ")"
+
+
+def match_sorted(
+    docs: DataFrame,
+    query: str | None,
+    sort_by: list[tuple[str, str]],
+    size: int = 10,
+    from_: int = 0,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+    after: tuple | None = None,
+) -> DataFrame:
+    """Page [from_, from_+size) of the match set ordered by ``sort_by`` =
+    [(field, "asc"|"desc"), ...]; returns (doc_id, *fields).
+
+    ``after`` = ES ``search_after`` keyset cursor (last hit's sort values +
+    doc_id): pages by a WHERE predicate instead of an offset, so page N
+    costs the same as page 1 — the scale path past max_result_window.
+    Mutually exclusive with ``from_``."""
+    if after is not None and from_:
+        raise ValueError("search_after and from_ are mutually exclusive (as in ES)")
+    _check_window(size, 0 if after is not None else from_)
+    asc = _ascending(sort_by)
+    order = [
+        F.col(f).asc() if a else F.col(f).desc() for (f, _), a in zip(sort_by, asc)
+    ]
+    order.append(F.col(id_col).asc())
+    out = docs.where(match_condition(query, mode, text_col, stopwords, analyzer))
+    if after is not None:
+        out = out.where(after_condition(sort_by, after, id_col))
+    return (
+        out.select(F.col(id_col).alias("doc_id"), *[f for f, _ in sort_by])
+        .orderBy(*order)
+        .offset(int(from_))
+        .limit(int(size))
+    )
+
+
+def match_sorted_sql(
+    query: str | None,
+    sort_by: list[tuple[str, str]],
+    size: int = 10,
+    from_: int = 0,
+    mode: str = "or",
+    table: str = "documents",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+    after: tuple | None = None,
+) -> str:
+    """DuckDB oracle for :func:`match_sorted` (identical match + ordering)."""
+    order = ", ".join(f"{f} {o.upper()}" for f, o in sort_by) + ", doc_id ASC"
+    cols = ", ".join(["doc_id"] + [f for f, _ in sort_by])
+    after_pred = "" if after is None else f"\n  AND {_after_sql(sort_by, after)}"
+    return f"""
+SELECT {cols}
+FROM {table}
+WHERE {_match_sql(query, mode, stopwords, analyzer)}{after_pred}
+ORDER BY {order}
+LIMIT {int(size)} OFFSET {int(from_)}
+"""

@@ -294,6 +294,7 @@ def bm25_topk_sql(
     text_expr: str = "text",
     min_should_match: int | None = None,
     boosts: dict[str, float] | None = None,
+    offset: int = 0,
 ) -> str:
     """DuckDB oracle SQL equivalent of :func:`bm25_topk` (same rounding).
 
@@ -354,5 +355,5 @@ FROM scored
 GROUP BY doc_id
 {and_filter}
 ORDER BY sum(partial) DESC, doc_id ASC
-LIMIT {k}
+LIMIT {k}{f' OFFSET {offset}' if offset else ''}
 """

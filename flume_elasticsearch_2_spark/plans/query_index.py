@@ -520,6 +520,7 @@ class IndexSearcher:
         doc_filter: tuple | None = None,
         min_should_match: int | None = None,
         boosts: dict[str, float] | None = None,
+        from_: int = 0,
     ) -> DataFrame:
         """Top-k BM25 as a DataFrame (doc_id, score[, fetch cols]).
 
@@ -527,8 +528,9 @@ class IndexSearcher:
         NumPy/DuckDB oracles; scores rounded to 6 decimals in the output.
         ``doc_filter`` = (column, op, value) over docs-table attributes —
         ES bool-filter semantics (see ``_read_shard_tables``); the direct
-        engine only.
-        """
+        engine only. ``from_`` pages into the ranked list (ES ``from``/
+        ``size``): every shard returns its local top-(from_+k) — the ES
+        deep-paging cost shape — and the gather slices [from_, from_+k)."""
         spark = self.spark
         q_terms = tokenize(query)
         empty = spark.createDataFrame([], "doc_id long, score double")
@@ -543,6 +545,8 @@ class IndexSearcher:
             return empty
         if min_should_match is not None and len(present) < min_should_match:
             return empty
+        if from_ < 0:
+            raise ValueError("from_ must be non-negative")
         kwargs = dict(
             weights=weights,
             dfreq=dfreq,
@@ -550,7 +554,7 @@ class IndexSearcher:
             avgdl=self.avgdl,
             id_space=self.id_space,
             n_shards=self.n_shards,
-            k=k,
+            k=k + from_,
             mode=mode,
             pruned=pruned,
             msm=min_should_match,
@@ -560,12 +564,15 @@ class IndexSearcher:
             # single narrow stage: per-shard top-k tasks -> collect -> heap
             # merge ON THE DRIVER (the ES coordinating-node gather). Collecting
             # here instead of orderBy().limit() removes the TakeOrdered stage
-            # and its scheduling round-trip — at most n_shards * k tiny rows
-            # cross the wire, never postings.
+            # and its scheduling round-trip — at most n_shards * (from_+k)
+            # tiny rows cross the wire, never postings.
             rows = self._scatter_direct(active_shards, present, kwargs, doc_filter).collect()
             rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
             out = spark.createDataFrame(
-                [(int(r["doc_id"]), round(float(r["score"]), 6)) for r in rows[:k]],
+                [
+                    (int(r["doc_id"]), round(float(r["score"]), 6))
+                    for r in rows[from_ : from_ + k]
+                ],
                 "doc_id long, score double",
             )
         else:
@@ -574,6 +581,7 @@ class IndexSearcher:
             per_shard = self._scatter_cogroup(active_shards, present, kwargs)
             out = (
                 per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .offset(int(from_))
                 .limit(k)
                 .select("doc_id", F.round("score", 6).alias("score"))
             )
@@ -1144,6 +1152,94 @@ class IndexSearcher:
             F.round(F.sum("sm"), 6).alias("sum"),
             F.round(F.sum("sm") / F.sum("cnt"), 6).alias("avg"),
         )
+
+    def search_sorted(
+        self,
+        query: str | None,
+        sort_by: list[tuple[str, str]],
+        size: int = 10,
+        from_: int = 0,
+        mode: str = "or",
+        after: tuple | None = None,
+    ) -> DataFrame:
+        """ES sort-by-field + from/size on the SERVING path (operators/
+        sorting.py has the declarative twin and the semantics contract).
+
+        Scale shape — the ES coordinator/data-node split exactly: one task
+        per active shard decodes the match set from postings doc streams,
+        reads only ``(doc_id, sort fields)`` from its docs partition, and
+        returns its LOCAL top-(from_+size); the final merge orders
+        n_shards × (from_+size) tiny rows and slices the page. Deep pages
+        cost every shard from_+size work — the reason for the ES
+        max_result_window cap, enforced here too. ``after`` = ES
+        ``search_after`` keyset cursor (mutually exclusive with ``from_``):
+        the strictly-after predicate filters INSIDE each shard's partial
+        before its local truncation, so page N costs page-1 work — the
+        deep-scan path past max_result_window."""
+        from ..operators.sorting import _check_window, after_condition, after_mask_pandas
+
+        if after is not None and from_:
+            raise ValueError("search_after and from_ are mutually exclusive (as in ES)")
+        _check_window(size, 0 if after is not None else from_)
+        spark, index_dir = self.spark, self.index_dir
+        schema = pads.dataset(f"{index_dir}/docs/shard=0", format="parquet").schema
+        fields = [f for f, _ in sort_by]
+        ascending = []
+        for f, o in sort_by:
+            if o not in ("asc", "desc"):
+                raise ValueError(f"sort order must be asc|desc, got {o!r}")
+            ascending.append(o == "asc")
+        ddl = "doc_id long, " + ", ".join(
+            f"{f} {_arrow_ddl(schema, f)}" for f in fields
+        )
+        order_cols = [
+            F.col(f).asc() if a else F.col(f).desc() for f, a in zip(fields, ascending)
+        ] + [F.col("doc_id").asc()]
+        want = int(from_) + int(size)
+
+        if query is None:
+            src = spark.read.parquet(f"{index_dir}/docs").select("doc_id", *fields)
+            if after is not None:
+                src = src.where(after_condition(sort_by, after))
+            return src.orderBy(*order_cols).offset(int(from_)).limit(int(size))
+
+        terms = sorted(set(tokenize(query)))
+        dfreq, term_shards = self._query_meta_terms(terms)
+        present = [t for t in terms if t in dfreq]
+        shard_sets = [term_shards[t] for t in present]
+        if mode == "and":
+            active = sorted(set.intersection(*shard_sets)) if (
+                shard_sets and len(present) == len(terms)
+            ) else []
+        else:
+            active = sorted(set.union(*shard_sets)) if shard_sets else []
+        if not active:
+            return spark.createDataFrame([], ddl)
+
+        def shard_tops(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for shard in pdf["shard"].tolist():
+                    ids = _facet_match_ids(index_dir, shard, present, mode)
+                    if len(ids) == 0:
+                        continue
+                    dt = (
+                        pads.dataset(
+                            f"{index_dir}/docs/shard={shard}", format="parquet"
+                        )
+                        .to_table(columns=["doc_id"] + fields)
+                        .to_pandas()
+                    )
+                    sub = dt.loc[
+                        np.isin(dt["doc_id"].to_numpy(), ids, assume_unique=True)
+                    ]
+                    if after is not None:
+                        sub = sub.loc[after_mask_pandas(sub, sort_by, after)]
+                    yield sub.sort_values(
+                        fields + ["doc_id"], ascending=ascending + [True]
+                    ).head(want)
+
+        partials = _one_task_per_shard(spark, active).mapInPandas(shard_tops, ddl)
+        return partials.orderBy(*order_cols).offset(int(from_)).limit(int(size))
 
     def _scatter_direct(
         self,

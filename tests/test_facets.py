@@ -114,3 +114,70 @@ def test_facet_rejects_unknown_kind(facet_searcher):
         facet_searcher.facet(None, "lang", kind="percentiles")
     with pytest.raises(ValueError):
         facet_searcher.facet(None, "n_chars", kind="histogram", interval=0)
+
+
+# -- date_histogram / terms_stats over the events table ----------------------
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _duck_events(sf_dir, sql):
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    return con.sql(sql).fetchall()
+
+
+@pytest.mark.parametrize("interval", ["hour", "day", "week", "month"])
+def test_date_histogram_matches_duckdb(events, sf_dir, interval):
+    from flume_elasticsearch_2_spark.operators.facets import (
+        date_histogram_facet,
+        date_histogram_facet_sql,
+    )
+
+    got = [tuple(r) for r in date_histogram_facet(events, "ts", interval).collect()]
+    want = _duck_events(sf_dir, date_histogram_facet_sql("ts", interval))
+    assert got == want
+
+
+def test_date_histogram_filtered_with_value_stats(events, sf_dir):
+    from pyspark.sql import functions as F
+
+    from flume_elasticsearch_2_spark.operators.facets import (
+        date_histogram_facet,
+        date_histogram_facet_sql,
+    )
+
+    got = [
+        tuple(r)
+        for r in date_histogram_facet(
+            events, "ts", "day", where=F.col("event_type") == "purchase", value_col="value"
+        ).collect()
+    ]
+    want = _duck_events(
+        sf_dir,
+        date_histogram_facet_sql("ts", "day", where_sql="event_type = 'purchase'", value_col="value"),
+    )
+    assert got == want
+
+
+def test_terms_stats_matches_duckdb(events, sf_dir):
+    from flume_elasticsearch_2_spark.operators.facets import (
+        terms_stats_facet,
+        terms_stats_facet_sql,
+    )
+
+    got = [tuple(r) for r in terms_stats_facet(events, "event_type", "value", size=10).collect()]
+    want = _duck_events(sf_dir, terms_stats_facet_sql("event_type", "value", size=10))
+    assert got == want
+
+
+def test_date_histogram_rejects_bad_interval(events):
+    from flume_elasticsearch_2_spark.operators.facets import date_histogram_facet
+
+    with pytest.raises(ValueError):
+        date_histogram_facet(events, "ts", "fortnight")
