@@ -519,6 +519,21 @@ def _bm25_segment_multiterm(pattern: str, kind: str, kw: dict):
     return run
 
 
+def _term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term suggester ("did you mean"): Levenshtein-close dictionary
+    terms for a typo'd input, ranked (distance ASC, df DESC, term ASC)."""
+    from flume_elasticsearch_2_spark.operators.multiterm import term_suggest
+
+    return term_suggest(_docs(spark, sf_dir), "stre", size=5, max_edits=2)
+
+
+def _term_suggest_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suggester on the SERVING path: range-pruned read of the prebuilt
+    global terms/ dictionary (term >= 's' AND term < 't'), never a corpus
+    pass."""
+    return _segment_searcher(spark, sf_dir).suggest("stre", size=5, max_edits=2)
+
+
 _BOOSTS = {"dup": 0.2, "scan": 3.0}  # demote the rare term, promote a hot one
 
 
@@ -713,6 +728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["search_sorted_after_segment"] = _search_sorted_after_segment
     q["events_date_histogram"] = _events_date_histogram
     q["events_terms_stats"] = _events_terms_stats
+    q["term_suggest"] = _term_suggest
+    q["term_suggest_segment"] = _term_suggest_segment
     return q
 
 
@@ -968,4 +985,8 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
         "ts", "day", where_sql="event_type = 'purchase'", value_col="value"
     )
     o["events_terms_stats"] = terms_stats_facet_sql("event_type", "value", size=10)
+    from flume_elasticsearch_2_spark.operators.multiterm import term_suggest_sql
+
+    o["term_suggest"] = term_suggest_sql("stre", size=5, max_edits=2)
+    o["term_suggest_segment"] = o["term_suggest"]
     return o

@@ -309,3 +309,91 @@ GROUP BY doc_id
 ORDER BY sum(partial) DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+# -- term suggester (ES suggest API) ------------------------------------------
+
+
+def term_suggest(
+    docs: DataFrame,
+    term: str,
+    size: int = 5,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """ES term suggester ("did you mean"): dictionary terms within
+    ``max_edits`` Levenshtein of the input, sharing its first
+    ``prefix_length`` chars (the ES default 1 — and the serving path's
+    range-pruning key), excluding the input itself, ordered by
+    ``(distance ASC, df DESC, term ASC)`` — ES ranks by closeness then
+    frequency; the term tiebreak makes the cap deterministic. Returns
+    (suggestion, distance, df).
+
+    Scale shape: same one-aggregation dictionary as :func:`expand_pattern`
+    (map-side combine, ≤ vocabulary rows shuffled), then a vocabulary-sized
+    Levenshtein filter — never a corpus re-scan per suggestion."""
+    term = term.lower()
+    if prefix_length < 0 or max_edits < 0:
+        raise ValueError("max_edits and prefix_length must be non-negative")
+    toks = tokens_col(text_col, stopwords, analyzer)
+    dictionary = (
+        docs.select(F.explode(F.array_distinct(toks)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    cond = (F.levenshtein(F.col("term"), F.lit(term)) <= int(max_edits)) & (
+        F.col("term") != term
+    )
+    if prefix_length:
+        cond = cond & (
+            F.substring("term", 1, int(prefix_length)) == term[: int(prefix_length)]
+        )
+    return (
+        dictionary.where(cond)
+        .select(
+            F.col("term").alias("suggestion"),
+            F.levenshtein(F.col("term"), F.lit(term)).cast("long").alias("distance"),
+            "df",
+        )
+        .orderBy(F.col("distance").asc(), F.col("df").desc(), F.col("suggestion").asc())
+        .limit(int(size))
+    )
+
+
+def term_suggest_sql(
+    term: str,
+    size: int = 5,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    table: str = "documents",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB oracle for :func:`term_suggest` (levenshtein is bit-identical
+    across engines on the analyzer's token class — pinned in tests)."""
+    term = term.lower()
+    tok_expr = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    if stopwords:
+        stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
+        tok_expr = f"list_filter({tok_expr}, t -> t NOT IN ({stop_list}))"
+    prefix_pred = (
+        f"AND substr(term, 1, {int(prefix_length)}) = '{term[: int(prefix_length)]}'"
+        if prefix_length
+        else ""
+    )
+    return f"""
+WITH dict AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT unnest(list_distinct({tok_expr})) AS term FROM {table})
+  GROUP BY term
+)
+SELECT term AS suggestion, CAST(levenshtein(term, '{term}') AS BIGINT) AS distance, df
+FROM dict
+WHERE levenshtein(term, '{term}') <= {int(max_edits)} AND term <> '{term}'
+  {prefix_pred}
+ORDER BY distance ASC, df DESC, suggestion ASC
+LIMIT {int(size)}
+"""

@@ -1009,6 +1009,47 @@ class IndexSearcher:
             [(int(i), round(float(boost), 6)) for i in ids], "doc_id long, score double"
         )
 
+    def suggest(
+        self,
+        term: str,
+        size: int = 5,
+        max_edits: int = 2,
+        prefix_length: int = 1,
+    ) -> DataFrame:
+        """ES term suggester ("did you mean") on the SERVING path: candidates
+        come from the prebuilt global ``terms/`` dictionary, never a corpus
+        pass. With ``prefix_length >= 1`` (the ES default) the read is
+        RANGE-PRUNED to the shared prefix (``term >= p AND term < p⁺`` via
+        Parquet row-group stats, same trick as :meth:`expand_terms`);
+        Levenshtein + the ES ``(distance ASC, df DESC, term ASC)`` ranking
+        run driver-side over the pruned slice. Semantics shared with the
+        declarative :func:`~..operators.multiterm.term_suggest`."""
+        from ..operators.multiterm import levenshtein_py
+
+        term = term.lower()
+        if prefix_length < 0 or max_edits < 0:
+            raise ValueError("max_edits and prefix_length must be non-negative")
+        filt = None
+        lit = term[: int(prefix_length)]
+        if lit:
+            filt = (pads.field("term") >= lit) & (
+                pads.field("term") < lit[:-1] + chr(ord(lit[-1]) + 1)
+            )
+        tbl = pads.dataset(f"{self.index_dir}/terms", format="parquet").to_table(
+            columns=["term", "df"], filter=filt
+        )
+        cand = []
+        for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
+            if t == term:
+                continue
+            dist = levenshtein_py(t, term)
+            if dist <= int(max_edits):
+                cand.append((t, int(dist), int(d)))
+        cand.sort(key=lambda x: (x[1], -x[2], x[0]))
+        return self.spark.createDataFrame(
+            cand[: int(size)], "suggestion string, distance long, df long"
+        )
+
     def _matching_ids_shard(self, shard: int, terms: list[str]) -> set[int]:
         """All doc ids in one shard matching any of ``terms`` (postings
         doc-stream decode only; tf streams never touched)."""

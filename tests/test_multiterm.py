@@ -174,3 +174,44 @@ def test_constant_score_early_exit_is_k_smallest_ids(documents, searcher):
     ]
     got = [r.doc_id for r in searcher.search_multiterm("ba", "prefix", k=3).collect()]
     assert got == ids
+
+
+# -- term suggester -----------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "term,kw",
+    [
+        ("scann", {}),  # 'scan' at distance 1 should rank first
+        ("sprak", {"max_edits": 2}),
+        ("part", {"max_edits": 1}),  # real term excluded, near terms kept
+        ("bat", {"max_edits": 2, "prefix_length": 0}),  # unpruned dictionary pass
+    ],
+)
+def test_suggest_matches_duckdb(documents, duck, term, kw):
+    from flume_elasticsearch_2_spark.operators.multiterm import (
+        term_suggest,
+        term_suggest_sql,
+    )
+
+    got = [tuple(r) for r in term_suggest(documents, term, **kw).collect()]
+    want = [tuple(r) for r in duck.execute(term_suggest_sql(term, **kw)).fetchall()]
+    assert got == want
+
+
+@pytest.mark.parametrize("term", ["scann", "sprak", "bat"])
+def test_suggest_serving_equals_declarative(documents, searcher, term):
+    from flume_elasticsearch_2_spark.operators.multiterm import term_suggest
+
+    got = [tuple(r) for r in searcher.suggest(term, size=5, max_edits=2).collect()]
+    decl = [tuple(r) for r in term_suggest(documents, term, size=5, max_edits=2).collect()]
+    assert got == decl
+
+
+def test_suggest_excludes_input_and_orders_by_distance(documents):
+    from flume_elasticsearch_2_spark.operators.multiterm import term_suggest
+
+    rows = term_suggest(documents, "scan", size=10, max_edits=2).collect()
+    assert all(r.suggestion != "scan" for r in rows)
+    dists = [r.distance for r in rows]
+    assert dists == sorted(dists)
