@@ -519,6 +519,32 @@ def _bm25_segment_multiterm(pattern: str, kind: str, kw: dict):
     return run
 
 
+def _bm25_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool must_not (negative clause, filter context): docs containing
+    'slow' excluded; surviving scores identical to the unfiltered query."""
+    return bm25_topk(_docs(spark, sf_dir), "dup batch scan", k=10, must_not="slow")
+
+
+def _bm25_segment_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """must_not on the SERVING path: negative terms' doc streams decoded per
+    shard (tf never read), matching ids masked out of the admitted set."""
+    return _segment_searcher(spark, sf_dir).search("dup batch scan", k=10, must_not="slow")
+
+
+def _match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _count API: matching-doc count, no scoring — one JVM predicate
+    pass ending in a map-side-combined count."""
+    from flume_elasticsearch_2_spark.operators.topk import match_count
+
+    return match_count(_docs(spark, sf_dir), "batch small scan", mode="or")
+
+
+def _match_count_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_count on the SERVING path: per-shard match-set sizes from postings
+    doc streams, summed on the driver (<= one long per shard gathered)."""
+    return _segment_searcher(spark, sf_dir).count("batch small scan", mode="or")
+
+
 def _term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES term suggester ("did you mean"): Levenshtein-close dictionary
     terms for a typo'd input, ranked (distance ASC, df DESC, term ASC)."""
@@ -730,6 +756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_terms_stats"] = _events_terms_stats
     q["term_suggest"] = _term_suggest
     q["term_suggest_segment"] = _term_suggest_segment
+    q["bm25_must_not"] = _bm25_must_not
+    q["bm25_segment_must_not"] = _bm25_segment_must_not
+    q["match_count"] = _match_count
+    q["match_count_segment"] = _match_count_segment
     return q
 
 
@@ -989,4 +1019,10 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
 
     o["term_suggest"] = term_suggest_sql("stre", size=5, max_edits=2)
     o["term_suggest_segment"] = o["term_suggest"]
+    from flume_elasticsearch_2_spark.operators.topk import match_count_sql
+
+    o["bm25_must_not"] = bm25_topk_sql("dup batch scan", k=10, must_not="slow")
+    o["bm25_segment_must_not"] = o["bm25_must_not"]
+    o["match_count"] = match_count_sql("batch small scan", mode="or")
+    o["match_count_segment"] = o["match_count"]
     return o

@@ -50,6 +50,7 @@ def bm25_topk(
     analyzer: str = "ascii",
     min_should_match: int | None = None,
     boosts: dict[str, float] | None = None,
+    must_not: str | None = None,
 ) -> DataFrame:
     """Top-k BM25 over a document DataFrame, pure declarative plan.
 
@@ -72,6 +73,9 @@ def bm25_topk(
     contract applied to distinct analyzed terms. ``boosts`` maps analyzed
     terms to multiplicative score boosts — ES ``term^boost`` (boosts for
     terms not in the query are ignored; duplicates still accumulate).
+    ``must_not`` is the ES bool negative clause: a string analyzed with the
+    same analyzer; docs containing ANY resulting term are excluded. Filter
+    context per ES — non-scoring, and idf/avgdl/N stay index-wide.
     """
     q_terms = tokenize(query, stopwords, analyzer)
     if not q_terms:
@@ -133,8 +137,15 @@ def bm25_topk(
     if not any_present or (mode == "and" and present_n < len(distinct_terms)):
         return docs.sparkSession.createDataFrame([], "doc_id long, score double")
 
-    # filter restricts candidates only; the stats above stay index-wide
-    scored_src = per_doc if doc_filter is None else project(docs.where(doc_filter))
+    # filters restrict candidates only; the stats above stay index-wide
+    mn_terms = sorted(set(tokenize(must_not, stopwords, analyzer))) if must_not else []
+    cand = docs
+    if doc_filter is not None:
+        cand = cand.where(doc_filter)
+    if mn_terms:
+        mn_toks = tokens_col(text_col, stopwords, analyzer)
+        cand = cand.where(~F.exists(mn_toks, lambda x: x.isin(mn_terms)))
+    scored_src = per_doc if cand is docs else project(cand)
     scored = scored_src.withColumn("score_exact", score)
     if mode == "and":
         cond = F.lit(True)
@@ -295,6 +306,7 @@ def bm25_topk_sql(
     min_should_match: int | None = None,
     boosts: dict[str, float] | None = None,
     offset: int = 0,
+    must_not: str | None = None,
 ) -> str:
     """DuckDB oracle SQL equivalent of :func:`bm25_topk` (same rounding).
 
@@ -312,9 +324,17 @@ def bm25_topk_sql(
     and_filter = f"HAVING count(DISTINCT term) = {len(weights)}" if mode == "and" else ""
     if mode != "and" and min_should_match is not None:
         and_filter = f"HAVING count(DISTINCT term) >= {int(min_should_match)}"
-    cand_filter = (
-        f"WHERE doc_id IN (SELECT doc_id FROM {table} WHERE {filter_sql})" if filter_sql else ""
-    )
+    cand_preds = []
+    if filter_sql:
+        cand_preds.append(f"doc_id IN (SELECT doc_id FROM {table} WHERE {filter_sql})")
+    mn_terms = sorted(set(tokenize(must_not, stopwords, analyzer))) if must_not else []
+    if mn_terms:
+        mn_list = ", ".join(f"'{t}'" for t in mn_terms)
+        # same toks CTE = same analyzer; ES must_not = filter context
+        cand_preds.append(
+            f"doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term IN ({mn_list}))"
+        )
+    cand_filter = f"WHERE {' AND '.join(cand_preds)}" if cand_preds else ""
     from ..functions.tokenizer import duckdb_token_pattern
 
     tok_expr = f"regexp_extract_all(lower({text_expr}), '{duckdb_token_pattern(analyzer)}')"
@@ -357,3 +377,57 @@ GROUP BY doc_id
 ORDER BY sum(partial) DESC, doc_id ASC
 LIMIT {k}{f' OFFSET {offset}' if offset else ''}
 """
+
+
+# -- match count (ES _count API) ---------------------------------------------
+
+
+def match_count(
+    docs: DataFrame,
+    query: str,
+    mode: str = "or",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """ES ``_count`` API: how many docs match the analyzed query — no
+    scoring, no top-k. One JVM array-predicate pass ending in a map-side-
+    combined count: at 10^12 docs this ships one long per partition.
+    Returns a single row ``(n_matching)``; an all-absent query counts 0."""
+    terms = sorted(set(tokenize(query, stopwords, analyzer)))
+    toks = tokens_col(text_col, stopwords, analyzer)
+    if not terms:
+        pred = F.lit(False)
+    elif mode == "and":
+        pred = F.lit(True)
+        for t in terms:
+            pred = pred & F.array_contains(toks, t)
+    else:
+        pred = F.arrays_overlap(toks, F.array(*[F.lit(t) for t in terms]))
+    return docs.agg(
+        F.coalesce(F.sum(pred.cast("long")), F.lit(0)).cast("long").alias("n_matching")
+    )
+
+
+def match_count_sql(
+    query: str,
+    mode: str = "or",
+    table: str = "documents",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB oracle for :func:`match_count`."""
+    from ..functions.tokenizer import duckdb_token_pattern
+
+    terms = sorted(set(tokenize(query, stopwords, analyzer)))
+    tok_expr = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    if stopwords:
+        stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
+        tok_expr = f"list_filter({tok_expr}, t -> t NOT IN ({stop_list}))"
+    if not terms:
+        pred = "FALSE"
+    else:
+        term_list = ", ".join(f"'{t}'" for t in terms)
+        fn = "list_has_all" if mode == "and" else "list_has_any"
+        pred = f"{fn}({tok_expr}, [{term_list}])"
+    return f"SELECT CAST(count(*) FILTER ({pred}) AS BIGINT) AS n_matching FROM {table}"

@@ -521,6 +521,7 @@ class IndexSearcher:
         min_should_match: int | None = None,
         boosts: dict[str, float] | None = None,
         from_: int = 0,
+        must_not: str | None = None,
     ) -> DataFrame:
         """Top-k BM25 as a DataFrame (doc_id, score[, fetch cols]).
 
@@ -530,7 +531,13 @@ class IndexSearcher:
         ES bool-filter semantics (see ``_read_shard_tables``); the direct
         engine only. ``from_`` pages into the ranked list (ES ``from``/
         ``size``): every shard returns its local top-(from_+k) — the ES
-        deep-paging cost shape — and the gather slices [from_, from_+k)."""
+        deep-paging cost shape — and the gather slices [from_, from_+k).
+        ``must_not`` (direct engine): ES bool negative clause — the string
+        is analyzed and docs containing ANY resulting term are excluded by
+        masking their ids out of the shard's admitted set (doc streams of
+        the negative terms decoded, tf/positions never read); non-scoring,
+        stats index-wide, BMW bounds untouched (the mask only shrinks the
+        candidate set, so pruning stays admissible)."""
         spark = self.spark
         q_terms = tokenize(query)
         empty = spark.createDataFrame([], "doc_id long, score double")
@@ -560,13 +567,16 @@ class IndexSearcher:
             msm=min_should_match,
         )
 
+        mn_terms = sorted(set(tokenize(must_not))) if must_not else []
         if engine == "direct":
             # single narrow stage: per-shard top-k tasks -> collect -> heap
             # merge ON THE DRIVER (the ES coordinating-node gather). Collecting
             # here instead of orderBy().limit() removes the TakeOrdered stage
             # and its scheduling round-trip — at most n_shards * (from_+k)
             # tiny rows cross the wire, never postings.
-            rows = self._scatter_direct(active_shards, present, kwargs, doc_filter).collect()
+            rows = self._scatter_direct(
+                active_shards, present, kwargs, doc_filter, mn_terms
+            ).collect()
             rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
             out = spark.createDataFrame(
                 [
@@ -576,8 +586,10 @@ class IndexSearcher:
                 "doc_id long, score double",
             )
         else:
-            if doc_filter is not None:
-                raise ValueError("doc_filter is supported by the direct engine only")
+            if doc_filter is not None or mn_terms:
+                raise ValueError(
+                    "doc_filter/must_not are supported by the direct engine only"
+                )
             per_shard = self._scatter_cogroup(active_shards, present, kwargs)
             out = (
                 per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -1050,6 +1062,40 @@ class IndexSearcher:
             cand[: int(size)], "suggestion string, distance long, df long"
         )
 
+    def count(self, query: str, mode: str = "or") -> DataFrame:
+        """ES ``_count`` API on the SERVING path: per-shard match-set sizes
+        from the postings DOC streams only (tf/positions never read, no
+        scoring), summed on the driver — ≤ one long per active shard crosses
+        the wire. OR of a single term short-circuits to the dictionary's
+        precomputed df (no postings read at all). Returns one row
+        ``(n_matching)``, matching :func:`~..operators.topk.match_count`."""
+        terms = sorted(set(tokenize(query)))
+        out_one = lambda n: self.spark.createDataFrame(  # noqa: E731
+            [(int(n),)], "n_matching long"
+        )
+        if not terms:
+            return out_one(0)
+        dfreq, active_shards = self._query_meta(terms)
+        present = [t for t in terms if t in dfreq]
+        if not present or (mode == "and" and len(present) < len(terms)):
+            return out_one(0)
+        if mode == "or" and len(present) == 1:
+            return out_one(dfreq[present[0]])
+        index_dir = self.index_dir
+
+        def count_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for shard in pdf["shard"].tolist():
+                    n = len(_facet_match_ids(index_dir, shard, present, mode))
+                    yield pd.DataFrame({"n": [n]})
+
+        rows = (
+            _one_task_per_shard(self.spark, active_shards)
+            .mapInPandas(count_shards, "n long")
+            .collect()
+        )
+        return out_one(sum(r["n"] for r in rows))
+
     def _matching_ids_shard(self, shard: int, terms: list[str]) -> set[int]:
         """All doc ids in one shard matching any of ``terms`` (postings
         doc-stream decode only; tf streams never touched)."""
@@ -1288,18 +1334,26 @@ class IndexSearcher:
         present: list[str],
         kwargs: dict[str, Any],
         doc_filter: tuple | None = None,
+        mn_terms: list[str] | None = None,
     ) -> DataFrame:
         """One task per active shard; each reads its own shard dir (postings
         term-filtered + norms) with pyarrow and scores locally. No shuffle —
         the scan IS the scatter, the driver limit is the gather. On a
         multi-executor cluster the segment store is HDFS/S3; pyarrow reads
-        both through its filesystem layer."""
+        both through its filesystem layer. ``mn_terms`` (ES must_not):
+        their doc streams are decoded per shard and the matching ids are
+        dropped from the admitted docs table, which makes the scorer's
+        ``present`` mask exclude them from every candidate set."""
         index_dir = self.index_dir
 
         def score_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 for shard in pdf["shard"].tolist():
                     pt, dt = _read_shard_tables(index_dir, shard, present, doc_filter)
+                    if mn_terms:
+                        excl = _facet_match_ids(index_dir, shard, mn_terms, "or")
+                        if len(excl):
+                            dt = dt[~dt["doc_id"].isin(excl)]
                     yield _score_shard(pt, dt, **kwargs)
 
         return _one_task_per_shard(self.spark, active_shards).mapInPandas(

@@ -482,3 +482,42 @@ def test_boosts_rank_identical_and_reorder(spark, documents, searcher):
     assert [d for d, _ in got] != [d for d, _ in plain], "boost must reorder"
     noop = [(r.doc_id, r.score) for r in searcher.search(q, k=10, boosts={"dup": 1.0}).collect()]
     assert noop == plain
+
+
+@pytest.mark.parametrize(
+    "query,mode,mn",
+    [
+        ("dup batch scan", "or", "slow"),
+        ("batch small scan", "or", "slow window"),
+        ("join filter window", "and", "dup"),
+        ("spark", "or", "spark"),  # negative clause wipes out every match
+    ],
+)
+def test_must_not_serving_rank_identical(documents, searcher, query, mode, mn):
+    """ES bool must_not on the serving path == declarative path (ids dropped
+    from the admitted set via doc-stream decode; scores untouched)."""
+    got = [tuple(r) for r in searcher.search(query, k=10, mode=mode, must_not=mn).collect()]
+    want = [tuple(r) for r in bm25_topk(documents, query, k=10, mode=mode, must_not=mn).collect()]
+    assert got == want
+
+
+def test_must_not_rejected_on_cogroup_engine(searcher):
+    with pytest.raises(ValueError, match="direct engine"):
+        searcher.search("dup", k=5, engine="cogroup", must_not="slow")
+
+
+@pytest.mark.parametrize(
+    "query,mode",
+    [
+        ("dup batch scan", "or"),
+        ("join filter window", "and"),
+        ("dup", "or"),  # single present term -> dictionary df short-circuit
+        ("zzzznotaterm", "or"),
+    ],
+)
+def test_count_serving_equals_declarative(documents, searcher, query, mode):
+    from flume_elasticsearch_2_spark.operators.topk import match_count
+
+    got = searcher.count(query, mode=mode).collect()[0].n_matching
+    want = match_count(documents, query, mode=mode).collect()[0].n_matching
+    assert got == want

@@ -108,3 +108,61 @@ def test_stopword_analyzer_matches_duckdb(spark, documents, sf_dir):
     # differs from the unfiltered analysis (dl changed -> scores changed)
     base = [(r.doc_id, r.score) for r in bt(documents, "scan dup", k=10).collect()]
     assert got != base
+
+
+# -- ES bool must_not + _count ------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "query,mode,mn",
+    [
+        ("dup batch scan", "or", "slow"),
+        ("batch small scan", "or", "slow window"),
+        ("join filter window", "and", "dup"),
+        ("spark", "or", "spark"),  # must_not knocks out every match
+    ],
+)
+def test_must_not_matches_duckdb(spark, documents, sf_dir, query, mode, mn):
+    got = [
+        (r.doc_id, r.score)
+        for r in bm25_topk(documents, query, k=10, mode=mode, must_not=mn).collect()
+    ]
+    exp = _duck(sf_dir, bm25_topk_sql(query, k=10, mode=mode, must_not=mn))
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert abs(g[1] - e[1]) < 1e-9
+
+
+def test_must_not_is_filter_context(spark, documents):
+    """Scores of surviving docs are IDENTICAL to the unfiltered query's
+    scores for the same ids (idf/avgdl/N index-wide — the ES contract)."""
+    base = {r.doc_id: r.score for r in bm25_topk(documents, "dup batch scan", k=1000).collect()}
+    mn = bm25_topk(documents, "dup batch scan", k=1000, must_not="slow").collect()
+    assert mn and all(abs(base[r.doc_id] - r.score) < 1e-12 for r in mn)
+
+
+def test_must_not_excludes_matching_docs(spark, documents):
+    from pyspark.sql import functions as F
+
+    from flume_elasticsearch_2_spark.functions.tokenizer import tokens_col
+
+    bad = {
+        r.doc_id
+        for r in documents.where(F.array_contains(tokens_col("text"), "slow"))
+        .select("doc_id")
+        .collect()
+    }
+    got = bm25_topk(documents, "dup batch scan", k=100, must_not="slow").collect()
+    assert got and not ({r.doc_id for r in got} & bad)
+
+
+@pytest.mark.parametrize(
+    "query,mode",
+    [("dup batch scan", "or"), ("join filter window", "and"), ("zzzznotaterm", "or")],
+)
+def test_match_count_matches_duckdb(spark, documents, sf_dir, query, mode):
+    from flume_elasticsearch_2_spark.operators.topk import match_count, match_count_sql
+
+    got = match_count(documents, query, mode=mode).collect()[0].n_matching
+    exp = _duck(sf_dir, match_count_sql(query, mode=mode))[0][0]
+    assert got == exp
