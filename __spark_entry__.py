@@ -545,6 +545,27 @@ def _match_count_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _segment_searcher(spark, sf_dir).count("batch small scan", mode="or")
 
 
+_MLT_ID = 123  # fixed source doc for the more_like_this entries
+
+
+def _more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this (like_id form): Lucene interestingness term
+    selection + OR BM25, source doc excluded (include=false default)."""
+    from flume_elasticsearch_2_spark.operators.mlt import more_like_this
+
+    return more_like_this(_docs(spark, sf_dir), like_id=_MLT_ID, k=10)
+
+
+def _more_like_this_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLT on the SERVING path: term selection against the prebuilt terms/
+    dictionary (zero corpus passes), BMW scatter, exclusion pushed into the
+    per-shard docs read."""
+    text = _docs(spark, sf_dir).where(f"doc_id = {_MLT_ID}").collect()[0].text
+    return _segment_searcher(spark, sf_dir).more_like_this(
+        text, k=10, exclude_id=_MLT_ID
+    )
+
+
 def _term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES term suggester ("did you mean"): Levenshtein-close dictionary
     terms for a typo'd input, ranked (distance ASC, df DESC, term ASC)."""
@@ -756,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_terms_stats"] = _events_terms_stats
     q["term_suggest"] = _term_suggest
     q["term_suggest_segment"] = _term_suggest_segment
+    q["more_like_this"] = _more_like_this
+    q["more_like_this_segment"] = _more_like_this_segment
     q["bm25_must_not"] = _bm25_must_not
     q["bm25_segment_must_not"] = _bm25_segment_must_not
     q["match_count"] = _match_count
@@ -1021,6 +1044,10 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["term_suggest_segment"] = o["term_suggest"]
     from flume_elasticsearch_2_spark.operators.topk import match_count_sql
 
+    from flume_elasticsearch_2_spark.operators.mlt import more_like_this_sql
+
+    o["more_like_this"] = more_like_this_sql(_MLT_ID, k=10)
+    o["more_like_this_segment"] = o["more_like_this"]
     o["bm25_must_not"] = bm25_topk_sql("dup batch scan", k=10, must_not="slow")
     o["bm25_segment_must_not"] = o["bm25_must_not"]
     o["match_count"] = match_count_sql("batch small scan", mode="or")

@@ -1062,6 +1062,44 @@ class IndexSearcher:
             cand[: int(size)], "suggestion string, distance long, df long"
         )
 
+    def more_like_this(
+        self,
+        like_text: str,
+        k: int = 10,
+        max_query_terms: int | None = None,
+        min_term_freq: int | None = None,
+        min_doc_freq: int | None = None,
+        exclude_id: int | None = None,
+    ) -> DataFrame:
+        """ES ``more_like_this`` on the SERVING path. Term selection (the
+        Lucene MoreLikeThis interestingness ranking — shared kernel
+        ``operators.mlt.select_mlt_terms``) runs against the prebuilt global
+        ``terms/`` dictionary: dfs come from a term-pruned pyarrow read and
+        n_docs from the manifest, so selection costs ZERO corpus passes.
+        The selected OR query then runs through the whole BMW scatter.
+        ``exclude_id`` drops the source document (ES ``include=false``) via
+        the docs-table filter pushdown."""
+        from ..operators import mlt
+
+        kwargs = dict(
+            max_query_terms=(
+                mlt.MAX_QUERY_TERMS if max_query_terms is None else max_query_terms
+            ),
+            min_term_freq=mlt.MIN_TERM_FREQ if min_term_freq is None else min_term_freq,
+            min_doc_freq=mlt.MIN_DOC_FREQ if min_doc_freq is None else min_doc_freq,
+        )
+        src_tf = Counter(tokenize(like_text))
+        cand = sorted(t for t, c in src_tf.items() if c >= kwargs["min_term_freq"])
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not cand:
+            return empty
+        dfreq = self.term_stats(cand)
+        sel = mlt.select_mlt_terms(src_tf, dfreq, self.n_docs, **kwargs)
+        if not sel:
+            return empty
+        doc_filter = ("doc_id", "!=", int(exclude_id)) if exclude_id is not None else None
+        return self.search(" ".join(sel), k=k, doc_filter=doc_filter)
+
     def count(self, query: str, mode: str = "or") -> DataFrame:
         """ES ``_count`` API on the SERVING path: per-shard match-set sizes
         from the postings DOC streams only (tf/positions never read, no
