@@ -108,7 +108,10 @@ def _segment_searcher(spark: SparkSession, sf_dir: str):
             docs,
             d,
             n_shards=4,
-            orig_ids=docs.select("doc_id", "lang", "n_chars"),
+            # lang for bool-filter queries, n_chars for sort/paging, text as
+            # the stored _source for the fetch/highlight phase (reads are
+            # column-pruned, so entries not using a column never pay for it)
+            orig_ids=docs.select("doc_id", "lang", "n_chars", "text"),
             store_positions=True,
         )
         _INDEX_CACHE[sf_dir] = d
@@ -545,6 +548,39 @@ def _match_count_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _segment_searcher(spark, sf_dir).count("batch small scan", mode="or")
 
 
+def _search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search+highlight (number_of_fragments=0): top-k hits with every
+    analyzed-term occurrence wrapped <em>..</em>, byte-exact vs DuckDB."""
+    from flume_elasticsearch_2_spark.operators.highlight import search_highlight
+
+    return search_highlight(_docs(spark, sf_dir), "dup batch scan", k=10)
+
+
+def _search_highlight_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlight on the SERVING path: BMW top-k, k ids broadcast against the
+    index's stored docs table (_source analog), markup on k rows only."""
+    return _segment_searcher(spark, sf_dir).search_highlight("dup batch scan", k=10)
+
+
+def _explain_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _explain: per-term BM25 breakdown of the query's own top-1 hit
+    (sf-independent — the Spark side picks it, the oracle pins the same doc
+    via a scalar subquery)."""
+    from flume_elasticsearch_2_spark.operators.explain import explain_score
+
+    docs = _docs(spark, sf_dir)
+    did = bm25_topk(docs, "dup batch scan", k=1).collect()[0].doc_id
+    return explain_score(docs, "dup batch scan", did)
+
+
+def _explain_top1_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_explain on the SERVING path: df/n_docs/avgdl from dictionary +
+    manifest, tf from a one-position decode of the doc's shard postings."""
+    s = _segment_searcher(spark, sf_dir)
+    did = s.search("dup batch scan", k=1).collect()[0].doc_id
+    return s.explain("dup batch scan", did)
+
+
 _MLT_ID = 123  # fixed source doc for the more_like_this entries
 
 
@@ -777,6 +813,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_terms_stats"] = _events_terms_stats
     q["term_suggest"] = _term_suggest
     q["term_suggest_segment"] = _term_suggest_segment
+    q["explain_top1"] = _explain_top1
+    q["explain_top1_segment"] = _explain_top1_segment
+    q["search_highlight"] = _search_highlight
+    q["search_highlight_segment"] = _search_highlight_segment
     q["more_like_this"] = _more_like_this
     q["more_like_this_segment"] = _more_like_this_segment
     q["bm25_must_not"] = _bm25_must_not
@@ -1046,6 +1086,15 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
 
     from flume_elasticsearch_2_spark.operators.mlt import more_like_this_sql
 
+    from flume_elasticsearch_2_spark.operators.highlight import search_highlight_sql
+
+    from flume_elasticsearch_2_spark.operators.explain import explain_score_sql
+
+    _top1 = "SELECT doc_id FROM (" + bm25_topk_sql("dup batch scan", k=1) + ")"
+    o["explain_top1"] = explain_score_sql("dup batch scan", _top1)
+    o["explain_top1_segment"] = o["explain_top1"]
+    o["search_highlight"] = search_highlight_sql("dup batch scan", k=10)
+    o["search_highlight_segment"] = o["search_highlight"]
     o["more_like_this"] = more_like_this_sql(_MLT_ID, k=10)
     o["more_like_this_segment"] = o["more_like_this"]
     o["bm25_must_not"] = bm25_topk_sql("dup batch scan", k=10, must_not="slow")

@@ -1100,6 +1100,97 @@ class IndexSearcher:
         doc_filter = ("doc_id", "!=", int(exclude_id)) if exclude_id is not None else None
         return self.search(" ".join(sel), k=k, doc_filter=doc_filter)
 
+    def explain(
+        self,
+        query: str,
+        doc_id: int,
+        boosts: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """ES ``_explain`` on the SERVING path: per-term BM25 breakdown for
+        one indexed document. df/n_docs/avgdl come from the dictionary and
+        manifest; tf comes from decoding ONLY the explained doc's shard
+        postings for the query terms (binary-search into the doc stream,
+        one-position tf slice decode) — a driver-side metadata-scale op,
+        like ES's single-doc explain. Row contract and arithmetic shared
+        with the declarative :func:`~..operators.explain.explain_score`
+        via ``breakdown_rows``."""
+        from ..operators.explain import _SCHEMA, breakdown_rows
+
+        q_terms = tokenize(query)
+        empty = self.spark.createDataFrame([], _SCHEMA)
+        if not q_terms:
+            return empty
+        weights = {
+            t: c * float((boosts or {}).get(t, 1.0)) for t, c in Counter(q_terms).items()
+        }
+        dfreq, _ = self._query_meta(sorted(weights))
+        present = sorted(t for t in weights if t in dfreq)
+        shard = int(doc_id) * self.n_shards // self.id_space
+        if not 0 <= shard < self.n_shards:  # id outside the index's id space
+            return empty
+        dt = (
+            pads.dataset(f"{self.index_dir}/docs/shard={shard}", format="parquet")
+            .to_table(columns=["doc_id", "dl"], filter=pads.field("doc_id") == int(doc_id))
+            .to_pandas()
+        )
+        if not len(dt) or not present:
+            return empty
+        dl = int(dt["dl"].iloc[0])
+        pt = (
+            pads.dataset(f"{self.index_dir}/postings/shard={shard}", format="parquet")
+            .to_table(
+                columns=["term", "n", "doc_bytes", "tf_bytes", "block_first_doc"],
+                filter=pads.field("term").isin(present),
+            )
+            .to_pandas()
+        )
+        tf: dict[str, float] = {}
+        for row in pt.itertuples(index=False):
+            ids = _decode_posting_doc_ids(row)
+            i = int(np.searchsorted(ids, int(doc_id)))
+            if i < len(ids) and ids[i] == int(doc_id):
+                v = float(svb_decode_slice(row.tf_bytes, int(row.n), i, i + 1)[0])
+                tf[row.term] = tf.get(row.term, 0.0) + v
+        return breakdown_rows(
+            self.spark, sorted(weights), weights, tf, dfreq, dl, self.n_docs, self.avgdl
+        )
+
+    def search_highlight(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "or",
+        pre_tag: str | None = None,
+        post_tag: str | None = None,
+    ) -> DataFrame:
+        """ES search+highlight on the SERVING path: BMW top-k, then the
+        k hit ids broadcast against the index's stored docs table (the ES
+        ``_source`` analog — the index must have been built with a ``text``
+        column in ``orig_ids``) and marked up with the same byte-exact
+        token-run highlighter as the declarative path. Markup cost is O(k)."""
+        from ..operators import highlight as hl
+
+        pre = hl.PRE_TAG if pre_tag is None else pre_tag
+        post = hl.POST_TAG if post_tag is None else post_tag
+        stored = self.spark.read.parquet(f"{self.index_dir}/docs")
+        if "text" not in stored.columns:
+            raise ValueError(
+                "search_highlight needs the stored text field: build the index "
+                "with orig_ids containing a 'text' column"
+            )
+        hits = self.search(query, k=k, mode=mode)
+        terms = sorted(set(tokenize(query)))
+        return (
+            stored.select("doc_id", "text")
+            .join(F.broadcast(hits), "doc_id", "inner")
+            .select(
+                "doc_id",
+                "score",
+                hl.highlight_col(F.col("text"), terms, pre, post).alias("highlight"),
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
+
     def count(self, query: str, mode: str = "or") -> DataFrame:
         """ES ``_count`` API on the SERVING path: per-shard match-set sizes
         from the postings DOC streams only (tf/positions never read, no

@@ -1,0 +1,116 @@
+"""ES highlight API (SURVEY §2.5): byte-exact cross-engine whole-field
+markup + deterministic first-fragment mode + serving-path parity.
+
+Reference analog: the ES 1.x highlighting surface behind the sink
+(ElasticsearchSink.java:54)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from flume_elasticsearch_2_spark.operators.highlight import (
+    first_fragment_col,
+    first_fragment_sql,
+    highlight_col,
+    highlight_sql_expr,
+    search_highlight,
+    search_highlight_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    return con
+
+
+TERMS = ["scan", "batch", "dup"]
+
+
+def test_highlight_byte_identical_to_duckdb(documents, duck):
+    got = {
+        r.doc_id: r.hl
+        for r in documents.select(
+            "doc_id", highlight_col("text", TERMS).alias("hl")
+        ).collect()
+    }
+    want = dict(
+        duck.execute(
+            f"SELECT doc_id, {highlight_sql_expr(TERMS, 'text')} FROM documents"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_highlight_adjacent_terms_and_case(spark):
+    """Adjacent matched tokens both wrap (the regexp_replace boundary-group
+    pitfall this implementation avoids) and original case is preserved."""
+    df = spark.createDataFrame([(1, "Scan batch, scan! batch-scan end")], "doc_id int, text string")
+    out = df.select(highlight_col("text", ["scan", "batch"]).alias("hl")).collect()[0].hl
+    assert out == "<em>Scan</em> <em>batch</em>, <em>scan</em>! <em>batch</em>-<em>scan</em> end"
+
+
+def test_highlight_no_match_and_empty(spark):
+    df = spark.createDataFrame([(1, "nothing here"), (2, "")], "doc_id int, text string")
+    rows = {r.doc_id: r.hl for r in df.select("doc_id", highlight_col("text", ["zz"]).alias("hl")).collect()}
+    assert rows[1] == "nothing here" and rows[2] == ""
+
+
+@pytest.mark.parametrize("query,mode", [("dup batch scan", "or"), ("join filter window", "and")])
+def test_search_highlight_matches_duckdb(documents, duck, query, mode):
+    got = [tuple(r) for r in search_highlight(documents, query, k=10, mode=mode).collect()]
+    want = [tuple(r) for r in duck.execute(search_highlight_sql(query, k=10, mode=mode)).fetchall()]
+    assert got == want and len(got) == 10
+
+
+def test_search_highlight_wraps_only_query_terms(documents):
+    rows = search_highlight(documents, "dup", k=5).collect()
+    assert rows
+    for r in rows:
+        assert "<em>dup</em>" in r.highlight
+        stripped = r.highlight.replace("<em>dup</em>", "dup")
+        assert "<em>" not in stripped
+
+
+def test_first_fragment_matches_duckdb(documents, duck):
+    hl_sql = highlight_sql_expr(TERMS, "text")
+    got = {
+        r.doc_id: r.frag
+        for r in documents.select(
+            "doc_id",
+            first_fragment_col(highlight_col("text", TERMS), 60).alias("frag"),
+        ).collect()
+    }
+    want = dict(
+        duck.execute(
+            f"SELECT doc_id, {first_fragment_sql(hl_sql, 60)} FROM documents"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_serving_highlight_rank_and_bytes_identical(spark, documents, tmp_path_factory):
+    from flume_elasticsearch_2_spark.plans.build_index import build_segments_partial
+    from flume_elasticsearch_2_spark.plans.query_index import IndexSearcher
+
+    d = str(tmp_path_factory.mktemp("hlidx") / "segidx")
+    build_segments_partial(
+        spark, documents, d, n_shards=4, orig_ids=documents.select("doc_id", "text")
+    )
+    s = IndexSearcher(spark, d)
+    got = [tuple(r) for r in s.search_highlight("dup batch scan", k=10).collect()]
+    want = [tuple(r) for r in search_highlight(documents, "dup batch scan", k=10).collect()]
+    assert got == want
+
+
+def test_serving_highlight_requires_stored_text(spark, documents, tmp_path_factory):
+    from flume_elasticsearch_2_spark.plans.build_index import build_index
+    from flume_elasticsearch_2_spark.plans.query_index import IndexSearcher
+
+    d = str(tmp_path_factory.mktemp("hlidx2") / "segidx")
+    build_index(spark, documents, d, n_shards=2)
+    with pytest.raises(ValueError, match="stored text"):
+        IndexSearcher(spark, d).search_highlight("dup", k=5)

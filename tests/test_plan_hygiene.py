@@ -97,3 +97,40 @@ def test_ivf_probe_prunes_partitions(spark, tmp_path_factory):
     m = re.search(r"partition count: (\d+)", plan)
     if m:  # Spark prints the scanned-partition count in formatted plans
         assert int(m.group(1)) == 2, plan
+
+
+def test_match_count_is_single_pass_no_shuffle(spark, documents):
+    """_count: one predicate scan + map-side-combined agg — a partial agg
+    over the scan, a 1-row final agg, no joins and no doc-level shuffle
+    (the only exchange is the 1-row-per-partition partial gather)."""
+    from flume_elasticsearch_2_spark.operators.topk import match_count
+
+    plan = _plan(match_count(documents, "dup batch scan"))
+    assert "Join" not in plan
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert "SinglePartition" in plan  # the only exchange ships 1 row/partition
+    # column pruning: the scan reads text only
+    assert plan.split("ReadSchema")[1].split("\n")[0].strip(": ").startswith("struct<text")
+
+
+def test_highlight_broadcasts_hits_not_corpus(spark, documents):
+    """search_highlight: the k-row hit list is the BROADCAST side; the
+    corpus scan stays streamed (no shuffle-exchange of the docs table for
+    the join) and the markup expression sits above the join."""
+    from flume_elasticsearch_2_spark.operators.highlight import search_highlight
+
+    plan = _plan(search_highlight(documents, "dup batch scan", k=10))
+    assert "BroadcastHashJoin" in plan, plan
+    # the docs side of the join must not be exchanged by a shuffle join
+    assert "SortMergeJoin" not in plan
+
+
+def test_suggest_dictionary_agg_is_map_side_combined(spark, documents):
+    """term_suggest: the dictionary is ONE groupBy over array_distinct
+    tokens (partial agg before the exchange -> at most |vocab| rows per
+    partition shuffle), then a vocabulary-sized Levenshtein filter."""
+    from flume_elasticsearch_2_spark.operators.multiterm import term_suggest
+
+    plan = _plan(term_suggest(documents, "scann"))
+    assert plan.count("HashAggregate") >= 2  # partial + final dictionary agg
+    assert "Join" not in plan
