@@ -562,6 +562,68 @@ def _search_highlight_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _segment_searcher(spark, sf_dir).search_highlight("dup batch scan", k=10)
 
 
+_DSL_BOOL_BODY = {
+    "query": {
+        "bool": {
+            "must": [{"match": {"text": "dup batch scan"}}],
+            "filter": [
+                {"term": {"lang": "en"}},
+                {"range": {"n_chars": {"gte": 100, "lt": 100000}}},
+            ],
+            "must_not": [{"term": {"text": "slow"}}],
+        }
+    }
+}
+_DSL_MATCHALL_BODY = {
+    "query": {"bool": {"filter": [{"terms": {"lang": ["en", "fr"]}}]}},
+    "size": 6,
+    "from": 2,
+}
+
+
+def _dsl_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES query-DSL front door: a composite bool body (scored match +
+    term/range filters + must_not) routed to the declarative operators."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_BOOL_BODY)
+
+
+def _dsl_bool_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same body on the SERVING path: filters become Parquet-pruned triples
+    on the per-shard docs read, must_not a doc-stream mask."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_BOOL_BODY)
+
+
+def _dsl_match_all_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSL filtered match_all (constant score, paged) — declarative path."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_MATCHALL_BODY)
+
+
+_DSL_AGG_BODY = {
+    "query": {"match": {"text": "dup batch scan"}},
+    "aggs": {"langs": {"terms": {"field": "lang", "size": 5}}},
+}
+
+
+def _dsl_agg_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSL body with an aggs section: terms agg over the match scope."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _DSL_AGG_BODY)
+
+
+def _dsl_agg_terms_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same aggs body on the SERVING path (per-shard match-set partials)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_index
+
+    return dsl_aggregation_index(_segment_searcher(spark, sf_dir), _DSL_AGG_BODY)
+
+
 def _explain_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _explain: per-term BM25 breakdown of the query's own top-1 hit
     (sf-independent — the Spark side picks it, the oracle pins the same doc
@@ -813,6 +875,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_terms_stats"] = _events_terms_stats
     q["term_suggest"] = _term_suggest
     q["term_suggest_segment"] = _term_suggest_segment
+    q["dsl_agg_terms"] = _dsl_agg_terms
+    q["dsl_agg_terms_segment"] = _dsl_agg_terms_segment
+    q["dsl_bool"] = _dsl_bool
+    q["dsl_bool_segment"] = _dsl_bool_segment
+    q["dsl_match_all_filtered"] = _dsl_match_all_filtered
     q["explain_top1"] = _explain_top1
     q["explain_top1_segment"] = _explain_top1_segment
     q["search_highlight"] = _search_highlight
@@ -1090,6 +1157,15 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
 
     from flume_elasticsearch_2_spark.operators.explain import explain_score_sql
 
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_sql
+
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_sql
+
+    o["dsl_agg_terms"] = dsl_aggregation_sql(_DSL_AGG_BODY)
+    o["dsl_agg_terms_segment"] = o["dsl_agg_terms"]
+    o["dsl_bool"] = dsl_search_sql(_DSL_BOOL_BODY)
+    o["dsl_bool_segment"] = o["dsl_bool"]
+    o["dsl_match_all_filtered"] = dsl_search_sql(_DSL_MATCHALL_BODY)
     _top1 = "SELECT doc_id FROM (" + bm25_topk_sql("dup batch scan", k=1) + ")"
     o["explain_top1"] = explain_score_sql("dup batch scan", _top1)
     o["explain_top1_segment"] = o["explain_top1"]

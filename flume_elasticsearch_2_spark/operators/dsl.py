@@ -1,0 +1,510 @@
+"""ES query-DSL front door (SURVEY §2.5): execute an ES 1.x search body —
+the JSON a reference-deployment client actually sends — against either
+engine path.
+
+Reference analog: the sink indexes into ES and every query runs there
+(ElasticsearchSink.java:54); clients speak the JSON query DSL. This module
+is the switch-over surface: ``dsl_search(docs, body)`` (declarative) and
+``dsl_search_index(searcher, body)`` (serving) accept the body and route
+to the native operators, so a user of the reference can run their existing
+queries verbatim.
+
+Supported 1.x subset (anything else raises ``ValueError`` loudly — no
+silent best-effort):
+
+* body keys: ``query`` (required), ``from``, ``size``, ``sort``,
+  ``highlight``.
+* query clauses: ``match`` (with ``operator``/``minimum_should_match``/
+  ``boost``), ``match_phrase``, ``match_all``, ``ids``, ``term``/
+  ``prefix``/``wildcard``/``fuzzy`` on the text field,
+  ``more_like_this`` (``like`` text form), and ``bool`` with:
+  - ``must``: ONE scored clause (match / match_phrase / term-on-text),
+  - ``should``: term-on-text clauses with optional per-clause ``boost``
+    (only when ``must`` is absent; ``minimum_should_match`` honored),
+  - ``filter``: ``term`` / ``terms`` / ``range`` on stored doc fields,
+  - ``must_not``: ``match``/``term`` on the text field (analyzed,
+    non-scoring) or ``term`` on a stored field.
+* ``sort`` (ES TopFieldCollector semantics — scoring skipped) composes
+  with match/match_all; ``highlight`` composes with plain match.
+
+Scale shape: translation is pure driver-side dict walking; execution is
+whatever the routed operator does (two-narrow-pass declarative plans, BMW
+scatter on the serving path, filters pushed to the Parquet reads). The DSL
+layer adds zero Spark jobs of its own.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.tokenizer import tokenize
+from .highlight import search_highlight, search_highlight_sql
+from .mlt import more_like_this
+from .multiterm import bm25_multiterm_topk, multiterm_topk_sql
+from .sorting import match_sorted, match_sorted_sql
+from .topk import bm25_phrase_topk, bm25_phrase_topk_sql, bm25_topk, bm25_topk_sql
+
+_MT_KINDS = ("prefix", "wildcard", "fuzzy")
+
+
+def _err(msg: str):
+    raise ValueError(f"unsupported DSL: {msg}")
+
+
+def _one_field(clause: dict, name: str) -> tuple[str, Any]:
+    if not isinstance(clause, dict) or len(clause) != 1:
+        _err(f"{name} must have exactly one field")
+    return next(iter(clause.items()))
+
+
+class _Spec:
+    """Normalized search spec: the meeting point of both executors."""
+
+    def __init__(self) -> None:
+        self.kind = "match"  # match | phrase | match_all | ids | multiterm | mlt
+        self.query: str = ""
+        self.mode: str = "or"
+        self.msm: int | None = None
+        self.boosts: dict[str, float] | None = None
+        self.filters: list[tuple[str, str, Any]] = []  # ANDed field triples
+        self.must_not_text: list[str] = []
+        self.ids: list[int] | None = None
+        self.mt: tuple[str, str, dict] | None = None  # (pattern, kind, kwargs)
+        self.mlt: dict | None = None
+        self.from_: int = 0
+        self.size: int = 10
+        self.sort: list[tuple[str, str]] | None = None
+        self.highlight: tuple[str, str] | None = None  # (pre, post)
+
+
+def _parse_match(spec: _Spec, field_val, text_col: str) -> None:
+    field, val = field_val
+    if field != text_col:
+        _err(f"match on field {field!r} (text field is {text_col!r})")
+    if isinstance(val, str):
+        spec.query = val
+        return
+    spec.query = val["query"]
+    spec.mode = {"or": "or", "and": "and"}[val.get("operator", "or")]
+    if "minimum_should_match" in val:
+        spec.msm = int(val["minimum_should_match"])
+    if "boost" in val:
+        b = float(val["boost"])
+        spec.boosts = {t: b for t in set(tokenize(spec.query))}
+    extra = set(val) - {"query", "operator", "minimum_should_match", "boost"}
+    if extra:
+        _err(f"match options {sorted(extra)}")
+
+
+def _filter_triples(clauses: list[dict]) -> list[tuple[str, str, Any]]:
+    out: list[tuple[str, str, Any]] = []
+    for c in clauses:
+        kind, body = _one_field(c, "filter clause")
+        if kind == "term":
+            f, v = _one_field(body, "term filter")
+            out.append((f, "==", v))
+        elif kind == "terms":
+            f, v = _one_field(body, "terms filter")
+            out.append((f, "in", list(v)))
+        elif kind == "range":
+            f, conds = _one_field(body, "range filter")
+            ops = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
+            for key, val in conds.items():
+                if key not in ops:
+                    _err(f"range op {key!r}")
+                out.append((f, ops[key], val))
+        else:
+            _err(f"filter clause {kind!r}")
+    return out
+
+
+def _parse_bool(spec: _Spec, body: dict, text_col: str) -> None:
+    extra = set(body) - {"must", "should", "must_not", "filter", "minimum_should_match"}
+    if extra:
+        _err(f"bool keys {sorted(extra)}")
+    must = body.get("must", [])
+    must = [must] if isinstance(must, dict) else list(must)
+    should = body.get("should", [])
+    should = [should] if isinstance(should, dict) else list(should)
+    if must and should:
+        _err("bool with both must and should")
+    if len(must) > 1:
+        _err("more than one scored must clause")
+    if must:
+        kind, val = _one_field(must[0], "must clause")
+        if kind == "match":
+            _parse_match(spec, _one_field(val, "match"), text_col)
+        elif kind == "match_phrase":
+            spec.kind = "phrase"
+            f, v = _one_field(val, "match_phrase")
+            if f != text_col:
+                _err(f"match_phrase on {f!r}")
+            spec.query = v if isinstance(v, str) else v["query"]
+        elif kind == "term":
+            f, v = _one_field(val, "term")
+            if f != text_col:
+                _err(f"scored term on {f!r} (use bool.filter for fields)")
+            spec.query = v if isinstance(v, str) else v["value"]
+        else:
+            _err(f"must clause {kind!r}")
+    elif should:
+        terms, boosts = [], {}
+        for c in should:
+            kind, val = _one_field(c, "should clause")
+            if kind != "term":
+                _err(f"should clause {kind!r} (term-on-text only)")
+            f, v = _one_field(val, "term")
+            if f != text_col:
+                _err(f"should term on {f!r}")
+            if isinstance(v, dict):
+                terms.append(v["value"])
+                if "boost" in v:
+                    boosts[v["value"]] = float(v["boost"])
+            else:
+                terms.append(v)
+        spec.query = " ".join(terms)
+        spec.boosts = boosts or None
+        if "minimum_should_match" in body:
+            spec.msm = int(body["minimum_should_match"])
+    else:
+        spec.kind = "match_all"
+    spec.filters = _filter_triples(body.get("filter", []))
+    for c in body.get("must_not", []) if isinstance(body.get("must_not", []), list) else [body["must_not"]]:
+        kind, val = _one_field(c, "must_not clause")
+        if kind in ("match", "term"):
+            f, v = _one_field(val, kind)
+            v = v if isinstance(v, str) else v.get("query", v.get("value"))
+            if f == text_col:
+                spec.must_not_text.append(str(v))
+            elif kind == "term":
+                spec.filters.append((f, "!=", v))
+            else:
+                _err(f"must_not match on field {f!r}")
+        else:
+            _err(f"must_not clause {kind!r}")
+
+
+def parse_body(body: dict, text_col: str = "text") -> _Spec:
+    """Normalize an ES search body into a :class:`_Spec` (shared by the
+    declarative and serving executors and the SQL oracle generator)."""
+    extra = set(body) - {"query", "from", "size", "sort", "highlight"}
+    if extra:
+        _err(f"body keys {sorted(extra)}")
+    spec = _Spec()
+    spec.from_ = int(body.get("from", 0))
+    spec.size = int(body.get("size", 10))
+    kind, val = _one_field(body.get("query") or _err("body.query required"), "query")
+    if kind == "match":
+        _parse_match(spec, _one_field(val, "match"), text_col)
+    elif kind == "match_phrase":
+        spec.kind = "phrase"
+        f, v = _one_field(val, "match_phrase")
+        if f != text_col:
+            _err(f"match_phrase on {f!r}")
+        spec.query = v if isinstance(v, str) else v["query"]
+    elif kind == "match_all":
+        spec.kind = "match_all"
+        if val not in ({}, None):
+            _err("match_all options")
+    elif kind == "ids":
+        spec.kind = "ids"
+        spec.ids = sorted(int(i) for i in val["values"])
+    elif kind == "term":
+        f, v = _one_field(val, "term")
+        if f != text_col:
+            _err(f"top-level term on {f!r}")
+        spec.query = v if isinstance(v, str) else v["value"]
+    elif kind in _MT_KINDS:
+        f, v = _one_field(val, kind)
+        if f != text_col:
+            _err(f"{kind} on {f!r}")
+        kw: dict = {}
+        if isinstance(v, dict):
+            pat = v.get("value", v.get(kind))
+            if "fuzziness" in v:
+                kw["fuzziness"] = int(v["fuzziness"])
+            if "prefix_length" in v:
+                kw["prefix_length"] = int(v["prefix_length"])
+            if "max_expansions" in v:
+                kw["max_expansions"] = int(v["max_expansions"])
+            if "rewrite" in v:
+                kw["rewrite"] = v["rewrite"]
+            if "boost" in v:
+                kw["boost"] = float(v["boost"])
+        else:
+            pat = v
+        spec.kind = "multiterm"
+        spec.mt = (pat, kind, kw)
+    elif kind == "more_like_this":
+        spec.kind = "mlt"
+        spec.mlt = dict(val)
+        if "like" not in spec.mlt:
+            _err("more_like_this needs 'like' (free-text form)")
+    elif kind == "bool":
+        _parse_bool(spec, val, text_col)
+    else:
+        _err(f"query clause {kind!r}")
+
+    if "sort" in body:
+        sb = []
+        for s in body["sort"]:
+            if isinstance(s, str):
+                sb.append((s, "asc"))
+            else:
+                f, o = _one_field(s, "sort")
+                sb.append((f, o["order"] if isinstance(o, dict) else o))
+        spec.sort = sb
+        if spec.kind not in ("match", "match_all"):
+            _err(f"sort with query kind {spec.kind!r}")
+        if spec.filters or spec.must_not_text or spec.msm or spec.boosts:
+            _err("sort with filters/must_not/msm/boosts")
+    if "highlight" in body:
+        h = body["highlight"]
+        if list(h.get("fields", {})) != [text_col]:
+            _err("highlight fields must be exactly the text field")
+        spec.highlight = (
+            h.get("pre_tags", ["<em>"])[0],
+            h.get("post_tags", ["</em>"])[0],
+        )
+        if spec.kind != "match" or spec.filters or spec.must_not_text:
+            _err("highlight composes with plain match only")
+    return spec
+
+
+def _filters_col(triples: list[tuple[str, str, Any]]) -> Column | None:
+    ops = {
+        "==": lambda c, v: c == v,
+        "!=": lambda c, v: c != v,
+        "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+        "in": lambda c, v: c.isin(list(v)),
+    }
+    expr = None
+    for f, op, v in triples:
+        e = ops[op](F.col(f), v)
+        expr = e if expr is None else (expr & e)
+    return expr
+
+
+def _filters_sql(triples: list[tuple[str, str, Any]]) -> str | None:
+    def q(v):
+        return f"'{v}'" if isinstance(v, str) else repr(v)
+
+    preds = []
+    for f, op, v in triples:
+        if op == "in":
+            preds.append(f"{f} IN ({', '.join(q(x) for x in v)})")
+        elif op == "==":
+            preds.append(f"{f} = {q(v)}")
+        elif op == "!=":
+            preds.append(f"{f} <> {q(v)}")
+        else:
+            preds.append(f"{f} {op} {q(v)}")
+    return " AND ".join(preds) if preds else None
+
+
+def dsl_search(
+    docs: DataFrame,
+    body: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Execute an ES search body on the DECLARATIVE path."""
+    spec = parse_body(body, text_col)
+    mn = " ".join(spec.must_not_text) or None
+    if spec.sort is not None:
+        return match_sorted(
+            docs,
+            None if spec.kind == "match_all" else spec.query,
+            spec.sort,
+            size=spec.size,
+            from_=spec.from_,
+            mode=spec.mode,
+            id_col=id_col,
+            text_col=text_col,
+        )
+    if spec.highlight is not None:
+        pre, post = spec.highlight
+        return search_highlight(
+            docs, spec.query, k=spec.size, mode=spec.mode,
+            pre_tag=pre, post_tag=post, id_col=id_col, text_col=text_col,
+        )
+    if spec.kind in ("match_all", "ids"):
+        pred = _filters_col(spec.filters)
+        src = docs if pred is None else docs.where(pred)
+        if spec.ids is not None:
+            src = src.where(F.col(id_col).isin(spec.ids))
+        return (
+            src.select(F.col(id_col).alias("doc_id"), F.lit(1.0).alias("score"))
+            .orderBy("doc_id")
+            .offset(spec.from_)
+            .limit(spec.size)
+        )
+    if spec.kind == "phrase":
+        if spec.filters or mn:
+            _err("match_phrase with filters/must_not")
+        return bm25_phrase_topk(docs, spec.query, k=spec.size, id_col=id_col, text_col=text_col)
+    if spec.kind == "multiterm":
+        pat, kind, kw = spec.mt
+        if spec.filters or mn:
+            _err(f"{kind} with filters/must_not")
+        return bm25_multiterm_topk(docs, pat, kind, k=spec.size, **kw)
+    if spec.kind == "mlt":
+        m = spec.mlt
+        return more_like_this(
+            docs, like_text=m["like"], k=spec.size,
+            **{k: int(v) for k, v in m.items()
+               if k in ("max_query_terms", "min_term_freq", "min_doc_freq")},
+        )
+    hits = bm25_topk(
+        docs, spec.query, k=spec.from_ + spec.size, mode=spec.mode,
+        id_col=id_col, text_col=text_col,
+        doc_filter=_filters_col(spec.filters),
+        min_should_match=spec.msm, boosts=spec.boosts, must_not=mn,
+    )
+    if spec.from_:
+        hits = hits.orderBy(F.col("score").desc(), F.col("doc_id").asc()).offset(spec.from_)
+    return hits
+
+
+def dsl_search_sql(body: dict, table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB oracle for :func:`dsl_search` — same spec, same routing."""
+    spec = parse_body(body, text_col)
+    mn = " ".join(spec.must_not_text) or None
+    filter_sql = _filters_sql(spec.filters)
+    if spec.sort is not None:
+        return match_sorted_sql(
+            None if spec.kind == "match_all" else spec.query,
+            spec.sort, size=spec.size, from_=spec.from_, mode=spec.mode, table=table,
+        )
+    if spec.highlight is not None:
+        pre, post = spec.highlight
+        return search_highlight_sql(
+            spec.query, k=spec.size, mode=spec.mode, table=table,
+            pre_tag=pre, post_tag=post,
+        )
+    if spec.kind in ("match_all", "ids"):
+        preds = [p for p in [filter_sql] if p]
+        if spec.ids is not None:
+            preds.append(f"doc_id IN ({', '.join(map(str, spec.ids))})")
+        where = f"WHERE {' AND '.join(preds)}" if preds else ""
+        off = f" OFFSET {spec.from_}" if spec.from_ else ""
+        return (
+            f"SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM {table} {where} "
+            f"ORDER BY doc_id LIMIT {spec.size}{off}"
+        )
+    if spec.kind == "phrase":
+        return bm25_phrase_topk_sql(spec.query, k=spec.size, table=table)
+    if spec.kind == "multiterm":
+        pat, kind, kw = spec.mt
+        return multiterm_topk_sql(pat, kind, k=spec.size, table=table, **kw)
+    if spec.kind == "mlt":
+        _err("more_like_this free-text form has no standalone SQL oracle here")
+    return bm25_topk_sql(
+        spec.query, k=spec.size, mode=spec.mode, table=table,
+        filter_sql=filter_sql, min_should_match=spec.msm,
+        boosts=spec.boosts, must_not=mn, offset=spec.from_,
+    )
+
+
+def dsl_search_index(searcher, body: dict, text_col: str = "text") -> DataFrame:
+    """Execute an ES search body on the SERVING path (an
+    :class:`~..plans.query_index.IndexSearcher`)."""
+    spec = parse_body(body, text_col)
+    mn = " ".join(spec.must_not_text) or None
+    if spec.sort is not None:
+        return searcher.search_sorted(
+            None if spec.kind == "match_all" else spec.query,
+            spec.sort, size=spec.size, from_=spec.from_, mode=spec.mode,
+        )
+    if spec.highlight is not None:
+        pre, post = spec.highlight
+        return searcher.search_highlight(
+            spec.query, k=spec.size, mode=spec.mode, pre_tag=pre, post_tag=post
+        )
+    if spec.kind in ("match_all", "ids"):
+        _err(f"{spec.kind} is declarative-only in this version")
+    if spec.kind == "phrase":
+        if spec.filters or mn:
+            _err("match_phrase with filters/must_not")
+        return searcher.search_phrase(spec.query, k=spec.size)
+    if spec.kind == "multiterm":
+        pat, kind, kw = spec.mt
+        return searcher.search_multiterm(pat, kind, k=spec.size, **kw)
+    if spec.kind == "mlt":
+        m = spec.mlt
+        return searcher.more_like_this(
+            m["like"], k=spec.size,
+            **{k: int(v) for k, v in m.items()
+               if k in ("max_query_terms", "min_term_freq", "min_doc_freq")},
+        )
+    return searcher.search(
+        spec.query, k=spec.size, mode=spec.mode,
+        doc_filter=spec.filters or None,
+        min_should_match=spec.msm, boosts=spec.boosts,
+        from_=spec.from_, must_not=mn,
+    )
+
+
+# -- aggregations (body "aggs" / 1.x "facets") --------------------------------
+
+
+def _parse_aggs(body: dict, text_col: str) -> tuple[str | None, str, str, dict]:
+    """Normalize a search body whose payload is ONE aggregation (ES returns
+    aggs alongside hits; here the agg result IS the returned frame, matching
+    the facet operators). Returns (query, kind, field, kwargs)."""
+    aggs = body.get("aggs", body.get("aggregations", body.get("facets")))
+    if not isinstance(aggs, dict) or len(aggs) != 1:
+        _err("exactly one named agg required")
+    (_, agg) = next(iter(aggs.items()))
+    kind, conf = _one_field(agg, "agg")
+    if kind not in ("terms", "stats", "histogram"):
+        _err(f"agg kind {kind!r}")
+    field = conf["field"]
+    kw: dict = {}
+    if kind == "terms":
+        kw["size"] = int(conf.get("size", 10))
+    if kind == "histogram":
+        kw["interval"] = int(conf["interval"])
+    q = body.get("query", {"match_all": {}})
+    qkind, qval = _one_field(q, "query")
+    if qkind == "match_all":
+        return None, kind, field, kw
+    if qkind != "match":
+        _err(f"aggs with query kind {qkind!r} (match / match_all only)")
+    spec = _Spec()
+    _parse_match(spec, _one_field(qval, "match"), text_col)
+    if spec.msm or spec.boosts:
+        _err("aggs with msm/boost match options")
+    kw["mode"] = spec.mode
+    return spec.query, kind, field, kw
+
+
+def dsl_aggregation(docs: DataFrame, body: dict, text_col: str = "text") -> DataFrame:
+    """Execute the body's single agg over its query scope, declarative path
+    (ES 1.x facets = aggs over ALL matching docs, not the top-k page)."""
+    from .facets import histogram_facet, stats_facet, terms_facet
+
+    q, kind, field, kw = _parse_aggs(body, text_col)
+    fn = {"terms": terms_facet, "stats": stats_facet, "histogram": histogram_facet}[kind]
+    return fn(docs, q, field, text_col=text_col, **kw)
+
+
+def dsl_aggregation_sql(body: dict, table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB oracle for :func:`dsl_aggregation`."""
+    from .facets import histogram_facet_sql, stats_facet_sql, terms_facet_sql
+
+    q, kind, field, kw = _parse_aggs(body, text_col)
+    fn = {"terms": terms_facet_sql, "stats": stats_facet_sql, "histogram": histogram_facet_sql}[kind]
+    return fn(q, field, table=table, **kw)
+
+
+def dsl_aggregation_index(searcher, body: dict, text_col: str = "text") -> DataFrame:
+    """Serving-path twin: per-shard match-set decode + partial aggs
+    (IndexSearcher.facet)."""
+    q, kind, field, kw = _parse_aggs(body, text_col)
+    return searcher.facet(q, field, kind=kind, **kw)

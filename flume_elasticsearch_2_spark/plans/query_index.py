@@ -350,13 +350,18 @@ _FILTER_OPS = {
 }
 
 
-def _docs_filter_expr(doc_filter: tuple | None):
-    """(column, op, value) -> pyarrow dataset expression; the triple form
-    keeps the filter picklable into executor task closures."""
+def _docs_filter_expr(doc_filter: tuple | list | None):
+    """(column, op, value) — or a list of such triples, ANDed (e.g. a
+    two-sided range filter) — to a pyarrow dataset expression; the triple
+    form keeps the filter picklable into executor task closures."""
     if doc_filter is None:
         return None
-    col, op, value = doc_filter
-    return _FILTER_OPS[op](pads.field(col), value)
+    triples = doc_filter if isinstance(doc_filter, list) else [doc_filter]
+    expr = None
+    for col, op, value in triples:
+        e = _FILTER_OPS[op](pads.field(col), value)
+        expr = e if expr is None else (expr & e)
+    return expr
 
 
 def _read_shard_tables(

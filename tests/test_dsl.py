@@ -1,0 +1,206 @@
+"""ES query-DSL front door (SURVEY §2.5): search bodies routed to native
+operators, checked vs the DuckDB oracle and serving-vs-declarative.
+
+Reference analog: the JSON query DSL the reference deployment's ES clients
+send (delegation site ElasticsearchSink.java:54)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from flume_elasticsearch_2_spark.operators.dsl import (
+    dsl_search,
+    dsl_search_index,
+    dsl_search_sql,
+    parse_body,
+)
+from flume_elasticsearch_2_spark.plans.build_index import build_segments_partial
+from flume_elasticsearch_2_spark.plans.query_index import IndexSearcher
+
+# body -> also runnable on the serving path?
+BODIES: list[tuple[str, dict, bool]] = [
+    ("plain_match", {"query": {"match": {"text": "dup batch scan"}}}, True),
+    (
+        "match_and_op",
+        {"query": {"match": {"text": {"query": "join filter window", "operator": "and"}}}, "size": 5},
+        True,
+    ),
+    ("match_phrase", {"query": {"match_phrase": {"text": "part filter"}}}, True),
+    ("term_on_text", {"query": {"term": {"text": "dup"}}}, True),
+    ("prefix", {"query": {"prefix": {"text": "ba"}}}, True),
+    ("wildcard", {"query": {"wildcard": {"text": "s*r*"}}}, True),
+    (
+        "fuzzy",
+        {"query": {"fuzzy": {"text": {"value": "part", "fuzziness": 2}}}},
+        True,
+    ),
+    (
+        "bool_full",
+        {
+            "query": {
+                "bool": {
+                    "must": [{"match": {"text": "dup batch scan"}}],
+                    "filter": [
+                        {"term": {"lang": "en"}},
+                        {"range": {"n_chars": {"gte": 100, "lt": 100000}}},
+                    ],
+                    "must_not": [{"term": {"text": "slow"}}],
+                }
+            }
+        },
+        True,
+    ),
+    (
+        "bool_should_boosted",
+        {
+            "query": {
+                "bool": {
+                    "should": [
+                        {"term": {"text": {"value": "dup", "boost": 2.0}}},
+                        {"term": {"text": "batch"}},
+                        {"term": {"text": "scan"}},
+                    ],
+                    "minimum_should_match": 2,
+                }
+            }
+        },
+        True,
+    ),
+    ("match_all", {"query": {"match_all": {}}, "size": 7}, False),
+    ("ids", {"query": {"ids": {"values": [3, 1, 4, 1, 5]}}}, False),
+    (
+        "match_all_filtered",
+        {
+            "query": {"bool": {"filter": [{"terms": {"lang": ["en", "fr"]}}]}},
+            "size": 6,
+            "from": 2,
+        },
+        False,
+    ),
+    (
+        "sorted",
+        {"query": {"match": {"text": "batch small scan"}},
+         "sort": [{"n_chars": {"order": "desc"}}], "size": 5},
+        True,
+    ),
+    (
+        "paged",
+        {"query": {"match": {"text": "batch small scan"}}, "from": 5, "size": 5},
+        True,
+    ),
+    (
+        "highlighted",
+        {"query": {"match": {"text": "dup batch"}},
+         "highlight": {"fields": {"text": {}}}},
+        True,
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    return con
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, documents, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dslidx") / "segidx")
+    build_segments_partial(
+        spark, documents, d, n_shards=4,
+        orig_ids=documents.select("doc_id", "lang", "n_chars", "text"),
+        store_positions=True,
+    )
+    return IndexSearcher(spark, d)
+
+
+@pytest.mark.parametrize("name,body,_srv", BODIES, ids=[b[0] for b in BODIES])
+def test_dsl_matches_duckdb(documents, duck, name, body, _srv):
+    got = [tuple(r) for r in dsl_search(documents, body).collect()]
+    want = [tuple(r) for r in duck.execute(dsl_search_sql(body)).fetchall()]
+    assert got == want, name
+    assert got or name == "fuzzy", f"{name}: empty result weakens the check"
+
+
+@pytest.mark.parametrize(
+    "name,body",
+    [(n, b) for n, b, srv in BODIES if srv],
+    ids=[n for n, _, srv in BODIES if srv],
+)
+def test_dsl_serving_equals_declarative(documents, searcher, name, body):
+    got = [tuple(r) for r in dsl_search_index(searcher, body).collect()]
+    want = [tuple(r) for r in dsl_search(documents, body).collect()]
+    assert got == want, name
+
+
+def test_dsl_mlt_routes(documents, searcher):
+    text = documents.where("doc_id = 7").collect()[0].text
+    body = {"query": {"more_like_this": {"like": text, "min_doc_freq": 1}}, "size": 10}
+    got = [tuple(r) for r in dsl_search_index(searcher, body).collect()]
+    want = [tuple(r) for r in dsl_search(documents, body).collect()]
+    assert got == want and got
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        {"query": {"match": {"title": "x"}}},
+        {"query": {"regexp": {"text": "a.*"}}},
+        {"query": {"bool": {"must": [{"match": {"text": "a"}}, {"match": {"text": "b"}}]}}},
+        {"query": {"match": {"text": "a"}}, "aggs": {}},
+        {"query": {"bool": {"filter": [{"exists": {"field": "lang"}}]}}},
+        {"query": {"match_phrase": {"text": "a b"}}, "sort": [{"n_chars": "asc"}]},
+    ],
+)
+def test_dsl_rejects_unsupported_loudly(bad):
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        parse_body(bad)
+
+
+# -- aggs ---------------------------------------------------------------------
+
+AGG_BODIES = [
+    (
+        "terms_scoped",
+        {"query": {"match": {"text": "dup batch scan"}},
+         "aggs": {"langs": {"terms": {"field": "lang", "size": 5}}}},
+    ),
+    (
+        "stats_matchall",
+        {"aggs": {"len": {"stats": {"field": "n_chars"}}}},
+    ),
+    (
+        "histogram_facets_key",
+        {"query": {"match": {"text": {"query": "join filter window", "operator": "and"}}},
+         "facets": {"h": {"histogram": {"field": "n_chars", "interval": 500}}}},
+    ),
+]
+
+
+@pytest.mark.parametrize("name,body", AGG_BODIES, ids=[b[0] for b in AGG_BODIES])
+def test_dsl_aggs_match_duckdb_and_serving(documents, duck, searcher, name, body):
+    from flume_elasticsearch_2_spark.operators.dsl import (
+        dsl_aggregation,
+        dsl_aggregation_index,
+        dsl_aggregation_sql,
+    )
+
+    got = [tuple(r) for r in dsl_aggregation(documents, body).collect()]
+    want = [tuple(r) for r in duck.execute(dsl_aggregation_sql(body)).fetchall()]
+    assert got == want and got, name
+    srv = [tuple(r) for r in dsl_aggregation_index(searcher, body).collect()]
+    assert srv == got, name
+
+
+def test_dsl_aggs_rejects_unsupported():
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_sql
+
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        dsl_aggregation_sql({"aggs": {"a": {"cardinality": {"field": "lang"}}}})
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        dsl_aggregation_sql(
+            {"query": {"match_phrase": {"text": "a b"}},
+             "aggs": {"a": {"terms": {"field": "lang"}}}}
+        )
