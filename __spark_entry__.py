@@ -604,6 +604,63 @@ def _dsl_match_all_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsl_search(_docs(spark, sf_dir), _DSL_MATCHALL_BODY)
 
 
+_DELETED_CACHE: dict[str, str] = {}  # sf_dir -> post-delete index dir
+
+
+def _deleted_searcher(spark: SparkSession, sf_dir: str):
+    """delete_by_query('dup') applied to the shared segment index, cached —
+    the ES tombstone+merge path exercised inside the driver contract."""
+    import tempfile
+
+    from flume_elasticsearch_2_spark.plans.merge import delete_by_query
+    from flume_elasticsearch_2_spark.plans.query_index import IndexSearcher
+
+    if sf_dir not in _DELETED_CACHE:
+        _segment_searcher(spark, sf_dir)  # ensure the base index exists
+        out = os.path.join(tempfile.mkdtemp(prefix="fts_del_"), "segidx")
+        delete_by_query(spark, _INDEX_CACHE[sf_dir], out, "dup")
+        _DELETED_CACHE[sf_dir] = out
+    return IndexSearcher(spark, _DELETED_CACHE[sf_dir])
+
+
+def _delete_by_query_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _delete_by_query: docs matching 'dup' tombstoned + merged out;
+    a query on the result is rank/score-identical to an index of the
+    surviving corpus (stats/df recomputed) — oracle = BM25 SQL over the
+    filtered corpus."""
+    return _deleted_searcher(spark, sf_dir).search("batch small scan", k=10)
+
+
+_MGET_IDS = [3, 141, 0, 499]
+_MGET_COLS = ["doc_id", "lang", "n_chars", "text"]
+
+
+def _mget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _mget: stored fields by id, IN-list pushed to the Parquet scan."""
+    from flume_elasticsearch_2_spark.operators.admin import mget
+
+    return mget(_docs(spark, sf_dir), _MGET_IDS, columns=_MGET_COLS)
+
+
+def _mget_docs_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_mget on the SERVING path: id-pruned read of the index's stored docs
+    table (row-group stats + doc-range sharding skip non-owning ranges)."""
+    return _segment_searcher(spark, sf_dir).mget(_MGET_IDS, columns=_MGET_COLS)
+
+
+def _index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _stats computed from the corpus (declarative twin)."""
+    from flume_elasticsearch_2_spark.operators.admin import corpus_index_stats
+
+    return corpus_index_stats(_docs(spark, sf_dir))
+
+
+def _index_stats_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_stats on the SERVING path: manifest + dictionary only — zero corpus
+    passes."""
+    return _segment_searcher(spark, sf_dir).index_stats()
+
+
 _DSL_AGG_BODY = {
     "query": {"match": {"text": "dup batch scan"}},
     "aggs": {"langs": {"terms": {"field": "lang", "size": 5}}},
@@ -875,6 +932,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_terms_stats"] = _events_terms_stats
     q["term_suggest"] = _term_suggest
     q["term_suggest_segment"] = _term_suggest_segment
+    q["delete_by_query_search"] = _delete_by_query_search
+    q["mget_docs"] = _mget_docs
+    q["mget_docs_segment"] = _mget_docs_segment
+    q["index_stats"] = _index_stats
+    q["index_stats_segment"] = _index_stats_segment
     q["dsl_agg_terms"] = _dsl_agg_terms
     q["dsl_agg_terms_segment"] = _dsl_agg_terms_segment
     q["dsl_bool"] = _dsl_bool
@@ -1161,6 +1223,17 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
 
     from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_sql
 
+    from flume_elasticsearch_2_spark.operators.admin import index_stats_sql, mget_sql
+
+    _survivors = (
+        "(SELECT * FROM documents WHERE NOT list_has_any("
+        "regexp_extract_all(lower(text), '[a-z0-9]+'), ['dup']))"
+    )
+    o["delete_by_query_search"] = bm25_topk_sql("batch small scan", k=10, table=_survivors)
+    o["mget_docs"] = mget_sql(_MGET_IDS, columns=_MGET_COLS)
+    o["mget_docs_segment"] = o["mget_docs"]
+    o["index_stats"] = index_stats_sql()
+    o["index_stats_segment"] = o["index_stats"]
     o["dsl_agg_terms"] = dsl_aggregation_sql(_DSL_AGG_BODY)
     o["dsl_agg_terms_segment"] = o["dsl_agg_terms"]
     o["dsl_bool"] = dsl_search_sql(_DSL_BOOL_BODY)

@@ -121,6 +121,7 @@ def merge_indexes(
     out_dir: str,
     dedup_key: str | None = None,
     max_tombstones: int = 10_000_000,
+    delete_ids=None,
 ) -> dict[str, Any]:
     """Merge committed index generations into one index at ``out_dir``.
 
@@ -141,7 +142,14 @@ def merge_indexes(
     ``max_tombstones`` enforces that assumption: the set is COUNTED before
     it is ever collected, and a re-crawl-heavy merge that exceeds the cap
     fails loudly (instead of exhausting driver memory) with the anti-join
-    route named in the error."""
+    route named in the error.
+
+    ``delete_ids`` (ints) are EXTERNAL tombstones — the ES delete(-by-query)
+    analog (see :func:`delete_by_query`): those docs are dropped from the
+    docs table (broadcast anti-join, never an IN-list literal) and masked
+    out of every posting run, and stats/df recompute from the survivors.
+    Composes with ``dedup_key``; the same ``max_tombstones`` cap applies to
+    the combined set."""
     t0 = time.time()
     manifests = []
     for d in index_dirs:
@@ -203,6 +211,18 @@ def merge_indexes(
     else:
         docs = docs.persist()
         docs_keep = docs.drop("_gen")
+    if delete_ids is not None:
+        ext = np.sort(np.unique(np.asarray(list(delete_ids), dtype=np.int64)))
+        combined = ext if dead_ids is None else np.union1d(dead_ids, ext)
+        if len(combined) > max_tombstones:
+            raise ValueError(
+                f"{len(combined)} tombstoned docs (dedup + delete_ids) exceed "
+                f"max_tombstones={max_tombstones}; see docstring for the "
+                "per-shard anti-join route"
+            )
+        dead_ids = combined
+        del_df = spark.createDataFrame([(int(i),) for i in ext], "doc_id long")
+        docs_keep = docs_keep.join(F.broadcast(del_df), "doc_id", "left_anti")
     stats = docs_keep.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
     n_docs, avgdl = int(stats["n"]), float(stats["a"])
     docs_keep.repartition(n_shards_v, "shard").write.mode("overwrite").partitionBy(
@@ -282,4 +302,45 @@ def merge_indexes(
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.rename(tmp, out_dir)
+    return manifest
+
+
+def delete_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    query: str,
+    mode: str = "or",
+    max_deletes: int = 10_000_000,
+) -> dict[str, Any]:
+    """ES 1.x ``_delete_by_query`` + forced merge: docs matching the
+    analyzed query are tombstoned and the index is rewritten without them —
+    postings masked, stats/df recomputed from survivors, so the result is
+    bit-equivalent to an index built on the corpus minus the matches
+    (pinned by tests against a from-scratch rebuild AND a DuckDB oracle).
+
+    ES marks deletions live and reclaims them at merge; this API performs
+    the merge immediately (the query contract is identical, and immutable
+    segments + atomic manifest swap are this engine's visibility model).
+
+    Scale shape: the match set is computed per shard from postings DOC
+    streams (tf never read) as a DataFrame, COUNTED before collection
+    (``max_deletes`` bounds driver memory loudly), then flows through
+    :func:`merge_indexes`'s external-tombstone path (broadcast anti-join on
+    docs, closure-array mask on the run decode)."""
+    from .query_index import IndexSearcher
+
+    searcher = IndexSearcher(spark, index_dir)
+    ids_df = searcher.matching_ids(query, mode=mode)
+    n = ids_df.count()
+    if n > max_deletes:
+        raise ValueError(
+            f"{n} matching docs exceed max_deletes={max_deletes}: "
+            "delete in narrower batches or raise the cap explicitly"
+        )
+    ids = [r["doc_id"] for r in ids_df.collect()]
+    manifest = merge_indexes(
+        spark, [index_dir], out_dir, delete_ids=ids, max_tombstones=max_deletes
+    )
+    manifest["deleted_docs"] = int(n)
     return manifest

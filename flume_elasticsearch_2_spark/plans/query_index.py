@@ -1105,6 +1105,61 @@ class IndexSearcher:
         doc_filter = ("doc_id", "!=", int(exclude_id)) if exclude_id is not None else None
         return self.search(" ".join(sel), k=k, doc_filter=doc_filter)
 
+    def matching_ids(self, query: str, mode: str = "or") -> DataFrame:
+        """All doc ids matching the analyzed query, as a DataFrame (one task
+        per active shard decoding postings DOC streams only — tf/positions
+        never read, nothing scored). The distributed match-set primitive
+        behind ``_delete_by_query``; unlike :meth:`count` the ids themselves
+        are returned, so callers can count/collect/join without re-decoding."""
+        terms = sorted(set(tokenize(query)))
+        empty = self.spark.createDataFrame([], "doc_id long")
+        if not terms:
+            return empty
+        dfreq, active_shards = self._query_meta(terms)
+        present = [t for t in terms if t in dfreq]
+        if not present or (mode == "and" and len(present) < len(terms)):
+            return empty
+        index_dir = self.index_dir
+
+        def shard_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for shard in pdf["shard"].tolist():
+                    ids = _facet_match_ids(index_dir, shard, present, mode)
+                    yield pd.DataFrame({"doc_id": ids.astype("int64")})
+
+        return _one_task_per_shard(self.spark, active_shards).mapInPandas(
+            shard_ids, "doc_id long"
+        )
+
+    def mget(self, ids: list[int], columns: list[str] | None = None) -> DataFrame:
+        """ES ``_mget`` on the SERVING path: stored fields for the given ids
+        from the index's docs table. The IN-list predicate is pushed to the
+        Parquet scan (row-group stats + doc-range sharding skip everything
+        but the owning ranges); missing ids are absent (found=false)."""
+        stored = self.spark.read.parquet(f"{self.index_dir}/docs")
+        ids = sorted({int(i) for i in ids})
+        cols = columns or [c for c in stored.columns if c not in ("shard", "dl")]
+        return (
+            stored.where(F.col("doc_id").isin(ids))
+            .select("doc_id", *[c for c in cols if c != "doc_id"])
+            .orderBy("doc_id")
+        )
+
+    def index_stats(self) -> DataFrame:
+        """ES ``_stats`` on the SERVING path: one row ``(n_docs, avgdl,
+        n_terms, n_postings)`` from the manifest + the prebuilt global
+        ``terms/`` dictionary (n_postings = Σ df) — zero corpus passes."""
+        t = self.spark.read.parquet(f"{self.index_dir}/terms").agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df").cast("long").alias("n_postings"),
+        )
+        return t.select(
+            F.lit(int(self.n_docs)).alias("n_docs"),
+            F.lit(round(float(self.avgdl), 6)).alias("avgdl"),
+            "n_terms",
+            "n_postings",
+        )
+
     def explain(
         self,
         query: str,

@@ -1,0 +1,71 @@
+"""ES _mget + _stats APIs (SURVEY §2.5): fetch-by-id and index statistics,
+oracle-checked and serving-vs-declarative.
+
+Reference analog: the ES GET/mget and index-stats surfaces behind the sink
+(ElasticsearchSink.java:54)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from flume_elasticsearch_2_spark.operators.admin import (
+    corpus_index_stats,
+    index_stats_sql,
+    mget,
+    mget_sql,
+)
+from flume_elasticsearch_2_spark.plans.build_index import build_segments_partial
+from flume_elasticsearch_2_spark.plans.query_index import IndexSearcher
+
+IDS = [3, 141, 0, 141, 499, 10**9]  # dup + missing id exercised
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    return con
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, documents, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("admidx") / "segidx")
+    build_segments_partial(
+        spark, documents, d, n_shards=4,
+        orig_ids=documents.select("doc_id", "lang", "n_chars", "text"),
+    )
+    return IndexSearcher(spark, d)
+
+
+def test_mget_matches_duckdb(documents, duck):
+    got = [tuple(r) for r in mget(documents, IDS).collect()]
+    want = [tuple(r) for r in duck.execute(mget_sql(IDS)).fetchall()]
+    assert got == want
+    assert len(got) == 4  # dup collapsed, missing id absent
+
+
+def test_mget_serving_equals_declarative(documents, searcher):
+    cols = ["doc_id", "lang", "n_chars", "text"]
+    got = [tuple(r) for r in searcher.mget(IDS, columns=cols).collect()]
+    want = [tuple(r) for r in mget(documents, IDS, columns=cols).collect()]
+    assert got == want
+
+
+def test_mget_pushes_id_filter_to_scan(searcher):
+    df = searcher.mget([1, 2, 3])
+    jvm = df.sparkSession._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "PushedFilters: [In(doc_id" in plan, plan
+
+
+def test_index_stats_matches_duckdb(documents, duck):
+    got = [tuple(r) for r in corpus_index_stats(documents).collect()]
+    want = [tuple(r) for r in duck.execute(index_stats_sql()).fetchall()]
+    assert got == want
+
+
+def test_index_stats_serving_equals_declarative(documents, searcher):
+    got = [tuple(r) for r in searcher.index_stats().collect()]
+    want = [tuple(r) for r in corpus_index_stats(documents).collect()]
+    assert got == want
