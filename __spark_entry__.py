@@ -661,6 +661,38 @@ def _index_stats_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _segment_searcher(spark, sf_dir).index_stats()
 
 
+_DSL_QS_BODY = {"query": {"query_string": {"query": "dup batch -slow"}}}
+_DSL_FILTERED_BODY = {
+    "query": {
+        "filtered": {
+            "query": {"match": {"text": "dup batch scan"}},
+            "filter": {"term": {"lang": "en"}},
+        }
+    }
+}
+
+
+def _dsl_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene query_string mini-language ('dup batch -slow'): bare terms OR,
+    -term becomes a must_not clause."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_QS_BODY)
+
+
+def _dsl_query_string_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_QS_BODY)
+
+
+def _dsl_filtered_1x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES 1.x filtered-query wrapper, rewritten internally to bool."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_FILTERED_BODY)
+
+
 _DSL_AGG_BODY = {
     "query": {"match": {"text": "dup batch scan"}},
     "aggs": {"langs": {"terms": {"field": "lang", "size": 5}}},
@@ -937,6 +969,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mget_docs_segment"] = _mget_docs_segment
     q["index_stats"] = _index_stats
     q["index_stats_segment"] = _index_stats_segment
+    q["dsl_query_string"] = _dsl_query_string
+    q["dsl_query_string_segment"] = _dsl_query_string_segment
+    q["dsl_filtered_1x"] = _dsl_filtered_1x
     q["dsl_agg_terms"] = _dsl_agg_terms
     q["dsl_agg_terms_segment"] = _dsl_agg_terms_segment
     q["dsl_bool"] = _dsl_bool
@@ -1234,6 +1269,11 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["mget_docs_segment"] = o["mget_docs"]
     o["index_stats"] = index_stats_sql()
     o["index_stats_segment"] = o["index_stats"]
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_sql as _dsql
+
+    o["dsl_query_string"] = _dsql(_DSL_QS_BODY)
+    o["dsl_query_string_segment"] = o["dsl_query_string"]
+    o["dsl_filtered_1x"] = _dsql(_DSL_FILTERED_BODY)
     o["dsl_agg_terms"] = dsl_aggregation_sql(_DSL_AGG_BODY)
     o["dsl_agg_terms_segment"] = o["dsl_agg_terms"]
     o["dsl_bool"] = dsl_search_sql(_DSL_BOOL_BODY)

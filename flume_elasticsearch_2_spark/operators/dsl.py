@@ -17,7 +17,11 @@ silent best-effort):
 * query clauses: ``match`` (with ``operator``/``minimum_should_match``/
   ``boost``), ``match_phrase``, ``match_all``, ``ids``, ``term``/
   ``prefix``/``wildcard``/``fuzzy`` on the text field,
-  ``more_like_this`` (``like`` text form), and ``bool`` with:
+  ``more_like_this`` (``like`` text form), the 1.x ``filtered`` wrapper
+  (rewritten to bool), ``constant_score`` (filter + boost), top-level
+  ``range``, ``query_string`` (Lucene mini-language subset: bare/+/- terms,
+  one quoted phrase, one wildcard, AND/OR, ``text:`` field syntax), and
+  ``bool`` with:
   - ``must``: ONE scored clause (match / match_phrase / term-on-text),
   - ``should``: term-on-text clauses with optional per-clause ``boost``
     (only when ``must`` is absent; ``minimum_should_match`` honored),
@@ -77,6 +81,7 @@ class _Spec:
         self.size: int = 10
         self.sort: list[tuple[str, str]] | None = None
         self.highlight: tuple[str, str] | None = None  # (pre, post)
+        self.const_score: float = 1.0  # match_all/ids/constant_score score
 
 
 def _parse_match(spec: _Spec, field_val, text_col: str) -> None:
@@ -186,6 +191,60 @@ def _parse_bool(spec: _Spec, body: dict, text_col: str) -> None:
             _err(f"must_not clause {kind!r}")
 
 
+def _parse_query_string(spec: _Spec, qs: str, default_op: str, text_col: str) -> None:
+    """Lucene query_string mini-language, the subset that maps exactly onto
+    this engine's operators: bare terms (OR by default, AND with
+    ``default_operator=and`` or explicit uppercase AND), ``+term`` required
+    clauses (all-or-nothing: mixing required and optional positives has no
+    exact mapping here and raises), ``-term`` negated clauses, one
+    ``"quoted phrase"``, one wildcard ``*``/``?`` pattern. ``text:term``
+    field syntax is accepted for the text field only."""
+    qs = qs.strip()
+    if not qs:
+        _err("empty query_string")
+    if '"' in qs:
+        if qs.count('"') != 2 or not (qs.startswith('"') and qs.endswith('"')):
+            _err("query_string supports exactly one full-string quoted phrase")
+        spec.kind = "phrase"
+        spec.query = qs.strip('"')
+        return
+    toks = qs.split()
+    ops = {t for t in toks if t in ("AND", "OR")}
+    if len(ops) > 1:
+        _err("query_string mixes AND and OR")
+    if ops == {"AND"}:
+        default_op = "and"
+    elif ops == {"OR"}:
+        default_op = "or"
+    toks = [t for t in toks if t not in ("AND", "OR")]
+    if "NOT" in toks:
+        _err("query_string NOT (use -term)")
+    plus, bare, minus = [], [], []
+    for t in toks:
+        dest, body_t = (plus, t[1:]) if t.startswith("+") else (
+            (minus, t[1:]) if t.startswith("-") else (bare, t)
+        )
+        if body_t.startswith(f"{text_col}:"):
+            body_t = body_t[len(text_col) + 1:]
+        elif ":" in body_t:
+            _err(f"query_string field clause {body_t!r} (text field only)")
+        dest.append(body_t)
+    if plus and bare:
+        _err("query_string mixes required (+) and optional terms")
+    positives = plus or bare
+    if not positives:
+        _err("query_string needs at least one positive clause")
+    if any(("*" in t) or ("?" in t) for t in positives):
+        if len(positives) != 1 or minus:
+            _err("query_string wildcard must be the only clause")
+        spec.kind = "multiterm"
+        spec.mt = (positives[0], "wildcard", {})
+        return
+    spec.query = " ".join(positives)
+    spec.mode = "and" if (plus or default_op == "and") else "or"
+    spec.must_not_text.extend(minus)
+
+
 def parse_body(body: dict, text_col: str = "text") -> _Spec:
     """Normalize an ES search body into a :class:`_Spec` (shared by the
     declarative and serving executors and the SQL oracle generator)."""
@@ -244,6 +303,44 @@ def parse_body(body: dict, text_col: str = "text") -> _Spec:
             _err("more_like_this needs 'like' (free-text form)")
     elif kind == "bool":
         _parse_bool(spec, val, text_col)
+    elif kind == "filtered":
+        # the ES 1.x filtered query: {"filtered": {"query": ..., "filter": ...}}
+        # — semantically bool(must=[query], filter=[filter]); rewritten so
+        # every downstream path (incl. the 2.x-style bool) shares one code path
+        extra_f = set(val) - {"query", "filter"}
+        if extra_f:
+            _err(f"filtered keys {sorted(extra_f)}")
+        flt = val.get("filter", [])
+        flt = [flt] if isinstance(flt, dict) else list(flt)
+        inner = {"bool": {"filter": flt}}
+        if "query" in val:
+            inner["bool"]["must"] = [val["query"]]
+        _parse_bool(spec, inner["bool"], text_col)
+    elif kind == "constant_score":
+        # {"constant_score": {"filter": ..., "boost": b}} — every matching
+        # doc scores boost; deterministic (score, doc_id) order => the k
+        # smallest matching ids (same contract as the multiterm rewrite)
+        extra_c = set(val) - {"filter", "boost"}
+        if extra_c:
+            _err(f"constant_score keys {sorted(extra_c)}")
+        spec.kind = "match_all"
+        spec.const_score = float(val.get("boost", 1.0))
+        flt = val.get("filter", [])
+        flt = [flt] if isinstance(flt, dict) else list(flt)
+        spec.filters = _filter_triples(flt)
+    elif kind == "range":
+        # top-level range query: constant-score filter semantics in 1.x
+        spec.kind = "match_all"
+        spec.filters = _filter_triples([{"range": val}])
+    elif kind == "query_string":
+        qs = val if isinstance(val, str) else val["query"]
+        default_op = "or"
+        if isinstance(val, dict):
+            extra_q = set(val) - {"query", "default_operator"}
+            if extra_q:
+                _err(f"query_string keys {sorted(extra_q)}")
+            default_op = val.get("default_operator", "or").lower()
+        _parse_query_string(spec, qs, default_op, text_col)
     else:
         _err(f"query clause {kind!r}")
 
@@ -339,7 +436,10 @@ def dsl_search(
         if spec.ids is not None:
             src = src.where(F.col(id_col).isin(spec.ids))
         return (
-            src.select(F.col(id_col).alias("doc_id"), F.lit(1.0).alias("score"))
+            src.select(
+                F.col(id_col).alias("doc_id"),
+                F.lit(round(float(spec.const_score), 6)).alias("score"),
+            )
             .orderBy("doc_id")
             .offset(spec.from_)
             .limit(spec.size)
@@ -394,8 +494,8 @@ def dsl_search_sql(body: dict, table: str = "documents", text_col: str = "text")
         where = f"WHERE {' AND '.join(preds)}" if preds else ""
         off = f" OFFSET {spec.from_}" if spec.from_ else ""
         return (
-            f"SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM {table} {where} "
-            f"ORDER BY doc_id LIMIT {spec.size}{off}"
+            f"SELECT doc_id, CAST({round(float(spec.const_score), 6)!r} AS DOUBLE) AS score "
+            f"FROM {table} {where} ORDER BY doc_id LIMIT {spec.size}{off}"
         )
     if spec.kind == "phrase":
         return bm25_phrase_topk_sql(spec.query, k=spec.size, table=table)

@@ -204,3 +204,71 @@ def test_dsl_aggs_rejects_unsupported():
             {"query": {"match_phrase": {"text": "a b"}},
              "aggs": {"a": {"terms": {"field": "lang"}}}}
         )
+
+
+# -- 1.x wrappers + query_string ---------------------------------------------
+
+QS_BODIES = [
+    ("qs_or", {"query": {"query_string": {"query": "dup batch scan"}}}, True),
+    ("qs_and_op", {"query": {"query_string": {"query": "join AND filter AND window"}}}, True),
+    ("qs_required", {"query": {"query_string": {"query": "+join +filter"}}}, True),
+    ("qs_negated", {"query": {"query_string": {"query": "dup batch -slow"}}}, True),
+    ("qs_phrase", {"query": {"query_string": {"query": '"part filter"'}}}, True),
+    ("qs_wildcard", {"query": {"query_string": {"query": "s*r*"}}}, True),
+    ("qs_field", {"query": {"query_string": {"query": "text:dup text:batch"}}}, True),
+    ("qs_default_and", {"query": {"query_string": {"query": "join filter", "default_operator": "and"}}}, True),
+    (
+        "filtered_1x",
+        {"query": {"filtered": {
+            "query": {"match": {"text": "dup batch scan"}},
+            "filter": {"term": {"lang": "en"}},
+        }}},
+        True,
+    ),
+    (
+        "filtered_no_query",
+        {"query": {"filtered": {"filter": {"range": {"n_chars": {"gte": 500}}}}}, "size": 5},
+        False,
+    ),
+    (
+        "constant_score",
+        {"query": {"constant_score": {"filter": {"term": {"lang": "fr"}}, "boost": 2.5}}, "size": 5},
+        False,
+    ),
+    ("range_toplevel", {"query": {"range": {"n_chars": {"gte": 100, "lt": 2000}}}, "size": 5}, False),
+]
+
+
+@pytest.mark.parametrize("name,body,_srv", QS_BODIES, ids=[b[0] for b in QS_BODIES])
+def test_1x_wrappers_match_duckdb(documents, duck, name, body, _srv):
+    got = [tuple(r) for r in dsl_search(documents, body).collect()]
+    want = [tuple(r) for r in duck.execute(dsl_search_sql(body)).fetchall()]
+    assert got == want and got, name
+
+
+@pytest.mark.parametrize(
+    "name,body",
+    [(n, b) for n, b, srv in QS_BODIES if srv],
+    ids=[n for n, _, srv in QS_BODIES if srv],
+)
+def test_1x_wrappers_serving_equals_declarative(documents, searcher, name, body):
+    got = [tuple(r) for r in dsl_search_index(searcher, body).collect()]
+    want = [tuple(r) for r in dsl_search(documents, body).collect()]
+    assert got == want, name
+
+
+@pytest.mark.parametrize(
+    "qs",
+    [
+        "a AND b OR c",          # mixed operators
+        "+dup batch",            # required mixed with optional
+        "NOT dup",               # NOT keyword
+        "lang:en",               # non-text field
+        's*r* batch',            # wildcard not alone
+        '"part filter" extra',   # phrase not the whole string
+        "-slow",                 # no positive clause
+    ],
+)
+def test_query_string_rejects_unsupported(qs):
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        parse_body({"query": {"query_string": {"query": qs}}})
