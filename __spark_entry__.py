@@ -661,6 +661,31 @@ def _index_stats_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _segment_searcher(spark, sf_dir).index_stats()
 
 
+def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (email/ipv4/phone regexes, RE2-and-Java-compatible
+    dialect): exact identity on the clean synthetic corpus — both engines
+    must agree on every byte (crafted-PII parity is pinned in tests)."""
+    from flume_elasticsearch_2_spark.operators.cleaning import redact_pii_col
+
+    return _docs(spark, sf_dir).select("doc_id", redact_pii_col("text").alias("red"))
+
+
+def _repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc n-gram repetition ratio (boilerplate signal), pure JVM
+    one-pass."""
+    from flume_elasticsearch_2_spark.operators.cleaning import repetition_metrics
+
+    return repetition_metrics(_docs(spark, sf_dir), n=3)
+
+
+def _duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc exact duplicated 5-gram spans (df >= 2): the discovery half
+    of exact-substring dedup, one map-side-combined aggregation."""
+    from flume_elasticsearch_2_spark.operators.cleaning import duplicated_ngrams
+
+    return duplicated_ngrams(_docs(spark, sf_dir), n=5, min_df=2)
+
+
 _DSL_QS_BODY = {"query": {"query_string": {"query": "dup batch -slow"}}}
 _DSL_FILTERED_BODY = {
     "query": {
@@ -969,6 +994,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mget_docs_segment"] = _mget_docs_segment
     q["index_stats"] = _index_stats
     q["index_stats_segment"] = _index_stats_segment
+    q["pii_redact"] = _pii_redact
+    q["repetition_metrics"] = _repetition_metrics
+    q["duplicated_ngrams"] = _duplicated_ngrams
     q["dsl_query_string"] = _dsl_query_string
     q["dsl_query_string_segment"] = _dsl_query_string_segment
     q["dsl_filtered_1x"] = _dsl_filtered_1x
@@ -1271,6 +1299,15 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["index_stats_segment"] = o["index_stats"]
     from flume_elasticsearch_2_spark.operators.dsl import dsl_search_sql as _dsql
 
+    from flume_elasticsearch_2_spark.operators.cleaning import (
+        duplicated_ngrams_sql,
+        redact_pii_sql_expr,
+        repetition_metrics_sql,
+    )
+
+    o["pii_redact"] = f"SELECT doc_id, {redact_pii_sql_expr()} AS red FROM documents"
+    o["repetition_metrics"] = repetition_metrics_sql(n=3)
+    o["duplicated_ngrams"] = duplicated_ngrams_sql(n=5, min_df=2)
     o["dsl_query_string"] = _dsql(_DSL_QS_BODY)
     o["dsl_query_string_segment"] = o["dsl_query_string"]
     o["dsl_filtered_1x"] = _dsql(_DSL_FILTERED_BODY)

@@ -1,0 +1,175 @@
+"""Training-data cleaning operators: PII redaction, within-doc repetition
+metrics, cross-doc duplicated n-gram spans (SURVEY §2.7 / the LLM-pipeline
+operator family).
+
+These are the standard web-corpus hygiene passes a 100 TB training-data
+pipeline runs between ingest and indexing (cf. C4 / RefinedWeb /
+"Deduplicating Training Data Makes Language Models Better", Lee et al.
+2022 — public methodology; implementations here are original Spark-first
+expressions):
+
+* ``redact_pii_col``: regex redaction of emails / phone numbers / IPv4s.
+  The pattern dialect is the RE2-compatible subset of Java regex, so Spark
+  (Java), DuckDB (RE2), and Python agree byte-for-byte — parity pinned on
+  crafted strings in tests; conservative by design (favor precision: no
+  lookarounds, no catastrophic backtracking candidates).
+* ``repetition_metrics``: per-doc n-gram repetition ratio (1 − distinct/
+  total) — the standard boilerplate/degenerate-text quality signal. Pure
+  JVM (sequence+transform over the token array, no explode), one narrow
+  pass.
+* ``duplicated_ngrams``: exact n-gram spans occurring in ≥ ``min_df`` docs
+  — the discovery half of exact-substring dedup. ONE exploded-distinct
+  aggregation with map-side combine: at 10^12 docs the shuffle carries at
+  most |distinct grams per partition| rows, never per-occurrence rows.
+
+Scale notes: all three are single-pass, shuffle-light, and JVM-side; the
+only exchange is ``duplicated_ngrams``' gram-keyed aggregation. Redaction
+composes with the extract stage of plans/pipeline.py (same regexp_replace
+family the reference's interceptor chain uses, FileSource.java:168).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.tokenizer import duckdb_token_pattern, tokens_col
+
+# RE2 ∩ Java-regex dialect; order matters (email before phone: an email's
+# digits must not be half-eaten as a phone number)
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9 ()\-]{7,}[0-9]",
+}
+REDACT_TOKEN = "<PII>"
+
+
+def redact_pii_col(
+    text_col: Column | str,
+    kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
+    token: str = REDACT_TOKEN,
+) -> Column:
+    """Chained JVM ``regexp_replace`` redaction — no UDF, stays in codegen."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    for k in kinds:
+        col = F.regexp_replace(col, PII_PATTERNS[k], token)
+    return col
+
+
+def redact_pii_sql_expr(
+    text_expr: str = "text",
+    kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
+    token: str = REDACT_TOKEN,
+) -> str:
+    """DuckDB twin of :func:`redact_pii_col` (global regexp_replace)."""
+    expr = text_expr
+    for k in kinds:
+        expr = f"regexp_replace({expr}, '{PII_PATTERNS[k]}', '{token}', 'g')"
+    return expr
+
+
+def redact_pii_py(text: str, kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
+                  token: str = REDACT_TOKEN) -> str:
+    """Python twin (three-engine parity pinned in tests)."""
+    import re
+
+    for k in kinds:
+        text = re.sub(PII_PATTERNS[k], token, text)
+    return text
+
+
+def _ngrams_col(toks: Column, n: int) -> Column:
+    """array<string> of space-joined n-grams of the token array (JVM-only:
+    sequence + transform + slice, no explode)."""
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """(doc_id, n_ngrams, n_distinct, repetition_ratio): the fraction of
+    repeated n-grams within each doc, rounded to 6 — degenerate/boilerplate
+    text scores high. One narrow pass, no shuffle."""
+    grams = _ngrams_col(tokens_col(text_col, analyzer=analyzer), n)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(grams).cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        F.when(F.size(grams) <= 0, F.lit(0.0))
+        .otherwise(
+            F.round(1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 6)
+        )
+        .alias("repetition_ratio"),
+    )
+
+
+def repetition_metrics_sql(
+    n: int = 3, table: str = "documents", analyzer: str = "ascii"
+) -> str:
+    """DuckDB oracle for :func:`repetition_metrics`."""
+    tok = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    grams = (
+        f"CASE WHEN len({tok}) < {n} THEN [] "
+        f"ELSE list_transform(range(1, len({tok}) - {n} + 2), "
+        f"i -> array_to_string({tok}[i:i+{n - 1}], ' ')) END"
+    )
+    return f"""
+SELECT doc_id,
+       CAST(len({grams}) AS BIGINT) AS n_ngrams,
+       CAST(len(list_distinct({grams})) AS BIGINT) AS n_distinct,
+       CASE WHEN len({grams}) <= 0 THEN 0.0
+            ELSE round(1.0 - len(list_distinct({grams})) / len({grams}), 6)
+       END AS repetition_ratio
+FROM {table}
+"""
+
+
+def duplicated_ngrams(
+    docs: DataFrame,
+    n: int = 5,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """(gram, df): exact n-gram spans present in at least ``min_df``
+    distinct docs — the cross-doc duplicated-span inventory that drives
+    exact-substring dedup. Per-doc grams are DISTINCT'd inside the array
+    (JVM) before exploding, so the aggregation's map-side combine sees one
+    row per (doc, gram); the shuffle carries partial counts per gram."""
+    grams = F.array_distinct(_ngrams_col(tokens_col(text_col, analyzer=analyzer), n))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("df"))
+        .where(F.col("df") >= int(min_df))
+        .orderBy(F.col("df").desc(), F.col("gram").asc())
+    )
+
+
+def duplicated_ngrams_sql(
+    n: int = 5, min_df: int = 2, table: str = "documents", analyzer: str = "ascii"
+) -> str:
+    """DuckDB oracle for :func:`duplicated_ngrams`."""
+    tok = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    grams = (
+        f"CASE WHEN len({tok}) < {n} THEN [] "
+        f"ELSE list_transform(range(1, len({tok}) - {n} + 2), "
+        f"i -> array_to_string({tok}[i:i+{n - 1}], ' ')) END"
+    )
+    return f"""
+SELECT gram, CAST(count(*) AS BIGINT) AS df
+FROM (SELECT DISTINCT doc_id, unnest(list_distinct({grams})) AS gram FROM {table})
+GROUP BY gram
+HAVING count(*) >= {int(min_df)}
+ORDER BY df DESC, gram ASC
+"""

@@ -1,0 +1,87 @@
+"""Training-data cleaning ops: PII redaction (three-engine byte parity on
+crafted strings), repetition metrics, duplicated n-gram spans — all vs the
+DuckDB oracle."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from flume_elasticsearch_2_spark.operators.cleaning import (
+    duplicated_ngrams,
+    duplicated_ngrams_sql,
+    redact_pii_col,
+    redact_pii_py,
+    redact_pii_sql_expr,
+    repetition_metrics,
+    repetition_metrics_sql,
+)
+
+PII_CASES = [
+    "contact me at john.doe+spam@example.co.uk please",
+    "server at 192.168.1.254 and 10.0.0.1:8080",
+    "call +1 (555) 123-4567 or 555-123-4567 now",
+    "mixed: a@b.io on 8.8.8.8 phone 0123456789",
+    "no pii here at all",
+    "",
+    "v1.2.3 release notes",  # version string must NOT match ipv4 (needs 4 octets)
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    return con
+
+
+def test_redact_three_engine_parity(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(PII_CASES)], "i int, text string")
+    got = {r.i: r.red for r in df.select("i", redact_pii_col("text").alias("red")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " +
+                ", ".join(f"({i}, '{t}')" for i, t in enumerate(PII_CASES)) +
+                ") v(i, text)")
+    want = dict(con.execute(f"SELECT i, {redact_pii_sql_expr()} FROM t").fetchall())
+    py = {i: redact_pii_py(t) for i, t in enumerate(PII_CASES)}
+    assert got == want == py
+
+
+def test_redact_replaces_pii_and_preserves_rest(spark):
+    out = redact_pii_py("mail a@b.io, ip 1.2.3.4, tel +44 20 7946 0958 end")
+    assert out == "mail <PII>, ip <PII>, tel <PII> end"
+    assert redact_pii_py("v1.2.3 notes") == "v1.2.3 notes"
+
+
+def test_redact_corpus_noop_matches_oracle(documents, duck):
+    """The synthetic corpus contains no PII — redaction must be the exact
+    identity on it (both engines agree on every byte)."""
+    got = {r.doc_id: r.red for r in documents.select(
+        "doc_id", redact_pii_col("text").alias("red")).collect()}
+    want = dict(duck.execute(
+        f"SELECT doc_id, {redact_pii_sql_expr()} FROM documents").fetchall())
+    assert got == want
+
+
+@pytest.mark.parametrize("n", [2, 3, 5])
+def test_repetition_metrics_match_duckdb(documents, duck, n):
+    got = [tuple(r) for r in repetition_metrics(documents, n=n).orderBy("doc_id").collect()]
+    want = [tuple(r) for r in duck.execute(
+        repetition_metrics_sql(n=n) + " ORDER BY doc_id").fetchall()]
+    assert got == want and got
+
+
+def test_repetition_short_doc_edge(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, ""), (3, "x x x x")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in repetition_metrics(df, n=3).collect()}
+    assert rows[1].n_ngrams == 0 and rows[1].repetition_ratio == 0.0
+    assert rows[2].n_ngrams == 0
+    assert rows[3].n_ngrams == 2 and rows[3].n_distinct == 1  # "x x x" twice
+    assert rows[3].repetition_ratio == 0.5
+
+
+@pytest.mark.parametrize("n,min_df", [(5, 2), (3, 10)])
+def test_duplicated_ngrams_match_duckdb(documents, duck, n, min_df):
+    got = [tuple(r) for r in duplicated_ngrams(documents, n=n, min_df=min_df).collect()]
+    want = [tuple(r) for r in duck.execute(duplicated_ngrams_sql(n=n, min_df=min_df)).fetchall()]
+    assert got == want
