@@ -686,6 +686,44 @@ def _duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_ngrams(_docs(spark, sf_dir), n=5, min_df=2)
 
 
+_PERC_QUERIES = [
+    (1, "dup batch", "or"),
+    (2, "dup batch", "and"),
+    (3, "zzz absent", "or"),
+    (4, "scan", "or"),
+    (5, "batch scan small", "and"),
+]
+_PERC_DOC = "batch scan small table dup"
+
+
+def _es_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _analyze: the analysis chain as a queryable (position, token)
+    surface."""
+    from flume_elasticsearch_2_spark.operators.percolate import analyze
+
+    return analyze(spark, "The QUICK-brown fox_42, jumps; over!")
+
+
+def _percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolate (reverse search): which registered queries match the
+    incoming doc — one narrow scan of the analyzed query table."""
+    from flume_elasticsearch_2_spark.operators.percolate import (
+        percolate,
+        register_queries,
+    )
+
+    q = spark.createDataFrame(_PERC_QUERIES, "query_id long, query string, mode string")
+    return percolate(register_queries(q), _PERC_DOC)
+
+
+def _doc_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc corpus-duplicated 5-gram fraction: the removal half of
+    exact-substring dedup (gram-keyed shuffles only, nothing broadcast)."""
+    from flume_elasticsearch_2_spark.operators.cleaning import doc_dup_fraction
+
+    return doc_dup_fraction(_docs(spark, sf_dir), n=5, min_df=2)
+
+
 _DSL_QS_BODY = {"query": {"query_string": {"query": "dup batch -slow"}}}
 _DSL_FILTERED_BODY = {
     "query": {
@@ -997,6 +1035,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pii_redact"] = _pii_redact
     q["repetition_metrics"] = _repetition_metrics
     q["duplicated_ngrams"] = _duplicated_ngrams
+    q["doc_dup_fraction"] = _doc_dup_fraction
+    q["es_analyze"] = _es_analyze
+    q["percolate_matches"] = _percolate_matches
     q["dsl_query_string"] = _dsl_query_string
     q["dsl_query_string_segment"] = _dsl_query_string_segment
     q["dsl_filtered_1x"] = _dsl_filtered_1x
@@ -1308,6 +1349,24 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["pii_redact"] = f"SELECT doc_id, {redact_pii_sql_expr()} AS red FROM documents"
     o["repetition_metrics"] = repetition_metrics_sql(n=3)
     o["duplicated_ngrams"] = duplicated_ngrams_sql(n=5, min_df=2)
+    from flume_elasticsearch_2_spark.operators.cleaning import doc_dup_fraction_sql
+
+    o["doc_dup_fraction"] = doc_dup_fraction_sql(n=5, min_df=2)
+    from flume_elasticsearch_2_spark.operators.percolate import (
+        analyze_sql,
+        percolate_sql,
+    )
+    from flume_elasticsearch_2_spark.functions.tokenizer import tokenize as _tok
+
+    o["es_analyze"] = analyze_sql("The QUICK-brown fox_42, jumps; over!")
+    _perc_rows = " UNION ALL ".join(
+        "SELECT {} AS query_id, '{}' AS mode, {} AS terms".format(
+            qid, mode, "[" + ", ".join(f"'{t}'" for t in sorted(set(_tok(q)))) + "]"
+        )
+        for qid, q, mode in _PERC_QUERIES
+    )
+    o["percolate_matches"] = percolate_sql(_PERC_DOC, table=f"({_perc_rows})")
+    o["percolate_matches"] = o["percolate_matches"]
     o["dsl_query_string"] = _dsql(_DSL_QS_BODY)
     o["dsl_query_string_segment"] = o["dsl_query_string"]
     o["dsl_filtered_1x"] = _dsql(_DSL_FILTERED_BODY)

@@ -173,3 +173,75 @@ GROUP BY gram
 HAVING count(*) >= {int(min_df)}
 ORDER BY df DESC, gram ASC
 """
+
+
+def doc_dup_fraction(
+    docs: DataFrame,
+    n: int = 5,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """(doc_id, n_ngrams, n_dup, dup_fraction): per doc, the fraction of its
+    distinct n-grams that are CORPUS-duplicated (present in >= ``min_df``
+    docs) — the removal half of exact-substring dedup: filter or down-weight
+    docs above a threshold.
+
+    Scale shape: one exploded-distinct (doc, gram) table feeds BOTH the
+    gram-df aggregation and the per-doc dup count; the df set is joined back
+    by a semi-join ON GRAM (shuffle-partitioned both sides — at 100 TB the
+    duplicated-gram set is far too large to broadcast, and this plan never
+    assumes it fits anywhere). Two gram-keyed exchanges total, each carrying
+    per-(doc,gram)-distinct rows, never per-occurrence rows."""
+    grams = F.array_distinct(_ngrams_col(tokens_col(text_col, analyzer=analyzer), n))
+    base = docs.select(F.col(id_col).alias("doc_id"), grams.alias("grams"))
+    ex = base.select("doc_id", F.explode("grams").alias("gram"))
+    dup = (
+        ex.groupBy("gram")
+        .agg(F.count("*").alias("gdf"))
+        .where(F.col("gdf") >= int(min_df))
+        .select("gram")
+    )
+    nd = (
+        ex.join(dup, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_dup"))
+    )
+    tot = base.select("doc_id", F.size("grams").cast("long").alias("n_ngrams"))
+    return tot.join(nd, "doc_id", "left").select(
+        "doc_id",
+        "n_ngrams",
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
+        F.when(F.col("n_ngrams") <= 0, F.lit(0.0))
+        .otherwise(F.round(F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_ngrams"), 6))
+        .alias("dup_fraction"),
+    )
+
+
+def doc_dup_fraction_sql(
+    n: int = 5, min_df: int = 2, table: str = "documents", analyzer: str = "ascii"
+) -> str:
+    """DuckDB oracle for :func:`doc_dup_fraction`."""
+    tok = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    grams = (
+        f"CASE WHEN len({tok}) < {n} THEN [] "
+        f"ELSE list_distinct(list_transform(range(1, len({tok}) - {n} + 2), "
+        f"i -> array_to_string({tok}[i:i+{n - 1}], ' '))) END"
+    )
+    return f"""
+WITH ex AS (SELECT doc_id, unnest({grams}) AS gram FROM {table}),
+dup AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) >= {int(min_df)}),
+nd AS (
+  SELECT doc_id, count(*) AS n_dup FROM ex
+  WHERE gram IN (SELECT gram FROM dup) GROUP BY doc_id
+),
+tot AS (SELECT doc_id, len({grams}) AS n_ngrams FROM {table})
+SELECT tot.doc_id,
+       CAST(tot.n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(coalesce(nd.n_dup, 0) AS BIGINT) AS n_dup,
+       CASE WHEN tot.n_ngrams <= 0 THEN 0.0
+            ELSE round(coalesce(nd.n_dup, 0) / tot.n_ngrams, 6)
+       END AS dup_fraction
+FROM tot LEFT JOIN nd ON tot.doc_id = nd.doc_id
+"""

@@ -1,0 +1,118 @@
+"""ES ``_analyze`` + percolator APIs (SURVEY §2.5).
+
+Reference analog: the ES 1.x analyze endpoint (debug the analysis chain)
+and the percolate API — *reverse* search: queries are registered documents,
+and an incoming document is matched against ALL registered queries
+(alerting / routing / classification use; delegation site
+ElasticsearchSink.java:54).
+
+Spark-first shapes:
+
+* ``analyze``: one row per token with its position — the exact analysis
+  chain (``functions/tokenizer.py``) exposed as a queryable surface.
+* ``percolate``: the registered-query table carries an analyzed
+  ``terms array<string>`` column; matching an incoming doc is ONE narrow
+  scan of that table with a JVM array predicate (``forall``/``exists``
+  against the doc's token set inlined as a literal array) — no join, no
+  shuffle, trivially partitionable across millions of registered queries.
+  That inversion (scan queries, not docs) is exactly how percolation
+  scales: the query table is the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.tokenizer import duckdb_token_pattern, tokenize, tokens_col
+
+
+def analyze(
+    spark,
+    text: str,
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """ES ``_analyze``: (position, token) for the input text under the
+    engine's analysis chain — positions are 0-based post-stopword-removal
+    slots, matching what the positional index stores."""
+    toks = tokenize(text, stopwords, analyzer)
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "position long, token string"
+    )
+
+
+def analyze_sql(
+    text: str, stopwords: list[str] | None = None, analyzer: str = "ascii"
+) -> str:
+    """DuckDB oracle for :func:`analyze` (unnest WITH ORDINALITY analog)."""
+    esc = text.replace("'", "''")
+    tok_expr = f"regexp_extract_all(lower('{esc}'), '{duckdb_token_pattern(analyzer)}')"
+    if stopwords:
+        stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
+        tok_expr = f"list_filter({tok_expr}, t -> t NOT IN ({stop_list}))"
+    return f"""
+SELECT CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS position,
+       unnest(toks) AS token
+FROM (SELECT {tok_expr} AS toks)
+"""
+
+
+def register_queries(
+    queries: DataFrame,
+    id_col: str = "query_id",
+    query_col: str = "query",
+    mode_col: str | None = "mode",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Prepare a percolator table: analyze each registered query string into
+    its distinct-term array once (write this out Parquet-partitioned for the
+    build-once/match-many shape). Columns: (query_id, mode, terms)."""
+    mode = F.col(mode_col) if mode_col else F.lit("or")
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        mode.alias("mode"),
+        F.array_distinct(tokens_col(query_col, stopwords, analyzer)).alias("terms"),
+    ).where(F.size("terms") > 0)
+
+
+def percolate(
+    registered: DataFrame,
+    doc_text: str,
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """ES percolate: which registered queries match this document? OR
+    queries match if ANY term occurs, AND queries if ALL terms occur.
+    Returns (query_id) ordered. One narrow scan of the query table — the
+    doc's token set is inlined as a literal array (docs are single items;
+    queries are the corpus)."""
+    doc_terms = sorted(set(tokenize(doc_text, stopwords, analyzer)))
+    lit = F.array(*[F.lit(t) for t in doc_terms]) if doc_terms else F.array().cast(
+        "array<string>"
+    )
+    any_hit = F.arrays_overlap("terms", lit)
+    all_hit = F.forall("terms", lambda t: F.array_contains(lit, t))
+    return (
+        registered.where(F.when(F.col("mode") == "and", all_hit).otherwise(any_hit))
+        .select("query_id")
+        .orderBy("query_id")
+    )
+
+
+def percolate_sql(
+    doc_text: str,
+    table: str = "percolator",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB oracle for :func:`percolate` over a registered-query view with
+    (query_id, mode, terms)."""
+    doc_terms = sorted(set(tokenize(doc_text, stopwords, analyzer)))
+    lit = "[" + ", ".join(f"'{t}'" for t in doc_terms) + "]"
+    return f"""
+SELECT query_id FROM {table}
+WHERE CASE WHEN mode = 'and' THEN list_has_all({lit}, terms)
+           ELSE list_has_any(terms, {lit}) END
+ORDER BY query_id
+"""

@@ -85,3 +85,32 @@ def test_duplicated_ngrams_match_duckdb(documents, duck, n, min_df):
     got = [tuple(r) for r in duplicated_ngrams(documents, n=n, min_df=min_df).collect()]
     want = [tuple(r) for r in duck.execute(duplicated_ngrams_sql(n=n, min_df=min_df)).fetchall()]
     assert got == want
+
+
+@pytest.mark.parametrize("n,min_df", [(5, 2), (3, 5)])
+def test_doc_dup_fraction_matches_duckdb(documents, duck, n, min_df):
+    from flume_elasticsearch_2_spark.operators.cleaning import (
+        doc_dup_fraction,
+        doc_dup_fraction_sql,
+    )
+
+    got = [tuple(r) for r in doc_dup_fraction(documents, n=n, min_df=min_df)
+           .orderBy("doc_id").collect()]
+    want = [tuple(r) for r in duck.execute(
+        doc_dup_fraction_sql(n=n, min_df=min_df) + " ORDER BY 1").fetchall()]
+    assert got == want and got
+
+
+def test_doc_dup_fraction_semantics(spark):
+    from flume_elasticsearch_2_spark.operators.cleaning import doc_dup_fraction
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c x y"), (3, "p q r s t"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in doc_dup_fraction(df, n=3, min_df=2).collect()}
+    # "a b c" appears in docs 1 and 2 -> duplicated; their other grams unique
+    assert rows[1].n_dup == 1 and rows[1].n_ngrams == 3
+    assert abs(rows[1].dup_fraction - round(1 / 3, 6)) < 1e-9
+    assert rows[3].n_dup == 0 and rows[3].dup_fraction == 0.0
+    assert rows[4].n_ngrams == 0 and rows[4].dup_fraction == 0.0

@@ -1,0 +1,86 @@
+"""ES _analyze + percolator (reverse search), vs DuckDB oracles.
+
+Reference analog: ES 1.x analyze/percolate surfaces behind the sink
+(ElasticsearchSink.java:54)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from flume_elasticsearch_2_spark.operators.percolate import (
+    analyze,
+    analyze_sql,
+    percolate,
+    percolate_sql,
+    register_queries,
+)
+
+QUERIES = [
+    (1, "dup batch", "or"),
+    (2, "dup batch", "and"),
+    (3, "zzz absent", "or"),
+    (4, "scan", "or"),
+    (5, "batch scan small", "and"),
+    (6, "the", "or"),
+]
+
+DOCS = [
+    "batch scan small table",      # matches 1(or), 4, 5(and), not 2 (no dup)
+    "dup only here",               # matches 1, 2? (needs batch too) -> 1 only
+    "nothing relevant at all",
+    "",
+]
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    q = spark.createDataFrame(QUERIES, "query_id long, query string, mode string")
+    return register_queries(q).cache()
+
+
+@pytest.fixture(scope="module")
+def duck(registered):
+    con = duckdb.connect()
+    con.register("percolator", registered.toPandas())
+    return con
+
+
+@pytest.mark.parametrize(
+    "text",
+    ["Hello, World-42!", "the the fast", "", "ÀÉ straße a1"],
+)
+def test_analyze_matches_duckdb(spark, text):
+    con = duckdb.connect()
+    got = [tuple(r) for r in analyze(spark, text).collect()]
+    want = [tuple(r) for r in con.execute(analyze_sql(text)).fetchall()]
+    assert got == want
+
+
+@pytest.mark.parametrize("doc", DOCS, ids=[f"doc{i}" for i in range(len(DOCS))])
+def test_percolate_matches_duckdb(registered, duck, doc):
+    got = [r.query_id for r in percolate(registered, doc).collect()]
+    want = [r[0] for r in duck.execute(percolate_sql(doc)).fetchall()]
+    assert got == want
+
+
+def test_percolate_semantics(registered):
+    hits = [r.query_id for r in percolate(registered, "batch scan small table").collect()]
+    assert hits == [1, 4, 5]  # or-partial, single-term, and-complete
+    hits2 = [r.query_id for r in percolate(registered, "dup batch extra").collect()]
+    assert hits2 == [1, 2]  # and-query satisfied now
+    assert percolate(registered, "").count() == 0
+
+
+def test_register_drops_empty_queries(spark):
+    q = spark.createDataFrame([(1, "...", "or"), (2, "ok", "or")],
+                              "query_id long, query string, mode string")
+    reg = register_queries(q)
+    assert [r.query_id for r in reg.collect()] == [2]
+
+
+def test_percolate_plan_is_single_scan(registered):
+    df = percolate(registered, "batch scan")
+    jvm = df.sparkSession._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "Join" not in plan and "Exchange" not in plan.split("Sort")[0]
