@@ -686,6 +686,38 @@ def _duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_ngrams(_docs(spark, sf_dir), n=5, min_df=2)
 
 
+_GEN_CACHE: dict[str, list] = {}  # sf_dir -> [gen1_dir, gen2_dir]
+
+
+def _generation_dirs(spark: SparkSession, sf_dir: str) -> list:
+    """Two index generations over disjoint doc-id halves (shared id space
+    500·sf-scale) — the streaming-deployment layout between merges."""
+    import tempfile
+
+    from flume_elasticsearch_2_spark.plans.build_index import build_index
+
+    if sf_dir not in _GEN_CACHE:
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        half, space = n // 2, n
+        base = tempfile.mkdtemp(prefix="fts_gen_")
+        d1, d2 = os.path.join(base, "g1"), os.path.join(base, "g2")
+        build_index(spark, docs.where(f"doc_id < {half}"), d1, n_shards=4, id_space=space)
+        build_index(spark, docs.where(f"doc_id >= {half}"), d2, n_shards=4, id_space=space)
+        _GEN_CACHE[sf_dir] = [d1, d2]
+    return _GEN_CACHE[sf_dir]
+
+
+def _bm25_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi-index (alias) search across UNMERGED generations,
+    dfs_query_then_fetch: global df/avgdl/N from a driver-side dictionary
+    pass, per-index BMW scatter with the global constants — rank- and
+    score-identical to the merged index and to the whole-corpus oracle."""
+    from flume_elasticsearch_2_spark.plans.query_index import search_generations
+
+    return search_generations(spark, _generation_dirs(spark, sf_dir), "dup batch scan", k=10)
+
+
 _PERC_QUERIES = [
     (1, "dup batch", "or"),
     (2, "dup batch", "and"),
@@ -1036,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["repetition_metrics"] = _repetition_metrics
     q["duplicated_ngrams"] = _duplicated_ngrams
     q["doc_dup_fraction"] = _doc_dup_fraction
+    q["bm25_generations"] = _bm25_generations
     q["es_analyze"] = _es_analyze
     q["percolate_matches"] = _percolate_matches
     q["dsl_query_string"] = _dsl_query_string
@@ -1358,6 +1391,7 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     )
     from flume_elasticsearch_2_spark.functions.tokenizer import tokenize as _tok
 
+    o["bm25_generations"] = bm25_topk_sql("dup batch scan", k=10)
     o["es_analyze"] = analyze_sql("The QUICK-brown fox_42, jumps; over!")
     _perc_rows = " UNION ALL ".join(
         "SELECT {} AS query_id, '{}' AS mode, {} AS terms".format(

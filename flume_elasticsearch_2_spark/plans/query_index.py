@@ -1575,3 +1575,72 @@ class IndexSearcher:
             .cogroup(docs.groupBy("shard"))
             .applyInPandas(score, "doc_id long, score double")
         )
+
+
+def search_generations(
+    spark: SparkSession,
+    index_dirs: list[str],
+    query: str,
+    k: int = 10,
+    mode: str = "or",
+    pruned: bool = True,
+) -> DataFrame:
+    """ES multi-index (alias) search across UNMERGED generations with
+    ``dfs_query_then_fetch`` semantics: a distributed-frequencies pass
+    first computes GLOBAL df / n_docs / avgdl across every index (driver-
+    side dictionary reads — metadata-scale), then each index's shards score
+    with those global constants, and one coordinator gather merges the
+    per-index top-k. Result is rank- AND score-identical to querying the
+    MERGED index (pinned by tests) — the serving story for a streaming
+    deployment that queries the live union of generations between merges.
+
+    Requires the generations contract (disjoint doc ids; chunked/streaming
+    ingest guarantees it). Scale shape: the dfs pass is |indexes| tiny
+    dictionary reads; the scatter is the same one-task-per-shard direct
+    engine per index; the gather is <= sum(shards)·k rows."""
+    searchers = [IndexSearcher(spark, d) for d in index_dirs]
+    q_terms = tokenize(query)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not q_terms or not searchers:
+        return empty
+    weights = {t: float(c) for t, c in Counter(q_terms).items()}
+    terms = sorted(weights)
+    # --- dfs pass: global stats across all generations ---
+    df_global: dict[str, int] = {}
+    n_docs, dl_total = 0, 0.0
+    for s in searchers:
+        for t, d in s.term_stats(terms).items():
+            df_global[t] = df_global.get(t, 0) + int(d)
+        n_docs += s.n_docs
+        dl_total += s.avgdl * s.n_docs
+    present = sorted(t for t in terms if df_global.get(t, 0) > 0)
+    if n_docs == 0 or not present:
+        return empty
+    if mode == "and" and len(present) < len(terms):
+        return empty
+    avgdl = dl_total / n_docs
+
+    rows: list = []
+    for s in searchers:
+        dfreq_local, active = s._query_meta(present)
+        local_present = [t for t in present if t in dfreq_local]
+        if not local_present or (mode == "and" and len(local_present) < len(terms)):
+            continue
+        kwargs = dict(
+            weights=weights,
+            dfreq=df_global,  # GLOBAL idf — the dfs_query_then_fetch contract
+            n_docs=n_docs,
+            avgdl=avgdl,
+            id_space=s.id_space,
+            n_shards=s.n_shards,
+            k=k,
+            mode=mode,
+            pruned=pruned,
+            msm=None,
+        )
+        rows.extend(s._scatter_direct(active, local_present, kwargs).collect())
+    rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+    return spark.createDataFrame(
+        [(int(r["doc_id"]), round(float(r["score"]), 6)) for r in rows[:k]],
+        "doc_id long, score double",
+    )

@@ -1,0 +1,64 @@
+"""ES multi-index (alias) search across unmerged generations
+(dfs_query_then_fetch): rank/score-identical to the merged index, the
+declarative engine over the union corpus, and the DuckDB oracle.
+
+Reference analog: the ES index-alias / multi-index query surface behind the
+sink (ElasticsearchSink.java:54); dfs_query_then_fetch per the ES 1.x
+search-type docs."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from flume_elasticsearch_2_spark.operators.topk import bm25_topk, bm25_topk_sql
+from flume_elasticsearch_2_spark.plans.build_index import build_index
+from flume_elasticsearch_2_spark.plans.merge import merge_indexes
+from flume_elasticsearch_2_spark.plans.query_index import (
+    IndexSearcher,
+    search_generations,
+)
+
+QUERIES = [("dup batch scan", "or"), ("join filter window", "and"), ("zzzznotaterm", "or")]
+
+
+@pytest.fixture(scope="module")
+def generations(spark, documents, tmp_path_factory):
+    """Two generations over disjoint doc-id halves, shared id space."""
+    d1 = str(tmp_path_factory.mktemp("gen") / "g1")
+    d2 = str(tmp_path_factory.mktemp("gen") / "g2")
+    build_index(spark, documents.where("doc_id < 250"), d1, n_shards=4, id_space=500)
+    build_index(spark, documents.where("doc_id >= 250"), d2, n_shards=4, id_space=500)
+    return [d1, d2]
+
+
+@pytest.mark.parametrize("query,mode", QUERIES)
+def test_generations_equal_declarative_union(spark, documents, generations, query, mode):
+    got = [tuple(r) for r in search_generations(spark, generations, query, k=10, mode=mode).collect()]
+    want = [tuple(r) for r in bm25_topk(documents, query, k=10, mode=mode).collect()]
+    assert got == want
+
+
+@pytest.mark.parametrize("query,mode", QUERIES[:2])
+def test_generations_equal_merged_index(spark, generations, tmp_path_factory, query, mode):
+    merged = str(tmp_path_factory.mktemp("gen") / "merged")
+    merge_indexes(spark, generations, merged)
+    got = [tuple(r) for r in search_generations(spark, generations, query, k=10, mode=mode).collect()]
+    want = [tuple(r) for r in IndexSearcher(spark, merged).search(query, k=10, mode=mode).collect()]
+    assert got == want and (got or query.startswith("zzzz"))
+
+
+def test_generations_match_duckdb(spark, sf_dir, generations):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    got = [tuple(r) for r in search_generations(spark, generations, "dup batch scan", k=10).collect()]
+    want = [tuple(r) for r in con.execute(bm25_topk_sql("dup batch scan", k=10)).fetchall()]
+    assert got == want and got
+
+
+def test_single_generation_degenerates_to_plain_search(spark, generations):
+    got = [tuple(r) for r in search_generations(spark, generations[:1], "dup batch", k=5).collect()]
+    want = [
+        tuple(r) for r in IndexSearcher(spark, generations[0]).search("dup batch", k=5).collect()
+    ]
+    assert got == want
