@@ -686,6 +686,27 @@ def _duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_ngrams(_docs(spark, sf_dir), n=5, min_df=2)
 
 
+def _bm25_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rescore: BM25 base window rescored by a match_phrase rescorer
+    (query_weight*base + rescore_weight*phrase, window-bounded)."""
+    from flume_elasticsearch_2_spark.operators.rescore import bm25_rescore
+
+    return bm25_rescore(
+        _docs(spark, sf_dir), "batch small scan", "batch small", k=10, rescore_weight=2.0
+    )
+
+
+def _bm25_rescore_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescore on the SERVING path: BMW base scatter + positional phrase
+    scores, combined driver-side over the window."""
+    from flume_elasticsearch_2_spark.operators.rescore import rescore_serving
+
+    return rescore_serving(
+        _segment_searcher(spark, sf_dir), "batch small scan", "batch small",
+        k=10, rescore_weight=2.0,
+    )
+
+
 _GEN_CACHE: dict[str, list] = {}  # sf_dir -> [gen1_dir, gen2_dir]
 
 
@@ -1068,6 +1089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["repetition_metrics"] = _repetition_metrics
     q["duplicated_ngrams"] = _duplicated_ngrams
     q["doc_dup_fraction"] = _doc_dup_fraction
+    q["bm25_rescore"] = _bm25_rescore
+    q["bm25_rescore_segment"] = _bm25_rescore_segment
     q["bm25_generations"] = _bm25_generations
     q["es_analyze"] = _es_analyze
     q["percolate_matches"] = _percolate_matches
@@ -1391,6 +1414,10 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     )
     from flume_elasticsearch_2_spark.functions.tokenizer import tokenize as _tok
 
+    from flume_elasticsearch_2_spark.operators.rescore import bm25_rescore_sql
+
+    o["bm25_rescore"] = bm25_rescore_sql("batch small scan", "batch small", k=10, rescore_weight=2.0)
+    o["bm25_rescore_segment"] = o["bm25_rescore"]
     o["bm25_generations"] = bm25_topk_sql("dup batch scan", k=10)
     o["es_analyze"] = analyze_sql("The QUICK-brown fox_42, jumps; over!")
     _perc_rows = " UNION ALL ".join(

@@ -122,6 +122,8 @@ def breakdown_rows(
     the arithmetic lives in exactly one place)."""
     import math
 
+    from ..functions.rounding import round_half_up6
+
     out = []
     for t in terms:
         tft, dft = tf.get(t, 0.0), df.get(t, 0)
@@ -134,7 +136,7 @@ def breakdown_rows(
         )
         out.append(
             (t, float(weights[t]), float(tft), int(dft), int(dl),
-             round(idf, 6), round(partial, 6))
+             round_half_up6(idf), round_half_up6(partial))
         )
     return spark.createDataFrame(out, _SCHEMA)
 

@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from ..codec import BLOCK_SIZE, svb_decode_slice, svb_lens
 from ..functions.bm25 import B, K1
+from ..functions.rounding import round_half_up6
 from ..functions.tokenizer import tokenize
 from .build_index import shard_start
 
@@ -585,7 +586,7 @@ class IndexSearcher:
             rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
             out = spark.createDataFrame(
                 [
-                    (int(r["doc_id"]), round(float(r["score"]), 6))
+                    (int(r["doc_id"]), round_half_up6(r["score"]))
                     for r in rows[from_ : from_ + k]
                 ],
                 "doc_id long, score double",
@@ -663,7 +664,7 @@ class IndexSearcher:
         merged = merged.sort_values(
             ["score", "doc_id"], ascending=[False, True], kind="mergesort"
         ).head(k)
-        merged["score"] = merged["score"].round(6)
+        merged["score"] = merged["score"].map(round_half_up6)
         return merged.reset_index(drop=True)
 
     def search_phrase(
@@ -726,7 +727,7 @@ class IndexSearcher:
         )
         rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
         return spark.createDataFrame(
-            [(int(r["doc_id"]), round(float(r["score"]), 6)) for r in rows[:k]],
+            [(int(r["doc_id"]), round_half_up6(r["score"])) for r in rows[:k]],
             "doc_id long, score double",
         )
 
@@ -780,7 +781,7 @@ class IndexSearcher:
         merged = merged.sort_values(
             ["score", "doc_id"], ascending=[False, True], kind="mergesort"
         ).head(k)
-        merged["score"] = merged["score"].round(6)
+        merged["score"] = merged["score"].map(round_half_up6)
         return merged.reset_index(drop=True)
 
     def search_many(
@@ -939,7 +940,7 @@ class IndexSearcher:
         for qid in sorted(specs):
             qrows = by_qid.get(qid, [])
             qrows.sort(key=lambda r: (-r[2], r[1]))
-            merged.extend((qid, int(r[1]), round(float(r[2]), 6)) for r in qrows[:k])
+            merged.extend((qid, int(r[1]), round_half_up6(r[2])) for r in qrows[:k])
         return spark.createDataFrame(merged, out_schema)
 
     def expand_terms(
@@ -1155,7 +1156,7 @@ class IndexSearcher:
         )
         return t.select(
             F.lit(int(self.n_docs)).alias("n_docs"),
-            F.lit(round(float(self.avgdl), 6)).alias("avgdl"),
+            F.lit(round_half_up6(self.avgdl)).alias("avgdl"),
             "n_terms",
             "n_postings",
         )
@@ -1641,6 +1642,6 @@ def search_generations(
         rows.extend(s._scatter_direct(active, local_present, kwargs).collect())
     rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
     return spark.createDataFrame(
-        [(int(r["doc_id"]), round(float(r["score"]), 6)) for r in rows[:k]],
+        [(int(r["doc_id"]), round_half_up6(r["score"])) for r in rows[:k]],
         "doc_id long, score double",
     )
