@@ -42,28 +42,38 @@ def bm25_rescore(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Declarative rescore: base top-``window_size`` BM25 window, phrase
-    scores joined in (0 for window docs without the phrase), combined and
-    re-cut to ``k``."""
-    base = bm25_topk(docs, query, k=window_size, mode=mode, id_col=id_col, text_col=text_col)
-    ph = (
-        bm25_phrase_topk(docs, rescore_phrase, k=_ALL, id_col=id_col, text_col=text_col)
-        .withColumnRenamed("score", "ph")
-        .join(F.broadcast(base.select("doc_id")), "doc_id", "left_semi")
-    )
-    return (
-        base.join(ph, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.round(
-                float(query_weight) * F.col("score")
-                + float(rescore_weight) * F.coalesce(F.col("ph"), F.lit(0.0)),
-                6,
-            ).alias("score"),
+    """Declarative rescore: base top-``window_size`` BM25 window collected
+    (k rows — the window IS driver-sized by the ES contract), then the
+    phrase pass scores ONLY the window docs (``doc_filter`` id pushdown;
+    stats still index-wide) — the corpus is never sorted by phrase score.
+    Combine + re-cut happen over ``window_size`` rows."""
+    from ..functions.rounding import round_half_up6
+
+    base = bm25_topk(
+        docs, query, k=window_size, mode=mode, id_col=id_col, text_col=text_col
+    ).collect()
+    if not base:
+        return docs.sparkSession.createDataFrame([], "doc_id long, score double")
+    ids = [int(r["doc_id"]) for r in base]
+    ph = {
+        int(r["doc_id"]): r["score"]
+        for r in bm25_phrase_topk(
+            docs, rescore_phrase, k=window_size, id_col=id_col, text_col=text_col,
+            doc_filter=F.col(id_col).isin(ids),
+        ).collect()
+    }
+    rows = [
+        (
+            int(r["doc_id"]),
+            round_half_up6(
+                float(query_weight) * r["score"]
+                + float(rescore_weight) * ph.get(int(r["doc_id"]), 0.0)
+            ),
         )
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(int(k))
-    )
+        for r in base
+    ]
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    return docs.sparkSession.createDataFrame(rows[: int(k)], "doc_id long, score double")
 
 
 def bm25_rescore_sql(

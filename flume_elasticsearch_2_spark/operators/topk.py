@@ -173,6 +173,7 @@ def bm25_phrase_topk(
     text_col: str = "text",
     k1: float = K1,
     b: float = B,
+    doc_filter=None,
 ) -> DataFrame:
     """Top-k ``match_phrase``: docs containing the exact token sequence,
     scored like Lucene's ExactPhraseScorer under BM25 —
@@ -186,7 +187,11 @@ def bm25_phrase_topk(
     one map-side-combine aggregation collected as driver constants, and the
     scoring pass ends in TakeOrderedAndProject — no joins, no shuffles.
     Replaces the [delegated] ES phrase query at the reference delegation
-    site (ElasticsearchSink.java:66; Lucene 4.7 PhraseQuery semantics)."""
+    site (ElasticsearchSink.java:66; Lucene 4.7 PhraseQuery semantics).
+    ``doc_filter`` (boolean Column over ``docs``) restricts the SCORED
+    candidates while stats stay index-wide — same ES bool-filter contract
+    as :func:`bm25_topk`; it is also the scale path for rescoring (score
+    the phrase only on a k-row window, never sort the corpus)."""
     q_terms = tokenize(phrase)
     spark = docs.sparkSession
     if not q_terms:
@@ -204,19 +209,23 @@ def bm25_phrase_topk(
         F.size(toks) >= m,
         F.size(F.filter(F.sequence(F.lit(1), F.size(toks) - (m - 1)), phrase_at)),
     ).otherwise(F.lit(0))
-    per_doc = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(toks).cast("long").alias("dl"),
-        pf_expr.cast("double").alias("pf"),
-        # NB: a `lambda x, t=t:` default-arg capture would make pyspark's
-        # higher-order-function introspection treat this as an (element,
-        # index) lambda and bind t to the array index; F.filter evaluates
-        # the lambda eagerly, so the plain closure is correct here
-        *[
-            F.size(F.filter(toks, lambda x: x == F.lit(t))).alias(f"tf_{i}")
-            for i, t in enumerate(sorted(set(q_terms)))
-        ],
-    )
+
+    def project(src: DataFrame) -> DataFrame:
+        return src.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).cast("long").alias("dl"),
+            pf_expr.cast("double").alias("pf"),
+            # NB: a `lambda x, t=t:` default-arg capture would make pyspark's
+            # higher-order-function introspection treat this as an (element,
+            # index) lambda and bind t to the array index; F.filter evaluates
+            # the lambda eagerly, so the plain closure is correct here
+            *[
+                F.size(F.filter(toks, lambda x: x == F.lit(t))).alias(f"tf_{i}")
+                for i, t in enumerate(sorted(set(q_terms)))
+            ],
+        )
+
+    per_doc = project(docs)
     stats_row = per_doc.agg(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -243,8 +252,9 @@ def bm25_phrase_topk(
         * (k1 + 1.0)
         / (F.col("pf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
     )
+    scored_src = per_doc if doc_filter is None else project(docs.where(doc_filter))
     return (
-        per_doc.where(F.col("pf") > 0)
+        scored_src.where(F.col("pf") > 0)
         .withColumn("score_exact", score)
         .orderBy(F.col("score_exact").desc(), F.col("doc_id").asc())
         .limit(k)

@@ -1621,25 +1621,47 @@ def search_generations(
         return empty
     avgdl = dl_total / n_docs
 
-    rows: list = []
+    # ONE scatter job across every index's active shards (a sequential
+    # per-index loop would serialize |indexes| Spark jobs); per-index
+    # geometry rides in a small closure dict keyed by index dir
+    tasks: list[tuple[str, int]] = []
+    meta: dict[str, dict] = {}
     for s in searchers:
         dfreq_local, active = s._query_meta(present)
         local_present = [t for t in present if t in dfreq_local]
         if not local_present or (mode == "and" and len(local_present) < len(terms)):
             continue
-        kwargs = dict(
-            weights=weights,
-            dfreq=df_global,  # GLOBAL idf — the dfs_query_then_fetch contract
-            n_docs=n_docs,
-            avgdl=avgdl,
-            id_space=s.id_space,
-            n_shards=s.n_shards,
-            k=k,
-            mode=mode,
-            pruned=pruned,
-            msm=None,
+        meta[s.index_dir] = dict(
+            present=local_present, id_space=s.id_space, n_shards=s.n_shards
         )
-        rows.extend(s._scatter_direct(active, local_present, kwargs).collect())
+        tasks.extend((s.index_dir, int(sh)) for sh in active)
+    if not tasks:
+        return empty
+    common = dict(
+        weights=weights,
+        dfreq=df_global,  # GLOBAL idf — the dfs_query_then_fetch contract
+        n_docs=n_docs,
+        avgdl=avgdl,
+        k=k,
+        mode=mode,
+        pruned=pruned,
+        msm=None,
+    )
+
+    def score_tasks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for d, sh in zip(pdf["dir"].tolist(), pdf["shard"].tolist()):
+                m = meta[d]
+                pt, dt = _read_shard_tables(d, int(sh), m["present"])
+                yield _score_shard(
+                    pt, dt, id_space=m["id_space"], n_shards=m["n_shards"], **common
+                )
+
+    task_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(tasks, max(1, len(tasks))),
+        "dir string, shard int",
+    )
+    rows = task_df.mapInPandas(score_tasks, "doc_id long, score double").collect()
     rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
     return spark.createDataFrame(
         [(int(r["doc_id"]), round_half_up6(r["score"])) for r in rows[:k]],
