@@ -13,7 +13,8 @@ Supported 1.x subset (anything else raises ``ValueError`` loudly — no
 silent best-effort):
 
 * body keys: ``query`` (required), ``from``, ``size``, ``sort``,
-  ``highlight``.
+  ``highlight``, ``rescore`` (match_phrase rescorer over a window —
+  composes with a plain scored match query only).
 * query clauses: ``match`` (with ``operator``/``minimum_should_match``/
   ``boost``), ``match_phrase``, ``match_all``, ``ids``, ``term``/
   ``prefix``/``wildcard``/``fuzzy`` on the text field,
@@ -82,6 +83,7 @@ class _Spec:
         self.sort: list[tuple[str, str]] | None = None
         self.highlight: tuple[str, str] | None = None  # (pre, post)
         self.const_score: float = 1.0  # match_all/ids/constant_score score
+        self.rescore: dict | None = None  # (phrase, window, qw, rw)
 
 
 def _parse_match(spec: _Spec, field_val, text_col: str) -> None:
@@ -248,7 +250,7 @@ def _parse_query_string(spec: _Spec, qs: str, default_op: str, text_col: str) ->
 def parse_body(body: dict, text_col: str = "text") -> _Spec:
     """Normalize an ES search body into a :class:`_Spec` (shared by the
     declarative and serving executors and the SQL oracle generator)."""
-    extra = set(body) - {"query", "from", "size", "sort", "highlight"}
+    extra = set(body) - {"query", "from", "size", "sort", "highlight", "rescore"}
     if extra:
         _err(f"body keys {sorted(extra)}")
     spec = _Spec()
@@ -357,6 +359,29 @@ def parse_body(body: dict, text_col: str = "text") -> _Spec:
             _err(f"sort with query kind {spec.kind!r}")
         if spec.filters or spec.must_not_text or spec.msm or spec.boosts:
             _err("sort with filters/must_not/msm/boosts")
+    if "rescore" in body:
+        r = body["rescore"]
+        extra_r = set(r) - {"window_size", "query"}
+        if extra_r:
+            _err(f"rescore keys {sorted(extra_r)}")
+        rq = r.get("query", {})
+        extra_rq = set(rq) - {"rescore_query", "query_weight", "rescore_weight"}
+        if extra_rq:
+            _err(f"rescore.query keys {sorted(extra_rq)}")
+        kind_r, val_r = _one_field(rq.get("rescore_query", {}), "rescore_query")
+        if kind_r != "match_phrase":
+            _err(f"rescore query {kind_r!r} (match_phrase only)")
+        f, v = _one_field(val_r, "match_phrase")
+        if f != text_col:
+            _err(f"rescore match_phrase on {f!r}")
+        if spec.kind != "match" or spec.filters or spec.must_not_text or spec.sort:
+            _err("rescore composes with a plain scored match query only")
+        spec.rescore = dict(
+            phrase=v if isinstance(v, str) else v["query"],
+            window=int(r.get("window_size", 10)),
+            qw=float(rq.get("query_weight", 1.0)),
+            rw=float(rq.get("rescore_weight", 1.0)),
+        )
     if "highlight" in body:
         h = body["highlight"]
         if list(h.get("fields", {})) != [text_col]:
@@ -430,6 +455,15 @@ def dsl_search(
             docs, spec.query, k=spec.size, mode=spec.mode,
             pre_tag=pre, post_tag=post, id_col=id_col, text_col=text_col,
         )
+    if spec.rescore is not None:
+        from .rescore import bm25_rescore
+
+        r = spec.rescore
+        return bm25_rescore(
+            docs, spec.query, r["phrase"], k=spec.size, window_size=r["window"],
+            query_weight=r["qw"], rescore_weight=r["rw"], mode=spec.mode,
+            id_col=id_col, text_col=text_col,
+        )
     if spec.kind in ("match_all", "ids"):
         pred = _filters_col(spec.filters)
         src = docs if pred is None else docs.where(pred)
@@ -487,6 +521,14 @@ def dsl_search_sql(body: dict, table: str = "documents", text_col: str = "text")
             spec.query, k=spec.size, mode=spec.mode, table=table,
             pre_tag=pre, post_tag=post,
         )
+    if spec.rescore is not None:
+        from .rescore import bm25_rescore_sql
+
+        r = spec.rescore
+        return bm25_rescore_sql(
+            spec.query, r["phrase"], k=spec.size, window_size=r["window"],
+            query_weight=r["qw"], rescore_weight=r["rw"], mode=spec.mode, table=table,
+        )
     if spec.kind in ("match_all", "ids"):
         preds = [p for p in [filter_sql] if p]
         if spec.ids is not None:
@@ -525,6 +567,14 @@ def dsl_search_index(searcher, body: dict, text_col: str = "text") -> DataFrame:
         pre, post = spec.highlight
         return searcher.search_highlight(
             spec.query, k=spec.size, mode=spec.mode, pre_tag=pre, post_tag=post
+        )
+    if spec.rescore is not None:
+        from .rescore import rescore_serving
+
+        r = spec.rescore
+        return rescore_serving(
+            searcher, spec.query, r["phrase"], k=spec.size, window_size=r["window"],
+            query_weight=r["qw"], rescore_weight=r["rw"], mode=spec.mode,
         )
     if spec.kind in ("match_all", "ids"):
         _err(f"{spec.kind} is declarative-only in this version")

@@ -272,3 +272,32 @@ def test_1x_wrappers_serving_equals_declarative(documents, searcher, name, body)
 def test_query_string_rejects_unsupported(qs):
     with pytest.raises(ValueError, match="unsupported DSL"):
         parse_body({"query": {"query_string": {"query": qs}}})
+
+
+RESCORE_BODY = {
+    "query": {"match": {"text": "batch small scan"}},
+    "rescore": {
+        "window_size": 25,
+        "query": {
+            "rescore_query": {"match_phrase": {"text": "batch small"}},
+            "rescore_weight": 2.0,
+        },
+    },
+}
+
+
+def test_dsl_rescore_matches_duckdb_and_serving(documents, duck, searcher):
+    got = [tuple(r) for r in dsl_search(documents, RESCORE_BODY).collect()]
+    want = [tuple(r) for r in duck.execute(dsl_search_sql(RESCORE_BODY)).fetchall()]
+    assert got == want and got
+    srv = [tuple(r) for r in dsl_search_index(searcher, RESCORE_BODY).collect()]
+    assert srv == got
+
+
+def test_dsl_rescore_rejects_bad_compositions():
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        parse_body({"query": {"match_phrase": {"text": "a b"}},
+                    "rescore": RESCORE_BODY["rescore"]})
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        parse_body({"query": {"match": {"text": "a"}},
+                    "rescore": {"query": {"rescore_query": {"match": {"text": "b"}}}}})
