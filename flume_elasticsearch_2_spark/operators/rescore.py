@@ -112,15 +112,22 @@ def rescore_serving(
     rescore_weight: float = 1.0,
     mode: str = "or",
 ) -> DataFrame:
-    """Serving-path rescore: BMW-scattered base window + positional-index
-    phrase scores (every phrase-matching doc, k = n_docs), combined on the
-    driver over ``window_size`` rows."""
+    """Serving-path rescore: BMW-scattered base window, then the positional
+    phrase path scores ONLY the window (its ids pushed into the per-shard
+    docs read as an ``in`` filter — candidates outside the window are masked
+    before any position decode, so a hot rescore phrase never inflates the
+    gather past ``window_size`` rows); combined on the driver."""
     from ..functions.rounding import round_half_up6 as round6
 
     base = searcher.search(query, k=window_size, mode=mode).collect()
+    if not base:
+        return searcher.spark.createDataFrame([], "doc_id long, score double")
+    win_ids = [int(r["doc_id"]) for r in base]
     ph = {
         r["doc_id"]: r["score"]
-        for r in searcher.search_phrase(rescore_phrase, k=searcher.n_docs).collect()
+        for r in searcher.search_phrase(
+            rescore_phrase, k=len(win_ids), doc_filter=("doc_id", "in", win_ids)
+        ).collect()
     }
     rows = [
         (
