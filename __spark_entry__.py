@@ -769,6 +769,14 @@ def _percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percolate(register_queries(q), _PERC_DOC)
 
 
+def _clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed C4-style hygiene pass (lang allowlist + quality floor +
+    repetition cap + PII redaction) in one codegen'd scan."""
+    from flume_elasticsearch_2_spark.operators.cleaning import clean_corpus
+
+    return clean_corpus(_docs(spark, sf_dir))
+
+
 def _doc_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc corpus-duplicated 5-gram fraction: the removal half of
     exact-substring dedup (gram-keyed shuffles only, nothing broadcast)."""
@@ -1089,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["repetition_metrics"] = _repetition_metrics
     q["duplicated_ngrams"] = _duplicated_ngrams
     q["doc_dup_fraction"] = _doc_dup_fraction
+    q["clean_corpus"] = _clean_corpus
     q["bm25_rescore"] = _bm25_rescore
     q["bm25_rescore_segment"] = _bm25_rescore_segment
     q["bm25_generations"] = _bm25_generations
@@ -1408,6 +1417,9 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     from flume_elasticsearch_2_spark.operators.cleaning import doc_dup_fraction_sql
 
     o["doc_dup_fraction"] = doc_dup_fraction_sql(n=5, min_df=2)
+    from flume_elasticsearch_2_spark.operators.cleaning import clean_corpus_sql
+
+    o["clean_corpus"] = clean_corpus_sql()
     from flume_elasticsearch_2_spark.operators.percolate import (
         analyze_sql,
         percolate_sql,

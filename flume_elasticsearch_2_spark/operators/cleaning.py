@@ -245,3 +245,81 @@ SELECT tot.doc_id,
        END AS dup_fraction
 FROM tot LEFT JOIN nd ON tot.doc_id = nd.doc_id
 """
+
+
+def clean_corpus(
+    docs: DataFrame,
+    langs: tuple[str, ...] | None = ("en", "fr", "de"),
+    min_quality: float = 0.3,
+    max_repetition: float = 0.5,
+    ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The composed C4/RefinedWeb-style hygiene pass as ONE declarative
+    plan: language allowlist → quality floor → within-doc repetition cap →
+    PII redaction. Returns (doc_id, lang, clean_text) for the survivors.
+
+    Scale shape: every predicate and the redaction are per-row JVM
+    expressions over a single narrow scan — no shuffle, no UDF; Catalyst
+    collapses the whole pass into one WholeStageCodegen stage. Cross-doc
+    signals (``doc_dup_fraction``) intentionally stay a separate composable
+    join, since they need a corpus aggregation the per-doc pass does not."""
+    from ..functions.text import quality_score_col
+
+    grams = _ngrams_col(tokens_col(text_col), ngram)
+    rep = F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 6)
+    )
+    out = docs
+    if langs is not None:
+        out = out.where(F.col(lang_col).isin(list(langs)))
+    return (
+        out.where(quality_score_col(text_col) >= float(min_quality))
+        .where(rep <= float(max_repetition))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(lang_col).alias("lang"),
+            redact_pii_col(text_col).alias("clean_text"),
+        )
+    )
+
+
+def clean_corpus_sql(
+    langs: tuple[str, ...] | None = ("en", "fr", "de"),
+    min_quality: float = 0.3,
+    max_repetition: float = 0.5,
+    ngram: int = 3,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`clean_corpus`."""
+    n = ngram
+    tok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    grams = (
+        f"CASE WHEN len({tok}) < {n} THEN [] "
+        f"ELSE list_transform(range(1, len({tok}) - {n} + 2), "
+        f"i -> array_to_string({tok}[i:i+{n - 1}], ' ')) END"
+    )
+    quality = (
+        f"floor((CASE WHEN len({tok}) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.3 END)"
+        "  * (0.5 + 0.5 * length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE"
+        "      / greatest(length(text), 1))"
+        "  * (1.0 - length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE"
+        "      / greatest(length(text), 1)) * 1000000.0 + 0.5) / 1000000.0"
+    )
+    rep = (
+        f"CASE WHEN len({grams}) <= 0 THEN 0.0 "
+        f"ELSE round(1.0 - len(list_distinct({grams})) / len({grams}), 6) END"
+    )
+    lang_pred = (
+        "TRUE" if langs is None
+        else "lang IN (" + ", ".join(f"'{la}'" for la in langs) + ")"
+    )
+    return f"""
+SELECT doc_id, lang, {redact_pii_sql_expr()} AS clean_text
+FROM {table}
+WHERE {lang_pred}
+  AND {quality} >= {float(min_quality)!r}
+  AND {rep} <= {float(max_repetition)!r}
+"""

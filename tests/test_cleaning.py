@@ -114,3 +114,24 @@ def test_doc_dup_fraction_semantics(spark):
     assert abs(rows[1].dup_fraction - round(1 / 3, 6)) < 1e-9
     assert rows[3].n_dup == 0 and rows[3].dup_fraction == 0.0
     assert rows[4].n_ngrams == 0 and rows[4].dup_fraction == 0.0
+
+
+def test_clean_corpus_matches_duckdb(documents, duck):
+    from flume_elasticsearch_2_spark.operators.cleaning import clean_corpus, clean_corpus_sql
+
+    got = sorted(tuple(r) for r in clean_corpus(documents).collect())
+    want = sorted(tuple(r) for r in duck.execute(clean_corpus_sql()).fetchall())
+    assert got == want and got
+    # the pass actually filters something on this corpus (lang allowlist)
+    assert len(got) < documents.count()
+
+
+def test_clean_corpus_single_stage_plan(documents):
+    from flume_elasticsearch_2_spark.operators.cleaning import clean_corpus
+
+    df = clean_corpus(documents)
+    jvm = df.sparkSession._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "codegen id" in plan  # the scan->filter->project pass is codegen'd
+    assert "In(lang" in plan  # language allowlist pushed to the Parquet scan
