@@ -301,3 +301,19 @@ def test_dsl_rescore_rejects_bad_compositions():
     with pytest.raises(ValueError, match="unsupported DSL"):
         parse_body({"query": {"match": {"text": "a"}},
                     "rescore": {"query": {"rescore_query": {"match": {"text": "b"}}}}})
+
+
+@pytest.mark.parametrize(
+    "body",
+    [
+        {"query": {"match": {"text": "dup batch"}}, "from": 10000, "size": 5},  # page past corpus
+        {"query": {"match": {"text": "zzzq"}}, "size": 5},                       # no matches
+        {"query": {"match": {"text": "dup"}}, "size": 10000},                    # size > matches
+        {"query": {"bool": {"filter": [{"term": {"lang": "nosuchlang"}}]}}},     # empty filter set
+    ],
+    ids=["from_past_end", "no_matches", "size_over", "empty_filter"],
+)
+def test_dsl_edge_pages_match_oracle(documents, duck, body):
+    got = [tuple(r) for r in dsl_search(documents, body).collect()]
+    want = [tuple(r) for r in duck.execute(dsl_search_sql(body)).fetchall()]
+    assert got == want
