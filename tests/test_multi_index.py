@@ -62,3 +62,20 @@ def test_single_generation_degenerates_to_plain_search(spark, generations):
         tuple(r) for r in IndexSearcher(spark, generations[0]).search("dup batch", k=5).collect()
     ]
     assert got == want
+
+
+def test_three_generations_and_empty_slice(spark, documents, tmp_path_factory):
+    """Three uneven generations (one holding no docs for the rare term)
+    still reproduce the union-corpus ranking exactly."""
+    dirs = []
+    bounds = [(0, 100), (100, 400), (400, 500)]
+    for i, (lo, hi) in enumerate(bounds):
+        d = str(tmp_path_factory.mktemp("gen3") / f"g{i}")
+        build_index(
+            spark, documents.where(f"doc_id >= {lo} AND doc_id < {hi}"), d,
+            n_shards=2, id_space=500,
+        )
+        dirs.append(d)
+    got = [tuple(r) for r in search_generations(spark, dirs, "dup batch scan", k=10).collect()]
+    want = [tuple(r) for r in bm25_topk(documents, "dup batch scan", k=10).collect()]
+    assert got == want and got
