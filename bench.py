@@ -103,6 +103,44 @@ def main() -> None:
     psearcher.search_phrase_local("stream value", k=10)
     timings["phrase_hot_local"] = time.time() - t0
 
+    # 2d. sloppy phrase on the same adversarial hot pair (round 3, Q29): the
+    # greedy successor-chain kernel must stay in the same cost class as the
+    # exact adjacency intersection
+    t0 = time.time()
+    psearcher.search_phrase("stream value", k=10, slop=2).collect()
+    timings["phrase_slop_hot"] = time.time() - t0
+
+    # 2e. multi-field (round 3, Q28): one-pass two-field build, serving
+    # multi_match (two BMW scatters + driver max-combine), declarative
+    # multi_match (one corpus pass, greatest() combine)
+    from pyspark.sql import functions as F
+
+    from flume_elasticsearch_2_spark.functions.tokenizer import tokens_col
+    from flume_elasticsearch_2_spark.operators.multifield import bm25_multi_match_topk
+    from flume_elasticsearch_2_spark.plans.build_index import build_multifield_index
+    from flume_elasticsearch_2_spark.plans.query_index import MultiFieldIndexSearcher
+
+    fdocs = docs.withColumn("title", F.array_join(F.slice(tokens_col("text"), 1, 5), " "))
+    mf_dir = os.path.join(tempfile.mkdtemp(prefix="fts_bench_"), "mfidx")
+    t0 = time.time()
+    build_multifield_index(spark, fdocs, mf_dir, fields=["text", "title"], n_shards=max(4, int(CPUS) // 4))
+    timings["multifield_build"] = time.time() - t0
+    mfs = MultiFieldIndexSearcher(spark, mf_dir)
+    mfs.multi_match("warmup terms", ["title", "text"], k=10).collect()
+    t0 = time.time()
+    mfs.multi_match("dup batch scan", ["title", "text"], k=10).collect()
+    timings["multi_match_serving"] = time.time() - t0
+    t0 = time.time()
+    bm25_multi_match_topk(fdocs, "dup batch scan", ["title", "text"], k=10).collect()
+    timings["multi_match_dataframe"] = time.time() - t0
+
+    # 2f. scroll-style bulk export (round 3, Q30): full match set (~88% of
+    # the corpus for this OR query), doc streams only, two tiny passes
+    t0 = time.time()
+    n_exported = searcher.scroll_export("batch small scan", page_size=1000).count()
+    timings["scroll_export"] = time.time() - t0
+    timings["scroll_docs_per_sec"] = round(n_exported / timings["scroll_export"], 2)
+
     # 3. declarative BM25 path (one query, full plan incl. tokenize)
     t0 = time.time()
     bm25_topk(docs, "dup batch scan", k=10).collect()
@@ -158,6 +196,49 @@ def main() -> None:
     t0 = time.time()
     ivf_search(spark, ivf_dir, qv, k=10, nprobe=4).collect()
     timings["ivf_search_nprobe4"] = time.time() - t0
+
+    # 5b. percolator scale (round 3, Q24): flat analyzed-query scan vs the
+    # term-keyed index at two registered-query counts — the indexed path must
+    # grow SUB-linearly (row-group IN-list pruning; the flat scan is the
+    # O(n_queries) baseline). Synthetic queries: mostly non-matching vocab
+    # (tokNNNNN) + a matching slice, the realistic alerting shape.
+    from flume_elasticsearch_2_spark.operators.percolate import (
+        build_percolator_index,
+        percolate,
+        percolate_indexed,
+        register_queries,
+    )
+
+    perc_doc = "batch scan small table dup stream value"
+
+    def _synth_queries(n: int):
+        return spark.range(n).select(
+            F.col("id").alias("query_id"),
+            F.concat_ws(
+                " ",
+                F.concat(F.lit("tok"), F.pmod(F.col("id"), 50_000).cast("string")),
+                F.when(F.pmod(F.col("id"), 97) == 0, F.lit("batch scan")).otherwise(
+                    F.concat(F.lit("tok"), (F.pmod(F.col("id"), 50_000) + 50_000).cast("string"))
+                ),
+            ).alias("query"),
+            F.when(F.pmod(F.col("id"), 2) == 0, F.lit("or")).otherwise(F.lit("and")).alias("mode"),
+        )
+
+    for n_q in (50_000, 500_000):
+        tag = f"{n_q // 1000}k"
+        reg_dir = os.path.join(tempfile.mkdtemp(prefix="fts_bench_"), f"reg{tag}")
+        register_queries(_synth_queries(n_q)).write.mode("overwrite").parquet(reg_dir)
+        reg = spark.read.parquet(reg_dir)
+        percolate(reg, perc_doc).count()  # warm the footer/scan path
+        t0 = time.time()
+        percolate(reg, perc_doc).count()
+        timings[f"percolate_flat_{tag}"] = time.time() - t0
+        pidx = os.path.join(tempfile.mkdtemp(prefix="fts_bench_"), f"pidx{tag}")
+        build_percolator_index(reg, pidx)
+        percolate_indexed(spark, pidx, perc_doc).count()  # warm
+        t0 = time.time()
+        percolate_indexed(spark, pidx, perc_doc).count()
+        timings[f"percolate_idx_{tag}"] = time.time() - t0
 
     # 6. end-to-end webpages pipeline (extract → dedup → classify → index)
     # over a 20k-doc synthesized corpus — the north_star path at a size where

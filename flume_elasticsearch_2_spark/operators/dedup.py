@@ -68,8 +68,14 @@ def _minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]
 
 def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact near-dup removal: keep the first doc (lowest sort key) per
-    normalized-content fingerprint. Deterministic representative choice."""
-    other = [c for c in df.columns]
+    normalized-content fingerprint. Deterministic representative choice.
+
+    The window sort key deliberately EXCLUDES the text payload: within a
+    fingerprint group the normalized text is equal by construction, so it
+    cannot discriminate, and carrying it in the shuffle sort key would ship
+    the full document bytes through the exchange sorter. The remaining
+    columns (id/metadata) keep the choice deterministic."""
+    other = [c for c in df.columns if c != text_col] or [text_col]
     w = Window.partitionBy("_fp").orderBy(*other)
     return (
         df.withColumn("_fp", fingerprint_col(text_col))
@@ -180,6 +186,16 @@ def minhash_lsh_pairs(
     )
 
 
+# Default hot-shingle cap for the STANDALONE (no-candidates) n-gram Jaccard
+# path: a shingle present in more than this many documents is boilerplate
+# (stopword trigrams, headers), carries no discriminative signal, and costs
+# O(df^2) self-join rows. 10^4 keeps every realistic near-dup signal while
+# bounding the heaviest shingle's pair fan-out at ~10^8 rows — survivable —
+# instead of the unbounded blowup a Zipfian corpus would otherwise hit.
+DEFAULT_MAX_SHINGLE_DF = 10_000
+_UNSET = object()  # distinguishes "caller said nothing" from explicit None
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -187,7 +203,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = _UNSET,  # type: ignore[assignment]
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >= t).
 
@@ -207,8 +223,15 @@ def ngram_jaccard_pairs(
       O(df^2) join rows while carrying no discriminative signal). Jaccard is
       then computed over the capped shingle vocabulary for BOTH the
       intersection and the per-doc sizes, so the metric stays a true Jaccard
-      on that vocabulary. ``None`` (default) keeps the exact full-vocabulary
-      semantics the DuckDB oracle checks."""
+      on that vocabulary. DEFAULT on the standalone (no-candidates) path:
+      :data:`DEFAULT_MAX_SHINGLE_DF` — a bare call can no longer hit the
+      O(df^2) blowup at scale. Pass an EXPLICIT ``None`` for the exact
+      full-vocabulary semantics the DuckDB oracle checks (safe at oracle
+      scale; opt-in at corpus scale). The candidate-driven path has no
+      self-join, so its default stays uncapped (capping would silently
+      change the verified Jaccard values)."""
+    if max_shingle_df is _UNSET:
+        max_shingle_df = None if candidates is not None else DEFAULT_MAX_SHINGLE_DF
     df = _widen(df)
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles_col(text_col, shingle_k)).alias("s")

@@ -44,7 +44,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..functions.tokenizer import tokenize
+from ..functions.tokenizer import duckdb_token_pattern, tokenize, tokens_col
 from .highlight import search_highlight, search_highlight_sql
 from .mlt import more_like_this
 from .multiterm import bm25_multiterm_topk, multiterm_topk_sql
@@ -68,8 +68,13 @@ class _Spec:
     """Normalized search spec: the meeting point of both executors."""
 
     def __init__(self) -> None:
-        self.kind = "match"  # match | phrase | match_all | ids | multiterm | mlt
+        # match | phrase | match_all | ids | multiterm | mlt | dis_max
+        self.kind = "match"
         self.query: str = ""
+        self.field: str | None = None  # analyzed field of a match (None = default)
+        self.clauses: list[tuple[str, str, str]] | None = None  # dis_max/multi_match
+        self.tie_breaker: float = 0.0
+        self.slop: int = 0  # match_phrase slop (ordered-window contract)
         self.mode: str = "or"
         self.msm: int | None = None
         self.boosts: dict[str, float] | None = None
@@ -86,10 +91,16 @@ class _Spec:
         self.rescore: dict | None = None  # (phrase, window, qw, rw)
 
 
-def _parse_match(spec: _Spec, field_val, text_col: str) -> None:
+def _parse_match(
+    spec: _Spec, field_val, text_col: str, analyzed: list[str] | None = None
+) -> None:
     field, val = field_val
-    if field != text_col:
-        _err(f"match on field {field!r} (text field is {text_col!r})")
+    if field != text_col and field not in (analyzed or []):
+        _err(
+            f"match on field {field!r} (analyzed fields: "
+            f"{sorted(set([text_col] + (analyzed or [])))})"
+        )
+    spec.field = field
     if isinstance(val, str):
         spec.query = val
         return
@@ -127,7 +138,21 @@ def _filter_triples(clauses: list[dict]) -> list[tuple[str, str, Any]]:
     return out
 
 
-def _parse_bool(spec: _Spec, body: dict, text_col: str) -> None:
+def _parse_phrase_val(spec: _Spec, v) -> str:
+    """match_phrase value: a bare string or {"query": ..., "slop": n}."""
+    if isinstance(v, str):
+        return v
+    extra = set(v) - {"query", "slop"}
+    if extra:
+        _err(f"match_phrase options {sorted(extra)}")
+    if "slop" in v:
+        spec.slop = int(v["slop"])
+        if spec.slop < 0:
+            _err("negative slop")
+    return v["query"]
+
+
+def _parse_bool(spec: _Spec, body: dict, text_col: str, analyzed: list[str] | None = None) -> None:
     extra = set(body) - {"must", "should", "must_not", "filter", "minimum_should_match"}
     if extra:
         _err(f"bool keys {sorted(extra)}")
@@ -142,13 +167,13 @@ def _parse_bool(spec: _Spec, body: dict, text_col: str) -> None:
     if must:
         kind, val = _one_field(must[0], "must clause")
         if kind == "match":
-            _parse_match(spec, _one_field(val, "match"), text_col)
+            _parse_match(spec, _one_field(val, "match"), text_col, analyzed)
         elif kind == "match_phrase":
             spec.kind = "phrase"
             f, v = _one_field(val, "match_phrase")
             if f != text_col:
                 _err(f"match_phrase on {f!r}")
-            spec.query = v if isinstance(v, str) else v["query"]
+            spec.query = _parse_phrase_val(spec, v)
         elif kind == "term":
             f, v = _one_field(val, "term")
             if f != text_col:
@@ -247,9 +272,18 @@ def _parse_query_string(spec: _Spec, qs: str, default_op: str, text_col: str) ->
     spec.must_not_text.extend(minus)
 
 
-def parse_body(body: dict, text_col: str = "text") -> _Spec:
+def parse_body(
+    body: dict, text_col: str = "text", analyzed_fields: list[str] | None = None
+) -> _Spec:
     """Normalize an ES search body into a :class:`_Spec` (shared by the
-    declarative and serving executors and the SQL oracle generator)."""
+    declarative and serving executors and the SQL oracle generator).
+
+    ``analyzed_fields`` lists the fields the engine analyzed/indexed (the
+    delegated ES indexes every record-map field, SystemUtil.java:23-32);
+    ``match`` may target any of them, and ``multi_match`` / ``dis_max``
+    combine several. Default: only ``text_col`` — byte-compatible with the
+    single-field contract of earlier rounds."""
+    analyzed = list(analyzed_fields) if analyzed_fields else [text_col]
     extra = set(body) - {"query", "from", "size", "sort", "highlight", "rescore"}
     if extra:
         _err(f"body keys {sorted(extra)}")
@@ -258,13 +292,55 @@ def parse_body(body: dict, text_col: str = "text") -> _Spec:
     spec.size = int(body.get("size", 10))
     kind, val = _one_field(body.get("query") or _err("body.query required"), "query")
     if kind == "match":
-        _parse_match(spec, _one_field(val, "match"), text_col)
+        _parse_match(spec, _one_field(val, "match"), text_col, analyzed)
     elif kind == "match_phrase":
         spec.kind = "phrase"
         f, v = _one_field(val, "match_phrase")
         if f != text_col:
             _err(f"match_phrase on {f!r}")
-        spec.query = v if isinstance(v, str) else v["query"]
+        spec.query = _parse_phrase_val(spec, v)
+    elif kind == "multi_match":
+        # ES multi_match, type=best_fields (the default): the same query
+        # matched on every named analyzed field, dis_max-combined
+        extra_m = set(val) - {"query", "fields", "type", "operator", "tie_breaker"}
+        if extra_m:
+            _err(f"multi_match keys {sorted(extra_m)}")
+        if val.get("type", "best_fields") != "best_fields":
+            _err(f"multi_match type {val.get('type')!r} (best_fields only)")
+        flds = list(val["fields"])
+        for f in flds:
+            if "^" in f:
+                _err(f"multi_match field boost {f!r}")
+            if f not in analyzed:
+                _err(f"multi_match field {f!r} (analyzed: {sorted(analyzed)})")
+        mode = {"or": "or", "and": "and"}[val.get("operator", "or")]
+        spec.kind = "dis_max"
+        spec.clauses = [(f, val["query"], mode) for f in flds]
+        spec.tie_breaker = float(val.get("tie_breaker", 0.0))
+    elif kind == "dis_max":
+        extra_d = set(val) - {"queries", "tie_breaker"}
+        if extra_d:
+            _err(f"dis_max keys {sorted(extra_d)}")
+        clauses: list[tuple[str, str, str]] = []
+        for c in val.get("queries") or _err("dis_max needs queries"):
+            ck, cv = _one_field(c, "dis_max clause")
+            if ck != "match":
+                _err(f"dis_max clause {ck!r} (match clauses only)")
+            f, v = _one_field(cv, "match")
+            if f not in analyzed:
+                _err(f"dis_max match on field {f!r} (analyzed: {sorted(analyzed)})")
+            if isinstance(v, str):
+                clauses.append((f, v, "or"))
+            else:
+                extra_c = set(v) - {"query", "operator"}
+                if extra_c:
+                    _err(f"dis_max match options {sorted(extra_c)}")
+                clauses.append(
+                    (f, v["query"], {"or": "or", "and": "and"}[v.get("operator", "or")])
+                )
+        spec.kind = "dis_max"
+        spec.clauses = clauses
+        spec.tie_breaker = float(val.get("tie_breaker", 0.0))
     elif kind == "match_all":
         spec.kind = "match_all"
         if val not in ({}, None):
@@ -304,7 +380,7 @@ def parse_body(body: dict, text_col: str = "text") -> _Spec:
         if "like" not in spec.mlt:
             _err("more_like_this needs 'like' (free-text form)")
     elif kind == "bool":
-        _parse_bool(spec, val, text_col)
+        _parse_bool(spec, val, text_col, analyzed)
     elif kind == "filtered":
         # the ES 1.x filtered query: {"filtered": {"query": ..., "filter": ...}}
         # — semantically bool(must=[query], filter=[filter]); rewritten so
@@ -317,7 +393,7 @@ def parse_body(body: dict, text_col: str = "text") -> _Spec:
         inner = {"bool": {"filter": flt}}
         if "query" in val:
             inner["bool"]["must"] = [val["query"]]
-        _parse_bool(spec, inner["bool"], text_col)
+        _parse_bool(spec, inner["bool"], text_col, analyzed)
     elif kind == "constant_score":
         # {"constant_score": {"filter": ..., "boost": b}} — every matching
         # doc scores boost; deterministic (score, doc_id) order => the k
@@ -357,6 +433,8 @@ def parse_body(body: dict, text_col: str = "text") -> _Spec:
         spec.sort = sb
         if spec.kind not in ("match", "match_all"):
             _err(f"sort with query kind {spec.kind!r}")
+        if spec.field not in (None, text_col):
+            _err("sort with match on a non-default field")
         if spec.filters or spec.must_not_text or spec.msm or spec.boosts:
             _err("sort with filters/must_not/msm/boosts")
     if "rescore" in body:
@@ -374,7 +452,17 @@ def parse_body(body: dict, text_col: str = "text") -> _Spec:
         f, v = _one_field(val_r, "match_phrase")
         if f != text_col:
             _err(f"rescore match_phrase on {f!r}")
-        if spec.kind != "match" or spec.filters or spec.must_not_text or spec.sort:
+        if (
+            spec.kind != "match"
+            or spec.field not in (None, text_col)
+            or spec.filters
+            or spec.must_not_text
+            or spec.sort
+            or spec.msm
+            or spec.boosts
+        ):
+            # msm/boost included: bm25_rescore takes neither, so accepting
+            # them here would silently score without them
             _err("rescore composes with a plain scored match query only")
         spec.rescore = dict(
             phrase=v if isinstance(v, str) else v["query"],
@@ -390,15 +478,28 @@ def parse_body(body: dict, text_col: str = "text") -> _Spec:
             h.get("pre_tags", ["<em>"])[0],
             h.get("post_tags", ["</em>"])[0],
         )
-        if spec.kind != "match" or spec.filters or spec.must_not_text:
+        if (
+            spec.kind != "match"
+            or spec.field not in (None, text_col)
+            or spec.filters
+            or spec.must_not_text
+            or spec.msm
+            or spec.boosts
+        ):
             _err("highlight composes with plain match only")
+    if spec.field not in (None, text_col) and spec.must_not_text:
+        # must_not clauses analyze against the DEFAULT text field; composing
+        # them with a match on another field would silently mix analyzers
+        _err("must_not with match on a non-default field")
     return spec
 
 
 def _filters_col(triples: list[tuple[str, str, Any]]) -> Column | None:
     ops = {
         "==": lambda c, v: c == v,
-        "!=": lambda c, v: c != v,
+        # null-safe: ES must_not(term) KEEPS docs missing the field; a plain
+        # != is null-rejecting and would drop them (SQL twin: IS DISTINCT FROM)
+        "!=": lambda c, v: ~c.eqNullSafe(v),
         "<": lambda c, v: c < v,
         "<=": lambda c, v: c <= v,
         ">": lambda c, v: c > v,
@@ -423,7 +524,7 @@ def _filters_sql(triples: list[tuple[str, str, Any]]) -> str | None:
         elif op == "==":
             preds.append(f"{f} = {q(v)}")
         elif op == "!=":
-            preds.append(f"{f} <> {q(v)}")
+            preds.append(f"{f} IS DISTINCT FROM {q(v)}")
         else:
             preds.append(f"{f} {op} {q(v)}")
     return " AND ".join(preds) if preds else None
@@ -434,9 +535,10 @@ def dsl_search(
     body: dict,
     id_col: str = "doc_id",
     text_col: str = "text",
+    analyzed_fields: list[str] | None = None,
 ) -> DataFrame:
     """Execute an ES search body on the DECLARATIVE path."""
-    spec = parse_body(body, text_col)
+    spec = parse_body(body, text_col, analyzed_fields)
     mn = " ".join(spec.must_not_text) or None
     if spec.sort is not None:
         return match_sorted(
@@ -467,6 +569,14 @@ def dsl_search(
     if spec.kind in ("match_all", "ids"):
         pred = _filters_col(spec.filters)
         src = docs if pred is None else docs.where(pred)
+        if spec.must_not_text:
+            # bool with must_not but no scored clause (e.g. {"bool":
+            # {"must_not": [{"match": {"text": ...}}]}}) is match_all minus
+            # the excluded docs — same analyzed filter-context predicate
+            # bm25_topk uses; previously dropped silently on this branch
+            mn_terms = sorted(set(tokenize(" ".join(spec.must_not_text))))
+            toks = tokens_col(text_col)
+            src = src.where(~F.exists(toks, lambda x: x.isin(mn_terms)))
         if spec.ids is not None:
             src = src.where(F.col(id_col).isin(spec.ids))
         return (
@@ -481,7 +591,19 @@ def dsl_search(
     if spec.kind == "phrase":
         if spec.filters or mn:
             _err("match_phrase with filters/must_not")
-        return bm25_phrase_topk(docs, spec.query, k=spec.size, id_col=id_col, text_col=text_col)
+        return bm25_phrase_topk(
+            docs, spec.query, k=spec.size, id_col=id_col, text_col=text_col,
+            slop=spec.slop,
+        )
+    if spec.kind == "dis_max":
+        if spec.filters or mn or spec.from_:
+            _err("dis_max/multi_match with filters/must_not/from")
+        from .multifield import bm25_dismax_topk
+
+        return bm25_dismax_topk(
+            docs, spec.clauses, k=spec.size, tie_breaker=spec.tie_breaker,
+            id_col=id_col,
+        )
     if spec.kind == "multiterm":
         pat, kind, kw = spec.mt
         if spec.filters or mn:
@@ -496,7 +618,7 @@ def dsl_search(
         )
     hits = bm25_topk(
         docs, spec.query, k=spec.from_ + spec.size, mode=spec.mode,
-        id_col=id_col, text_col=text_col,
+        id_col=id_col, text_col=spec.field or text_col,
         doc_filter=_filters_col(spec.filters),
         min_should_match=spec.msm, boosts=spec.boosts, must_not=mn,
     )
@@ -505,9 +627,17 @@ def dsl_search(
     return hits
 
 
-def dsl_search_sql(body: dict, table: str = "documents", text_col: str = "text") -> str:
-    """DuckDB oracle for :func:`dsl_search` — same spec, same routing."""
-    spec = parse_body(body, text_col)
+def dsl_search_sql(
+    body: dict,
+    table: str = "documents",
+    text_col: str = "text",
+    analyzed_fields: list[str] | None = None,
+    field_exprs: dict[str, str] | None = None,
+) -> str:
+    """DuckDB oracle for :func:`dsl_search` — same spec, same routing.
+    ``field_exprs`` maps an analyzed field name to the SQL expression
+    producing it (derived fields)."""
+    spec = parse_body(body, text_col, analyzed_fields)
     mn = " ".join(spec.must_not_text) or None
     filter_sql = _filters_sql(spec.filters)
     if spec.sort is not None:
@@ -531,6 +661,13 @@ def dsl_search_sql(body: dict, table: str = "documents", text_col: str = "text")
         )
     if spec.kind in ("match_all", "ids"):
         preds = [p for p in [filter_sql] if p]
+        if spec.must_not_text:
+            mn_terms = sorted(set(tokenize(" ".join(spec.must_not_text))))
+            mn_list = ", ".join(f"'{t}'" for t in mn_terms)
+            preds.append(
+                "NOT list_has_any(regexp_extract_all(lower(text), "
+                f"'{duckdb_token_pattern()}'), [{mn_list}])"
+            )
         if spec.ids is not None:
             preds.append(f"doc_id IN ({', '.join(map(str, spec.ids))})")
         where = f"WHERE {' AND '.join(preds)}" if preds else ""
@@ -540,24 +677,63 @@ def dsl_search_sql(body: dict, table: str = "documents", text_col: str = "text")
             f"FROM {table} {where} ORDER BY doc_id LIMIT {spec.size}{off}"
         )
     if spec.kind == "phrase":
-        return bm25_phrase_topk_sql(spec.query, k=spec.size, table=table)
+        return bm25_phrase_topk_sql(spec.query, k=spec.size, table=table, slop=spec.slop)
+    if spec.kind == "dis_max":
+        if spec.filters or mn or spec.from_:
+            _err("dis_max/multi_match with filters/must_not/from")
+        from .multifield import dismax_topk_sql
+
+        return dismax_topk_sql(
+            spec.clauses, k=spec.size, tie_breaker=spec.tie_breaker,
+            table=table, field_exprs=field_exprs,
+        )
     if spec.kind == "multiterm":
         pat, kind, kw = spec.mt
         return multiterm_topk_sql(pat, kind, k=spec.size, table=table, **kw)
     if spec.kind == "mlt":
         _err("more_like_this free-text form has no standalone SQL oracle here")
+    text_expr = (field_exprs or {}).get(spec.field) if spec.field else None
     return bm25_topk_sql(
         spec.query, k=spec.size, mode=spec.mode, table=table,
         filter_sql=filter_sql, min_should_match=spec.msm,
         boosts=spec.boosts, must_not=mn, offset=spec.from_,
+        text_expr=text_expr
+        or (spec.field if spec.field not in (None, text_col) else "text"),
     )
 
 
-def dsl_search_index(searcher, body: dict, text_col: str = "text") -> DataFrame:
-    """Execute an ES search body on the SERVING path (an
-    :class:`~..plans.query_index.IndexSearcher`)."""
-    spec = parse_body(body, text_col)
+def dsl_search_index(
+    searcher, body: dict, text_col: str = "text",
+    analyzed_fields: list[str] | None = None,
+) -> DataFrame:
+    """Execute an ES search body on the SERVING path — an
+    :class:`~..plans.query_index.IndexSearcher`, or a
+    :class:`~..plans.query_index.MultiFieldIndexSearcher` when the body
+    targets non-default fields (match on a named field, multi_match,
+    dis_max)."""
+    spec = parse_body(body, text_col, analyzed_fields)
     mn = " ".join(spec.must_not_text) or None
+    multifield = hasattr(searcher, "field_searcher")
+    if spec.kind == "dis_max":
+        if spec.filters or mn or spec.from_:
+            _err("dis_max/multi_match with filters/must_not/from")
+        if not multifield:
+            _err("dis_max/multi_match needs a multi-field index")
+        return searcher.dis_max(spec.clauses, k=spec.size, tie_breaker=spec.tie_breaker)
+    if spec.field not in (None, text_col):
+        if not multifield:
+            _err(f"match on field {spec.field!r} needs a multi-field index")
+        if spec.sort is not None or spec.highlight or spec.rescore:
+            _err("field match composes with plain search options only")
+        return searcher.search(
+            spec.query, field=spec.field, k=spec.size, mode=spec.mode,
+            doc_filter=spec.filters or None,
+            min_should_match=spec.msm, boosts=spec.boosts, from_=spec.from_,
+        )
+    if multifield:
+        # default-field body against a multi-field index: route to the
+        # primary field's subtree and keep the single-field surface below
+        searcher = searcher.field_searcher(searcher.fields[0])
     if spec.sort is not None:
         return searcher.search_sorted(
             None if spec.kind == "match_all" else spec.query,
@@ -581,7 +757,7 @@ def dsl_search_index(searcher, body: dict, text_col: str = "text") -> DataFrame:
     if spec.kind == "phrase":
         if spec.filters or mn:
             _err("match_phrase with filters/must_not")
-        return searcher.search_phrase(spec.query, k=spec.size)
+        return searcher.search_phrase(spec.query, k=spec.size, slop=spec.slop)
     if spec.kind == "multiterm":
         pat, kind, kw = spec.mt
         return searcher.search_multiterm(pat, kind, k=spec.size, **kw)

@@ -100,6 +100,61 @@ def percolate(
     )
 
 
+def build_percolator_index(registered: DataFrame, out_dir: str) -> None:
+    """Materialize a TERM-KEYED percolator index (the scale shape for huge
+    registered-query sets, SURVEY §2.5 Q24): the flat analyzed-query scan is
+    right up to ~10^6 queries, beyond which every percolate still pays a full
+    table pass. This inverts it the same way the document index inverts the
+    corpus:
+
+    * ``terms/``   — (term, query_id), globally SORTED BY TERM at write so a
+      percolate's ``term IN (doc terms)`` prunes Parquet row groups (the
+      identical trick the postings reader uses);
+    * ``queries/`` — (query_id, mode, n_terms) metadata.
+
+    A percolate then reads only the row groups of the incoming doc's terms:
+    cost scales with the doc's vocabulary and matching-query density, not
+    the registered-query count (sub-linear; pinned in bench.py).
+    """
+    reg = registered.select("query_id", "mode", "terms")
+    inv = reg.select(F.explode("terms").alias("term"), "query_id")
+    # global sort -> term-clustered row groups -> min/max stats prune IN-lists
+    inv.sort("term").write.mode("overwrite").parquet(f"{out_dir}/terms")
+    reg.select(
+        "query_id", "mode", F.size("terms").cast("long").alias("n_terms")
+    ).write.mode("overwrite").parquet(f"{out_dir}/queries")
+
+
+def percolate_indexed(
+    spark,
+    perc_dir: str,
+    doc_text: str,
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """:func:`percolate` against a :func:`build_percolator_index` directory —
+    identical result contract (ordered query_id rows). The doc's term set is
+    pushed into the ``terms/`` read as an IN-list predicate (row-group
+    pruned); matched-term counts per query then decide OR (>=1) and AND
+    (== n_terms) without ever scanning non-overlapping queries."""
+    doc_terms = sorted(set(tokenize(doc_text, stopwords, analyzer)))
+    meta = spark.read.parquet(f"{perc_dir}/queries")
+    if not doc_terms:
+        return meta.select("query_id").where(F.lit(False))
+    hits = (
+        spark.read.parquet(f"{perc_dir}/terms")
+        .where(F.col("term").isin(doc_terms))
+        .groupBy("query_id")
+        .agg(F.count_distinct("term").alias("m"))
+    )
+    return (
+        hits.join(meta, "query_id")
+        .where((F.col("mode") == "or") | (F.col("m") == F.col("n_terms")))
+        .select("query_id")
+        .orderBy("query_id")
+    )
+
+
 def percolate_sql(
     doc_text: str,
     table: str = "percolator",

@@ -174,6 +174,7 @@ def bm25_phrase_topk(
     k1: float = K1,
     b: float = B,
     doc_filter=None,
+    slop: int = 0,
 ) -> DataFrame:
     """Top-k ``match_phrase``: docs containing the exact token sequence,
     scored like Lucene's ExactPhraseScorer under BM25 —
@@ -191,9 +192,23 @@ def bm25_phrase_topk(
     ``doc_filter`` (boolean Column over ``docs``) restricts the SCORED
     candidates while stats stay index-wide — same ES bool-filter contract
     as :func:`bm25_topk`; it is also the scale path for rescoring (score
-    the phrase only on a k-row window, never sort the corpus)."""
+    the phrase only on a k-row window, never sort the corpus).
+
+    ``slop`` is the ORDERED-WINDOW slop contract pinned across all three
+    engines (declarative / serving / DuckDB oracle): a start position q_1 of
+    term_1 matches iff positions q_1 < q_2 < ... < q_m of the following
+    terms exist with total displacement ``q_m - q_1 - (m-1) <= slop``;
+    ``pf`` counts matching start positions, unweighted, and ``slop=0`` is
+    exactly the adjacent phrase. This diverges deliberately from Lucene's
+    SloppyPhraseScorer (which allows reordering at slop >= 2 and weights
+    each match 1/(1+displacement)) — the divergence is documented here, not
+    silent. The greedy chain (minimal admissible successor per step) is
+    exact for this contract because the total displacement telescopes to
+    ``q_m - q_1 - (m-1)``, so minimizing q_m decides matchability."""
     q_terms = tokenize(phrase)
     spark = docs.sparkSession
+    if slop < 0:
+        raise ValueError("slop must be non-negative")
     if not q_terms:
         return spark.createDataFrame([], "doc_id long, score double")
     m = len(q_terms)
@@ -205,10 +220,37 @@ def bm25_phrase_topk(
             cond = cond & (F.element_at(toks, i + j) == F.lit(q_terms[j]))
         return cond
 
-    pf_expr = F.when(
-        F.size(toks) >= m,
-        F.size(F.filter(F.sequence(F.lit(1), F.size(toks) - (m - 1)), phrase_at)),
-    ).otherwise(F.lit(0))
+    if slop == 0:
+        pf_expr = F.when(
+            F.size(toks) >= m,
+            F.size(F.filter(F.sequence(F.lit(1), F.size(toks) - (m - 1)), phrase_at)),
+        ).otherwise(F.lit(0))
+    else:
+        # per-term position arrays (JVM), then the greedy successor chain:
+        # q_{j+1} = min position of term_{j+1} strictly after q_j
+        # NB: single-arg plain closures — F.filter evaluates the lambda
+        # eagerly per comprehension/loop iteration, and a default-arg capture
+        # would be introspected as an (element, index) lambda (see above)
+        pos_of = {
+            t: F.filter(
+                F.sequence(F.lit(1), F.size(toks)),
+                lambda i: F.element_at(toks, i) == F.lit(t),  # noqa: B023
+            )
+            for t in dict.fromkeys(q_terms)
+        }
+        bound = m - 1 + slop
+
+        def chain_ok(p):  # p: start position Column
+            q = p
+            for t in q_terms[1:]:
+                cur = q
+                q = F.array_min(F.filter(pos_of[t], lambda x: x > cur))  # noqa: B023
+            return q.isNotNull() & (q <= p + F.lit(bound))
+
+        pf_expr = F.when(
+            F.size(toks) >= m,
+            F.size(F.filter(pos_of[q_terms[0]], chain_ok)),
+        ).otherwise(F.lit(0))
 
     def project(src: DataFrame) -> DataFrame:
         return src.select(
@@ -262,9 +304,13 @@ def bm25_phrase_topk(
     )
 
 
-def bm25_phrase_topk_sql(phrase: str, k: int = 10, table: str = "documents") -> str:
+def bm25_phrase_topk_sql(
+    phrase: str, k: int = 10, table: str = "documents", slop: int = 0
+) -> str:
     """DuckDB oracle for :func:`bm25_phrase_topk`: phrase freq via m-gram
-    equality over the token list (sliding window, overlaps count)."""
+    equality over the token list (sliding window, overlaps count); with
+    ``slop > 0``, via the identical ordered-window greedy successor chain
+    over per-term position lists (nested list_filter/list_min lambdas)."""
     q_terms = tokenize(phrase)
     m = len(q_terms)
     phrase_lit = " ".join(q_terms).replace("'", "''")
@@ -277,16 +323,41 @@ def bm25_phrase_topk_sql(phrase: str, k: int = 10, table: str = "documents") -> 
         f"ln(1 + (s.n_docs - s.df_{uniq.index(t)} + 0.5) / (s.df_{uniq.index(t)} + 0.5))"
         for t in q_terms
     )
-    return f"""
-WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM {table}
-),
-pf AS (
+    if slop == 0:
+        pf_cte = f"""pf AS (
   SELECT t.doc_id,
          (SELECT count(*) FROM unnest(range(1, greatest(len(t.ts) - {m - 1}, 0) + 1)) AS u(i)
           WHERE array_to_string(t.ts[u.i:u.i+{m - 1}], ' ') = '{phrase_lit}') AS pf
   FROM toks t
+)"""
+    else:
+        pos_cols = ",\n    ".join(
+            f"list_filter(range(1, len(ts)+1), i{i} -> ts[i{i}] = '{t}') AS pos_{i}"
+            for i, t in enumerate(uniq)
+        )
+        chain = "p"
+        for j, t in enumerate(q_terms[1:], start=1):
+            chain = (
+                f"list_min(list_filter(pos_{uniq.index(t)}, "
+                f"x{j} -> x{j} > {chain}))"
+            )
+        bound = m - 1 + slop
+        pf_cte = f"""pos AS (
+  SELECT doc_id,
+    {pos_cols}
+  FROM toks
 ),
+pf AS (
+  SELECT doc_id,
+         len(list_filter(pos_{uniq.index(q_terms[0])},
+             p -> coalesce({chain}, 9223372036854775807) <= p + {bound})) AS pf
+  FROM pos
+)"""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM {table}
+),
+{pf_cte},
 s AS (
   SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl,
     {df_cols}

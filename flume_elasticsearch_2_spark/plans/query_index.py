@@ -254,12 +254,17 @@ def _phrase_score_shard(
     id_space: int,
     n_shards: int,
     k: int,
+    slop: int = 0,
 ) -> pd.DataFrame:
     """Exact-phrase scoring for one shard (Lucene ExactPhraseScorer under
     BM25): candidate docs = posting intersection of the distinct phrase
     terms; pf per doc = positions of term_0 whose successors at +1..+m-1
     match each following term; score = idf * pf*(k1+1)/(pf + k1*(1-b+b*dl/
-    avgdl)).
+    avgdl)). ``slop > 0`` switches to the engine's ordered-window slop
+    contract (operators/topk.py pins it): a start matches iff the greedy
+    strictly-increasing successor chain ends within ``m-1+slop`` of it —
+    vectorized as searchsorted successor lookups over the same
+    ``doc_idx*2^40 + position`` key arrays, one pass per phrase term.
 
     Fully vectorized across candidates: per phrase position, ALL candidate
     docs' position lists are gathered into one flat array (segmented gather,
@@ -302,6 +307,16 @@ def _phrase_score_shard(
 
     bounds = {t: np.concatenate([[0], np.cumsum(decoded[t][1])]) for t in decoded}
     ncand = len(cand)
+    if ncand >= (1 << 23):
+        # the (doc_idx * 2^40 + pos) int64 key is collision-free only while
+        # doc_idx < 2^23; beyond that the product overflows int64 and the
+        # sorted-intersection adjacency check would silently corrupt. A shard
+        # with >8.4M candidate docs for one phrase means the sharding config
+        # is wrong for the corpus — fail loudly with the fix.
+        raise ValueError(
+            f"phrase candidate set ({ncand} docs) exceeds the 2^23 per-shard "
+            "bound of the position-key encoding; rebuild with more shards"
+        )
     big = np.int64(1) << 40  # > any position; (doc_idx, pos) -> one int64 key
 
     def cand_pos_keys(t: str) -> np.ndarray:
@@ -319,15 +334,39 @@ def _phrase_score_shard(
         return seg_id * big + flat
 
     keys = {t: cand_pos_keys(t) for t in dict.fromkeys(q_terms)}
-    cur = keys[q_terms[0]]
-    for t in q_terms[1:]:
-        # phrase adjacency: a match survives iff its successor position
-        # exists in the next term's postings FOR THE SAME DOC (key arithmetic
-        # keeps doc_idx aligned because pos+1 < big)
-        cur = np.intersect1d(cur + 1, keys[t], assume_unique=True)
-        if len(cur) == 0:
+    if slop == 0:
+        cur = keys[q_terms[0]]
+        for t in q_terms[1:]:
+            # phrase adjacency: a match survives iff its successor position
+            # exists in the next term's postings FOR THE SAME DOC (key
+            # arithmetic keeps doc_idx aligned because pos+1 < big)
+            cur = np.intersect1d(cur + 1, keys[t], assume_unique=True)
+            if len(cur) == 0:
+                return empty
+        matched_starts = cur - (len(q_terms) - 1)
+    else:
+        starts = keys[q_terms[0]]
+        cur = starts.copy()
+        valid = np.ones(len(starts), dtype=bool)
+        for t in q_terms[1:]:
+            kt = keys[t]
+            if len(kt) == 0:
+                return empty
+            idx = np.searchsorted(kt, cur, side="right")
+            ok = idx < len(kt)
+            succ = kt[np.minimum(idx, len(kt) - 1)]
+            ok &= (succ // big) == (cur // big)  # successor in the SAME doc
+            valid &= ok
+            cur = np.where(ok, succ, cur)
+            if not valid.any():
+                return empty
+        valid &= (cur - starts) <= (len(q_terms) - 1 + slop)
+        matched_starts = starts[valid]
+        if len(matched_starts) == 0:
             return empty
-    pf = np.bincount((cur // big).astype(np.int64), minlength=ncand).astype(np.float64)
+    pf = np.bincount(
+        (matched_starts // big).astype(np.int64), minlength=ncand
+    ).astype(np.float64)
     hit = pf > 0
     pf, doc_ids, dl = pf[hit], base + cand[hit], dls[adm[hit]]
     scores = idf * pf * (K1 + 1.0) / (pf + K1 * (1.0 - B + B * dl / avgdl))
@@ -342,7 +381,9 @@ def _phrase_score_shard(
 
 _FILTER_OPS = {
     "==": lambda f, v: f == v,
-    "!=": lambda f, v: f != v,
+    # null-safe, matching the declarative path: ES must_not(term) keeps docs
+    # with the field missing; a bare != would null-reject them
+    "!=": lambda f, v: (f != v) | f.is_null(),
     "<": lambda f, v: f < v,
     "<=": lambda f, v: f <= v,
     ">": lambda f, v: f > v,
@@ -381,9 +422,16 @@ def _read_shard_tables(
     candidates restricted at the docs read (Parquet row-group pruned),
     postings of excluded docs masked during scoring; idf/avgdl/N stay
     index-wide."""
+    ds = pads.dataset(f"{index_dir}/postings/shard={shard}", format="parquet")
+    # forward-compat read: indexes written before a metadata column existed
+    # (e.g. block_min_dl) stay queryable — absent columns are dropped here and
+    # the scorer degrades to its documented conservative bound for them
+    avail = set(ds.schema.names)
     pt = (
-        pads.dataset(f"{index_dir}/postings/shard={shard}", format="parquet")
-        .to_table(columns=cols, filter=pads.field("term").isin(terms))
+        ds.to_table(
+            columns=[c for c in cols if c in avail],
+            filter=pads.field("term").isin(terms),
+        )
         .to_pandas()
     )
     pt["shard"] = shard
@@ -456,6 +504,15 @@ def _facet_match_ids(index_dir: str, shard: int, terms: list[str], mode: str) ->
     if not per_term:
         return np.empty(0, dtype=np.int64)
     return np.unique(np.concatenate(per_term))
+
+
+def _serving_check_window(size: int, from_: int) -> None:
+    """ES ``index.max_result_window`` guard shared with operators/sorting.py
+    (deferred import: sorting pulls in facets and is otherwise unneeded
+    here)."""
+    from ..operators.sorting import _check_window
+
+    _check_window(size, from_)
 
 
 def _one_task_per_shard(spark: SparkSession, shards: list[int]) -> DataFrame:
@@ -558,8 +615,10 @@ class IndexSearcher:
             return empty
         if min_should_match is not None and len(present) < min_should_match:
             return empty
-        if from_ < 0:
-            raise ValueError("from_ must be non-negative")
+        # ES index.max_result_window: every shard heaps from_+k entries, so an
+        # unbounded from_ is a per-shard memory bomb (search_sorted already
+        # enforces this; the scored path must too)
+        _serving_check_window(k, from_)
         kwargs = dict(
             weights=weights,
             dfreq=dfreq,
@@ -672,6 +731,7 @@ class IndexSearcher:
         phrase: str,
         k: int = 10,
         doc_filter: tuple | None = None,
+        slop: int = 0,
     ) -> DataFrame:
         """ES ``match_phrase`` on the SERVING path: exact-token-sequence
         match scored with Lucene ExactPhraseScorer semantics (tf = sliding
@@ -710,6 +770,7 @@ class IndexSearcher:
             id_space=self.id_space,
             n_shards=self.n_shards,
             k=k,
+            slop=int(slop),
         )
 
         def score_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -736,6 +797,7 @@ class IndexSearcher:
         phrase: str,
         k: int = 10,
         doc_filter: tuple | None = None,
+        slop: int = 0,
     ) -> pd.DataFrame:
         """In-process ``match_phrase`` (no Spark job): the phrase analog of
         :meth:`search_local`, rank-identical to :meth:`search_phrase`."""
@@ -770,6 +832,7 @@ class IndexSearcher:
             id_space=self.id_space,
             n_shards=self.n_shards,
             k=k,
+            slop=int(slop),
         )
         parts = []
         for shard in sorted(shards):
@@ -1130,6 +1193,69 @@ class IndexSearcher:
 
         return _one_task_per_shard(self.spark, active_shards).mapInPandas(
             shard_ids, "doc_id long"
+        )
+
+    def scroll_export(
+        self, query: str, mode: str = "or", page_size: int = 1000
+    ) -> DataFrame:
+        """ES ``scroll``-style bulk export (SURVEY §2.5 Q30): the FULL match
+        set of an analyzed query, rank-free, in deterministic ``page_size``
+        batches — the 1.x scroll use case ``search_after`` doesn't cover
+        (un-sorted full-match extraction for reindex/ETL). Returns
+        ``(page, doc_id)``; fetch stored fields by joining :meth:`mget`'s
+        docs table on the page you're draining.
+
+        Deterministic paging WITHOUT a global sort: shards are doc-id ranges
+        and each shard's match ids decode in ascending order, so global rank
+        = (sum of match counts of lower shards) + local index. Pass 1 gathers
+        one count per shard (one long per shard crosses the wire); pass 2
+        re-decodes and emits ``(rank // page_size, doc_id)`` with the shard
+        offsets folded into the task closure. Both passes read postings DOC
+        streams only — tf/positions never touched, nothing scored, nothing
+        collected to the driver but the counts. Page assignment is stable
+        across parallelism/cluster size by construction."""
+        if page_size <= 0:
+            raise ValueError("page_size must be positive")
+        empty = self.spark.createDataFrame([], "page long, doc_id long")
+        terms = sorted(set(tokenize(query)))
+        if not terms:
+            return empty
+        dfreq, active_shards = self._query_meta(terms)
+        present = [t for t in terms if t in dfreq]
+        if not present or (mode == "and" and len(present) < len(terms)):
+            return empty
+        index_dir = self.index_dir
+
+        def count_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for shard in pdf["shard"].tolist():
+                    n = len(_facet_match_ids(index_dir, shard, present, mode))
+                    yield pd.DataFrame({"shard": [shard], "n": [n]})
+
+        counts = {
+            int(r["shard"]): int(r["n"])
+            for r in _one_task_per_shard(self.spark, active_shards)
+            .mapInPandas(count_shards, "shard int, n long")
+            .collect()
+        }
+        offsets: dict[int, int] = {}
+        acc = 0
+        for sh in sorted(counts):  # ascending shard == ascending doc-id range
+            offsets[sh] = acc
+            acc += counts[sh]
+        psize = int(page_size)
+
+        def emit_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for shard in pdf["shard"].tolist():
+                    ids = _facet_match_ids(index_dir, shard, present, mode)
+                    if len(ids) == 0:
+                        continue
+                    ranks = offsets[shard] + np.arange(len(ids), dtype=np.int64)
+                    yield pd.DataFrame({"page": ranks // psize, "doc_id": ids})
+
+        return _one_task_per_shard(self.spark, sorted(counts)).mapInPandas(
+            emit_pages, "page long, doc_id long"
         )
 
     def mget(self, ids: list[int], columns: list[str] | None = None) -> DataFrame:
@@ -1575,6 +1701,100 @@ class IndexSearcher:
             postings.groupBy("shard")
             .cogroup(docs.groupBy("shard"))
             .applyInPandas(score, "doc_id long, score double")
+        )
+
+
+class MultiFieldIndexSearcher:
+    """Query engine over a :func:`~.build_index.build_multifield_index`
+    directory (SURVEY §2.5 Q28): one complete per-field index subtree under
+    ``field=<f>/``, each served by an unchanged :class:`IndexSearcher`.
+
+    A single-field query is routed to its field's subtree (field pruning by
+    directory partition — other fields' postings are never opened);
+    ``dis_max`` / ``multi_match`` fan out one BMW scatter per clause and
+    combine on the driver with the max rule. Correctness of the combine:
+    with ``tie_breaker=0`` the true combined top-k is contained in the union
+    of the per-clause top-k lists, and each true top-k doc's max-field score
+    IS captured there (a doc outranked k times in its best field is outranked
+    k times in the combined order too), so sorting the union by
+    ``(-score, doc_id)`` and slicing k is exact. ``tie_breaker > 0`` breaks
+    that containment (a sum-of-others doc can rank without leading any
+    field), so the serving combiner refuses it — the declarative
+    ``operators.multifield.bm25_dismax_topk`` handles it exactly.
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "manifest.json")) as fh:
+            self.manifest: dict[str, Any] = json.load(fh)
+        if not self.manifest.get("multifield"):
+            raise ValueError(
+                f"{index_dir} is a single-field index — use IndexSearcher"
+            )
+        self.fields: list[str] = list(self.manifest["fields"])
+        self._subs: dict[str, IndexSearcher] = {}
+
+    def field_searcher(self, field: str) -> IndexSearcher:
+        if field not in self.fields:
+            raise ValueError(f"unknown field {field!r} (indexed: {self.fields})")
+        if field not in self._subs:
+            self._subs[field] = IndexSearcher(
+                self.spark, os.path.join(self.index_dir, f"field={field}")
+            )
+        return self._subs[field]
+
+    def search(self, query: str, field: str | None = None, **kwargs) -> DataFrame:
+        """Single-field BM25 top-k (default: the primary field) — the full
+        IndexSearcher.search surface (filters, msm, boosts, paging...)."""
+        return self.field_searcher(field or self.fields[0]).search(query, **kwargs)
+
+    def search_phrase(self, phrase: str, field: str | None = None, **kwargs) -> DataFrame:
+        return self.field_searcher(field or self.fields[0]).search_phrase(
+            phrase, **kwargs
+        )
+
+    def dis_max(
+        self,
+        clauses: list[tuple],
+        k: int = 10,
+        tie_breaker: float = 0.0,
+    ) -> DataFrame:
+        """Lucene DisjunctionMaxQuery over per-field match clauses
+        ``(field, query, mode)``. One scatter per clause (each against its
+        own field subtree); the gather combines ≤ len(clauses)·k tiny rows.
+        Scores follow the module contract: round6 before combine — identical
+        to the declarative path because max commutes with monotone
+        rounding."""
+        if tie_breaker != 0.0:
+            raise ValueError(
+                "serving dis_max supports tie_breaker=0 only (the per-clause "
+                "top-k union is not exhaustive otherwise); use the "
+                "declarative bm25_dismax_topk for tie_breaker > 0"
+            )
+        best: dict[int, float] = {}
+        for field, query, mode in clauses:
+            hits = self.field_searcher(field).search(query, k=k, mode=mode)
+            for r in hits.collect():
+                d = int(r["doc_id"])
+                if d not in best or r["score"] > best[d]:
+                    best[d] = float(r["score"])
+        ranked = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return self.spark.createDataFrame(ranked, "doc_id long, score double")
+
+    def multi_match(
+        self,
+        query: str,
+        fields: list[str] | None = None,
+        k: int = 10,
+        mode: str = "or",
+        tie_breaker: float = 0.0,
+    ) -> DataFrame:
+        """ES ``multi_match`` type=best_fields on the serving path."""
+        return self.dis_max(
+            [(f, query, mode) for f in (fields or self.fields)],
+            k=k,
+            tie_breaker=tie_breaker,
         )
 
 

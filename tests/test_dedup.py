@@ -168,3 +168,64 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     out = ngram_jaccard_pairs(df, threshold=0.9, max_shingle_df=50).collect()
     assert {(r.id_a, r.id_b) for r in out} == {(5, n)}
     assert abs(out[0].jaccard - 1.0) < 1e-9
+
+
+def test_ngram_jaccard_default_caps_hot_shingles(spark):
+    """Round-3 guardrail: a BARE standalone call (no candidates, no explicit
+    max_shingle_df) must not hit the O(df^2) hot-shingle blowup. Corpus: one
+    trigram shared by > DEFAULT_MAX_SHINGLE_DF docs — under the default the
+    hot shingle is suppressed before any join, so two docs whose only overlap
+    is that trigram never pair, while a real near-dup pair still surfaces."""
+    from flume_elasticsearch_2_spark.operators.dedup import DEFAULT_MAX_SHINGLE_DF
+
+    n = DEFAULT_MAX_SHINGLE_DF + 2  # hot-shingle df exceeds the default cap
+    rows = [(i, f"common alpha beta tok{i}a tok{i}b") for i in range(n)]
+    rows.append((n, rows[7][1]))  # exact dup of doc 7 (unique tail shared)
+    df = spark.createDataFrame(rows, "doc_id int, text string").coalesce(8)
+    out = ngram_jaccard_pairs(df, threshold=0.5).collect()  # DEFAULT path
+    assert {(r.id_a, r.id_b) for r in out} == {(7, n)}
+    # explicit None opts back into the exact full-vocabulary semantics: the
+    # hot shingle participates again (checked on a small slice, where the
+    # exact path is safe)
+    small = spark.createDataFrame(rows[:4], "doc_id int, text string")
+    exact = ngram_jaccard_pairs(small, threshold=0.01, max_shingle_df=None).collect()
+    assert len(exact) == 6  # every pair shares the hot trigram
+
+
+def test_ngram_jaccard_candidates_default_stays_exact(spark, wp_docs):
+    """The candidate-driven path's DEFAULT must stay uncapped: capping would
+    silently change the verified Jaccard values of the LSH->verify pipeline."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(wp_docs, threshold=0.05, max_shingle_df=None).collect()
+    }
+    cand = spark.createDataFrame(sorted(exact), "id_a int, id_b int")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(wp_docs, threshold=0.05, candidates=cand).collect()
+    }
+    assert got == exact
+
+
+def test_dedup_exact_sort_key_excludes_text(spark):
+    """The window sort key must not carry the text payload through the
+    shuffle; the representative choice (lowest remaining key) is unchanged."""
+    rows = [
+        (3, "Alpha  beta", "b"),
+        (1, "alpha beta", "a"),   # same fingerprint as doc 3 (normalized)
+        (2, "other text", "c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, meta string")
+    from flume_elasticsearch_2_spark.operators.dedup import dedup_exact
+
+    out = dedup_exact(df)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [1, 2]  # lowest doc_id per fingerprint wins
+    # "extended" keeps the physical Sort arguments visible under AQE
+    jvm = out.sparkSession._jvm
+    plan = jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "extended")
+    import re
+
+    # the Sort below the Window must order by (_fp, doc_id, meta) — no text
+    sort_lines = [ln for ln in plan.splitlines() if "Sort [" in ln and "_fp" in ln]
+    assert sort_lines and all(not re.search(r"\btext#\d+ ASC", ln) for ln in sort_lines), plan

@@ -317,3 +317,69 @@ def test_dsl_edge_pages_match_oracle(documents, duck, body):
     got = [tuple(r) for r in dsl_search(documents, body).collect()]
     want = [tuple(r) for r in duck.execute(dsl_search_sql(body)).fetchall()]
     assert got == want
+
+
+# -- round-3 fixes: must_not-only bool, guard gaps, null-safe != --------------
+
+
+MUST_NOT_ONLY = {
+    "query": {"bool": {"must_not": [{"match": {"text": "dup"}}]}},
+    "size": 600,
+}
+
+
+def test_must_not_only_bool_excludes(documents, duck):
+    """A bool with must_not but no scored clause must NOT silently return
+    everything: it is match_all minus the excluded analyzed term (the r2
+    ADVICE finding — both executors previously dropped the clause)."""
+    got = [tuple(r) for r in dsl_search(documents, MUST_NOT_ONLY).collect()]
+    want = [tuple(r) for r in duck.execute(dsl_search_sql(MUST_NOT_ONLY)).fetchall()]
+    assert got == want and got
+    n_all = documents.count()
+    assert len(got) < n_all  # the negated term's docs are really gone
+    from flume_elasticsearch_2_spark.operators.topk import match_count
+
+    n_dup = match_count(documents, "dup").collect()[0].n_matching
+    assert len(got) == n_all - n_dup
+
+
+def test_rescore_and_highlight_reject_msm_and_boost():
+    base = {"query": {"match": {"text": {"query": "a b", "minimum_should_match": 2}}}}
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        parse_body({**base, "rescore": RESCORE_BODY["rescore"]})
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        parse_body({**base, "highlight": {"fields": {"text": {}}}})
+    boosted = {"query": {"match": {"text": {"query": "a b", "boost": 2.0}}}}
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        parse_body({**boosted, "rescore": RESCORE_BODY["rescore"]})
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        parse_body({**boosted, "highlight": {"fields": {"text": {}}}})
+
+
+def test_must_not_stored_field_keeps_nulls(spark):
+    """ES must_not(term) on a stored field keeps docs MISSING the field;
+    a null-rejecting != would drop them. Both executors and the oracle must
+    agree on the null-safe semantics."""
+    rows = [
+        (0, "alpha beta", "en"),
+        (1, "alpha gamma", "fr"),
+        (2, "alpha delta", None),  # lang missing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"match": {"text": "alpha"}}],
+                "must_not": [{"term": {"lang": "fr"}}],
+            }
+        }
+    }
+    got = sorted(r.doc_id for r in dsl_search(df, body).collect())
+    assert got == [0, 2]  # the NULL-lang doc survives
+    import duckdb as _d
+
+    con = _d.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = sorted(r[0] for r in con.execute(dsl_search_sql(body)).fetchall())
+    assert want == [0, 2]

@@ -521,3 +521,123 @@ def test_count_serving_equals_declarative(documents, searcher, query, mode):
     got = searcher.count(query, mode=mode).collect()[0].n_matching
     want = match_count(documents, query, mode=mode).collect()[0].n_matching
     assert got == want
+
+
+# -- round-3 fixes: legacy-index reads, window cap, phrase key-space guard ----
+
+
+def test_reads_index_without_block_min_dl(spark, index_dir, searcher, tmp_path_factory):
+    """Forward-compat: an index written before the block_min_dl column
+    existed must stay queryable — the read intersects the requested columns
+    with the file schema and the scorer degrades to the dl->0 bound (still
+    admissible, so results are identical)."""
+    import shutil
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    old = str(tmp_path_factory.mktemp("oldidx") / "segidx")
+    shutil.copytree(index_dir, old)
+    man = json.load(open(f"{old}/manifest.json"))
+    for shard in range(man["n_shards"]):
+        part = f"{old}/postings/shard={shard}"
+        tbl = pads.dataset(part, format="parquet").to_table()
+        tbl = tbl.drop_columns(["block_min_dl"])
+        shutil.rmtree(part)
+        import os
+
+        os.makedirs(part)
+        pq.write_table(tbl, f"{part}/part-0.parquet")
+    legacy = IndexSearcher(spark, old)
+    for query, mode in ENGINE_QUERIES:
+        want = [tuple(r) for r in searcher.search(query, k=10, mode=mode).collect()]
+        got = [tuple(r) for r in legacy.search(query, k=10, mode=mode).collect()]
+        assert got == want, (query, mode)
+
+
+def test_scored_paging_enforces_max_result_window(searcher):
+    """ES index.max_result_window on the SCORED serving path too (the sorted
+    path already enforced it): from_+k > 10000 would heap that many entries
+    on every shard."""
+    with pytest.raises(ValueError, match="max_result_window"):
+        searcher.search("dup batch scan", k=10, from_=9_995)
+    with pytest.raises(ValueError, match="max_result_window"):
+        searcher.search("dup", k=10_001)
+    with pytest.raises(ValueError, match="non-negative"):
+        searcher.search("dup", k=10, from_=-1)
+
+
+def test_phrase_kernel_guards_candidate_key_space():
+    """The (doc_idx * 2^40 + pos) int64 key is collision-free only below
+    2^23 candidates per shard; beyond it the kernel must fail loudly, not
+    silently corrupt the adjacency intersection."""
+    import numpy as np
+    import pandas as pd
+
+    from flume_elasticsearch_2_spark.codec import encode_positions, encode_postings
+    from flume_elasticsearch_2_spark.plans.query_index import _phrase_score_shard
+
+    n = (1 << 23) + 8
+    ids = np.arange(n, dtype=np.uint32)
+    tfs = np.ones(n, dtype=np.uint32)
+    enc = encode_postings(ids, tfs, np.full(n, 2, dtype=np.int64))
+    pos_a = encode_positions(np.zeros(n, dtype=np.uint32), tfs)
+    pos_b = encode_positions(np.ones(n, dtype=np.uint32), tfs)
+    postings = pd.DataFrame(
+        {
+            "shard": [0, 0],
+            "term": ["aa", "bb"],
+            "n": [n, n],
+            "doc_bytes": [enc.doc_bytes] * 2,
+            "tf_bytes": [enc.tf_bytes] * 2,
+            "pos_bytes": [pos_a, pos_b],
+        }
+    )
+    docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "dl": np.full(n, 2.0)})
+    with pytest.raises(ValueError, match="2\\^23"):
+        _phrase_score_shard(
+            postings,
+            docs,
+            q_terms=["aa", "bb"],
+            idf=1.0,
+            avgdl=2.0,
+            id_space=n,
+            n_shards=1,
+            k=10,
+        )
+
+
+def test_scroll_export_pages_match_bruteforce(spark, searcher, documents, tmp_path_factory):
+    """Scroll-style bulk export: page assignment == row_number over the
+    ascending match-set ids (the 1.x scroll contract, rank-free), and it is
+    IDENTICAL under a different shard count — paging is a function of the
+    match set only, never of the physical layout."""
+    from flume_elasticsearch_2_spark.operators.topk import corpus_tokens
+
+    query, mode, psize = "batch small scan", "or", 25
+    got = sorted(
+        (r.page, r.doc_id) for r in searcher.scroll_export(query, mode, psize).collect()
+    )
+    terms = set(query.split())
+    match_ids = sorted(
+        r.doc_id
+        for r in corpus_tokens(documents).where(f"term in {tuple(terms)}")
+        .select("doc_id").distinct().collect()
+    )
+    want = sorted((i // psize, d) for i, d in enumerate(match_ids))
+    assert got == want and got
+    d2 = str(tmp_path_factory.mktemp("scroll2") / "segidx")
+    build_index(spark, documents, d2, n_shards=7)
+    got2 = sorted(
+        (r.page, r.doc_id)
+        for r in IndexSearcher(spark, d2).scroll_export(query, mode, psize).collect()
+    )
+    assert got2 == got
+
+
+def test_scroll_export_edge_cases(searcher):
+    assert searcher.scroll_export("zzzznotaterm", "or", 10).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        searcher.scroll_export("dup", "or", 0)

@@ -84,3 +84,35 @@ def test_percolate_plan_is_single_scan(registered):
     jvm = df.sparkSession._jvm
     plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "Join" not in plan and "Exchange" not in plan.split("Sort")[0]
+
+
+# -- round 3: term-keyed percolator index (scale shape for huge query sets) ---
+
+
+@pytest.fixture(scope="module")
+def perc_dir(spark, registered, tmp_path_factory):
+    from flume_elasticsearch_2_spark.operators.percolate import build_percolator_index
+
+    d = str(tmp_path_factory.mktemp("perc") / "percidx")
+    build_percolator_index(registered, d)
+    return d
+
+
+@pytest.mark.parametrize("doc", DOCS)
+def test_percolate_indexed_equals_flat_scan(spark, registered, perc_dir, doc):
+    from flume_elasticsearch_2_spark.operators.percolate import percolate_indexed
+
+    got = [r.query_id for r in percolate_indexed(spark, perc_dir, doc).collect()]
+    want = [r.query_id for r in percolate(registered, doc).collect()]
+    assert got == want
+
+
+def test_percolate_indexed_pushes_in_list(spark, perc_dir):
+    from flume_elasticsearch_2_spark.operators.percolate import percolate_indexed
+
+    df = percolate_indexed(spark, perc_dir, "batch scan small table")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the doc's term set must reach the terms/ Parquet scan as an IN filter
+    assert "PushedFilters" in plan and "In(term" in plan, plan
