@@ -1123,6 +1123,75 @@ _DSL_MUST_NOT_ONLY_BODY = {
     "query": {"bool": {"must_not": [{"match": {"text": "dup"}}]}},
     "size": 600,
 }
+_DSL_EXISTS_BODY = {
+    "query": {
+        "bool": {
+            "must": [{"match": {"text": "dup batch"}}],
+            "filter": [{"exists": {"field": "lang"}}],
+        }
+    }
+}
+_DSL_SHOULD_MATCH_BODY = {
+    "query": {
+        "bool": {
+            "should": [
+                {"match": {"text": "dup batch"}},
+                {"term": {"text": {"value": "scan", "boost": 2.0}}},
+            ]
+        }
+    }
+}
+_DSL_SOURCE_BODY = {
+    "query": {"match": {"text": "dup batch scan"}},
+    "_source": ["lang", "n_chars"],
+    "size": 5,
+}
+
+
+def _dsl_exists_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x exists filter (field non-null) composed with a scored match —
+    declarative path."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_EXISTS_BODY)
+
+
+def _dsl_exists_filter_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exists filter on the SERVING path (pyarrow is_valid predicate on the
+    per-shard docs read)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_EXISTS_BODY)
+
+
+def _dsl_should_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool.should with MATCH clauses (BM25 additivity makes the
+    concatenated-OR rewrite exact) mixed with a boosted term clause."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_SHOULD_MATCH_BODY)
+
+
+def _dsl_should_match_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_SHOULD_MATCH_BODY)
+
+
+def _dsl_source_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _source stored-field filtering: the fetch phase returns only the
+    named fields alongside each hit (broadcast join of the k-hit page)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_SOURCE_BODY)
+
+
+def _dsl_source_filtered_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_source on the SERVING path: fetch against the index's stored docs
+    table, column-pruned to the requested fields."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_SOURCE_BODY)
 
 
 def _dsl_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1233,6 +1302,12 @@ _R3_NEW = [
     "scroll_export",
     "percolate_indexed",
     "dedup_exact_docs",
+    "dsl_exists_filter",
+    "dsl_exists_filter_segment",
+    "dsl_should_match",
+    "dsl_should_match_segment",
+    "dsl_source_filtered",
+    "dsl_source_filtered_segment",
 ]
 _R2_UNRECORDED = [
     "cosine_topk_ivf", "cosine_topk_lsh_exhaustive", "cosine_topk_ivf_indexed",
@@ -1362,6 +1437,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["scroll_export"] = _scroll_export
     q["percolate_indexed"] = _percolate_indexed
     q["dedup_exact_docs"] = _dedup_exact_docs
+    q["dsl_exists_filter"] = _dsl_exists_filter
+    q["dsl_exists_filter_segment"] = _dsl_exists_filter_segment
+    q["dsl_should_match"] = _dsl_should_match
+    q["dsl_should_match_segment"] = _dsl_should_match_segment
+    q["dsl_source_filtered"] = _dsl_source_filtered
+    q["dsl_source_filtered_segment"] = _dsl_source_filtered_segment
     # newest-first, then previously-unrecorded: the driver artifact truncates
     # at 50 keys in dict order (judge r2 finding #1)
     priority = _R3_NEW + _R2_UNRECORDED
@@ -1734,6 +1815,12 @@ r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rk FROM m)
 SELECT CAST(rk // 100 AS BIGINT) AS page, doc_id FROM r
 """
     o["percolate_indexed"] = o["percolate_matches"]
+    o["dsl_exists_filter"] = dsl_search_sql(_DSL_EXISTS_BODY)
+    o["dsl_exists_filter_segment"] = o["dsl_exists_filter"]
+    o["dsl_should_match"] = dsl_search_sql(_DSL_SHOULD_MATCH_BODY)
+    o["dsl_should_match_segment"] = o["dsl_should_match"]
+    o["dsl_source_filtered"] = dsl_search_sql(_DSL_SOURCE_BODY)
+    o["dsl_source_filtered_segment"] = o["dsl_source_filtered"]
     o["dedup_exact_docs"] = """
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,

@@ -14,9 +14,14 @@ silent best-effort):
 
 * body keys: ``query`` (required), ``from``, ``size``, ``sort``,
   ``highlight``, ``rescore`` (match_phrase rescorer over a window —
-  composes with a plain scored match query only).
+  composes with a plain scored match query only), ``_source`` (stored-field
+  filter: ``false`` or a list; composes with match / match_all).
 * query clauses: ``match`` (with ``operator``/``minimum_should_match``/
-  ``boost``), ``match_phrase``, ``match_all``, ``ids``, ``term``/
+  ``boost``; on the default text field or ANY field named in
+  ``analyzed_fields``), ``match_phrase`` (with ``slop`` — the engine's
+  ordered-window contract, operators/topk.py), ``multi_match``
+  (best_fields over analyzed fields, ``tie_breaker``), ``dis_max`` (match
+  clauses, ``tie_breaker``), ``match_all``, ``ids``, ``term``/
   ``prefix``/``wildcard``/``fuzzy`` on the text field,
   ``more_like_this`` (``like`` text form), the 1.x ``filtered`` wrapper
   (rewritten to bool), ``constant_score`` (filter + boost), top-level
@@ -24,11 +29,16 @@ silent best-effort):
   one quoted phrase, one wildcard, AND/OR, ``text:`` field syntax), and
   ``bool`` with:
   - ``must``: ONE scored clause (match / match_phrase / term-on-text),
-  - ``should``: term-on-text clauses with optional per-clause ``boost``
-    (only when ``must`` is absent; ``minimum_should_match`` honored),
-  - ``filter``: ``term`` / ``terms`` / ``range`` on stored doc fields,
+  - ``should``: term-on-text and single/multi-term match-on-text clauses
+    with optional per-clause ``boost`` (only when ``must`` is absent;
+    ``minimum_should_match`` honored for single-term clauses — clause-count
+    semantics; BM25 additivity makes the concatenated rewrite exact),
+  - ``filter``: ``term`` / ``terms`` / ``range`` / ``exists`` / ``missing``
+    on stored doc fields,
   - ``must_not``: ``match``/``term`` on the text field (analyzed,
-    non-scoring) or ``term`` on a stored field.
+    non-scoring; works WITHOUT a scored clause too — match_all minus the
+    excluded docs) or ``term`` on a stored field (null-safe: docs missing
+    the field are kept, as in ES).
 * ``sort`` (ES TopFieldCollector semantics — scoring skipped) composes
   with match/match_all; ``highlight`` composes with plain match.
 
@@ -89,6 +99,7 @@ class _Spec:
         self.highlight: tuple[str, str] | None = None  # (pre, post)
         self.const_score: float = 1.0  # match_all/ids/constant_score score
         self.rescore: dict | None = None  # (phrase, window, qw, rw)
+        self.source: list[str] | None = None  # _source stored-field filter
 
 
 def _parse_match(
@@ -133,6 +144,12 @@ def _filter_triples(clauses: list[dict]) -> list[tuple[str, str, Any]]:
                 if key not in ops:
                     _err(f"range op {key!r}")
                 out.append((f, ops[key], val))
+        elif kind == "exists":
+            # ES 1.x exists filter: {"exists": {"field": f}}
+            out.append((body["field"], "notnull", None))
+        elif kind == "missing":
+            # ES 1.x missing filter (removed in 2.x; == bool must_not exists)
+            out.append((body["field"], "null", None))
         else:
             _err(f"filter clause {kind!r}")
     return out
@@ -182,23 +199,45 @@ def _parse_bool(spec: _Spec, body: dict, text_col: str, analyzed: list[str] | No
         else:
             _err(f"must clause {kind!r}")
     elif should:
+        # BM25 clause scores add linearly, so a should-of-match/term clauses
+        # on the text field is EXACTLY one concatenated OR match (duplicate
+        # terms accumulate per occurrence, as in ES). minimum_should_match is
+        # clause-count semantics in ES; the engine's msm counts distinct
+        # terms, so msm is only accepted when every clause is a single term.
         terms, boosts = [], {}
+        multi_tok = False
         for c in should:
             kind, val = _one_field(c, "should clause")
-            if kind != "term":
-                _err(f"should clause {kind!r} (term-on-text only)")
-            f, v = _one_field(val, "term")
-            if f != text_col:
-                _err(f"should term on {f!r}")
-            if isinstance(v, dict):
-                terms.append(v["value"])
-                if "boost" in v:
-                    boosts[v["value"]] = float(v["boost"])
+            if kind == "term":
+                f, v = _one_field(val, "term")
+                if f != text_col:
+                    _err(f"should term on {f!r}")
+                if isinstance(v, dict):
+                    terms.append(v["value"])
+                    if "boost" in v:
+                        boosts[v["value"]] = float(v["boost"])
+                else:
+                    terms.append(v)
+            elif kind == "match":
+                f, v = _one_field(val, "match")
+                if f != text_col:
+                    _err(f"should match on {f!r}")
+                q = v if isinstance(v, str) else v["query"]
+                if isinstance(v, dict) and set(v) - {"query"}:
+                    _err(f"should match options {sorted(set(v) - {'query'})}")
+                toks = tokenize(q)
+                multi_tok = multi_tok or len(toks) != 1
+                terms.extend(toks)
             else:
-                terms.append(v)
+                _err(f"should clause {kind!r} (term/match on text only)")
         spec.query = " ".join(terms)
         spec.boosts = boosts or None
         if "minimum_should_match" in body:
+            if multi_tok:
+                _err(
+                    "minimum_should_match with multi-term should clauses "
+                    "(clause-count vs term-count semantics would diverge)"
+                )
             spec.msm = int(body["minimum_should_match"])
     else:
         spec.kind = "match_all"
@@ -284,7 +323,7 @@ def parse_body(
     combine several. Default: only ``text_col`` — byte-compatible with the
     single-field contract of earlier rounds."""
     analyzed = list(analyzed_fields) if analyzed_fields else [text_col]
-    extra = set(body) - {"query", "from", "size", "sort", "highlight", "rescore"}
+    extra = set(body) - {"query", "from", "size", "sort", "highlight", "rescore", "_source"}
     if extra:
         _err(f"body keys {sorted(extra)}")
     spec = _Spec()
@@ -487,6 +526,24 @@ def parse_body(
             or spec.boosts
         ):
             _err("highlight composes with plain match only")
+    if "_source" in body:
+        # ES _source filtering: the fetch phase returns only the named stored
+        # fields alongside each hit. False = ids+scores only (a no-op here,
+        # the hit row IS (doc_id, score)); a list = join those stored columns.
+        src = body["_source"]
+        if src is False:
+            spec.source = None
+        elif isinstance(src, list) and src and all(isinstance(c, str) for c in src):
+            spec.source = list(src)
+        else:
+            _err("_source must be false or a non-empty list of stored fields")
+        if spec.source and (
+            spec.kind not in ("match", "match_all")
+            or spec.sort is not None
+            or spec.highlight is not None
+            or spec.rescore is not None
+        ):
+            _err("_source composes with match / match_all bodies only")
     if spec.field not in (None, text_col) and spec.must_not_text:
         # must_not clauses analyze against the DEFAULT text field; composing
         # them with a match on another field would silently mix analyzers
@@ -505,6 +562,8 @@ def _filters_col(triples: list[tuple[str, str, Any]]) -> Column | None:
         ">": lambda c, v: c > v,
         ">=": lambda c, v: c >= v,
         "in": lambda c, v: c.isin(list(v)),
+        "notnull": lambda c, v: c.isNotNull(),
+        "null": lambda c, v: c.isNull(),
     }
     expr = None
     for f, op, v in triples:
@@ -525,9 +584,27 @@ def _filters_sql(triples: list[tuple[str, str, Any]]) -> str | None:
             preds.append(f"{f} = {q(v)}")
         elif op == "!=":
             preds.append(f"{f} IS DISTINCT FROM {q(v)}")
+        elif op == "notnull":
+            preds.append(f"{f} IS NOT NULL")
+        elif op == "null":
+            preds.append(f"{f} IS NULL")
         else:
             preds.append(f"{f} {op} {q(v)}")
     return " AND ".join(preds) if preds else None
+
+
+
+def _apply_source(hits: DataFrame, docs: DataFrame, spec: _Spec, id_col: str) -> DataFrame:
+    """ES fetch phase for ``_source``: broadcast the <=size hit rows against
+    the stored docs and return (doc_id, score, *source) in rank order."""
+    if not spec.source:
+        return hits
+    stored = docs.select(F.col(id_col).alias("doc_id"), *spec.source)
+    return (
+        stored.join(F.broadcast(hits), "doc_id", "inner")
+        .select("doc_id", "score", *spec.source)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
 
 
 def dsl_search(
@@ -579,7 +656,7 @@ def dsl_search(
             src = src.where(~F.exists(toks, lambda x: x.isin(mn_terms)))
         if spec.ids is not None:
             src = src.where(F.col(id_col).isin(spec.ids))
-        return (
+        hits = (
             src.select(
                 F.col(id_col).alias("doc_id"),
                 F.lit(round(float(spec.const_score), 6)).alias("score"),
@@ -588,6 +665,7 @@ def dsl_search(
             .offset(spec.from_)
             .limit(spec.size)
         )
+        return _apply_source(hits, docs, spec, id_col)
     if spec.kind == "phrase":
         if spec.filters or mn:
             _err("match_phrase with filters/must_not")
@@ -624,7 +702,7 @@ def dsl_search(
     )
     if spec.from_:
         hits = hits.orderBy(F.col("score").desc(), F.col("doc_id").asc()).offset(spec.from_)
-    return hits
+    return _apply_source(hits, docs, spec, id_col)
 
 
 def dsl_search_sql(
@@ -672,10 +750,11 @@ def dsl_search_sql(
             preds.append(f"doc_id IN ({', '.join(map(str, spec.ids))})")
         where = f"WHERE {' AND '.join(preds)}" if preds else ""
         off = f" OFFSET {spec.from_}" if spec.from_ else ""
-        return (
+        inner = (
             f"SELECT doc_id, CAST({round(float(spec.const_score), 6)!r} AS DOUBLE) AS score "
             f"FROM {table} {where} ORDER BY doc_id LIMIT {spec.size}{off}"
         )
+        return _apply_source_sql(inner, spec, table)
     if spec.kind == "phrase":
         return bm25_phrase_topk_sql(spec.query, k=spec.size, table=table, slop=spec.slop)
     if spec.kind == "dis_max":
@@ -693,12 +772,25 @@ def dsl_search_sql(
     if spec.kind == "mlt":
         _err("more_like_this free-text form has no standalone SQL oracle here")
     text_expr = (field_exprs or {}).get(spec.field) if spec.field else None
-    return bm25_topk_sql(
+    inner = bm25_topk_sql(
         spec.query, k=spec.size, mode=spec.mode, table=table,
         filter_sql=filter_sql, min_should_match=spec.msm,
         boosts=spec.boosts, must_not=mn, offset=spec.from_,
         text_expr=text_expr
         or (spec.field if spec.field not in (None, text_col) else "text"),
+    )
+    return _apply_source_sql(inner, spec, table)
+
+
+
+def _apply_source_sql(inner: str, spec: _Spec, table: str) -> str:
+    if not spec.source:
+        return inner
+    cols = ", ".join(f"t.{c}" for c in spec.source)
+    return (
+        f"SELECT h.doc_id, h.score, {cols} FROM ({inner}) h "
+        f"JOIN {table} t ON t.doc_id = h.doc_id "
+        "ORDER BY h.score DESC, h.doc_id ASC"
     )
 
 
@@ -768,12 +860,18 @@ def dsl_search_index(
             **{k: int(v) for k, v in m.items()
                if k in ("max_query_terms", "min_term_freq", "min_doc_freq")},
         )
-    return searcher.search(
+    hits = searcher.search(
         spec.query, k=spec.size, mode=spec.mode,
         doc_filter=spec.filters or None,
         min_should_match=spec.msm, boosts=spec.boosts,
-        from_=spec.from_, must_not=mn,
+        from_=spec.from_, must_not=mn, fetch=bool(spec.source),
     )
+    if spec.source:
+        # ES fetch phase against the index's stored docs (_source analog)
+        hits = hits.select("doc_id", "score", *spec.source).orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+    return hits
 
 
 # -- aggregations (body "aggs" / 1.x "facets") --------------------------------

@@ -107,22 +107,29 @@ def build_percolator_index(registered: DataFrame, out_dir: str) -> None:
     table pass. This inverts it the same way the document index inverts the
     corpus:
 
-    * ``terms/``   — (term, query_id), globally SORTED BY TERM at write so a
-      percolate's ``term IN (doc terms)`` prunes Parquet row groups (the
-      identical trick the postings reader uses);
-    * ``queries/`` — (query_id, mode, n_terms) metadata.
+    * ``terms/``   — (term, query_id, mode, n_terms), globally SORTED BY TERM
+      at write so a percolate's ``term IN (doc terms)`` prunes Parquet row
+      groups (the identical trick the postings reader uses). ``mode`` and
+      ``n_terms`` are DENORMALIZED onto every posting row — a few bytes per
+      row (dictionary-encoded) buys the match step a plan with NO join
+      against a query-metadata table: the only shuffle a percolate pays is
+      the groupBy of the PRUNED rows (queries sharing a term with the doc),
+      never anything proportional to the registered set;
+    * ``queries/`` — (query_id, mode, n_terms) bookkeeping (reindex/stats).
 
     A percolate then reads only the row groups of the incoming doc's terms:
     cost scales with the doc's vocabulary and matching-query density, not
     the registered-query count (sub-linear; pinned in bench.py).
     """
-    reg = registered.select("query_id", "mode", "terms")
-    inv = reg.select(F.explode("terms").alias("term"), "query_id")
+    reg = registered.select(
+        "query_id", "mode", "terms", F.size("terms").cast("long").alias("n_terms")
+    )
+    inv = reg.select(F.explode("terms").alias("term"), "query_id", "mode", "n_terms")
     # global sort -> term-clustered row groups -> min/max stats prune IN-lists
     inv.sort("term").write.mode("overwrite").parquet(f"{out_dir}/terms")
-    reg.select(
-        "query_id", "mode", F.size("terms").cast("long").alias("n_terms")
-    ).write.mode("overwrite").parquet(f"{out_dir}/queries")
+    reg.select("query_id", "mode", "n_terms").write.mode("overwrite").parquet(
+        f"{out_dir}/queries"
+    )
 
 
 def percolate_indexed(
@@ -136,19 +143,23 @@ def percolate_indexed(
     identical result contract (ordered query_id rows). The doc's term set is
     pushed into the ``terms/`` read as an IN-list predicate (row-group
     pruned); matched-term counts per query then decide OR (>=1) and AND
-    (== n_terms) without ever scanning non-overlapping queries."""
+    (== n_terms). The plan is prune -> groupBy(pruned rows) -> filter: no
+    join, nothing proportional to the registered-query count is ever
+    scanned, shuffled, or broadcast."""
     doc_terms = sorted(set(tokenize(doc_text, stopwords, analyzer)))
-    meta = spark.read.parquet(f"{perc_dir}/queries")
     if not doc_terms:
-        return meta.select("query_id").where(F.lit(False))
-    hits = (
+        return spark.read.parquet(f"{perc_dir}/queries").select("query_id").where(
+            F.lit(False)
+        )
+    return (
         spark.read.parquet(f"{perc_dir}/terms")
         .where(F.col("term").isin(doc_terms))
         .groupBy("query_id")
-        .agg(F.count_distinct("term").alias("m"))
-    )
-    return (
-        hits.join(meta, "query_id")
+        .agg(
+            F.count_distinct("term").alias("m"),
+            F.first("mode").alias("mode"),
+            F.first("n_terms").alias("n_terms"),
+        )
         .where((F.col("mode") == "or") | (F.col("m") == F.col("n_terms")))
         .select("query_id")
         .orderBy("query_id")

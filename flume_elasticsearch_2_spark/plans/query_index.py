@@ -389,6 +389,8 @@ _FILTER_OPS = {
     ">": lambda f, v: f > v,
     ">=": lambda f, v: f >= v,
     "in": lambda f, v: f.isin(list(v)),
+    "notnull": lambda f, v: f.is_valid(),  # ES exists filter
+    "null": lambda f, v: ~f.is_valid(),   # ES 1.x missing filter
 }
 
 

@@ -95,6 +95,44 @@ BODIES: list[tuple[str, dict, bool]] = [
          "highlight": {"fields": {"text": {}}}},
         True,
     ),
+    (
+        "exists_filter",
+        {
+            "query": {
+                "bool": {
+                    "must": [{"match": {"text": "dup batch"}}],
+                    "filter": [{"exists": {"field": "lang"}}],
+                }
+            }
+        },
+        True,
+    ),
+    (
+        "should_match_clauses",
+        {
+            "query": {
+                "bool": {
+                    "should": [
+                        {"match": {"text": "dup batch"}},
+                        {"term": {"text": {"value": "scan", "boost": 2.0}}},
+                    ]
+                }
+            }
+        },
+        True,
+    ),
+    (
+        "source_filtered",
+        {"query": {"match": {"text": "dup batch scan"}},
+         "_source": ["lang", "n_chars"], "size": 5},
+        True,
+    ),
+    (
+        "source_matchall",
+        {"query": {"bool": {"filter": [{"term": {"lang": "en"}}]}},
+         "_source": ["n_chars"], "size": 6},
+        False,
+    ),
 ]
 
 
@@ -150,7 +188,7 @@ def test_dsl_mlt_routes(documents, searcher):
         {"query": {"regexp": {"text": "a.*"}}},
         {"query": {"bool": {"must": [{"match": {"text": "a"}}, {"match": {"text": "b"}}]}}},
         {"query": {"match": {"text": "a"}}, "aggs": {}},
-        {"query": {"bool": {"filter": [{"exists": {"field": "lang"}}]}}},
+        {"query": {"bool": {"filter": [{"regexp": {"field": "lang"}}]}}},
         {"query": {"match_phrase": {"text": "a b"}}, "sort": [{"n_chars": "asc"}]},
     ],
 )
@@ -383,3 +421,58 @@ def test_must_not_stored_field_keeps_nulls(spark):
     con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
     want = sorted(r[0] for r in con.execute(dsl_search_sql(body)).fetchall())
     assert want == [0, 2]
+
+
+def test_missing_filter_selects_null_fields(spark):
+    """ES 1.x missing filter: docs with a NULL stored field; exists is its
+    complement — parity across Spark, serving triples, and the oracle."""
+    rows = [(0, "alpha beta", "en"), (1, "alpha gamma", None), (2, "alpha", "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    body_missing = {
+        "query": {"bool": {"must": [{"match": {"text": "alpha"}}],
+                           "filter": [{"missing": {"field": "lang"}}]}}
+    }
+    body_exists = {
+        "query": {"bool": {"must": [{"match": {"text": "alpha"}}],
+                           "filter": [{"exists": {"field": "lang"}}]}}
+    }
+    assert sorted(r.doc_id for r in dsl_search(df, body_missing).collect()) == [1]
+    assert sorted(r.doc_id for r in dsl_search(df, body_exists).collect()) == [0, 2]
+    import duckdb as _d
+
+    con = _d.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    assert sorted(r[0] for r in con.execute(dsl_search_sql(body_missing)).fetchall()) == [1]
+    assert sorted(r[0] for r in con.execute(dsl_search_sql(body_exists)).fetchall()) == [0, 2]
+
+
+def test_should_match_equals_concatenated_or(documents):
+    """BM25 additivity: a should of match clauses == one concatenated OR
+    match (duplicate terms accumulate)."""
+    from flume_elasticsearch_2_spark.operators.topk import bm25_topk
+
+    body = {"query": {"bool": {"should": [
+        {"match": {"text": "dup batch"}}, {"match": {"text": "scan batch"}}]}}}
+    got = [tuple(r) for r in dsl_search(documents, body).collect()]
+    want = [tuple(r) for r in bm25_topk(documents, "dup batch scan batch", k=10).collect()]
+    assert got == want and got
+
+
+def test_should_match_msm_guard():
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        parse_body({"query": {"bool": {
+            "should": [{"match": {"text": "a b"}}],
+            "minimum_should_match": 1}}})
+
+
+def test_source_rejects_bad_compositions():
+    base = {"query": {"match": {"text": "a"}}, "_source": ["lang"]}
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        parse_body({**base, "highlight": {"fields": {"text": {}}}})
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        parse_body({"query": {"match_phrase": {"text": "a b"}}, "_source": ["lang"]})
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        parse_body({"query": {"match": {"text": "a"}}, "_source": "lang"})
+    # _source: false is the ids+scores-only no-op
+    assert parse_body({"query": {"match": {"text": "a"}}, "_source": False}).source is None

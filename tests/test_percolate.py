@@ -116,3 +116,14 @@ def test_percolate_indexed_pushes_in_list(spark, perc_dir):
     )
     # the doc's term set must reach the terms/ Parquet scan as an IN filter
     assert "PushedFilters" in plan and "In(term" in plan, plan
+
+
+def test_percolate_indexed_plan_has_no_join(spark, perc_dir):
+    from flume_elasticsearch_2_spark.operators.percolate import percolate_indexed
+
+    df = percolate_indexed(spark, perc_dir, "batch scan small table")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # denormalized (mode, n_terms) => prune -> group -> filter, never a join
+    assert "Join" not in plan, plan
