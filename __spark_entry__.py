@@ -1141,6 +1141,15 @@ _DSL_SHOULD_MATCH_BODY = {
         }
     }
 }
+_DSL_BOOSTING_BODY = {
+    "query": {
+        "boosting": {
+            "positive": {"match": {"text": "batch small scan"}},
+            "negative": {"match": {"text": "dup"}},
+            "negative_boost": 0.2,
+        }
+    }
+}
 _DSL_SOURCE_BODY = {
     "query": {"match": {"text": "dup batch scan"}},
     "_source": ["lang", "n_chars"],
@@ -1176,6 +1185,14 @@ def _dsl_should_match_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
 
     return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_SHOULD_MATCH_BODY)
+
+
+def _dsl_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boosting query: negative matches DEMOTED (score x negative_boost),
+    not excluded — declarative two-pass plan with one extra JVM flag col."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_BOOSTING_BODY)
 
 
 def _dsl_source_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1308,6 +1325,7 @@ _R3_NEW = [
     "dsl_should_match_segment",
     "dsl_source_filtered",
     "dsl_source_filtered_segment",
+    "dsl_boosting",
 ]
 _R2_UNRECORDED = [
     "cosine_topk_ivf", "cosine_topk_lsh_exhaustive", "cosine_topk_ivf_indexed",
@@ -1443,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_should_match_segment"] = _dsl_should_match_segment
     q["dsl_source_filtered"] = _dsl_source_filtered
     q["dsl_source_filtered_segment"] = _dsl_source_filtered_segment
+    q["dsl_boosting"] = _dsl_boosting
     # newest-first, then previously-unrecorded: the driver artifact truncates
     # at 50 keys in dict order (judge r2 finding #1)
     priority = _R3_NEW + _R2_UNRECORDED
@@ -1821,6 +1840,7 @@ SELECT CAST(rk // 100 AS BIGINT) AS page, doc_id FROM r
     o["dsl_should_match_segment"] = o["dsl_should_match"]
     o["dsl_source_filtered"] = dsl_search_sql(_DSL_SOURCE_BODY)
     o["dsl_source_filtered_segment"] = o["dsl_source_filtered"]
+    o["dsl_boosting"] = dsl_search_sql(_DSL_BOOSTING_BODY)
     o["dedup_exact_docs"] = """
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,

@@ -100,6 +100,7 @@ class _Spec:
         self.const_score: float = 1.0  # match_all/ids/constant_score score
         self.rescore: dict | None = None  # (phrase, window, qw, rw)
         self.source: list[str] | None = None  # _source stored-field filter
+        self.boosting: tuple | None = None  # (pos_query, neg_query, nb, mode)
 
 
 def _parse_match(
@@ -380,6 +381,34 @@ def parse_body(
         spec.kind = "dis_max"
         spec.clauses = clauses
         spec.tie_breaker = float(val.get("tie_breaker", 0.0))
+    elif kind == "boosting":
+        # ES/Lucene boosting query: positive scores, negative DEMOTES
+        # (multiplies by negative_boost) instead of excluding
+        extra_b = set(val) - {"positive", "negative", "negative_boost"}
+        if extra_b:
+            _err(f"boosting keys {sorted(extra_b)}")
+        pk, pv = _one_field(val.get("positive") or _err("boosting needs positive"), "positive")
+        if pk != "match":
+            _err(f"boosting positive {pk!r} (match only)")
+        pf, pq = _one_field(pv, "match")
+        if pf != text_col:
+            _err(f"boosting positive on {pf!r}")
+        mode = "or"
+        if isinstance(pq, dict):
+            extra_p = set(pq) - {"query", "operator"}
+            if extra_p:
+                _err(f"boosting positive options {sorted(extra_p)}")
+            mode = {"or": "or", "and": "and"}[pq.get("operator", "or")]
+            pq = pq["query"]
+        nk, nv = _one_field(val.get("negative") or _err("boosting needs negative"), "negative")
+        if nk not in ("match", "term"):
+            _err(f"boosting negative {nk!r}")
+        nf, nq = _one_field(nv, nk)
+        if nf != text_col:
+            _err(f"boosting negative on {nf!r}")
+        nq = nq if isinstance(nq, str) else nq.get("query", nq.get("value"))
+        spec.kind = "boosting"
+        spec.boosting = (pq, str(nq), float(val.get("negative_boost", 0.5)), mode)
     elif kind == "match_all":
         spec.kind = "match_all"
         if val not in ({}, None):
@@ -673,6 +702,16 @@ def dsl_search(
             docs, spec.query, k=spec.size, id_col=id_col, text_col=text_col,
             slop=spec.slop,
         )
+    if spec.kind == "boosting":
+        if spec.filters or mn or spec.from_:
+            _err("boosting with filters/must_not/from")
+        from .topk import bm25_boosting_topk
+
+        pq, nq, nb, bmode = spec.boosting
+        return bm25_boosting_topk(
+            docs, pq, nq, negative_boost=nb, k=spec.size, mode=bmode,
+            id_col=id_col, text_col=text_col,
+        )
     if spec.kind == "dis_max":
         if spec.filters or mn or spec.from_:
             _err("dis_max/multi_match with filters/must_not/from")
@@ -757,6 +796,15 @@ def dsl_search_sql(
         return _apply_source_sql(inner, spec, table)
     if spec.kind == "phrase":
         return bm25_phrase_topk_sql(spec.query, k=spec.size, table=table, slop=spec.slop)
+    if spec.kind == "boosting":
+        if spec.filters or mn or spec.from_:
+            _err("boosting with filters/must_not/from")
+        from .topk import bm25_boosting_topk_sql
+
+        pq, nq, nb, bmode = spec.boosting
+        return bm25_boosting_topk_sql(
+            pq, nq, negative_boost=nb, k=spec.size, mode=bmode, table=table
+        )
     if spec.kind == "dis_max":
         if spec.filters or mn or spec.from_:
             _err("dis_max/multi_match with filters/must_not/from")
@@ -806,6 +854,11 @@ def dsl_search_index(
     spec = parse_body(body, text_col, analyzed_fields)
     mn = " ".join(spec.must_not_text) or None
     multifield = hasattr(searcher, "field_searcher")
+    if spec.kind == "boosting":
+        _err(
+            "boosting is declarative-only in this version (the demoted "
+            "candidate set cannot be filtered server-side yet)"
+        )
     if spec.kind == "dis_max":
         if spec.filters or mn or spec.from_:
             _err("dis_max/multi_match with filters/must_not/from")

@@ -460,6 +460,155 @@ LIMIT {k}{f' OFFSET {offset}' if offset else ''}
 """
 
 
+def bm25_boosting_topk(
+    docs: DataFrame,
+    positive: str,
+    negative: str,
+    negative_boost: float = 0.5,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "or",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """ES/Lucene ``boosting`` query (SURVEY §2.5 Q21 subset): candidates and
+    base scores come from the POSITIVE match exactly as :func:`bm25_topk`
+    computes them (index-wide stats); docs also matching any analyzed
+    NEGATIVE term keep their rank eligibility but have their score
+    multiplied by ``negative_boost`` (demotion, not exclusion — the
+    difference from ``must_not``).
+
+    Same two-narrow-pass plan as :func:`bm25_topk` with one extra JVM
+    column (the negative-match flag); ordering by the exact demoted score,
+    output rounded to 6 decimals."""
+    if not 0.0 <= float(negative_boost) <= 1.0:
+        raise ValueError("negative_boost must be in [0, 1]")
+    q_terms = tokenize(positive)
+    spark = docs.sparkSession
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not q_terms:
+        return empty
+    weights: dict[str, float] = {}
+    for t in q_terms:
+        weights[t] = weights.get(t, 0.0) + 1.0
+    distinct_terms = sorted(weights)
+    neg_terms = sorted(set(tokenize(negative)))
+    toks = tokens_col(text_col)
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double").alias(f"tf_{i}")
+            for i, t in enumerate(distinct_terms)
+        ],
+        (
+            F.exists(toks, lambda x: x.isin(neg_terms)) if neg_terms else F.lit(False)
+        ).alias("neg"),
+    )
+    stats_row = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(distinct_terms))
+        ],
+    ).collect()[0]
+    n_docs = int(stats_row["n_docs"])
+    avgdl = float(stats_row["avgdl"]) if stats_row["avgdl"] is not None else 0.0
+    if n_docs == 0 or avgdl == 0.0:
+        return empty
+    present_n = sum(1 for i in range(len(distinct_terms)) if int(stats_row[f"df_{i}"]) > 0)
+    if present_n == 0 or (mode == "and" and present_n < len(distinct_terms)):
+        return empty
+    score = F.lit(0.0)
+    for i, t in enumerate(distinct_terms):
+        df_t = int(stats_row[f"df_{i}"])
+        if df_t == 0:
+            continue
+        score = score + float(weights[t]) * bm25_col(
+            F.col(f"tf_{i}"), F.lit(df_t), F.col("dl"), F.lit(n_docs), F.lit(avgdl), k1, b
+        )
+    score = score * F.when(F.col("neg"), F.lit(float(negative_boost))).otherwise(F.lit(1.0))
+    scored = per_doc.withColumn("score_exact", score)
+    if mode == "and":
+        cond = F.lit(True)
+        for i in range(len(distinct_terms)):
+            cond = cond & (F.col(f"tf_{i}") > 0)
+        scored = scored.where(cond)
+    return (
+        scored.where(F.col("score_exact") > 0.0)
+        .orderBy(F.col("score_exact").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.round("score_exact", 6).alias("score"))
+    )
+
+
+def bm25_boosting_topk_sql(
+    positive: str,
+    negative: str,
+    negative_boost: float = 0.5,
+    k: int = 10,
+    mode: str = "or",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`bm25_boosting_topk` — the bm25 oracle with a
+    CASE demotion factor over the negative match set."""
+    q_terms = tokenize(positive)
+    weights: dict[str, float] = {}
+    for t in q_terms:
+        weights[t] = weights.get(t, 0.0) + 1.0
+    terms_values = ", ".join(f"('{t}', {c!r})" for t, c in sorted(weights.items()))
+    in_list = ", ".join(f"'{t}'" for t in sorted(weights))
+    and_filter = f"HAVING count(DISTINCT term) = {len(weights)}" if mode == "and" else ""
+    neg_terms = sorted(set(tokenize(negative)))
+    neg_list = ", ".join(f"'{t}'" for t in neg_terms)
+    from ..functions.tokenizer import duckdb_token_pattern
+
+    tok_expr = f"regexp_extract_all(lower(text), '{duckdb_token_pattern()}')"
+    neg_pred = (
+        f"list_has_any({tok_expr}, [{neg_list}])" if neg_terms else "FALSE"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tok_expr}) AS term FROM {table}
+),
+dl AS (SELECT doc_id, len({tok_expr}) AS dl FROM {table}),
+neg AS (SELECT doc_id, {neg_pred} AS neg FROM {table}),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term, qw) AS (VALUES {terms_values}),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN ({in_list}) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({in_list}) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         qterms.qw * ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS partial,
+         tf.term
+  FROM tf
+  JOIN dfreq USING (term) JOIN qterms USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+combined AS (
+  SELECT s.doc_id,
+         sum(s.partial) * (CASE WHEN any_value(n.neg) THEN {float(negative_boost)!r} ELSE 1.0 END) AS c
+  FROM scored s JOIN neg n ON n.doc_id = s.doc_id
+  GROUP BY s.doc_id
+  {and_filter.replace('count(DISTINCT term)', 'count(DISTINCT s.term)')}
+)
+SELECT doc_id, round(c, 6) AS score FROM combined
+WHERE c > 0
+ORDER BY c DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 # -- match count (ES _count API) ---------------------------------------------
 
 

@@ -634,23 +634,30 @@ def _finalize_from_partials(
         .parquet(f"{tmp}/postings")
     )
 
-    terms_df = (
+    # ONE column-pruned metadata pass over the written postings feeds BOTH
+    # the global term dictionary and the skew audit (two separate directory
+    # scans before round 3 — at small corpus sizes the extra file-open pass
+    # was pure fixed overhead on the parallel-efficiency-critical path).
+    # Binary posting bytes are never read.
+    from pyspark import StorageLevel
+
+    meta_rows = (
         spark.read.parquet(f"{tmp}/postings")
-        .groupBy("term")
-        .agg(F.sum("n").cast("long").alias("df"), F.sum("cf").cast("long").alias("cf"))
+        .select("shard", "term", "n", "cf")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    terms_df = meta_rows.groupBy("term").agg(
+        F.sum("n").cast("long").alias("df"), F.sum("cf").cast("long").alias("cf")
     )
     terms_df.coalesce(max(1, n_shards // 4)).write.mode("overwrite").parquet(f"{tmp}/terms")
 
-    # skew audit (north_rule "skew handled explicitly"): postings per shard
-    # from the already-pruned metadata read; doc-range sharding should keep
-    # max/median near 1 even with Zipfian stopwords, and the manifest records
-    # the evidence. Column-pruned: binary posting bytes never read.
+    # skew audit (north_rule "skew handled explicitly"): doc-range sharding
+    # should keep max/median near 1 even with Zipfian stopwords, and the
+    # manifest records the evidence.
     shard_rows = (
-        spark.read.parquet(f"{tmp}/postings")
-        .groupBy("shard")
-        .agg(F.sum("n").alias("postings"))
-        .collect()
+        meta_rows.groupBy("shard").agg(F.sum("n").alias("postings")).collect()
     )
+    meta_rows.unpersist()
     per_shard = sorted(int(r["postings"]) for r in shard_rows)
     skew = (
         round(per_shard[-1] / per_shard[len(per_shard) // 2], 4) if per_shard else 1.0

@@ -476,3 +476,54 @@ def test_source_rejects_bad_compositions():
         parse_body({"query": {"match": {"text": "a"}}, "_source": "lang"})
     # _source: false is the ids+scores-only no-op
     assert parse_body({"query": {"match": {"text": "a"}}, "_source": False}).source is None
+
+
+BOOSTING_BODY = {
+    "query": {
+        "boosting": {
+            "positive": {"match": {"text": "batch small scan"}},
+            "negative": {"match": {"text": "dup"}},
+            "negative_boost": 0.2,
+        }
+    }
+}
+
+
+def test_boosting_demotes_not_excludes(documents, duck):
+    """ES boosting query: negative matches stay in the candidate set at
+    negative_boost x their score (vs must_not, which removes them)."""
+    got = [tuple(r) for r in dsl_search(documents, BOOSTING_BODY).collect()]
+    want = [tuple(r) for r in duck.execute(dsl_search_sql(BOOSTING_BODY)).fetchall()]
+    assert got == want and got
+    # semantics pin on a crafted corpus: demoted doc reranks below, never out
+    import duckdb as _d
+
+    rows = [(0, "alpha beta"), (1, "alpha beta bad"), (2, "alpha")]
+    body = {
+        "query": {
+            "boosting": {
+                "positive": {"match": {"text": "alpha beta"}},
+                "negative": {"term": {"text": "bad"}},
+                "negative_boost": 0.1,
+            }
+        }
+    }
+    import pyspark.sql  # noqa: F401
+
+    from flume_elasticsearch_2_spark.session import get_spark
+
+    spark = get_spark(app_name="fts-tests", master="local[8]", shuffle_partitions=8)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hits = dsl_search(df, body).collect()
+    ids = [r.doc_id for r in hits]
+    assert set(ids) == {0, 1, 2} and ids[0] == 0 and ids[-1] == 1  # demoted last
+    con = _d.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want2 = [tuple(r) for r in con.execute(dsl_search_sql(body)).fetchall()]
+    assert [tuple(r) for r in hits] == want2
+
+
+def test_boosting_rejected_on_serving(searcher):
+    with pytest.raises(ValueError, match="declarative-only"):
+        dsl_search_index(searcher, BOOSTING_BODY)
