@@ -134,3 +134,34 @@ def test_suggest_dictionary_agg_is_map_side_combined(spark, documents):
     plan = _plan(term_suggest(documents, "scann"))
     assert plan.count("HashAggregate") >= 2  # partial + final dictionary agg
     assert "Join" not in plan
+
+
+def test_dismax_is_join_free_take_ordered(spark, documents):
+    """Multi-field dis_max (round 3): the scoring pass is ONE projection over
+    the corpus ending in TakeOrderedAndProject — per-field dl and per-pair tf
+    are JVM expressions in the same select, the combine is greatest()/
+    arithmetic, and there is NO join or shuffle anywhere in the plan."""
+    from pyspark.sql import functions as F
+
+    from flume_elasticsearch_2_spark.functions.tokenizer import tokens_col
+    from flume_elasticsearch_2_spark.operators.multifield import bm25_dismax_topk
+
+    fdocs = documents.withColumn(
+        "title", F.array_join(F.slice(tokens_col("text"), 1, 5), " ")
+    )
+    clauses = [("title", "dup batch", "or"), ("text", "batch scan", "and")]
+    plan = _plan(bm25_dismax_topk(fdocs, clauses, k=10, tie_breaker=0.2))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan and "Exchange" not in plan, plan
+
+
+def test_scroll_export_reads_doc_streams_only(spark, index_dir):
+    """scroll_export: both passes are one-task-per-shard decodes of the
+    postings DOC streams; nothing is sorted globally (no Exchange above the
+    emit stage) and nothing but (page, doc_id) leaves the tasks."""
+    from flume_elasticsearch_2_spark.plans.query_index import IndexSearcher
+
+    s = IndexSearcher(spark, index_dir)
+    df = s.scroll_export("batch small scan", page_size=50)
+    plan = _plan(df)
+    assert "Exchange" not in plan and "Sort" not in plan, plan
