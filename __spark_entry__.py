@@ -502,6 +502,10 @@ _MT_CASES = {
     "bm25_wildcard": ("s*r*", "wildcard", {"boost": 2.5}),
     # fuzzy defaults to scoring_boolean; 'part'~2 -> {part, fast, sort}
     "bm25_fuzzy": ("part", "fuzzy", {"fuzziness": 2}),
+    # ES regexp query (Lucene RegexpQuery, whole-term match): alternation in
+    # a group after the literal prefix 's' (the serving path's range-pruning
+    # key) -> {scan, small, sort}; scoring_boolean re-scores the expansion
+    "bm25_regexp": ("s(can|mall|ort)", "regexp", {"rewrite": "scoring_boolean"}),
 }
 
 
@@ -1326,6 +1330,8 @@ _R3_NEW = [
     "dsl_source_filtered",
     "dsl_source_filtered_segment",
     "dsl_boosting",
+    "bm25_regexp",
+    "bm25_segment_regexp",
 ]
 _R2_UNRECORDED = [
     "cosine_topk_ivf", "cosine_topk_lsh_exhaustive", "cosine_topk_ivf_indexed",

@@ -57,11 +57,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 from ..functions.tokenizer import duckdb_token_pattern, tokenize, tokens_col
 from .highlight import search_highlight, search_highlight_sql
 from .mlt import more_like_this
-from .multiterm import bm25_multiterm_topk, multiterm_topk_sql
+from .multiterm import _normalize_pattern, bm25_multiterm_topk, multiterm_topk_sql
 from .sorting import match_sorted, match_sorted_sql
 from .topk import bm25_phrase_topk, bm25_phrase_topk_sql, bm25_topk, bm25_topk_sql
 
-_MT_KINDS = ("prefix", "wildcard", "fuzzy")
+_MT_KINDS = ("prefix", "wildcard", "fuzzy", "regexp")
 
 
 def _err(msg: str):
@@ -440,6 +440,12 @@ def parse_body(
                 kw["boost"] = float(v["boost"])
         else:
             pat = v
+        try:
+            # front-door pattern validation (wildcard charset, regexp's
+            # three-engine syntax subset) — fail at parse, not mid-plan
+            _normalize_pattern(str(pat), kind, int(kw.get("prefix_length", 0)))
+        except ValueError as e:
+            _err(str(e))
         spec.kind = "multiterm"
         spec.mt = (pat, kind, kw)
     elif kind == "more_like_this":

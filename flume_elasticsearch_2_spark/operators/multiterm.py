@@ -1,4 +1,5 @@
-"""Multi-term queries: ES ``prefix`` / ``wildcard`` / ``fuzzy`` (SURVEY §2.5).
+"""Multi-term queries: ES ``prefix`` / ``wildcard`` / ``fuzzy`` / ``regexp``
+(SURVEY §2.5).
 
 The reference deployment's ES 1.x query surface includes the Lucene
 MultiTermQuery family (delegation site: ElasticsearchSink.java:54 — the sink
@@ -26,6 +27,17 @@ Fuzzy uses plain Levenshtein distance with Lucene's ``prefix_length`` exact
 prefix guard; Spark's ``levenshtein`` and DuckDB's ``levenshtein`` are
 bit-identical on the analyzer's token class (pinned in tests).
 
+``regexp`` (ES regexp query, whole-term match like Lucene's RegexpQuery) is
+restricted to the syntax subset on which Java regex (Spark ``rlike``), RE2
+(DuckDB ``regexp_full_match``) and Python ``re`` agree byte-for-byte:
+literals ``[a-z0-9]``, ``.``, ``*``, ``+``, ``?``, alternation ``|``,
+groups ``(…)``, character classes ``[…]`` (with ranges), and bounded
+repeats ``{m,n}``. Backslash escapes, anchors, and Lucene-regexp-only
+operators (``~ & < >``) are rejected — three-engine parity over a corpus
+dictionary is pinned in tests. Matching is implicitly anchored to the whole
+term (the Lucene contract): Spark wraps as ``^(?:pat)$``, DuckDB uses
+``regexp_full_match``, Python uses ``re.fullmatch``.
+
 Scale shape: the declarative expansion is one map-side-combine aggregation
 over ``array_distinct`` tokens (df per term) + a ≤``max_expansions`` collect;
 the scoring pass is the existing two-narrow-pass :func:`bm25_topk` plan. On
@@ -47,6 +59,22 @@ MAX_EXPANSIONS = 50  # Lucene/ES default
 
 _PREFIX_RE = re.compile(r"^[a-z0-9]+$")
 _WILDCARD_RE = re.compile(r"^[a-z0-9*?]+$")
+# regexp subset: chars on which Java regex / RE2 / Python `re` agree (module
+# docstring). No backslash, no anchors, no Lucene-regexp extra operators.
+_REGEXP_RE = re.compile(r"^[a-z0-9.*+?|()\[\]\-{},]+$")
+
+
+def _validate_regexp(pattern: str) -> str:
+    pattern = pattern.lower()
+    if not _REGEXP_RE.match(pattern):
+        raise ValueError(
+            f"regexp pattern must use only [a-z0-9.*+?|()[]-{{}},], got {pattern!r}"
+        )
+    try:
+        re.compile(pattern)
+    except re.error as e:
+        raise ValueError(f"invalid regexp pattern {pattern!r}: {e}") from None
+    return pattern
 
 
 def translate_wildcard(pattern: str) -> str:
@@ -68,6 +96,8 @@ def _normalize_pattern(pattern: str, kind: str, prefix_length: int) -> str:
     elif kind == "wildcard":
         if not _WILDCARD_RE.match(pattern):
             raise ValueError(f"wildcard pattern must be [a-z0-9*?]+, got {pattern!r}")
+    elif kind == "regexp":
+        pattern = _validate_regexp(pattern)
     else:
         raise ValueError(f"unknown multi-term kind {kind!r}")
     if prefix_length < 0:
@@ -86,6 +116,26 @@ def literal_prefix(pattern: str, kind: str, prefix_length: int = 0) -> str:
             if ch in "*?":
                 return pattern[:i]
         return pattern
+    if kind == "regexp":
+        # a `|` at nesting depth 0 voids any prefix guarantee — `b.tch|d.p`
+        # matches "dup", which shares no prefix with the left branch
+        depth = 0
+        for ch in pattern:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == "|" and depth == 0:
+                return ""
+        # otherwise chars before the first meta are a guaranteed literal
+        # prefix, except a quantifier makes the last literal optional or
+        # repeatable (`ab*` matches "a", `ab{0,2}`…) so stop one short of it
+        lit = ""
+        for ch in pattern:
+            if ch not in "abcdefghijklmnopqrstuvwxyz0123456789":
+                return lit[:-1] if ch in "*?{" and lit else lit
+            lit += ch
+        return lit
     return pattern[:prefix_length]
 
 
@@ -114,6 +164,8 @@ def match_term_py(
     if kind == "wildcard":
         rx = "".join(".*" if c == "*" else "." if c == "?" else re.escape(c) for c in pattern)
         return re.fullmatch(rx, term) is not None
+    if kind == "regexp":
+        return re.fullmatch(pattern, term) is not None
     if prefix_length > 0 and term[:prefix_length] != pattern[:prefix_length]:
         return False
     return levenshtein_py(term, pattern) <= int(fuzziness)
@@ -128,6 +180,8 @@ def term_match_cond(
         return term.startswith(pattern)
     if kind == "wildcard":
         return term.like(translate_wildcard(pattern))
+    if kind == "regexp":
+        return term.rlike(f"^(?:{pattern})$")
     # fuzzy: whole-term edit distance with an exact-prefix guard
     cond = F.levenshtein(term, F.lit(pattern)) <= F.lit(int(fuzziness))
     if prefix_length > 0:
@@ -143,6 +197,8 @@ def term_match_sql(
         return f"term LIKE '{pattern}%'"
     if kind == "wildcard":
         return f"term LIKE '{translate_wildcard(pattern)}'"
+    if kind == "regexp":
+        return f"regexp_full_match(term, '{pattern}')"
     cond = f"levenshtein(term, '{pattern}') <= {int(fuzziness)}"
     if prefix_length > 0:
         cond += f" AND substr(term, 1, {prefix_length}) = '{pattern[:prefix_length]}'"
@@ -201,7 +257,7 @@ def bm25_multiterm_topk(
     """Top-k for a multi-term query, declarative plan (expansion + rewrite).
 
     ``rewrite=None`` picks the ES default per kind: ``constant_score`` for
-    prefix/wildcard, ``scoring_boolean`` for fuzzy.
+    prefix/wildcard/regexp, ``scoring_boolean`` for fuzzy.
     """
     if rewrite is None:
         rewrite = "scoring_boolean" if kind == "fuzzy" else "constant_score"

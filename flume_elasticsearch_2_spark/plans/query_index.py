@@ -1055,8 +1055,8 @@ class IndexSearcher:
         max_expansions: int = 50,
         boost: float = 1.0,
     ) -> DataFrame:
-        """ES ``prefix`` / ``wildcard`` / ``fuzzy`` on the SERVING path:
-        dictionary expansion (:meth:`expand_terms`) + rewrite.
+        """ES ``prefix`` / ``wildcard`` / ``fuzzy`` / ``regexp`` on the
+        SERVING path: dictionary expansion (:meth:`expand_terms`) + rewrite.
 
         ``scoring_boolean`` reuses the whole scatter/gather BM25 engine on
         the expanded OR query (rank-identical to the declarative rewrite).

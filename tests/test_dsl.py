@@ -31,6 +31,11 @@ BODIES: list[tuple[str, dict, bool]] = [
     ("prefix", {"query": {"prefix": {"text": "ba"}}}, True),
     ("wildcard", {"query": {"wildcard": {"text": "s*r*"}}}, True),
     (
+        "regexp",
+        {"query": {"regexp": {"text": {"value": "s(can|mall|ort)"}}}, "size": 8},
+        True,
+    ),
+    (
         "fuzzy",
         {"query": {"fuzzy": {"text": {"value": "part", "fuzziness": 2}}}},
         True,
@@ -185,7 +190,7 @@ def test_dsl_mlt_routes(documents, searcher):
     "bad",
     [
         {"query": {"match": {"title": "x"}}},
-        {"query": {"regexp": {"text": "a.*"}}},
+        {"query": {"regexp": {"text": "a\\d+"}}},  # backslash outside the 3-engine subset
         {"query": {"bool": {"must": [{"match": {"text": "a"}}, {"match": {"text": "b"}}]}}},
         {"query": {"match": {"text": "a"}}, "aggs": {}},
         {"query": {"bool": {"filter": [{"regexp": {"field": "lang"}}]}}},

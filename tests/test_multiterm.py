@@ -35,6 +35,14 @@ CASES = [
     ("scam", "fuzzy", {"fuzziness": 1}),
     ("part", "fuzzy", {"fuzziness": 2}),
     ("part", "fuzzy", {"fuzziness": 2, "prefix_length": 1}),
+    # regexp (ES RegexpQuery, whole-term): group alternation keeps the 's'
+    # literal prefix for serving-path range pruning ...
+    ("s(can|mall|ort)", "regexp", {}),
+    # ... top-level alternation voids the literal prefix (full-dict scan)
+    ("b.tch|d.p", "regexp", {}),
+    # char class + star + bounded repeat
+    ("s[a-z]*k", "regexp", {}),
+    ("dupl{0,1}", "regexp", {}),
 ]
 REWRITES = ["constant_score", "scoring_boolean"]
 
@@ -84,6 +92,58 @@ def test_wildcard_translation_and_validation():
         translate_wildcard("bad pattern")
     with pytest.raises(ValueError):
         translate_wildcard("a%b")
+
+
+def test_regexp_three_engine_parity(spark, duck):
+    """The regexp oracle rests on Java regex (rlike), RE2 (regexp_full_match)
+    and Python `re` agreeing on the documented syntax subset over the
+    analyzer's token class — checked exhaustively on a fixed vocabulary."""
+    words = [
+        "scan", "scn", "scnn", "scann", "batch", "bats", "ab", "abb", "abbb",
+        "bat", "cat", "cats", "spark", "stack", "dup", "dupl", "a", "sk",
+    ]
+    pats = [
+        "sc.n+", "bat(ch|s)", "ab{1,2}", "[a-c]at.*", "x|batch",
+        "s[a-z]*k", "dupl{0,1}", "s(can|mall|ort)",
+    ]
+    for p in pats:
+        py = [w for w in words if match_term_py(w, p, "regexp")]
+        jvm = [
+            r.w
+            for r in spark.createDataFrame([(w,) for w in words], "w string")
+            .where(F.col("w").rlike(f"^(?:{p})$"))
+            .collect()
+        ]
+        dd = [
+            w
+            for w in words
+            if duck.sql(f"SELECT regexp_full_match('{w}', '{p}')").fetchone()[0]
+        ]
+        assert sorted(py) == sorted(jvm) == sorted(dd), p
+
+
+def test_regexp_validation_and_literal_prefix():
+    from flume_elasticsearch_2_spark.operators.multiterm import (
+        _normalize_pattern,
+        literal_prefix,
+    )
+
+    for bad in ["a\\d", "A B", "a(b", "foo\\*", "ab^c", "a$"]:
+        with pytest.raises(ValueError):
+            _normalize_pattern(bad, "regexp", 0)
+    # literal prefix: quantifier makes the last literal optional; top-level
+    # alternation voids the prefix entirely (`ab|cd` matches "cd")
+    assert literal_prefix("s(can|mall)", "regexp") == "s"
+    assert literal_prefix("ab*c", "regexp") == "a"
+    assert literal_prefix("ab{0,2}c", "regexp") == "a"
+    assert literal_prefix("ab+c", "regexp") == "ab"
+    assert literal_prefix("ab|cd", "regexp") == ""
+    # the `|` voids the prefix even when a meta precedes it — `b.tch|d.p`
+    # matches "dup", which shares nothing with "b" (regression: the scan
+    # must not stop at the first meta before seeing a depth-0 alternation)
+    assert literal_prefix("b.tch|d.p", "regexp") == ""
+    assert literal_prefix("b.tch", "regexp") == "b"
+    assert literal_prefix("abc", "regexp") == "abc"
 
 
 @pytest.mark.parametrize("pattern,kind,kw", CASES)
