@@ -845,6 +845,34 @@ def _dsl_agg_terms_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsl_aggregation_index(_segment_searcher(spark, sf_dir), _DSL_AGG_BODY)
 
 
+_DSL_NESTED_AGG_BODY = {
+    "query": {"match": {"text": "dup batch scan"}},
+    "aggs": {
+        "by_lang": {
+            "terms": {"field": "lang", "size": 5},
+            "aggs": {"chars": {"stats": {"field": "n_chars"}}},
+        }
+    },
+}
+
+
+def _dsl_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested aggs (terms buckets + stats sub-agg — the ES sub-agg form of
+    the 1.x terms_stats facet) over the match scope, declarative path: one
+    map-side-combined groupBy on the key field."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _DSL_NESTED_AGG_BODY)
+
+
+def _dsl_nested_agg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested aggs on the SERVING path: per-shard (key -> count/min/max/sum)
+    partials from postings-decoded match sets, merged in one tiny final agg."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_index
+
+    return dsl_aggregation_index(_segment_searcher(spark, sf_dir), _DSL_NESTED_AGG_BODY)
+
+
 def _explain_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _explain: per-term BM25 breakdown of the query's own top-1 hit
     (sf-independent — the Spark side picks it, the oracle pins the same doc
@@ -1159,6 +1187,31 @@ _DSL_SOURCE_BODY = {
     "_source": ["lang", "n_chars"],
     "size": 5,
 }
+_DSL_SPAN_NEAR_BODY = {
+    "query": {
+        "span_near": {
+            "clauses": [
+                {"span_term": {"text": "batch"}},
+                {"span_term": {"text": "scan"}},
+            ],
+            "slop": 3,
+            "in_order": True,
+        }
+    },
+    "size": 10,
+}
+_DSL_FSCORE_BODY = {
+    "query": {
+        "function_score": {
+            "query": {"match": {"text": "dup batch scan"}},
+            "field_value_factor": {
+                "field": "n_chars", "factor": 0.5, "modifier": "ln1p",
+            },
+            "boost_mode": "multiply",
+        }
+    },
+    "size": 10,
+}
 
 
 def _dsl_exists_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,6 +1250,31 @@ def _dsl_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flume_elasticsearch_2_spark.operators.dsl import dsl_search
 
     return dsl_search(_docs(spark, sf_dir), _DSL_BOOSTING_BODY)
+
+
+def _dsl_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene span_near (in_order) over span_terms: routed to the pinned
+    ordered-window slop contract (Q29) — declarative nested-lambda plan."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_SPAN_NEAR_BODY)
+
+
+def _dsl_span_near_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_near on the SERVING path: the positional index's vectorized
+    searchsorted successor-chain kernel."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_SPAN_NEAR_BODY)
+
+
+def _dsl_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score/field_value_factor: match scores combined with
+    factor*ln1p(field) — re-ranks the match set in the same two-pass plan
+    (the stored field rides the scoring scan, no join)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_FSCORE_BODY)
 
 
 def _dsl_source_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1305,6 +1383,27 @@ def _dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(_docs(spark, sf_dir)).select("doc_id", "lang")
 
 
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sample (40 docs/lang), seeded md5 draw — one
+    group-key shuffle + in-window rank truncation; reproducible at any
+    parallelism."""
+    from flume_elasticsearch_2_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), "lang", 40, seed=7).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def _hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic Bernoulli by doc_id hash — pure map-side JVM
+    predicate, zero shuffles; the kept key set is repartition-stable."""
+    from flume_elasticsearch_2_spark.operators.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), 0.25, seed=3).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 # first-50 priority for the driver's truncated correctness artifact: round-3
 # entries first, then everything CORRECTNESS_r02.json did not record (the
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
@@ -1332,6 +1431,13 @@ _R3_NEW = [
     "dsl_boosting",
     "bm25_regexp",
     "bm25_segment_regexp",
+    "dsl_function_score",
+    "stratified_sample",
+    "hash_sample",
+    "dsl_nested_agg",
+    "dsl_nested_agg_segment",
+    "dsl_span_near",
+    "dsl_span_near_segment",
 ]
 _R2_UNRECORDED = [
     "cosine_topk_ivf", "cosine_topk_lsh_exhaustive", "cosine_topk_ivf_indexed",
@@ -1434,6 +1540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_filtered_1x"] = _dsl_filtered_1x
     q["dsl_agg_terms"] = _dsl_agg_terms
     q["dsl_agg_terms_segment"] = _dsl_agg_terms_segment
+    q["dsl_nested_agg"] = _dsl_nested_agg
+    q["dsl_nested_agg_segment"] = _dsl_nested_agg_segment
     q["dsl_bool"] = _dsl_bool
     q["dsl_bool_segment"] = _dsl_bool_segment
     q["dsl_match_all_filtered"] = _dsl_match_all_filtered
@@ -1461,6 +1569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["scroll_export"] = _scroll_export
     q["percolate_indexed"] = _percolate_indexed
     q["dedup_exact_docs"] = _dedup_exact_docs
+    q["stratified_sample"] = _stratified_sample
+    q["hash_sample"] = _hash_sample
     q["dsl_exists_filter"] = _dsl_exists_filter
     q["dsl_exists_filter_segment"] = _dsl_exists_filter_segment
     q["dsl_should_match"] = _dsl_should_match
@@ -1468,6 +1578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_source_filtered"] = _dsl_source_filtered
     q["dsl_source_filtered_segment"] = _dsl_source_filtered_segment
     q["dsl_boosting"] = _dsl_boosting
+    q["dsl_function_score"] = _dsl_function_score
+    q["dsl_span_near"] = _dsl_span_near
+    q["dsl_span_near_segment"] = _dsl_span_near_segment
     # newest-first, then previously-unrecorded: the driver artifact truncates
     # at 50 keys in dict order (judge r2 finding #1)
     priority = _R3_NEW + _R2_UNRECORDED
@@ -1797,6 +1910,8 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["dsl_filtered_1x"] = _dsql(_DSL_FILTERED_BODY)
     o["dsl_agg_terms"] = dsl_aggregation_sql(_DSL_AGG_BODY)
     o["dsl_agg_terms_segment"] = o["dsl_agg_terms"]
+    o["dsl_nested_agg"] = dsl_aggregation_sql(_DSL_NESTED_AGG_BODY)
+    o["dsl_nested_agg_segment"] = o["dsl_nested_agg"]
     o["dsl_bool"] = dsl_search_sql(_DSL_BOOL_BODY)
     o["dsl_bool_segment"] = o["dsl_bool"]
     o["dsl_match_all_filtered"] = dsl_search_sql(_DSL_MATCHALL_BODY)
@@ -1847,6 +1962,9 @@ SELECT CAST(rk // 100 AS BIGINT) AS page, doc_id FROM r
     o["dsl_source_filtered"] = dsl_search_sql(_DSL_SOURCE_BODY)
     o["dsl_source_filtered_segment"] = o["dsl_source_filtered"]
     o["dsl_boosting"] = dsl_search_sql(_DSL_BOOSTING_BODY)
+    o["dsl_function_score"] = dsl_search_sql(_DSL_FSCORE_BODY)
+    o["dsl_span_near"] = dsl_search_sql(_DSL_SPAN_NEAR_BODY)
+    o["dsl_span_near_segment"] = o["dsl_span_near"]
     o["dedup_exact_docs"] = """
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
@@ -1857,4 +1975,13 @@ SELECT doc_id, lang FROM (
   FROM documents
 ) WHERE rn = 1
 """
+    from flume_elasticsearch_2_spark.operators.sampling import (
+        hash_sample_sql,
+        stratified_sample_sql,
+    )
+
+    o["stratified_sample"] = stratified_sample_sql(
+        "lang", 40, seed=7, columns="doc_id, lang, n_chars"
+    )
+    o["hash_sample"] = hash_sample_sql(0.25, seed=3, columns="doc_id, lang, n_chars")
     return o

@@ -153,6 +153,25 @@ def main() -> None:
     bm25_phrase_topk(docs, "part filter", k=10).collect()
     timings["bm25_phrase_dataframe"] = time.time() - t0
 
+    # 3b'. function_score re-rank (field factor rides the scoring scan —
+    # same two-pass plan as bm25_dataframe, zero extra jobs)
+    from flume_elasticsearch_2_spark.operators.topk import bm25_function_score_topk
+
+    t0 = time.time()
+    bm25_function_score_topk(docs, "dup batch scan", "n_chars", modifier="ln1p").collect()
+    timings["function_score_dataframe"] = time.time() - t0
+
+    # 3b''. deterministic sampling: quota (one group-key shuffle) and
+    # hash-Bernoulli (pure map-side predicate)
+    from flume_elasticsearch_2_spark.operators.sampling import hash_sample, stratified_sample
+
+    t0 = time.time()
+    stratified_sample(docs, "lang", 100, seed=7).count()
+    timings["stratified_sample"] = time.time() - t0
+    t0 = time.time()
+    hash_sample(docs, 0.25, seed=3).count()
+    timings["hash_sample"] = time.time() - t0
+
     # 3c. facets over a hot query's match scope (~60%+ of the corpus):
     # declarative = one corpus pass; serving = per-shard match-set decode
     # from postings doc streams + (doc_id, field)-only docs read

@@ -59,7 +59,13 @@ from .highlight import search_highlight, search_highlight_sql
 from .mlt import more_like_this
 from .multiterm import _normalize_pattern, bm25_multiterm_topk, multiterm_topk_sql
 from .sorting import match_sorted, match_sorted_sql
-from .topk import bm25_phrase_topk, bm25_phrase_topk_sql, bm25_topk, bm25_topk_sql
+from .topk import (
+    FVF_MODIFIERS,
+    bm25_phrase_topk,
+    bm25_phrase_topk_sql,
+    bm25_topk,
+    bm25_topk_sql,
+)
 
 _MT_KINDS = ("prefix", "wildcard", "fuzzy", "regexp")
 
@@ -101,6 +107,8 @@ class _Spec:
         self.rescore: dict | None = None  # (phrase, window, qw, rw)
         self.source: list[str] | None = None  # _source stored-field filter
         self.boosting: tuple | None = None  # (pos_query, neg_query, nb, mode)
+        # (query, mode, field, factor, modifier, missing, boost_mode)
+        self.fscore: tuple | None = None
 
 
 def _parse_match(
@@ -409,6 +417,81 @@ def parse_body(
         nq = nq if isinstance(nq, str) else nq.get("query", nq.get("value"))
         spec.kind = "boosting"
         spec.boosting = (pq, str(nq), float(val.get("negative_boost", 0.5)), mode)
+    elif kind == "span_near":
+        # Lucene/ES span_near over span_term clauses, in_order=true only:
+        # semantically this IS the engine's pinned ordered-window slop
+        # contract (a strictly-increasing occurrence chain per start, Q29),
+        # so it routes to the match_phrase slop machinery on all three
+        # executors. Unordered spans (in_order=false) are a different
+        # predicate and are refused loudly.
+        extra_s = set(val) - {"clauses", "slop", "in_order"}
+        if extra_s:
+            _err(f"span_near keys {sorted(extra_s)}")
+        if not val.get("in_order", False):
+            _err("span_near requires in_order: true (unordered spans unsupported)")
+        terms: list[str] = []
+        for c in val.get("clauses") or _err("span_near needs clauses"):
+            ck, cv = _one_field(c, "span_near clause")
+            if ck != "span_term":
+                _err(f"span_near clause {ck!r} (span_term only)")
+            f, t = _one_field(cv, "span_term")
+            if f != text_col:
+                _err(f"span_term on {f!r}")
+            t = t if isinstance(t, str) else t.get("value")
+            # span_term is term-level (not analyzed): the literal must BE an
+            # analyzed token or it can never match the index
+            if tokenize(str(t).lower()) != [str(t).lower()]:
+                _err(f"span_term {t!r} is not a single analyzed token")
+            terms.append(str(t).lower())
+        if len(terms) < 2:
+            _err("span_near needs >= 2 clauses")
+        spec.kind = "phrase"
+        spec.slop = int(val.get("slop", 0))
+        spec.query = " ".join(terms)
+    elif kind == "function_score":
+        # ES function_score, field_value_factor form: base match scores
+        # combined with factor*modifier(field) per boost_mode — re-ranks the
+        # match set, never widens/narrows it
+        extra_fs = set(val) - {"query", "field_value_factor", "boost_mode"}
+        if extra_fs:
+            _err(f"function_score keys {sorted(extra_fs)}")
+        fvf = val.get("field_value_factor") or _err(
+            "function_score needs field_value_factor (the supported function)"
+        )
+        extra_v = set(fvf) - {"field", "factor", "modifier", "missing"}
+        if extra_v:
+            _err(f"field_value_factor keys {sorted(extra_v)}")
+        modifier = fvf.get("modifier", "none")
+        if modifier not in FVF_MODIFIERS:
+            _err(f"field_value_factor modifier {modifier!r} (supported: {FVF_MODIFIERS})")
+        boost_mode = val.get("boost_mode", "multiply")
+        if boost_mode not in ("multiply", "sum"):
+            _err(f"boost_mode {boost_mode!r} (multiply|sum)")
+        qk, qv = _one_field(val.get("query") or _err("function_score needs query"), "query")
+        if qk != "match":
+            _err(f"function_score query {qk!r} (match only)")
+        qf, qq = _one_field(qv, "match")
+        if qf != text_col:
+            _err(f"function_score match on {qf!r}")
+        fmode = "or"
+        if isinstance(qq, dict):
+            extra_q = set(qq) - {"query", "operator"}
+            if extra_q:
+                _err(f"function_score match options {sorted(extra_q)}")
+            fmode = {"or": "or", "and": "and"}[qq.get("operator", "or")]
+            qq = qq["query"]
+        if "field" not in fvf:
+            _err("field_value_factor needs field")
+        spec.kind = "function_score"
+        spec.fscore = (
+            str(qq),
+            fmode,
+            str(fvf["field"]),
+            float(fvf.get("factor", 1.0)),
+            modifier,
+            float(fvf.get("missing", 1.0)),
+            boost_mode,
+        )
     elif kind == "match_all":
         spec.kind = "match_all"
         if val not in ({}, None):
@@ -718,6 +801,17 @@ def dsl_search(
             docs, pq, nq, negative_boost=nb, k=spec.size, mode=bmode,
             id_col=id_col, text_col=text_col,
         )
+    if spec.kind == "function_score":
+        if spec.filters or mn or spec.from_:
+            _err("function_score with filters/must_not/from")
+        from .topk import bm25_function_score_topk
+
+        q, fmode, field, factor, modifier, missing, boost_mode = spec.fscore
+        return bm25_function_score_topk(
+            docs, q, field, factor=factor, modifier=modifier, missing=missing,
+            boost_mode=boost_mode, k=spec.size, mode=fmode,
+            id_col=id_col, text_col=text_col,
+        )
     if spec.kind == "dis_max":
         if spec.filters or mn or spec.from_:
             _err("dis_max/multi_match with filters/must_not/from")
@@ -811,6 +905,16 @@ def dsl_search_sql(
         return bm25_boosting_topk_sql(
             pq, nq, negative_boost=nb, k=spec.size, mode=bmode, table=table
         )
+    if spec.kind == "function_score":
+        if spec.filters or mn or spec.from_:
+            _err("function_score with filters/must_not/from")
+        from .topk import bm25_function_score_topk_sql
+
+        q, fmode, field, factor, modifier, missing, boost_mode = spec.fscore
+        return bm25_function_score_topk_sql(
+            q, field, factor=factor, modifier=modifier, missing=missing,
+            boost_mode=boost_mode, k=spec.size, mode=fmode, table=table,
+        )
     if spec.kind == "dis_max":
         if spec.filters or mn or spec.from_:
             _err("dis_max/multi_match with filters/must_not/from")
@@ -864,6 +968,12 @@ def dsl_search_index(
         _err(
             "boosting is declarative-only in this version (the demoted "
             "candidate set cannot be filtered server-side yet)"
+        )
+    if spec.kind == "function_score":
+        _err(
+            "function_score is declarative-only in this version (the "
+            "re-ranking factor invalidates the BMW serving bound; a bounded-"
+            "factor rescore window is the planned serving shape)"
         )
     if spec.kind == "dis_max":
         if spec.filters or mn or spec.from_:
@@ -944,15 +1054,32 @@ def _parse_aggs(body: dict, text_col: str) -> tuple[str | None, str, str, dict]:
     if not isinstance(aggs, dict) or len(aggs) != 1:
         _err("exactly one named agg required")
     (_, agg) = next(iter(aggs.items()))
-    kind, conf = _one_field(agg, "agg")
-    if kind not in ("terms", "stats", "histogram"):
-        _err(f"agg kind {kind!r}")
-    field = conf["field"]
-    kw: dict = {}
-    if kind == "terms":
-        kw["size"] = int(conf.get("size", 10))
-    if kind == "histogram":
-        kw["interval"] = int(conf["interval"])
+    sub = agg.get("aggs", agg.get("aggregations"))
+    if sub is not None:
+        # ONE level of nesting: terms bucketing with a stats sub-agg — the
+        # ES sub-agg form of the 1.x terms_stats facet (same result shape)
+        agg = {k: v for k, v in agg.items() if k not in ("aggs", "aggregations")}
+        kind, conf = _one_field(agg, "agg")
+        if kind != "terms":
+            _err(f"sub-aggs under agg kind {kind!r} (terms buckets only)")
+        if not isinstance(sub, dict) or len(sub) != 1:
+            _err("exactly one named sub-agg required")
+        skind, sconf = _one_field(next(iter(sub.values())), "sub-agg")
+        if skind != "stats":
+            _err(f"sub-agg kind {skind!r} (stats only)")
+        kind = "terms_stats"
+        field = (conf["field"], sconf["field"])
+        kw = {"size": int(conf.get("size", 10))}
+    else:
+        kind, conf = _one_field(agg, "agg")
+        if kind not in ("terms", "stats", "histogram"):
+            _err(f"agg kind {kind!r}")
+        field = conf["field"]
+        kw = {}
+        if kind == "terms":
+            kw["size"] = int(conf.get("size", 10))
+        if kind == "histogram":
+            kw["interval"] = int(conf["interval"])
     q = body.get("query", {"match_all": {}})
     qkind, qval = _one_field(q, "query")
     if qkind == "match_all":
@@ -970,18 +1097,40 @@ def _parse_aggs(body: dict, text_col: str) -> tuple[str | None, str, str, dict]:
 def dsl_aggregation(docs: DataFrame, body: dict, text_col: str = "text") -> DataFrame:
     """Execute the body's single agg over its query scope, declarative path
     (ES 1.x facets = aggs over ALL matching docs, not the top-k page)."""
-    from .facets import histogram_facet, stats_facet, terms_facet
+    from .facets import (
+        histogram_facet,
+        match_condition,
+        stats_facet,
+        terms_facet,
+        terms_stats_facet,
+    )
 
     q, kind, field, kw = _parse_aggs(body, text_col)
+    if kind == "terms_stats":
+        key_field, value_field = field
+        where = match_condition(q, kw.pop("mode", "or"), text_col) if q else None
+        return terms_stats_facet(docs, key_field, value_field, where=where, **kw)
     fn = {"terms": terms_facet, "stats": stats_facet, "histogram": histogram_facet}[kind]
     return fn(docs, q, field, text_col=text_col, **kw)
 
 
 def dsl_aggregation_sql(body: dict, table: str = "documents", text_col: str = "text") -> str:
     """DuckDB oracle for :func:`dsl_aggregation`."""
-    from .facets import histogram_facet_sql, stats_facet_sql, terms_facet_sql
+    from .facets import (
+        _match_sql,
+        histogram_facet_sql,
+        stats_facet_sql,
+        terms_facet_sql,
+        terms_stats_facet_sql,
+    )
 
     q, kind, field, kw = _parse_aggs(body, text_col)
+    if kind == "terms_stats":
+        key_field, value_field = field
+        where_sql = _match_sql(q, kw.pop("mode", "or"), None, "ascii") if q else None
+        return terms_stats_facet_sql(
+            key_field, value_field, where_sql=where_sql, table=table, **kw
+        )
     fn = {"terms": terms_facet_sql, "stats": stats_facet_sql, "histogram": histogram_facet_sql}[kind]
     return fn(q, field, table=table, **kw)
 
@@ -990,4 +1139,9 @@ def dsl_aggregation_index(searcher, body: dict, text_col: str = "text") -> DataF
     """Serving-path twin: per-shard match-set decode + partial aggs
     (IndexSearcher.facet)."""
     q, kind, field, kw = _parse_aggs(body, text_col)
+    if kind == "terms_stats":
+        key_field, value_field = field
+        return searcher.facet(
+            q, key_field, kind="terms_stats", value_field=value_field, **kw
+        )
     return searcher.facet(q, field, kind=kind, **kw)

@@ -1,0 +1,130 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+A 100 TB web corpus is never trained on whole: pipelines cap over-represented
+strata (per-language / per-domain quotas) and downsample globally, and both
+steps must be DETERMINISTIC so a re-run of the pipeline (or a resumed one —
+plans/resume.py) selects the same rows. Two operators:
+
+- :func:`stratified_sample` — per-group quota: the ``n_per_group`` smallest
+  rows of each group under a deterministic order (either a plain column or
+  the seeded 60-bit md5 hash of a key column for a pseudo-random-but-
+  reproducible draw). The balanced-corpus shape (e.g. at most N docs per
+  language).
+- :func:`hash_sample` — seeded Bernoulli by key hash: keep a row iff
+  ``md5_60bit(key || ':' || seed) < fraction * 2^60``. Sampling by KEY (not
+  by row position) means the decision is stable under repartitioning,
+  re-ordering, and incremental re-runs — the property row-based
+  ``df.sample`` cannot give — and the same key set is kept at any
+  parallelism.
+
+Both are exactly SQL-expressible (the md5-prefix hash is bit-identical in
+DuckDB — functions/text.py:161), so both are driver-oracle-checkable.
+
+Scale shape: ``stratified_sample`` is ONE hash-partition shuffle on the group
+key + a per-partition window (rank truncation happens inside the window —
+only surviving rows leave the stage); skewed groups bound the reducer at
+group size, same as any per-group top-n. ``hash_sample`` is a pure
+map-side JVM predicate — zero shuffles, pushes nothing to the driver.
+
+Reference analog: the Flume pipeline has no sampler (the reference indexes
+everything, ElasticsearchSink.java:66); these belong to the
+training-data-pipeline operator family the brief adds as first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import MD5_LONG_SQL, md5_long_col
+
+_SIXTY_BITS = 1 << 60
+
+
+def _seeded_hash_col(key_col: str, seed: int) -> F.Column:
+    return md5_long_col(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(int(seed)))))
+
+
+def _seeded_hash_sql(key_col: str, seed: int) -> str:
+    expr = f"(CAST({key_col} AS VARCHAR) || ':' || '{int(seed)}')"
+    return MD5_LONG_SQL.format(expr=expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    by: str,
+    n_per_group: int,
+    order_col: str = "doc_id",
+    seed: int | None = None,
+) -> DataFrame:
+    """Per-group quota sample: the ``n_per_group`` rows of each ``by`` group
+    that are smallest under the deterministic order — ``order_col`` ascending
+    when ``seed`` is None (the "earliest ids per group" contract), else the
+    seeded md5 hash of ``order_col`` (a reproducible pseudo-random draw;
+    different seeds give independent draws). Ties broken by ``order_col`` so
+    the output is unique for any input. Returns the sampled rows with their
+    original columns."""
+    if n_per_group < 1:
+        raise ValueError("n_per_group must be >= 1")
+    rank_col = (
+        F.col(order_col)
+        if seed is None
+        else _seeded_hash_col(order_col, seed)
+    )
+    w = Window.partitionBy(by).orderBy(rank_col.asc(), F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(n_per_group))
+        .drop("_rn")
+    )
+
+
+def stratified_sample_sql(
+    by: str,
+    n_per_group: int,
+    order_col: str = "doc_id",
+    seed: int | None = None,
+    columns: str = "*",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`stratified_sample`."""
+    if n_per_group < 1:
+        raise ValueError("n_per_group must be >= 1")
+    rank = order_col if seed is None else _seeded_hash_sql(order_col, seed)
+    return f"""
+SELECT {columns} FROM {table}
+QUALIFY row_number() OVER (
+  PARTITION BY {by} ORDER BY {rank} ASC, {order_col} ASC
+) <= {int(n_per_group)}
+"""
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Seeded deterministic Bernoulli sample by KEY hash: keep a row iff
+    ``md5_60bit(key:seed) < fraction * 2^60``. The kept set depends only on
+    (key values, seed) — stable under repartitioning and re-runs, and the
+    md5 hash is uniform so the kept fraction concentrates tightly around
+    ``fraction``. Pure map-side predicate; zero shuffles."""
+    if not 0.0 <= float(fraction) <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    threshold = int(float(fraction) * _SIXTY_BITS)
+    return df.where(_seeded_hash_col(key_col, seed) < F.lit(threshold))
+
+
+def hash_sample_sql(
+    fraction: float,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    columns: str = "*",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`hash_sample`."""
+    if not 0.0 <= float(fraction) <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    threshold = int(float(fraction) * _SIXTY_BITS)
+    return f"SELECT {columns} FROM {table} WHERE {_seeded_hash_sql(key_col, seed)} < {threshold}"

@@ -661,3 +661,198 @@ def match_count_sql(
         fn = "list_has_all" if mode == "and" else "list_has_any"
         pred = f"{fn}({tok_expr}, [{term_list}])"
     return f"SELECT CAST(count(*) FILTER ({pred}) AS BIGINT) AS n_matching FROM {table}"
+
+
+# -- function_score (ES field_value_factor) -----------------------------------
+
+# ES field_value_factor modifiers supported: exactly those whose Spark (JVM)
+# and DuckDB float64 results are bit-identical on this codebase's proven op
+# set (ln parity is what the BM25 oracle itself rests on; sqrt is IEEE-exact;
+# the rest are arithmetic). ES's base-10 log/log1p/log2p variants are NOT in
+# the subset — no log10 parity is pinned anywhere here.
+FVF_MODIFIERS = ("none", "ln1p", "ln2p", "sqrt", "square", "reciprocal")
+
+
+def bm25_function_score_topk(
+    docs: DataFrame,
+    query: str,
+    field: str,
+    factor: float = 1.0,
+    modifier: str = "none",
+    missing: float = 1.0,
+    boost_mode: str = "multiply",
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "or",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """ES ``function_score`` with a ``field_value_factor`` function
+    (SURVEY §2.5 Q21 subset; reference delegation site
+    ElasticsearchSink.java:54): candidates and base scores are exactly
+    :func:`bm25_topk`'s (index-wide stats, match semantics decide
+    eligibility — ``base > 0``), then every candidate's score is combined
+    with ``factor * modifier(field_value)`` per ``boost_mode``
+    (``multiply``, the ES default, or ``sum``) and the top-k is taken by
+    the COMBINED score — the function re-ranks, it never widens or narrows
+    the match set. NULL field values take ``missing`` (ES's ``missing``
+    param; ES without it errors on null).
+
+    Same two-narrow-pass plan as :func:`bm25_topk` with one extra JVM
+    column (the per-doc factor); ordering by the exact combined float64,
+    output rounded to 6 decimals. At 10^12 docs this stays one
+    map-side-combine stats agg + one TakeOrderedAndProject pass — the
+    stored field rides the same scan, no join."""
+    if modifier not in FVF_MODIFIERS:
+        raise ValueError(f"modifier must be one of {FVF_MODIFIERS}, got {modifier!r}")
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError(f"boost_mode must be multiply|sum, got {boost_mode!r}")
+    q_terms = tokenize(query)
+    spark = docs.sparkSession
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not q_terms:
+        return empty
+    weights: dict[str, float] = {}
+    for t in q_terms:
+        weights[t] = weights.get(t, 0.0) + 1.0
+    distinct_terms = sorted(weights)
+    toks = tokens_col(text_col)
+    fv = F.coalesce(F.col(field).cast("double"), F.lit(float(missing)))
+    fn = {
+        "none": lambda v: v,
+        "ln1p": lambda v: F.log(F.lit(1.0) + v),
+        "ln2p": lambda v: F.log(F.lit(2.0) + v),
+        "sqrt": F.sqrt,
+        "square": lambda v: v * v,
+        "reciprocal": lambda v: F.lit(1.0) / v,
+    }[modifier]
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double").alias(f"tf_{i}")
+            for i, t in enumerate(distinct_terms)
+        ],
+        (F.lit(float(factor)) * fn(fv)).alias("fsv"),
+    )
+    stats_row = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(distinct_terms))
+        ],
+    ).collect()[0]
+    n_docs = int(stats_row["n_docs"])
+    avgdl = float(stats_row["avgdl"]) if stats_row["avgdl"] is not None else 0.0
+    if n_docs == 0 or avgdl == 0.0:
+        return empty
+    present_n = sum(1 for i in range(len(distinct_terms)) if int(stats_row[f"df_{i}"]) > 0)
+    if present_n == 0 or (mode == "and" and present_n < len(distinct_terms)):
+        return empty
+    base = F.lit(0.0)
+    for i, t in enumerate(distinct_terms):
+        df_t = int(stats_row[f"df_{i}"])
+        if df_t == 0:
+            continue
+        base = base + float(weights[t]) * bm25_col(
+            F.col(f"tf_{i}"), F.lit(df_t), F.col("dl"), F.lit(n_docs), F.lit(avgdl), k1, b
+        )
+    scored = per_doc.withColumn("base", base)
+    if mode == "and":
+        cond = F.lit(True)
+        for i in range(len(distinct_terms)):
+            cond = cond & (F.col(f"tf_{i}") > 0)
+        scored = scored.where(cond)
+    combined = (
+        F.col("base") * F.col("fsv")
+        if boost_mode == "multiply"
+        else F.col("base") + F.col("fsv")
+    )
+    return (
+        scored.where(F.col("base") > 0.0)
+        .withColumn("score_exact", combined)
+        .orderBy(F.col("score_exact").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.round("score_exact", 6).alias("score"))
+    )
+
+
+def bm25_function_score_topk_sql(
+    query: str,
+    field: str,
+    factor: float = 1.0,
+    modifier: str = "none",
+    missing: float = 1.0,
+    boost_mode: str = "multiply",
+    k: int = 10,
+    mode: str = "or",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`bm25_function_score_topk` — the bm25 oracle
+    with a per-doc field-value-factor column combined per ``boost_mode``."""
+    if modifier not in FVF_MODIFIERS:
+        raise ValueError(f"modifier must be one of {FVF_MODIFIERS}, got {modifier!r}")
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError(f"boost_mode must be multiply|sum, got {boost_mode!r}")
+    q_terms = tokenize(query)
+    weights: dict[str, float] = {}
+    for t in q_terms:
+        weights[t] = weights.get(t, 0.0) + 1.0
+    terms_values = ", ".join(f"('{t}', {c!r})" for t, c in sorted(weights.items()))
+    in_list = ", ".join(f"'{t}'" for t in sorted(weights))
+    and_filter = (
+        f"HAVING count(DISTINCT s.term) = {len(weights)}" if mode == "and" else ""
+    )
+    fv = f"coalesce(CAST({field} AS DOUBLE), {float(missing)!r})"
+    fn = {
+        "none": fv,
+        "ln1p": f"ln(1.0 + {fv})",
+        "ln2p": f"ln(2.0 + {fv})",
+        "sqrt": f"sqrt({fv})",
+        "square": f"({fv} * {fv})",
+        "reciprocal": f"(1.0 / {fv})",
+    }[modifier]
+    op = "*" if boost_mode == "multiply" else "+"
+    from ..functions.tokenizer import duckdb_token_pattern
+
+    tok_expr = f"regexp_extract_all(lower(text), '{duckdb_token_pattern()}')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tok_expr}) AS term FROM {table}
+),
+dl AS (SELECT doc_id, len({tok_expr}) AS dl FROM {table}),
+fsv AS (SELECT doc_id, {float(factor)!r} * {fn} AS fsv FROM {table}),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term, qw) AS (VALUES {terms_values}),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN ({in_list}) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({in_list}) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         qterms.qw * ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS partial,
+         tf.term
+  FROM tf
+  JOIN dfreq USING (term) JOIN qterms USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+combined AS (
+  SELECT s.doc_id, sum(s.partial) AS base,
+         sum(s.partial) {op} any_value(f.fsv) AS c
+  FROM scored s JOIN fsv f ON f.doc_id = s.doc_id
+  GROUP BY s.doc_id
+  {and_filter}
+)
+SELECT doc_id, round(c, 6) AS score FROM combined
+WHERE base > 0
+ORDER BY c DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -1431,6 +1431,7 @@ class IndexSearcher:
         size: int = 10,
         interval: int | None = None,
         mode: str = "or",
+        value_field: str | None = None,
     ) -> DataFrame:
         """ES facet/aggregation over the query's match set on the SERVING
         path (operators/facets.py has the declarative twin and semantics).
@@ -1454,6 +1455,13 @@ class IndexSearcher:
             partial_schema = "bucket long, count long"
         elif kind == "stats":
             partial_schema = f"cnt long, mn {ddl}, mx {ddl}, sm double"
+        elif kind == "terms_stats":
+            # terms buckets + stats sub-agg: per-shard partials are one row
+            # per key value (count/min/max/sum of value_field), merged in the
+            # final agg — the match set never leaves the shard tasks
+            if not value_field:
+                raise ValueError("terms_stats facet needs value_field")
+            partial_schema = f"term {ddl}, count long, mn double, mx double, sm double"
         else:
             raise ValueError(f"unknown facet kind {kind!r}")
 
@@ -1479,17 +1487,33 @@ class IndexSearcher:
                         ids = _facet_match_ids(index_dir, shard, present, mode)
                         if len(ids) == 0:
                             continue
+                        cols = ["doc_id", field] + (
+                            [value_field] if kind == "terms_stats" else []
+                        )
                         dt = (
                             pads.dataset(
                                 f"{index_dir}/docs/shard={shard}", format="parquet"
                             )
-                            .to_table(columns=["doc_id", field])
+                            .to_table(columns=cols)
                             .to_pandas()
                         )
-                        vals = dt.loc[
-                            np.isin(dt["doc_id"].to_numpy(), ids, assume_unique=True),
-                            field,
-                        ]
+                        sel = np.isin(dt["doc_id"].to_numpy(), ids, assume_unique=True)
+                        if kind == "terms_stats":
+                            sub = dt.loc[sel, [field, value_field]]
+                            g = sub.groupby(field)[value_field].agg(
+                                ["count", "min", "max", "sum"]
+                            )
+                            yield pd.DataFrame(
+                                {
+                                    "term": g.index,
+                                    "count": g["count"].to_numpy(),
+                                    "mn": g["min"].astype(float).to_numpy(),
+                                    "mx": g["max"].astype(float).to_numpy(),
+                                    "sm": g["sum"].astype(float).to_numpy(),
+                                }
+                            )
+                            continue
+                        vals = dt.loc[sel, field]
                         if kind == "terms":
                             vc = vals.value_counts()
                             yield pd.DataFrame(
@@ -1518,6 +1542,23 @@ class IndexSearcher:
             else:
                 partials = spark.createDataFrame([], partial_schema)
 
+        if kind == "terms_stats":
+            if partials is None:
+                from ..operators.facets import terms_stats_facet
+
+                return terms_stats_facet(docs, field, value_field, size=int(size))
+            return (
+                partials.groupBy("term")
+                .agg(
+                    F.sum("count").alias("count"),
+                    F.round(F.min("mn"), 6).alias("min"),
+                    F.round(F.max("mx"), 6).alias("max"),
+                    F.round(F.sum("sm"), 6).alias("total"),
+                    F.round(F.sum("sm") / F.sum("count"), 6).alias("mean"),
+                )
+                .orderBy(F.col("count").desc(), F.col("term").asc())
+                .limit(int(size))
+            )
         if kind == "terms":
             src = (
                 partials.groupBy("value").agg(F.sum("count").alias("count"))

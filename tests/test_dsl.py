@@ -36,6 +36,14 @@ BODIES: list[tuple[str, dict, bool]] = [
         True,
     ),
     (
+        "span_near",
+        {"query": {"span_near": {
+            "clauses": [{"span_term": {"text": "batch"}},
+                        {"span_term": {"text": "scan"}}],
+            "slop": 3, "in_order": True}}, "size": 10},
+        True,
+    ),
+    (
         "fuzzy",
         {"query": {"fuzzy": {"text": {"value": "part", "fuzziness": 2}}}},
         True,
@@ -195,6 +203,12 @@ def test_dsl_mlt_routes(documents, searcher):
         {"query": {"match": {"text": "a"}}, "aggs": {}},
         {"query": {"bool": {"filter": [{"regexp": {"field": "lang"}}]}}},
         {"query": {"match_phrase": {"text": "a b"}}, "sort": [{"n_chars": "asc"}]},
+        {"query": {"span_near": {"clauses": [{"span_term": {"text": "a"}},
+                                             {"span_term": {"text": "b"}}],
+                                 "in_order": False}}},
+        {"query": {"span_near": {"clauses": [{"span_term": {"text": "a b"}},
+                                             {"span_term": {"text": "c"}}],
+                                 "in_order": True}}},
     ],
 )
 def test_dsl_rejects_unsupported_loudly(bad):
@@ -218,6 +232,17 @@ AGG_BODIES = [
         "histogram_facets_key",
         {"query": {"match": {"text": {"query": "join filter window", "operator": "and"}}},
          "facets": {"h": {"histogram": {"field": "n_chars", "interval": 500}}}},
+    ),
+    (
+        "nested_terms_stats",
+        {"query": {"match": {"text": "dup batch scan"}},
+         "aggs": {"by_lang": {"terms": {"field": "lang", "size": 4},
+                              "aggs": {"chars": {"stats": {"field": "n_chars"}}}}}},
+    ),
+    (
+        "nested_terms_stats_matchall",
+        {"aggs": {"by_lang": {"terms": {"field": "lang"},
+                              "aggs": {"c": {"stats": {"field": "n_chars"}}}}}},
     ),
 ]
 
@@ -246,6 +271,17 @@ def test_dsl_aggs_rejects_unsupported():
         dsl_aggregation_sql(
             {"query": {"match_phrase": {"text": "a b"}},
              "aggs": {"a": {"terms": {"field": "lang"}}}}
+        )
+    # nesting: terms buckets only, stats sub-agg only, one level
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        dsl_aggregation_sql(
+            {"aggs": {"a": {"stats": {"field": "n_chars"},
+                            "aggs": {"b": {"stats": {"field": "n_chars"}}}}}}
+        )
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        dsl_aggregation_sql(
+            {"aggs": {"a": {"terms": {"field": "lang"},
+                            "aggs": {"b": {"terms": {"field": "source"}}}}}}
         )
 
 
@@ -532,3 +568,80 @@ def test_boosting_demotes_not_excludes(documents, duck):
 def test_boosting_rejected_on_serving(searcher):
     with pytest.raises(ValueError, match="declarative-only"):
         dsl_search_index(searcher, BOOSTING_BODY)
+
+
+def _fscore_body(modifier: str, boost_mode: str, **fvf_extra) -> dict:
+    return {
+        "query": {
+            "function_score": {
+                "query": {"match": {"text": "dup batch scan"}},
+                "field_value_factor": {
+                    "field": "n_chars", "factor": 0.5, "modifier": modifier,
+                    **fvf_extra,
+                },
+                "boost_mode": boost_mode,
+            }
+        },
+        "size": 10,
+    }
+
+
+@pytest.mark.parametrize("modifier", ["none", "ln1p", "ln2p", "sqrt", "square", "reciprocal"])
+@pytest.mark.parametrize("boost_mode", ["multiply", "sum"])
+def test_function_score_matches_duckdb(documents, duck, modifier, boost_mode):
+    """ES function_score/field_value_factor: combined-score ranking identical
+    to the DuckDB oracle for every supported modifier x boost_mode."""
+    body = _fscore_body(modifier, boost_mode)
+    got = [tuple(r) for r in dsl_search(documents, body).collect()]
+    want = [tuple(r) for r in duck.execute(dsl_search_sql(body)).fetchall()]
+    assert got == want and len(got) == 10, (modifier, boost_mode)
+
+
+def test_function_score_reranks_never_widens(documents):
+    """The function re-ranks the match set; the id SET equals the base
+    match's full candidate set truncated by the combined order — a doc not
+    matching the query never enters, whatever its field value."""
+    from flume_elasticsearch_2_spark.operators.topk import (
+        bm25_function_score_topk,
+        bm25_topk,
+    )
+
+    base_all = {
+        r.doc_id
+        for r in bm25_topk(documents, "dup batch scan", k=10_000).collect()
+    }
+    fs = bm25_function_score_topk(
+        documents, "dup batch scan", "n_chars", factor=100.0, boost_mode="sum",
+        k=10_000,
+    ).collect()
+    assert {r.doc_id for r in fs} == base_all  # same candidates, new order
+
+
+def test_function_score_missing_fills_nulls(spark):
+    """NULL field values take the `missing` parameter in both engines."""
+    import duckdb as _d
+
+    rows = [(0, "alpha beta", 10.0), (1, "alpha beta", None), (2, "alpha", 5.0)]
+    body = {
+        "query": {
+            "function_score": {
+                "query": {"match": {"text": "alpha beta"}},
+                "field_value_factor": {"field": "w", "missing": 3.0},
+                "boost_mode": "multiply",
+            }
+        }
+    }
+    df = spark.createDataFrame(rows, "doc_id long, text string, w double")
+    hits = [tuple(r) for r in dsl_search(df, body).collect()]
+    con = _d.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, w DOUBLE)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = [tuple(r) for r in con.execute(dsl_search_sql(body)).fetchall()]
+    assert hits == want and len(hits) == 3
+    # doc 0 (w=10) outranks doc 1 (missing->3) among equal base scores
+    assert hits[0][0] == 0 and hits[1][0] == 1
+
+
+def test_function_score_rejected_on_serving(searcher):
+    with pytest.raises(ValueError, match="declarative-only"):
+        dsl_search_index(searcher, _fscore_body("ln1p", "multiply"))
