@@ -165,3 +165,42 @@ def test_scroll_export_reads_doc_streams_only(spark, index_dir):
     df = s.scroll_export("batch small scan", page_size=50)
     plan = _plan(df)
     assert "Exchange" not in plan and "Sort" not in plan, plan
+
+
+def test_function_score_is_single_pass_take_ordered(spark, documents):
+    """function_score: the field factor is a JVM expression in the SAME
+    scoring projection — one pass ending in TakeOrderedAndProject, no join,
+    no exchange (the factor never costs a fetch phase)."""
+    from flume_elasticsearch_2_spark.operators.topk import bm25_function_score_topk
+
+    plan = _plan(
+        bm25_function_score_topk(
+            documents, "dup batch scan", "n_chars", modifier="ln1p", k=10
+        )
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan and "Exchange" not in plan, plan
+
+
+def test_hash_sample_is_map_side_only(spark, documents):
+    """hash_sample: a pure map-side predicate — zero exchanges, zero joins,
+    zero aggregates; the whole plan is scan -> filter."""
+    from flume_elasticsearch_2_spark.operators.sampling import hash_sample
+
+    plan = _plan(hash_sample(documents, 0.25, seed=3))
+    for op in ("Exchange", "Join", "Aggregate", "Sort", "Window"):
+        assert op not in plan, (op, plan)
+
+
+def test_stratified_sample_is_one_shuffle_window(spark, documents):
+    """stratified_sample: exactly ONE exchange (hash-partition on the group
+    key) feeding the rank window — no join, no second shuffle. Spark 4's
+    WindowGroupLimit additionally truncates to <=n rows per group PARTIALLY
+    (map-side, before the exchange) — pin that too: the shuffle never
+    carries more than n rows per (group, input partition)."""
+    from flume_elasticsearch_2_spark.operators.sampling import stratified_sample
+
+    plan = _plan(stratified_sample(documents, "lang", 10, seed=7))
+    assert plan.count("Exchange (") == 1, plan  # tree node label, once
+    assert "Window" in plan and "Join" not in plan, plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
