@@ -108,10 +108,11 @@ def _segment_searcher(spark: SparkSession, sf_dir: str):
             docs,
             d,
             n_shards=4,
-            # lang for bool-filter queries, n_chars for sort/paging, text as
-            # the stored _source for the fetch/highlight phase (reads are
-            # column-pruned, so entries not using a column never pay for it)
-            orig_ids=docs.select("doc_id", "lang", "n_chars", "text"),
+            # lang for bool-filter queries, source for filters/cardinality
+            # aggs, n_chars for sort/paging, text as the stored _source for
+            # the fetch/highlight phase (reads are column-pruned, so entries
+            # not using a column never pay for it)
+            orig_ids=docs.select("doc_id", "lang", "source", "n_chars", "text"),
             store_positions=True,
         )
         _INDEX_CACHE[sf_dir] = d
@@ -873,6 +874,127 @@ def _dsl_nested_agg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsl_aggregation_index(_segment_searcher(spark, sf_dir), _DSL_NESTED_AGG_BODY)
 
 
+# -- round-3 aggregation kinds (operators/aggs.py) ----------------------------
+
+_DSL_RANGE_AGG_BODY = {
+    "query": {"match": {"text": "dup batch scan"}},
+    "aggs": {"len": {"range": {"field": "n_chars",
+                               "ranges": [{"to": 200},
+                                          {"from": 200, "to": 1000},
+                                          {"from": 1000}]}}},
+}
+
+_DSL_FILTERS_AGG_BODY = {
+    "query": {"match": {"text": "batch scan"}},
+    "aggs": {"byf": {"filters": {"filters": {
+        "en": {"term": {"lang": "en"}},
+        "big": {"range": {"n_chars": {"gte": 1000}}},
+        "webby": {"terms": {"source": ["web", "news"]}},
+        "no_source": {"missing": {"field": "source"}},
+    }}}},
+}
+
+_DSL_CARDINALITY_BODY = {
+    "query": {"match": {"text": "dup batch scan"}},
+    "aggs": {"nsrc": {"cardinality": {"field": "source"}}},
+}
+
+_DSL_PERCENTILES_BODY = {
+    "query": {"match": {"text": "batch scan"}},
+    "aggs": {"p": {"percentiles": {"field": "n_chars",
+                                   "percents": [5, 25, 50, 75, 95]}}},
+}
+
+_DSL_SIG_TERMS_BODY = {
+    "query": {"match": {"text": "dup batch scan"}},
+    "aggs": {"sig": {"significant_terms": {"field": "text", "size": 10}}},
+}
+
+_DSL_TOP_HITS_BODY = {
+    "query": {"match": {"text": "batch scan"}},
+    "aggs": {"by_lang": {"terms": {"field": "lang"},
+                         "aggs": {"h": {"top_hits": {
+                             "size": 3,
+                             "sort": [{"n_chars": {"order": "desc"}}]}}}}},
+}
+
+
+def _dsl_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range agg (overlapping buckets kept, empties kept): one corpus
+    pass, a count_if per bucket in a single global aggregate — zero
+    shuffles beyond the map-side-combined agg."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _DSL_RANGE_AGG_BODY)
+
+
+def _dsl_range_agg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range agg on the SERVING path: per-shard conditional partial counts
+    over the postings-decoded match set (n_buckets rows per shard)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_index
+
+    return dsl_aggregation_index(_segment_searcher(spark, sf_dir), _DSL_RANGE_AGG_BODY)
+
+
+def _dsl_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filters agg (term/range/terms/missing buckets over the match
+    scope), single-pass conditional counts."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _DSL_FILTERS_AGG_BODY)
+
+
+def _dsl_filters_agg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_index
+
+    return dsl_aggregation_index(_segment_searcher(spark, sf_dir), _DSL_FILTERS_AGG_BODY)
+
+
+def _dsl_cardinality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality agg, exact form (ES itself is exact below
+    precision_threshold; aggs.cardinality_facet(exact=False) is the HLL++
+    sketch-merge path above it)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _DSL_CARDINALITY_BODY)
+
+
+def _dsl_cardinality_agg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality on the SERVING path: per-shard DISTINCT value partials
+    (≤ field cardinality rows, never the match set), one count-distinct
+    merge."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_index
+
+    return dsl_aggregation_index(_segment_searcher(spark, sf_dir), _DSL_CARDINALITY_BODY)
+
+
+def _dsl_percentiles_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles agg, exact continuous-interpolation form (declarative
+    only; approx_percentile is the sketch-merge form at scale — the same
+    trade ES's t-digest makes)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _DSL_PERCENTILES_BODY)
+
+
+def _dsl_sig_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms (JLH score, fg vs bg doc frequency): ONE
+    exploded-distinct pass computes both frequencies — the index-build
+    shuffle shape, term-keyed and map-side combined."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _DSL_SIG_TERMS_BODY)
+
+
+def _dsl_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_hits sub-agg under terms buckets: rank window; Spark 4 plans a
+    partial WindowGroupLimit below the exchange, so at most k rows per
+    (bucket, partition) shuffle (plan-pinned in test_plan_hygiene.py)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _DSL_TOP_HITS_BODY)
+
+
 def _explain_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _explain: per-term BM25 breakdown of the query's own top-1 hit
     (sf-independent — the Spark side picks it, the oracle pins the same doc
@@ -1409,6 +1531,15 @@ def _hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dsl_range_agg",
+    "dsl_range_agg_segment",
+    "dsl_filters_agg",
+    "dsl_filters_agg_segment",
+    "dsl_cardinality_agg",
+    "dsl_cardinality_agg_segment",
+    "dsl_percentiles_agg",
+    "dsl_sig_terms",
+    "dsl_top_hits",
     "bm25_field_match",
     "bm25_field_match_segment",
     "multi_match_best_fields",
@@ -1581,6 +1712,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_function_score"] = _dsl_function_score
     q["dsl_span_near"] = _dsl_span_near
     q["dsl_span_near_segment"] = _dsl_span_near_segment
+    # round-3 aggregation-kind wave
+    q["dsl_range_agg"] = _dsl_range_agg
+    q["dsl_range_agg_segment"] = _dsl_range_agg_segment
+    q["dsl_filters_agg"] = _dsl_filters_agg
+    q["dsl_filters_agg_segment"] = _dsl_filters_agg_segment
+    q["dsl_cardinality_agg"] = _dsl_cardinality_agg
+    q["dsl_cardinality_agg_segment"] = _dsl_cardinality_agg_segment
+    q["dsl_percentiles_agg"] = _dsl_percentiles_agg
+    q["dsl_sig_terms"] = _dsl_sig_terms
+    q["dsl_top_hits"] = _dsl_top_hits
     # newest-first, then previously-unrecorded: the driver artifact truncates
     # at 50 keys in dict order (judge r2 finding #1)
     priority = _R3_NEW + _R2_UNRECORDED
@@ -1912,6 +2053,15 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["dsl_agg_terms_segment"] = o["dsl_agg_terms"]
     o["dsl_nested_agg"] = dsl_aggregation_sql(_DSL_NESTED_AGG_BODY)
     o["dsl_nested_agg_segment"] = o["dsl_nested_agg"]
+    o["dsl_range_agg"] = dsl_aggregation_sql(_DSL_RANGE_AGG_BODY)
+    o["dsl_range_agg_segment"] = o["dsl_range_agg"]
+    o["dsl_filters_agg"] = dsl_aggregation_sql(_DSL_FILTERS_AGG_BODY)
+    o["dsl_filters_agg_segment"] = o["dsl_filters_agg"]
+    o["dsl_cardinality_agg"] = dsl_aggregation_sql(_DSL_CARDINALITY_BODY)
+    o["dsl_cardinality_agg_segment"] = o["dsl_cardinality_agg"]
+    o["dsl_percentiles_agg"] = dsl_aggregation_sql(_DSL_PERCENTILES_BODY)
+    o["dsl_sig_terms"] = dsl_aggregation_sql(_DSL_SIG_TERMS_BODY)
+    o["dsl_top_hits"] = dsl_aggregation_sql(_DSL_TOP_HITS_BODY)
     o["dsl_bool"] = dsl_search_sql(_DSL_BOOL_BODY)
     o["dsl_bool_segment"] = o["dsl_bool"]
     o["dsl_match_all_filtered"] = dsl_search_sql(_DSL_MATCHALL_BODY)

@@ -1,0 +1,479 @@
+"""ES 1.x aggregation kinds beyond the facet five (operators/facets.py):
+``range``, ``filters``, ``cardinality``, ``percentiles``, ``top_hits`` (as a
+terms sub-agg) and ``significant_terms``. All shipped in the ES 1.1 the
+reference deployment runs (delegation site: ElasticsearchSink.java:54,66 —
+every aggregation executes inside the delegated ES); re-expressed here as
+single-pass declarative DataFrame plans with byte-matching DuckDB oracles.
+
+Scope semantics are identical to facets.py: every agg runs over ALL docs
+matching the body's query (ES "query scope"), not the top-k page;
+``query=None`` = match_all.
+
+Scale shapes (the 100 TB story, per kind):
+
+- **range / filters**: ONE corpus pass, zero shuffles — each bucket is a
+  ``count_if`` over a boolean JVM expression in a single global aggregate
+  (partials combine map-side; one row per bucket crosses the exchange), then
+  an O(n_buckets) ``stack`` to long form. Empty buckets are kept (count 0),
+  as ES does; an explode-filter-groupBy plan would drop them AND shuffle a
+  row per (doc, bucket).
+- **cardinality**: ``exact=True`` (the oracle config) is a count-distinct —
+  one shuffle keyed by the field. The 100 TB path is ``exact=False``:
+  Spark's ``approx_count_distinct`` is HyperLogLog++ with map-side sketch
+  merge — O(sketch) per partition crosses the wire, never the value set.
+  That is exactly what ES's cardinality agg does (HLL++, precision_threshold).
+- **percentiles**: ``exact=True`` (oracle config) sorts the match-set values
+  once (Spark's exact ``percentile``). The 100 TB path is ``exact=False``:
+  ``approx_percentile`` merges per-partition quantile sketches, the same
+  trade ES makes (t-digest).
+- **top_hits**: rank window per bucket. Spark 4 plans a partial
+  ``WindowGroupLimit`` BEFORE the exchange, so at most k rows per (bucket,
+  input-partition) are shuffled — never a bucket's full match set (pinned in
+  tests/test_plan_hygiene.py).
+- **significant_terms**: one exploded-distinct-tokens pass — the INDEX-BUILD
+  shuffle shape (term-keyed, map-side combined, ≤ vocabulary × partitions
+  rows) — computing foreground and background doc counts in the SAME
+  aggregate, so the corpus is tokenized once, not twice. Totals are two
+  count jobs collected as driver constants (the bm25 stats pattern).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions.tokenizer import tokens_col
+from .facets import _match_sql, match_condition
+
+Triple = tuple[str, str, Any]
+
+
+# -- range ---------------------------------------------------------------------
+
+
+def _fmt_edge(v: float | int | None) -> str:
+    return "*" if v is None else str(float(v))
+
+
+def _range_key(lo, hi) -> str:
+    """ES range-agg auto key: ``"from-to"`` with ``*`` for an open edge
+    (edges rendered as doubles, as ES does)."""
+    return f"{_fmt_edge(lo)}-{_fmt_edge(hi)}"
+
+
+def _norm_ranges(ranges: list[dict]) -> list[tuple[str, float | None, float | None]]:
+    out = []
+    for r in ranges:
+        extra = set(r) - {"key", "from", "to"}
+        if extra:
+            raise ValueError(f"range keys {sorted(extra)} unsupported")
+        lo, hi = r.get("from"), r.get("to")
+        if lo is None and hi is None:
+            raise ValueError("range bucket needs from and/or to")
+        out.append((str(r.get("key", _range_key(lo, hi))), lo, hi))
+    if len({k for k, _, _ in out}) != len(out):
+        raise ValueError("duplicate range bucket keys")
+    return out
+
+
+def range_facet(
+    docs: DataFrame,
+    query: str | None,
+    field: str,
+    ranges: list[dict],
+    mode: str = "or",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``range`` aggregation: one bucket per requested range, doc counted
+    into EVERY range containing it (``from`` inclusive, ``to`` exclusive —
+    ES range-agg contract; buckets may overlap, docs may match several).
+    Returns (key, count) for all requested buckets — empties kept at 0 —
+    ordered by key ASC (deterministic cross-engine order).
+    """
+    rs = _norm_ranges(ranges)
+    sel = docs.where(match_condition(query, mode, text_col)).select(
+        F.col(field).cast("double").alias("v")
+    )
+    aggs = []
+    for i, (_, lo, hi) in enumerate(rs):
+        cond = F.lit(True) if lo is None else F.col("v") >= float(lo)
+        if hi is not None:
+            cond = cond & (F.col("v") < float(hi))
+        aggs.append(F.count_if(cond & F.col("v").isNotNull()).alias(f"c{i}"))
+    pairs = ", ".join(f"'{k.replace(chr(39), chr(39)*2)}', c{i}" for i, (k, _, _) in enumerate(rs))
+    return (
+        sel.agg(*aggs)  # one row: a count per bucket
+        .selectExpr(f"stack({len(rs)}, {pairs}) AS (key, count)")
+        .orderBy("key")
+    )
+
+
+def range_facet_sql(
+    query: str | None,
+    field: str,
+    ranges: list[dict],
+    mode: str = "or",
+    table: str = "documents",
+) -> str:
+    rs = _norm_ranges(ranges)
+    m = _match_sql(query, mode, None, "ascii")
+    parts = []
+    for k, lo, hi in rs:
+        conds = [m, f"{field} IS NOT NULL"]
+        if lo is not None:
+            conds.append(f"CAST({field} AS DOUBLE) >= {float(lo)}")
+        if hi is not None:
+            conds.append(f"CAST({field} AS DOUBLE) < {float(hi)}")
+        key = k.replace("'", "''")
+        parts.append(
+            f"SELECT '{key}' AS key, count(*) FILTER (WHERE {' AND '.join(conds)}) AS count\nFROM {table}"
+        )
+    return "SELECT * FROM (\n" + "\nUNION ALL\n".join(parts) + "\n) ORDER BY key"
+
+
+# -- filters -------------------------------------------------------------------
+
+
+def filters_facet(
+    docs: DataFrame,
+    filters: dict[str, list[Triple]],
+    query: str | None = None,
+    mode: str = "or",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``filters`` aggregation: one named bucket per filter, counted over
+    the query scope. Filter triples are the DSL's normalized form
+    ((field, op, value) — what ``operators/dsl._filter_triples`` emits from
+    ES filter JSON), so term/terms/range/exists/missing all route here; the
+    ES ``missing`` agg is the one-bucket ``(field, "null", None)`` case.
+    Returns (filter, count), empties kept, ordered by filter ASC."""
+    from .dsl import _filters_col  # lazy: dsl imports facets at module level
+
+    if not filters:
+        raise ValueError("filters agg needs at least one named filter")
+    names = sorted(filters)
+    sel = docs.where(match_condition(query, mode, text_col))
+    aggs = [
+        F.count_if(_filters_col(filters[n]) if filters[n] else F.lit(True)).alias(f"c{i}")
+        for i, n in enumerate(names)
+    ]
+    pairs = ", ".join(f"'{n.replace(chr(39), chr(39)*2)}', c{i}" for i, n in enumerate(names))
+    return (
+        sel.agg(*aggs)  # one row: a count per named filter
+        .selectExpr(f"stack({len(names)}, {pairs}) AS (filter, count)")
+        .orderBy("filter")
+    )
+
+
+def filters_facet_sql(
+    filters: dict[str, list[Triple]],
+    query: str | None = None,
+    mode: str = "or",
+    table: str = "documents",
+) -> str:
+    from .dsl import _filters_sql
+
+    m = _match_sql(query, mode, None, "ascii")
+    parts = []
+    for n in sorted(filters):
+        pred = _filters_sql(filters[n]) or "TRUE"
+        name = n.replace("'", "''")
+        parts.append(
+            f"SELECT '{name}' AS filter, count(*) FILTER (WHERE {m} AND ({pred})) AS count\nFROM {table}"
+        )
+    return "SELECT * FROM (\n" + "\nUNION ALL\n".join(parts) + "\n) ORDER BY filter"
+
+
+# -- cardinality ---------------------------------------------------------------
+
+
+def cardinality_facet(
+    docs: DataFrame,
+    query: str | None,
+    field: str,
+    exact: bool = True,
+    rsd: float = 0.05,
+    mode: str = "or",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``cardinality`` aggregation: distinct count of ``field`` over the
+    match set (nulls ignored, as ES ignores missing). ``exact=True`` is the
+    oracle config; ``exact=False`` is the 100 TB path — HyperLogLog++ via
+    ``approx_count_distinct`` (sketches merge map-side; ES's own cardinality
+    agg is HLL++ too, so the approx path is the semantically faithful one)."""
+    agg = (
+        F.count_distinct(F.col(field))
+        if exact
+        else F.approx_count_distinct(field, float(rsd))
+    )
+    return (
+        docs.where(match_condition(query, mode, text_col))
+        .agg(agg.alias("cardinality"))
+    )
+
+
+def cardinality_facet_sql(
+    query: str | None, field: str, mode: str = "or", table: str = "documents"
+) -> str:
+    return (
+        f"SELECT count(DISTINCT {field}) AS cardinality\nFROM {table}\n"
+        f"WHERE {_match_sql(query, mode, None, 'ascii')}"
+    )
+
+
+# -- missing -------------------------------------------------------------------
+
+
+def missing_facet(
+    docs: DataFrame,
+    query: str | None,
+    field: str,
+    mode: str = "or",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``missing`` aggregation: docs in the query scope with NO value for
+    ``field`` (one row, ``count``) — the agg form of the 1.x missing filter."""
+    return docs.where(match_condition(query, mode, text_col)).agg(
+        F.count_if(F.col(field).isNull()).alias("count")
+    )
+
+
+def missing_facet_sql(
+    query: str | None, field: str, mode: str = "or", table: str = "documents"
+) -> str:
+    return (
+        f"SELECT count(*) FILTER (WHERE {field} IS NULL) AS count\nFROM {table}\n"
+        f"WHERE {_match_sql(query, mode, None, 'ascii')}"
+    )
+
+
+# -- percentiles ---------------------------------------------------------------
+
+_DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+
+
+def percentiles_facet(
+    docs: DataFrame,
+    query: str | None,
+    field: str,
+    percents: tuple[float, ...] = _DEFAULT_PERCENTS,
+    exact: bool = True,
+    mode: str = "or",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``percentiles`` aggregation: (percent, value) per requested
+    percent, continuous interpolation over the match set's values (the
+    definition Spark's exact ``percentile`` and DuckDB's ``quantile_cont``
+    share, so the oracle matches bit-for-bit after round-6).
+
+    ``exact=False`` is the 100 TB path: ``approx_percentile`` merges
+    per-partition sketches instead of sorting the match set — the same
+    accuracy-for-scale trade ES's own t-digest makes."""
+    ps = [float(p) for p in percents]
+    if not ps or any(not (0.0 <= p <= 100.0) for p in ps):
+        raise ValueError("percents must be in [0, 100]")
+    v = F.col(field).cast("double")
+    fracs = F.array(*[F.lit(p / 100.0) for p in ps])
+    agg = F.percentile(v, fracs) if exact else F.percentile_approx(v, fracs, 10_000)
+    plits = F.array(*[F.lit(p) for p in ps])
+    return (
+        docs.where(match_condition(query, mode, text_col))
+        .agg(agg.alias("vals"))
+        .select(F.posexplode("vals").alias("pos", "value"))
+        .select(
+            F.element_at(plits, F.col("pos") + 1).alias("percent"),
+            F.round(F.col("value"), 6).alias("value"),
+        )
+        .orderBy("percent")
+    )
+
+
+def percentiles_facet_sql(
+    query: str | None,
+    field: str,
+    percents: tuple[float, ...] = _DEFAULT_PERCENTS,
+    mode: str = "or",
+    table: str = "documents",
+) -> str:
+    ps = [float(p) for p in percents]
+    fr = "[" + ", ".join(str(p / 100.0) for p in ps) + "]"
+    pl = "[" + ", ".join(str(p) for p in ps) + "]"
+    # parallel unnest zips the two equal-length lists row-wise in DuckDB
+    return f"""
+SELECT unnest({pl}) AS percent, round(unnest(qs), 6) AS value
+FROM (
+  SELECT quantile_cont(CAST({field} AS DOUBLE), {fr}) AS qs
+  FROM {table}
+  WHERE {_match_sql(query, mode, None, 'ascii')}
+)
+ORDER BY percent
+"""
+
+
+# -- top_hits (terms sub-agg) --------------------------------------------------
+
+
+def top_hits_agg(
+    docs: DataFrame,
+    query: str | None,
+    group_field: str,
+    k: int,
+    sort_field: str,
+    ascending: bool = False,
+    mode: str = "or",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``top_hits`` sub-aggregation under a ``terms`` bucketing: the k
+    best docs per bucket by ``sort_field`` (ties broken by id ASC — the
+    deterministic analog of ES's internal docid tiebreak). Returns
+    (key, doc_id, sort_value, rank) ordered by (key, rank).
+
+    Scale: Spark 4 inserts a PARTIAL WindowGroupLimit below the exchange —
+    each input partition forwards at most k rows per bucket, so the shuffle
+    carries O(buckets × k × partitions), never a bucket's match set
+    (plan-pinned in tests/test_plan_hygiene.py)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    sort = F.col(sort_field).asc() if ascending else F.col(sort_field).desc()
+    w = Window.partitionBy(group_field).orderBy(sort, F.col(id_col).asc())
+    return (
+        docs.where(match_condition(query, mode, text_col))
+        .select(
+            F.col(group_field).alias("key"),
+            F.col(id_col).alias("doc_id"),
+            F.round(F.col(sort_field).cast("double"), 6).alias("sort_value"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= int(k))
+        .orderBy("key", "rank")
+    )
+
+
+def top_hits_agg_sql(
+    query: str | None,
+    group_field: str,
+    k: int,
+    sort_field: str,
+    ascending: bool = False,
+    mode: str = "or",
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    direction = "ASC" if ascending else "DESC"
+    return f"""
+SELECT key, doc_id, sort_value, rank FROM (
+  SELECT {group_field} AS key, {id_col} AS doc_id,
+         round(CAST({sort_field} AS DOUBLE), 6) AS sort_value,
+         row_number() OVER (
+           PARTITION BY {group_field}
+           ORDER BY {sort_field} {direction}, {id_col} ASC
+         ) AS rank
+  FROM {table}
+  WHERE {_match_sql(query, mode, None, 'ascii')}
+)
+WHERE rank <= {int(k)}
+ORDER BY key, rank
+"""
+
+
+# -- significant_terms ---------------------------------------------------------
+
+
+def significant_terms_facet(
+    docs: DataFrame,
+    query: str,
+    size: int = 10,
+    min_doc_count: int = 1,
+    mode: str = "or",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """ES ``significant_terms`` aggregation over the analyzed text field:
+    terms whose document frequency in the FOREGROUND (the query's match set)
+    is anomalously high vs the BACKGROUND (whole corpus), scored with ES's
+    default JLH: ``(fg% − bg%) × (fg% / bg%)``. Only positively significant
+    terms (fg% > bg%) are returned — the ES contract — top-``size`` by
+    (score DESC, term ASC), with fg/bg doc counts like ES's
+    ``doc_count``/``bg_count``.
+
+    One exploded-distinct pass computes both frequencies (is_fg rides the
+    explode); totals are two count jobs collected as driver constants."""
+    if not query:
+        raise ValueError("significant_terms needs a foreground query")
+    fg = match_condition(query, mode, text_col, stopwords, analyzer)
+    bg_total = docs.count()
+    fg_total = docs.where(fg).count()
+    if fg_total == 0 or bg_total == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "term string, fg_count long, bg_count long, score double"
+        )
+    toks = tokens_col(text_col, stopwords, analyzer)
+    per_term = (
+        docs.select(fg.alias("is_fg"), F.explode(F.array_distinct(toks)).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("bg_count"),
+            F.count_if(F.col("is_fg")).alias("fg_count"),
+        )
+    )
+    fgp = F.col("fg_count").cast("double") / float(fg_total)
+    bgp = F.col("bg_count").cast("double") / float(bg_total)
+    return (
+        per_term.where(F.col("fg_count") >= int(min_doc_count))
+        .where(fgp > bgp)
+        .select(
+            "term",
+            "fg_count",
+            "bg_count",
+            F.round((fgp - bgp) * (fgp / bgp), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("term").asc())
+        .limit(int(size))
+    )
+
+
+def significant_terms_facet_sql(
+    query: str,
+    size: int = 10,
+    min_doc_count: int = 1,
+    mode: str = "or",
+    table: str = "documents",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> str:
+    from ..functions.tokenizer import duckdb_token_pattern
+
+    m = _match_sql(query, mode, stopwords, analyzer)
+    tok = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    if stopwords:
+        stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
+        tok = f"list_filter({tok}, t -> t NOT IN ({stop_list}))"
+    return f"""
+WITH totals AS (
+  SELECT count(*) AS bg_total, count(*) FILTER (WHERE {m}) AS fg_total
+  FROM {table}
+),
+exploded AS (
+  SELECT {m} AS is_fg, unnest(list_distinct({tok})) AS term
+  FROM {table}
+),
+per_term AS (
+  SELECT term, count(*) AS bg_count, count(*) FILTER (WHERE is_fg) AS fg_count
+  FROM exploded
+  GROUP BY term
+)
+SELECT term, fg_count, bg_count,
+       round(
+         (CAST(fg_count AS DOUBLE) / fg_total - CAST(bg_count AS DOUBLE) / bg_total)
+         * ((CAST(fg_count AS DOUBLE) / fg_total) / (CAST(bg_count AS DOUBLE) / bg_total)),
+         6
+       ) AS score
+FROM per_term, totals
+WHERE fg_count >= {int(min_doc_count)}
+  AND CAST(fg_count AS DOUBLE) / fg_total > CAST(bg_count AS DOUBLE) / bg_total
+ORDER BY score DESC, term ASC
+LIMIT {int(size)}
+"""

@@ -1056,8 +1056,9 @@ def _parse_aggs(body: dict, text_col: str) -> tuple[str | None, str, str, dict]:
     (_, agg) = next(iter(aggs.items()))
     sub = agg.get("aggs", agg.get("aggregations"))
     if sub is not None:
-        # ONE level of nesting: terms bucketing with a stats sub-agg — the
-        # ES sub-agg form of the 1.x terms_stats facet (same result shape)
+        # ONE level of nesting under a terms bucketing: a stats sub-agg (the
+        # ES sub-agg form of the 1.x terms_stats facet) or a top_hits sub-agg
+        # (k best docs per bucket)
         agg = {k: v for k, v in agg.items() if k not in ("aggs", "aggregations")}
         kind, conf = _one_field(agg, "agg")
         if kind != "terms":
@@ -1065,24 +1066,71 @@ def _parse_aggs(body: dict, text_col: str) -> tuple[str | None, str, str, dict]:
         if not isinstance(sub, dict) or len(sub) != 1:
             _err("exactly one named sub-agg required")
         skind, sconf = _one_field(next(iter(sub.values())), "sub-agg")
-        if skind != "stats":
-            _err(f"sub-agg kind {skind!r} (stats only)")
-        kind = "terms_stats"
-        field = (conf["field"], sconf["field"])
-        kw = {"size": int(conf.get("size", 10))}
+        if skind == "stats":
+            kind = "terms_stats"
+            field = (conf["field"], sconf["field"])
+            kw = {"size": int(conf.get("size", 10))}
+        elif skind == "top_hits":
+            sort = sconf.get("sort")
+            if not (isinstance(sort, list) and len(sort) == 1):
+                _err("top_hits needs exactly one sort field")
+            sf, order = _one_field(sort[0], "top_hits sort")
+            if isinstance(order, dict):
+                order = order.get("order", "asc")
+            if order not in ("asc", "desc"):
+                _err(f"top_hits sort order {order!r}")
+            kind = "top_hits"
+            field = (conf["field"], sf)
+            kw = {"k": int(sconf.get("size", 3)), "ascending": order == "asc"}
+        else:
+            _err(f"sub-agg kind {skind!r} (stats / top_hits only)")
     else:
         kind, conf = _one_field(agg, "agg")
-        if kind not in ("terms", "stats", "histogram"):
+        if kind not in (
+            "terms", "stats", "histogram", "range", "filters", "cardinality",
+            "percentiles", "missing", "significant_terms",
+        ):
             _err(f"agg kind {kind!r}")
-        field = conf["field"]
         kw = {}
+        if kind == "filters":
+            named = conf.get("filters")
+            if not isinstance(named, dict) or not named:
+                _err("filters agg needs named filter clauses")
+            field = None
+            kw["filters"] = {n: _filter_triples([c]) for n, c in named.items()}
+        else:
+            field = conf["field"]
         if kind == "terms":
             kw["size"] = int(conf.get("size", 10))
         if kind == "histogram":
             kw["interval"] = int(conf["interval"])
+        if kind == "range":
+            kw["ranges"] = list(conf["ranges"])
+        if kind == "cardinality":
+            # ES cardinality is HLL++ but EXACT below precision_threshold
+            # (default 3000); this engine's DSL route is the exact form —
+            # aggs.cardinality_facet(exact=False) is the above-threshold path
+            extra = set(conf) - {"field", "precision_threshold"}
+            if extra:
+                _err(f"cardinality options {sorted(extra)}")
+        if kind == "percentiles":
+            if "percents" in conf:
+                kw["percents"] = tuple(float(p) for p in conf["percents"])
+        if kind == "significant_terms":
+            if field != text_col:
+                _err(
+                    f"significant_terms on field {field!r} (the analyzed "
+                    f"text field {text_col!r} only)"
+                )
+            kw["size"] = int(conf.get("size", 10))
+            kw["min_doc_count"] = int(conf.get("min_doc_count", 1))
     q = body.get("query", {"match_all": {}})
     qkind, qval = _one_field(q, "query")
     if qkind == "match_all":
+        if kind == "significant_terms":
+            # the foreground IS the query's match set; match_all has no
+            # foreground to contrast against the corpus
+            _err("significant_terms needs a match query scope")
         return None, kind, field, kw
     if qkind != "match":
         _err(f"aggs with query kind {qkind!r} (match / match_all only)")
@@ -1105,12 +1153,42 @@ def dsl_aggregation(docs: DataFrame, body: dict, text_col: str = "text") -> Data
         terms_stats_facet,
     )
 
+    from .aggs import (
+        cardinality_facet,
+        filters_facet,
+        missing_facet,
+        percentiles_facet,
+        range_facet,
+        significant_terms_facet,
+        top_hits_agg,
+    )
+
     q, kind, field, kw = _parse_aggs(body, text_col)
     if kind == "terms_stats":
         key_field, value_field = field
         where = match_condition(q, kw.pop("mode", "or"), text_col) if q else None
         return terms_stats_facet(docs, key_field, value_field, where=where, **kw)
-    fn = {"terms": terms_facet, "stats": stats_facet, "histogram": histogram_facet}[kind]
+    if kind == "top_hits":
+        group_field, sort_field = field
+        k, asc = kw.pop("k"), kw.pop("ascending")
+        return top_hits_agg(
+            docs, q, group_field, k, sort_field, ascending=asc, text_col=text_col, **kw
+        )
+    if kind == "filters":
+        return filters_facet(docs, kw.pop("filters"), query=q, text_col=text_col, **kw)
+    if kind == "significant_terms":
+        return significant_terms_facet(docs, q, text_col=text_col, **kw)
+    fn = {
+        "terms": terms_facet,
+        "stats": stats_facet,
+        "histogram": histogram_facet,
+        "range": range_facet,
+        "cardinality": cardinality_facet,
+        "percentiles": percentiles_facet,
+        "missing": missing_facet,
+    }[kind]
+    if kind == "range":
+        return fn(docs, q, field, kw.pop("ranges"), text_col=text_col, **kw)
     return fn(docs, q, field, text_col=text_col, **kw)
 
 
@@ -1124,6 +1202,16 @@ def dsl_aggregation_sql(body: dict, table: str = "documents", text_col: str = "t
         terms_stats_facet_sql,
     )
 
+    from .aggs import (
+        cardinality_facet_sql,
+        filters_facet_sql,
+        missing_facet_sql,
+        percentiles_facet_sql,
+        range_facet_sql,
+        significant_terms_facet_sql,
+        top_hits_agg_sql,
+    )
+
     q, kind, field, kw = _parse_aggs(body, text_col)
     if kind == "terms_stats":
         key_field, value_field = field
@@ -1131,14 +1219,41 @@ def dsl_aggregation_sql(body: dict, table: str = "documents", text_col: str = "t
         return terms_stats_facet_sql(
             key_field, value_field, where_sql=where_sql, table=table, **kw
         )
-    fn = {"terms": terms_facet_sql, "stats": stats_facet_sql, "histogram": histogram_facet_sql}[kind]
+    if kind == "top_hits":
+        group_field, sort_field = field
+        k, asc = kw.pop("k"), kw.pop("ascending")
+        return top_hits_agg_sql(q, group_field, k, sort_field, ascending=asc, table=table, **kw)
+    if kind == "filters":
+        return filters_facet_sql(kw.pop("filters"), query=q, table=table, **kw)
+    if kind == "significant_terms":
+        return significant_terms_facet_sql(q, table=table, **kw)
+    fn = {
+        "terms": terms_facet_sql,
+        "stats": stats_facet_sql,
+        "histogram": histogram_facet_sql,
+        "range": range_facet_sql,
+        "cardinality": cardinality_facet_sql,
+        "percentiles": percentiles_facet_sql,
+        "missing": missing_facet_sql,
+    }[kind]
+    if kind == "range":
+        return fn(q, field, kw.pop("ranges"), table=table, **kw)
     return fn(q, field, table=table, **kw)
 
 
 def dsl_aggregation_index(searcher, body: dict, text_col: str = "text") -> DataFrame:
     """Serving-path twin: per-shard match-set decode + partial aggs
-    (IndexSearcher.facet)."""
+    (IndexSearcher.facet). ``percentiles`` / ``significant_terms`` /
+    ``top_hits`` are declarative-only (their exact forms need the match
+    set's raw values; the honest 100 TB forms are the sketch-merging Spark
+    builtins operators/aggs.py already routes) — refused loudly, never
+    silently approximated."""
     q, kind, field, kw = _parse_aggs(body, text_col)
+    if kind in ("percentiles", "significant_terms", "top_hits"):
+        raise ValueError(
+            f"agg kind {kind!r} is declarative-only (operators/aggs.py); "
+            "the serving path does not silently approximate it"
+        )
     if kind == "terms_stats":
         key_field, value_field = field
         return searcher.facet(

@@ -460,6 +460,33 @@ def _arrow_ddl(schema, field: str) -> str:
     return _ARROW_DDL[t]
 
 
+def _pd_filter_mask(dt: pd.DataFrame, triples: list[tuple]) -> np.ndarray:
+    """The DSL filter-triple predicate over a pandas frame — the per-shard
+    analog of operators/dsl._filters_col, with identical null semantics:
+    ``!=`` is null-SAFE (docs missing the field are kept, as ES must_not
+    does); ordered comparisons are null-rejecting (as SQL)."""
+    m = np.ones(len(dt), dtype=bool)
+    for f, op, v in triples:
+        s = dt[f]
+        if op == "==":
+            e = (s == v).to_numpy(dtype=bool)
+        elif op == "!=":
+            e = ~(s == v).to_numpy(dtype=bool)
+        elif op == "in":
+            e = s.isin(list(v)).to_numpy(dtype=bool)
+        elif op == "notnull":
+            e = s.notna().to_numpy(dtype=bool)
+        elif op == "null":
+            e = s.isna().to_numpy(dtype=bool)
+        elif op in ("<", "<=", ">", ">="):
+            cmp = {"<": s.lt, "<=": s.le, ">": s.gt, ">=": s.ge}[op]
+            e = (cmp(v) & s.notna()).to_numpy(dtype=bool)
+        else:
+            raise ValueError(f"unknown filter op {op!r}")
+        m &= e
+    return m
+
+
 def _read_postings_docstream(index_dir: str, shard: int, terms: list[str]) -> pd.DataFrame:
     """Postings for ``terms`` in one shard, doc-id stream columns only (tf /
     position streams never read) — the candidate-set read for constant_score
@@ -1426,27 +1453,38 @@ class IndexSearcher:
     def facet(
         self,
         query: str | None,
-        field: str,
+        field: str | None,
         kind: str = "terms",
         size: int = 10,
         interval: int | None = None,
         mode: str = "or",
         value_field: str | None = None,
+        ranges: list[dict] | None = None,
+        filters: dict[str, list] | None = None,
     ) -> DataFrame:
         """ES facet/aggregation over the query's match set on the SERVING
-        path (operators/facets.py has the declarative twin and semantics).
+        path (operators/facets.py and operators/aggs.py have the declarative
+        twins and semantics; round 3 adds kinds ``range`` / ``filters`` /
+        ``cardinality`` / ``missing``).
 
         Scale shape: one task per active shard decodes the match set from
         postings DOC STREAMS only (tf/positions never read), reads just
         ``(doc_id, field)`` from its docs partition, and emits a partial
-        aggregate (≤ field cardinality rows per shard — never the match
-        set). One tiny final aggregation merges partials; ``match_all``
+        aggregate (≤ field cardinality rows per shard for terms/cardinality,
+        ≤ n_buckets rows for range/filters/missing — never the match set).
+        One tiny final aggregation merges partials; ``match_all``
         (query=None) skips postings entirely and aggregates the stored docs
-        table declaratively."""
+        table declaratively. ``percentiles`` / ``significant_terms`` /
+        ``top_hits`` are declarative-only (aggs.py) — their exact forms need
+        the match set's values, and their honest 100 TB forms are the
+        sketch-merging Spark builtins the declarative path already uses."""
         spark, index_dir = self.spark, self.index_dir
-        ddl = _arrow_ddl(
-            pads.dataset(f"{index_dir}/docs/shard=0", format="parquet").schema, field
-        )
+        norm_ranges: list[tuple] = []
+        filter_names: list[str] = []
+        if kind in ("terms", "histogram", "stats", "terms_stats", "cardinality", "missing"):
+            ddl = _arrow_ddl(
+                pads.dataset(f"{index_dir}/docs/shard=0", format="parquet").schema, field
+            )
         if kind == "terms":
             partial_schema = f"value {ddl}, count long"
         elif kind == "histogram":
@@ -1462,6 +1500,25 @@ class IndexSearcher:
             if not value_field:
                 raise ValueError("terms_stats facet needs value_field")
             partial_schema = f"term {ddl}, count long, mn double, mx double, sm double"
+        elif kind == "range":
+            from ..operators.aggs import _norm_ranges
+
+            norm_ranges = _norm_ranges(ranges or [])
+            partial_schema = "idx long, count long"
+        elif kind == "filters":
+            if not filters:
+                raise ValueError("filters facet needs named filter triples")
+            filter_names = sorted(filters)
+            partial_schema = "idx long, count long"
+        elif kind == "cardinality":
+            # partial = the shard's DISTINCT value set (≤ field cardinality
+            # rows, never the match set); final = one count-distinct merge.
+            # High-cardinality fields belong on the declarative HLL path
+            # (aggs.cardinality_facet(exact=False)) — ES's own cardinality
+            # agg merges HLL sketches for the same reason.
+            partial_schema = f"value {ddl}"
+        elif kind == "missing":
+            partial_schema = "count long"
         else:
             raise ValueError(f"unknown facet kind {kind!r}")
 
@@ -1487,9 +1544,14 @@ class IndexSearcher:
                         ids = _facet_match_ids(index_dir, shard, present, mode)
                         if len(ids) == 0:
                             continue
-                        cols = ["doc_id", field] + (
-                            [value_field] if kind == "terms_stats" else []
-                        )
+                        if kind == "filters":
+                            cols = ["doc_id"] + sorted(
+                                {f for trs in filters.values() for (f, _, _) in trs}
+                            )
+                        else:
+                            cols = ["doc_id", field] + (
+                                [value_field] if kind == "terms_stats" else []
+                            )
                         dt = (
                             pads.dataset(
                                 f"{index_dir}/docs/shard={shard}", format="parquet"
@@ -1498,6 +1560,18 @@ class IndexSearcher:
                             .to_pandas()
                         )
                         sel = np.isin(dt["doc_id"].to_numpy(), ids, assume_unique=True)
+                        if kind == "filters":
+                            sub = dt.loc[sel]
+                            yield pd.DataFrame(
+                                {
+                                    "idx": range(len(filter_names)),
+                                    "count": [
+                                        int(_pd_filter_mask(sub, filters[n]).sum())
+                                        for n in filter_names
+                                    ],
+                                }
+                            )
+                            continue
                         if kind == "terms_stats":
                             sub = dt.loc[sel, [field, value_field]]
                             g = sub.groupby(field)[value_field].agg(
@@ -1525,6 +1599,23 @@ class IndexSearcher:
                             )
                             bu, bc = np.unique(b, return_counts=True)
                             yield pd.DataFrame({"bucket": bu, "count": bc})
+                        elif kind == "range":
+                            v = vals.astype(float)
+                            counts = []
+                            for _, lo, hi in norm_ranges:
+                                m = v.notna()
+                                if lo is not None:
+                                    m &= v >= float(lo)
+                                if hi is not None:
+                                    m &= v < float(hi)
+                                counts.append(int(m.sum()))
+                            yield pd.DataFrame(
+                                {"idx": range(len(norm_ranges)), "count": counts}
+                            )
+                        elif kind == "cardinality":
+                            yield pd.DataFrame({"value": vals.dropna().unique()})
+                        elif kind == "missing":
+                            yield pd.DataFrame({"count": [int(vals.isna().sum())]})
                         else:
                             yield pd.DataFrame(
                                 {
@@ -1542,6 +1633,57 @@ class IndexSearcher:
             else:
                 partials = spark.createDataFrame([], partial_schema)
 
+        if kind == "range":
+            keys = [k for k, _, _ in norm_ranges]
+            if partials is None:
+                from ..operators.aggs import range_facet
+
+                return range_facet(docs, None, field, ranges)
+            # zero rows per bucket unioned in so empty buckets survive the
+            # sum (ES keeps them); a tiny local relation, never a join
+            zeros = spark.createDataFrame(
+                [(i, 0) for i in range(len(keys))], "idx long, count long"
+            )
+            keys_arr = F.array(*[F.lit(k) for k in keys])
+            return (
+                partials.union(zeros)
+                .groupBy("idx")
+                .agg(F.sum("count").alias("count"))
+                .select(
+                    F.element_at(keys_arr, F.col("idx").cast("int") + 1).alias("key"),
+                    "count",
+                )
+                .orderBy("key")
+            )
+        if kind == "filters":
+            if partials is None:
+                from ..operators.aggs import filters_facet
+
+                return filters_facet(docs, filters)
+            zeros = spark.createDataFrame(
+                [(i, 0) for i in range(len(filter_names))], "idx long, count long"
+            )
+            names_arr = F.array(*[F.lit(n) for n in filter_names])
+            return (
+                partials.union(zeros)
+                .groupBy("idx")
+                .agg(F.sum("count").alias("count"))
+                .select(
+                    F.element_at(names_arr, F.col("idx").cast("int") + 1).alias("filter"),
+                    "count",
+                )
+                .orderBy("filter")
+            )
+        if kind == "cardinality":
+            if partials is None:
+                return docs.agg(F.count_distinct(F.col(field)).alias("cardinality"))
+            return partials.agg(F.count_distinct("value").alias("cardinality"))
+        if kind == "missing":
+            if partials is None:
+                return docs.agg(F.count_if(F.col(field).isNull()).alias("count"))
+            return partials.agg(
+                F.coalesce(F.sum("count"), F.lit(0)).cast("long").alias("count")
+            )
         if kind == "terms_stats":
             if partials is None:
                 from ..operators.facets import terms_stats_facet

@@ -1,0 +1,248 @@
+"""Round-3 aggregation kinds (range / filters / cardinality / percentiles /
+missing / top_hits / significant_terms; operators/aggs.py) — declarative path
+vs DuckDB oracle, serving path vs declarative path, approx paths vs exact."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from flume_elasticsearch_2_spark.operators.aggs import (
+    cardinality_facet,
+    cardinality_facet_sql,
+    filters_facet,
+    filters_facet_sql,
+    missing_facet,
+    missing_facet_sql,
+    percentiles_facet,
+    percentiles_facet_sql,
+    range_facet,
+    range_facet_sql,
+    significant_terms_facet,
+    significant_terms_facet_sql,
+    top_hits_agg,
+    top_hits_agg_sql,
+)
+
+CASES = [
+    ("dup batch scan", "or"),
+    ("join filter window", "and"),
+    (None, "or"),  # match_all
+]
+
+RANGES = [{"to": 200}, {"from": 200, "to": 1000}, {"from": 1000}]
+FILTERS = {
+    "en_docs": [("lang", "==", "en")],
+    "big": [("n_chars", ">=", 1000)],
+    "webby": [("source", "in", ["web", "news"])],
+    "no_source": [("source", "null", None)],
+}
+
+
+def _duck(sf_dir, sql):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    return con.sql(sql).fetchall()
+
+
+@pytest.mark.parametrize("query,mode", CASES)
+def test_range_facet_matches_duckdb(documents, sf_dir, query, mode):
+    got = [tuple(r) for r in range_facet(documents, query, "n_chars", RANGES, mode=mode).collect()]
+    want = _duck(sf_dir, range_facet_sql(query, "n_chars", RANGES, mode=mode))
+    assert got == want and len(got) == len(RANGES)
+
+
+def test_range_facet_keeps_empty_buckets(documents, sf_dir):
+    rs = [{"from": 10**9}, {"to": 10**9, "key": "rest"}]
+    got = {r["key"]: r["count"] for r in range_facet(documents, None, "n_chars", rs).collect()}
+    assert got["1000000000.0-*"] == 0 and got["rest"] > 0
+
+
+def test_range_facet_overlapping_buckets_double_count(documents):
+    rs = [{"from": 0}, {"from": 0, "key": "again"}]
+    got = [r["count"] for r in range_facet(documents, None, "n_chars", rs).collect()]
+    assert got[0] == got[1] > 0  # same docs, both buckets
+
+
+def test_range_facet_rejects_bad_ranges(documents):
+    with pytest.raises(ValueError):
+        range_facet(documents, None, "n_chars", [{}])
+    with pytest.raises(ValueError):
+        range_facet(documents, None, "n_chars", [{"to": 5, "key": "a"}, {"to": 9, "key": "a"}])
+
+
+@pytest.mark.parametrize("query,mode", CASES)
+def test_filters_facet_matches_duckdb(documents, sf_dir, query, mode):
+    got = [tuple(r) for r in filters_facet(documents, FILTERS, query=query, mode=mode).collect()]
+    want = _duck(sf_dir, filters_facet_sql(FILTERS, query=query, mode=mode))
+    assert got == want and len(got) == len(FILTERS)
+
+
+@pytest.mark.parametrize("query,mode", CASES)
+def test_cardinality_matches_duckdb(documents, sf_dir, query, mode):
+    got = [tuple(r) for r in cardinality_facet(documents, query, "source", mode=mode).collect()]
+    want = _duck(sf_dir, cardinality_facet_sql(query, "source", mode=mode))
+    assert got == want
+
+
+def test_cardinality_approx_within_rsd(documents):
+    exact = cardinality_facet(documents, None, "source").collect()[0][0]
+    approx = cardinality_facet(documents, None, "source", exact=False, rsd=0.05).collect()[0][0]
+    assert abs(approx - exact) <= max(1, 0.15 * exact)
+
+
+def test_cardinality_ignores_nulls(documents, sf_dir):
+    with_nulls = documents.withColumn(
+        "maybe", F.when(F.col("doc_id") % 3 == 0, F.col("source"))
+    )
+    got = cardinality_facet(with_nulls, None, "maybe").collect()[0][0]
+    exact = with_nulls.where(F.col("maybe").isNotNull()).select("maybe").distinct().count()
+    assert got == exact
+
+
+@pytest.mark.parametrize("query,mode", CASES)
+def test_percentiles_matches_duckdb(documents, sf_dir, query, mode):
+    got = [tuple(r) for r in percentiles_facet(documents, query, "n_chars", mode=mode).collect()]
+    want = _duck(sf_dir, percentiles_facet_sql(query, "n_chars", mode=mode))
+    assert got == want and len(got) == 7
+
+
+def test_percentiles_approx_close_to_exact(documents):
+    exact = {r["percent"]: r["value"] for r in percentiles_facet(documents, None, "n_chars").collect()}
+    approx = {
+        r["percent"]: r["value"]
+        for r in percentiles_facet(documents, None, "n_chars", exact=False).collect()
+    }
+    lo, hi = min(exact.values()), max(exact.values())
+    for p, v in approx.items():
+        assert abs(v - exact[p]) <= 0.05 * (hi - lo) + 1e-9
+
+
+def test_percentiles_rejects_bad_percent(documents):
+    with pytest.raises(ValueError):
+        percentiles_facet(documents, None, "n_chars", percents=(150.0,))
+
+
+def test_missing_facet_matches_duckdb(documents, sf_dir):
+    got = [tuple(r) for r in missing_facet(documents, "batch scan", "source").collect()]
+    want = _duck(sf_dir, missing_facet_sql("batch scan", "source"))
+    assert got == want
+
+
+def test_missing_facet_counts_synthesized_nulls(documents):
+    with_nulls = documents.withColumn(
+        "maybe", F.when(F.col("doc_id") % 4 == 0, F.col("source"))
+    )
+    got = missing_facet(with_nulls, None, "maybe").collect()[0][0]
+    assert got == with_nulls.where(F.col("maybe").isNull()).count() > 0
+
+
+@pytest.mark.parametrize("query,mode", CASES)
+def test_top_hits_matches_duckdb(documents, sf_dir, query, mode):
+    got = [tuple(r) for r in top_hits_agg(documents, query, "lang", 3, "n_chars", mode=mode).collect()]
+    want = _duck(sf_dir, top_hits_agg_sql(query, "lang", 3, "n_chars", mode=mode))
+    assert got == want
+
+
+def test_top_hits_ascending_and_k1(documents, sf_dir):
+    got = [
+        tuple(r)
+        for r in top_hits_agg(documents, None, "lang", 1, "n_chars", ascending=True).collect()
+    ]
+    want = _duck(sf_dir, top_hits_agg_sql(None, "lang", 1, "n_chars", ascending=True))
+    assert got == want
+    assert all(r[3] == 1 for r in got)  # exactly one hit per bucket
+
+
+@pytest.mark.parametrize("query,mode", [("dup batch scan", "or"), ("join filter window", "and")])
+def test_significant_terms_matches_duckdb(documents, sf_dir, query, mode):
+    got = [
+        tuple(r)
+        for r in significant_terms_facet(documents, query, size=10, mode=mode).collect()
+    ]
+    want = _duck(sf_dir, significant_terms_facet_sql(query, size=10, mode=mode))
+    assert got == want and len(got) == 10
+
+
+def test_significant_terms_query_terms_rank_first(documents):
+    # the foreground's own terms are maximally significant (fg% >> bg%
+    # unless the term saturates the corpus) — they should surface
+    rows = significant_terms_facet(documents, "dup", size=5).collect()
+    assert rows and rows[0]["term"] == "dup"
+    assert all(r["fg_count"] <= r["bg_count"] for r in rows)
+    assert all(rows[i]["score"] >= rows[i + 1]["score"] for i in range(len(rows) - 1))
+
+
+def test_significant_terms_empty_foreground(documents):
+    assert significant_terms_facet(documents, "zzzznotaterm").count() == 0
+
+
+def test_significant_terms_needs_query(documents):
+    with pytest.raises(ValueError):
+        significant_terms_facet(documents, "")
+
+
+# -- serving path ≡ declarative path ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def agg_searcher(spark, documents, tmp_path_factory):
+    from flume_elasticsearch_2_spark.plans.build_index import build_segments_partial
+    from flume_elasticsearch_2_spark.plans.query_index import IndexSearcher
+
+    d = os.path.join(str(tmp_path_factory.mktemp("agg_idx")), "idx")
+    build_segments_partial(
+        spark,
+        documents,
+        d,
+        n_shards=4,
+        orig_ids=documents.select("doc_id", "lang", "source", "n_chars"),
+    )
+    return IndexSearcher(spark, d)
+
+
+@pytest.mark.parametrize("query,mode", CASES)
+def test_serving_range_identical(agg_searcher, documents, query, mode):
+    got = [
+        tuple(r)
+        for r in agg_searcher.facet(
+            query, "n_chars", kind="range", ranges=RANGES, mode=mode
+        ).collect()
+    ]
+    want = [tuple(r) for r in range_facet(documents, query, "n_chars", RANGES, mode=mode).collect()]
+    assert got == want
+
+
+def test_serving_range_empty_match_set(agg_searcher):
+    got = {r["key"]: r["count"] for r in agg_searcher.facet(
+        "zzzznotaterm", "n_chars", kind="range", ranges=RANGES
+    ).collect()}
+    assert len(got) == len(RANGES) and all(v == 0 for v in got.values())
+
+
+@pytest.mark.parametrize("query,mode", CASES)
+def test_serving_filters_identical(agg_searcher, documents, query, mode):
+    got = [
+        tuple(r)
+        for r in agg_searcher.facet(
+            query, None, kind="filters", filters=FILTERS, mode=mode
+        ).collect()
+    ]
+    want = [tuple(r) for r in filters_facet(documents, FILTERS, query=query, mode=mode).collect()]
+    assert got == want
+
+
+@pytest.mark.parametrize("query,mode", CASES)
+def test_serving_cardinality_identical(agg_searcher, documents, query, mode):
+    got = [tuple(r) for r in agg_searcher.facet(query, "source", kind="cardinality", mode=mode).collect()]
+    want = [tuple(r) for r in cardinality_facet(documents, query, "source", mode=mode).collect()]
+    assert got == want
+
+
+def test_serving_missing_identical(agg_searcher, documents):
+    got = [tuple(r) for r in agg_searcher.facet("batch scan", "source", kind="missing").collect()]
+    want = [tuple(r) for r in missing_facet(documents, "batch scan", "source").collect()]
+    assert got == want

@@ -161,7 +161,7 @@ def searcher(spark, documents, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("dslidx") / "segidx")
     build_segments_partial(
         spark, documents, d, n_shards=4,
-        orig_ids=documents.select("doc_id", "lang", "n_chars", "text"),
+        orig_ids=documents.select("doc_id", "lang", "source", "n_chars", "text"),
         store_positions=True,
     )
     return IndexSearcher(spark, d)
@@ -244,6 +244,72 @@ AGG_BODIES = [
         {"aggs": {"by_lang": {"terms": {"field": "lang"},
                               "aggs": {"c": {"stats": {"field": "n_chars"}}}}}},
     ),
+    (
+        "range_scoped",
+        {"query": {"match": {"text": "dup batch scan"}},
+         "aggs": {"len": {"range": {"field": "n_chars",
+                                    "ranges": [{"to": 200},
+                                               {"from": 200, "to": 1000},
+                                               {"from": 1000}]}}}},
+    ),
+    (
+        "range_matchall",
+        {"aggs": {"len": {"range": {"field": "n_chars",
+                                    "ranges": [{"to": 500, "key": "short"},
+                                               {"from": 500, "key": "long"}]}}}},
+    ),
+    (
+        "filters_scoped",
+        {"query": {"match": {"text": "batch scan"}},
+         "aggs": {"byf": {"filters": {"filters": {
+             "en": {"term": {"lang": "en"}},
+             "big": {"range": {"n_chars": {"gte": 1000}}},
+             "webby": {"terms": {"source": ["web", "news"]}},
+             "sourced": {"exists": {"field": "source"}}}}}}},
+    ),
+    (
+        "cardinality_scoped",
+        {"query": {"match": {"text": "dup batch scan"}},
+         "aggs": {"nsrc": {"cardinality": {"field": "source"}}}},
+    ),
+    (
+        "cardinality_matchall",
+        {"aggs": {"nsrc": {"cardinality": {"field": "source",
+                                           "precision_threshold": 3000}}}},
+    ),
+    (
+        "missing_scoped",
+        {"query": {"match": {"text": "batch scan"}},
+         "aggs": {"nosrc": {"missing": {"field": "source"}}}},
+    ),
+]
+
+# declarative-only kinds (serving path refuses: exact forms need the match
+# set's raw values; aggs.py routes the sketch-merging builtins at scale)
+AGG_BODIES_DECLARATIVE = [
+    (
+        "percentiles_scoped",
+        {"query": {"match": {"text": "dup batch scan"}},
+         "aggs": {"p": {"percentiles": {"field": "n_chars",
+                                        "percents": [5, 50, 95]}}}},
+    ),
+    (
+        "percentiles_matchall",
+        {"aggs": {"p": {"percentiles": {"field": "n_chars"}}}},
+    ),
+    (
+        "significant_terms",
+        {"query": {"match": {"text": "dup batch scan"}},
+         "aggs": {"sig": {"significant_terms": {"field": "text", "size": 8}}}},
+    ),
+    (
+        "top_hits_nested",
+        {"query": {"match": {"text": "batch scan"}},
+         "aggs": {"by_lang": {"terms": {"field": "lang"},
+                              "aggs": {"h": {"top_hits": {
+                                  "size": 2,
+                                  "sort": [{"n_chars": {"order": "desc"}}]}}}}}},
+    ),
 ]
 
 
@@ -262,11 +328,42 @@ def test_dsl_aggs_match_duckdb_and_serving(documents, duck, searcher, name, body
     assert srv == got, name
 
 
+@pytest.mark.parametrize(
+    "name,body", AGG_BODIES_DECLARATIVE, ids=[b[0] for b in AGG_BODIES_DECLARATIVE]
+)
+def test_dsl_declarative_only_aggs_match_duckdb(documents, duck, searcher, name, body):
+    from flume_elasticsearch_2_spark.operators.dsl import (
+        dsl_aggregation,
+        dsl_aggregation_index,
+        dsl_aggregation_sql,
+    )
+
+    got = [tuple(r) for r in dsl_aggregation(documents, body).collect()]
+    want = [tuple(r) for r in duck.execute(dsl_aggregation_sql(body)).fetchall()]
+    assert got == want and got, name
+    with pytest.raises(ValueError, match="declarative-only"):
+        dsl_aggregation_index(searcher, body)
+
+
 def test_dsl_aggs_rejects_unsupported():
     from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_sql
 
     with pytest.raises(ValueError, match="unsupported DSL"):
-        dsl_aggregation_sql({"aggs": {"a": {"cardinality": {"field": "lang"}}}})
+        dsl_aggregation_sql({"aggs": {"a": {"geo_distance": {"field": "lang"}}}})
+    # significant_terms needs a foreground (match) scope and the text field
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        dsl_aggregation_sql({"aggs": {"a": {"significant_terms": {"field": "text"}}}})
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        dsl_aggregation_sql(
+            {"query": {"match": {"text": "a"}},
+             "aggs": {"a": {"significant_terms": {"field": "lang"}}}}
+        )
+    # top_hits needs exactly one sort field
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        dsl_aggregation_sql(
+            {"aggs": {"a": {"terms": {"field": "lang"},
+                            "aggs": {"h": {"top_hits": {"size": 2}}}}}}
+        )
     with pytest.raises(ValueError, match="unsupported DSL"):
         dsl_aggregation_sql(
             {"query": {"match_phrase": {"text": "a b"}},

@@ -204,3 +204,44 @@ def test_stratified_sample_is_one_shuffle_window(spark, documents):
     assert plan.count("Exchange (") == 1, plan  # tree node label, once
     assert "Window" in plan and "Join" not in plan, plan
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_range_and_filters_aggs_are_single_pass(spark, documents):
+    """range/filters aggs: one corpus pass — a count_if per bucket inside ONE
+    global aggregate (exactly one exchange, the partial->final agg split),
+    then an O(n_buckets) generate. No join, no per-bucket scan."""
+    from flume_elasticsearch_2_spark.operators.aggs import filters_facet, range_facet
+
+    rdf = range_facet(
+        documents, "dup batch", "n_chars", [{"to": 500}, {"from": 500}]
+    )
+    fdf = filters_facet(
+        documents, {"en": [("lang", "==", "en")], "big": [("n_chars", ">=", 99)]}
+    )
+    for df in (rdf, fdf):
+        plan = _plan(df)
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange (") == 1, plan
+
+
+def test_top_hits_shuffles_at_most_k_per_bucket_partition(spark, documents):
+    """top_hits: partial WindowGroupLimit BELOW the exchange — at most k rows
+    per (bucket, input partition) ride the shuffle, never a bucket's match
+    set."""
+    from flume_elasticsearch_2_spark.operators.aggs import top_hits_agg
+
+    plan = _plan(top_hits_agg(documents, "batch scan", "lang", 3, "n_chars"))
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_significant_terms_is_one_exploded_agg(spark, documents):
+    """significant_terms: fg and bg doc counts from ONE exploded-distinct
+    pass (the index-build shuffle shape) — no self-join, no second tokenize
+    of the corpus; plan = scan -> generate -> partial agg -> exchange ->
+    final agg -> sort/limit."""
+    from flume_elasticsearch_2_spark.operators.aggs import significant_terms_facet
+
+    plan = _plan(significant_terms_facet(documents, "dup batch scan", size=10))
+    assert "Join" not in plan, plan
+    assert plan.count("Generate (") == 1, plan  # tree node label, once
