@@ -95,3 +95,91 @@ SELECT (SELECT count(*) FROM {table}) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_postings
 FROM post
 """
+
+
+def termvectors(
+    docs: DataFrame,
+    doc_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """ES ``_termvector`` (1.x; ``_termvectors`` in 2.x) with
+    ``term_statistics=true``: for one document, every analyzed term with its
+    in-document frequency plus corpus-wide doc frequency and total term
+    frequency. Returns (term, term_freq, doc_freq, ttf) ordered by term —
+    the ES response's lexicographic term order.
+
+    Plan shape (this IS a single-doc GET API, so the driver plays the ES
+    coordinating node): the doc's text is one pushdown-pruned row fetch; its
+    analyzed Counter then drives ONE corpus aggregation whose explode is
+    filtered to the doc's distinct terms BEFORE the (term) shuffle — the
+    exchange carries at most |doc vocabulary| × |input partitions| rows,
+    never the corpus. The serving twin (:meth:`IndexSearcher.termvectors`)
+    does zero corpus work: stored-field fetch + IN-pruned dictionary read
+    (Lucene stores totalTermFreq in the term dictionary for exactly this).
+
+    Reference analog: the ES termvector surface behind the sink
+    (ElasticsearchSink.java:54).
+    """
+    from collections import Counter
+
+    from ..functions.tokenizer import tokenize
+
+    spark = docs.sparkSession
+    empty = spark.createDataFrame(
+        [], "term string, term_freq long, doc_freq long, ttf long"
+    )
+    row = docs.where(F.col(id_col) == int(doc_id)).select(text_col).limit(1).collect()
+    if not row or row[0][0] is None:
+        return empty
+    tfs = Counter(tokenize(row[0][0], stopwords, analyzer))
+    terms = sorted(tfs)
+    if not terms:
+        return empty
+    toks = tokens_col(text_col, stopwords, analyzer)
+    stats = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(
+            F.count_distinct("doc_id").alias("doc_freq"),
+            F.count("*").cast("long").alias("ttf"),
+        )
+        .collect()
+    )
+    by_term = {r["term"]: (int(r["doc_freq"]), int(r["ttf"])) for r in stats}
+    return spark.createDataFrame(
+        [(t, int(tfs[t]), *by_term[t]) for t in terms],
+        "term string, term_freq long, doc_freq long, ttf long",
+    )
+
+
+def termvectors_sql(
+    doc_id: int,
+    table: str = "documents",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB oracle for :func:`termvectors`."""
+    tok_expr = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    if stopwords:
+        stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
+        tok_expr = f"list_filter({tok_expr}, t -> t NOT IN ({stop_list}))"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tok_expr}) AS term FROM {table}
+),
+doc AS (
+  SELECT term, count(*) AS term_freq FROM toks
+  WHERE doc_id = {int(doc_id)} GROUP BY term
+),
+stats AS (
+  SELECT term, count(DISTINCT doc_id) AS doc_freq, CAST(count(*) AS BIGINT) AS ttf
+  FROM toks WHERE term IN (SELECT term FROM doc) GROUP BY term
+)
+SELECT doc.term, doc.term_freq, stats.doc_freq, stats.ttf
+FROM doc JOIN stats USING (term)
+ORDER BY doc.term
+"""

@@ -477,3 +477,84 @@ WHERE fg_count >= {int(min_doc_count)}
 ORDER BY score DESC, term ASC
 LIMIT {int(size)}
 """
+
+
+# -- extended_stats / value_count ------------------------------------------------
+
+
+def extended_stats_facet(
+    docs: DataFrame,
+    query: str | None,
+    field: str,
+    mode: str = "or",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``extended_stats`` aggregation: the ``stats`` row plus
+    sum_of_squares, variance and std_deviation over the match scope.
+    Population variance (ES semantics): ``sos/count - avg²`` — computed with
+    the SAME explicit formula in both engines (not the engines' var_pop
+    built-ins, whose summation strategies differ) so the rounded-6 values
+    are bit-comparable. One global aggregate: partials combine map-side,
+    one row crosses the exchange — the same zero-shuffle shape as stats."""
+    f = F.col(field).cast("double")
+    base = docs.where(match_condition(query, mode, text_col)).agg(
+        F.count(field).alias("count"),
+        F.min(field).alias("min"),
+        F.max(field).alias("max"),
+        F.sum(f).alias("_sum"),
+        F.sum(f * f).alias("_sos"),
+    )
+    avg = F.col("_sum") / F.col("count")
+    var = F.col("_sos") / F.col("count") - avg * avg
+    return base.select(
+        "count",
+        "min",
+        "max",
+        F.round("_sum", 6).alias("sum"),
+        F.round(avg, 6).alias("avg"),
+        F.round("_sos", 6).alias("sum_of_squares"),
+        F.round(var, 6).alias("variance"),
+        F.round(F.sqrt(var), 6).alias("std_deviation"),
+    )
+
+
+def extended_stats_facet_sql(
+    query: str | None, field: str, mode: str = "or", table: str = "documents"
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT count({field}) AS count, min({field}) AS min, max({field}) AS max,
+         sum(CAST({field} AS DOUBLE)) AS s,
+         sum(CAST({field} AS DOUBLE) * CAST({field} AS DOUBLE)) AS sos
+  FROM {table}
+  WHERE {_match_sql(query, mode, None, 'ascii')}
+)
+SELECT count, min, max, round(s, 6) AS sum, round(s / count, 6) AS avg,
+       round(sos, 6) AS sum_of_squares,
+       round(sos / count - (s / count) * (s / count), 6) AS variance,
+       round(sqrt(sos / count - (s / count) * (s / count)), 6) AS std_deviation
+FROM base
+"""
+
+
+def value_count_facet(
+    docs: DataFrame,
+    query: str | None,
+    field: str,
+    mode: str = "or",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``value_count`` aggregation: how many docs in the match scope have
+    a value for ``field`` (nulls excluded — ES counts extracted values)."""
+    return docs.where(match_condition(query, mode, text_col)).agg(
+        F.count(field).alias("count")
+    )
+
+
+def value_count_facet_sql(
+    query: str | None, field: str, mode: str = "or", table: str = "documents"
+) -> str:
+    return (
+        f"SELECT count({field}) AS count\nFROM {table}\n"
+        f"WHERE {_match_sql(query, mode, None, 'ascii')}"
+    )

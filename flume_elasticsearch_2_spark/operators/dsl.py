@@ -23,7 +23,9 @@ silent best-effort):
   (best_fields over analyzed fields, ``tie_breaker``), ``dis_max`` (match
   clauses, ``tie_breaker``), ``match_all``, ``ids``, ``term``/
   ``prefix``/``wildcard``/``fuzzy`` on the text field,
-  ``more_like_this`` (``like`` text form), the 1.x ``filtered`` wrapper
+  ``more_like_this`` (``like`` text form), ``common`` (the 1.x common
+  terms query: ``cutoff_frequency`` df-split, ``low_freq_operator``),
+  the 1.x ``filtered`` wrapper
   (rewritten to bool), ``constant_score`` (filter + boost), top-level
   ``range``, ``query_string`` (Lucene mini-language subset: bare/+/- terms,
   one quoted phrase, one wildcard, AND/OR, ``text:`` field syntax), and
@@ -84,7 +86,7 @@ class _Spec:
     """Normalized search spec: the meeting point of both executors."""
 
     def __init__(self) -> None:
-        # match | phrase | match_all | ids | multiterm | mlt | dis_max
+        # match | phrase | match_all | ids | multiterm | mlt | dis_max | common
         self.kind = "match"
         self.query: str = ""
         self.field: str | None = None  # analyzed field of a match (None = default)
@@ -109,6 +111,7 @@ class _Spec:
         self.boosting: tuple | None = None  # (pos_query, neg_query, nb, mode)
         # (query, mode, field, factor, modifier, missing, boost_mode)
         self.fscore: tuple | None = None
+        self.common: tuple | None = None  # (query, cutoff_frequency, low_op)
 
 
 def _parse_match(
@@ -347,6 +350,23 @@ def parse_body(
         if f != text_col:
             _err(f"match_phrase on {f!r}")
         spec.query = _parse_phrase_val(spec, v)
+    elif kind == "common":
+        # ES 1.x common terms query: df-split at cutoff_frequency; low-freq
+        # terms select, high-freq terms only add score (operators/topk.py
+        # bm25_common_topk pins the full contract)
+        f, v = _one_field(val, "common")
+        if f != text_col:
+            _err(f"common on field {f!r}")
+        if not isinstance(v, dict):
+            _err("common value must be an options object with 'query'")
+        extra_c = set(v) - {"query", "cutoff_frequency", "low_freq_operator"}
+        if extra_c:
+            _err(f"common keys {sorted(extra_c)}")
+        low_op = v.get("low_freq_operator", "or")
+        if low_op not in ("or", "and"):
+            _err(f"common low_freq_operator {low_op!r}")
+        spec.kind = "common"
+        spec.common = (v["query"], float(v.get("cutoff_frequency", 0.01)), low_op)
     elif kind == "multi_match":
         # ES multi_match, type=best_fields (the default): the same query
         # matched on every named analyzed field, dis_max-combined
@@ -812,6 +832,16 @@ def dsl_search(
             boost_mode=boost_mode, k=spec.size, mode=fmode,
             id_col=id_col, text_col=text_col,
         )
+    if spec.kind == "common":
+        if spec.filters or mn or spec.from_:
+            _err("common with filters/must_not/from")
+        from .topk import bm25_common_topk
+
+        q, cutoff, low_op = spec.common
+        return bm25_common_topk(
+            docs, q, k=spec.size, cutoff_frequency=cutoff,
+            low_freq_operator=low_op, id_col=id_col, text_col=text_col,
+        )
     if spec.kind == "dis_max":
         if spec.filters or mn or spec.from_:
             _err("dis_max/multi_match with filters/must_not/from")
@@ -915,6 +945,16 @@ def dsl_search_sql(
             q, field, factor=factor, modifier=modifier, missing=missing,
             boost_mode=boost_mode, k=spec.size, mode=fmode, table=table,
         )
+    if spec.kind == "common":
+        if spec.filters or mn or spec.from_:
+            _err("common with filters/must_not/from")
+        from .topk import bm25_common_topk_sql
+
+        q, cutoff, low_op = spec.common
+        return bm25_common_topk_sql(
+            q, k=spec.size, cutoff_frequency=cutoff,
+            low_freq_operator=low_op, table=table,
+        )
     if spec.kind == "dis_max":
         if spec.filters or mn or spec.from_:
             _err("dis_max/multi_match with filters/must_not/from")
@@ -974,6 +1014,15 @@ def dsl_search_index(
             "function_score is declarative-only in this version (the "
             "re-ranking factor invalidates the BMW serving bound; a bounded-"
             "factor rescore window is the planned serving shape)"
+        )
+    if spec.kind == "common":
+        if spec.filters or mn or spec.from_:
+            _err("common with filters/must_not/from")
+        if multifield:
+            searcher = searcher.field_searcher(searcher.fields[0])
+        q, cutoff, low_op = spec.common
+        return searcher.search_common(
+            q, k=spec.size, cutoff_frequency=cutoff, low_freq_operator=low_op
         )
     if spec.kind == "dis_max":
         if spec.filters or mn or spec.from_:

@@ -453,3 +453,74 @@ WHERE levenshtein(term, '{term}') <= {int(max_edits)} AND term <> '{term}'
 ORDER BY distance ASC, df DESC, suggestion ASC
 LIMIT {int(size)}
 """
+
+
+def completion_suggest(
+    docs: DataFrame,
+    prefix: str,
+    size: int = 5,
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """ES completion suggester (1.x ``suggest`` with a ``completion``
+    field): type-ahead — dictionary entries starting with ``prefix``,
+    ranked by weight. ES backs this with an in-memory FST built at index
+    time from explicit (input, weight) pairs; this engine derives the
+    completion field from the analyzed corpus itself — inputs are the
+    dictionary terms, weight is document frequency (the standard auto-
+    suggest weighting when no editorial weights exist). Returns
+    (suggestion, weight) ordered ``(weight DESC, suggestion ASC)`` — the ES
+    ranking plus a deterministic tiebreak.
+
+    Scale shape: one map-side-combined dictionary aggregation (≤ vocabulary
+    rows shuffled — identical to :func:`expand_pattern`), then a prefix
+    filter. The serving twin (:meth:`IndexSearcher.complete`) never touches
+    the corpus at all: the prebuilt ``terms/`` dictionary is range-pruned
+    on the prefix, the Parquet analog of the FST's prefix walk.
+
+    Reference analog: the ES suggest surface behind the sink
+    (ElasticsearchSink.java:54).
+    """
+    prefix = prefix.lower()
+    if not prefix:
+        raise ValueError("completion_suggest requires a non-empty prefix")
+    toks = tokens_col(text_col, stopwords, analyzer)
+    dictionary = (
+        docs.select(F.explode(F.array_distinct(toks)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("weight"))
+    )
+    return (
+        dictionary.where(F.col("term").startswith(prefix))
+        .select(F.col("term").alias("suggestion"), F.col("weight"))
+        .orderBy(F.col("weight").desc(), F.col("suggestion").asc())
+        .limit(int(size))
+    )
+
+
+def completion_suggest_sql(
+    prefix: str,
+    size: int = 5,
+    table: str = "documents",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB oracle for :func:`completion_suggest`."""
+    prefix = prefix.lower()
+    tok_expr = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    if stopwords:
+        stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
+        tok_expr = f"list_filter({tok_expr}, t -> t NOT IN ({stop_list}))"
+    return f"""
+WITH dict AS (
+  SELECT term, count(*) AS weight
+  FROM (SELECT unnest(list_distinct({tok_expr})) AS term FROM {table})
+  GROUP BY term
+)
+SELECT term AS suggestion, weight
+FROM dict
+WHERE term LIKE '{prefix}%'
+ORDER BY weight DESC, suggestion ASC
+LIMIT {int(size)}
+"""

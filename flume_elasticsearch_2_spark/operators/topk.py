@@ -856,3 +856,190 @@ WHERE base > 0
 ORDER BY c DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def bm25_common_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    cutoff_frequency: float = 0.01,
+    low_freq_operator: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """ES 1.x ``common`` terms query (Lucene CommonTermsQuery): query terms
+    are split by document frequency at ``cutoff_frequency`` (≥ 1 = absolute
+    df; < 1 = fraction of the corpus). LOW-frequency terms SELECT candidates
+    (``low_freq_operator``: 'or' = any low term matches, 'and' = all); HIGH-
+    frequency terms only ADD score on docs already selected — the stopword-
+    robust match that never scans a hot posting list for candidacy. Score =
+    the plain BM25 sum over every query term present in the doc (both
+    classes), so on the selected set ranking is identical to ``match``.
+    Pinned contract: if NO term is low-frequency the query degrades to a
+    plain OR ``match`` over the high group (Lucene's no-low-terms fallback
+    with the default high_freq_operator). Duplicate query terms accumulate;
+    ties break ``(-score, doc_id)``; scores rounded to 6 decimals.
+
+    Scale shape (the whole point of the operator at 10^12 docs): candidacy
+    is decided by the SELECTIVE terms only, so the candidate predicate is
+    cheap by construction; the hot terms' high-df work happens only inside
+    the scoring expression of already-selected docs. The serving twin
+    (:meth:`IndexSearcher.search_common`) decodes the low terms' short doc
+    streams to build the admitted set and never unions the hot postings
+    into the candidate space.
+    """
+    if low_freq_operator not in ("or", "and"):
+        raise ValueError(f"unsupported low_freq_operator {low_freq_operator!r}")
+    q_terms = tokenize(query, stopwords, analyzer)
+    empty = docs.sparkSession.createDataFrame([], "doc_id long, score double")
+    if not q_terms:
+        return empty
+    weights: dict[str, float] = {}
+    for t in q_terms:
+        weights[t] = weights.get(t, 0.0) + 1.0
+    distinct_terms = sorted(weights)
+
+    toks = tokens_col(text_col, stopwords, analyzer)
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(toks, lambda x: x == F.lit(t)))
+            .cast("double")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(distinct_terms)
+        ],
+    )
+    stats_row = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(distinct_terms))
+        ],
+    ).collect()[0]
+    n_docs = int(stats_row["n_docs"])
+    avgdl = float(stats_row["avgdl"]) if stats_row["avgdl"] is not None else 0.0
+    if n_docs == 0 or avgdl == 0.0:
+        return empty
+
+    cutoff_abs = float(cutoff_frequency) * (n_docs if cutoff_frequency < 1.0 else 1.0)
+    low_idx = [
+        i
+        for i in range(len(distinct_terms))
+        if 0 < int(stats_row[f"df_{i}"]) <= cutoff_abs
+    ]
+    score = F.lit(0.0)
+    any_present = False
+    for i, t in enumerate(distinct_terms):
+        df_t = int(stats_row[f"df_{i}"])
+        if df_t == 0:
+            continue
+        any_present = True
+        score = score + float(weights[t]) * bm25_col(
+            F.col(f"tf_{i}"), F.lit(df_t), F.col("dl"), F.lit(n_docs), F.lit(avgdl), k1, b
+        )
+    if not any_present:
+        return empty
+    scored = per_doc.withColumn("score_exact", score)
+    if low_idx:  # low terms select; no-low-terms falls through to plain OR
+        if low_freq_operator == "and":
+            cond = F.lit(True)
+            for i in low_idx:
+                cond = cond & (F.col(f"tf_{i}") > 0)
+        else:
+            cond = F.lit(False)
+            for i in low_idx:
+                cond = cond | (F.col(f"tf_{i}") > 0)
+        scored = scored.where(cond)
+    return (
+        scored.where(F.col("score_exact") > 0.0)
+        .orderBy(F.col("score_exact").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.round("score_exact", 6).alias("score"))
+    )
+
+
+def bm25_common_topk_sql(
+    query: str,
+    k: int = 10,
+    cutoff_frequency: float = 0.01,
+    low_freq_operator: str = "or",
+    table: str = "documents",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB oracle SQL for :func:`bm25_common_topk` — the df split is
+    computed INSIDE the query (data-dependent classification), so the oracle
+    exercises the same cutoff arithmetic: ``CAST(df AS DOUBLE) <= cutoff *
+    n_docs`` for fractional cutoffs, ``df <= cutoff`` absolute."""
+    if low_freq_operator not in ("or", "and"):
+        raise ValueError(f"unsupported low_freq_operator {low_freq_operator!r}")
+    q_terms = tokenize(query, stopwords, analyzer)
+    weights: dict[str, float] = {}
+    for t in q_terms:
+        weights[t] = weights.get(t, 0.0) + 1.0
+    terms_values = ", ".join(f"('{t}', {c!r})" for t, c in sorted(weights.items()))
+    in_list = ", ".join(f"'{t}'" for t in sorted(weights))
+    cutoff = float(cutoff_frequency)
+    low_pred = (
+        f"CAST(df AS DOUBLE) <= {cutoff!r} * stats.n_docs"
+        if cutoff < 1.0
+        else f"df <= {cutoff!r}"
+    )
+    cand_having = (
+        "HAVING count(DISTINCT term) = (SELECT count(*) FROM low)"
+        if low_freq_operator == "and"
+        else ""
+    )
+    from ..functions.tokenizer import duckdb_token_pattern
+
+    tok_expr = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    if stopwords:
+        stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
+        tok_expr = f"list_filter({tok_expr}, t -> t NOT IN ({stop_list}))"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tok_expr}) AS term
+  FROM {table}
+),
+dl AS (
+  SELECT doc_id, len({tok_expr}) AS dl FROM {table}
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term, qw) AS (VALUES {terms_values}),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN ({in_list}) GROUP BY term
+),
+low AS (
+  SELECT term FROM dfreq CROSS JOIN stats WHERE {low_pred}
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({in_list}) GROUP BY doc_id, term
+),
+cand AS (
+  SELECT doc_id FROM tf WHERE term IN (SELECT term FROM low)
+  GROUP BY doc_id {cand_having}
+),
+scored AS (
+  SELECT tf.doc_id,
+         qterms.qw * ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS partial
+  FROM tf
+  JOIN dfreq USING (term) JOIN qterms USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT doc_id, round(sum(partial), 6) AS score
+FROM scored
+WHERE (NOT EXISTS (SELECT 1 FROM low)) OR doc_id IN (SELECT doc_id FROM cand)
+GROUP BY doc_id
+ORDER BY sum(partial) DESC, doc_id ASC
+LIMIT {int(k)}
+"""

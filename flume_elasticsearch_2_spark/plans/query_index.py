@@ -700,6 +700,72 @@ class IndexSearcher:
             )
         return out
 
+    def search_common(
+        self,
+        query: str,
+        k: int = 10,
+        cutoff_frequency: float = 0.01,
+        low_freq_operator: str = "or",
+        pruned: bool = True,
+    ) -> DataFrame:
+        """ES 1.x ``common`` terms query on the SERVING path (rank-identical
+        to :func:`~..operators.topk.bm25_common_topk`). The low-frequency
+        terms — selective by construction — drive everything: active shards
+        are only those holding a low term, and per shard the low terms'
+        SHORT doc streams are decoded into the admitted-docs mask
+        (``must_terms`` in :meth:`_scatter_direct`). The high-frequency
+        terms' postings are then scored ONLY against that mask — their hot
+        doc streams never define the candidate space, which is the entire
+        point of CommonTermsQuery at web scale. With no low terms the query
+        degrades to the plain OR :meth:`search` (same pinned contract as
+        the declarative twin)."""
+        if low_freq_operator not in ("or", "and"):
+            raise ValueError(f"unsupported low_freq_operator {low_freq_operator!r}")
+        spark = self.spark
+        q_terms = tokenize(query)
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        if not q_terms:
+            return empty
+        weights = {t: float(c) for t, c in Counter(q_terms).items()}
+        dfreq, term_shards = self._query_meta_terms(sorted(weights))
+        present = sorted(t for t in weights if t in dfreq)
+        if not present:
+            return empty
+        cutoff_abs = float(cutoff_frequency) * (
+            self.n_docs if cutoff_frequency < 1.0 else 1.0
+        )
+        low = sorted(t for t in present if dfreq[t] <= cutoff_abs)
+        if low:
+            sets = [term_shards[t] for t in low]
+            active = set.intersection(*sets) if low_freq_operator == "and" else set().union(*sets)
+        else:  # no selective terms: plain OR match over the high group
+            active = set().union(*[term_shards[t] for t in present])
+        if not active:
+            return empty
+        kwargs = dict(
+            weights=weights,
+            dfreq=dfreq,
+            n_docs=self.n_docs,
+            avgdl=self.avgdl,
+            id_space=self.id_space,
+            n_shards=self.n_shards,
+            k=k,
+            mode="or",
+            pruned=pruned,
+        )
+        rows = self._scatter_direct(
+            sorted(active),
+            present,
+            kwargs,
+            must_terms=low or None,
+            must_mode=low_freq_operator,
+        ).collect()
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        return spark.createDataFrame(
+            [(int(r["doc_id"]), round_half_up6(r["score"])) for r in rows[:k]],
+            "doc_id long, score double",
+        )
+
     def search_local(
         self,
         query: str,
@@ -1160,6 +1226,32 @@ class IndexSearcher:
             cand[: int(size)], "suggestion string, distance long, df long"
         )
 
+    def complete(self, prefix: str, size: int = 5) -> DataFrame:
+        """ES completion suggester on the SERVING path (type-ahead): the
+        prebuilt global ``terms/`` dictionary is RANGE-PRUNED to the prefix
+        (``term >= p AND term < p⁺`` via Parquet row-group stats — the
+        columnar analog of the FST prefix walk ES uses), then ranked
+        ``(weight DESC, suggestion ASC)`` driver-side over the pruned
+        slice. Weight = df, same derived completion field as the
+        declarative :func:`~..operators.multiterm.completion_suggest`.
+        Never touches postings or the corpus."""
+        prefix = prefix.lower()
+        if not prefix:
+            raise ValueError("complete requires a non-empty prefix")
+        filt = (pads.field("term") >= prefix) & (
+            pads.field("term") < prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        )
+        tbl = pads.dataset(f"{self.index_dir}/terms", format="parquet").to_table(
+            columns=["term", "df"], filter=filt
+        )
+        cand = sorted(
+            zip(tbl["term"].to_pylist(), (int(d) for d in tbl["df"].to_pylist())),
+            key=lambda td: (-td[1], td[0]),
+        )
+        return self.spark.createDataFrame(
+            cand[: int(size)], "suggestion string, weight long"
+        )
+
     def more_like_this(
         self,
         like_text: str,
@@ -1299,6 +1391,42 @@ class IndexSearcher:
             stored.where(F.col("doc_id").isin(ids))
             .select("doc_id", *[c for c in cols if c != "doc_id"])
             .orderBy("doc_id")
+        )
+
+    def termvectors(self, doc_id: int) -> DataFrame:
+        """ES ``_termvector`` (term_statistics=true) on the SERVING path:
+        (term, term_freq, doc_freq, ttf) for one stored document, term-
+        ordered. ZERO corpus passes — the doc's text is an id-pushdown
+        stored-field fetch (:meth:`mget`), re-analyzed driver-side (the ES
+        on-the-fly term-vector path for fields indexed without
+        ``term_vector=yes``), and the corpus statistics come from an
+        IN-pruned read of the prebuilt ``terms/`` dictionary, which stores
+        (df, cf) per term exactly as Lucene's term dictionary stores
+        docFreq/totalTermFreq for this API."""
+        from collections import Counter as _Counter
+
+        row = self.mget([int(doc_id)], columns=["text"]).collect()
+        empty = self.spark.createDataFrame(
+            [], "term string, term_freq long, doc_freq long, ttf long"
+        )
+        if not row or row[0]["text"] is None:
+            return empty
+        tfs = _Counter(tokenize(row[0]["text"]))
+        terms = sorted(tfs)
+        if not terms:
+            return empty
+        tbl = pads.dataset(f"{self.index_dir}/terms", format="parquet").to_table(
+            columns=["term", "df", "cf"], filter=pads.field("term").isin(terms)
+        )
+        stats = {
+            t: (int(d), int(c))
+            for t, d, c in zip(
+                tbl["term"].to_pylist(), tbl["df"].to_pylist(), tbl["cf"].to_pylist()
+            )
+        }
+        return self.spark.createDataFrame(
+            [(t, int(tfs[t]), *stats[t]) for t in terms],
+            "term string, term_freq long, doc_freq long, ttf long",
         )
 
     def index_stats(self) -> DataFrame:
@@ -1836,6 +1964,8 @@ class IndexSearcher:
         kwargs: dict[str, Any],
         doc_filter: tuple | None = None,
         mn_terms: list[str] | None = None,
+        must_terms: list[str] | None = None,
+        must_mode: str = "or",
     ) -> DataFrame:
         """One task per active shard; each reads its own shard dir (postings
         term-filtered + norms) with pyarrow and scores locally. No shuffle —
@@ -1844,13 +1974,21 @@ class IndexSearcher:
         both through its filesystem layer. ``mn_terms`` (ES must_not):
         their doc streams are decoded per shard and the matching ids are
         dropped from the admitted docs table, which makes the scorer's
-        ``present`` mask exclude them from every candidate set."""
+        ``present`` mask exclude them from every candidate set.
+        ``must_terms`` is the mirror-image mask-IN (the ``common`` query's
+        low-frequency selector): only docs whose ids appear in those terms'
+        doc streams (``must_mode``: 'or' = any, 'and' = all) stay admitted.
+        Both masks only shrink the candidate set, so BMW pruning bounds
+        remain admissible."""
         index_dir = self.index_dir
 
         def score_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 for shard in pdf["shard"].tolist():
                     pt, dt = _read_shard_tables(index_dir, shard, present, doc_filter)
+                    if must_terms:
+                        incl = _facet_match_ids(index_dir, shard, must_terms, must_mode)
+                        dt = dt[dt["doc_id"].isin(incl)]
                     if mn_terms:
                         excl = _facet_match_ids(index_dir, shard, mn_terms, "or")
                         if len(excl):

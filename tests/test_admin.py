@@ -69,3 +69,33 @@ def test_index_stats_serving_equals_declarative(documents, searcher):
     got = [tuple(r) for r in searcher.index_stats().collect()]
     want = [tuple(r) for r in corpus_index_stats(documents).collect()]
     assert got == want
+
+
+# -- _termvector (per-doc term stats) ----------------------------------------
+
+
+def test_termvectors_matches_duckdb(documents, duck):
+    from flume_elasticsearch_2_spark.operators.admin import termvectors, termvectors_sql
+
+    for did in [3, 0, 499]:
+        got = [tuple(r) for r in termvectors(documents, did).collect()]
+        want = [tuple(r) for r in duck.execute(termvectors_sql(did)).fetchall()]
+        assert got == want and got, did
+
+
+def test_termvectors_serving_equals_declarative(documents, searcher):
+    """Serving reads (df, cf) from the prebuilt dictionary — parity proves
+    the build-time cf IS the corpus ttf the declarative pass computes."""
+    from flume_elasticsearch_2_spark.operators.admin import termvectors
+
+    for did in [3, 141]:
+        got = [tuple(r) for r in searcher.termvectors(did).collect()]
+        want = [tuple(r) for r in termvectors(documents, did).collect()]
+        assert got == want and got, did
+
+
+def test_termvectors_missing_doc_empty(documents, searcher):
+    from flume_elasticsearch_2_spark.operators.admin import termvectors
+
+    assert termvectors(documents, 10**9).count() == 0
+    assert searcher.termvectors(10**9).count() == 0

@@ -49,6 +49,21 @@ BODIES: list[tuple[str, dict, bool]] = [
         True,
     ),
     (
+        "common_terms",
+        {"query": {"common": {"text": {
+            "query": "dup batch scan", "cutoff_frequency": 0.1}}}, "size": 30},
+        True,
+    ),
+    (
+        # cutoff 0.77 at sf0.001: low = {dup df=25, small df=377}, high =
+        # {batch df=386} — 'and' requires BOTH low terms, batch scores only
+        "common_terms_and",
+        {"query": {"common": {"text": {
+            "query": "dup small batch", "cutoff_frequency": 0.77,
+            "low_freq_operator": "and"}}}, "size": 10},
+        True,
+    ),
+    (
         "bool_full",
         {
             "query": {

@@ -275,3 +275,39 @@ def test_suggest_excludes_input_and_orders_by_distance(documents):
     assert all(r.suggestion != "scan" for r in rows)
     dists = [r.distance for r in rows]
     assert dists == sorted(dists)
+
+
+# -- completion suggester (type-ahead prefix lookup) -------------------------
+
+
+def test_completion_suggest_matches_duckdb(spark, documents, duck):
+    from flume_elasticsearch_2_spark.operators.multiterm import (
+        completion_suggest,
+        completion_suggest_sql,
+    )
+
+    for prefix, size in [("s", 5), ("sc", 3), ("b", 10), ("zzz", 5)]:
+        got = [tuple(r) for r in completion_suggest(documents, prefix, size).collect()]
+        want = [
+            tuple(r) for r in duck.execute(completion_suggest_sql(prefix, size)).fetchall()
+        ]
+        assert got == want, prefix
+    assert len(completion_suggest(documents, "s", 5).collect()) == 5
+
+
+def test_completion_serving_equals_declarative(documents, searcher):
+    from flume_elasticsearch_2_spark.operators.multiterm import completion_suggest
+
+    for prefix in ["s", "sc", "ba", "zzz"]:
+        got = [tuple(r) for r in searcher.complete(prefix, 5).collect()]
+        want = [tuple(r) for r in completion_suggest(documents, prefix, 5).collect()]
+        assert got == want, prefix
+
+
+def test_completion_empty_prefix_raises(documents, searcher):
+    from flume_elasticsearch_2_spark.operators.multiterm import completion_suggest
+
+    with pytest.raises(ValueError):
+        completion_suggest(documents, "")
+    with pytest.raises(ValueError):
+        searcher.complete("")

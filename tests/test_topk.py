@@ -166,3 +166,79 @@ def test_match_count_matches_duckdb(spark, documents, sf_dir, query, mode):
     got = match_count(documents, query, mode=mode).collect()[0].n_matching
     exp = _duck(sf_dir, match_count_sql(query, mode=mode))[0][0]
     assert got == exp
+
+
+# -- common terms query (ES 1.x `common`: df-split selection) ----------------
+
+COMMON_CASES = [
+    # (query, cutoff, low_op): 0.1 -> only 'dup' (df 25/500) selects;
+    # 0.77 -> {dup, small} low; absolute 2.0 -> nothing low (plain OR match)
+    ("dup batch scan", 0.1, "or"),
+    ("dup small batch", 0.77, "or"),
+    ("dup small batch", 0.77, "and"),
+    ("batch scan", 2.0, "or"),
+    ("zzznope batch", 0.1, "or"),  # absent low term
+]
+
+
+@pytest.mark.parametrize("query,cutoff,low_op", COMMON_CASES)
+def test_common_terms_matches_duckdb(spark, documents, sf_dir, query, cutoff, low_op):
+    from flume_elasticsearch_2_spark.operators.topk import (
+        bm25_common_topk,
+        bm25_common_topk_sql,
+    )
+
+    got = [
+        tuple(r)
+        for r in bm25_common_topk(
+            documents, query, k=30, cutoff_frequency=cutoff, low_freq_operator=low_op
+        ).collect()
+    ]
+    want = _duck(
+        sf_dir,
+        bm25_common_topk_sql(query, k=30, cutoff_frequency=cutoff, low_freq_operator=low_op),
+    )
+    assert got == [tuple(w) for w in want], (query, cutoff, low_op)
+
+
+def test_common_terms_selection_semantics(spark, documents):
+    """Low-freq terms SELECT, high-freq only score: every hit contains the
+    rare term; plain match at the same k admits high-only docs."""
+    from flume_elasticsearch_2_spark.operators.topk import bm25_common_topk
+
+    from pyspark.sql import functions as F
+
+    from flume_elasticsearch_2_spark.functions.tokenizer import tokens_col
+
+    hits = bm25_common_topk(documents, "dup batch scan", k=30, cutoff_frequency=0.1)
+    ids = [r.doc_id for r in hits.collect()]
+    dup_docs = {
+        r.doc_id
+        for r in documents.where(F.array_contains(tokens_col("text"), "dup"))
+        .select("doc_id")
+        .collect()
+    }
+    assert ids and set(ids) <= dup_docs
+    match_ids = [r.doc_id for r in bm25_topk(documents, "dup batch scan", k=30).collect()]
+    assert len(match_ids) > len(ids)  # match admits high-freq-only docs
+
+
+def test_common_terms_all_high_degrades_to_match(spark, documents):
+    from flume_elasticsearch_2_spark.operators.topk import bm25_common_topk
+
+    got = [tuple(r) for r in bm25_common_topk(documents, "batch scan", k=10,
+                                              cutoff_frequency=2.0).collect()]
+    want = [tuple(r) for r in bm25_topk(documents, "batch scan", k=10).collect()]
+    assert got == want
+
+
+def test_common_terms_bad_operator_raises(spark, documents):
+    from flume_elasticsearch_2_spark.operators.topk import (
+        bm25_common_topk,
+        bm25_common_topk_sql,
+    )
+
+    with pytest.raises(ValueError):
+        bm25_common_topk(documents, "dup", low_freq_operator="xor")
+    with pytest.raises(ValueError):
+        bm25_common_topk_sql("dup", low_freq_operator="xor")
