@@ -1526,6 +1526,41 @@ def _hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSL_EXT_STATS_BODY = {
+    "query": {"match": {"text": "dup batch scan"}},
+    "aggs": {"len": {"extended_stats": {"field": "n_chars"}}},
+}
+_DSL_VALUE_COUNT_BODY = {
+    "query": {"match": {"text": "batch scan"}},
+    "aggs": {"n": {"value_count": {"field": "source"}}},
+}
+
+
+def _dsl_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats agg: stats + sum_of_squares/variance/std_deviation
+    in ONE map-side-combined global aggregate (population variance via the
+    explicit sos/n - avg² formula, identical in both engines)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _DSL_EXT_STATS_BODY)
+
+
+def _dsl_extended_stats_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extended_stats on the SERVING path: per-shard (cnt, min, max, sum,
+    sos) partials over the postings-decoded match set — integer partial
+    sums merge exactly, so variance is bit-identical to declarative."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_index
+
+    return dsl_aggregation_index(_segment_searcher(spark, sf_dir), _DSL_EXT_STATS_BODY)
+
+
+def _dsl_value_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES value_count agg (non-null field values in the match scope)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _DSL_VALUE_COUNT_BODY)
+
+
 def _completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES completion suggester (type-ahead): dictionary terms on a prefix,
     weight = df, ranked (weight DESC, suggestion ASC) — one map-side-combined
@@ -1598,6 +1633,9 @@ def _dsl_common(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dsl_extended_stats",
+    "dsl_extended_stats_segment",
+    "dsl_value_count",
     "completion_suggest",
     "completion_suggest_segment",
     "termvectors",
@@ -1797,6 +1835,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_sig_terms"] = _dsl_sig_terms
     q["dsl_top_hits"] = _dsl_top_hits
     # round-3 wave: completion suggester, _termvector, common terms query
+    q["dsl_extended_stats"] = _dsl_extended_stats
+    q["dsl_extended_stats_segment"] = _dsl_extended_stats_segment
+    q["dsl_value_count"] = _dsl_value_count
     q["completion_suggest"] = _completion_suggest
     q["completion_suggest_segment"] = _completion_suggest_segment
     q["termvectors"] = _termvectors
@@ -2148,6 +2189,9 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     from flume_elasticsearch_2_spark.operators.multiterm import completion_suggest_sql
     from flume_elasticsearch_2_spark.operators.topk import bm25_common_topk_sql
 
+    o["dsl_extended_stats"] = dsl_aggregation_sql(_DSL_EXT_STATS_BODY)
+    o["dsl_extended_stats_segment"] = o["dsl_extended_stats"]
+    o["dsl_value_count"] = dsl_aggregation_sql(_DSL_VALUE_COUNT_BODY)
     o["completion_suggest"] = completion_suggest_sql("s", size=5)
     o["completion_suggest_segment"] = o["completion_suggest"]
     o["termvectors"] = termvectors_sql(3)

@@ -1137,7 +1137,8 @@ def _parse_aggs(body: dict, text_col: str) -> tuple[str | None, str, str, dict]:
         kind, conf = _one_field(agg, "agg")
         if kind not in (
             "terms", "stats", "histogram", "range", "filters", "cardinality",
-            "percentiles", "missing", "significant_terms",
+            "percentiles", "missing", "significant_terms", "extended_stats",
+            "value_count",
         ):
             _err(f"agg kind {kind!r}")
         kw = {}
@@ -1227,6 +1228,8 @@ def dsl_aggregation(docs: DataFrame, body: dict, text_col: str = "text") -> Data
         return filters_facet(docs, kw.pop("filters"), query=q, text_col=text_col, **kw)
     if kind == "significant_terms":
         return significant_terms_facet(docs, q, text_col=text_col, **kw)
+    from .aggs import extended_stats_facet, value_count_facet
+
     fn = {
         "terms": terms_facet,
         "stats": stats_facet,
@@ -1235,6 +1238,8 @@ def dsl_aggregation(docs: DataFrame, body: dict, text_col: str = "text") -> Data
         "cardinality": cardinality_facet,
         "percentiles": percentiles_facet,
         "missing": missing_facet,
+        "extended_stats": extended_stats_facet,
+        "value_count": value_count_facet,
     }[kind]
     if kind == "range":
         return fn(docs, q, field, kw.pop("ranges"), text_col=text_col, **kw)
@@ -1276,6 +1281,8 @@ def dsl_aggregation_sql(body: dict, table: str = "documents", text_col: str = "t
         return filters_facet_sql(kw.pop("filters"), query=q, table=table, **kw)
     if kind == "significant_terms":
         return significant_terms_facet_sql(q, table=table, **kw)
+    from .aggs import extended_stats_facet_sql, value_count_facet_sql
+
     fn = {
         "terms": terms_facet_sql,
         "stats": stats_facet_sql,
@@ -1284,6 +1291,8 @@ def dsl_aggregation_sql(body: dict, table: str = "documents", text_col: str = "t
         "cardinality": cardinality_facet_sql,
         "percentiles": percentiles_facet_sql,
         "missing": missing_facet_sql,
+        "extended_stats": extended_stats_facet_sql,
+        "value_count": value_count_facet_sql,
     }[kind]
     if kind == "range":
         return fn(q, field, kw.pop("ranges"), table=table, **kw)

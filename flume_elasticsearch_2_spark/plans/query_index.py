@@ -1609,7 +1609,10 @@ class IndexSearcher:
         spark, index_dir = self.spark, self.index_dir
         norm_ranges: list[tuple] = []
         filter_names: list[str] = []
-        if kind in ("terms", "histogram", "stats", "terms_stats", "cardinality", "missing"):
+        if kind in (
+            "terms", "histogram", "stats", "terms_stats", "cardinality",
+            "missing", "extended_stats",
+        ):
             ddl = _arrow_ddl(
                 pads.dataset(f"{index_dir}/docs/shard=0", format="parquet").schema, field
             )
@@ -1647,6 +1650,12 @@ class IndexSearcher:
             partial_schema = f"value {ddl}"
         elif kind == "missing":
             partial_schema = "count long"
+        elif kind == "value_count":
+            partial_schema = "count long"
+        elif kind == "extended_stats":
+            # sum-of-squares partial merges exactly like sum; nulls dropped
+            # per shard (ES counts extracted values)
+            partial_schema = f"cnt long, mn {ddl}, mx {ddl}, sm double, sos double"
         else:
             raise ValueError(f"unknown facet kind {kind!r}")
 
@@ -1744,6 +1753,22 @@ class IndexSearcher:
                             yield pd.DataFrame({"value": vals.dropna().unique()})
                         elif kind == "missing":
                             yield pd.DataFrame({"count": [int(vals.isna().sum())]})
+                        elif kind == "value_count":
+                            yield pd.DataFrame({"count": [int(vals.notna().sum())]})
+                        elif kind == "extended_stats":
+                            nn = vals.dropna()
+                            if len(nn) == 0:
+                                continue
+                            fv = nn.astype(float).to_numpy()
+                            yield pd.DataFrame(
+                                {
+                                    "cnt": [len(nn)],
+                                    "mn": [nn.min()],
+                                    "mx": [nn.max()],
+                                    "sm": [float(fv.sum())],
+                                    "sos": [float((fv * fv).sum())],
+                                }
+                            )
                         else:
                             yield pd.DataFrame(
                                 {
@@ -1811,6 +1836,34 @@ class IndexSearcher:
                 return docs.agg(F.count_if(F.col(field).isNull()).alias("count"))
             return partials.agg(
                 F.coalesce(F.sum("count"), F.lit(0)).cast("long").alias("count")
+            )
+        if kind == "value_count":
+            if partials is None:
+                return docs.agg(F.count(field).alias("count"))
+            return partials.agg(
+                F.coalesce(F.sum("count"), F.lit(0)).cast("long").alias("count")
+            )
+        if kind == "extended_stats":
+            if partials is None:
+                from ..operators.aggs import extended_stats_facet
+
+                return extended_stats_facet(docs, None, field)
+            # identical double arithmetic to the declarative twin: integer
+            # partial sums merge exactly, then one avg/variance expression
+            n = F.sum("cnt")
+            s = F.sum("sm")
+            sos = F.sum("sos")
+            avg = s / n
+            var = sos / n - avg * avg
+            return partials.agg(
+                n.alias("count"),
+                F.min("mn").alias("min"),
+                F.max("mx").alias("max"),
+                F.round(s, 6).alias("sum"),
+                F.round(avg, 6).alias("avg"),
+                F.round(sos, 6).alias("sum_of_squares"),
+                F.round(var, 6).alias("variance"),
+                F.round(F.sqrt(var), 6).alias("std_deviation"),
             )
         if kind == "terms_stats":
             if partials is None:

@@ -246,3 +246,71 @@ def test_serving_missing_identical(agg_searcher, documents):
     got = [tuple(r) for r in agg_searcher.facet("batch scan", "source", kind="missing").collect()]
     want = [tuple(r) for r in missing_facet(documents, "batch scan", "source").collect()]
     assert got == want
+
+
+# -- extended_stats / value_count ---------------------------------------------
+
+
+@pytest.mark.parametrize("query,mode", CASES)
+def test_extended_stats_matches_duckdb(documents, sf_dir, query, mode):
+    from flume_elasticsearch_2_spark.operators.aggs import (
+        extended_stats_facet,
+        extended_stats_facet_sql,
+    )
+
+    got = [tuple(r) for r in extended_stats_facet(documents, query, "n_chars", mode=mode).collect()]
+    want = _duck(sf_dir, extended_stats_facet_sql(query, "n_chars", mode=mode))
+    assert got == want and got[0][0] > 0
+
+
+def test_extended_stats_variance_sane(documents):
+    """Population variance cross-check against a driver-side NumPy compute."""
+    import numpy as np
+
+    from flume_elasticsearch_2_spark.operators.aggs import extended_stats_facet
+
+    row = extended_stats_facet(documents, None, "n_chars").collect()[0]
+    vals = np.array([r.n_chars for r in documents.select("n_chars").collect()], dtype=float)
+    assert abs(row["variance"] - vals.var()) < 1e-4
+    assert abs(row["std_deviation"] - vals.std()) < 1e-6
+
+
+@pytest.mark.parametrize("query,mode", CASES)
+def test_value_count_matches_duckdb(documents, sf_dir, query, mode):
+    from flume_elasticsearch_2_spark.operators.aggs import (
+        value_count_facet,
+        value_count_facet_sql,
+    )
+
+    got = [tuple(r) for r in value_count_facet(documents, query, "source", mode=mode).collect()]
+    want = _duck(sf_dir, value_count_facet_sql(query, "source", mode=mode))
+    assert got == want
+
+
+def test_value_count_excludes_nulls(documents):
+    from flume_elasticsearch_2_spark.operators.aggs import value_count_facet
+
+    total = documents.count()
+    with_nulls = documents.withColumn(
+        "maybe", F.when(F.col("doc_id") % 5 == 0, F.col("n_chars"))
+    )
+    got = value_count_facet(with_nulls, None, "maybe").collect()[0]["count"]
+    assert got == with_nulls.where("maybe IS NOT NULL").count() < total
+
+
+@pytest.mark.parametrize("query,mode", CASES)
+def test_serving_extended_stats_identical(agg_searcher, documents, query, mode):
+    from flume_elasticsearch_2_spark.operators.aggs import extended_stats_facet
+
+    got = [tuple(r) for r in agg_searcher.facet(query, "n_chars", kind="extended_stats", mode=mode).collect()]
+    want = [tuple(r) for r in extended_stats_facet(documents, query, "n_chars", mode=mode).collect()]
+    assert got == want
+
+
+@pytest.mark.parametrize("query,mode", CASES)
+def test_serving_value_count_identical(agg_searcher, documents, query, mode):
+    from flume_elasticsearch_2_spark.operators.aggs import value_count_facet
+
+    got = [tuple(r) for r in agg_searcher.facet(query, "source", kind="value_count", mode=mode).collect()]
+    want = [tuple(r) for r in value_count_facet(documents, query, "source", mode=mode).collect()]
+    assert got == want

@@ -297,6 +297,20 @@ AGG_BODIES = [
         {"query": {"match": {"text": "batch scan"}},
          "aggs": {"nosrc": {"missing": {"field": "source"}}}},
     ),
+    (
+        "extended_stats_scoped",
+        {"query": {"match": {"text": "dup batch scan"}},
+         "aggs": {"len": {"extended_stats": {"field": "n_chars"}}}},
+    ),
+    (
+        "extended_stats_matchall",
+        {"aggs": {"len": {"extended_stats": {"field": "n_chars"}}}},
+    ),
+    (
+        "value_count_scoped",
+        {"query": {"match": {"text": "batch scan"}},
+         "aggs": {"n": {"value_count": {"field": "source"}}}},
+    ),
 ]
 
 # declarative-only kinds (serving path refuses: exact forms need the match
