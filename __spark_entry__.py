@@ -1526,6 +1526,30 @@ def _hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase_prefix (search-as-you-type): last analyzed term is a
+    prefix class scored as ONE virtual term (df_class idf); exact
+    prefix-class form (max_expansions=None), zero-join two-pass plan."""
+    from flume_elasticsearch_2_spark.operators.topk import bm25_phrase_prefix_topk
+
+    return bm25_phrase_prefix_topk(_docs(spark, sf_dir), "batch s", k=10)
+
+
+def _bm25_segment_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase_prefix on the SERVING path: dictionary range-pruned
+    prefix expansion + the positional kernel with a merged last slot;
+    per-shard class-df sentinels let idf fold in after one scatter job."""
+    return _segment_searcher(spark, sf_dir).search_phrase_prefix("batch s", k=10)
+
+
+def _bm25_phrase_prefix_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase_prefix with slop=1 (ordered-window contract, Q29) —
+    declarative nested-lambda chain ending on the prefix class."""
+    from flume_elasticsearch_2_spark.operators.topk import bm25_phrase_prefix_topk
+
+    return bm25_phrase_prefix_topk(_docs(spark, sf_dir), "batch s", k=10, slop=1)
+
+
 _DSL_EXT_STATS_BODY = {
     "query": {"match": {"text": "dup batch scan"}},
     "aggs": {"len": {"extended_stats": {"field": "n_chars"}}},
@@ -1633,6 +1657,9 @@ def _dsl_common(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "bm25_phrase_prefix",
+    "bm25_segment_phrase_prefix",
+    "bm25_phrase_prefix_slop",
     "dsl_extended_stats",
     "dsl_extended_stats_segment",
     "dsl_value_count",
@@ -1835,6 +1862,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_sig_terms"] = _dsl_sig_terms
     q["dsl_top_hits"] = _dsl_top_hits
     # round-3 wave: completion suggester, _termvector, common terms query
+    q["bm25_phrase_prefix"] = _bm25_phrase_prefix
+    q["bm25_segment_phrase_prefix"] = _bm25_segment_phrase_prefix
+    q["bm25_phrase_prefix_slop"] = _bm25_phrase_prefix_slop
     q["dsl_extended_stats"] = _dsl_extended_stats
     q["dsl_extended_stats_segment"] = _dsl_extended_stats_segment
     q["dsl_value_count"] = _dsl_value_count
@@ -2189,6 +2219,11 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     from flume_elasticsearch_2_spark.operators.multiterm import completion_suggest_sql
     from flume_elasticsearch_2_spark.operators.topk import bm25_common_topk_sql
 
+    from flume_elasticsearch_2_spark.operators.topk import bm25_phrase_prefix_topk_sql
+
+    o["bm25_phrase_prefix"] = bm25_phrase_prefix_topk_sql("batch s", k=10)
+    o["bm25_segment_phrase_prefix"] = o["bm25_phrase_prefix"]
+    o["bm25_phrase_prefix_slop"] = bm25_phrase_prefix_topk_sql("batch s", k=10, slop=1)
     o["dsl_extended_stats"] = dsl_aggregation_sql(_DSL_EXT_STATS_BODY)
     o["dsl_extended_stats_segment"] = o["dsl_extended_stats"]
     o["dsl_value_count"] = dsl_aggregation_sql(_DSL_VALUE_COUNT_BODY)

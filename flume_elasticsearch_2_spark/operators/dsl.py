@@ -19,7 +19,8 @@ silent best-effort):
 * query clauses: ``match`` (with ``operator``/``minimum_should_match``/
   ``boost``; on the default text field or ANY field named in
   ``analyzed_fields``), ``match_phrase`` (with ``slop`` — the engine's
-  ordered-window contract, operators/topk.py), ``multi_match``
+  ordered-window contract, operators/topk.py), ``match_phrase_prefix``
+  (search-as-you-type; ``slop``/``max_expansions``), ``multi_match``
   (best_fields over analyzed fields, ``tie_breaker``), ``dis_max`` (match
   clauses, ``tie_breaker``), ``match_all``, ``ids``, ``term``/
   ``prefix``/``wildcard``/``fuzzy`` on the text field,
@@ -112,6 +113,7 @@ class _Spec:
         # (query, mode, field, factor, modifier, missing, boost_mode)
         self.fscore: tuple | None = None
         self.common: tuple | None = None  # (query, cutoff_frequency, low_op)
+        self.max_exp: int | None = None  # match_phrase_prefix expansion cap
 
 
 def _parse_match(
@@ -350,6 +352,27 @@ def parse_body(
         if f != text_col:
             _err(f"match_phrase on {f!r}")
         spec.query = _parse_phrase_val(spec, v)
+    elif kind == "match_phrase_prefix":
+        # ES match_phrase_prefix (search-as-you-type): last analyzed term is
+        # a prefix class (operators/topk.py bm25_phrase_prefix_topk pins the
+        # contract incl. the documented max_expansions-cap divergence)
+        spec.kind = "phrase_prefix"
+        f, v = _one_field(val, "match_phrase_prefix")
+        if f != text_col:
+            _err(f"match_phrase_prefix on {f!r}")
+        if isinstance(v, str):
+            spec.query = v
+        else:
+            extra_p = set(v) - {"query", "slop", "max_expansions"}
+            if extra_p:
+                _err(f"match_phrase_prefix options {sorted(extra_p)}")
+            if "slop" in v:
+                spec.slop = int(v["slop"])
+                if spec.slop < 0:
+                    _err("negative slop")
+            if "max_expansions" in v:
+                spec.max_exp = int(v["max_expansions"])
+            spec.query = v["query"]
     elif kind == "common":
         # ES 1.x common terms query: df-split at cutoff_frequency; low-freq
         # terms select, high-freq terms only add score (operators/topk.py
@@ -811,6 +834,15 @@ def dsl_search(
             docs, spec.query, k=spec.size, id_col=id_col, text_col=text_col,
             slop=spec.slop,
         )
+    if spec.kind == "phrase_prefix":
+        if spec.filters or mn or spec.from_:
+            _err("match_phrase_prefix with filters/must_not/from")
+        from .topk import bm25_phrase_prefix_topk
+
+        return bm25_phrase_prefix_topk(
+            docs, spec.query, k=spec.size, slop=spec.slop,
+            max_expansions=spec.max_exp, id_col=id_col, text_col=text_col,
+        )
     if spec.kind == "boosting":
         if spec.filters or mn or spec.from_:
             _err("boosting with filters/must_not/from")
@@ -926,6 +958,19 @@ def dsl_search_sql(
         return _apply_source_sql(inner, spec, table)
     if spec.kind == "phrase":
         return bm25_phrase_topk_sql(spec.query, k=spec.size, table=table, slop=spec.slop)
+    if spec.kind == "phrase_prefix":
+        if spec.filters or mn or spec.from_:
+            _err("match_phrase_prefix with filters/must_not/from")
+        if spec.max_exp is not None:
+            _err(
+                "match_phrase_prefix max_expansions has no SQL oracle (the "
+                "capped class is pinned by declarative≡serving parity tests)"
+            )
+        from .topk import bm25_phrase_prefix_topk_sql
+
+        return bm25_phrase_prefix_topk_sql(
+            spec.query, k=spec.size, slop=spec.slop, table=table
+        )
     if spec.kind == "boosting":
         if spec.filters or mn or spec.from_:
             _err("boosting with filters/must_not/from")
@@ -1064,6 +1109,12 @@ def dsl_search_index(
         )
     if spec.kind in ("match_all", "ids"):
         _err(f"{spec.kind} is declarative-only in this version")
+    if spec.kind == "phrase_prefix":
+        if spec.filters or mn or spec.from_:
+            _err("match_phrase_prefix with filters/must_not/from")
+        return searcher.search_phrase_prefix(
+            spec.query, k=spec.size, slop=spec.slop, max_expansions=spec.max_exp
+        )
     if spec.kind == "phrase":
         if spec.filters or mn:
             _err("match_phrase with filters/must_not")

@@ -1043,3 +1043,264 @@ GROUP BY doc_id
 ORDER BY sum(partial) DESC, doc_id ASC
 LIMIT {int(k)}
 """
+
+
+def _prefix_expansions(
+    docs: DataFrame,
+    prefix: str,
+    max_expansions: int,
+    text_col: str = "text",
+) -> list[str]:
+    """Dictionary terms with ``prefix``, capped by the engine's standard
+    deterministic multi-term cap (df DESC, term ASC — shared with
+    operators/multiterm.expand_pattern; Lucene's own MultiPhrasePrefix
+    expansion order is term-ascending, a documented divergence)."""
+    rows = (
+        docs.select(F.explode(F.array_distinct(tokens_col(text_col))).alias("term"))
+        .where(F.col("term").startswith(prefix))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(int(max_expansions))
+        .collect()
+    )
+    return sorted(r["term"] for r in rows)
+
+
+def bm25_phrase_prefix_topk(
+    docs: DataFrame,
+    phrase: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    slop: int = 0,
+    max_expansions: int | None = None,
+) -> DataFrame:
+    """ES ``match_phrase_prefix``: a phrase whose LAST analyzed term is a
+    prefix — the search-box-as-you-type query. Pinned contract:
+
+    - the last slot matches ANY token starting with the prefix (the exact
+      prefix-class form; ``max_expansions=None`` default). With
+      ``max_expansions=n`` the class is first capped to the n dictionary
+      terms under the engine's standard deterministic multi-term cap
+      (df DESC, term ASC — :func:`_prefix_expansions`); ES defaults to a
+      50-term cap in Lucene term-ascending order, a documented divergence.
+    - pf counts start positions whose ordered-window chain (the slop
+      contract of :func:`bm25_phrase_topk`; slop=0 = adjacent) ends on a
+      class token.
+    - idf = Σ idf(term_j) over the exact slots + idf(df_class), where
+      df_class = docs containing ≥1 class token — the prefix-class scored
+      as one virtual term (Lucene MultiPhraseQuery sums idf over every
+      expansion, which makes scores depend on expansion-set size; the
+      class-df form is the stable contract pinned here).
+    - score/tiebreak/rounding identical to :func:`bm25_phrase_topk`.
+
+    Same two-narrow-pass, zero-join plan shape as the phrase kernel.
+    """
+    q_terms = tokenize(phrase)
+    spark = docs.sparkSession
+    if slop < 0:
+        raise ValueError("slop must be non-negative")
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not q_terms:
+        return empty
+    firsts, prefix = q_terms[:-1], q_terms[-1]
+    m = len(q_terms)
+    toks = tokens_col(text_col)
+
+    if max_expansions is not None:
+        alts = _prefix_expansions(docs, prefix, max_expansions, text_col)
+        if not alts:
+            return empty
+
+        def last_ok(c):
+            return c.isin(alts)
+    else:
+
+        def last_ok(c):
+            return c.startswith(prefix)
+
+    if slop == 0:
+
+        def phrase_at(i):  # 1-based Column index
+            cond = last_ok(F.element_at(toks, i + (m - 1)))
+            for j, t in enumerate(firsts):
+                cond = cond & (F.element_at(toks, i + j) == F.lit(t))
+            return cond
+
+        pf_expr = F.when(
+            F.size(toks) >= m,
+            F.size(F.filter(F.sequence(F.lit(1), F.size(toks) - (m - 1)), phrase_at)),
+        ).otherwise(F.lit(0))
+    else:
+        # per-slot position arrays + the greedy ordered-window chain
+        # (identical contract to bm25_phrase_topk; see the lambda-capture
+        # notes there — plain single-arg closures only)
+        pos_of = {
+            t: F.filter(
+                F.sequence(F.lit(1), F.size(toks)),
+                lambda i: F.element_at(toks, i) == F.lit(t),  # noqa: B023
+            )
+            for t in dict.fromkeys(firsts)
+        }
+        pos_last = F.filter(
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda i: last_ok(F.element_at(toks, i)),
+        )
+        bound = m - 1 + slop
+
+        def chain_ok(p):
+            q = p
+            for t in firsts[1:]:
+                cur = q
+                q = F.array_min(F.filter(pos_of[t], lambda x: x > cur))  # noqa: B023
+            cur2 = q
+            q = F.array_min(F.filter(pos_last, lambda x: x > cur2))
+            return q.isNotNull() & (q <= p + F.lit(bound))
+
+        first_positions = pos_of[firsts[0]] if firsts else pos_last
+        if firsts:
+            pf_expr = F.when(
+                F.size(toks) >= m, F.size(F.filter(first_positions, chain_ok))
+            ).otherwise(F.lit(0))
+        else:
+            pf_expr = F.size(pos_last)
+    if not firsts and slop == 0:
+        pf_expr = F.size(F.filter(toks, last_ok))
+
+    uniq_firsts = sorted(set(firsts))
+
+    def project(src: DataFrame) -> DataFrame:
+        return src.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).cast("long").alias("dl"),
+            pf_expr.cast("double").alias("pf"),
+            F.exists(toks, last_ok).cast("long").alias("has_class"),
+            *[
+                F.size(F.filter(toks, lambda x: x == F.lit(t))).alias(f"tf_{i}")  # noqa: B023
+                for i, t in enumerate(uniq_firsts)
+            ],
+        )
+
+    per_doc = project(docs)
+    stats_row = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.sum("has_class").alias("df_class"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(uniq_firsts))
+        ],
+    ).collect()[0]
+    n_docs = int(stats_row["n_docs"])
+    avgdl = float(stats_row["avgdl"]) if stats_row["avgdl"] is not None else 0.0
+    df_class = int(stats_row["df_class"] or 0)
+    if n_docs == 0 or avgdl == 0.0 or df_class == 0:
+        return empty
+    df_by_term = {t: int(stats_row[f"df_{i}"]) for i, t in enumerate(uniq_firsts)}
+    if any(df_by_term[t] == 0 for t in firsts):
+        return empty
+    import math
+
+    idf = sum(
+        math.log1p((n_docs - df_by_term[t] + 0.5) / (df_by_term[t] + 0.5)) for t in firsts
+    ) + math.log1p((n_docs - df_class + 0.5) / (df_class + 0.5))
+    score = (
+        F.lit(idf)
+        * F.col("pf")
+        * (k1 + 1.0)
+        / (F.col("pf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    )
+    return (
+        per_doc.where(F.col("pf") > 0)
+        .withColumn("score_exact", score)
+        .orderBy(F.col("score_exact").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.round("score_exact", 6).alias("score"))
+    )
+
+
+def bm25_phrase_prefix_topk_sql(
+    phrase: str, k: int = 10, table: str = "documents", slop: int = 0
+) -> str:
+    """DuckDB oracle for :func:`bm25_phrase_prefix_topk` (the exact
+    prefix-class form, ``max_expansions=None`` — the capped form is pinned
+    by declarative≡serving parity tests instead)."""
+    q_terms = tokenize(phrase)
+    firsts, prefix = q_terms[:-1], q_terms[-1]
+    m = len(q_terms)
+    uniq = sorted(set(firsts))
+    df_cols = "".join(
+        f",\n    sum(CASE WHEN list_contains(ts, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(uniq)
+    )
+    idf_terms = [
+        f"ln(1 + (s.n_docs - s.df_{uniq.index(t)} + 0.5) / (s.df_{uniq.index(t)} + 0.5))"
+        for t in firsts
+    ] + ["ln(1 + (s.n_docs - s.df_class + 0.5) / (s.df_class + 0.5))"]
+    idf_sum = " + ".join(idf_terms)
+    if slop == 0:
+        window = " AND ".join(
+            [f"ts[u.i+{j}] = '{t}'" for j, t in enumerate(firsts)]
+            + [f"starts_with(ts[u.i+{m - 1}], '{prefix}')"]
+        )
+        pf_cte = f"""pf AS (
+  SELECT t.doc_id,
+         (SELECT count(*) FROM unnest(range(1, greatest(len(t.ts) - {m - 1}, 0) + 1)) AS u(i)
+          WHERE {window}) AS pf
+  FROM toks t
+)"""
+    else:
+        pos_cols = "".join(
+            f",\n    list_filter(range(1, len(ts)+1), i{i} -> ts[i{i}] = '{t}') AS pos_{i}"
+            for i, t in enumerate(uniq)
+        )
+        pos_last = (
+            f"list_filter(range(1, len(ts)+1), il -> starts_with(ts[il], '{prefix}'))"
+        )
+        bound = m - 1 + slop
+        if firsts:
+            chain = "p"
+            for j, t in enumerate(firsts[1:], start=1):
+                chain = f"list_min(list_filter(pos_{uniq.index(t)}, x{j} -> x{j} > {chain}))"
+            chain = f"list_min(list_filter(pos_last, xl -> xl > {chain}))"
+            pf_expr = (
+                f"len(list_filter(pos_{uniq.index(firsts[0])},\n"
+                f"             p -> coalesce({chain}, 9223372036854775807) <= p + {bound}))"
+            )
+        else:
+            # m == 1: no chain steps — every class token is a match (the
+            # declarative twin counts pos_last directly)
+            pf_expr = "len(pos_last)"
+        pf_cte = f"""pos AS (
+  SELECT doc_id{pos_cols},
+    {pos_last} AS pos_last
+  FROM toks
+),
+pf AS (
+  SELECT doc_id, {pf_expr} AS pf
+  FROM pos
+)"""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM {table}
+),
+{pf_cte},
+s AS (
+  SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl,
+    sum(CASE WHEN len(list_filter(ts, c -> starts_with(c, '{prefix}'))) > 0
+        THEN 1 ELSE 0 END) AS df_class{df_cols}
+  FROM toks
+)
+SELECT t.doc_id,
+       round(({idf_sum}) * pf.pf * (1.2 + 1.0)
+             / (pf.pf + 1.2 * (1.0 - 0.75 + 0.75 * len(t.ts) / s.avgdl)), 6) AS score
+FROM toks t JOIN pf ON pf.doc_id = t.doc_id CROSS JOIN s
+WHERE pf.pf > 0
+ORDER BY ({idf_sum}) * pf.pf * (1.2 + 1.0)
+         / (pf.pf + 1.2 * (1.0 - 0.75 + 0.75 * len(t.ts) / s.avgdl)) DESC,
+         t.doc_id ASC
+LIMIT {k}
+"""

@@ -379,6 +379,151 @@ def _phrase_score_shard(
     )
 
 
+def _phrase_prefix_score_shard(
+    postings: pd.DataFrame,
+    docs: pd.DataFrame,
+    *,
+    firsts: list[str],
+    alts: list[str],
+    avgdl: float,
+    id_space: int,
+    n_shards: int,
+    k: int,
+    slop: int = 0,
+) -> pd.DataFrame:
+    """One shard of ``match_phrase_prefix`` (operators/topk.py
+    bm25_phrase_prefix_topk pins the contract): mirrors
+    :func:`_phrase_score_shard` with the LAST slot merged over the prefix
+    expansion set ``alts`` — its candidate ids are the union of the
+    expansions' doc streams and its position keys the sorted concat of
+    their per-candidate position lists.
+
+    Returns (doc_id, g, class_df) where ``g = pf*(k1+1)/(pf+norm)`` is the
+    score WITHOUT the idf factor — idf needs the global prefix-class df,
+    which is only known after every shard reports. One sentinel row
+    (doc_id=-1) carries this shard's class df (= |union of expansion doc
+    streams|; docs live in exactly one shard, so the global class df is the
+    plain sum). idf is a positive constant multiplier, so per-shard top-k
+    by g IS the top-k by score — one scatter job total."""
+    shard = int(postings["shard"].iloc[0]) if len(postings) else -1
+    sentinel = lambda n: pd.DataFrame(  # noqa: E731
+        {"doc_id": [-1], "g": [0.0], "class_df": [int(n)]}
+    )
+    if len(postings) == 0:
+        return sentinel(0)
+    base = shard_start(shard, id_space, n_shards)
+    from ..codec import decode_positions, svb_decode
+
+    decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    for row in postings.itertuples(index=False):
+        n = int(row.n)
+        deltas = svb_decode(row.doc_bytes, n).astype(np.int64)
+        ids = np.cumsum(deltas)
+        tfs = svb_decode(row.tf_bytes, n).astype(np.int64)
+        pos = decode_positions(row.pos_bytes, tfs).astype(np.int64)
+        decoded[row.term] = (ids, tfs, pos)
+    alts_present = [a for a in alts if a in decoded]
+    if not alts_present:
+        return sentinel(0)
+    class_ids = np.unique(np.concatenate([decoded[a][0] for a in alts_present]))
+    out = [sentinel(len(class_ids))]
+    uniq_firsts = list(dict.fromkeys(firsts))
+    if any(t not in decoded for t in uniq_firsts) or len(docs) == 0:
+        return pd.concat(out, ignore_index=True)
+    cand = class_ids
+    for t in uniq_firsts:
+        cand = np.intersect1d(cand, decoded[t][0], assume_unique=True)
+    if len(cand) == 0:
+        return pd.concat(out, ignore_index=True)
+    doc_ids_local = docs["doc_id"].to_numpy(dtype=np.int64) - base
+    dls = docs["dl"].to_numpy(dtype=np.float64)
+    order = np.argsort(doc_ids_local)
+    doc_ids_local, dls = doc_ids_local[order], dls[order]
+    adm = np.searchsorted(doc_ids_local, cand)
+    ok = (adm < len(doc_ids_local)) & (
+        doc_ids_local[np.minimum(adm, len(doc_ids_local) - 1)] == cand
+    )
+    cand, adm = cand[ok], adm[ok]
+    ncand = len(cand)
+    if ncand == 0:
+        return pd.concat(out, ignore_index=True)
+    if ncand >= (1 << 23):
+        raise ValueError(
+            f"phrase candidate set ({ncand} docs) exceeds the 2^23 per-shard "
+            "bound of the position-key encoding; rebuild with more shards"
+        )
+    bounds = {t: np.concatenate([[0], np.cumsum(decoded[t][1])]) for t in decoded}
+    big = np.int64(1) << 40
+
+    def cand_pos_keys(t: str) -> np.ndarray:
+        # unlike _phrase_score_shard, a cand doc need not appear in every
+        # alt's postings (cand intersects the UNION of alts) — mask misses
+        ids_t = decoded[t][0]
+        pos_t = decoded[t][2]
+        pi = np.searchsorted(ids_t, cand)
+        hit = (pi < len(ids_t)) & (ids_t[np.minimum(pi, len(ids_t) - 1)] == cand)
+        pi = np.minimum(pi, len(ids_t) - 1)
+        starts = bounds[t][pi].astype(np.int64)
+        lens = np.where(hit, (bounds[t][pi + 1] - starts), 0).astype(np.int64)
+        total = int(lens.sum())
+        seg_id = np.repeat(np.arange(ncand, dtype=np.int64), lens)
+        offs = np.repeat(starts - np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        flat = pos_t[offs + np.arange(total)]
+        return seg_id * big + flat
+
+    keys = {t: cand_pos_keys(t) for t in uniq_firsts}
+    last_keys = np.sort(np.concatenate([cand_pos_keys(a) for a in alts_present]))
+    m = len(firsts) + 1
+    if not firsts:
+        matched_starts = last_keys
+    elif slop == 0:
+        cur = keys[firsts[0]]
+        for t in firsts[1:]:
+            cur = np.intersect1d(cur + 1, keys[t], assume_unique=True)
+            if len(cur) == 0:
+                return pd.concat(out, ignore_index=True)
+        cur = np.intersect1d(cur + 1, last_keys)
+        if len(cur) == 0:
+            return pd.concat(out, ignore_index=True)
+        matched_starts = cur - (m - 1)
+    else:
+        starts = keys[firsts[0]]
+        cur = starts.copy()
+        valid = np.ones(len(starts), dtype=bool)
+        for kt in [keys[t] for t in firsts[1:]] + [last_keys]:
+            if len(kt) == 0:
+                return pd.concat(out, ignore_index=True)
+            idx = np.searchsorted(kt, cur, side="right")
+            okk = idx < len(kt)
+            succ = kt[np.minimum(idx, len(kt) - 1)]
+            okk &= (succ // big) == (cur // big)
+            valid &= okk
+            cur = np.where(okk, succ, cur)
+            if not valid.any():
+                return pd.concat(out, ignore_index=True)
+        valid &= (cur - starts) <= (m - 1 + slop)
+        matched_starts = starts[valid]
+        if len(matched_starts) == 0:
+            return pd.concat(out, ignore_index=True)
+    pf = np.bincount(
+        (matched_starts // big).astype(np.int64), minlength=ncand
+    ).astype(np.float64)
+    hit = pf > 0
+    pf, doc_ids, dl = pf[hit], base + cand[hit], dls[adm[hit]]
+    g = pf * (K1 + 1.0) / (pf + K1 * (1.0 - B + B * dl / avgdl))
+    sel = np.lexsort((doc_ids, -g))[:k]
+    out.append(
+        pd.DataFrame(
+            {
+                "doc_id": doc_ids[sel].astype(np.int64),
+                "g": g[sel].astype(np.float64),
+                "class_df": np.zeros(len(sel), dtype=np.int64),
+            }
+        )
+    )
+    return pd.concat(out, ignore_index=True)
+
+
 _FILTER_OPS = {
     "==": lambda f, v: f == v,
     # null-safe, matching the declarative path: ES must_not(term) keeps docs
@@ -887,6 +1032,90 @@ class IndexSearcher:
             "doc_id long, score double",
         )
 
+    def search_phrase_prefix(
+        self,
+        phrase: str,
+        k: int = 10,
+        slop: int = 0,
+        max_expansions: int | None = None,
+    ) -> DataFrame:
+        """ES ``match_phrase_prefix`` on the SERVING path (rank-identical to
+        :func:`~..operators.topk.bm25_phrase_prefix_topk`). The prefix is
+        expanded against the prebuilt dictionary (range-pruned read,
+        :meth:`expand_terms`; ``max_expansions=None`` = the exact
+        prefix-class); the positional kernel treats the expansion set as ONE
+        merged last slot. idf needs the GLOBAL prefix-class df (docs with
+        ≥1 expansion — not derivable from per-term dfs), so each shard task
+        reports its class df on a sentinel row alongside idf-free partial
+        scores g; idf is a positive constant multiplier, so per-shard top-k
+        by g is exact and everything fits in one scatter job."""
+        import math
+
+        spark = self.spark
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        if not self.manifest.get("positions"):
+            raise ValueError(
+                "index stores freqs only — build with store_positions=True for phrase queries"
+            )
+        if slop < 0:
+            raise ValueError("slop must be non-negative")
+        q_terms = tokenize(phrase)
+        if not q_terms:
+            return empty
+        firsts, prefix = q_terms[:-1], q_terms[-1]
+        alts = self.expand_terms(prefix, "prefix", max_expansions=max_expansions)
+        if not alts:
+            return empty
+        uniq_firsts = sorted(set(firsts))
+        dfreq, term_shards = self._query_meta_terms(sorted(set(uniq_firsts + alts)))
+        if any(t not in dfreq for t in uniq_firsts):
+            return empty
+        alt_shards: set[int] = set()
+        for a in alts:
+            alt_shards |= term_shards.get(a, set())
+        shards = alt_shards
+        for t in uniq_firsts:
+            shards &= term_shards[t]
+        if not shards:
+            return empty
+        index_dir = self.index_dir
+        read_terms = sorted(set(uniq_firsts + alts))
+        kwargs = dict(
+            firsts=firsts,
+            alts=alts,
+            avgdl=self.avgdl,
+            id_space=self.id_space,
+            n_shards=self.n_shards,
+            k=k,
+            slop=int(slop),
+        )
+
+        def score_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for shard in pdf["shard"].tolist():
+                    pt, dt = _read_shard_tables(
+                        index_dir, shard, read_terms, None, cols=POST_COLS_POSITIONAL
+                    )
+                    yield _phrase_prefix_score_shard(pt, dt, **kwargs)
+
+        rows = (
+            _one_task_per_shard(spark, sorted(shards))
+            .mapInPandas(score_shards, "doc_id long, g double, class_df long")
+            .collect()
+        )
+        df_class = sum(int(r["class_df"]) for r in rows if r["doc_id"] == -1)
+        if df_class == 0:
+            return empty
+        idf = sum(
+            math.log1p((self.n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5)) for t in firsts
+        ) + math.log1p((self.n_docs - df_class + 0.5) / (df_class + 0.5))
+        hits = [r for r in rows if r["doc_id"] >= 0]
+        hits.sort(key=lambda r: (-r["g"], r["doc_id"]))
+        return spark.createDataFrame(
+            [(int(r["doc_id"]), round_half_up6(idf * r["g"])) for r in hits[:k]],
+            "doc_id long, score double",
+        )
+
     def search_phrase_local(
         self,
         phrase: str,
@@ -1135,7 +1364,9 @@ class IndexSearcher:
             if match_term_py(t, pattern, kind, fuzziness, prefix_length)
         ]
         cand.sort(key=lambda td: (-td[1], td[0]))
-        return sorted(t for t, _ in cand[: int(max_expansions)])
+        if max_expansions is not None:  # None = uncapped (exact prefix-class)
+            cand = cand[: int(max_expansions)]
+        return sorted(t for t, _ in cand)
 
     def search_multiterm(
         self,
