@@ -1526,6 +1526,49 @@ def _hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HC_FILTERS = [("l_returnflag", "==", "R"), ("l_quantity", ">=", 30)]
+_HP_FILTERS = [("o_orderpriority", "==", "1-URGENT"), ("o_totalprice", ">=", 50000)]
+
+
+def _has_child_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_child (score_mode=sum over a filter child query = matching-
+    child count): orders ranked by qualifying lineitems — child filter
+    pushed to the scan, ONE map-side-combined groupBy on the join key."""
+    from flume_elasticsearch_2_spark.operators.joins import has_child
+
+    return has_child(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        "o_orderkey", "l_orderkey", _HC_FILTERS, "sum", k=15,
+    )
+
+
+def _has_child_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """has_child score_mode=max over a child score field (the ES custom-
+    score child query): orders ranked by their priciest matching lineitem."""
+    from flume_elasticsearch_2_spark.operators.joins import has_child
+
+    return has_child(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        "o_orderkey", "l_orderkey", _HC_FILTERS, "max", "l_extendedprice", k=10,
+    )
+
+
+def _has_parent_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_parent (score mode): lineitems of urgent big orders, each
+    inheriting the parent's o_totalprice as its score — the filtered parent
+    side is small, so AQE broadcasts it into the key join."""
+    from flume_elasticsearch_2_spark.operators.joins import has_parent
+
+    return has_parent(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        "o_orderkey", "l_orderkey", _HP_FILTERS, "score", "o_totalprice",
+        k=12, child_id_cols=["l_orderkey", "l_linenumber"],
+    )
+
+
 def _bm25_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES match_phrase_prefix (search-as-you-type): last analyzed term is a
     prefix class scored as ONE virtual term (df_class idf); exact
@@ -1657,6 +1700,9 @@ def _dsl_common(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "has_child_count",
+    "has_child_max",
+    "has_parent_score",
     "bm25_phrase_prefix",
     "bm25_segment_phrase_prefix",
     "bm25_phrase_prefix_slop",
@@ -1862,6 +1908,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_sig_terms"] = _dsl_sig_terms
     q["dsl_top_hits"] = _dsl_top_hits
     # round-3 wave: completion suggester, _termvector, common terms query
+    q["has_child_count"] = _has_child_count
+    q["has_child_max"] = _has_child_max
+    q["has_parent_score"] = _has_parent_score
     q["bm25_phrase_prefix"] = _bm25_phrase_prefix
     q["bm25_segment_phrase_prefix"] = _bm25_segment_phrase_prefix
     q["bm25_phrase_prefix_slop"] = _bm25_phrase_prefix_slop
@@ -2221,6 +2270,14 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
 
     from flume_elasticsearch_2_spark.operators.topk import bm25_phrase_prefix_topk_sql
 
+    from flume_elasticsearch_2_spark.operators.joins import has_child_sql, has_parent_sql
+
+    o["has_child_count"] = has_child_sql(_HC_FILTERS, "sum", k=15)
+    o["has_child_max"] = has_child_sql(_HC_FILTERS, "max", "l_extendedprice", k=10)
+    o["has_parent_score"] = has_parent_sql(
+        _HP_FILTERS, "score", "o_totalprice", k=12,
+        child_id_cols=["l_orderkey", "l_linenumber"],
+    )
     o["bm25_phrase_prefix"] = bm25_phrase_prefix_topk_sql("batch s", k=10)
     o["bm25_segment_phrase_prefix"] = o["bm25_phrase_prefix"]
     o["bm25_phrase_prefix_slop"] = bm25_phrase_prefix_topk_sql("batch s", k=10, slop=1)

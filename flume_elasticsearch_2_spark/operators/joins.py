@@ -1,0 +1,186 @@
+"""ES 1.x parent/child queries (SURVEY §2.5 Q36): ``has_child`` (parents
+with a matching child) and ``has_parent`` (children of matching parents),
+re-expressed over two relational tables keyed by a join column — the
+orders/lineitem pair in the test data plays the parent/child mapping an ES
+1.x ``_parent`` field defines.
+
+Reference analog: the delegated ES 1.1 supports parent/child mapping and
+both query types (delegation site ElasticsearchSink.java:54). ES routes
+children to the parent's shard and evaluates per-shard with an in-memory
+id cache; here the same co-location is the Spark join on the parent key.
+
+Pinned scoring contract (the ES 1.x score_mode surface applied to
+filter-context inner queries, the common case):
+
+- ``has_child``: the child query is a filter (triples, same dialect as the
+  DSL filter executor). score_mode 'none' -> constant 1.0 (ES filter
+  context); 'sum' with no score_field -> the MATCHING-CHILD COUNT (the sum
+  of constant-score children, exactly ES); 'max' / 'sum' / 'avg' with
+  ``score_field`` -> that aggregate of the children's field values (the ES
+  custom-score child query: score = field value, function_score's
+  field_value_factor shape). Parents ranked (score DESC, key ASC), top-k.
+- ``has_parent``: score_mode 'none' -> 1.0, or 'score' with
+  ``score_field`` -> each child inherits its parent's field value (ES
+  has_parent score mode 'score'). Children ranked (score DESC, child keys
+  ASC), top-k.
+
+Scale shape (10^12 rows): child/parent filters are JVM predicates pushed to
+the Parquet scans; the per-parent aggregate is ONE map-side-combined
+groupBy on the join key (partials, never child rows, cross the exchange);
+the parent/child join is key-partitioned (AQE picks broadcast when the
+filtered side is small — the filtered parent set of has_parent usually is).
+No UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dsl import _filters_col, _filters_sql
+
+Triple = tuple[str, str, Any]
+
+_CHILD_MODES = ("none", "sum", "max", "avg")
+
+
+def has_child(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_key: str,
+    child_filters: list[Triple],
+    score_mode: str = "none",
+    score_field: str | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Parents with >=1 child matching ``child_filters``; see module
+    docstring for the pinned score_mode contract. Returns
+    (parent_key, score) top-k by (score DESC, parent_key ASC)."""
+    if score_mode not in _CHILD_MODES:
+        raise ValueError(f"score_mode must be one of {_CHILD_MODES}")
+    if score_mode in ("max", "avg") and score_field is None:
+        raise ValueError(f"score_mode {score_mode!r} needs score_field")
+    pred = _filters_col(child_filters)
+    matched = children.where(pred) if pred is not None else children
+    if score_mode == "none":
+        agg = F.lit(1.0)
+    elif score_field is None:  # 'sum' of constant-score children = count
+        agg = F.count("*").cast("double")
+    else:
+        agg = {"sum": F.sum, "max": F.max, "avg": F.avg}[score_mode](
+            F.col(score_field).cast("double")
+        )
+    per_parent = (
+        matched.groupBy(F.col(child_key).alias(parent_key))
+        .agg(agg.alias("score_exact"))
+    )
+    hits = per_parent.join(parents.select(parent_key), parent_key, "inner")
+    return (
+        hits.orderBy(F.col("score_exact").desc(), F.col(parent_key).asc())
+        .limit(int(k))
+        .select(parent_key, F.round("score_exact", 6).alias("score"))
+    )
+
+
+def has_child_sql(
+    child_filters: list[Triple],
+    score_mode: str = "none",
+    score_field: str | None = None,
+    k: int = 10,
+    parents: str = "orders",
+    children: str = "lineitem",
+    parent_key: str = "o_orderkey",
+    child_key: str = "l_orderkey",
+) -> str:
+    """DuckDB oracle for :func:`has_child`."""
+    if score_mode not in _CHILD_MODES:
+        raise ValueError(f"score_mode must be one of {_CHILD_MODES}")
+    where = _filters_sql(child_filters) or "TRUE"
+    if score_mode == "none":
+        agg = "1.0"
+    elif score_field is None:
+        agg = "CAST(count(*) AS DOUBLE)"
+    else:
+        agg = f"{score_mode}(CAST({score_field} AS DOUBLE))"
+    return f"""
+WITH per_parent AS (
+  SELECT {child_key} AS {parent_key}, {agg} AS s
+  FROM {children}
+  WHERE {where}
+  GROUP BY {child_key}
+)
+SELECT p.{parent_key}, round(pp.s, 6) AS score
+FROM per_parent pp JOIN {parents} p USING ({parent_key})
+ORDER BY pp.s DESC, p.{parent_key} ASC
+LIMIT {int(k)}
+"""
+
+
+def has_parent(
+    children: DataFrame,
+    parents: DataFrame,
+    parent_key: str,
+    child_key: str,
+    parent_filters: list[Triple],
+    score_mode: str = "none",
+    score_field: str | None = None,
+    k: int = 10,
+    child_id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Children whose parent matches ``parent_filters``; score_mode 'score'
+    inherits the parent's ``score_field`` value (ES has_parent 'score'
+    mode), 'none' is the 1.0 filter context. Returns
+    (*child_id_cols, score) top-k by (score DESC, child ids ASC)."""
+    if score_mode not in ("none", "score"):
+        raise ValueError("score_mode must be 'none' or 'score'")
+    if score_mode == "score" and score_field is None:
+        raise ValueError("score_mode 'score' needs score_field")
+    ids = child_id_cols or [child_key]
+    pred = _filters_col(parent_filters)
+    matched = parents.where(pred) if pred is not None else parents
+    score = (
+        F.lit(1.0)
+        if score_mode == "none"
+        else F.col(score_field).cast("double")
+    )
+    side = matched.select(
+        F.col(parent_key).alias(child_key), score.alias("score_exact")
+    )
+    return (
+        children.select(*ids, child_key)
+        .join(side, child_key, "inner")
+        .orderBy(F.col("score_exact").desc(), *[F.col(c).asc() for c in ids])
+        .limit(int(k))
+        .select(*ids, F.round("score_exact", 6).alias("score"))
+    )
+
+
+def has_parent_sql(
+    parent_filters: list[Triple],
+    score_mode: str = "none",
+    score_field: str | None = None,
+    k: int = 10,
+    parents: str = "orders",
+    children: str = "lineitem",
+    parent_key: str = "o_orderkey",
+    child_key: str = "l_orderkey",
+    child_id_cols: list[str] | None = None,
+) -> str:
+    """DuckDB oracle for :func:`has_parent`."""
+    if score_mode not in ("none", "score"):
+        raise ValueError("score_mode must be 'none' or 'score'")
+    ids = child_id_cols or [child_key]
+    where = _filters_sql(parent_filters) or "TRUE"
+    score = "1.0" if score_mode == "none" else f"CAST(p.{score_field} AS DOUBLE)"
+    id_cols = ", ".join(f"c.{c}" for c in ids)
+    order_ids = ", ".join(f"c.{c} ASC" for c in ids)
+    return f"""
+SELECT {id_cols}, round({score}, 6) AS score
+FROM {children} c
+JOIN (SELECT * FROM {parents} WHERE {where}) p
+  ON p.{parent_key} = c.{child_key}
+ORDER BY {score} DESC, {order_ids}
+LIMIT {int(k)}
+"""
