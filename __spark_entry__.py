@@ -1526,6 +1526,53 @@ def _hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MSEARCH_HOMOG = [
+    {"query": {"match": {"text": "dup batch scan"}}},
+    {"query": {"match": {"text": {"query": "join filter window", "operator": "and"}}}},
+    {"query": {"match_phrase": {"text": "part filter"}}},
+]
+_MSEARCH_HETERO = [
+    {"query": {"match": {"text": "dup batch scan"}}, "size": 5},
+    {"query": {"common": {"text": {"query": "dup batch scan", "cutoff_frequency": 0.1}}}, "size": 30},
+    {"query": {"match_phrase_prefix": {"text": "batch s"}}},
+    {"query": {"prefix": {"text": "ba"}}},
+]
+
+
+def _msearch_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _msearch with heterogeneous bodies (match/common/phrase-prefix/
+    prefix): each routed to its operator's optimal plan, hit pages unioned
+    under a query_id."""
+    from flume_elasticsearch_2_spark.operators.dsl import msearch
+
+    return msearch(_docs(spark, sf_dir), _MSEARCH_HETERO)
+
+
+def _msearch_segment_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_msearch on the SERVING path, homogeneous batch: the whole body list
+    routes to search_many — ONE scatter job, one postings read per shard
+    for the union of all query terms (N queries ≈ the cost of one)."""
+    from flume_elasticsearch_2_spark.operators.dsl import msearch_index
+
+    return msearch_index(_segment_searcher(spark, sf_dir), _MSEARCH_HOMOG)
+
+
+_DSL_MOST_FIELDS_BODY = {
+    "query": {"multi_match": {"query": "dup batch scan",
+                              "fields": ["title", "text"], "type": "most_fields"}}
+}
+
+
+def _dsl_most_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match type=most_fields: per-field score SUM — dis_max with
+    tie_breaker pinned to 1 (declarative+oracle; serving refuses tb>0)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(
+        _docs_titled(spark, sf_dir), _DSL_MOST_FIELDS_BODY, analyzed_fields=_ANALYZED
+    )
+
+
 _HC_FILTERS = [("l_returnflag", "==", "R"), ("l_quantity", ">=", 30)]
 _HP_FILTERS = [("o_orderpriority", "==", "1-URGENT"), ("o_totalprice", ">=", 50000)]
 
@@ -1700,6 +1747,9 @@ def _dsl_common(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "msearch_mixed",
+    "msearch_segment_batched",
+    "dsl_most_fields",
     "has_child_count",
     "has_child_max",
     "has_parent_score",
@@ -1908,6 +1958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_sig_terms"] = _dsl_sig_terms
     q["dsl_top_hits"] = _dsl_top_hits
     # round-3 wave: completion suggester, _termvector, common terms query
+    q["msearch_mixed"] = _msearch_mixed
+    q["msearch_segment_batched"] = _msearch_segment_batched
+    q["dsl_most_fields"] = _dsl_most_fields
     q["has_child_count"] = _has_child_count
     q["has_child_max"] = _has_child_max
     q["has_parent_score"] = _has_parent_score
@@ -2270,7 +2323,14 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
 
     from flume_elasticsearch_2_spark.operators.topk import bm25_phrase_prefix_topk_sql
 
+    from flume_elasticsearch_2_spark.operators.dsl import msearch_sql
     from flume_elasticsearch_2_spark.operators.joins import has_child_sql, has_parent_sql
+
+    o["msearch_mixed"] = msearch_sql(_MSEARCH_HETERO)
+    o["msearch_segment_batched"] = msearch_sql(_MSEARCH_HOMOG)
+    o["dsl_most_fields"] = dsl_search_sql(
+        _DSL_MOST_FIELDS_BODY, analyzed_fields=_ANALYZED, field_exprs=_FIELD_EXPRS
+    )
 
     o["has_child_count"] = has_child_sql(_HC_FILTERS, "sum", k=15)
     o["has_child_max"] = has_child_sql(_HC_FILTERS, "max", "l_extendedprice", k=10)

@@ -396,8 +396,11 @@ def parse_body(
         extra_m = set(val) - {"query", "fields", "type", "operator", "tie_breaker"}
         if extra_m:
             _err(f"multi_match keys {sorted(extra_m)}")
-        if val.get("type", "best_fields") != "best_fields":
-            _err(f"multi_match type {val.get('type')!r} (best_fields only)")
+        mm_type = val.get("type", "best_fields")
+        if mm_type not in ("best_fields", "most_fields"):
+            _err(f"multi_match type {mm_type!r} (best_fields / most_fields)")
+        if mm_type == "most_fields" and "tie_breaker" in val:
+            _err("most_fields fixes tie_breaker=1 (sum over fields)")
         flds = list(val["fields"])
         for f in flds:
             if "^" in f:
@@ -407,7 +410,12 @@ def parse_body(
         mode = {"or": "or", "and": "and"}[val.get("operator", "or")]
         spec.kind = "dis_max"
         spec.clauses = [(f, val["query"], mode) for f in flds]
-        spec.tie_breaker = float(val.get("tie_breaker", 0.0))
+        # most_fields = per-field score SUM = dis_max with tie_breaker 1
+        # (max + 1.0 * rest); the serving executor refuses tb > 0, so
+        # most_fields is declarative+oracle only — refused loudly there
+        spec.tie_breaker = (
+            1.0 if mm_type == "most_fields" else float(val.get("tie_breaker", 0.0))
+        )
     elif kind == "dis_max":
         extra_d = set(val) - {"queries", "tie_breaker"}
         if extra_d:
@@ -1369,3 +1377,103 @@ def dsl_aggregation_index(searcher, body: dict, text_col: str = "text") -> DataF
             q, key_field, kind="terms_stats", value_field=value_field, **kw
         )
     return searcher.facet(q, field, kind=kind, **kw)
+
+
+# -- _msearch ------------------------------------------------------------------
+
+
+def _msearch_plain_batch(bodies: list[dict], text_col: str):
+    """If EVERY body is a plain scored match / match_phrase (no filters,
+    boosts, paging, sort, highlight, rescore, _source, must_not, slop or
+    expansion caps) with one shared size, return the
+    ``{qid: (query, mode[, msm])}`` dict + k for the batched serving kernel
+    — else None (heterogeneous bodies run per-body)."""
+    parsed = {}
+    k = None
+    for i, body in enumerate(bodies):
+        spec = parse_body(body, text_col)
+        plain = (
+            spec.kind in ("match", "phrase")
+            and not spec.filters and not spec.must_not_text and not spec.boosts
+            and not spec.from_ and spec.sort is None and spec.highlight is None
+            and spec.rescore is None and spec.source is None and spec.slop == 0
+            and spec.field in (None, text_col)
+        )
+        if not plain:
+            return None
+        if k is None:
+            k = spec.size
+        elif spec.size != k:
+            return None
+        mode = "phrase" if spec.kind == "phrase" else spec.mode
+        parsed[str(i)] = (spec.query, mode, spec.msm)
+    return parsed, k
+
+
+def msearch(
+    docs: DataFrame,
+    bodies: list[dict],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``_msearch`` (multi-search) on the DECLARATIVE path: every body is
+    routed through :func:`dsl_search` and the hit pages are unioned with a
+    0-based ``query_id``. Bodies must all produce the plain
+    ``(doc_id, score)`` hit schema (sort/_source bodies reshape the frame —
+    refused loudly). Output ordered (query_id, score DESC, doc_id)."""
+    if not bodies:
+        raise ValueError("_msearch needs at least one body")
+    frames = []
+    for i, body in enumerate(bodies):
+        hits = dsl_search(docs, body, id_col=id_col, text_col=text_col)
+        if set(hits.columns) != {"doc_id", "score"}:
+            _err(f"_msearch body {i} returns columns {hits.columns} (hits-shaped bodies only)")
+        frames.append(hits.select(F.lit(str(i)).alias("query_id"), "doc_id", "score"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
+
+
+def msearch_sql(bodies: list[dict], table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB oracle for :func:`msearch` / :func:`msearch_index`."""
+    if not bodies:
+        raise ValueError("_msearch needs at least one body")
+    parts = [
+        f"SELECT '{i}' AS query_id, doc_id, score FROM ({dsl_search_sql(body, table, text_col)})"
+        for i, body in enumerate(bodies)
+    ]
+    return (
+        "SELECT * FROM (\n" + "\nUNION ALL\n".join(parts) +
+        "\n) ORDER BY query_id, score DESC, doc_id ASC"
+    )
+
+
+def msearch_index(
+    searcher,
+    bodies: list[dict],
+    text_col: str = "text",
+) -> DataFrame:
+    """``_msearch`` on the SERVING path. The scale path: when every body is
+    a plain scored match/match_phrase with one shared size, the whole batch
+    routes to :meth:`IndexSearcher.search_many` — ONE scatter job, one
+    postings read per shard for the union of all query terms (N queries ≈
+    the cost of one). Heterogeneous batches fall back to per-body routing
+    (each body still runs its own operator's optimal plan)."""
+    if not bodies:
+        raise ValueError("_msearch needs at least one body")
+    plain = _msearch_plain_batch(bodies, text_col)
+    if plain is not None and not hasattr(searcher, "field_searcher"):
+        parsed, k = plain
+        out = searcher.search_many(parsed, k=k)
+        return out.orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
+    frames = []
+    for i, body in enumerate(bodies):
+        hits = dsl_search_index(searcher, body, text_col=text_col)
+        if set(hits.columns) != {"doc_id", "score"}:
+            _err(f"_msearch body {i} returns columns {hits.columns} (hits-shaped bodies only)")
+        frames.append(hits.select(F.lit(str(i)).alias("query_id"), "doc_id", "score"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())

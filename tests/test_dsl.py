@@ -771,3 +771,69 @@ def test_function_score_missing_fills_nulls(spark):
 def test_function_score_rejected_on_serving(searcher):
     with pytest.raises(ValueError, match="declarative-only"):
         dsl_search_index(searcher, _fscore_body("ln1p", "multiply"))
+
+
+# -- _msearch -----------------------------------------------------------------
+
+MSEARCH_HOMOG = [
+    {"query": {"match": {"text": "dup batch scan"}}},
+    {"query": {"match": {"text": {"query": "join filter window", "operator": "and"}}}},
+    {"query": {"match_phrase": {"text": "part filter"}}},
+]
+MSEARCH_HETERO = [
+    {"query": {"match": {"text": "dup batch scan"}}, "size": 5},
+    {"query": {"common": {"text": {"query": "dup batch scan", "cutoff_frequency": 0.1}}}, "size": 30},
+    {"query": {"match_phrase_prefix": {"text": "batch s"}}},
+    {"query": {"prefix": {"text": "ba"}}},
+]
+
+
+@pytest.mark.parametrize(
+    "bodies", [MSEARCH_HOMOG, MSEARCH_HETERO], ids=["homogeneous", "heterogeneous"]
+)
+def test_msearch_three_paths(documents, duck, searcher, bodies):
+    from flume_elasticsearch_2_spark.operators.dsl import (
+        msearch,
+        msearch_index,
+        msearch_sql,
+    )
+
+    got = [tuple(r) for r in msearch(documents, bodies).collect()]
+    want = [tuple(r) for r in duck.execute(msearch_sql(bodies)).fetchall()]
+    srv = [tuple(r) for r in msearch_index(searcher, bodies).collect()]
+    assert got == want and srv == got and got
+
+
+def test_msearch_batches_homogeneous_only():
+    from flume_elasticsearch_2_spark.operators.dsl import _msearch_plain_batch
+
+    parsed = _msearch_plain_batch(MSEARCH_HOMOG, "text")
+    assert parsed is not None and parsed[1] == 10 and parsed[0]["2"][1] == "phrase"
+    assert _msearch_plain_batch(MSEARCH_HETERO, "text") is None
+    # differing sizes break the shared-k batch contract
+    assert _msearch_plain_batch(
+        [{"query": {"match": {"text": "a"}}, "size": 3},
+         {"query": {"match": {"text": "b"}}, "size": 4}], "text"
+    ) is None
+
+
+def test_msearch_rejects_reshaping_bodies(documents):
+    from flume_elasticsearch_2_spark.operators.dsl import msearch
+
+    with pytest.raises(ValueError, match="hits-shaped"):
+        msearch(documents, [
+            {"query": {"match": {"text": "dup"}}, "_source": ["lang"]},
+        ]).collect()
+    with pytest.raises(ValueError):
+        msearch(documents, [])
+
+
+def test_multi_match_most_fields_rejects_explicit_tb():
+    from flume_elasticsearch_2_spark.operators.dsl import parse_body
+
+    with pytest.raises(ValueError, match="tie_breaker"):
+        parse_body(
+            {"query": {"multi_match": {"query": "x", "fields": ["text"],
+                                       "type": "most_fields", "tie_breaker": 0.3}}},
+            analyzed_fields=["text"],
+        )

@@ -222,6 +222,16 @@ def test_dsl_field_match_and_multi_match(fdocs, duck, mf_searcher):
                 }
             }
         },
+        # most_fields = per-field SUM = dis_max with tie_breaker pinned to 1
+        {
+            "query": {
+                "multi_match": {
+                    "query": "dup batch scan",
+                    "fields": ["title", "text"],
+                    "type": "most_fields",
+                }
+            }
+        },
     ]
     for body in bodies:
         got = [
@@ -233,6 +243,8 @@ def test_dsl_field_match_and_multi_match(fdocs, duck, mf_searcher):
         ).fetchall()
         assert got == [tuple(r) for r in want] and got, body
         tb = body["query"].get("dis_max", {}).get("tie_breaker", 0.0)
+        if body["query"].get("multi_match", {}).get("type") == "most_fields":
+            tb = 1.0  # pinned by the parse; serving refuses it loudly
         if tb == 0.0:  # serving combiner supports tie_breaker=0 only
             srv = [
                 tuple(r)
