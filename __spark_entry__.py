@@ -1526,6 +1526,21 @@ def _hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester ("did you mean" for whole inputs): single-
+    position dictionary corrections ranked by a Laplace-smoothed unigram
+    LM; dictionary agg prefix-pruned BEFORE the shuffle."""
+    from flume_elasticsearch_2_spark.operators.multiterm import phrase_suggest
+
+    return phrase_suggest(_docs(spark, sf_dir), "grup and sot", max_edits=2)
+
+
+def _phrase_suggest_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase suggester on the SERVING path: per-prefix RANGE-PRUNED reads
+    of the prebuilt terms/ dictionary — zero corpus work."""
+    return _segment_searcher(spark, sf_dir).suggest_phrase("grup and sot", max_edits=2)
+
+
 _MSEARCH_HOMOG = [
     {"query": {"match": {"text": "dup batch scan"}}},
     {"query": {"match": {"text": {"query": "join filter window", "operator": "and"}}}},
@@ -1747,6 +1762,8 @@ def _dsl_common(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "phrase_suggest",
+    "phrase_suggest_segment",
     "msearch_mixed",
     "msearch_segment_batched",
     "dsl_most_fields",
@@ -1958,6 +1975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_sig_terms"] = _dsl_sig_terms
     q["dsl_top_hits"] = _dsl_top_hits
     # round-3 wave: completion suggester, _termvector, common terms query
+    q["phrase_suggest"] = _phrase_suggest
+    q["phrase_suggest_segment"] = _phrase_suggest_segment
     q["msearch_mixed"] = _msearch_mixed
     q["msearch_segment_batched"] = _msearch_segment_batched
     q["dsl_most_fields"] = _dsl_most_fields
@@ -2326,6 +2345,10 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     from flume_elasticsearch_2_spark.operators.dsl import msearch_sql
     from flume_elasticsearch_2_spark.operators.joins import has_child_sql, has_parent_sql
 
+    from flume_elasticsearch_2_spark.operators.multiterm import phrase_suggest_sql
+
+    o["phrase_suggest"] = phrase_suggest_sql("grup and sot", max_edits=2)
+    o["phrase_suggest_segment"] = o["phrase_suggest"]
     o["msearch_mixed"] = msearch_sql(_MSEARCH_HETERO)
     o["msearch_segment_batched"] = msearch_sql(_MSEARCH_HOMOG)
     o["dsl_most_fields"] = dsl_search_sql(

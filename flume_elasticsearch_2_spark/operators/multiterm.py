@@ -52,7 +52,7 @@ import re
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.tokenizer import duckdb_token_pattern, tokens_col
+from ..functions.tokenizer import duckdb_token_pattern, tokenize, tokens_col
 from .topk import bm25_topk, bm25_topk_sql
 
 MAX_EXPANSIONS = 50  # Lucene/ES default
@@ -522,5 +522,171 @@ SELECT term AS suggestion, weight
 FROM dict
 WHERE term LIKE '{prefix}%'
 ORDER BY weight DESC, suggestion ASC
+LIMIT {int(size)}
+"""
+
+
+# -- phrase suggester ------------------------------------------------------------
+
+import math as _math
+
+
+def _phrase_candidates(
+    input_terms: list[str],
+    dictionary: dict[str, int],
+    n_docs: int,
+    size: int,
+    max_edits: int,
+    prefix_length: int,
+    max_candidates: int,
+) -> list[tuple[str, float]]:
+    """Shared scorer for both phrase-suggester paths. Per position i the
+    candidate set is the dictionary terms within ``max_edits`` of the input
+    token sharing its first ``prefix_length`` chars, capped by the engine's
+    deterministic (df DESC, term ASC) cap at ``max_candidates``; candidate
+    PHRASES replace exactly ONE position (the ES ``max_errors=1`` default —
+    the space stays linear in m). Rank = Laplace-smoothed unigram log-
+    likelihood Σ ln((df+0.5)/(n_docs+1)); the identity phrase is excluded.
+    Deterministic tiebreak (score DESC, phrase ASC)."""
+
+    def lp(term: str) -> float:
+        return _math.log((dictionary.get(term, 0) + 0.5) / (n_docs + 1))
+
+    base_lp = [lp(t) for t in input_terms]
+    total = sum(base_lp)
+    phrases: dict[str, float] = {}
+    for i, tok in enumerate(input_terms):
+        pre = tok[:prefix_length] if prefix_length else ""
+        cand = [
+            (t, d)
+            for t, d in dictionary.items()
+            if t != tok
+            and (not pre or t.startswith(pre))
+            and levenshtein_py(t, tok) <= max_edits
+        ]
+        cand.sort(key=lambda td: (-td[1], td[0]))
+        for t, _ in cand[: int(max_candidates)]:
+            phrase = " ".join(input_terms[:i] + [t] + input_terms[i + 1:])
+            score = total - base_lp[i] + lp(t)
+            prev = phrases.get(phrase)
+            if prev is None or score > prev:
+                phrases[phrase] = score
+    from ..functions.rounding import round_half_up6
+
+    ranked = sorted(phrases.items(), key=lambda ps: (-ps[1], ps[0]))
+    return [(p, round_half_up6(s)) for p, s in ranked[: int(size)]]
+
+
+def phrase_suggest(
+    docs: DataFrame,
+    text: str,
+    size: int = 5,
+    max_edits: int = 1,
+    prefix_length: int = 1,
+    max_candidates: int = 5,
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """ES phrase suggester ("did you mean" for whole inputs), pinned
+    simplified contract (see :func:`_phrase_candidates`): single-position
+    corrections from the dictionary, ranked by a Laplace-smoothed unigram
+    language model over corpus document frequencies (ES's word-LM scorer
+    with its default ``max_errors=1``; the n-gram-LM variants are out of
+    the subset — absent loudly, not approximated). Returns
+    (suggestion, score).
+
+    Scale shape: ONE map-side-combined dictionary aggregation pruned to the
+    positions' prefixes BEFORE the shuffle (≤ the prefixed vocabulary
+    crosses the exchange, plus the input terms' own df lookups); candidate
+    assembly and LM scoring are driver-side over that tiny slice — the
+    suggester IS a coordinator-side structure in ES too. The serving twin
+    (:meth:`IndexSearcher.suggest_phrase`) range-prunes the prebuilt
+    ``terms/`` dictionary instead and never touches the corpus."""
+    input_terms = tokenize(text, stopwords, analyzer)
+    spark = docs.sparkSession
+    empty = spark.createDataFrame([], "suggestion string, score double")
+    if not input_terms:
+        return empty
+    n_docs = docs.count()
+    if n_docs == 0:
+        return empty
+    toks = tokens_col(text_col, stopwords, analyzer)
+    prefixes = sorted({t[:prefix_length] for t in input_terms if t}) if prefix_length else []
+    dict_src = docs.select(F.explode(F.array_distinct(toks)).alias("term"))
+    if prefixes:  # prune before the (term) shuffle: candidates + exact lookups
+        keep = F.col("term").isin(input_terms)
+        for p in prefixes:
+            keep = keep | F.col("term").startswith(p)
+        dict_src = dict_src.where(keep)
+    rows = dict_src.groupBy("term").agg(F.count("*").alias("df")).collect()
+    dictionary = {r["term"]: int(r["df"]) for r in rows}
+    ranked = _phrase_candidates(
+        input_terms, dictionary, n_docs, size, max_edits, prefix_length, max_candidates
+    )
+    return spark.createDataFrame(ranked, "suggestion string, score double")
+
+
+def phrase_suggest_sql(
+    text: str,
+    size: int = 5,
+    max_edits: int = 1,
+    prefix_length: int = 1,
+    max_candidates: int = 5,
+    table: str = "documents",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB oracle for :func:`phrase_suggest` — per-position candidate
+    CTEs unrolled statically (the analyzed input is known at generation
+    time), same cap / LM / identity-exclusion / tiebreak contract."""
+    input_terms = tokenize(text, stopwords, analyzer)
+    tok_expr = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    if stopwords:
+        stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
+        tok_expr = f"list_filter({tok_expr}, t -> t NOT IN ({stop_list}))"
+
+    def lp_sql(term: str) -> str:
+        esc = term.replace("'", "''")
+        return (
+            f"ln((coalesce((SELECT df FROM dict WHERE term = '{esc}'), 0) + 0.5)"
+            " / ((SELECT n FROM nd) + 1))"
+        )
+
+    parts = []
+    for i, tok in enumerate(input_terms):
+        pre = tok[:prefix_length] if prefix_length else ""
+        pre_pred = f"AND term LIKE '{pre}%'" if pre else ""
+        others = " + ".join(
+            [lp_sql(t) for j, t in enumerate(input_terms) if j != i] or ["0.0"]
+        )
+        phrase = " || ' ' || ".join(
+            [f"'{t}'" if j != i else "c.term" for j, t in enumerate(input_terms)]
+        )
+        parts.append(f"""
+SELECT {phrase} AS suggestion,
+       {others} + ln((c.df + 0.5) / ((SELECT n FROM nd) + 1)) AS score
+FROM (
+  SELECT term, df FROM dict
+  WHERE levenshtein(term, '{tok}') <= {int(max_edits)} AND term <> '{tok}' {pre_pred}
+  ORDER BY df DESC, term ASC LIMIT {int(max_candidates)}
+) c""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH dict AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT unnest(list_distinct({tok_expr})) AS term FROM {table})
+  GROUP BY term
+),
+nd AS (SELECT count(*) AS n FROM {table}),
+cands AS (
+{union}
+),
+best AS (
+  SELECT suggestion, max(score) AS score FROM cands GROUP BY suggestion
+)
+SELECT suggestion, round(score, 6) AS score
+FROM best
+ORDER BY score DESC, suggestion ASC
 LIMIT {int(size)}
 """

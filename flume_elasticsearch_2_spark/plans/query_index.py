@@ -1483,6 +1483,45 @@ class IndexSearcher:
             cand[: int(size)], "suggestion string, weight long"
         )
 
+    def suggest_phrase(
+        self,
+        text: str,
+        size: int = 5,
+        max_edits: int = 1,
+        prefix_length: int = 1,
+        max_candidates: int = 5,
+    ) -> DataFrame:
+        """ES phrase suggester on the SERVING path (contract pinned in
+        operators/multiterm._phrase_candidates — single-position
+        corrections ranked by a Laplace-smoothed unigram LM). The
+        dictionary slice comes from RANGE-PRUNED reads of the prebuilt
+        ``terms/`` table (one prefix range per distinct input-token prefix,
+        plus an IN-pruned read for the input terms' own dfs) — zero corpus
+        work, the same coordinator-side shape ES uses."""
+        from ..operators.multiterm import _phrase_candidates
+
+        input_terms = tokenize(text)
+        empty = self.spark.createDataFrame([], "suggestion string, score double")
+        if not input_terms:
+            return empty
+        ds = pads.dataset(f"{self.index_dir}/terms", format="parquet")
+        filt = pads.field("term").isin(sorted(set(input_terms)))
+        if prefix_length:
+            for p in sorted({t[:prefix_length] for t in input_terms if t}):
+                filt = filt | (
+                    (pads.field("term") >= p)
+                    & (pads.field("term") < p[:-1] + chr(ord(p[-1]) + 1))
+                )
+        tbl = ds.to_table(columns=["term", "df"], filter=filt)
+        dictionary = {
+            t: int(d) for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist())
+        }
+        ranked = _phrase_candidates(
+            input_terms, dictionary, self.n_docs, size, max_edits,
+            prefix_length, max_candidates,
+        )
+        return self.spark.createDataFrame(ranked, "suggestion string, score double")
+
     def more_like_this(
         self,
         like_text: str,

@@ -311,3 +311,60 @@ def test_completion_empty_prefix_raises(documents, searcher):
         completion_suggest(documents, "")
     with pytest.raises(ValueError):
         searcher.complete("")
+
+
+# -- phrase suggester ("did you mean" for whole inputs) ----------------------
+
+PSUG_CASES = [
+    ("dup batch scam", {}),
+    ("grup and sot", {"max_edits": 2}),
+    ("so fat scam", {"max_edits": 2, "max_candidates": 3}),
+    ("scap", {}),                      # single-term degenerate
+    ("zzz qqq", {}),                   # nothing within reach -> empty
+    ("batch scan", {"prefix_length": 0, "size": 8}),  # unpruned dictionary
+]
+
+
+@pytest.mark.parametrize("text,kw", PSUG_CASES, ids=[c[0] for c in PSUG_CASES])
+def test_phrase_suggest_matches_duckdb(documents, duck, text, kw):
+    from flume_elasticsearch_2_spark.operators.multiterm import (
+        phrase_suggest,
+        phrase_suggest_sql,
+    )
+
+    got = [tuple(r) for r in phrase_suggest(documents, text, **kw).collect()]
+    want = [tuple(r) for r in duck.execute(phrase_suggest_sql(text, **kw)).fetchall()]
+    assert got == want, (text, kw)
+
+
+@pytest.mark.parametrize("text,kw", PSUG_CASES, ids=[c[0] for c in PSUG_CASES])
+def test_phrase_suggest_serving_equals_declarative(documents, searcher, text, kw):
+    from flume_elasticsearch_2_spark.operators.multiterm import phrase_suggest
+
+    got = [tuple(r) for r in searcher.suggest_phrase(text, **kw).collect()]
+    want = [tuple(r) for r in phrase_suggest(documents, text, **kw).collect()]
+    assert got == want, (text, kw)
+
+
+def test_phrase_suggest_excludes_identity_and_single_error(documents):
+    """max_errors=1 contract: every suggestion differs from the input in
+    EXACTLY one analyzed position, and the input itself never appears."""
+    from flume_elasticsearch_2_spark.operators.multiterm import phrase_suggest
+
+    text = "grup and sot"
+    rows = phrase_suggest(documents, text, max_edits=2, size=10).collect()
+    assert rows
+    inp = text.split()
+    for r in rows:
+        toks = r["suggestion"].split()
+        assert len(toks) == len(inp) and toks != inp
+        assert sum(1 for a, b in zip(toks, inp) if a != b) == 1
+
+
+def test_phrase_suggest_lm_prefers_frequent(documents):
+    """The unigram LM ranks the more frequent correction first when edit
+    distances tie (scan df=405 > scam absent at sf0.001)."""
+    from flume_elasticsearch_2_spark.operators.multiterm import phrase_suggest
+
+    rows = phrase_suggest(documents, "dup batch scam").collect()
+    assert rows and rows[0]["suggestion"] == "dup batch scan"
