@@ -1526,6 +1526,29 @@ def _hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUGGEST_BODY = {
+    "typo": {"text": "stre", "term": {"field": "text", "max_edits": 2}},
+    "didyoumean": {"text": "grup and sot", "phrase": {"max_edits": 2}},
+    "typeahead": {"prefix": "s", "completion": {"size": 4}},
+}
+
+
+def _suggest_endpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _suggest endpoint: named term/phrase/completion suggesters in ONE
+    body, normalized to (name, suggestion, rank) — declarative path."""
+    from flume_elasticsearch_2_spark.operators.multiterm import suggest_body
+
+    return suggest_body(_docs(spark, sf_dir), _SUGGEST_BODY)
+
+
+def _suggest_endpoint_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_suggest on the SERVING path: every named suggester reads only the
+    prebuilt range-/IN-pruned terms/ dictionary — zero corpus work."""
+    from flume_elasticsearch_2_spark.operators.multiterm import suggest_body_index
+
+    return suggest_body_index(_segment_searcher(spark, sf_dir), _SUGGEST_BODY)
+
+
 def _phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES phrase suggester ("did you mean" for whole inputs): single-
     position dictionary corrections ranked by a Laplace-smoothed unigram
@@ -1762,6 +1785,8 @@ def _dsl_common(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "suggest_endpoint",
+    "suggest_endpoint_segment",
     "phrase_suggest",
     "phrase_suggest_segment",
     "msearch_mixed",
@@ -1975,6 +2000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_sig_terms"] = _dsl_sig_terms
     q["dsl_top_hits"] = _dsl_top_hits
     # round-3 wave: completion suggester, _termvector, common terms query
+    q["suggest_endpoint"] = _suggest_endpoint
+    q["suggest_endpoint_segment"] = _suggest_endpoint_segment
     q["phrase_suggest"] = _phrase_suggest
     q["phrase_suggest_segment"] = _phrase_suggest_segment
     q["msearch_mixed"] = _msearch_mixed
@@ -2345,8 +2372,13 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     from flume_elasticsearch_2_spark.operators.dsl import msearch_sql
     from flume_elasticsearch_2_spark.operators.joins import has_child_sql, has_parent_sql
 
-    from flume_elasticsearch_2_spark.operators.multiterm import phrase_suggest_sql
+    from flume_elasticsearch_2_spark.operators.multiterm import (
+        phrase_suggest_sql,
+        suggest_body_sql,
+    )
 
+    o["suggest_endpoint"] = suggest_body_sql(_SUGGEST_BODY)
+    o["suggest_endpoint_segment"] = o["suggest_endpoint"]
     o["phrase_suggest"] = phrase_suggest_sql("grup and sot", max_edits=2)
     o["phrase_suggest_segment"] = o["phrase_suggest"]
     o["msearch_mixed"] = msearch_sql(_MSEARCH_HETERO)

@@ -690,3 +690,127 @@ FROM best
 ORDER BY score DESC, suggestion ASC
 LIMIT {int(size)}
 """
+
+
+# -- the _suggest endpoint (named suggesters in one body) ------------------------
+
+_SUGGEST_KINDS = ("term", "phrase", "completion")
+
+
+def _parse_suggest_body(body: dict) -> list[tuple[str, str, str, dict]]:
+    """Normalize an ES 1.x ``_suggest`` body: each named entry carries
+    ``text`` (``prefix`` accepted for completion, as 2.x spells it) and
+    exactly one suggester config. Returns [(name, kind, text, options)];
+    anything outside the subset raises loudly."""
+    if not isinstance(body, dict) or not body:
+        raise ValueError("unsupported _suggest: body must be a non-empty dict")
+    out = []
+    for name in sorted(body):
+        entry = body[name]
+        if not isinstance(entry, dict):
+            raise ValueError(f"unsupported _suggest: entry {name!r} must be a dict")
+        kinds = [k for k in entry if k in _SUGGEST_KINDS]
+        if len(kinds) != 1:
+            raise ValueError(
+                f"unsupported _suggest: entry {name!r} needs exactly one of {_SUGGEST_KINDS}"
+            )
+        kind = kinds[0]
+        text = entry.get("text", entry.get("prefix"))
+        extra = set(entry) - {kind, "text", "prefix"}
+        if extra or not isinstance(text, str) or not text:
+            raise ValueError(f"unsupported _suggest: entry {name!r} keys/text")
+        conf = dict(entry[kind] or {})
+        allowed = {
+            "term": {"field", "size", "max_edits", "prefix_length"},
+            "phrase": {"field", "size", "max_edits", "prefix_length", "max_candidates"},
+            "completion": {"field", "size"},
+        }[kind]
+        bad = set(conf) - allowed
+        if bad:
+            raise ValueError(f"unsupported _suggest: {kind} options {sorted(bad)}")
+        if conf.pop("field", "text") != "text":
+            raise ValueError("unsupported _suggest: suggesters run on the analyzed text field")
+        out.append((name, kind, text, {k: int(v) for k, v in conf.items()}))
+    return out
+
+
+def _rank_wrap(frame: DataFrame, name: str, order_cols) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order_cols)
+    return frame.select(
+        F.lit(name).alias("name"),
+        F.col("suggestion"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+_SUGGEST_ORDER = {
+    "term": lambda: [F.col("distance").asc(), F.col("df").desc(), F.col("suggestion").asc()],
+    "phrase": lambda: [F.col("score").desc(), F.col("suggestion").asc()],
+    "completion": lambda: [F.col("weight").desc(), F.col("suggestion").asc()],
+}
+_SUGGEST_ORDER_SQL = {
+    "term": "distance ASC, df DESC, suggestion ASC",
+    "phrase": "score DESC, suggestion ASC",
+    "completion": "weight DESC, suggestion ASC",
+}
+
+
+def suggest_body(docs: DataFrame, body: dict, text_col: str = "text") -> DataFrame:
+    """ES ``_suggest`` endpoint on the DECLARATIVE path: named term /
+    phrase / completion suggesters in one body, each routed to its native
+    operator, results normalized to ``(name, suggestion, rank)`` (the
+    per-kind payload columns differ — rank is the cross-kind invariant the
+    response shape shares). Ordered (name, rank)."""
+    frames = []
+    for name, kind, text, conf in _parse_suggest_body(body):
+        if kind == "term":
+            f = term_suggest(docs, text, text_col=text_col, **conf)
+        elif kind == "phrase":
+            f = phrase_suggest(docs, text, text_col=text_col, **conf)
+        else:
+            f = completion_suggest(docs, text, text_col=text_col, **conf)
+        frames.append(_rank_wrap(f, name, _SUGGEST_ORDER[kind]()))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("name", "rank")
+
+
+def suggest_body_sql(body: dict, table: str = "documents") -> str:
+    """DuckDB oracle for :func:`suggest_body` / :func:`suggest_body_index`."""
+    parts = []
+    for name, kind, text, conf in _parse_suggest_body(body):
+        inner = {
+            "term": term_suggest_sql,
+            "phrase": phrase_suggest_sql,
+            "completion": completion_suggest_sql,
+        }[kind](text, table=table, **conf)
+        parts.append(
+            f"SELECT '{name}' AS name, suggestion,\n"
+            f"       row_number() OVER (ORDER BY {_SUGGEST_ORDER_SQL[kind]}) AS rank\n"
+            f"FROM ({inner})"
+        )
+    return (
+        "SELECT * FROM (\n" + "\nUNION ALL\n".join(parts) + "\n) ORDER BY name, rank"
+    )
+
+
+def suggest_body_index(searcher, body: dict) -> DataFrame:
+    """``_suggest`` on the SERVING path: every suggester reads only the
+    prebuilt ``terms/`` dictionary (range-/IN-pruned) — zero corpus work
+    for the whole body."""
+    frames = []
+    for name, kind, text, conf in _parse_suggest_body(body):
+        if kind == "term":
+            f = searcher.suggest(text, **conf)
+        elif kind == "phrase":
+            f = searcher.suggest_phrase(text, **conf)
+        else:
+            f = searcher.complete(text, **conf)
+        frames.append(_rank_wrap(f, name, _SUGGEST_ORDER[kind]()))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("name", "rank")

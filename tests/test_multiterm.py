@@ -368,3 +368,44 @@ def test_phrase_suggest_lm_prefers_frequent(documents):
 
     rows = phrase_suggest(documents, "dup batch scam").collect()
     assert rows and rows[0]["suggestion"] == "dup batch scan"
+
+
+# -- the _suggest endpoint ----------------------------------------------------
+
+SUGGEST_BODY = {
+    "typo": {"text": "stre", "term": {"field": "text", "max_edits": 2}},
+    "didyoumean": {"text": "grup and sot", "phrase": {"max_edits": 2}},
+    "typeahead": {"prefix": "s", "completion": {"size": 4}},
+}
+
+
+def test_suggest_body_three_paths(documents, duck, searcher):
+    from flume_elasticsearch_2_spark.operators.multiterm import (
+        suggest_body,
+        suggest_body_index,
+        suggest_body_sql,
+    )
+
+    got = [tuple(r) for r in suggest_body(documents, SUGGEST_BODY).collect()]
+    want = [tuple(r) for r in duck.execute(suggest_body_sql(SUGGEST_BODY)).fetchall()]
+    srv = [tuple(r) for r in suggest_body_index(searcher, SUGGEST_BODY).collect()]
+    assert got == want and srv == got
+    assert {r[0] for r in got} == {"typo", "didyoumean", "typeahead"}
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        {},
+        {"x": {"text": "a"}},                                    # no suggester
+        {"x": {"text": "a", "term": {}, "phrase": {}}},          # two suggesters
+        {"x": {"text": "a", "completion": {"fuzzy": True}}},     # unknown option
+        {"x": {"term": {"field": "text"}}},                      # missing text
+        {"x": {"text": "a", "term": {"field": "title"}}},        # non-text field
+    ],
+)
+def test_suggest_body_rejects(documents, bad):
+    from flume_elasticsearch_2_spark.operators.multiterm import suggest_body
+
+    with pytest.raises(ValueError, match="_suggest"):
+        suggest_body(documents, bad)
