@@ -1533,6 +1533,20 @@ _SUGGEST_BODY = {
 }
 
 
+def _mtermvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _mtermvectors: per-doc term vectors for an id batch in one round
+    trip — one IN-pushdown fetch + one union-IN-pruned corpus agg."""
+    from flume_elasticsearch_2_spark.operators.admin import mtermvectors
+
+    return mtermvectors(_docs(spark, sf_dir), [3, 141, 499])
+
+
+def _mtermvectors_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_mtermvectors on the SERVING path: batch stored-field fetch + ONE
+    IN-pruned terms/ dictionary read — zero corpus passes."""
+    return _segment_searcher(spark, sf_dir).mtermvectors([3, 141, 499])
+
+
 def _suggest_endpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _suggest endpoint: named term/phrase/completion suggesters in ONE
     body, normalized to (name, suggestion, rank) — declarative path."""
@@ -1785,6 +1799,8 @@ def _dsl_common(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "mtermvectors",
+    "mtermvectors_segment",
     "suggest_endpoint",
     "suggest_endpoint_segment",
     "phrase_suggest",
@@ -2000,6 +2016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_sig_terms"] = _dsl_sig_terms
     q["dsl_top_hits"] = _dsl_top_hits
     # round-3 wave: completion suggester, _termvector, common terms query
+    q["mtermvectors"] = _mtermvectors
+    q["mtermvectors_segment"] = _mtermvectors_segment
     q["suggest_endpoint"] = _suggest_endpoint
     q["suggest_endpoint_segment"] = _suggest_endpoint_segment
     q["phrase_suggest"] = _phrase_suggest
@@ -2377,6 +2395,10 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
         suggest_body_sql,
     )
 
+    from flume_elasticsearch_2_spark.operators.admin import mtermvectors_sql
+
+    o["mtermvectors"] = mtermvectors_sql([3, 141, 499])
+    o["mtermvectors_segment"] = o["mtermvectors"]
     o["suggest_endpoint"] = suggest_body_sql(_SUGGEST_BODY)
     o["suggest_endpoint_segment"] = o["suggest_endpoint"]
     o["phrase_suggest"] = phrase_suggest_sql("grup and sot", max_edits=2)

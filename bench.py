@@ -110,6 +110,21 @@ def main() -> None:
     psearcher.search_phrase("stream value", k=10, slop=2).collect()
     timings["phrase_slop_hot"] = time.time() - t0
 
+    # 2d'. match_phrase_prefix on a hot first term + 6-term expansion class
+    # (round 3, Q35): the merged-last-slot kernel + class-df sentinels must
+    # stay in the phrase kernel's cost class
+    psearcher.search_phrase_prefix("stream v", k=10).collect()  # warm
+    t0 = time.time()
+    psearcher.search_phrase_prefix("stream v", k=10).collect()
+    timings["phrase_prefix_hot"] = time.time() - t0
+
+    # 2d''. common terms query (round 3, Q34): rare term drives candidacy,
+    # two hot terms score-only — must beat/match the plain-match scatter
+    psearcher.search_common("dup batch scan", k=10, cutoff_frequency=0.1).collect()
+    t0 = time.time()
+    psearcher.search_common("dup batch scan", k=10, cutoff_frequency=0.1).collect()
+    timings["common_terms_hot"] = time.time() - t0
+
     # 2e. multi-field (round 3, Q28): one-pass two-field build, serving
     # multi_match (two BMW scatters + driver max-combine), declarative
     # multi_match (one corpus pass, greatest() combine)

@@ -183,3 +183,89 @@ SELECT doc.term, doc.term_freq, stats.doc_freq, stats.ttf
 FROM doc JOIN stats USING (term)
 ORDER BY doc.term
 """
+
+
+def mtermvectors(
+    docs: DataFrame,
+    doc_ids: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """ES ``_mtermvectors``: :func:`termvectors` for several ids in ONE
+    round trip — one IN-pushdown stored-field fetch, one corpus aggregation
+    IN-pruned to the UNION of the docs' terms (the whole batch costs one
+    doc's plan shape). Returns (doc_id, term, term_freq, doc_freq, ttf)
+    ordered (doc_id, term); missing ids are absent (found=false)."""
+    from collections import Counter
+
+    from ..functions.tokenizer import tokenize
+
+    spark = docs.sparkSession
+    empty = spark.createDataFrame(
+        [], "doc_id long, term string, term_freq long, doc_freq long, ttf long"
+    )
+    ids = sorted({int(i) for i in doc_ids})
+    rows = (
+        docs.where(F.col(id_col).isin(ids))
+        .select(F.col(id_col).alias("doc_id"), text_col)
+        .collect()
+    )
+    tfs = {
+        int(r["doc_id"]): Counter(tokenize(r[text_col] or "", stopwords, analyzer))
+        for r in rows
+    }
+    all_terms = sorted({t for c in tfs.values() for t in c})
+    if not all_terms:
+        return empty
+    toks = tokens_col(text_col, stopwords, analyzer)
+    stats = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .where(F.col("term").isin(all_terms))
+        .groupBy("term")
+        .agg(
+            F.count_distinct("doc_id").alias("doc_freq"),
+            F.count("*").cast("long").alias("ttf"),
+        )
+        .collect()
+    )
+    by_term = {r["term"]: (int(r["doc_freq"]), int(r["ttf"])) for r in stats}
+    out = [
+        (did, t, int(tfs[did][t]), *by_term[t])
+        for did in sorted(tfs)
+        for t in sorted(tfs[did])
+    ]
+    return spark.createDataFrame(
+        out, "doc_id long, term string, term_freq long, doc_freq long, ttf long"
+    )
+
+
+def mtermvectors_sql(
+    doc_ids: list[int],
+    table: str = "documents",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB oracle for :func:`mtermvectors`."""
+    ids = ", ".join(str(int(i)) for i in sorted({int(i) for i in doc_ids}))
+    tok_expr = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    if stopwords:
+        stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
+        tok_expr = f"list_filter({tok_expr}, t -> t NOT IN ({stop_list}))"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tok_expr}) AS term FROM {table}
+),
+doc AS (
+  SELECT doc_id, term, count(*) AS term_freq FROM toks
+  WHERE doc_id IN ({ids}) GROUP BY doc_id, term
+),
+stats AS (
+  SELECT term, count(DISTINCT doc_id) AS doc_freq, CAST(count(*) AS BIGINT) AS ttf
+  FROM toks WHERE term IN (SELECT DISTINCT term FROM doc) GROUP BY term
+)
+SELECT doc.doc_id, doc.term, doc.term_freq, stats.doc_freq, stats.ttf
+FROM doc JOIN stats USING (term)
+ORDER BY doc.doc_id, doc.term
+"""

@@ -1699,6 +1699,39 @@ class IndexSearcher:
             "term string, term_freq long, doc_freq long, ttf long",
         )
 
+    def mtermvectors(self, doc_ids: list[int]) -> DataFrame:
+        """ES ``_mtermvectors`` on the SERVING path: one IN-pushdown
+        stored-field fetch for the whole id batch + ONE IN-pruned ``terms/``
+        dictionary read over the union of the docs' terms — zero corpus
+        passes, batch cost ≈ one doc's."""
+        from collections import Counter as _Counter
+
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, term string, term_freq long, doc_freq long, ttf long"
+        )
+        rows = self.mget(sorted({int(i) for i in doc_ids}), columns=["text"]).collect()
+        tfs = {int(r["doc_id"]): _Counter(tokenize(r["text"] or "")) for r in rows}
+        all_terms = sorted({t for c in tfs.values() for t in c})
+        if not all_terms:
+            return empty
+        tbl = pads.dataset(f"{self.index_dir}/terms", format="parquet").to_table(
+            columns=["term", "df", "cf"], filter=pads.field("term").isin(all_terms)
+        )
+        stats = {
+            t: (int(d), int(c))
+            for t, d, c in zip(
+                tbl["term"].to_pylist(), tbl["df"].to_pylist(), tbl["cf"].to_pylist()
+            )
+        }
+        out = [
+            (did, t, int(tfs[did][t]), *stats[t])
+            for did in sorted(tfs)
+            for t in sorted(tfs[did])
+        ]
+        return self.spark.createDataFrame(
+            out, "doc_id long, term string, term_freq long, doc_freq long, ttf long"
+        )
+
     def index_stats(self) -> DataFrame:
         """ES ``_stats`` on the SERVING path: one row ``(n_docs, avgdl,
         n_terms, n_postings)`` from the manifest + the prebuilt global

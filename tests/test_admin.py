@@ -99,3 +99,33 @@ def test_termvectors_missing_doc_empty(documents, searcher):
 
     assert termvectors(documents, 10**9).count() == 0
     assert searcher.termvectors(10**9).count() == 0
+
+
+def test_mtermvectors_matches_duckdb(documents, duck):
+    from flume_elasticsearch_2_spark.operators.admin import mtermvectors, mtermvectors_sql
+
+    ids = [3, 141, 0, 141, 10**9]  # dup + missing exercised
+    got = [tuple(r) for r in mtermvectors(documents, ids).collect()]
+    want = [tuple(r) for r in duck.execute(mtermvectors_sql(ids)).fetchall()]
+    assert got == want and got
+    assert {r[0] for r in got} == {0, 3, 141}  # missing id absent
+
+
+def test_mtermvectors_serving_equals_declarative(documents, searcher):
+    from flume_elasticsearch_2_spark.operators.admin import mtermvectors
+
+    ids = [3, 141, 499]
+    got = [tuple(r) for r in searcher.mtermvectors(ids).collect()]
+    want = [tuple(r) for r in mtermvectors(documents, ids).collect()]
+    assert got == want and got
+
+
+def test_mtermvectors_consistent_with_single(documents):
+    from flume_elasticsearch_2_spark.operators.admin import mtermvectors, termvectors
+
+    multi = [
+        (r["term"], r["term_freq"], r["doc_freq"], r["ttf"])
+        for r in mtermvectors(documents, [3]).collect()
+    ]
+    single = [tuple(r) for r in termvectors(documents, 3).collect()]
+    assert multi == single
