@@ -1533,6 +1533,34 @@ _SUGGEST_BODY = {
 }
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS resolved into duplicate CLUSTERS (min-label
+    propagation; each round = one key join + one map-side-combined min agg,
+    rounds = cluster diameter) — the dedup end-game over the MinHash-LSH
+    candidate graph, vs a recursive-CTE reachability oracle."""
+    from flume_elasticsearch_2_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=32, bands=8, hash_fn="md5")
+    return connected_components(pairs)
+
+
+def _dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half: keep one member per near-dup cluster (smallest id)
+    plus every unpaired doc — corpus anti-join against the non-canonical
+    members."""
+    from flume_elasticsearch_2_spark.operators.dedup import (
+        dedup_keep_canonical,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=8, hash_fn="md5")
+    return dedup_keep_canonical(docs, pairs).select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
 def _mtermvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _mtermvectors: per-doc term vectors for an id batch in one round
     trip — one IN-pushdown fetch + one union-IN-pruned corpus agg."""
@@ -1799,6 +1827,8 @@ def _dsl_common(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dedup_clusters",
+    "dedup_canonical_docs",
     "mtermvectors",
     "mtermvectors_segment",
     "suggest_endpoint",
@@ -2016,6 +2046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_sig_terms"] = _dsl_sig_terms
     q["dsl_top_hits"] = _dsl_top_hits
     # round-3 wave: completion suggester, _termvector, common terms query
+    q["dedup_clusters"] = _dedup_clusters
+    q["dedup_canonical_docs"] = _dedup_canonical_docs
     q["mtermvectors"] = _mtermvectors
     q["mtermvectors_segment"] = _mtermvectors_segment
     q["suggest_endpoint"] = _suggest_endpoint
@@ -2397,6 +2429,15 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
 
     from flume_elasticsearch_2_spark.operators.admin import mtermvectors_sql
 
+    from flume_elasticsearch_2_spark.operators.dedup import (
+        connected_components_sql,
+        dedup_keep_canonical_sql,
+        minhash_lsh_pairs_sql,
+    )
+
+    _pairs_sql = minhash_lsh_pairs_sql(num_hashes=32, bands=8)
+    o["dedup_clusters"] = connected_components_sql(_pairs_sql)
+    o["dedup_canonical_docs"] = dedup_keep_canonical_sql(_pairs_sql)
     o["mtermvectors"] = mtermvectors_sql([3, 141, 499])
     o["mtermvectors_segment"] = o["mtermvectors"]
     o["suggest_endpoint"] = suggest_body_sql(_SUGGEST_BODY)

@@ -477,3 +477,132 @@ SELECT DISTINCT a.id AS id_a, b.id AS id_b,
 FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.key = b.key AND a.id < b.id
 WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 """
+
+
+# -- near-dup cluster resolution (pairs -> components -> canonical docs) ---------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: (doc_id, cluster_id)
+    where cluster_id = the smallest doc id reachable through the pair graph
+    — the dedup end-game every pair producer here (minhash_lsh_pairs,
+    ngram_jaccard_pairs, simhash_near_dup_pairs, embedding_near_dup_pairs)
+    feeds at 100 TB, since "remove duplicates" means keep ONE member per
+    component, not per pair.
+
+    Algorithm: min-label propagation — label(v) starts as v; each round
+    every vertex takes the min of its own and its neighbors' labels; stop
+    when no label changes. Rounds = graph diameter, which for near-dup
+    clusters is tiny (clusters are near-cliques: LSH links most member
+    pairs directly). Each round is ONE key join + ONE map-side-combined min
+    aggregation; frames are ``localCheckpoint``ed so the plan stays flat
+    instead of growing a 25-join lineage. The alternating large-star/
+    small-star variant (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") halves round counts on high-diameter graphs — documented
+    as the upgrade path; min-label is exact regardless. Raises after
+    ``max_iter`` rounds instead of silently returning partial clusters.
+    """
+    spark = pairs.sparkSession
+    sa, sb = F.col(a_col).cast("long"), F.col(b_col).cast("long")
+    edges = (
+        pairs.select(sa.alias("s"), sb.alias("d"))
+        .union(pairs.select(sb.alias("s"), sa.alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("s").alias("v")).distinct().withColumn("label", F.col("v"))
+    ).localCheckpoint()
+    for _ in range(int(max_iter)):
+        msgs = edges.join(labels, edges["s"] == labels["v"]).select(
+            F.col("d").alias("v"), F.col("label")
+        )
+        new = (
+            labels.union(msgs).groupBy("v").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise ValueError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the pair graph has pathological diameter — use the large-star/"
+            "small-star variant or raise max_iter"
+        )
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def connected_components_sql(
+    pairs_sql: str, a_col: str = "id_a", b_col: str = "id_b"
+) -> str:
+    """DuckDB oracle for :func:`connected_components` over any pair-
+    producing SQL (a recursive reachability closure; exact, tractable at
+    oracle scales)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({pairs_sql})
+),
+nodes AS (
+  SELECT {a_col} AS v FROM pairs UNION SELECT {b_col} FROM pairs
+),
+sym AS (
+  SELECT {a_col} AS s, {b_col} AS d FROM pairs
+  UNION SELECT {b_col}, {a_col} FROM pairs
+),
+reach(v, r) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.v
+)
+SELECT v AS doc_id, min(r) AS cluster_id
+FROM reach GROUP BY v ORDER BY doc_id
+"""
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """The removal half: keep each near-dup cluster's smallest-id member
+    plus every unpaired doc — an anti-join of the corpus against the
+    non-canonical cluster members (tiny relative to the corpus, but still
+    key-joined, never broadcast-assumed)."""
+    cc = connected_components(pairs, a_col, b_col)
+    losers = cc.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(
+        losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
+
+
+def dedup_keep_canonical_sql(
+    pairs_sql: str,
+    table: str = "documents",
+    select_cols: str = "doc_id, lang, n_chars",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> str:
+    """DuckDB oracle for :func:`dedup_keep_canonical`."""
+    cc = connected_components_sql(pairs_sql, a_col, b_col)
+    return f"""
+SELECT {select_cols} FROM {table}
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM ({cc}) WHERE doc_id <> cluster_id
+)
+ORDER BY doc_id
+"""

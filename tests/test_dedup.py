@@ -229,3 +229,80 @@ def test_dedup_exact_sort_key_excludes_text(spark):
     # the Sort below the Window must order by (_fp, doc_id, meta) — no text
     sort_lines = [ln for ln in plan.splitlines() if "Sort [" in ln and "_fp" in ln]
     assert sort_lines and all(not re.search(r"\btext#\d+ ASC", ln) for ln in sort_lines), plan
+
+
+# -- cluster resolution: pairs -> components -> canonical docs ----------------
+
+
+def test_connected_components_matches_recursive_oracle(spark, documents, sf_dir):
+    import duckdb
+
+    from flume_elasticsearch_2_spark.operators.dedup import (
+        connected_components,
+        connected_components_sql,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    pairs = minhash_lsh_pairs(documents, num_hashes=32, bands=8, hash_fn="md5")
+    got = [tuple(r) for r in connected_components(pairs).collect()]
+    want = [
+        tuple(r)
+        for r in con.execute(
+            connected_components_sql(minhash_lsh_pairs_sql(num_hashes=32, bands=8))
+        ).fetchall()
+    ]
+    assert got == want and got
+
+
+def test_connected_components_transitivity_and_isolation(spark):
+    """Chains collapse to one min-labeled component (diameter > 1 — the
+    propagation rounds matter); disjoint groups stay disjoint."""
+    from flume_elasticsearch_2_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(chain).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from flume_elasticsearch_2_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(8)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="converge"):
+        connected_components(chain, max_iter=1)
+
+
+def test_dedup_keep_canonical(spark, documents, sf_dir):
+    import duckdb
+
+    from flume_elasticsearch_2_spark.operators.dedup import (
+        connected_components,
+        dedup_keep_canonical,
+        dedup_keep_canonical_sql,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    pairs = minhash_lsh_pairs(documents, num_hashes=32, bands=8, hash_fn="md5")
+    kept = dedup_keep_canonical(documents, pairs)
+    got = [tuple(r) for r in kept.select("doc_id", "lang", "n_chars").orderBy("doc_id").collect()]
+    want = [
+        tuple(r)
+        for r in con.execute(
+            dedup_keep_canonical_sql(minhash_lsh_pairs_sql(num_hashes=32, bands=8))
+        ).fetchall()
+    ]
+    assert got == want
+    # exactly one member per cluster survives, all unpaired docs survive
+    cc = connected_components(pairs)
+    kept_ids = {r[0] for r in got}
+    for row in cc.collect():
+        assert (row["doc_id"] in kept_ids) == (row["doc_id"] == row["cluster_id"])
