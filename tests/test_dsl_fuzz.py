@@ -46,7 +46,11 @@ filter_st = st.lists(
 
 @st.composite
 def body_st(draw):
-    shape = draw(st.sampled_from(["match", "bool", "match_all_filtered", "paged"]))
+    shape = draw(
+        st.sampled_from(
+            ["match", "bool", "match_all_filtered", "paged", "common", "phrase_prefix"]
+        )
+    )
     if shape == "match":
         body = {"query": match_clause(draw)}
     elif shape == "bool":
@@ -56,6 +60,22 @@ def body_st(draw):
         body = {"query": {"bool": b}}
     elif shape == "match_all_filtered":
         body = {"query": {"bool": {"filter": draw(filter_st)}}}
+    elif shape == "common":
+        # round 3 (Q34): random df split point + low operator
+        body = {"query": {"common": {"text": {
+            "query": " ".join(draw(terms_st)),
+            "cutoff_frequency": draw(st.sampled_from([0.02, 0.1, 0.5, 0.8, 3.0])),
+            "low_freq_operator": draw(st.sampled_from(["or", "and"])),
+        }}}}
+    elif shape == "phrase_prefix":
+        # round 3 (Q35): random first terms + a prefix of a known term
+        firsts = draw(st.lists(st.sampled_from(TERMS), min_size=0, max_size=2))
+        base = draw(st.sampled_from(TERMS))
+        prefix = base[: draw(st.integers(1, len(base)))]
+        body = {"query": {"match_phrase_prefix": {"text": {
+            "query": " ".join(firsts + [prefix]),
+            "slop": draw(st.sampled_from([0, 0, 1, 2])),
+        }}}}
     else:
         body = {"query": match_clause(draw), "from": draw(st.integers(0, 20))}
     body["size"] = draw(st.integers(1, 20))

@@ -25,9 +25,27 @@ terms_st = st.lists(st.sampled_from(TERMS), min_size=1, max_size=3)
 def body_st(draw):
     q = " ".join(draw(terms_st))
     op = draw(st.sampled_from(["or", "and"]))
-    shape = draw(st.sampled_from(["match", "bool", "paged", "query_string"]))
+    shape = draw(
+        st.sampled_from(
+            ["match", "bool", "paged", "query_string", "common", "phrase_prefix"]
+        )
+    )
     if shape == "match":
         body = {"query": {"match": {"text": {"query": q, "operator": op}}}}
+    elif shape == "common":
+        body = {"query": {"common": {"text": {
+            "query": q,
+            "cutoff_frequency": draw(st.sampled_from([0.02, 0.1, 0.5, 0.8])),
+            "low_freq_operator": op,
+        }}}}
+    elif shape == "phrase_prefix":
+        firsts = draw(st.lists(st.sampled_from(TERMS), min_size=0, max_size=2))
+        base = draw(st.sampled_from(TERMS))
+        prefix = base[: draw(st.integers(1, len(base)))]
+        body = {"query": {"match_phrase_prefix": {"text": {
+            "query": " ".join(firsts + [prefix]),
+            "slop": draw(st.sampled_from([0, 1, 2])),
+        }}}}
     elif shape == "query_string":
         joiner = " AND " if op == "and" else " "
         body = {"query": {"query_string": {"query": joiner.join(draw(terms_st))}}}

@@ -139,3 +139,27 @@ def test_phrase_prefix_dsl_routes(documents, duck, pos_searcher):
     assert [tuple(r) for r in dsl_search_index(pos_searcher, capped).collect()] == [
         tuple(r) for r in dsl_search(documents, capped).collect()
     ]
+
+
+def test_new_serving_paths_stable_across_shard_counts(
+    spark, documents, pos_searcher, tmp_path_factory
+):
+    """Shard count is an execution detail: the phrase-prefix class-df
+    sentinel SUM and the common-terms low-term masks must be partitioning-
+    invariant (docs live in exactly one shard, so per-shard unions sum)."""
+    d = str(tmp_path_factory.mktemp("ppfx7") / "segidx")
+    build_segments_partial(spark, documents, d, n_shards=7, store_positions=True)
+    s7 = IndexSearcher(spark, d)
+    for phrase, slop in [("batch s", 0), ("batch s", 2), ("s", 0)]:
+        a = [tuple(r) for r in s7.search_phrase_prefix(phrase, k=10, slop=slop).collect()]
+        b = [
+            tuple(r)
+            for r in pos_searcher.search_phrase_prefix(phrase, k=10, slop=slop).collect()
+        ]
+        assert a == b, (phrase, slop)
+    for q, cutoff, op in [("dup batch scan", 0.1, "or"), ("dup small batch", 0.77, "and")]:
+        a = [tuple(r) for r in s7.search_common(q, k=30, cutoff_frequency=cutoff,
+                                                low_freq_operator=op).collect()]
+        b = [tuple(r) for r in pos_searcher.search_common(q, k=30, cutoff_frequency=cutoff,
+                                                          low_freq_operator=op).collect()]
+        assert a == b, (q, cutoff, op)
