@@ -1533,6 +1533,35 @@ _SUGGEST_BODY = {
 }
 
 
+_DSL_COMMON_FILTERED_BODY = {
+    "query": {"bool": {
+        "must": [{"common": {"text": {"query": "dup batch scan",
+                                      "cutoff_frequency": 0.1}}}],
+        "filter": [{"range": {"n_chars": {"gte": 100}}}],
+        "must_not": [{"match": {"text": "slow"}}],
+    }},
+    "size": 30,
+}
+
+
+def _dsl_common_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """common terms as the scored bool clause composed with filter +
+    must_not (candidates restricted, df-split and stats index-wide) —
+    declarative path."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_COMMON_FILTERED_BODY)
+
+
+def _dsl_common_filtered_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered common terms on the SERVING path: the low-term mask-IN, the
+    must_not doc-stream mask-OUT, and the Parquet-pruned doc filter compose
+    in one scatter."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_COMMON_FILTERED_BODY)
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS resolved into duplicate CLUSTERS (min-label
     propagation; each round = one key join + one map-side-combined min agg,
@@ -1827,6 +1856,8 @@ def _dsl_common(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dsl_common_filtered",
+    "dsl_common_filtered_segment",
     "dedup_clusters",
     "dedup_canonical_docs",
     "mtermvectors",
@@ -2046,6 +2077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_sig_terms"] = _dsl_sig_terms
     q["dsl_top_hits"] = _dsl_top_hits
     # round-3 wave: completion suggester, _termvector, common terms query
+    q["dsl_common_filtered"] = _dsl_common_filtered
+    q["dsl_common_filtered_segment"] = _dsl_common_filtered_segment
     q["dedup_clusters"] = _dedup_clusters
     q["dedup_canonical_docs"] = _dedup_canonical_docs
     q["mtermvectors"] = _mtermvectors
@@ -2435,6 +2468,8 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
         minhash_lsh_pairs_sql,
     )
 
+    o["dsl_common_filtered"] = dsl_search_sql(_DSL_COMMON_FILTERED_BODY)
+    o["dsl_common_filtered_segment"] = o["dsl_common_filtered"]
     _pairs_sql = minhash_lsh_pairs_sql(num_hashes=32, bands=8)
     o["dedup_clusters"] = connected_components_sql(_pairs_sql)
     o["dedup_canonical_docs"] = dedup_keep_canonical_sql(_pairs_sql)

@@ -210,6 +210,23 @@ def _parse_bool(spec: _Spec, body: dict, text_col: str, analyzed: list[str] | No
             if f != text_col:
                 _err(f"scored term on {f!r} (use bool.filter for fields)")
             spec.query = v if isinstance(v, str) else v["value"]
+        elif kind == "common":
+            # common terms as the scored bool clause: composes with
+            # bool.filter / bool.must_not (candidate restriction, stats
+            # index-wide — the same contract as a filtered match)
+            f, v = _one_field(val, "common")
+            if f != text_col:
+                _err(f"common on field {f!r}")
+            if not isinstance(v, dict):
+                _err("common value must be an options object with 'query'")
+            extra_c = set(v) - {"query", "cutoff_frequency", "low_freq_operator"}
+            if extra_c:
+                _err(f"common keys {sorted(extra_c)}")
+            low_op = v.get("low_freq_operator", "or")
+            if low_op not in ("or", "and"):
+                _err(f"common low_freq_operator {low_op!r}")
+            spec.kind = "common"
+            spec.common = (v["query"], float(v.get("cutoff_frequency", 0.01)), low_op)
         else:
             _err(f"must clause {kind!r}")
     elif should:
@@ -873,14 +890,15 @@ def dsl_search(
             id_col=id_col, text_col=text_col,
         )
     if spec.kind == "common":
-        if spec.filters or mn or spec.from_:
-            _err("common with filters/must_not/from")
+        if spec.from_:
+            _err("common with from")
         from .topk import bm25_common_topk
 
         q, cutoff, low_op = spec.common
         return bm25_common_topk(
             docs, q, k=spec.size, cutoff_frequency=cutoff,
             low_freq_operator=low_op, id_col=id_col, text_col=text_col,
+            doc_filter=_filters_col(spec.filters), must_not=mn,
         )
     if spec.kind == "dis_max":
         if spec.filters or mn or spec.from_:
@@ -999,14 +1017,15 @@ def dsl_search_sql(
             boost_mode=boost_mode, k=spec.size, mode=fmode, table=table,
         )
     if spec.kind == "common":
-        if spec.filters or mn or spec.from_:
-            _err("common with filters/must_not/from")
+        if spec.from_:
+            _err("common with from")
         from .topk import bm25_common_topk_sql
 
         q, cutoff, low_op = spec.common
         return bm25_common_topk_sql(
             q, k=spec.size, cutoff_frequency=cutoff,
             low_freq_operator=low_op, table=table,
+            filter_sql=filter_sql, must_not=mn,
         )
     if spec.kind == "dis_max":
         if spec.filters or mn or spec.from_:
@@ -1069,13 +1088,14 @@ def dsl_search_index(
             "factor rescore window is the planned serving shape)"
         )
     if spec.kind == "common":
-        if spec.filters or mn or spec.from_:
-            _err("common with filters/must_not/from")
+        if spec.from_:
+            _err("common with from")
         if multifield:
             searcher = searcher.field_searcher(searcher.fields[0])
         q, cutoff, low_op = spec.common
         return searcher.search_common(
-            q, k=spec.size, cutoff_frequency=cutoff, low_freq_operator=low_op
+            q, k=spec.size, cutoff_frequency=cutoff, low_freq_operator=low_op,
+            doc_filter=spec.filters or None, must_not=mn,
         )
     if spec.kind == "dis_max":
         if spec.filters or mn or spec.from_:
@@ -1477,3 +1497,21 @@ def msearch_index(
     for f in frames[1:]:
         out = out.unionAll(f)
     return out.orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
+
+
+# -- _validate/query -------------------------------------------------------------
+
+
+def validate_query(body: dict, text_col: str = "text",
+                   analyzed_fields: list[str] | None = None) -> tuple[bool, str | None]:
+    """ES ``_validate/query`` (with explain): parse-only check of a search
+    body against this engine's supported subset. Returns (valid, error) —
+    the error string is the parser's loud rejection reason, the analog of
+    the ES response's ``explanations[].error``. Pure driver-side dict
+    walking; zero Spark jobs (exactly like ES, which validates on the
+    coordinating node without touching shards)."""
+    try:
+        parse_body(body, text_col, analyzed_fields)
+        return True, None
+    except (ValueError, KeyError, TypeError) as e:
+        return False, str(e)

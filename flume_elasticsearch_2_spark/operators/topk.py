@@ -870,6 +870,8 @@ def bm25_common_topk(
     b: float = B,
     stopwords: list[str] | None = None,
     analyzer: str = "ascii",
+    doc_filter=None,
+    must_not: str | None = None,
 ) -> DataFrame:
     """ES 1.x ``common`` terms query (Lucene CommonTermsQuery): query terms
     are split by document frequency at ``cutoff_frequency`` (≥ 1 = absolute
@@ -904,16 +906,20 @@ def bm25_common_topk(
     distinct_terms = sorted(weights)
 
     toks = tokens_col(text_col, stopwords, analyzer)
-    per_doc = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(toks).cast("long").alias("dl"),
-        *[
-            F.size(F.filter(toks, lambda x: x == F.lit(t)))
-            .cast("double")
-            .alias(f"tf_{i}")
-            for i, t in enumerate(distinct_terms)
-        ],
-    )
+
+    def project(src: DataFrame) -> DataFrame:
+        return src.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).cast("long").alias("dl"),
+            *[
+                F.size(F.filter(toks, lambda x: x == F.lit(t)))  # noqa: B023
+                .cast("double")
+                .alias(f"tf_{i}")
+                for i, t in enumerate(distinct_terms)
+            ],
+        )
+
+    per_doc = project(docs)
     stats_row = per_doc.agg(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -945,7 +951,16 @@ def bm25_common_topk(
         )
     if not any_present:
         return empty
-    scored = per_doc.withColumn("score_exact", score)
+    # filters/must_not restrict CANDIDATES only; stats above stay index-wide
+    # (the same ES bool-filter contract as bm25_topk)
+    mn_terms = sorted(set(tokenize(must_not, stopwords, analyzer))) if must_not else []
+    cand = docs
+    if doc_filter is not None:
+        cand = cand.where(doc_filter)
+    if mn_terms:
+        cand = cand.where(~F.exists(toks, lambda x: x.isin(mn_terms)))
+    scored_src = per_doc if cand is docs else project(cand)
+    scored = scored_src.withColumn("score_exact", score)
     if low_idx:  # low terms select; no-low-terms falls through to plain OR
         if low_freq_operator == "and":
             cond = F.lit(True)
@@ -972,6 +987,8 @@ def bm25_common_topk_sql(
     table: str = "documents",
     stopwords: list[str] | None = None,
     analyzer: str = "ascii",
+    filter_sql: str | None = None,
+    must_not: str | None = None,
 ) -> str:
     """DuckDB oracle SQL for :func:`bm25_common_topk` — the df split is
     computed INSIDE the query (data-dependent classification), so the oracle
@@ -996,6 +1013,15 @@ def bm25_common_topk_sql(
         if low_freq_operator == "and"
         else ""
     )
+    extra_preds = ""
+    if filter_sql:
+        extra_preds += f"\n  AND doc_id IN (SELECT doc_id FROM {table} WHERE {filter_sql})"
+    mn_terms = sorted(set(tokenize(must_not, stopwords, analyzer))) if must_not else []
+    if mn_terms:
+        mn_list = ", ".join(f"'{t}'" for t in mn_terms)
+        extra_preds += (
+            f"\n  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term IN ({mn_list}))"
+        )
     from ..functions.tokenizer import duckdb_token_pattern
 
     tok_expr = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
@@ -1038,7 +1064,7 @@ scored AS (
 )
 SELECT doc_id, round(sum(partial), 6) AS score
 FROM scored
-WHERE (NOT EXISTS (SELECT 1 FROM low)) OR doc_id IN (SELECT doc_id FROM cand)
+WHERE ((NOT EXISTS (SELECT 1 FROM low)) OR doc_id IN (SELECT doc_id FROM cand)){extra_preds}
 GROUP BY doc_id
 ORDER BY sum(partial) DESC, doc_id ASC
 LIMIT {int(k)}

@@ -852,6 +852,8 @@ class IndexSearcher:
         cutoff_frequency: float = 0.01,
         low_freq_operator: str = "or",
         pruned: bool = True,
+        doc_filter: tuple | None = None,
+        must_not: str | None = None,
     ) -> DataFrame:
         """ES 1.x ``common`` terms query on the SERVING path (rank-identical
         to :func:`~..operators.topk.bm25_common_topk`). The low-frequency
@@ -898,10 +900,13 @@ class IndexSearcher:
             mode="or",
             pruned=pruned,
         )
+        mn_terms = sorted(set(tokenize(must_not))) if must_not else []
         rows = self._scatter_direct(
             sorted(active),
             present,
             kwargs,
+            doc_filter,
+            mn_terms,
             must_terms=low or None,
             must_mode=low_freq_operator,
         ).collect()

@@ -64,6 +64,18 @@ BODIES: list[tuple[str, dict, bool]] = [
         True,
     ),
     (
+        # common terms as the scored bool clause, composed with filter +
+        # must_not (candidate restriction; stats/df-split stay index-wide)
+        "common_filtered",
+        {"query": {"bool": {
+            "must": [{"common": {"text": {
+                "query": "dup batch scan", "cutoff_frequency": 0.1}}}],
+            "filter": [{"range": {"n_chars": {"gte": 100}}}],
+            "must_not": [{"match": {"text": "slow"}}],
+        }}, "size": 30},
+        True,
+    ),
+    (
         "bool_full",
         {
             "query": {
@@ -837,3 +849,20 @@ def test_multi_match_most_fields_rejects_explicit_tb():
                                        "type": "most_fields", "tie_breaker": 0.3}}},
             analyzed_fields=["text"],
         )
+
+
+def test_validate_query_accepts_and_rejects():
+    from flume_elasticsearch_2_spark.operators.dsl import validate_query
+
+    ok, err = validate_query({"query": {"match": {"text": "dup batch"}}})
+    assert ok and err is None
+    for body in BODIES:
+        assert validate_query(body[1])[0], body[0]
+    bad, err = validate_query({"query": {"match": {"title": "x"}}})
+    assert not bad and "unsupported DSL" in err
+    bad, err = validate_query({"query": {"geo_distance": {"pin": "0,0"}}})
+    assert not bad and err
+    ok, _ = validate_query(
+        {"query": {"match": {"title": "x"}}}, analyzed_fields=["text", "title"]
+    )
+    assert ok
