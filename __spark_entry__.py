@@ -1576,6 +1576,19 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def _dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diameter-independent CC variant (alternating large-star/
+    small-star, O(log² n) rounds) on the same pair graph — identical
+    clusters, same recursive-CTE oracle."""
+    from flume_elasticsearch_2_spark.operators.dedup import (
+        connected_components_star,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=32, bands=8, hash_fn="md5")
+    return connected_components_star(pairs)
+
+
 def _dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The removal half: keep one member per near-dup cluster (smallest id)
     plus every unpaired doc — corpus anti-join against the non-canonical
@@ -1856,6 +1869,7 @@ def _dsl_common(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dedup_clusters_star",
     "dsl_common_filtered",
     "dsl_common_filtered_segment",
     "dedup_clusters",
@@ -2080,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_common_filtered"] = _dsl_common_filtered
     q["dsl_common_filtered_segment"] = _dsl_common_filtered_segment
     q["dedup_clusters"] = _dedup_clusters
+    q["dedup_clusters_star"] = _dedup_clusters_star
     q["dedup_canonical_docs"] = _dedup_canonical_docs
     q["mtermvectors"] = _mtermvectors
     q["mtermvectors_segment"] = _mtermvectors_segment
@@ -2472,6 +2487,7 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["dsl_common_filtered_segment"] = o["dsl_common_filtered"]
     _pairs_sql = minhash_lsh_pairs_sql(num_hashes=32, bands=8)
     o["dedup_clusters"] = connected_components_sql(_pairs_sql)
+    o["dedup_clusters_star"] = o["dedup_clusters"]
     o["dedup_canonical_docs"] = dedup_keep_canonical_sql(_pairs_sql)
     o["mtermvectors"] = mtermvectors_sql([3, 141, 499])
     o["mtermvectors_segment"] = o["mtermvectors"]

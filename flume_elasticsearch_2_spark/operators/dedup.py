@@ -606,3 +606,95 @@ WHERE doc_id NOT IN (
 )
 ORDER BY doc_id
 """
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — the
+    HIGH-DIAMETER scale path promised by :func:`connected_components`:
+    converges in O(log² n) rounds regardless of graph diameter, where
+    min-label propagation needs diameter rounds (a 10^6-long chain of
+    paraphrase edges would take 10^6 propagation rounds but ~40 star
+    rounds).
+
+    Each round is two edge rewrites, each ONE groupBy-min + ONE key join:
+
+    - large-star: every node u links its LARGER neighbors to
+      m(u) = min(N(u) ∪ {u}) — long chains collapse toward small ids;
+    - small-star: every node u links its smaller-or-equal neighbors (and
+      itself) to m(u) — stars canonicalize.
+
+    Fixpoint = the edge set stops changing; the surviving edges form stars
+    (member → component root = the component's smallest id), so the output
+    matches :func:`connected_components` exactly (pinned by test). Frames
+    are ``localCheckpoint``ed per round; non-convergence raises."""
+    spark = pairs.sparkSession
+    sa, sb = F.col(a_col).cast("long"), F.col(b_col).cast("long")
+    # canonical undirected edge list, self-loops dropped
+    edges = (
+        pairs.select(F.least(sa, sb).alias("u"), F.greatest(sa, sb).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("n"))
+        .union(edges.select(F.col("v").alias("n")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    for _ in range(int(max_rounds)):
+        s = sym(edges)
+        # m(u) = min over the closed neighborhood
+        mins = s.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        # large-star: (x, m(u)) for every neighbor x > u
+        ls = (
+            s.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.least(F.col("v"), F.col("m")).alias("u"),
+                    F.greatest(F.col("v"), F.col("m")).alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        s2 = sym(ls)
+        mins2 = s2.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        # small-star: (x, m(u)) for neighbors x <= u, plus (u, m(u))
+        ss = (
+            s2.join(mins2, "u")
+            .where(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("x"), F.col("m"))
+            .union(s2.join(mins2, "u").select(F.col("u").alias("x"), F.col("m")).distinct())
+            .select(F.least(F.col("x"), F.col("m")).alias("u"),
+                    F.greatest(F.col("x"), F.col("m")).alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = ss.exceptAll(edges).count() + edges.exceptAll(ss).count()
+        edges = ss
+        if changed == 0:
+            break
+    else:
+        raise ValueError(
+            f"connected_components_star did not converge in {max_rounds} rounds"
+        )
+    # fixpoint edges are (root, member) stars with root = min id; isolated-
+    # after-canonicalization nodes map to themselves
+    roots = sym(edges).groupBy("u").agg(F.min("v").alias("mn"))
+    comp = roots.select(
+        F.col("u").alias("doc_id"), F.least("u", "mn").alias("cluster_id")
+    )
+    missing = nodes.join(comp, nodes["n"] == comp["doc_id"], "left_anti").select(
+        F.col("n").alias("doc_id"), F.col("n").alias("cluster_id")
+    )
+    return comp.union(missing).orderBy("doc_id")

@@ -306,3 +306,27 @@ def test_dedup_keep_canonical(spark, documents, sf_dir):
     kept_ids = {r[0] for r in got}
     for row in cc.collect():
         assert (row["doc_id"] in kept_ids) == (row["doc_id"] == row["cluster_id"])
+
+
+def test_star_cc_equals_min_label(spark, documents):
+    """large-star/small-star (the diameter-independent scale path) must
+    produce exactly the min-label components on the LSH pair graph AND on a
+    30-edge chain + a cycle (shapes where round counts diverge)."""
+    from flume_elasticsearch_2_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(documents, num_hashes=32, bands=8, hash_fn="md5")
+    assert [tuple(r) for r in connected_components_star(pairs).collect()] == [
+        tuple(r) for r in connected_components(pairs).collect()
+    ]
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)] + [(100, 101), (101, 103), (103, 102), (102, 100)],
+        "id_a long, id_b long",
+    )
+    a = {r["doc_id"]: r["cluster_id"] for r in connected_components(chain, max_iter=40).collect()}
+    b = {r["doc_id"]: r["cluster_id"] for r in connected_components_star(chain).collect()}
+    assert a == b
+    assert b[30] == 0 and b[103] == 100
