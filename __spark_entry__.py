@@ -1533,6 +1533,41 @@ _SUGGEST_BODY = {
 }
 
 
+_DSL_QUERY_FACET_BODY = {
+    "query": {"match": {"text": "batch scan"}},
+    "facets": {"qf": {"query": {"match": {"text": "dup"}}}},
+}
+_DSL_FILTER_FACET_BODY = {
+    "query": {"match": {"text": "batch scan"}},
+    "facets": {"f": {"filter": {"term": {"lang": "en"}}}},
+}
+
+
+def _dsl_query_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x query facet: |scope ∩ facet-match| in one corpus pass (two
+    ANDed JVM array predicates, zero shuffles) — completes the 1.x facet
+    family."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _DSL_QUERY_FACET_BODY)
+
+
+def _dsl_query_facet_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query facet on the SERVING path: per-shard doc-stream intersections
+    summed (shards partition docs) — one long per shard crosses the wire."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_index
+
+    return dsl_aggregation_index(_segment_searcher(spark, sf_dir), _DSL_QUERY_FACET_BODY)
+
+
+def _dsl_filter_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x filter facet (single bucket) — rewritten to the filters agg,
+    so the single-pass conditional-count plan and serving path come free."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _DSL_FILTER_FACET_BODY)
+
+
 _DSL_COMMON_FILTERED_BODY = {
     "query": {"bool": {
         "must": [{"common": {"text": {"query": "dup batch scan",
@@ -1869,6 +1904,9 @@ def _dsl_common(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dsl_query_facet",
+    "dsl_query_facet_segment",
+    "dsl_filter_facet",
     "dedup_clusters_star",
     "dsl_common_filtered",
     "dsl_common_filtered_segment",
@@ -2091,6 +2129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_sig_terms"] = _dsl_sig_terms
     q["dsl_top_hits"] = _dsl_top_hits
     # round-3 wave: completion suggester, _termvector, common terms query
+    q["dsl_query_facet"] = _dsl_query_facet
+    q["dsl_query_facet_segment"] = _dsl_query_facet_segment
+    q["dsl_filter_facet"] = _dsl_filter_facet
     q["dsl_common_filtered"] = _dsl_common_filtered
     q["dsl_common_filtered_segment"] = _dsl_common_filtered_segment
     q["dedup_clusters"] = _dedup_clusters
@@ -2483,6 +2524,9 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
         minhash_lsh_pairs_sql,
     )
 
+    o["dsl_query_facet"] = dsl_aggregation_sql(_DSL_QUERY_FACET_BODY)
+    o["dsl_query_facet_segment"] = o["dsl_query_facet"]
+    o["dsl_filter_facet"] = dsl_aggregation_sql(_DSL_FILTER_FACET_BODY)
     o["dsl_common_filtered"] = dsl_search_sql(_DSL_COMMON_FILTERED_BODY)
     o["dsl_common_filtered_segment"] = o["dsl_common_filtered"]
     _pairs_sql = minhash_lsh_pairs_sql(num_hashes=32, bands=8)

@@ -558,3 +558,39 @@ def value_count_facet_sql(
         f"SELECT count({field}) AS count\nFROM {table}\n"
         f"WHERE {_match_sql(query, mode, None, 'ascii')}"
     )
+
+
+# -- 1.x query facet ---------------------------------------------------------------
+
+
+def query_facet(
+    docs: DataFrame,
+    query: str | None,
+    facet_query: str,
+    mode: str = "or",
+    facet_mode: str = "or",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES 1.x ``query`` facet: how many docs in the body's match scope ALSO
+    match the facet query (one row, ``count``). Both matches are the same
+    analyzed-overlap predicate the facet family shares — one corpus pass,
+    two JVM array predicates ANDed, zero shuffles beyond the global count."""
+    return (
+        docs.where(match_condition(query, mode, text_col))
+        .where(match_condition(facet_query, facet_mode, text_col))
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def query_facet_sql(
+    query: str | None,
+    facet_query: str,
+    mode: str = "or",
+    facet_mode: str = "or",
+    table: str = "documents",
+) -> str:
+    return (
+        f"SELECT count(*) AS count\nFROM {table}\n"
+        f"WHERE ({_match_sql(query, mode, None, 'ascii')})\n"
+        f"  AND ({_match_sql(facet_query, facet_mode, None, 'ascii')})"
+    )

@@ -1214,6 +1214,27 @@ def _parse_aggs(body: dict, text_col: str) -> tuple[str | None, str, str, dict]:
             _err(f"sub-agg kind {skind!r} (stats / top_hits only)")
     else:
         kind, conf = _one_field(agg, "agg")
+        if kind == "filter":
+            # 1.x filter FACET (one bucket) = the filters agg with a single
+            # named bucket; serving/oracle routing comes free
+            return _parse_aggs_finish(
+                body, text_col, "filters", None,
+                {"filters": {"filter": _filter_triples([conf])}},
+            )
+        if kind == "query":
+            # 1.x query FACET: count of docs matching ANOTHER match query
+            # within the body's scope
+            qk, qv = _one_field(conf, "query facet")
+            if qk != "match":
+                _err(f"query facet clause {qk!r} (match only)")
+            fspec = _Spec()
+            _parse_match(fspec, _one_field(qv, "match"), text_col)
+            if fspec.msm or fspec.boosts:
+                _err("query facet with msm/boost options")
+            return _parse_aggs_finish(
+                body, text_col, "query", None,
+                {"facet_query": fspec.query, "facet_mode": fspec.mode},
+            )
         if kind not in (
             "terms", "stats", "histogram", "range", "filters", "cardinality",
             "percentiles", "missing", "significant_terms", "extended_stats",
@@ -1253,6 +1274,14 @@ def _parse_aggs(body: dict, text_col: str) -> tuple[str | None, str, str, dict]:
                 )
             kw["size"] = int(conf.get("size", 10))
             kw["min_doc_count"] = int(conf.get("min_doc_count", 1))
+    return _parse_aggs_finish(body, text_col, kind, field, kw)
+
+
+def _parse_aggs_finish(
+    body: dict, text_col: str, kind: str, field, kw: dict
+) -> tuple[str | None, str, str, dict]:
+    """Shared scope parsing for every agg/facet kind: the body's query
+    (match / match_all) becomes the facet scope."""
     q = body.get("query", {"match_all": {}})
     qkind, qval = _one_field(q, "query")
     if qkind == "match_all":
@@ -1307,6 +1336,13 @@ def dsl_aggregation(docs: DataFrame, body: dict, text_col: str = "text") -> Data
         return filters_facet(docs, kw.pop("filters"), query=q, text_col=text_col, **kw)
     if kind == "significant_terms":
         return significant_terms_facet(docs, q, text_col=text_col, **kw)
+    if kind == "query":
+        from .aggs import query_facet
+
+        return query_facet(
+            docs, q, kw["facet_query"], mode=kw.get("mode", "or"),
+            facet_mode=kw["facet_mode"], text_col=text_col,
+        )
     from .aggs import extended_stats_facet, value_count_facet
 
     fn = {
@@ -1360,6 +1396,13 @@ def dsl_aggregation_sql(body: dict, table: str = "documents", text_col: str = "t
         return filters_facet_sql(kw.pop("filters"), query=q, table=table, **kw)
     if kind == "significant_terms":
         return significant_terms_facet_sql(q, table=table, **kw)
+    if kind == "query":
+        from .aggs import query_facet_sql
+
+        return query_facet_sql(
+            q, kw["facet_query"], mode=kw.get("mode", "or"),
+            facet_mode=kw["facet_mode"], table=table,
+        )
     from .aggs import extended_stats_facet_sql, value_count_facet_sql
 
     fn = {
@@ -1395,6 +1438,11 @@ def dsl_aggregation_index(searcher, body: dict, text_col: str = "text") -> DataF
         key_field, value_field = field
         return searcher.facet(
             q, key_field, kind="terms_stats", value_field=value_field, **kw
+        )
+    if kind == "query":
+        return searcher.facet_query_count(
+            q, kw["facet_query"], mode=kw.get("mode", "or"),
+            facet_mode=kw["facet_mode"],
         )
     return searcher.facet(q, field, kind=kind, **kw)
 

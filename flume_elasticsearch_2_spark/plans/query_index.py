@@ -1877,6 +1877,61 @@ class IndexSearcher:
         )
         return out_one(sum(r["n"] for r in rows))
 
+    def facet_query_count(
+        self,
+        query: str | None,
+        facet_query: str,
+        mode: str = "or",
+        facet_mode: str = "or",
+    ) -> DataFrame:
+        """ES 1.x ``query`` FACET on the SERVING path: |match(query) ∩
+        match(facet_query)| from postings doc streams only (shards partition
+        docs, so per-shard intersection sizes SUM). Active shards = shards
+        where BOTH queries can match. ``query=None`` (match_all scope)
+        degrades to :meth:`count` of the facet query. One long per shard
+        crosses the wire; returns one row ``(count)``."""
+        out_one = lambda n: self.spark.createDataFrame(  # noqa: E731
+            [(int(n),)], "count long"
+        )
+        if query is None:
+            n = self.count(facet_query, mode=facet_mode).collect()[0][0]
+            return out_one(n)
+        tq = sorted(set(tokenize(query)))
+        tf_ = sorted(set(tokenize(facet_query)))
+        if not tq or not tf_:
+            return out_one(0)
+        dfreq, term_shards = self._query_meta_terms(sorted(set(tq + tf_)))
+
+        def active(terms: list[str], m: str) -> set[int]:
+            present = [t for t in terms if t in dfreq]
+            if not present or (m == "and" and len(present) < len(terms)):
+                return set()
+            sets = [term_shards[t] for t in present]
+            return set.intersection(*sets) if m == "and" else set.union(*sets)
+
+        shards = sorted(active(tq, mode) & active(tf_, facet_mode))
+        if not shards:
+            return out_one(0)
+        index_dir = self.index_dir
+        pq = [t for t in tq if t in dfreq]
+        pf = [t for t in tf_ if t in dfreq]
+
+        def count_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for shard in pdf["shard"].tolist():
+                    a = _facet_match_ids(index_dir, shard, pq, mode)
+                    b = _facet_match_ids(index_dir, shard, pf, facet_mode)
+                    yield pd.DataFrame(
+                        {"n": [len(np.intersect1d(a, b, assume_unique=True))]}
+                    )
+
+        rows = (
+            _one_task_per_shard(self.spark, shards)
+            .mapInPandas(count_shards, "n long")
+            .collect()
+        )
+        return out_one(sum(r["n"] for r in rows))
+
     def _matching_ids_shard(self, shard: int, terms: list[str]) -> set[int]:
         """All doc ids in one shard matching any of ``terms`` (postings
         doc-stream decode only; tf streams never touched)."""

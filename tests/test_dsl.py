@@ -323,6 +323,24 @@ AGG_BODIES = [
         {"query": {"match": {"text": "batch scan"}},
          "aggs": {"n": {"value_count": {"field": "source"}}}},
     ),
+    (
+        # 1.x query FACET: docs matching another match query within scope
+        "query_facet_scoped",
+        {"query": {"match": {"text": "batch scan"}},
+         "facets": {"qf": {"query": {"match": {"text": "dup"}}}}},
+    ),
+    (
+        "query_facet_and_modes",
+        {"query": {"match": {"text": {"query": "join filter", "operator": "and"}}},
+         "facets": {"qf": {"query": {"match": {"text": {"query": "dup small",
+                                                        "operator": "and"}}}}}},
+    ),
+    (
+        # 1.x filter FACET (one bucket) rewritten to the filters agg
+        "filter_facet_single",
+        {"query": {"match": {"text": "batch scan"}},
+         "facets": {"f": {"filter": {"term": {"lang": "en"}}}}},
+    ),
 ]
 
 # declarative-only kinds (serving path refuses: exact forms need the match
