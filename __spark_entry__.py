@@ -1533,6 +1533,26 @@ _SUGGEST_BODY = {
 }
 
 
+_DSL_RANDOM_SCORE_BODY = {
+    "query": {"function_score": {
+        "query": {"match": {"text": "dup batch scan"}},
+        "random_score": {"seed": 7},
+        "boost_mode": "multiply",
+    }},
+    "size": 10,
+}
+
+
+def _dsl_random_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score/random_score: base match scores times a SEEDED
+    deterministic uniform draw (60-bit md5 prefix of doc_id:seed / 2^60 —
+    the sampling operators' bit-identical hash family); reproducible,
+    seed-sensitive, oracle-exact."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_RANDOM_SCORE_BODY)
+
+
 _DSL_QUERY_FACET_BODY = {
     "query": {"match": {"text": "batch scan"}},
     "facets": {"qf": {"query": {"match": {"text": "dup"}}}},
@@ -1904,6 +1924,7 @@ def _dsl_common(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dsl_random_score",
     "dsl_query_facet",
     "dsl_query_facet_segment",
     "dsl_filter_facet",
@@ -2129,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_sig_terms"] = _dsl_sig_terms
     q["dsl_top_hits"] = _dsl_top_hits
     # round-3 wave: completion suggester, _termvector, common terms query
+    q["dsl_random_score"] = _dsl_random_score
     q["dsl_query_facet"] = _dsl_query_facet
     q["dsl_query_facet_segment"] = _dsl_query_facet_segment
     q["dsl_filter_facet"] = _dsl_filter_facet
@@ -2524,6 +2546,7 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
         minhash_lsh_pairs_sql,
     )
 
+    o["dsl_random_score"] = dsl_search_sql(_DSL_RANDOM_SCORE_BODY)
     o["dsl_query_facet"] = dsl_aggregation_sql(_DSL_QUERY_FACET_BODY)
     o["dsl_query_facet_segment"] = o["dsl_query_facet"]
     o["dsl_filter_facet"] = dsl_aggregation_sql(_DSL_FILTER_FACET_BODY)

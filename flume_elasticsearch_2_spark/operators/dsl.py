@@ -114,6 +114,7 @@ class _Spec:
         self.fscore: tuple | None = None
         self.common: tuple | None = None  # (query, cutoff_frequency, low_op)
         self.max_exp: int | None = None  # match_phrase_prefix expansion cap
+        self.fscore_seed: int | None = None  # function_score random_score seed
 
 
 def _parse_match(
@@ -517,21 +518,35 @@ def parse_body(
         spec.slop = int(val.get("slop", 0))
         spec.query = " ".join(terms)
     elif kind == "function_score":
-        # ES function_score, field_value_factor form: base match scores
-        # combined with factor*modifier(field) per boost_mode — re-ranks the
-        # match set, never widens/narrows it
-        extra_fs = set(val) - {"query", "field_value_factor", "boost_mode"}
+        # ES function_score: field_value_factor (base scores combined with
+        # factor*modifier(field) per boost_mode) or random_score (seeded
+        # deterministic uniform draw) — re-ranks the match set, never
+        # widens/narrows it
+        extra_fs = set(val) - {"query", "field_value_factor", "random_score", "boost_mode"}
         if extra_fs:
             _err(f"function_score keys {sorted(extra_fs)}")
-        fvf = val.get("field_value_factor") or _err(
-            "function_score needs field_value_factor (the supported function)"
-        )
-        extra_v = set(fvf) - {"field", "factor", "modifier", "missing"}
-        if extra_v:
-            _err(f"field_value_factor keys {sorted(extra_v)}")
-        modifier = fvf.get("modifier", "none")
-        if modifier not in FVF_MODIFIERS:
-            _err(f"field_value_factor modifier {modifier!r} (supported: {FVF_MODIFIERS})")
+        rsc = val.get("random_score")
+        if rsc is not None:
+            if "field_value_factor" in val:
+                _err("function_score with both field_value_factor and random_score")
+            extra_r = set(rsc) - {"seed"}
+            if extra_r:
+                _err(f"random_score keys {sorted(extra_r)}")
+            if "seed" not in rsc:
+                _err("random_score needs an explicit seed (determinism contract)")
+            spec.fscore_seed = int(rsc["seed"])
+            fvf = {}
+            modifier = "none"
+        else:
+            fvf = val.get("field_value_factor") or _err(
+                "function_score needs field_value_factor or random_score"
+            )
+            extra_v = set(fvf) - {"field", "factor", "modifier", "missing"}
+            if extra_v:
+                _err(f"field_value_factor keys {sorted(extra_v)}")
+            modifier = fvf.get("modifier", "none")
+            if modifier not in FVF_MODIFIERS:
+                _err(f"field_value_factor modifier {modifier!r} (supported: {FVF_MODIFIERS})")
         boost_mode = val.get("boost_mode", "multiply")
         if boost_mode not in ("multiply", "sum"):
             _err(f"boost_mode {boost_mode!r} (multiply|sum)")
@@ -548,13 +563,13 @@ def parse_body(
                 _err(f"function_score match options {sorted(extra_q)}")
             fmode = {"or": "or", "and": "and"}[qq.get("operator", "or")]
             qq = qq["query"]
-        if "field" not in fvf:
+        if rsc is None and "field" not in fvf:
             _err("field_value_factor needs field")
         spec.kind = "function_score"
         spec.fscore = (
             str(qq),
             fmode,
-            str(fvf["field"]),
+            str(fvf["field"]) if rsc is None else None,
             float(fvf.get("factor", 1.0)),
             modifier,
             float(fvf.get("missing", 1.0)),
@@ -887,7 +902,7 @@ def dsl_search(
         return bm25_function_score_topk(
             docs, q, field, factor=factor, modifier=modifier, missing=missing,
             boost_mode=boost_mode, k=spec.size, mode=fmode,
-            id_col=id_col, text_col=text_col,
+            id_col=id_col, text_col=text_col, random_seed=spec.fscore_seed,
         )
     if spec.kind == "common":
         if spec.from_:
@@ -1015,6 +1030,7 @@ def dsl_search_sql(
         return bm25_function_score_topk_sql(
             q, field, factor=factor, modifier=modifier, missing=missing,
             boost_mode=boost_mode, k=spec.size, mode=fmode, table=table,
+            random_seed=spec.fscore_seed,
         )
     if spec.kind == "common":
         if spec.from_:

@@ -687,6 +687,7 @@ def bm25_function_score_topk(
     mode: str = "or",
     k1: float = K1,
     b: float = B,
+    random_seed: int | None = None,
 ) -> DataFrame:
     """ES ``function_score`` with a ``field_value_factor`` function
     (SURVEY §2.5 Q21 subset; reference delegation site
@@ -703,7 +704,15 @@ def bm25_function_score_topk(
     column (the per-doc factor); ordering by the exact combined float64,
     output rounded to 6 decimals. At 10^12 docs this stays one
     map-side-combine stats agg + one TakeOrderedAndProject pass — the
-    stored field rides the same scan, no join."""
+    stored field rides the same scan, no join.
+
+    ``random_seed`` switches the function to ES ``random_score``: the
+    per-doc value becomes a seeded uniform draw in [0, 1) — the 60-bit md5
+    prefix of ``doc_id:seed`` scaled by 2^-60, the SAME deterministic hash
+    family the sampling operators pin bit-identical across engines —
+    multiplied by ``factor``; ``field``/``modifier``/``missing`` are
+    ignored. ES seeds its hash with doc ids the same way, which is what
+    makes random_score reproducible there too."""
     if modifier not in FVF_MODIFIERS:
         raise ValueError(f"modifier must be one of {FVF_MODIFIERS}, got {modifier!r}")
     if boost_mode not in ("multiply", "sum"):
@@ -718,15 +727,24 @@ def bm25_function_score_topk(
         weights[t] = weights.get(t, 0.0) + 1.0
     distinct_terms = sorted(weights)
     toks = tokens_col(text_col)
-    fv = F.coalesce(F.col(field).cast("double"), F.lit(float(missing)))
-    fn = {
-        "none": lambda v: v,
-        "ln1p": lambda v: F.log(F.lit(1.0) + v),
-        "ln2p": lambda v: F.log(F.lit(2.0) + v),
-        "sqrt": F.sqrt,
-        "square": lambda v: v * v,
-        "reciprocal": lambda v: F.lit(1.0) / v,
-    }[modifier]
+    if random_seed is not None:
+        from ..functions.text import md5_long_col
+
+        rv = md5_long_col(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(int(random_seed))))
+        )
+        fsv_col = F.lit(float(factor)) * (rv.cast("double") / F.lit(float(1 << 60)))
+    else:
+        fv = F.coalesce(F.col(field).cast("double"), F.lit(float(missing)))
+        fn = {
+            "none": lambda v: v,
+            "ln1p": lambda v: F.log(F.lit(1.0) + v),
+            "ln2p": lambda v: F.log(F.lit(2.0) + v),
+            "sqrt": F.sqrt,
+            "square": lambda v: v * v,
+            "reciprocal": lambda v: F.lit(1.0) / v,
+        }[modifier]
+        fsv_col = F.lit(float(factor)) * fn(fv)
     per_doc = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("long").alias("dl"),
@@ -734,7 +752,7 @@ def bm25_function_score_topk(
             F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double").alias(f"tf_{i}")
             for i, t in enumerate(distinct_terms)
         ],
-        (F.lit(float(factor)) * fn(fv)).alias("fsv"),
+        fsv_col.alias("fsv"),
     )
     stats_row = per_doc.agg(
         F.count("*").alias("n_docs"),
@@ -789,9 +807,11 @@ def bm25_function_score_topk_sql(
     k: int = 10,
     mode: str = "or",
     table: str = "documents",
+    random_seed: int | None = None,
 ) -> str:
     """DuckDB oracle for :func:`bm25_function_score_topk` — the bm25 oracle
-    with a per-doc field-value-factor column combined per ``boost_mode``."""
+    with a per-doc field-value-factor column combined per ``boost_mode``
+    (``random_seed``: the seeded md5-prefix uniform draw instead)."""
     if modifier not in FVF_MODIFIERS:
         raise ValueError(f"modifier must be one of {FVF_MODIFIERS}, got {modifier!r}")
     if boost_mode not in ("multiply", "sum"):
@@ -805,15 +825,23 @@ def bm25_function_score_topk_sql(
     and_filter = (
         f"HAVING count(DISTINCT s.term) = {len(weights)}" if mode == "and" else ""
     )
-    fv = f"coalesce(CAST({field} AS DOUBLE), {float(missing)!r})"
-    fn = {
-        "none": fv,
-        "ln1p": f"ln(1.0 + {fv})",
-        "ln2p": f"ln(2.0 + {fv})",
-        "sqrt": f"sqrt({fv})",
-        "square": f"({fv} * {fv})",
-        "reciprocal": f"(1.0 / {fv})",
-    }[modifier]
+    if random_seed is not None:
+        from ..functions.text import MD5_LONG_SQL
+
+        rv = MD5_LONG_SQL.format(
+            expr=f"(CAST(doc_id AS VARCHAR) || ':' || '{int(random_seed)}')"
+        )
+        fn = f"(CAST({rv} AS DOUBLE) / {float(1 << 60)!r})"
+    else:
+        fv = f"coalesce(CAST({field} AS DOUBLE), {float(missing)!r})"
+        fn = {
+            "none": fv,
+            "ln1p": f"ln(1.0 + {fv})",
+            "ln2p": f"ln(2.0 + {fv})",
+            "sqrt": f"sqrt({fv})",
+            "square": f"({fv} * {fv})",
+            "reciprocal": f"(1.0 / {fv})",
+        }[modifier]
     op = "*" if boost_mode == "multiply" else "+"
     from ..functions.tokenizer import duckdb_token_pattern
 

@@ -884,3 +884,25 @@ def test_validate_query_accepts_and_rejects():
         {"query": {"match": {"title": "x"}}}, analyzed_fields=["text", "title"]
     )
     assert ok
+
+
+def test_function_score_random_score(documents, duck):
+    """ES random_score: seeded md5-prefix uniform draw — deterministic,
+    seed-sensitive, oracle-exact (the sampling operators' hash family)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search, dsl_search_sql
+
+    def body(seed, bm="multiply"):
+        return {"query": {"function_score": {
+            "query": {"match": {"text": "dup batch scan"}},
+            "random_score": {"seed": seed}, "boost_mode": bm}}, "size": 10}
+
+    for seed, bm in [(7, "multiply"), (7, "sum"), (42, "multiply")]:
+        got = [tuple(r) for r in dsl_search(documents, body(seed, bm)).collect()]
+        want = [tuple(r) for r in duck.execute(dsl_search_sql(body(seed, bm))).fetchall()]
+        assert got == want and got, (seed, bm)
+    a = [r[0] for r in dsl_search(documents, body(7)).collect()]
+    b = [r[0] for r in dsl_search(documents, body(8)).collect()]
+    assert a != b  # the seed matters
+    with pytest.raises(ValueError):  # determinism contract: explicit seed
+        parse_body({"query": {"function_score": {
+            "query": {"match": {"text": "a"}}, "random_score": {}}}})
