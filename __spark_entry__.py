@@ -1533,6 +1533,15 @@ _SUGGEST_BODY = {
 }
 
 
+def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (30-min web-analytics
+    default): ONE user-keyed shuffle, per-partition lag/cumsum window, the
+    session agg reuses the partitioning — parallelism-invariant by test."""
+    from flume_elasticsearch_2_spark.operators.events import sessionize
+
+    return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"), 1800)
+
+
 _DSL_RANDOM_SCORE_BODY = {
     "query": {"function_score": {
         "query": {"match": {"text": "dup batch scan"}},
@@ -1924,6 +1933,7 @@ def _dsl_common(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "sessionize_events",
     "dsl_random_score",
     "dsl_query_facet",
     "dsl_query_facet_segment",
@@ -2150,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_sig_terms"] = _dsl_sig_terms
     q["dsl_top_hits"] = _dsl_top_hits
     # round-3 wave: completion suggester, _termvector, common terms query
+    q["sessionize_events"] = _sessionize_events
     q["dsl_random_score"] = _dsl_random_score
     q["dsl_query_facet"] = _dsl_query_facet
     q["dsl_query_facet_segment"] = _dsl_query_facet_segment
@@ -2546,6 +2557,9 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
         minhash_lsh_pairs_sql,
     )
 
+    from flume_elasticsearch_2_spark.operators.events import sessionize_sql
+
+    o["sessionize_events"] = sessionize_sql(1800)
     o["dsl_random_score"] = dsl_search_sql(_DSL_RANDOM_SCORE_BODY)
     o["dsl_query_facet"] = dsl_aggregation_sql(_DSL_QUERY_FACET_BODY)
     o["dsl_query_facet_segment"] = o["dsl_query_facet"]

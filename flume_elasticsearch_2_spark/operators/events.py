@@ -1,0 +1,93 @@
+"""Event-stream operators over the ``events`` table (SURVEY §2 training-data
+extensions): gap-based sessionization — the canonical large-scale behavioral
+pipeline op (web logs → sessions) the Flume side of the reference feeds.
+
+Reference analog: the reference ships raw events into ES and leaves session
+analysis to the delegated query layer (ElasticsearchSink.java:66); here it
+is a first-class declarative operator with a DuckDB oracle.
+
+Scale shape: ONE shuffle keyed by ``user_id`` (the window partition), then
+per-partition sorted lag/cumsum — no joins, no second exchange (the
+session aggregation reuses the same partitioning). Sessions of one user
+never span partitions, so the plan is correct at any parallelism; skewed
+power users bound the single partition's sort, exactly like any keyed
+window (salting would break the lag chain and is deliberately NOT applied).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Split each user's event stream into sessions: a NEW session starts
+    when the gap since the previous event exceeds ``gap_seconds`` (the
+    standard 30-minute web-analytics default). Returns one row per session
+    ``(user_id, session_index, n_events, first_ts, last_ts)`` with
+    0-based per-user session indexes, ordered (user_id, session_index).
+    Ties in ``ts`` break on ``id_col`` so the lag chain is deterministic.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    prev = F.lag(F.col(ts_col)).over(w)
+    # interval comparison works on TIMESTAMP and TIMESTAMP_NTZ alike and is
+    # microsecond-exact — identical semantics to the oracle's interval test
+    new_sess = (
+        prev.isNull()
+        | ((F.col(ts_col) - prev) > F.expr(f"INTERVAL {int(gap_seconds)} SECOND"))
+    ).cast("long")
+    with_sess = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("event_id"),
+        (F.sum(new_sess).over(w) - 1).alias("session_index"),
+    )
+    return (
+        with_sess.groupBy("user_id", "session_index")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id", "session_index")
+    )
+
+
+def sessionize_sql(
+    gap_seconds: int = 1800,
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB oracle for :func:`sessionize` (identical lag/cumsum window)."""
+    return f"""
+WITH lagged AS (
+  SELECT {user_col} AS user_id, {ts_col} AS ts, {id_col} AS event_id,
+         lag({ts_col}) OVER (PARTITION BY {user_col} ORDER BY {ts_col}, {id_col}) AS prev_ts
+  FROM {table}
+),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                OR ts - prev_ts > INTERVAL {int(gap_seconds)} SECOND
+              THEN 1 ELSE 0 END AS new_sess
+  FROM lagged
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_index
+  FROM flagged
+)
+SELECT user_id, session_index, count(*) AS n_events,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM sess
+GROUP BY user_id, session_index
+ORDER BY user_id, session_index
+"""

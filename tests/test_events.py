@@ -1,0 +1,69 @@
+"""Gap-based sessionization over the events table (SURVEY §2 training-data
+extensions): oracle parity, gap-threshold semantics, and parallelism
+invariance (the keyed window must not depend on input partitioning)."""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+import pytest
+
+from flume_elasticsearch_2_spark.operators.events import sessionize, sessionize_sql
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("gap", [1800, 300, 60])
+def test_sessionize_matches_duckdb(events, duck, gap):
+    got = [tuple(r) for r in sessionize(events, gap).collect()]
+    want = [tuple(r) for r in duck.execute(sessionize_sql(gap)).fetchall()]
+    assert got == want and got, gap
+
+
+def test_sessionize_repartition_stable(events):
+    base = [tuple(r) for r in sessionize(events, 300).collect()]
+    assert [tuple(r) for r in sessionize(events.repartition(13), 300).collect()] == base
+
+
+def test_sessionize_gap_semantics(spark):
+    """Crafted stream: gaps of exactly `gap` stay in-session (strict >),
+    one microsecond more splits."""
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(seconds, micros=0):
+        return t0 + datetime.timedelta(seconds=seconds, microseconds=micros)
+
+    rows = [
+        (1, ts(0), 7),        # session 0
+        (2, ts(60), 7),       # +60s == gap -> SAME session (strict >)
+        (3, ts(120, 1), 7),   # +60.000001s -> NEW session
+        (4, ts(121), 7),
+        (5, ts(0), 8),        # second user independent
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long"
+    )
+    got = {
+        (r["user_id"], r["session_index"]): r["n_events"]
+        for r in sessionize(ev, 60).collect()
+    }
+    assert got == {(7, 0): 2, (7, 1): 2, (8, 0): 1}
+
+
+def test_sessionize_monotone_in_gap(events):
+    """Larger gaps can only merge sessions, never split them."""
+    n60 = sessionize(events, 60).count()
+    n300 = sessionize(events, 300).count()
+    n1800 = sessionize(events, 1800).count()
+    assert n60 >= n300 >= n1800 > 0
