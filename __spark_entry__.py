@@ -1533,6 +1533,14 @@ _SUGGEST_BODY = {
 }
 
 
+def _retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle over the events stream (weekly): two
+    user-keyed aggs + a tiny (cohort x period) grid count."""
+    from flume_elasticsearch_2_spark.operators.events import retention_cohorts
+
+    return retention_cohorts(spark.read.parquet(f"{sf_dir}/events.parquet"), "week")
+
+
 def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream (30-min web-analytics
     default): ONE user-keyed shuffle, per-partition lag/cumsum window, the
@@ -1933,6 +1941,7 @@ def _dsl_common(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "retention_cohorts",
     "sessionize_events",
     "dsl_random_score",
     "dsl_query_facet",
@@ -2160,6 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_sig_terms"] = _dsl_sig_terms
     q["dsl_top_hits"] = _dsl_top_hits
     # round-3 wave: completion suggester, _termvector, common terms query
+    q["retention_cohorts"] = _retention_cohorts
     q["sessionize_events"] = _sessionize_events
     q["dsl_random_score"] = _dsl_random_score
     q["dsl_query_facet"] = _dsl_query_facet
@@ -2559,6 +2569,9 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
 
     from flume_elasticsearch_2_spark.operators.events import sessionize_sql
 
+    from flume_elasticsearch_2_spark.operators.events import retention_cohorts_sql
+
+    o["retention_cohorts"] = retention_cohorts_sql("week")
     o["sessionize_events"] = sessionize_sql(1800)
     o["dsl_random_score"] = dsl_search_sql(_DSL_RANDOM_SCORE_BODY)
     o["dsl_query_facet"] = dsl_aggregation_sql(_DSL_QUERY_FACET_BODY)

@@ -91,3 +91,66 @@ FROM sess
 GROUP BY user_id, session_index
 ORDER BY user_id, session_index
 """
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period: str = "week",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users grouped by their FIRST-ACTIVITY period
+    (cohort), counted in every later period they return — the classic
+    activity-retention triangle. Returns
+    ``(cohort, active_period, n_users)`` ordered by both.
+
+    Scale shape: one user-keyed aggregation for first-activity (map-side
+    combined min), one distinct over (user, period) — both shuffles keyed
+    by user, so AQE coalesces them onto one exchange lineage; the final
+    count is a tiny (cohort × period) grid. ``period`` ∈ {week, month, day}
+    via ``date_trunc`` (ISO weeks in Spark and DuckDB alike).
+    """
+    if period not in ("day", "week", "month"):
+        raise ValueError("period must be day|week|month")
+    cohort = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("cohort")
+    )
+    activity = events.select(
+        F.col(user_col).alias("user_id"),
+        F.date_trunc(period, F.col(ts_col)).alias("active_period"),
+    ).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy("cohort", "active_period")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort", "active_period")
+    )
+
+
+def retention_cohorts_sql(
+    period: str = "week",
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB oracle for :func:`retention_cohorts` (both engines truncate
+    to ISO weeks / calendar months; CASTs align the date_trunc output types
+    for value-hash equality)."""
+    if period not in ("day", "week", "month"):
+        raise ValueError("period must be day|week|month")
+    return f"""
+WITH cohort AS (
+  SELECT {user_col} AS user_id,
+         CAST(date_trunc('{period}', min({ts_col})) AS TIMESTAMP) AS cohort
+  FROM {table} GROUP BY {user_col}
+),
+activity AS (
+  SELECT DISTINCT {user_col} AS user_id,
+         CAST(date_trunc('{period}', {ts_col}) AS TIMESTAMP) AS active_period
+  FROM {table}
+)
+SELECT c.cohort, a.active_period, count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN cohort c USING (user_id)
+GROUP BY c.cohort, a.active_period
+ORDER BY c.cohort, a.active_period
+"""

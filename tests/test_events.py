@@ -67,3 +67,47 @@ def test_sessionize_monotone_in_gap(events):
     n300 = sessionize(events, 300).count()
     n1800 = sessionize(events, 1800).count()
     assert n60 >= n300 >= n1800 > 0
+
+
+# -- cohort retention ---------------------------------------------------------
+
+
+@pytest.mark.parametrize("period", ["week", "month", "day"])
+def test_retention_matches_duckdb(events, duck, period):
+    from flume_elasticsearch_2_spark.operators.events import (
+        retention_cohorts,
+        retention_cohorts_sql,
+    )
+
+    got = [tuple(r) for r in retention_cohorts(events, period).collect()]
+    want = [tuple(r) for r in duck.execute(retention_cohorts_sql(period)).fetchall()]
+    assert got == want and got, period
+
+
+def test_retention_semantics(events):
+    """Every user counts in their cohort's own period; totals add up to
+    distinct (user, period) pairs."""
+    from pyspark.sql import functions as F
+
+    from flume_elasticsearch_2_spark.operators.events import retention_cohorts
+
+    grid = retention_cohorts(events, "week")
+    rows = grid.collect()
+    pairs = (
+        events.select("user_id", F.date_trunc("week", "ts").alias("p")).distinct().count()
+    )
+    assert sum(r["n_users"] for r in rows) == pairs
+    firsts = {r["cohort"] for r in rows}
+    assert all(any(r["cohort"] == r["active_period"] == c for r in rows) for c in firsts)
+
+
+def test_retention_bad_period_raises(events):
+    from flume_elasticsearch_2_spark.operators.events import (
+        retention_cohorts,
+        retention_cohorts_sql,
+    )
+
+    with pytest.raises(ValueError):
+        retention_cohorts(events, "hour")
+    with pytest.raises(ValueError):
+        retention_cohorts_sql("year")
