@@ -1533,6 +1533,18 @@ _SUGGEST_BODY = {
 }
 
 
+def _funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view->click->purchase within 24h: greedy earliest-
+    completion chain (exact by the telescoping argument the slop kernel
+    pins); k-1 key joins over shrinking user sets."""
+    from flume_elasticsearch_2_spark.operators.events import funnel
+
+    return funnel(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        ["view", "click", "purchase"], within_seconds=86400,
+    )
+
+
 def _retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle over the events stream (weekly): two
     user-keyed aggs + a tiny (cohort x period) grid count."""
@@ -1941,6 +1953,7 @@ def _dsl_common(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "funnel_events",
     "retention_cohorts",
     "sessionize_events",
     "dsl_random_score",
@@ -2169,6 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_sig_terms"] = _dsl_sig_terms
     q["dsl_top_hits"] = _dsl_top_hits
     # round-3 wave: completion suggester, _termvector, common terms query
+    q["funnel_events"] = _funnel_events
     q["retention_cohorts"] = _retention_cohorts
     q["sessionize_events"] = _sessionize_events
     q["dsl_random_score"] = _dsl_random_score
@@ -2571,6 +2585,9 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
 
     from flume_elasticsearch_2_spark.operators.events import retention_cohorts_sql
 
+    from flume_elasticsearch_2_spark.operators.events import funnel_sql
+
+    o["funnel_events"] = funnel_sql(["view", "click", "purchase"], within_seconds=86400)
     o["retention_cohorts"] = retention_cohorts_sql("week")
     o["sessionize_events"] = sessionize_sql(1800)
     o["dsl_random_score"] = dsl_search_sql(_DSL_RANDOM_SCORE_BODY)

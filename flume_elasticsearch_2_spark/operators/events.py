@@ -154,3 +154,99 @@ FROM activity a JOIN cohort c USING (user_id)
 GROUP BY c.cohort, a.active_period
 ORDER BY c.cohort, a.active_period
 """
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    within_seconds: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel analysis: how many users complete each PREFIX of ``steps`` in
+    order (step k counted only after steps 1..k-1, strictly increasing
+    timestamps; ``within_seconds`` bounds the whole chain from step 1).
+    Returns ``(step_index, step, n_users)`` ordered by step_index.
+
+    Exactness: the earliest-completion chain (min ts of step 1, then min ts
+    of step 2 strictly after it, …) is greedy but EXACT — minimizing each
+    step's timestamp only ever admits more completions for later steps, and
+    it minimizes the chain's end, so the ``within`` check is also decided
+    correctly (the same telescoping argument the phrase-slop kernel pins).
+
+    Scale shape: one filtered user-keyed min-agg per step, each joined to
+    the previous step's frame on ``user_id`` — k-1 key joins over
+    monotonically SHRINKING user sets (AQE broadcasts the survivors once
+    they fit), never a self-join of the event stream.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("user_id"))
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    counts = [cur.count()]
+    prev = cur.select("user_id", F.col("t1"), F.col("t1").alias("tk"))
+    for s in steps[1:]:
+        nxt = (
+            events.where(F.col(type_col) == s)
+            .select(F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts"))
+            .join(prev, "user_id")
+            .where(F.col("ts") > F.col("tk"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("tk"), F.first("t1").alias("t1"))
+            .select("user_id", "t1", "tk")
+        )
+        if within_seconds is not None:
+            nxt = nxt.where(
+                (F.col("tk") - F.col("t1"))
+                <= F.expr(f"INTERVAL {int(within_seconds)} SECOND")
+            )
+        counts.append(nxt.count())
+        prev = nxt
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [(i, s, int(c)) for i, (s, c) in enumerate(zip(steps, counts))],
+        "step_index long, step string, n_users long",
+    )
+
+
+def funnel_sql(
+    steps: list[str],
+    within_seconds: int | None = None,
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB oracle for :func:`funnel` — the step chain unrolled
+    statically (steps are known at generation time)."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    esc = [s.replace("'", "''") for s in steps]
+    ctes = [
+        f"""u1 AS (
+  SELECT {user_col} AS user_id, min({ts_col}) AS t1, min({ts_col}) AS tk
+  FROM {table} WHERE {type_col} = '{esc[0]}' GROUP BY {user_col}
+)"""
+    ]
+    for i, s in enumerate(esc[1:], start=2):
+        within = (
+            f"\n  HAVING min(e.{ts_col}) - any_value(u{i-1}.t1) <= INTERVAL {int(within_seconds)} SECOND"
+            if within_seconds is not None
+            else ""
+        )
+        ctes.append(f"""u{i} AS (
+  SELECT e.{user_col} AS user_id, any_value(u{i-1}.t1) AS t1, min(e.{ts_col}) AS tk
+  FROM {table} e JOIN u{i-1} ON u{i-1}.user_id = e.{user_col}
+  WHERE e.{type_col} = '{s}' AND e.{ts_col} > u{i-1}.tk
+  GROUP BY e.{user_col}{within}
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS step_index, '{s}' AS step, "
+        f"CAST((SELECT count(*) FROM u{i+1}) AS BIGINT) AS n_users"
+        for i, s in enumerate(esc)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n{selects}\nORDER BY step_index"

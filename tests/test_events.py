@@ -111,3 +111,60 @@ def test_retention_bad_period_raises(events):
         retention_cohorts(events, "hour")
     with pytest.raises(ValueError):
         retention_cohorts_sql("year")
+
+
+# -- funnel ---------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "steps,within",
+    [
+        (["view", "click", "purchase"], None),
+        (["view", "click", "purchase"], 86400),
+        (["view", "click"], 3600),
+        (["signup", "purchase"], None),
+        (["view"], None),
+        (["view", "zzz", "click"], None),  # absent step zeroes the tail
+    ],
+)
+def test_funnel_matches_duckdb(events, duck, steps, within):
+    from flume_elasticsearch_2_spark.operators.events import funnel, funnel_sql
+
+    got = [tuple(r) for r in funnel(events, steps, within).collect()]
+    want = [tuple(r) for r in duck.execute(funnel_sql(steps, within)).fetchall()]
+    assert got == want, (steps, within)
+
+
+def test_funnel_order_matters(spark):
+    """B-then-A must NOT count a user whose only B precedes every A."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "a"),
+        (2, t0 + datetime.timedelta(seconds=10), 1, "b"),   # completes a->b
+        (3, t0, 2, "b"),
+        (4, t0 + datetime.timedelta(seconds=10), 2, "a"),   # b before a only
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz, user_id long, event_type string")
+    from flume_elasticsearch_2_spark.operators.events import funnel
+
+    got = {r["step"]: r["n_users"] for r in funnel(ev, ["a", "b"]).collect()}
+    assert got == {"a": 2, "b": 1}
+
+
+def test_funnel_prefix_counts_monotone(events):
+    from flume_elasticsearch_2_spark.operators.events import funnel
+
+    rows = funnel(events, ["view", "click", "purchase"], 86400).collect()
+    counts = [r["n_users"] for r in sorted(rows, key=lambda r: r["step_index"])]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_funnel_empty_steps_raise(events):
+    from flume_elasticsearch_2_spark.operators.events import funnel, funnel_sql
+
+    with pytest.raises(ValueError):
+        funnel(events, [])
+    with pytest.raises(ValueError):
+        funnel_sql([])
