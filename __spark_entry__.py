@@ -1533,6 +1533,15 @@ _SUGGEST_BODY = {
 }
 
 
+def _collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 PMI collocations (adjacent bigrams, min_count 5): one
+    transform-explode bigram agg + broadcast unigram dictionary join —
+    the phrase-discovery primitive for tokenizer/vocab curation."""
+    from flume_elasticsearch_2_spark.operators.cleaning import collocations
+
+    return collocations(_docs(spark, sf_dir), k=15, min_count=5)
+
+
 def _funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view->click->purchase within 24h: greedy earliest-
     completion chain (exact by the telescoping argument the slop kernel
@@ -1953,6 +1962,7 @@ def _dsl_common(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "collocations_pmi",
     "funnel_events",
     "retention_cohorts",
     "sessionize_events",
@@ -2182,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_sig_terms"] = _dsl_sig_terms
     q["dsl_top_hits"] = _dsl_top_hits
     # round-3 wave: completion suggester, _termvector, common terms query
+    q["collocations_pmi"] = _collocations
     q["funnel_events"] = _funnel_events
     q["retention_cohorts"] = _retention_cohorts
     q["sessionize_events"] = _sessionize_events
@@ -2587,6 +2598,9 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
 
     from flume_elasticsearch_2_spark.operators.events import funnel_sql
 
+    from flume_elasticsearch_2_spark.operators.cleaning import collocations_sql
+
+    o["collocations_pmi"] = collocations_sql(k=15, min_count=5)
     o["funnel_events"] = funnel_sql(["view", "click", "purchase"], within_seconds=86400)
     o["retention_cohorts"] = retention_cohorts_sql("week")
     o["sessionize_events"] = sessionize_sql(1800)

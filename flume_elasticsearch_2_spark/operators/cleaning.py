@@ -323,3 +323,101 @@ WHERE {lang_pred}
   AND {quality} >= {float(min_quality)!r}
   AND {rep} <= {float(max_repetition)!r}
 """
+
+
+# -- collocations (PMI bigrams) --------------------------------------------------
+
+
+def collocations(
+    docs: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual information —
+    the corpus-linguistics primitive behind phrase discovery / tokenizer
+    vocab curation in web-scale text pipelines. PMI(a,b) =
+    ln( (c(ab)/N₂) / ((c(a)/N₁)·(c(b)/N₁)) ) with c(ab) adjacent-pair
+    counts, N₂ total bigrams, c(·)/N₁ unigram probabilities; bigrams below
+    ``min_count`` are dropped (PMI's low-count noise). Returns
+    (bigram, n, pmi) ordered (pmi DESC, bigram ASC), pmi rounded 6.
+
+    Scale shape: bigrams come from ONE ``transform`` over each token array
+    (no positional self-join) exploded into a map-side-combined count agg —
+    the index-build shuffle shape (≤ bigram-vocabulary × partitions rows);
+    unigram counts ride a second identical agg; the final PMI expression
+    joins the tiny bigram table against the broadcast unigram dictionary.
+    """
+    toks = tokens_col(text_col)
+    # Spark array brackets are 0-BASED (unlike element_at): slice element i
+    # (0-based lambda index) is full-array [i], so the successor is [i + 1]
+    bigrams = F.expr(
+        "transform(slice({t}, 1, greatest(size({t}) - 1, 0)), (x, i) -> "
+        "concat(x, ' ', {t}[i + 1]))".format(t="__toks")
+    )
+    base = docs.select(toks.alias("__toks"))
+    big = (
+        base.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= int(min_count))
+    )
+    uni = (
+        base.select(F.explode("__toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = base.agg(
+        F.sum(F.size("__toks")).alias("n1"),
+        F.sum(F.greatest(F.size("__toks") - 1, F.lit(0))).alias("n2"),
+    ).collect()[0]
+    n1, n2 = float(totals["n1"]), float(totals["n2"])
+    a = F.split(F.col("bigram"), " ").getItem(0)
+    b = F.split(F.col("bigram"), " ").getItem(1)
+    ua = uni.select(F.col("term").alias("__a"), F.col("cnt").alias("ca"))
+    ub = uni.select(F.col("term").alias("__b"), F.col("cnt").alias("cb"))
+    pmi = F.log(
+        (F.col("n") / F.lit(n2))
+        / ((F.col("ca") / F.lit(n1)) * (F.col("cb") / F.lit(n1)))
+    )
+    return (
+        big.join(F.broadcast(ua), a == F.col("__a"))
+        .join(F.broadcast(ub), b == F.col("__b"))
+        .withColumn("pmi_exact", pmi)
+        .orderBy(F.col("pmi_exact").desc(), F.col("bigram").asc())
+        .limit(int(k))
+        .select("bigram", "n", F.round("pmi_exact", 6).alias("pmi"))
+    )
+
+
+def collocations_sql(
+    k: int = 20, min_count: int = 5, table: str = "documents"
+) -> str:
+    """DuckDB oracle for :func:`collocations`."""
+    tok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    return f"""
+WITH toks AS (SELECT {tok} AS ts FROM {table}),
+big AS (
+  SELECT bigram, count(*) AS n FROM (
+    SELECT unnest(list_transform(ts[1:greatest(len(ts) - 1, 0)],
+                  (x, i) -> x || ' ' || ts[i + 1])) AS bigram
+    FROM toks
+  ) GROUP BY bigram HAVING count(*) >= {int(min_count)}
+),
+uni AS (
+  SELECT term, count(*) AS cnt FROM (SELECT unnest(ts) AS term FROM toks) GROUP BY term
+),
+tot AS (
+  SELECT CAST(sum(len(ts)) AS DOUBLE) AS n1,
+         CAST(sum(greatest(len(ts) - 1, 0)) AS DOUBLE) AS n2
+  FROM toks
+)
+SELECT b.bigram, b.n,
+       round(ln((b.n / t.n2) / ((ua.cnt / t.n1) * (ub.cnt / t.n1))), 6) AS pmi
+FROM big b
+JOIN uni ua ON ua.term = split_part(b.bigram, ' ', 1)
+JOIN uni ub ON ub.term = split_part(b.bigram, ' ', 2)
+CROSS JOIN tot t
+ORDER BY ln((b.n / t.n2) / ((ua.cnt / t.n1) * (ub.cnt / t.n1))) DESC, b.bigram ASC
+LIMIT {int(k)}
+"""

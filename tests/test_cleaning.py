@@ -135,3 +135,33 @@ def test_clean_corpus_single_stage_plan(documents):
     assert "Exchange" not in plan and "Join" not in plan
     assert "codegen id" in plan  # the scan->filter->project pass is codegen'd
     assert "In(lang" in plan  # language allowlist pushed to the Parquet scan
+
+
+# -- PMI collocations -----------------------------------------------------------
+
+
+def test_collocations_matches_duckdb(documents, duck):
+    from flume_elasticsearch_2_spark.operators.cleaning import (
+        collocations,
+        collocations_sql,
+    )
+
+    for k, mc in [(15, 5), (30, 1), (5, 20)]:
+        got = [tuple(r) for r in collocations(documents, k=k, min_count=mc).collect()]
+        want = [tuple(r) for r in duck.execute(collocations_sql(k=k, min_count=mc)).fetchall()]
+        assert got == want and got, (k, mc)
+
+
+def test_collocations_pmi_semantics(spark):
+    """Hand-checkable corpus: 'a b' always adjacent scores above pairs that
+    also occur apart; min_count drops singletons."""
+    from flume_elasticsearch_2_spark.operators.cleaning import collocations
+
+    tiny = spark.createDataFrame(
+        [(0, "a b c a b"), (1, "b c d"), (2, "a b")], "doc_id long, text string"
+    )
+    rows = {r["bigram"]: (r["n"], r["pmi"]) for r in collocations(tiny, 20, 1).collect()}
+    assert rows["a b"][0] == 3
+    assert rows["a b"][1] > rows["c a"][1]
+    capped = {r["bigram"] for r in collocations(tiny, 20, 2).collect()}
+    assert "c d" not in capped and "a b" in capped
