@@ -371,6 +371,10 @@ def collocations(
         F.sum(F.size("__toks")).alias("n1"),
         F.sum(F.greatest(F.size("__toks") - 1, F.lit(0))).alias("n2"),
     ).collect()[0]
+    if totals["n1"] is None or not totals["n2"]:  # empty/token-less corpus
+        return docs.sparkSession.createDataFrame(
+            [], "bigram string, n long, pmi double"
+        )
     n1, n2 = float(totals["n1"]), float(totals["n2"])
     a = F.split(F.col("bigram"), " ").getItem(0)
     b = F.split(F.col("bigram"), " ").getItem(1)

@@ -642,9 +642,12 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    # node universe from the UNFILTERED pairs: a node appearing only in a
+    # self-pair must still come out as its own singleton cluster (min-label
+    # keeps it; dropping self-loop edges must not drop the node)
     nodes = (
-        edges.select(F.col("u").alias("n"))
-        .union(edges.select(F.col("v").alias("n")))
+        pairs.select(sa.alias("n"))
+        .union(pairs.select(sb.alias("n")))
         .distinct()
         .localCheckpoint()
     )

@@ -117,6 +117,24 @@ class _Spec:
         self.fscore_seed: int | None = None  # function_score random_score seed
 
 
+def _parse_common(spec: _Spec, val, text_col: str) -> None:
+    """Shared parser for the ``common`` terms clause (top-level query and
+    bool.must positions accept the identical dialect)."""
+    f, v = _one_field(val, "common")
+    if f != text_col:
+        _err(f"common on field {f!r}")
+    if not isinstance(v, dict):
+        _err("common value must be an options object with 'query'")
+    extra_c = set(v) - {"query", "cutoff_frequency", "low_freq_operator"}
+    if extra_c:
+        _err(f"common keys {sorted(extra_c)}")
+    low_op = v.get("low_freq_operator", "or")
+    if low_op not in ("or", "and"):
+        _err(f"common low_freq_operator {low_op!r}")
+    spec.kind = "common"
+    spec.common = (v["query"], float(v.get("cutoff_frequency", 0.01)), low_op)
+
+
 def _parse_match(
     spec: _Spec, field_val, text_col: str, analyzed: list[str] | None = None
 ) -> None:
@@ -215,19 +233,7 @@ def _parse_bool(spec: _Spec, body: dict, text_col: str, analyzed: list[str] | No
             # common terms as the scored bool clause: composes with
             # bool.filter / bool.must_not (candidate restriction, stats
             # index-wide — the same contract as a filtered match)
-            f, v = _one_field(val, "common")
-            if f != text_col:
-                _err(f"common on field {f!r}")
-            if not isinstance(v, dict):
-                _err("common value must be an options object with 'query'")
-            extra_c = set(v) - {"query", "cutoff_frequency", "low_freq_operator"}
-            if extra_c:
-                _err(f"common keys {sorted(extra_c)}")
-            low_op = v.get("low_freq_operator", "or")
-            if low_op not in ("or", "and"):
-                _err(f"common low_freq_operator {low_op!r}")
-            spec.kind = "common"
-            spec.common = (v["query"], float(v.get("cutoff_frequency", 0.01)), low_op)
+            _parse_common(spec, val, text_col)
         else:
             _err(f"must clause {kind!r}")
     elif should:
@@ -395,19 +401,7 @@ def parse_body(
         # ES 1.x common terms query: df-split at cutoff_frequency; low-freq
         # terms select, high-freq terms only add score (operators/topk.py
         # bm25_common_topk pins the full contract)
-        f, v = _one_field(val, "common")
-        if f != text_col:
-            _err(f"common on field {f!r}")
-        if not isinstance(v, dict):
-            _err("common value must be an options object with 'query'")
-        extra_c = set(v) - {"query", "cutoff_frequency", "low_freq_operator"}
-        if extra_c:
-            _err(f"common keys {sorted(extra_c)}")
-        low_op = v.get("low_freq_operator", "or")
-        if low_op not in ("or", "and"):
-            _err(f"common low_freq_operator {low_op!r}")
-        spec.kind = "common"
-        spec.common = (v["query"], float(v.get("cutoff_frequency", 0.01)), low_op)
+        _parse_common(spec, val, text_col)
     elif kind == "multi_match":
         # ES multi_match, type=best_fields (the default): the same query
         # matched on every named analyzed field, dis_max-combined

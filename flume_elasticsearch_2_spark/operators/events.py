@@ -166,14 +166,23 @@ def funnel(
 ) -> DataFrame:
     """Funnel analysis: how many users complete each PREFIX of ``steps`` in
     order (step k counted only after steps 1..k-1, strictly increasing
-    timestamps; ``within_seconds`` bounds the whole chain from step 1).
-    Returns ``(step_index, step, n_users)`` ordered by step_index.
+    timestamps). Returns ``(step_index, step, n_users)`` ordered by
+    step_index.
 
-    Exactness: the earliest-completion chain (min ts of step 1, then min ts
-    of step 2 strictly after it, …) is greedy but EXACT — minimizing each
-    step's timestamp only ever admits more completions for later steps, and
-    it minimizes the chain's end, so the ``within`` check is also decided
-    correctly (the same telescoping argument the phrase-slop kernel pins).
+    Exactness: for the UNBOUNDED funnel the earliest-completion chain (min
+    ts of step 1, then min ts of step 2 strictly after it, …) is greedy but
+    exact — minimizing each step's timestamp only ever admits more
+    completions for later steps.
+
+    ``within_seconds`` is the FIRST-TOUCH window contract, pinned: the
+    whole chain must complete within the window anchored at the user's
+    FIRST step-1 event (the first-touch attribution common in product
+    analytics). This is deliberately NOT the any-anchor variant ("completed
+    within the window starting from SOME step-1 occurrence") — that
+    semantics needs a per-anchor scan and is a documented non-goal here;
+    a user whose only fast chain starts at a later step-1 occurrence does
+    not count. Both the engine and the oracle implement the same pinned
+    contract.
 
     Scale shape: one filtered user-keyed min-agg per step, each joined to
     the previous step's frame on ``user_id`` — k-1 key joins over

@@ -483,8 +483,12 @@ def completion_suggest(
     (ElasticsearchSink.java:54).
     """
     prefix = prefix.lower()
-    if not prefix:
-        raise ValueError("completion_suggest requires a non-empty prefix")
+    if not prefix or not _PREFIX_RE.match(prefix):
+        raise ValueError(
+            f"completion prefix must be [a-z0-9]+, got {prefix!r} (the "
+            "analyzer's token class — also keeps the SQL oracle's LIKE and "
+            "the serving range-prune metacharacter-safe)"
+        )
     toks = tokens_col(text_col, stopwords, analyzer)
     dictionary = (
         docs.select(F.explode(F.array_distinct(toks)).alias("term"))
@@ -508,6 +512,8 @@ def completion_suggest_sql(
 ) -> str:
     """DuckDB oracle for :func:`completion_suggest`."""
     prefix = prefix.lower()
+    if not prefix or not _PREFIX_RE.match(prefix):
+        raise ValueError(f"completion prefix must be [a-z0-9]+, got {prefix!r}")
     tok_expr = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
     if stopwords:
         stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
@@ -715,6 +721,17 @@ def _parse_suggest_body(body: dict) -> list[tuple[str, str, str, dict]]:
                 f"unsupported _suggest: entry {name!r} needs exactly one of {_SUGGEST_KINDS}"
             )
         kind = kinds[0]
+        if "text" in entry and "prefix" in entry:
+            raise ValueError(
+                f"unsupported _suggest: entry {name!r} has both text and prefix"
+            )
+        if "prefix" in entry and kind != "completion":
+            # 'prefix' is the completion spelling only — a term/phrase
+            # suggester fed a 'prefix' is a client mistake, rejected loudly
+            raise ValueError(
+                f"unsupported _suggest: entry {name!r} uses 'prefix' with a "
+                f"{kind} suggester (completion only)"
+            )
         text = entry.get("text", entry.get("prefix"))
         extra = set(entry) - {kind, "text", "prefix"}
         if extra or not isinstance(text, str) or not text:

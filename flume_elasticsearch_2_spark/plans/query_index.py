@@ -1075,12 +1075,16 @@ class IndexSearcher:
         dfreq, term_shards = self._query_meta_terms(sorted(set(uniq_firsts + alts)))
         if any(t not in dfreq for t in uniq_firsts):
             return empty
+        # scatter to EVERY shard holding an expansion: the global class df is
+        # the sum of per-shard expansion-doc-stream unions, and a shard can
+        # hold class docs while missing a first term — it then contributes a
+        # sentinel row only (the kernel yields no hits there), but skipping
+        # it would undercount df_class vs the corpus-wide declarative twin
+        # and make idf shard-layout-dependent
         alt_shards: set[int] = set()
         for a in alts:
             alt_shards |= term_shards.get(a, set())
         shards = alt_shards
-        for t in uniq_firsts:
-            shards &= term_shards[t]
         if not shards:
             return empty
         index_dir = self.index_dir
@@ -1471,9 +1475,11 @@ class IndexSearcher:
         slice. Weight = df, same derived completion field as the
         declarative :func:`~..operators.multiterm.completion_suggest`.
         Never touches postings or the corpus."""
+        import re as _re
+
         prefix = prefix.lower()
-        if not prefix:
-            raise ValueError("complete requires a non-empty prefix")
+        if not prefix or not _re.fullmatch(r"[a-z0-9]+", prefix):
+            raise ValueError(f"completion prefix must be [a-z0-9]+, got {prefix!r}")
         filt = (pads.field("term") >= prefix) & (
             pads.field("term") < prefix[:-1] + chr(ord(prefix[-1]) + 1)
         )
@@ -1510,13 +1516,17 @@ class IndexSearcher:
         if not input_terms:
             return empty
         ds = pads.dataset(f"{self.index_dir}/terms", format="parquet")
-        filt = pads.field("term").isin(sorted(set(input_terms)))
         if prefix_length:
+            filt = pads.field("term").isin(sorted(set(input_terms)))
             for p in sorted({t[:prefix_length] for t in input_terms if t}):
                 filt = filt | (
                     (pads.field("term") >= p)
                     & (pads.field("term") < p[:-1] + chr(ord(p[-1]) + 1))
                 )
+        else:
+            # prefix_length=0 admits candidates from the WHOLE dictionary —
+            # the declarative twin scans it unpruned, so must we
+            filt = None
         tbl = ds.to_table(columns=["term", "df"], filter=filt)
         dictionary = {
             t: int(d) for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist())
@@ -2219,7 +2229,10 @@ class IndexSearcher:
             avg = s / n
             var = sos / n - avg * avg
             return partials.agg(
-                n.alias("count"),
+                # empty match set: declarative F.count(field) gives 0, not
+                # NULL — coalesce so the twins agree (the stats stay NULL
+                # on both paths)
+                F.coalesce(n, F.lit(0)).cast("long").alias("count"),
                 F.min("mn").alias("min"),
                 F.max("mx").alias("max"),
                 F.round(s, 6).alias("sum"),

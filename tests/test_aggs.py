@@ -314,3 +314,17 @@ def test_serving_value_count_identical(agg_searcher, documents, query, mode):
     got = [tuple(r) for r in agg_searcher.facet(query, "source", kind="value_count", mode=mode).collect()]
     want = [tuple(r) for r in value_count_facet(documents, query, "source", mode=mode).collect()]
     assert got == want
+
+
+def test_serving_extended_stats_empty_scope(agg_searcher, documents):
+    """Review regression: count must be 0 (not NULL) when nothing matches,
+    exactly like the declarative twin."""
+    from flume_elasticsearch_2_spark.operators.aggs import extended_stats_facet
+
+    got = [tuple(r) for r in agg_searcher.facet(
+        "zzzznotaterm", "n_chars", kind="extended_stats"
+    ).collect()]
+    want = [tuple(r) for r in extended_stats_facet(
+        documents, "zzzznotaterm", "n_chars"
+    ).collect()]
+    assert got == want and got[0][0] == 0

@@ -330,3 +330,17 @@ def test_star_cc_equals_min_label(spark, documents):
     b = {r["doc_id"]: r["cluster_id"] for r in connected_components_star(chain).collect()}
     assert a == b
     assert b[30] == 0 and b[103] == 100
+
+
+def test_star_cc_keeps_self_pair_singletons(spark):
+    """Review regression: a node appearing only in a self-pair must surface
+    as its own singleton cluster in BOTH CC variants."""
+    from flume_elasticsearch_2_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame([(5, 5), (1, 2)], "id_a long, id_b long")
+    a = [tuple(r) for r in connected_components(pairs).collect()]
+    b = [tuple(r) for r in connected_components_star(pairs).collect()]
+    assert a == b == [(1, 1), (2, 1), (5, 5)]

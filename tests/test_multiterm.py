@@ -305,12 +305,18 @@ def test_completion_serving_equals_declarative(documents, searcher):
 
 
 def test_completion_empty_prefix_raises(documents, searcher):
-    from flume_elasticsearch_2_spark.operators.multiterm import completion_suggest
+    from flume_elasticsearch_2_spark.operators.multiterm import (
+        completion_suggest,
+        completion_suggest_sql,
+    )
 
-    with pytest.raises(ValueError):
-        completion_suggest(documents, "")
-    with pytest.raises(ValueError):
-        searcher.complete("")
+    for bad in ("", "a_b", "a%", "o'x"):  # outside the token class: the SQL
+        with pytest.raises(ValueError):   # oracle's LIKE would misinterpret
+            completion_suggest(documents, bad)
+        with pytest.raises(ValueError):
+            searcher.complete(bad)
+        with pytest.raises(ValueError):
+            completion_suggest_sql(bad)
 
 
 # -- phrase suggester ("did you mean" for whole inputs) ----------------------
@@ -322,6 +328,9 @@ PSUG_CASES = [
     ("scap", {}),                      # single-term degenerate
     ("zzz qqq", {}),                   # nothing within reach -> empty
     ("batch scan", {"prefix_length": 0, "size": 8}),  # unpruned dictionary
+    # prefix_length=0 WITH reachable candidates: the serving path must scan
+    # the whole dictionary like the declarative twin (review regression)
+    ("grup", {"prefix_length": 0, "max_edits": 2}),
 ]
 
 
@@ -402,6 +411,8 @@ def test_suggest_body_three_paths(documents, duck, searcher):
         {"x": {"text": "a", "completion": {"fuzzy": True}}},     # unknown option
         {"x": {"term": {"field": "text"}}},                      # missing text
         {"x": {"text": "a", "term": {"field": "title"}}},        # non-text field
+        {"x": {"prefix": "a", "term": {"field": "text"}}},        # prefix w/ term
+        {"x": {"text": "a", "prefix": "b", "completion": {}}},    # both keys
     ],
 )
 def test_suggest_body_rejects(documents, bad):

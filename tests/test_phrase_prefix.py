@@ -163,3 +163,21 @@ def test_new_serving_paths_stable_across_shard_counts(
         b = [tuple(r) for r in pos_searcher.search_common(q, k=30, cutoff_frequency=cutoff,
                                                           low_freq_operator=op).collect()]
         assert a == b, (q, cutoff, op)
+
+
+def test_phrase_prefix_class_df_counts_first_less_shards(spark, tmp_path_factory):
+    """Review regression: the global prefix-class df must include shards
+    that hold EXPANSION docs but lack a first term — skipping them inflated
+    idf and made scores shard-layout-dependent."""
+    rows = [(i, "hello world common") for i in range(50)] + [
+        (i, "worldly common filler") for i in range(50, 100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path_factory.mktemp("ppfxdf") / "segidx")
+    build_segments_partial(spark, docs, d, n_shards=4, store_positions=True)
+    s = IndexSearcher(spark, d)
+    got = [tuple(r) for r in s.search_phrase_prefix("hello wor", k=10).collect()]
+    want = [
+        tuple(r) for r in bm25_phrase_prefix_topk(docs, "hello wor", k=10).collect()
+    ]
+    assert got == want and got
