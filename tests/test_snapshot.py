@@ -1,0 +1,62 @@
+"""Index snapshot/restore (ES _snapshot lifecycle over immutable segments):
+restored indexes answer queries bit-identically; partial/uncommitted states
+refuse loudly; restore never clobbers without consent."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from flume_elasticsearch_2_spark.plans.build_index import build_segments_partial
+from flume_elasticsearch_2_spark.plans.query_index import IndexSearcher
+from flume_elasticsearch_2_spark.plans.snapshot import restore_index, snapshot_index
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, documents, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("snapidx") / "idx")
+    build_segments_partial(spark, documents, d, n_shards=4, store_positions=True)
+    return d
+
+
+def test_snapshot_restore_query_identical(spark, index_dir, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("snap"))
+    snap = os.path.join(base, "snap1")
+    restored = os.path.join(base, "restored")
+    m1 = snapshot_index(index_dir, snap)
+    m2 = restore_index(snap, restored)
+    assert m1 == m2
+    a = [tuple(r) for r in IndexSearcher(spark, index_dir).search("dup batch scan", k=10).collect()]
+    b = [tuple(r) for r in IndexSearcher(spark, restored).search("dup batch scan", k=10).collect()]
+    assert a == b and a
+    # positional stream survives the round trip too
+    p1 = [tuple(r) for r in IndexSearcher(spark, index_dir).search_phrase("part filter", k=5).collect()]
+    p2 = [tuple(r) for r in IndexSearcher(spark, restored).search_phrase("part filter", k=5).collect()]
+    assert p1 == p2
+
+
+def test_snapshot_refuses_uncommitted_and_clobber(index_dir, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("snapbad"))
+    partial = os.path.join(base, "partial")
+    shutil.copytree(index_dir, partial)
+    os.remove(os.path.join(partial, "manifest.json"))  # uncommitted state
+    with pytest.raises(ValueError, match="manifest"):
+        snapshot_index(partial, os.path.join(base, "s"))
+    snap = os.path.join(base, "snap")
+    snapshot_index(index_dir, snap)
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_index(index_dir, snap)
+
+
+def test_restore_refuses_then_overwrites(spark, index_dir, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("snapow"))
+    snap = os.path.join(base, "snap")
+    snapshot_index(index_dir, snap)
+    target = os.path.join(base, "existing")
+    shutil.copytree(index_dir, target)
+    with pytest.raises(ValueError, match="overwrite"):
+        restore_index(snap, target)
+    restore_index(snap, target, overwrite=True)
+    assert IndexSearcher(spark, target).search("dup", k=3).count() > 0
