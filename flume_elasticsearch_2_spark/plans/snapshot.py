@@ -72,3 +72,53 @@ def restore_index(snapshot_dir: str, index_dir: str, overwrite: bool = False) ->
         shutil.rmtree(index_dir)
     os.rename(tmp, index_dir)
     return manifest
+
+
+def reindex(
+    spark,
+    src_index_dir: str,
+    dst_index_dir: str,
+    n_shards: int,
+    doc_filter: tuple | list | None = None,
+    store_positions: bool | None = None,
+):
+    """ES ``_reindex``: rebuild an index FROM another index's stored
+    documents (ES reads each doc's ``_source`` — so the source index must
+    store the analyzed text, exactly ES's _source-enabled requirement;
+    refused loudly otherwise). ``doc_filter`` is the reindex-with-query
+    form ((col, op, value) triples, the engine's shared filter dialect);
+    ``store_positions`` defaults to the SOURCE index's setting. Returns
+    the new manifest.
+
+    Scale shape: one pushdown-filtered scan of the source docs table
+    feeding the standard partial-postings build — the source's postings
+    are never read (they cannot be: analysis settings may differ), which
+    is exactly why ES reindex is a _source replay too."""
+    from .build_index import build_segments_partial
+
+    src_manifest = _check_index_dir(src_index_dir)
+    docs = spark.read.parquet(f"{src_index_dir}/docs")
+    if "text" not in docs.columns:
+        raise ValueError(
+            "reindex needs the source index to store the text field "
+            "(build with orig_ids carrying 'text' — the ES _source-enabled "
+            "requirement)"
+        )
+    if doc_filter:
+        triples = [doc_filter] if isinstance(doc_filter, tuple) else list(doc_filter)
+        from ..operators.dsl import _filters_col
+
+        docs = docs.where(_filters_col(triples))
+    stored_cols = [c for c in docs.columns if c not in ("shard", "dl")]
+    docs = docs.select(*stored_cols)
+    if store_positions is None:
+        store_positions = bool(src_manifest.get("positions"))
+    return build_segments_partial(
+        spark,
+        docs,
+        dst_index_dir,
+        n_shards=int(n_shards),
+        orig_ids=docs,
+        id_space=int(src_manifest["id_space"]),
+        store_positions=store_positions,
+    )

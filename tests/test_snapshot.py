@@ -60,3 +60,52 @@ def test_restore_refuses_then_overwrites(spark, index_dir, tmp_path_factory):
         restore_index(snap, target)
     restore_index(snap, target, overwrite=True)
     assert IndexSearcher(spark, target).search("dup", k=3).count() > 0
+
+
+# -- _reindex ------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def stored_index(spark, documents, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("reidx") / "src")
+    build_segments_partial(
+        spark, documents, d, n_shards=4, store_positions=True,
+        orig_ids=documents.select("doc_id", "lang", "n_chars", "text"),
+    )
+    return d
+
+
+def test_reindex_rank_identical_at_new_shard_count(spark, stored_index, tmp_path_factory):
+    from flume_elasticsearch_2_spark.plans.snapshot import reindex
+
+    dst = str(tmp_path_factory.mktemp("reidx2") / "dst")
+    m = reindex(spark, stored_index, dst, n_shards=7)
+    assert m["n_shards"] == 7 and m["positions"]
+    for q in ("dup batch scan", "join filter window"):
+        a = [tuple(r) for r in IndexSearcher(spark, stored_index).search(q, k=10).collect()]
+        b = [tuple(r) for r in IndexSearcher(spark, dst).search(q, k=10).collect()]
+        assert a == b and a, q
+    p1 = [tuple(r) for r in IndexSearcher(spark, stored_index).search_phrase("part filter", k=5).collect()]
+    p2 = [tuple(r) for r in IndexSearcher(spark, dst).search_phrase("part filter", k=5).collect()]
+    assert p1 == p2
+
+
+def test_reindex_with_query_filter(spark, stored_index, documents, tmp_path_factory):
+    from flume_elasticsearch_2_spark.plans.snapshot import reindex
+
+    dst = str(tmp_path_factory.mktemp("reidx3") / "dst")
+    m = reindex(spark, stored_index, dst, n_shards=4, doc_filter=("lang", "==", "en"))
+    assert m["n_docs"] == documents.where("lang = 'en'").count()
+    s = IndexSearcher(spark, dst)
+    ids = {r["doc_id"] for r in s.mget(list(range(50))).collect()}
+    en = {r.doc_id for r in documents.where("lang = 'en'").select("doc_id").collect()}
+    assert ids <= en
+
+
+def test_reindex_requires_stored_source(spark, documents, tmp_path_factory):
+    from flume_elasticsearch_2_spark.plans.snapshot import reindex
+
+    bare = str(tmp_path_factory.mktemp("reidx4") / "bare")
+    build_segments_partial(spark, documents, bare, n_shards=4)  # no stored text
+    with pytest.raises(ValueError, match="_source"):
+        reindex(spark, bare, bare + "2", n_shards=4)
