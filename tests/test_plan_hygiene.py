@@ -334,3 +334,21 @@ def test_termvectors_filters_explode_before_term_shuffle(spark, documents):
     assert gen_idx != -1 and filt_idx != -1 and agg_idx != -1
     # sanity that the op produces the right rows
     assert termvectors(documents, 3).count() > 0
+
+
+def test_sessionize_single_user_keyed_exchange(spark, sf_dir):
+    """Sessionization: the lag/cumsum window and the session aggregation
+    share ONE user-keyed exchange — a second shuffle would double the op's
+    cost at 10^12 events."""
+    from flume_elasticsearch_2_spark.operators.events import sessionize
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(sessionize(events, 1800))
+    # EVENT-level rows shuffle exactly once (the user-keyed exchange under
+    # the two adjacent Window nodes — no exchange between them); the second
+    # exchange sits ABOVE a partial HashAggregate, so it carries only
+    # session-level partial rows, never events
+    tree = plan.split("\n\n")[0]
+    win_block = tree[tree.find("Window") : tree.rfind("Window")]
+    assert "Exchange" not in win_block, plan  # lag + cumsum share the shuffle
+    assert tree.count("Exchange") == 2 and tree.count("HashAggregate") >= 2, plan
