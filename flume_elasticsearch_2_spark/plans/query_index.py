@@ -1475,10 +1475,10 @@ class IndexSearcher:
         slice. Weight = df, same derived completion field as the
         declarative :func:`~..operators.multiterm.completion_suggest`.
         Never touches postings or the corpus."""
-        import re as _re
+        from ..operators.multiterm import _PREFIX_RE  # ONE token-class rule
 
         prefix = prefix.lower()
-        if not prefix or not _re.fullmatch(r"[a-z0-9]+", prefix):
+        if not prefix or not _PREFIX_RE.match(prefix):
             raise ValueError(f"completion prefix must be [a-z0-9]+, got {prefix!r}")
         filt = (pads.field("term") >= prefix) & (
             pads.field("term") < prefix[:-1] + chr(ord(prefix[-1]) + 1)

@@ -24,15 +24,27 @@ import json
 import os
 import shutil
 
-_REQUIRED = ("manifest.json", "docs", "postings", "terms")
+_SECTIONS = ("docs", "postings", "terms")
 
 
 def _check_index_dir(d: str) -> dict:
     """A directory is a valid snapshot source/target state iff the commit
-    point and every section it gates are present."""
-    for part in _REQUIRED:
-        if not os.path.exists(os.path.join(d, part)):
-            raise ValueError(f"{d!r} is not a committed index (missing {part})")
+    point and every section it gates are present — either the single-field
+    layout (docs/postings/terms at top level) or the multi-field layout
+    (one complete ``field=<f>/`` subtree per field, build_index.py)."""
+    if not os.path.exists(os.path.join(d, "manifest.json")):
+        raise ValueError(f"{d!r} is not a committed index (missing manifest.json)")
+    field_dirs = sorted(
+        os.path.join(d, e) for e in os.listdir(d) if e.startswith("field=")
+    )
+    roots = field_dirs or [d]
+    for root in roots:
+        for part in _SECTIONS:
+            if not os.path.exists(os.path.join(root, part)):
+                raise ValueError(
+                    f"{d!r} is not a committed index (missing "
+                    f"{os.path.relpath(os.path.join(root, part), d)})"
+                )
     with open(os.path.join(d, "manifest.json")) as fh:
         return json.load(fh)
 
@@ -59,18 +71,28 @@ def restore_index(snapshot_dir: str, index_dir: str, overwrite: bool = False) ->
     Refuses to clobber an existing index unless ``overwrite=True`` (the ES
     restore-onto-existing-index refusal). Returns the restored manifest."""
     manifest = _check_index_dir(snapshot_dir)
-    if os.path.exists(index_dir):
-        if not overwrite:
-            raise ValueError(
-                f"restore target {index_dir!r} exists (pass overwrite=True)"
-            )
+    if os.path.exists(index_dir) and not overwrite:
+        raise ValueError(
+            f"restore target {index_dir!r} exists (pass overwrite=True)"
+        )
     tmp = index_dir + ".restore-tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     shutil.copytree(snapshot_dir, tmp)
     if os.path.exists(index_dir):
-        shutil.rmtree(index_dir)
-    os.rename(tmp, index_dir)
+        # a committed index stays visible at EVERY instant: the live dir is
+        # renamed aside (atomic), the restored copy renamed in (atomic), and
+        # only then is the old copy deleted — a crash anywhere leaves either
+        # the old or the new index at `index_dir` (plus at worst a stale
+        # .restore-* dir to garbage-collect), never nothing
+        old = index_dir + ".restore-old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(index_dir, old)
+        os.rename(tmp, index_dir)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, index_dir)
     return manifest
 
 
@@ -81,6 +103,7 @@ def reindex(
     n_shards: int,
     doc_filter: tuple | list | None = None,
     store_positions: bool | None = None,
+    overwrite: bool = False,
 ):
     """ES ``_reindex``: rebuild an index FROM another index's stored
     documents (ES reads each doc's ``_source`` — so the source index must
@@ -97,6 +120,12 @@ def reindex(
     from .build_index import build_segments_partial
 
     src_manifest = _check_index_dir(src_index_dir)
+    if os.path.exists(dst_index_dir) and not overwrite:
+        # the build stage would silently rmtree an existing index — enforce
+        # the same refuse-don't-clobber contract as restore_index
+        raise ValueError(
+            f"reindex target {dst_index_dir!r} exists (pass overwrite=True)"
+        )
     docs = spark.read.parquet(f"{src_index_dir}/docs")
     if "text" not in docs.columns:
         raise ValueError(
@@ -105,7 +134,17 @@ def reindex(
             "requirement)"
         )
     if doc_filter:
-        triples = [doc_filter] if isinstance(doc_filter, tuple) else list(doc_filter)
+        # a single triple is (str, str, value); anything else is a sequence
+        # of triples — classify by shape, not type, so a tuple OF triples
+        # does not get misread as one triple
+        if (
+            isinstance(doc_filter, tuple)
+            and len(doc_filter) == 3
+            and isinstance(doc_filter[0], str)
+        ):
+            triples = [doc_filter]
+        else:
+            triples = list(doc_filter)
         from ..operators.dsl import _filters_col
 
         docs = docs.where(_filters_col(triples))

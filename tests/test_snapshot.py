@@ -109,3 +109,58 @@ def test_reindex_requires_stored_source(spark, documents, tmp_path_factory):
     build_segments_partial(spark, documents, bare, n_shards=4)  # no stored text
     with pytest.raises(ValueError, match="_source"):
         reindex(spark, bare, bare + "2", n_shards=4)
+
+
+def test_snapshot_accepts_multifield_layout(spark, documents, tmp_path_factory):
+    """Review regression: the multi-field layout (field=<f>/ subtrees, no
+    top-level docs/) is a committed index and must snapshot/restore."""
+    from flume_elasticsearch_2_spark.plans.build_index import build_multifield_index
+    from flume_elasticsearch_2_spark.plans.query_index import MultiFieldIndexSearcher
+    from pyspark.sql import functions as F
+
+    from flume_elasticsearch_2_spark.functions.tokenizer import tokens_col
+
+    fdocs = documents.withColumn(
+        "title", F.array_join(F.slice(tokens_col("text"), 1, 5), " ")
+    )
+    base = str(tmp_path_factory.mktemp("snapmf"))
+    src = os.path.join(base, "mfidx")
+    build_multifield_index(spark, fdocs, src, fields=["text", "title"], n_shards=4)
+    snap = os.path.join(base, "snap")
+    restored = os.path.join(base, "restored")
+    snapshot_index(src, snap)
+    restore_index(snap, restored)
+    a = [tuple(r) for r in MultiFieldIndexSearcher(spark, src).search("dup batch", field="title", k=5).collect()]
+    b = [tuple(r) for r in MultiFieldIndexSearcher(spark, restored).search("dup batch", field="title", k=5).collect()]
+    assert a == b and a
+
+
+def test_restore_overwrite_leaves_no_debris(spark, index_dir, tmp_path_factory):
+    """Review regression: overwrite keeps a committed index visible at every
+    instant (old renamed aside, new renamed in, old deleted) and cleans up."""
+    base = str(tmp_path_factory.mktemp("snapow2"))
+    snap = os.path.join(base, "snap")
+    snapshot_index(index_dir, snap)
+    target = os.path.join(base, "t")
+    shutil.copytree(index_dir, target)
+    restore_index(snap, target, overwrite=True)
+    assert not os.path.exists(target + ".restore-old")
+    assert not os.path.exists(target + ".restore-tmp")
+    assert IndexSearcher(spark, target).search("dup", k=3).count() > 0
+
+
+def test_reindex_refuses_clobber_and_tuple_of_triples(spark, stored_index, tmp_path_factory):
+    from flume_elasticsearch_2_spark.plans.snapshot import reindex
+
+    base = str(tmp_path_factory.mktemp("reidx5"))
+    dst = os.path.join(base, "dst")
+    reindex(spark, stored_index, dst, n_shards=4)
+    with pytest.raises(ValueError, match="overwrite"):
+        reindex(spark, stored_index, dst, n_shards=4)
+    # review regression: a tuple OF triples is a triple sequence, not one triple
+    dst2 = os.path.join(base, "dst2")
+    m = reindex(
+        spark, stored_index, dst2, n_shards=4,
+        doc_filter=(("lang", "==", "en"), ("n_chars", ">=", 100)),
+    )
+    assert 0 < m["n_docs"] < IndexSearcher(spark, stored_index).n_docs
