@@ -786,6 +786,30 @@ def _clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(_docs(spark, sf_dir))
 
 
+def _dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-level corpus dedup (chunk-window form for the
+    newline-free synthetic corpus): first occurrence wins globally, docs
+    reassembled from surviving paragraphs. One para-keyed window shuffle +
+    one doc-keyed reassembly agg."""
+    from flume_elasticsearch_2_spark.operators.cleaning import dedup_paragraphs
+
+    return dedup_paragraphs(_docs(spark, sf_dir), chunk_tokens=20, sep=" ")
+
+
+def _decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 n-gram protocol): training docs
+    flagged by distinct n-gram overlap with a held-out benchmark slice
+    (doc_id % 17 = 3 carves it deterministically from the corpus).
+    Per-doc-distinct grams, gram-keyed join (AQE broadcasts the small
+    benchmark side), LEFT join back so clean docs report 0."""
+    from flume_elasticsearch_2_spark.operators.cleaning import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate(
+        docs.where("doc_id % 17 <> 3"), docs.where("doc_id % 17 = 3"), n=8
+    )
+
+
 def _doc_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc corpus-duplicated 5-gram fraction: the removal half of
     exact-substring dedup (gram-keyed shuffles only, nothing broadcast)."""
@@ -1309,6 +1333,23 @@ _DSL_SOURCE_BODY = {
     "_source": ["lang", "n_chars"],
     "size": 5,
 }
+_DSL_SCRIPT_SCORE_BODY = {
+    "query": {"function_score": {
+        "query": {"match": {"text": "batch scan"}},
+        "script_score": {
+            "script": "_score * (1 + log(1 + doc['n_chars'].value / 100))"
+        },
+    }},
+    "size": 10,
+}
+_DSL_SCRIPT_FIELDS_BODY = {
+    "query": {"match": {"text": "dup batch scan"}},
+    "script_fields": {
+        "kchars": {"script": "doc['n_chars'].value / 1000"},
+        "ln_chars": {"script": "log1p(doc['n_chars'].value)"},
+    },
+    "size": 5,
+}
 _DSL_SPAN_NEAR_BODY = {
     "query": {
         "span_near": {
@@ -1397,6 +1438,32 @@ def _dsl_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flume_elasticsearch_2_spark.operators.dsl import dsl_search
 
     return dsl_search(_docs(spark, sf_dir), _DSL_FSCORE_BODY)
+
+
+def _dsl_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x script_score: the script (functions/scripts.py arithmetic
+    subset, _score bound to the BM25 base) REPLACES the score — compiled
+    once into a pure-JVM Column, so the 'script' runs inside whole-stage
+    codegen in the same two-pass zero-join plan as function_score."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_SCRIPT_SCORE_BODY)
+
+
+def _dsl_script_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES script_fields: per-hit computed fields at fetch time (doc-values
+    scripts, no _score) — broadcast fetch join + JVM arithmetic columns."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_SCRIPT_FIELDS_BODY)
+
+
+def _dsl_script_fields_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """script_fields on the SERVING path: fetch against the index's stored
+    docs, script columns computed over the fetched frame."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_SCRIPT_FIELDS_BODY)
 
 
 def _dsl_source_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1962,6 +2029,11 @@ def _dsl_common(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dedup_paragraphs",
+    "decontaminate_docs",
+    "dsl_script_score",
+    "dsl_script_fields",
+    "dsl_script_fields_segment",
     "collocations_pmi",
     "funnel_events",
     "retention_cohorts",
@@ -2130,6 +2202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["duplicated_ngrams"] = _duplicated_ngrams
     q["doc_dup_fraction"] = _doc_dup_fraction
     q["clean_corpus"] = _clean_corpus
+    q["dedup_paragraphs"] = _dedup_paragraphs
+    q["decontaminate_docs"] = _decontaminate_docs
     q["bm25_rescore"] = _bm25_rescore
     q["bm25_rescore_segment"] = _bm25_rescore_segment
     q["bm25_generations"] = _bm25_generations
@@ -2175,6 +2249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_exists_filter_segment"] = _dsl_exists_filter_segment
     q["dsl_should_match"] = _dsl_should_match
     q["dsl_should_match_segment"] = _dsl_should_match_segment
+    q["dsl_script_score"] = _dsl_script_score
+    q["dsl_script_fields"] = _dsl_script_fields
+    q["dsl_script_fields_segment"] = _dsl_script_fields_segment
     q["dsl_source_filtered"] = _dsl_source_filtered
     q["dsl_source_filtered_segment"] = _dsl_source_filtered_segment
     q["dsl_boosting"] = _dsl_boosting
@@ -2534,6 +2611,15 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     from flume_elasticsearch_2_spark.operators.cleaning import clean_corpus_sql
 
     o["clean_corpus"] = clean_corpus_sql()
+    from flume_elasticsearch_2_spark.operators.cleaning import (
+        decontaminate_sql,
+        dedup_paragraphs_sql,
+    )
+
+    o["dedup_paragraphs"] = dedup_paragraphs_sql(chunk_tokens=20, sep=" ")
+    o["decontaminate_docs"] = decontaminate_sql(
+        "doc_id % 17 = 3", "doc_id % 17 <> 3", n=8
+    )
     from flume_elasticsearch_2_spark.operators.percolate import (
         analyze_sql,
         percolate_sql,
@@ -2694,6 +2780,9 @@ SELECT CAST(rk // 100 AS BIGINT) AS page, doc_id FROM r
     o["dsl_exists_filter_segment"] = o["dsl_exists_filter"]
     o["dsl_should_match"] = dsl_search_sql(_DSL_SHOULD_MATCH_BODY)
     o["dsl_should_match_segment"] = o["dsl_should_match"]
+    o["dsl_script_score"] = dsl_search_sql(_DSL_SCRIPT_SCORE_BODY)
+    o["dsl_script_fields"] = dsl_search_sql(_DSL_SCRIPT_FIELDS_BODY)
+    o["dsl_script_fields_segment"] = o["dsl_script_fields"]
     o["dsl_source_filtered"] = dsl_search_sql(_DSL_SOURCE_BODY)
     o["dsl_source_filtered_segment"] = o["dsl_source_filtered"]
     o["dsl_boosting"] = dsl_search_sql(_DSL_BOOSTING_BODY)

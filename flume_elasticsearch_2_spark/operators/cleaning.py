@@ -425,3 +425,231 @@ CROSS JOIN tot t
 ORDER BY ln((b.n / t.n2) / ((ua.cnt / t.n1) * (ub.cnt / t.n1))) DESC, b.bigram ASC
 LIMIT {int(k)}
 """
+
+
+# -- paragraph-level corpus dedup (CCNet-style) --------------------------------
+
+
+def _paras_col(text_col: str, splitter: str | None, chunk_tokens: int | None,
+               analyzer: str = "ascii") -> Column:
+    """array<string> of a doc's paragraphs: non-empty regex-split segments
+    (``splitter``) or fixed-size non-overlapping token windows
+    (``chunk_tokens`` — the windowed analog for newline-free corpora)."""
+    if (splitter is None) == (chunk_tokens is None):
+        raise ValueError("exactly one of splitter / chunk_tokens required")
+    if splitter is not None:
+        return F.filter(F.split(F.col(text_col), splitter), lambda p: p != F.lit(""))
+    w = int(chunk_tokens)
+    if w < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    toks = tokens_col(text_col, analyzer=analyzer)
+    return F.when(F.size(toks) < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks), F.lit(w)),
+            lambda i: F.array_join(F.slice(toks, i, w), " "),
+        )
+    )
+
+
+def _paras_sql(splitter: str | None, chunk_tokens: int | None,
+               analyzer: str = "ascii") -> str:
+    if (splitter is None) == (chunk_tokens is None):
+        raise ValueError("exactly one of splitter / chunk_tokens required")
+    if splitter is not None:
+        return (
+            f"list_filter(regexp_split_to_array(text, '{splitter}'), p -> p <> '')"
+        )
+    w = int(chunk_tokens)
+    tok = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    return (
+        f"list_transform(range(1, len({tok}) + 1, {w}), "
+        f"i -> array_to_string({tok}[i:i+{w - 1}], ' '))"
+    )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    splitter: str | None = None,
+    chunk_tokens: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """CCNet-style paragraph-level corpus dedup: every paragraph that has
+    appeared earlier in the corpus (global order = (doc_id, position) —
+    including earlier in the SAME doc) is dropped; docs are reassembled
+    from their surviving paragraphs. Returns
+    (doc_id, n_paras, n_kept, text_deduped) for every input doc (a doc
+    whose paragraphs all duplicate earlier text keeps an empty string —
+    the caller's quality floor drops it, same as CCNet's pipeline order).
+
+    Paragraphs come from ``splitter`` (regex, e.g. ``'\\n\\n+'`` — the CCNet
+    form) or ``chunk_tokens`` (fixed non-overlapping token windows — the
+    analog for newline-free corpora); exactly one must be given.
+
+    Scale shape: ONE shuffle keyed by the paragraph string decides
+    first-occurrence (window row_number over (para) — Zipfian-hot
+    boilerplate paragraphs land on one reducer but carry only (doc_id,
+    idx) pairs), then ONE doc_id-keyed reassembly agg with map-side
+    combine. No driver-side state; no all-pairs shape anywhere."""
+    from pyspark.sql import Window
+
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode_outer(_paras_col(text_col, splitter, chunk_tokens, analyzer)).alias(
+            "idx", "para"
+        ),
+    )
+    w = Window.partitionBy("para").orderBy("doc_id", "idx")
+    flagged = paras.withColumn(
+        "kept",
+        F.when(F.col("para").isNull(), F.lit(False)).otherwise(
+            F.row_number().over(w) == 1
+        ),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("para").isNotNull().cast("long")).alias("n_paras"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("kept"), F.struct("idx", "para"))
+                            )
+                        ),
+                        lambda s: s.isNotNull(),
+                    ),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("text_deduped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_paragraphs_sql(
+    splitter: str | None = None,
+    chunk_tokens: int | None = None,
+    table: str = "documents",
+    sep: str = "\n\n",
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB oracle for :func:`dedup_paragraphs` (same first-occurrence
+    window, same reassembly order)."""
+    paras = _paras_sql(splitter, chunk_tokens, analyzer)
+    sep_lit = sep.replace("'", "''")
+    return f"""
+WITH plist AS (
+  SELECT doc_id, {paras} AS ps FROM {table}
+),
+paras AS (
+  SELECT doc_id, u.i - 1 AS idx, ps[u.i] AS para
+  FROM plist, unnest(range(1, len(ps) + 1)) AS u(i)
+),
+flagged AS (
+  SELECT doc_id, idx, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) = 1 AS kept
+  FROM paras
+)
+SELECT p.doc_id,
+       CAST(coalesce(count(f.para), 0) AS BIGINT) AS n_paras,
+       CAST(coalesce(sum(CASE WHEN f.kept THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN f.kept THEN f.para END, '{sep_lit}' ORDER BY f.idx), '')
+         AS text_deduped
+FROM {table} p LEFT JOIN flagged f ON f.doc_id = p.doc_id
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
+# -- benchmark decontamination --------------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM 13-gram protocol, public
+    methodology): for every training doc, count its DISTINCT token
+    n-grams that also occur anywhere in the ``benchmark`` corpus. Returns
+    (doc_id, n_contaminated, contaminated) for every doc in ``docs`` —
+    the caller drops ``contaminated`` rows (or audits high counts).
+
+    Scale shape: both gram sets are per-doc-DISTINCT'd in the array (JVM)
+    before exploding, so the map-side combine sees one row per (doc,
+    gram); the overlap is a gram-keyed inner join of (doc grams) against
+    the DISTINCT benchmark gram set — benchmark sets are tiny next to a
+    training corpus, so AQE broadcasts them; nothing is ever collected.
+    Counts then join back LEFT so clean docs report 0."""
+    grams = F.array_distinct(_ngrams_col(tokens_col(text_col, analyzer=analyzer), n))
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
+    )
+    bench_grams = (
+        benchmark.select(F.explode(grams).alias("gram")).distinct()
+    )
+    counts = (
+        doc_grams.join(bench_grams, "gram", "inner")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+            (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def decontaminate_sql(
+    bench_pred: str,
+    docs_pred: str = "TRUE",
+    n: int = 13,
+    table: str = "documents",
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB oracle for :func:`decontaminate` where the benchmark is the
+    ``bench_pred`` slice of ``table`` and the scored docs are the
+    ``docs_pred`` slice (how the driver entry carves the synthetic corpus)."""
+    tok = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    grams = (
+        f"CASE WHEN len({tok}) < {n} THEN [] "
+        f"ELSE list_transform(range(1, len({tok}) - {n} + 2), "
+        f"i -> array_to_string({tok}[i:i+{n - 1}], ' ')) END"
+    )
+    return f"""
+WITH doc_grams AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({grams})) AS gram
+  FROM {table} WHERE {docs_pred}
+),
+bench_grams AS (
+  SELECT DISTINCT unnest(list_distinct({grams})) AS gram
+  FROM {table} WHERE {bench_pred}
+),
+counts AS (
+  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+  FROM doc_grams d JOIN bench_grams b USING (gram)
+  GROUP BY d.doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(c.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       coalesce(c.n_contaminated, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM {table} WHERE {docs_pred}) t
+LEFT JOIN counts c ON c.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""

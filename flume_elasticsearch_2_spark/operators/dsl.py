@@ -15,7 +15,10 @@ silent best-effort):
 * body keys: ``query`` (required), ``from``, ``size``, ``sort``,
   ``highlight``, ``rescore`` (match_phrase rescorer over a window —
   composes with a plain scored match query only), ``_source`` (stored-field
-  filter: ``false`` or a list; composes with match / match_all).
+  filter: ``false`` or a list; composes with match / match_all), and
+  ``script_fields`` (per-hit computed fields at fetch time — the
+  functions/scripts.py arithmetic subset over doc values, no ``_score``;
+  composes with match / match_all, both paths).
 * query clauses: ``match`` (with ``operator``/``minimum_should_match``/
   ``boost``; on the default text field or ANY field named in
   ``analyzed_fields``), ``match_phrase`` (with ``slop`` — the engine's
@@ -44,6 +47,9 @@ silent best-effort):
     the field are kept, as in ES).
 * ``sort`` (ES TopFieldCollector semantics — scoring skipped) composes
   with match/match_all; ``highlight`` composes with plain match.
+* ``function_score`` with ``field_value_factor``, ``random_score`` (seeded)
+  or ``script_score`` (the script — functions/scripts.py grammar, ``_score``
+  bound to the BM25 base — REPLACES the score; declarative + oracle paths).
 
 Scale shape: translation is pure driver-side dict walking; execution is
 whatever the routed operator does (two-narrow-pass declarative plans, BMW
@@ -115,6 +121,9 @@ class _Spec:
         self.common: tuple | None = None  # (query, cutoff_frequency, low_op)
         self.max_exp: int | None = None  # match_phrase_prefix expansion cap
         self.fscore_seed: int | None = None  # function_score random_score seed
+        self.fscore_script: str | None = None  # function_score script_score src
+        # body script_fields: [(name, parsed Script)] computed at fetch time
+        self.script_fields: list | None = None
 
 
 def _parse_common(spec: _Spec, val, text_col: str) -> None:
@@ -361,7 +370,10 @@ def parse_body(
     combine several. Default: only ``text_col`` — byte-compatible with the
     single-field contract of earlier rounds."""
     analyzed = list(analyzed_fields) if analyzed_fields else [text_col]
-    extra = set(body) - {"query", "from", "size", "sort", "highlight", "rescore", "_source"}
+    extra = set(body) - {
+        "query", "from", "size", "sort", "highlight", "rescore", "_source",
+        "script_fields",
+    }
     if extra:
         _err(f"body keys {sorted(extra)}")
     spec = _Spec()
@@ -516,11 +528,35 @@ def parse_body(
         # factor*modifier(field) per boost_mode) or random_score (seeded
         # deterministic uniform draw) — re-ranks the match set, never
         # widens/narrows it
-        extra_fs = set(val) - {"query", "field_value_factor", "random_score", "boost_mode"}
+        extra_fs = set(val) - {
+            "query", "field_value_factor", "random_score", "boost_mode",
+            "script_score",
+        }
         if extra_fs:
             _err(f"function_score keys {sorted(extra_fs)}")
         rsc = val.get("random_score")
-        if rsc is not None:
+        ssc = val.get("script_score")
+        if ssc is not None:
+            # ES 1.x script_score: the script REPLACES the score (base BM25
+            # bound as _score) — the functions/scripts.py arithmetic subset,
+            # compiled to a JVM Column + SQL twin at parse time
+            if rsc is not None or "field_value_factor" in val:
+                _err("function_score with script_score and another function")
+            if "boost_mode" in val:
+                _err("script_score replaces the score — boost_mode unsupported")
+            extra_ss = set(ssc) - {"script"}
+            if extra_ss:
+                _err(f"script_score keys {sorted(extra_ss)}")
+            from ..functions.scripts import parse_script
+
+            try:
+                parse_script(ssc.get("script") or _err("script_score needs script"))
+            except ValueError as e:
+                _err(str(e))
+            spec.fscore_script = str(ssc["script"])
+            fvf = {}
+            modifier = "none"
+        elif rsc is not None:
             if "field_value_factor" in val:
                 _err("function_score with both field_value_factor and random_score")
             extra_r = set(rsc) - {"seed"}
@@ -533,7 +569,7 @@ def parse_body(
             modifier = "none"
         else:
             fvf = val.get("field_value_factor") or _err(
-                "function_score needs field_value_factor or random_score"
+                "function_score needs field_value_factor, random_score or script_score"
             )
             extra_v = set(fvf) - {"field", "factor", "modifier", "missing"}
             if extra_v:
@@ -557,13 +593,13 @@ def parse_body(
                 _err(f"function_score match options {sorted(extra_q)}")
             fmode = {"or": "or", "and": "and"}[qq.get("operator", "or")]
             qq = qq["query"]
-        if rsc is None and "field" not in fvf:
+        if rsc is None and ssc is None and "field" not in fvf:
             _err("field_value_factor needs field")
         spec.kind = "function_score"
         spec.fscore = (
             str(qq),
             fmode,
-            str(fvf["field"]) if rsc is None else None,
+            str(fvf["field"]) if (rsc is None and ssc is None) else None,
             float(fvf.get("factor", 1.0)),
             modifier,
             float(fvf.get("missing", 1.0)),
@@ -739,6 +775,35 @@ def parse_body(
             or spec.rescore is not None
         ):
             _err("_source composes with match / match_all bodies only")
+    if "script_fields" in body:
+        # ES script_fields: per-hit computed fields at fetch time. 1.x
+        # script_fields read doc values only — _score is not in scope.
+        from ..functions.scripts import parse_script
+
+        sf = body["script_fields"]
+        if not isinstance(sf, dict) or not sf:
+            _err("script_fields must be a non-empty object")
+        parsed_sf = []
+        for name, v in sf.items():
+            if not isinstance(v, dict) or set(v) - {"script"}:
+                _err(f"script_fields.{name} supports exactly {{'script': ...}}")
+            if name in ("doc_id", "score"):
+                _err(f"script_fields name {name!r} shadows a hit column")
+            try:
+                parsed = parse_script(v.get("script") or _err(f"script_fields.{name} needs script"))
+            except ValueError as e:
+                _err(str(e))
+            if parsed.uses_score:
+                _err("script_fields scripts read doc values only (_score unsupported)")
+            parsed_sf.append((str(name), parsed))
+        spec.script_fields = parsed_sf
+        if (
+            spec.kind not in ("match", "match_all")
+            or spec.sort is not None
+            or spec.highlight is not None
+            or spec.rescore is not None
+        ):
+            _err("script_fields composes with match / match_all bodies only")
     if spec.field not in (None, text_col) and spec.must_not_text:
         # must_not clauses analyze against the DEFAULT text field; composing
         # them with a match on another field would silently mix analyzers
@@ -790,14 +855,24 @@ def _filters_sql(triples: list[tuple[str, str, Any]]) -> str | None:
 
 
 def _apply_source(hits: DataFrame, docs: DataFrame, spec: _Spec, id_col: str) -> DataFrame:
-    """ES fetch phase for ``_source``: broadcast the <=size hit rows against
-    the stored docs and return (doc_id, score, *source) in rank order."""
-    if not spec.source:
+    """ES fetch phase for ``_source`` / ``script_fields``: broadcast the
+    <=size hit rows against the stored docs and return
+    (doc_id, score, *source, *script_fields) in rank order. Script fields
+    are pure JVM arithmetic over the fetched columns (rounded half-up to 6
+    like every cross-engine float)."""
+    sf = spec.script_fields or []
+    if not spec.source and not sf:
         return hits
-    stored = docs.select(F.col(id_col).alias("doc_id"), *spec.source)
+    need = list(spec.source or [])
+    for _, sc in sf:
+        for f in sorted(sc.fields):
+            if f not in need and f != "doc_id":
+                need.append(f)
+    stored = docs.select(F.col(id_col).alias("doc_id"), *need)
+    sf_cols = [F.round(sc.spark_col(None), 6).alias(name) for name, sc in sf]
     return (
         stored.join(F.broadcast(hits), "doc_id", "inner")
-        .select("doc_id", "score", *spec.source)
+        .select("doc_id", "score", *(spec.source or []), *sf_cols)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
     )
 
@@ -897,6 +972,7 @@ def dsl_search(
             docs, q, field, factor=factor, modifier=modifier, missing=missing,
             boost_mode=boost_mode, k=spec.size, mode=fmode,
             id_col=id_col, text_col=text_col, random_seed=spec.fscore_seed,
+            script=spec.fscore_script,
         )
     if spec.kind == "common":
         if spec.from_:
@@ -1024,7 +1100,7 @@ def dsl_search_sql(
         return bm25_function_score_topk_sql(
             q, field, factor=factor, modifier=modifier, missing=missing,
             boost_mode=boost_mode, k=spec.size, mode=fmode, table=table,
-            random_seed=spec.fscore_seed,
+            random_seed=spec.fscore_seed, script=spec.fscore_script,
         )
     if spec.kind == "common":
         if spec.from_:
@@ -1064,11 +1140,13 @@ def dsl_search_sql(
 
 
 def _apply_source_sql(inner: str, spec: _Spec, table: str) -> str:
-    if not spec.source:
+    sf = spec.script_fields or []
+    if not spec.source and not sf:
         return inner
-    cols = ", ".join(f"t.{c}" for c in spec.source)
+    cols = [f"t.{c}" for c in (spec.source or [])]
+    cols += [f"round({sc.sql(None, 't.')}, 6) AS {name}" for name, sc in sf]
     return (
-        f"SELECT h.doc_id, h.score, {cols} FROM ({inner}) h "
+        f"SELECT h.doc_id, h.score, {', '.join(cols)} FROM ({inner}) h "
         f"JOIN {table} t ON t.doc_id = h.doc_id "
         "ORDER BY h.score DESC, h.doc_id ASC"
     )
@@ -1167,15 +1245,18 @@ def dsl_search_index(
             **{k: int(v) for k, v in m.items()
                if k in ("max_query_terms", "min_term_freq", "min_doc_freq")},
         )
+    sf = spec.script_fields or []
     hits = searcher.search(
         spec.query, k=spec.size, mode=spec.mode,
         doc_filter=spec.filters or None,
         min_should_match=spec.msm, boosts=spec.boosts,
-        from_=spec.from_, must_not=mn, fetch=bool(spec.source),
+        from_=spec.from_, must_not=mn, fetch=bool(spec.source or sf),
     )
-    if spec.source:
-        # ES fetch phase against the index's stored docs (_source analog)
-        hits = hits.select("doc_id", "score", *spec.source).orderBy(
+    if spec.source or sf:
+        # ES fetch phase against the index's stored docs (_source analog);
+        # script_fields compute over the fetched columns, pure JVM
+        sf_cols = [F.round(sc.spark_col(None), 6).alias(n) for n, sc in sf]
+        hits = hits.select("doc_id", "score", *(spec.source or []), *sf_cols).orderBy(
             F.col("score").desc(), F.col("doc_id").asc()
         )
     return hits

@@ -688,6 +688,7 @@ def bm25_function_score_topk(
     k1: float = K1,
     b: float = B,
     random_seed: int | None = None,
+    script: str | None = None,
 ) -> DataFrame:
     """ES ``function_score`` with a ``field_value_factor`` function
     (SURVEY §2.5 Q21 subset; reference delegation site
@@ -712,7 +713,30 @@ def bm25_function_score_topk(
     family the sampling operators pin bit-identical across engines —
     multiplied by ``factor``; ``field``/``modifier``/``missing`` are
     ignored. ES seeds its hash with doc ids the same way, which is what
-    makes random_score reproducible there too."""
+    makes random_score reproducible there too.
+
+    ``script`` switches the function to ES 1.x ``script_score``: the script
+    (the :mod:`..functions.scripts` arithmetic subset, ``_score`` bound to
+    the BM25 base) REPLACES the score outright — compiled once into a pure
+    JVM Column, so the "script" still runs inside whole-stage codegen, not
+    an interpreter. Mutually exclusive with ``field``/``random_seed``."""
+    sc = None
+    if script is not None:
+        if random_seed is not None or field is not None:
+            raise ValueError("script_score excludes field_value_factor/random_score")
+        from ..functions.scripts import parse_script
+
+        sc = parse_script(script) if isinstance(script, str) else script
+        missing_f = sorted(sc.fields - set(docs.columns))
+        if missing_f:
+            raise ValueError(f"script references unknown doc fields {missing_f}")
+        if id_col in sc.fields and id_col != "doc_id":
+            raise ValueError("script may not reference a renamed id column")
+        clashes = sorted(
+            f for f in sc.fields if f in ("dl", "fsv", "base") or f.startswith("tf_")
+        )
+        if clashes:
+            raise ValueError(f"script fields {clashes} collide with plan internals")
     if modifier not in FVF_MODIFIERS:
         raise ValueError(f"modifier must be one of {FVF_MODIFIERS}, got {modifier!r}")
     if boost_mode not in ("multiply", "sum"):
@@ -727,7 +751,13 @@ def bm25_function_score_topk(
         weights[t] = weights.get(t, 0.0) + 1.0
     distinct_terms = sorted(weights)
     toks = tokens_col(text_col)
-    if random_seed is not None:
+    extra_cols: list = []
+    if sc is not None:
+        # the script's doc fields ride the same scan as the tf columns —
+        # still the two-narrow-pass zero-join plan
+        fsv_col = F.lit(1.0)
+        extra_cols = [F.col(f) for f in sorted(sc.fields) if f != "doc_id"]
+    elif random_seed is not None:
         from ..functions.text import md5_long_col
 
         rv = md5_long_col(
@@ -753,6 +783,7 @@ def bm25_function_score_topk(
             for i, t in enumerate(distinct_terms)
         ],
         fsv_col.alias("fsv"),
+        *extra_cols,
     )
     stats_row = per_doc.agg(
         F.count("*").alias("n_docs"),
@@ -783,11 +814,14 @@ def bm25_function_score_topk(
         for i in range(len(distinct_terms)):
             cond = cond & (F.col(f"tf_{i}") > 0)
         scored = scored.where(cond)
-    combined = (
-        F.col("base") * F.col("fsv")
-        if boost_mode == "multiply"
-        else F.col("base") + F.col("fsv")
-    )
+    if sc is not None:
+        combined = sc.spark_col(F.col("base"))
+    else:
+        combined = (
+            F.col("base") * F.col("fsv")
+            if boost_mode == "multiply"
+            else F.col("base") + F.col("fsv")
+        )
     return (
         scored.where(F.col("base") > 0.0)
         .withColumn("score_exact", combined)
@@ -808,10 +842,15 @@ def bm25_function_score_topk_sql(
     mode: str = "or",
     table: str = "documents",
     random_seed: int | None = None,
+    script: str | None = None,
 ) -> str:
     """DuckDB oracle for :func:`bm25_function_score_topk` — the bm25 oracle
     with a per-doc field-value-factor column combined per ``boost_mode``
-    (``random_seed``: the seeded md5-prefix uniform draw instead)."""
+    (``random_seed``: the seeded md5-prefix uniform draw instead;
+    ``script``: the script's SQL twin replaces the score outright)."""
+    if script is not None:
+        if random_seed is not None or field is not None:
+            raise ValueError("script_score excludes field_value_factor/random_score")
     if modifier not in FVF_MODIFIERS:
         raise ValueError(f"modifier must be one of {FVF_MODIFIERS}, got {modifier!r}")
     if boost_mode not in ("multiply", "sum"):
@@ -825,7 +864,9 @@ def bm25_function_score_topk_sql(
     and_filter = (
         f"HAVING count(DISTINCT s.term) = {len(weights)}" if mode == "and" else ""
     )
-    if random_seed is not None:
+    if script is not None:
+        fn = "1.0"  # fsv CTE unused on the script path
+    elif random_seed is not None:
         from ..functions.text import MD5_LONG_SQL
 
         rv = MD5_LONG_SQL.format(
@@ -846,6 +887,47 @@ def bm25_function_score_topk_sql(
     from ..functions.tokenizer import duckdb_token_pattern
 
     tok_expr = f"regexp_extract_all(lower(text), '{duckdb_token_pattern()}')"
+    if script is not None:
+        from ..functions.scripts import parse_script
+
+        expr = parse_script(script).sql(score_expr="c.base", qualifier="d.")
+        return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tok_expr}) AS term FROM {table}
+),
+dl AS (SELECT doc_id, len({tok_expr}) AS dl FROM {table}),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term, qw) AS (VALUES {terms_values}),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN ({in_list}) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({in_list}) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         qterms.qw * ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS partial,
+         tf.term
+  FROM tf
+  JOIN dfreq USING (term) JOIN qterms USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+combined AS (
+  SELECT s.doc_id, sum(s.partial) AS base
+  FROM scored s
+  GROUP BY s.doc_id
+  {and_filter}
+)
+SELECT c.doc_id, round({expr}, 6) AS score
+FROM combined c JOIN {table} d ON d.doc_id = c.doc_id
+WHERE c.base > 0
+ORDER BY {expr} DESC, c.doc_id ASC
+LIMIT {k}
+"""
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest({tok_expr}) AS term FROM {table}

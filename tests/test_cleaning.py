@@ -165,3 +165,128 @@ def test_collocations_pmi_semantics(spark):
     assert rows["a b"][1] > rows["c a"][1]
     capped = {r["bigram"] for r in collocations(tiny, 20, 2).collect()}
     assert "c d" not in capped and "a b" in capped
+
+
+# -- paragraph-level dedup + decontamination ----------------------------------
+
+
+def _cmp(sdf, con, sql):
+    got = sdf.toPandas()
+    got = got.reindex(sorted(got.columns), axis=1)
+    want = con.sql(sql).df()
+    want = want.reindex(sorted(want.columns), axis=1)
+    assert list(got.columns) == list(want.columns)
+    assert sorted(map(repr, got.itertuples(index=False, name=None))) == sorted(
+        map(repr, want.itertuples(index=False, name=None))
+    )
+    return got
+
+
+def test_dedup_paragraphs_chunk_mode_matches_duckdb(documents, duck):
+    from flume_elasticsearch_2_spark.operators.cleaning import (
+        dedup_paragraphs,
+        dedup_paragraphs_sql,
+    )
+
+    got = _cmp(
+        dedup_paragraphs(documents, chunk_tokens=20, sep=" "),
+        duck,
+        dedup_paragraphs_sql(chunk_tokens=20, sep=" "),
+    )
+    # the synthetic corpus HAS near-duplicates: something must be dropped,
+    # but most text survives
+    assert 0 < got.n_kept.sum() < got.n_paras.sum()
+
+
+def test_dedup_paragraphs_splitter_semantics(spark):
+    import duckdb as _duck
+    import pandas as pd
+
+    from flume_elasticsearch_2_spark.operators.cleaning import (
+        dedup_paragraphs,
+        dedup_paragraphs_sql,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "hello world\n\nthe same para\n\nunique one",
+                "the same para\n\nanother bit",
+                "the same para\n\nthe same para\n\nfresh text",
+                "",
+            ],
+        }
+    )
+    got = {
+        r.doc_id: (r.n_paras, r.n_kept, r.text_deduped)
+        for r in dedup_paragraphs(spark.createDataFrame(pdf), splitter="\n\n+").collect()
+    }
+    # first occurrence (doc 1) keeps everything; later copies drop, even
+    # WITHIN one doc (doc 3's double para keeps neither — both duplicate doc 1)
+    assert got[1] == (3, 3, "hello world\n\nthe same para\n\nunique one")
+    assert got[2] == (2, 1, "another bit")
+    assert got[3] == (3, 1, "fresh text")
+    assert got[4] == (0, 0, "")
+    con = _duck.connect()
+    con.register("crafted", pdf)
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(
+            dedup_paragraphs_sql(splitter="\n\n+", table="crafted")
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_dedup_paragraphs_arg_validation(documents):
+    from flume_elasticsearch_2_spark.operators.cleaning import dedup_paragraphs
+
+    with pytest.raises(ValueError):
+        dedup_paragraphs(documents)  # neither mode
+    with pytest.raises(ValueError):
+        dedup_paragraphs(documents, splitter="\n\n", chunk_tokens=10)  # both
+    with pytest.raises(ValueError):
+        dedup_paragraphs(documents, chunk_tokens=0)
+
+
+def test_decontaminate_matches_duckdb(documents, duck):
+    from flume_elasticsearch_2_spark.operators.cleaning import (
+        decontaminate,
+        decontaminate_sql,
+    )
+
+    bench = documents.where("doc_id % 17 = 3")
+    scored = documents.where("doc_id % 17 <> 3")
+    got = _cmp(
+        decontaminate(scored, bench, n=8),
+        duck,
+        decontaminate_sql("doc_id % 17 = 3", "doc_id % 17 <> 3", n=8),
+    )
+    # every scored doc reports, clean docs report 0
+    assert len(got) == scored.count()
+    assert (got.n_contaminated >= 0).all()
+
+
+def test_decontaminate_semantics(spark):
+    import pandas as pd
+
+    from flume_elasticsearch_2_spark.operators.cleaning import decontaminate
+
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "alpha beta gamma delta epsilon",  # shares the bench 3-grams
+                    "one two three four five",  # clean
+                ],
+            }
+        )
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [99], "text": ["alpha beta gamma delta"]})
+    )
+    got = {r.doc_id: (r.n_contaminated, r.contaminated) for r in decontaminate(train, bench, n=3).collect()}
+    # bench has 3-grams {abc, bcd}; doc 1 contains both (distinct), doc 2 none
+    assert got == {1: (2, True), 2: (0, False)}

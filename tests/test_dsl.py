@@ -173,6 +173,38 @@ BODIES: list[tuple[str, dict, bool]] = [
          "_source": ["n_chars"], "size": 6},
         False,
     ),
+    (
+        "script_score",
+        {"query": {"function_score": {
+            "query": {"match": {"text": "dup batch scan"}},
+            "script_score": {"script": "_score * (1 + log(1 + doc['n_chars'].value / 100))"},
+        }}, "size": 8},
+        False,  # function_score is declarative-only (house precedent)
+    ),
+    (
+        "script_score_no_score_ref",
+        {"query": {"function_score": {
+            "query": {"match": {"text": "dup batch"}},
+            "script_score": {"script": "sqrt(doc['n_chars'].value) + max(1, 2)"},
+        }}, "size": 5},
+        False,
+    ),
+    (
+        "script_fields",
+        {"query": {"match": {"text": "dup batch scan"}},
+         "script_fields": {"kchars": {"script": "doc['n_chars'].value / 1000"},
+                           "ln_chars": {"script": "log1p(doc['n_chars'].value)"}},
+         "size": 5},
+        True,
+    ),
+    (
+        "script_fields_matchall",
+        {"query": {"bool": {"filter": [{"term": {"lang": "en"}}]}},
+         "_source": ["n_chars"],
+         "script_fields": {"neg": {"script": "-min(doc['n_chars'].value, 150)"}},
+         "size": 6},
+        False,
+    ),
 ]
 
 
@@ -236,6 +268,24 @@ def test_dsl_mlt_routes(documents, searcher):
         {"query": {"span_near": {"clauses": [{"span_term": {"text": "a b"}},
                                              {"span_term": {"text": "c"}}],
                                  "in_order": True}}},
+        # script_score excludes boost_mode / other functions; scripts parse-fail loudly
+        {"query": {"function_score": {"query": {"match": {"text": "a"}},
+                                      "script_score": {"script": "_score * 2"},
+                                      "boost_mode": "sum"}}},
+        {"query": {"function_score": {"query": {"match": {"text": "a"}},
+                                      "script_score": {"script": "_score * 2"},
+                                      "random_score": {"seed": 1}}}},
+        {"query": {"function_score": {"query": {"match": {"text": "a"}},
+                                      "script_score": {"script": "exp(_score)"}}}},
+        {"query": {"function_score": {"query": {"match": {"text": "a"}},
+                                      "script_score": {"script": "_source.text"}}}},
+        # script_fields: no _score, no shadowing, match/match_all only
+        {"query": {"match": {"text": "a"}},
+         "script_fields": {"s": {"script": "_score + 1"}}},
+        {"query": {"match": {"text": "a"}},
+         "script_fields": {"score": {"script": "doc['n_chars'].value"}}},
+        {"query": {"match_phrase": {"text": "a b"}},
+         "script_fields": {"s": {"script": "doc['n_chars'].value"}}},
     ],
 )
 def test_dsl_rejects_unsupported_loudly(bad):

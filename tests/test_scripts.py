@@ -1,0 +1,121 @@
+"""functions/scripts.py — the ES 1.x script_score/script_fields arithmetic
+compiler: grammar, Spark/SQL twin equivalence, loud refusals.
+
+Reference analog: the delegated ES 1.1 evaluates MVEL scoring scripts
+(ElasticsearchSink.java:54); here the arithmetic subset compiles to a JVM
+Column + an ANSI-SQL twin so both engines evaluate the same float64 tree."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from flume_elasticsearch_2_spark.functions.scripts import parse_script
+
+
+def _eval_sql(expr: str) -> float:
+    return duckdb.sql(f"SELECT {expr} AS v").fetchone()[0]
+
+
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        ("1 + 2 * 3", 7.0),
+        ("(1 + 2) * 3", 9.0),
+        ("2 * -3", -6.0),
+        ("-2 - -3", 1.0),
+        ("10 / 4", 2.5),
+        ("1 - 2 - 3", -4.0),  # left assoc
+        ("100 / 10 / 2", 5.0),
+        ("log(1)", 0.0),
+        ("log1p(0)", 0.0),
+        ("sqrt(16)", 4.0),
+        ("abs(-3.5)", 3.5),
+        ("min(3, 7)", 3.0),
+        ("max(3, 7)", 7.0),
+        ("pow(2, 10)", 1024.0),
+        ("1e2 + 2.5e-1", 100.25),
+        ("min(1 + 1, pow(2, 2)) * max(abs(-1), 0)", 2.0),
+    ],
+)
+def test_constant_expressions_match_in_sql(src, expected):
+    sc = parse_script(src)
+    assert not sc.fields and not sc.uses_score
+    assert _eval_sql(sc.sql()) == pytest.approx(expected, abs=1e-12)
+
+
+def test_log_is_natural_log():
+    sc = parse_script("log(10)")
+    assert _eval_sql(sc.sql()) == pytest.approx(math.log(10.0), abs=1e-15)
+
+
+def test_fields_and_score_are_tracked():
+    sc = parse_script("_score * (1 + log(1 + doc['n_chars'].value / 100))")
+    assert sc.fields == {"n_chars"} and sc.uses_score
+    # field access follows ES doc-values semantics: NULL reads as 0.0
+    assert "coalesce(CAST(t.n_chars AS DOUBLE), 0.0)" in sc.sql("s", "t.")
+    assert "(s)" in sc.sql("s", "t.")
+
+
+def test_missing_field_reads_as_zero_in_sql():
+    sc = parse_script("doc['x'].value + 5")
+    got = duckdb.sql(
+        f"SELECT {sc.sql(None, '')} AS v FROM (SELECT CAST(NULL AS DOUBLE) AS x)"
+    ).fetchone()[0]
+    assert got == 5.0
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "",  # empty
+        "1 +",  # dangling operator
+        "foo",  # unknown name
+        "exp(1)",  # unsupported function
+        "min(1)",  # arity
+        "pow(1, 2, 3)",  # arity
+        "doc['a'].count",  # only .value is doc-values access
+        "doc[\"a\"].value",  # single quotes only (the 1.x literal form)
+        "_source.text",  # no _source access
+        "a = 1",  # no assignment
+        "1 > 2",  # no comparisons
+        "(1 + 2",  # unbalanced
+        "1 2",  # trailing input
+    ],
+)
+def test_bad_scripts_raise(bad):
+    with pytest.raises(ValueError):
+        parse_script(bad)
+
+
+def test_score_binding_is_required():
+    sc = parse_script("_score * 2")
+    with pytest.raises(ValueError):
+        sc.sql(None)
+    with pytest.raises(ValueError):
+        sc.spark_col(None)
+
+
+def test_spark_column_twin_matches_sql(spark):
+    # one end-to-end twin check through a real Spark plan
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = "max(log1p(doc['v'].value), 0) + _score / 4 - min(doc['v'].value, 2)"
+    sc = parse_script(src)
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [0.0, 1.0, 7.5, None], "s": [1.0, 2.0, 3.0, 4.0]})
+    )
+    got = sorted(
+        r.out for r in df.select(sc.spark_col(F.col("s")).alias("out")).collect()
+    )
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {sc.sql('s', '')} FROM (VALUES (0.0, 1.0), (1.0, 2.0), "
+            "(7.5, 3.0), (CAST(NULL AS DOUBLE), 4.0)) AS t(v, s)"
+        ).fetchall()
+    )
+    assert got == pytest.approx(want, abs=1e-12)
