@@ -2024,11 +2024,70 @@ def _dsl_common(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsl_search(_docs(spark, sf_dir), _DSL_COMMON_BODY)
 
 
+_DSL_FLT_BODY = {
+    "query": {"fuzzy_like_this": {"like_text": "bath scen windoq",
+                                  "fuzziness": 1}},
+    "size": 12,
+}
+
+
+def _dsl_fuzzy_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x fuzzy_like_this: every analyzed like_text term expands to its
+    <=1-edit dictionary neighbors, BM25 over the expanded OR — one
+    vocabulary-scale dictionary agg + the ordinary two-pass topk plan."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_FLT_BODY)
+
+
+def _dsl_fuzzy_like_this_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuzzy_like_this on the SERVING path: per-source-term expansion against
+    the prebuilt terms/ dictionary, then ONE BMW scatter on the union
+    query — rank-identical to the declarative path."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_FLT_BODY)
+
+
+_ALIAS_BODY = {"query": {"match": {"text": "dup batch scan"}}, "size": 8}
+
+
+def _alias_registry():
+    from flume_elasticsearch_2_spark.operators.alias import AliasRegistry
+
+    reg = AliasRegistry()
+    reg.update([{"add": {"index": "documents", "alias": "docs_en",
+                         "filter": {"term": {"lang": "en"}}}}])
+    return reg
+
+
+def _alias_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x filtered alias: searching the alias == the target with the
+    alias filter ANDed in (the 1.x `filtered` body rewrite, exactly ES's
+    behavior) — reuses the tested DSL executor, zero new query semantics."""
+    from flume_elasticsearch_2_spark.operators.alias import search_alias
+
+    return search_alias(_alias_registry(), "docs_en", _docs(spark, sf_dir), _ALIAS_BODY)
+
+
+def _alias_filtered_search_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered alias on the SERVING path: the rewritten body's filter is a
+    Parquet-pruned stored-field predicate inside the one scatter."""
+    from flume_elasticsearch_2_spark.operators.alias import search_alias_index
+
+    return search_alias_index(_alias_registry(), "docs_en",
+                              _segment_searcher(spark, sf_dir), _ALIAS_BODY)
+
+
 # first-50 priority for the driver's truncated correctness artifact: round-3
 # entries first, then everything CORRECTNESS_r02.json did not record (the
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dsl_fuzzy_like_this",
+    "dsl_fuzzy_like_this_segment",
+    "alias_filtered_search",
+    "alias_filtered_search_segment",
     "dedup_paragraphs",
     "decontaminate_docs",
     "dsl_script_score",
@@ -2268,6 +2327,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_percentiles_agg"] = _dsl_percentiles_agg
     q["dsl_sig_terms"] = _dsl_sig_terms
     q["dsl_top_hits"] = _dsl_top_hits
+    q["dsl_fuzzy_like_this"] = _dsl_fuzzy_like_this
+    q["dsl_fuzzy_like_this_segment"] = _dsl_fuzzy_like_this_segment
+    q["alias_filtered_search"] = _alias_filtered_search
+    q["alias_filtered_search_segment"] = _alias_filtered_search_segment
     # round-3 wave: completion suggester, _termvector, common terms query
     q["collocations_pmi"] = _collocations
     q["funnel_events"] = _funnel_events
@@ -2690,6 +2753,12 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["funnel_events"] = funnel_sql(["view", "click", "purchase"], within_seconds=86400)
     o["retention_cohorts"] = retention_cohorts_sql("week")
     o["sessionize_events"] = sessionize_sql(1800)
+    o["dsl_fuzzy_like_this"] = dsl_search_sql(_DSL_FLT_BODY)
+    o["dsl_fuzzy_like_this_segment"] = o["dsl_fuzzy_like_this"]
+    from flume_elasticsearch_2_spark.operators.alias import search_alias_sql
+
+    o["alias_filtered_search"] = search_alias_sql(_alias_registry(), "docs_en", _ALIAS_BODY)
+    o["alias_filtered_search_segment"] = o["alias_filtered_search"]
     o["dsl_random_score"] = dsl_search_sql(_DSL_RANDOM_SCORE_BODY)
     o["dsl_query_facet"] = dsl_aggregation_sql(_DSL_QUERY_FACET_BODY)
     o["dsl_query_facet_segment"] = o["dsl_query_facet"]

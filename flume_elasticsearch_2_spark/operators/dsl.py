@@ -122,6 +122,7 @@ class _Spec:
         self.max_exp: int | None = None  # match_phrase_prefix expansion cap
         self.fscore_seed: int | None = None  # function_score random_score seed
         self.fscore_script: str | None = None  # function_score script_score src
+        self.flt: dict | None = None  # fuzzy_like_this params
         # body script_fields: [(name, parsed Script)] computed at fetch time
         self.script_fields: list | None = None
 
@@ -649,6 +650,23 @@ def parse_body(
         spec.mlt = dict(val)
         if "like" not in spec.mlt:
             _err("more_like_this needs 'like' (free-text form)")
+    elif kind in ("fuzzy_like_this", "flt"):
+        # ES 1.x FLT: like_text where every analyzed term also matches its
+        # close misspellings (operators/flt.py pins the contract; the 1.x
+        # min_similarity float form is unsupported — integer fuzziness only)
+        extra_ft = set(val) - {"like_text", "fields", "fuzziness", "prefix_length",
+                               "max_query_terms"}
+        if extra_ft:
+            _err(f"fuzzy_like_this keys {sorted(extra_ft)}")
+        if "fields" in val and list(val["fields"]) != [text_col]:
+            _err("fuzzy_like_this fields must be exactly the text field")
+        spec.kind = "flt"
+        spec.flt = dict(
+            like_text=val.get("like_text") or _err("fuzzy_like_this needs like_text"),
+            fuzziness=int(val.get("fuzziness", 1)),
+            prefix_length=int(val.get("prefix_length", 0)),
+            max_query_terms=int(val.get("max_query_terms", 25)),
+        )
     elif kind == "bool":
         _parse_bool(spec, val, text_col, analyzed)
     elif kind == "filtered":
@@ -1006,6 +1024,14 @@ def dsl_search(
             **{k: int(v) for k, v in m.items()
                if k in ("max_query_terms", "min_term_freq", "min_doc_freq")},
         )
+    if spec.kind == "flt":
+        if spec.filters or mn or spec.from_:
+            _err("fuzzy_like_this with filters/must_not/from")
+        from .flt import fuzzy_like_this_topk
+
+        return fuzzy_like_this_topk(
+            docs, k=spec.size, id_col=id_col, text_col=text_col, **spec.flt
+        )
     hits = bm25_topk(
         docs, spec.query, k=spec.from_ + spec.size, mode=spec.mode,
         id_col=id_col, text_col=spec.field or text_col,
@@ -1127,6 +1153,12 @@ def dsl_search_sql(
         return multiterm_topk_sql(pat, kind, k=spec.size, table=table, **kw)
     if spec.kind == "mlt":
         _err("more_like_this free-text form has no standalone SQL oracle here")
+    if spec.kind == "flt":
+        if spec.filters or mn or spec.from_:
+            _err("fuzzy_like_this with filters/must_not/from")
+        from .flt import fuzzy_like_this_sql
+
+        return fuzzy_like_this_sql(k=spec.size, table=table, **spec.flt)
     text_expr = (field_exprs or {}).get(spec.field) if spec.field else None
     inner = bm25_topk_sql(
         spec.query, k=spec.size, mode=spec.mode, table=table,
@@ -1245,6 +1277,10 @@ def dsl_search_index(
             **{k: int(v) for k, v in m.items()
                if k in ("max_query_terms", "min_term_freq", "min_doc_freq")},
         )
+    if spec.kind == "flt":
+        if spec.filters or mn or spec.from_:
+            _err("fuzzy_like_this with filters/must_not/from")
+        return searcher.fuzzy_like_this(k=spec.size, **spec.flt)
     sf = spec.script_fields or []
     hits = searcher.search(
         spec.query, k=spec.size, mode=spec.mode,

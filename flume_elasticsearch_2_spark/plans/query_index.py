@@ -1537,6 +1537,34 @@ class IndexSearcher:
         )
         return self.spark.createDataFrame(ranked, "suggestion string, score double")
 
+    def fuzzy_like_this(
+        self,
+        like_text: str,
+        k: int = 10,
+        fuzziness: int = 1,
+        prefix_length: int = 0,
+        max_query_terms: int = 25,
+    ) -> DataFrame:
+        """ES 1.x ``fuzzy_like_this`` on the SERVING path (contract pinned
+        in operators/flt.py): per-source-term UNCAPPED fuzzy expansion
+        against the prebuilt global ``terms/`` dictionary (``prefix_length``
+        > 0 range-prunes each read; vocabulary-scale either way, never a
+        corpus pass), then ONE BMW scatter over the sorted union query —
+        rank-identical to the declarative :func:`~..operators.flt
+        .fuzzy_like_this_topk`."""
+        from ..operators.flt import flt_source_terms
+
+        if fuzziness < 0 or prefix_length < 0:
+            raise ValueError("fuzziness and prefix_length must be non-negative")
+        expanded: set[str] = set()
+        for t in flt_source_terms(like_text, max_query_terms):
+            expanded.update(
+                self.expand_terms(t, "fuzzy", fuzziness, prefix_length, max_expansions=None)
+            )
+        if not expanded:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search(" ".join(sorted(expanded)), k=k)
+
     def more_like_this(
         self,
         like_text: str,

@@ -174,6 +174,18 @@ BODIES: list[tuple[str, dict, bool]] = [
         False,
     ),
     (
+        "fuzzy_like_this",
+        {"query": {"fuzzy_like_this": {"like_text": "bath scen windoq",
+                                       "fuzziness": 1}}, "size": 8},
+        True,
+    ),
+    (
+        "fuzzy_like_this_prefix_guard",
+        {"query": {"fuzzy_like_this": {"like_text": "batch dup", "fuzziness": 1,
+                                       "prefix_length": 2, "fields": ["text"]}}, "size": 6},
+        True,
+    ),
+    (
         "script_score",
         {"query": {"function_score": {
             "query": {"match": {"text": "dup batch scan"}},
@@ -279,6 +291,10 @@ def test_dsl_mlt_routes(documents, searcher):
                                       "script_score": {"script": "exp(_score)"}}}},
         {"query": {"function_score": {"query": {"match": {"text": "a"}},
                                       "script_score": {"script": "_source.text"}}}},
+        # fuzzy_like_this: 1.x min_similarity float form unsupported; text field only
+        {"query": {"fuzzy_like_this": {"like_text": "a", "min_similarity": 0.5}}},
+        {"query": {"fuzzy_like_this": {"like_text": "a", "fields": ["lang"]}}},
+        {"query": {"fuzzy_like_this": {"fuzziness": 1}}},
         # script_fields: no _score, no shadowing, match/match_all only
         {"query": {"match": {"text": "a"}},
          "script_fields": {"s": {"script": "_score + 1"}}},
