@@ -1,0 +1,293 @@
+"""ES 1.x geo queries: ``geo_distance`` filter/sort, ``geo_bounding_box``
+filter, and the ``geo_distance`` facet/agg (SURVEY §2.5; delegation site
+ElasticsearchSink.java:54 — the deployed ES 1.1 ships all three over a
+``geo_point`` field).
+
+Coordinates: any (lat, lon) double columns work. For the test/bench corpus
+(which carries no geo fields) ``geo_enrich`` derives deterministic
+coordinates from a key column via the cross-engine 60-bit md5 hash
+(functions/text.py md5_long_col) — pure IEEE double arithmetic after the
+hash, so Spark and DuckDB produce BIT-IDENTICAL lat/lon and the geo
+operators are fully value-oracle-checkable (the same trick random_score
+uses; no external data involved).
+
+Distance contract: great-circle haversine, R = 6371.0088 km (the IUGG mean
+Earth radius ES/Lucene also use to first order); distances round half-up
+to 6 decimals of km like every cross-engine float in this engine.
+ES 1.x accepts distance strings ("100km", "5000m") — parsed here too.
+
+Scale shape: every operator is a pure JVM expression filter over the
+corpus scan (predicate evaluated inside whole-stage codegen, columns
+pruned to id+lat+lon) + one TakeOrdered gather — zero joins, zero
+aggregation shuffles except the geo_distance agg's single
+map-side-combined range rollup. The bounding-box pre-filter in
+``geo_distance_hits`` is sargable (plain column comparisons), so a corpus
+sorted/partitioned by a space-filling curve gets scan pruning for free;
+the haversine refines inside the scan.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.text import MD5_LONG_SQL, md5_long_col
+
+__all__ = [
+    "geo_enrich",
+    "geo_enrich_sql",
+    "parse_distance",
+    "haversine_col",
+    "haversine_sql",
+    "geo_distance_hits",
+    "geo_distance_hits_sql",
+    "geo_bbox_hits",
+    "geo_bbox_hits_sql",
+    "geo_distance_agg",
+    "geo_distance_agg_sql",
+]
+
+EARTH_RADIUS_KM = 6371.0088
+_TWO60 = float(1 << 60)
+
+
+def geo_enrich(
+    docs: DataFrame, key_col: str = "doc_id",
+    lat_col: str = "lat", lon_col: str = "lon",
+) -> DataFrame:
+    """Attach deterministic (lat, lon) derived from ``key_col`` — uniform
+    over [-90, 90) x [-180, 180), bit-identical in DuckDB."""
+    key = F.col(key_col).cast("string")
+    lat = md5_long_col(F.concat(key, F.lit(":lat"))) / _TWO60 * 180.0 - 90.0
+    lon = md5_long_col(F.concat(key, F.lit(":lon"))) / _TWO60 * 360.0 - 180.0
+    return docs.withColumn(lat_col, lat).withColumn(lon_col, lon)
+
+
+def geo_enrich_sql(
+    table: str = "documents", key_col: str = "doc_id",
+    lat_col: str = "lat", lon_col: str = "lon",
+) -> str:
+    """DuckDB twin of :func:`geo_enrich` (a SELECT to use as a CTE body)."""
+    h_lat = MD5_LONG_SQL.format(expr=f"CAST({key_col} AS VARCHAR) || ':lat'")
+    h_lon = MD5_LONG_SQL.format(expr=f"CAST({key_col} AS VARCHAR) || ':lon'")
+    return (
+        f"SELECT *, {h_lat} / {_TWO60!r} * 180.0 - 90.0 AS {lat_col}, "
+        f"{h_lon} / {_TWO60!r} * 360.0 - 180.0 AS {lon_col} FROM {table}"
+    )
+
+
+def parse_distance(d: float | int | str) -> float:
+    """ES 1.x distance value -> km: a bare number is km; strings accept
+    km/m/mi units."""
+    if isinstance(d, (int, float)):
+        return float(d)
+    s = d.strip().lower()
+    for suffix, mult in (("km", 1.0), ("mi", 1.609344), ("m", 0.001)):
+        if s.endswith(suffix):
+            return float(s[: -len(suffix)]) * mult
+    raise ValueError(f"unsupported distance {d!r} (km/m/mi)")
+
+
+def haversine_col(
+    lat: Column | str, lon: Column | str, center_lat: float, center_lon: float
+) -> Column:
+    """Great-circle distance (km) from each row's point to the center —
+    pure JVM math functions, whole-stage codegen."""
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    rlat, rlon = F.radians(lat), F.radians(lon)
+    clat, clon = math.radians(center_lat), math.radians(center_lon)
+    a = (
+        F.pow(F.sin((rlat - F.lit(clat)) / 2), 2)
+        + F.cos(rlat) * F.lit(math.cos(clat))
+        * F.pow(F.sin((rlon - F.lit(clon)) / 2), 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def haversine_sql(
+    lat: str, lon: str, center_lat: float, center_lon: float
+) -> str:
+    """DuckDB twin of :func:`haversine_col` — same operation order so the
+    IEEE rounding path is identical."""
+    clat, clon = math.radians(center_lat), math.radians(center_lon)
+    a = (
+        f"pow(sin((radians({lat}) - {clat!r}) / 2), 2) "
+        f"+ cos(radians({lat})) * {math.cos(clat)!r} "
+        f"* pow(sin((radians({lon}) - {clon!r}) / 2), 2)"
+    )
+    return f"{2.0 * EARTH_RADIUS_KM!r} * asin(sqrt({a}))"
+
+
+def geo_distance_hits(
+    docs: DataFrame,
+    center_lat: float,
+    center_lon: float,
+    distance: float | int | str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """ES geo_distance filter + distance sort: points within ``distance``
+    of the center, nearest first. Returns (id_col, dist_km) ranked
+    (dist ASC, id ASC), top-k. The radius pre-check is a sargable
+    bounding-box predicate; haversine refines."""
+    r = parse_distance(distance)
+    dlat = math.degrees(r / EARTH_RADIUS_KM)
+    lat_band = F.col(lat_col).between(center_lat - dlat, center_lat + dlat)
+    d = haversine_col(lat_col, lon_col, center_lat, center_lon)
+    return (
+        docs.where(lat_band)
+        .select(id_col, d.alias("d"))
+        .where(F.col("d") <= r)
+        .orderBy(F.col("d").asc(), F.col(id_col).asc())
+        .limit(int(k))
+        .select(id_col, F.round("d", 6).alias("dist_km"))
+    )
+
+
+def geo_distance_hits_sql(
+    center_lat: float,
+    center_lon: float,
+    distance: float | int | str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    corpus_sql: str | None = None,
+) -> str:
+    """DuckDB oracle for :func:`geo_distance_hits` (same band pre-filter so
+    the compared set is identical)."""
+    r = parse_distance(distance)
+    dlat = math.degrees(r / EARTH_RADIUS_KM)
+    d = haversine_sql(lat_col, lon_col, center_lat, center_lon)
+    return f"""
+WITH geo AS ({corpus_sql or geo_enrich_sql()}),
+cand AS (
+  SELECT {id_col}, {d} AS d FROM geo
+  WHERE {lat_col} BETWEEN {center_lat - dlat!r} AND {center_lat + dlat!r}
+)
+SELECT {id_col}, round(d, 6) AS dist_km
+FROM cand WHERE d <= {r!r}
+ORDER BY d ASC, {id_col} ASC
+LIMIT {int(k)}
+"""
+
+
+def geo_bbox_hits(
+    docs: DataFrame,
+    top_left: tuple[float, float],
+    bottom_right: tuple[float, float],
+    k: int = 10,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """ES geo_bounding_box filter: points inside the box (corners as ES:
+    (lat, lon) of top_left / bottom_right; dateline-crossing boxes raise).
+    Returns (id_col, lat, lon rounded to 6) ordered by id, top-k."""
+    (t, l), (b, rg) = top_left, bottom_right
+    if l > rg or b > t:
+        raise ValueError("bounding box must have top_left above-left of "
+                         "bottom_right (dateline crossing unsupported)")
+    return (
+        docs.where(
+            F.col(lat_col).between(b, t) & F.col(lon_col).between(l, rg)
+        )
+        .orderBy(F.col(id_col).asc())
+        .limit(int(k))
+        .select(
+            id_col,
+            F.round(lat_col, 6).alias("lat6"),
+            F.round(lon_col, 6).alias("lon6"),
+        )
+    )
+
+
+def geo_bbox_hits_sql(
+    top_left: tuple[float, float],
+    bottom_right: tuple[float, float],
+    k: int = 10,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    corpus_sql: str | None = None,
+) -> str:
+    """DuckDB oracle for :func:`geo_bbox_hits`."""
+    (t, l), (b, rg) = top_left, bottom_right
+    if l > rg or b > t:
+        raise ValueError("bounding box must have top_left above-left of "
+                         "bottom_right (dateline crossing unsupported)")
+    return f"""
+WITH geo AS ({corpus_sql or geo_enrich_sql()})
+SELECT {id_col}, round({lat_col}, 6) AS lat6, round({lon_col}, 6) AS lon6
+FROM geo
+WHERE {lat_col} BETWEEN {b!r} AND {t!r} AND {lon_col} BETWEEN {l!r} AND {rg!r}
+ORDER BY {id_col} ASC
+LIMIT {int(k)}
+"""
+
+
+def geo_distance_agg(
+    docs: DataFrame,
+    center_lat: float,
+    center_lon: float,
+    ranges: list[tuple[float | None, float | None]],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """ES geo_distance aggregation: doc counts per [from, to) km ring
+    around the center (None = open end, ES semantics). ONE corpus pass,
+    counts as map-side-combined conditional sums — no shuffle of doc rows.
+    Returns (range_key, doc_count) in the given range order."""
+    d = haversine_col(lat_col, lon_col, center_lat, center_lon)
+    aggs, keys = [], []
+    for lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (d >= lo)
+        if hi is not None:
+            cond = cond & (d < hi)
+        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        keys.append(key)
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"c{len(aggs)}"))
+    row = docs.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(k).alias("range_key"),
+                 F.col(f"c{i}").cast("long").alias("doc_count"))
+        for i, k in enumerate(keys)
+    ])
+    return row.select(F.explode(pairs).alias("x")).select("x.*")
+
+
+def geo_distance_agg_sql(
+    center_lat: float,
+    center_lon: float,
+    ranges: list[tuple[float | None, float | None]],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    corpus_sql: str | None = None,
+) -> str:
+    """DuckDB oracle for :func:`geo_distance_agg`."""
+    d = haversine_sql(lat_col, lon_col, center_lat, center_lon)
+    selects = []
+    for lo, hi in ranges:
+        conds = []
+        if lo is not None:
+            conds.append(f"d >= {lo!r}")
+        if hi is not None:
+            conds.append(f"d < {hi!r}")
+        cond = " AND ".join(conds) or "TRUE"
+        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        selects.append(
+            f"SELECT '{key}' AS range_key, "
+            f"(SELECT count(*) FROM ringed WHERE {cond}) AS doc_count"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH geo AS ({corpus_sql or geo_enrich_sql()}),
+ringed AS (SELECT {d} AS d FROM geo)
+{union}
+"""
