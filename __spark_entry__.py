@@ -2024,6 +2024,118 @@ def _dsl_common(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsl_search(_docs(spark, sf_dir), _DSL_COMMON_BODY)
 
 
+_NESTED_CHILD_COLS = ["l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"]
+
+
+def _nested_corpus(spark: SparkSession, sf_dir: str):
+    from flume_elasticsearch_2_spark.operators.nested import nest_children
+
+    return nest_children(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        "o_orderkey", "l_orderkey", _NESTED_CHILD_COLS,
+    )
+
+
+def _nested_sum_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES nested query, score_mode=sum over a child field: children live in
+    the parent row as array<struct> (the Spark analog of ES's same-block
+    nested docs), so match+score is per-row array expressions — ZERO joins
+    or shuffles after the corpus is shaped (plan-pinned in
+    tests/test_nested.py)."""
+    from flume_elasticsearch_2_spark.operators.nested import nested_query
+
+    return nested_query(
+        _nested_corpus(spark, sf_dir),
+        [("l_quantity", ">=", 30.0), ("l_returnflag", "==", "R")],
+        score_mode="sum", score_field="l_extendedprice", k=15,
+    )
+
+
+def _nested_child_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nested score_mode=sum with constant-score children = the
+    matching-child count (exactly ES) — the filter + count is one
+    whole-stage-codegen pass over the co-located arrays."""
+    from flume_elasticsearch_2_spark.operators.nested import nested_query
+
+    return nested_query(
+        _nested_corpus(spark, sf_dir),
+        [("l_quantity", ">=", 30.0)], score_mode="sum", k=15,
+    )
+
+
+def _nested_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES nested aggregation: stats over a child field of the in-scope
+    parents — one explode + one map-side-combined global agg."""
+    from flume_elasticsearch_2_spark.operators.nested import nested_agg
+
+    return nested_agg(
+        _nested_corpus(spark, sf_dir), "l_quantity",
+        [("o_orderpriority", "==", "1-URGENT")],
+    )
+
+
+_SYN_RULES = ["dup => dup, group", "batch, fast"]
+
+
+def _synonym_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x query-time synonyms (Solr-format rules: equivalence class +
+    explicit mapping): each query term expands to its class, BM25 over the
+    expanded OR — expansion is O(|query|) driver work, zero extra
+    distributed cost."""
+    from flume_elasticsearch_2_spark.operators.synonyms import bm25_synonym_topk
+
+    return bm25_synonym_topk(_docs(spark, sf_dir), "dup batch", _SYN_RULES, k=12)
+
+
+def _synonym_search_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonyms on the SERVING path: one BMW scatter over the
+    expanded query."""
+    from flume_elasticsearch_2_spark.operators.synonyms import search_synonyms
+
+    return search_synonyms(
+        _segment_searcher(spark, sf_dir), "dup batch", _SYN_RULES, k=12
+    )
+
+
+_GEO_CENTER = (48.8566, 2.3522)
+
+
+def _geo_docs(spark: SparkSession, sf_dir: str):
+    from flume_elasticsearch_2_spark.operators.geo import geo_enrich
+
+    return geo_enrich(_docs(spark, sf_dir))
+
+
+def _geo_distance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance filter + distance sort: nearest docs within 2000 km
+    of the center. Coordinates are hash-derived (bit-identical in DuckDB);
+    the radius pre-check is a sargable lat-band predicate, haversine
+    refines inside the scan — zero joins, one TakeOrdered."""
+    from flume_elasticsearch_2_spark.operators.geo import geo_distance_hits
+
+    return geo_distance_hits(_geo_docs(spark, sf_dir), *_GEO_CENTER, "2000km", k=20)
+
+
+def _geo_bbox_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_bounding_box filter: two sargable BETWEEN predicates in one
+    codegen stage (partition-prunable under a space-filling-curve layout)."""
+    from flume_elasticsearch_2_spark.operators.geo import geo_bbox_hits
+
+    return geo_bbox_hits(_geo_docs(spark, sf_dir), (60.0, -30.0), (20.0, 40.0), k=25)
+
+
+def _geo_distance_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance aggregation: doc counts per distance ring in ONE
+    corpus pass (map-side-combined conditional sums, no doc-row shuffle)."""
+    from flume_elasticsearch_2_spark.operators.geo import geo_distance_agg
+
+    return geo_distance_agg(
+        _geo_docs(spark, sf_dir), *_GEO_CENTER,
+        [(None, 2000.0), (2000.0, 8000.0), (8000.0, None)],
+    )
+
+
 _DSL_FLT_BODY = {
     "query": {"fuzzy_like_this": {"like_text": "bath scen windoq",
                                   "fuzziness": 1}},
@@ -2084,6 +2196,14 @@ def _alias_filtered_search_segment(spark: SparkSession, sf_dir: str) -> DataFram
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "synonym_search",
+    "synonym_search_segment",
+    "geo_distance_search",
+    "geo_bbox_search",
+    "geo_distance_rings",
+    "nested_sum_scored",
+    "nested_child_count",
+    "nested_agg_stats",
     "dsl_fuzzy_like_this",
     "dsl_fuzzy_like_this_segment",
     "alias_filtered_search",
@@ -2327,6 +2447,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_percentiles_agg"] = _dsl_percentiles_agg
     q["dsl_sig_terms"] = _dsl_sig_terms
     q["dsl_top_hits"] = _dsl_top_hits
+    q["synonym_search"] = _synonym_search
+    q["synonym_search_segment"] = _synonym_search_segment
+    q["geo_distance_search"] = _geo_distance_search
+    q["geo_bbox_search"] = _geo_bbox_search
+    q["geo_distance_rings"] = _geo_distance_rings
+    q["nested_sum_scored"] = _nested_sum_scored
+    q["nested_child_count"] = _nested_child_count
+    q["nested_agg_stats"] = _nested_agg_stats
     q["dsl_fuzzy_like_this"] = _dsl_fuzzy_like_this
     q["dsl_fuzzy_like_this_segment"] = _dsl_fuzzy_like_this_segment
     q["alias_filtered_search"] = _alias_filtered_search
@@ -2753,6 +2881,38 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["funnel_events"] = funnel_sql(["view", "click", "purchase"], within_seconds=86400)
     o["retention_cohorts"] = retention_cohorts_sql("week")
     o["sessionize_events"] = sessionize_sql(1800)
+    from flume_elasticsearch_2_spark.operators.synonyms import bm25_synonym_sql
+
+    o["synonym_search"] = bm25_synonym_sql("dup batch", _SYN_RULES, k=12)
+    o["synonym_search_segment"] = o["synonym_search"]
+    from flume_elasticsearch_2_spark.operators.geo import (
+        geo_bbox_hits_sql,
+        geo_distance_agg_sql,
+        geo_distance_hits_sql,
+    )
+
+    o["geo_distance_search"] = geo_distance_hits_sql(*_GEO_CENTER, "2000km", k=20)
+    o["geo_bbox_search"] = geo_bbox_hits_sql((60.0, -30.0), (20.0, 40.0), k=25)
+    o["geo_distance_rings"] = geo_distance_agg_sql(
+        *_GEO_CENTER, [(None, 2000.0), (2000.0, 8000.0), (8000.0, None)]
+    )
+    from flume_elasticsearch_2_spark.operators.nested import (
+        nested_agg_sql,
+        nested_corpus_sql,
+        nested_query_sql,
+    )
+
+    _nc_sql = nested_corpus_sql(child_cols=_NESTED_CHILD_COLS)
+    o["nested_sum_scored"] = nested_query_sql(
+        [("l_quantity", ">=", 30.0), ("l_returnflag", "==", "R")],
+        score_mode="sum", score_field="l_extendedprice", k=15, corpus_sql=_nc_sql,
+    )
+    o["nested_child_count"] = nested_query_sql(
+        [("l_quantity", ">=", 30.0)], score_mode="sum", k=15, corpus_sql=_nc_sql,
+    )
+    o["nested_agg_stats"] = nested_agg_sql(
+        "l_quantity", [("o_orderpriority", "==", "1-URGENT")], corpus_sql=_nc_sql,
+    )
     o["dsl_fuzzy_like_this"] = dsl_search_sql(_DSL_FLT_BODY)
     o["dsl_fuzzy_like_this_segment"] = o["dsl_fuzzy_like_this"]
     from flume_elasticsearch_2_spark.operators.alias import search_alias_sql

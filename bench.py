@@ -199,6 +199,43 @@ def main() -> None:
     searcher.facet("batch small scan", "dl", kind="stats").collect()
     timings["facet_serving_stats"] = time.time() - t0
 
+    # 3d. nested query (round 3, Q42): zero-join array-expression match over
+    # the shaped array<struct> corpus — shaping pays one shuffle, every query
+    # after is a pure codegen scan
+    from flume_elasticsearch_2_spark.operators.nested import nest_children, nested_query
+
+    t0 = time.time()
+    ncorp = nest_children(
+        spark.read.parquet(f"{SF_DIR}/orders.parquet"),
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
+        "o_orderkey", "l_orderkey",
+        ["l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"],
+    ).persist()
+    ncorp.count()
+    timings["nested_shape"] = time.time() - t0
+    t0 = time.time()
+    nested_query(ncorp, [("l_quantity", ">=", 30.0)], "sum", "l_extendedprice", k=10).collect()
+    timings["nested_query"] = time.time() - t0
+    ncorp.unpersist()
+
+    # 3e. geo_distance (round 3, Q43): sargable lat-band prefilter +
+    # haversine refine inside one codegen scan, k-row gather
+    from flume_elasticsearch_2_spark.operators.geo import geo_distance_hits, geo_enrich
+
+    gdocs = geo_enrich(docs)
+    geo_distance_hits(gdocs, 48.8566, 2.3522, "2000km", k=20).collect()  # warm
+    t0 = time.time()
+    geo_distance_hits(gdocs, 48.8566, 2.3522, "2000km", k=20).collect()
+    timings["geo_distance"] = time.time() - t0
+
+    # 3f. fuzzy_like_this (round 3, Q40): vocabulary-scale Levenshtein
+    # expansion + the expanded-OR bm25 plan
+    from flume_elasticsearch_2_spark.operators.flt import fuzzy_like_this_topk
+
+    t0 = time.time()
+    fuzzy_like_this_topk(docs, "bath scen windoq", k=10).collect()
+    timings["flt_dataframe"] = time.time() - t0
+
     # 4. dedup
     t0 = time.time()
     minhash_lsh_pairs(docs, num_hashes=32, bands=8).count()

@@ -123,6 +123,7 @@ class _Spec:
         self.fscore_seed: int | None = None  # function_score random_score seed
         self.fscore_script: str | None = None  # function_score script_score src
         self.flt: dict | None = None  # fuzzy_like_this params
+        self.nested: dict | None = None  # nested query (path/triples/score_mode)
         # body script_fields: [(name, parsed Script)] computed at fetch time
         self.script_fields: list | None = None
 
@@ -667,6 +668,33 @@ def parse_body(
             prefix_length=int(val.get("prefix_length", 0)),
             max_query_terms=int(val.get("max_query_terms", 25)),
         )
+    elif kind == "nested":
+        # ES nested query over an array<struct> column (operators/nested.py
+        # pins the contract); filter-context inner queries, score_mode
+        # none/sum — docs must carry the nested column (shape with
+        # nest_children)
+        extra_n = set(val) - {"path", "query", "score_mode"}
+        if extra_n:
+            _err(f"nested keys {sorted(extra_n)}")
+        mode_n = val.get("score_mode", "none")
+        if mode_n not in ("none", "sum"):
+            _err("nested score_mode (none/sum for filter-context inner queries)")
+        inner = val.get("query") or _err("nested needs query")
+        ik, iv = _one_field(inner, "nested query")
+        if ik == "bool":
+            extra_b = set(iv) - {"filter"}
+            if extra_b:
+                _err(f"nested bool keys {sorted(extra_b)} (filter context only)")
+            clauses = iv.get("filter", [])
+            clauses = [clauses] if isinstance(clauses, dict) else list(clauses)
+        else:
+            clauses = [inner]
+        spec.kind = "nested"
+        spec.nested = {
+            "path": val.get("path") or _err("nested needs path"),
+            "triples": _filter_triples(clauses),
+            "score_mode": mode_n,
+        }
     elif kind == "bool":
         _parse_bool(spec, val, text_col, analyzed)
     elif kind == "filtered":
@@ -1032,6 +1060,16 @@ def dsl_search(
         return fuzzy_like_this_topk(
             docs, k=spec.size, id_col=id_col, text_col=text_col, **spec.flt
         )
+    if spec.kind == "nested":
+        if spec.filters or mn or spec.from_:
+            _err("nested with filters/must_not/from")
+        from .nested import nested_query
+
+        n = spec.nested
+        return nested_query(
+            docs, n["triples"], score_mode=n["score_mode"], k=spec.size,
+            id_col=id_col, nested_col=n["path"],
+        )
     hits = bm25_topk(
         docs, spec.query, k=spec.from_ + spec.size, mode=spec.mode,
         id_col=id_col, text_col=spec.field or text_col,
@@ -1159,6 +1197,9 @@ def dsl_search_sql(
         from .flt import fuzzy_like_this_sql
 
         return fuzzy_like_this_sql(k=spec.size, table=table, **spec.flt)
+    if spec.kind == "nested":
+        _err("nested has no standalone SQL oracle here — use "
+             "nested_query_sql with the corpus CTE (operators/nested.py)")
     text_expr = (field_exprs or {}).get(spec.field) if spec.field else None
     inner = bm25_topk_sql(
         spec.query, k=spec.size, mode=spec.mode, table=table,
@@ -1281,6 +1322,9 @@ def dsl_search_index(
         if spec.filters or mn or spec.from_:
             _err("fuzzy_like_this with filters/must_not/from")
         return searcher.fuzzy_like_this(k=spec.size, **spec.flt)
+    if spec.kind == "nested":
+        _err("nested is declarative-only (segment indexes store flat "
+             "fields; shape the corpus with nest_children and use dsl_search)")
     sf = spec.script_fields or []
     hits = searcher.search(
         spec.query, k=spec.size, mode=spec.mode,

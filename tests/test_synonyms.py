@@ -1,0 +1,89 @@
+"""ES 1.x query-time synonyms (SURVEY §2.5): Solr-rule parsing + expanded
+BM25 vs the DuckDB oracle and the serving path."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from flume_elasticsearch_2_spark.operators.synonyms import (
+    bm25_synonym_sql,
+    bm25_synonym_topk,
+    expand_query,
+    parse_synonyms,
+    search_synonyms,
+)
+
+RULES = ["dup, duplicate, copy", "batch => chunk, group"]
+# rules whose expansions actually occur in the test corpus
+CORPUS_RULES = ["dup => dup, group", "batch, fast"]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    return con
+
+
+def test_rule_parsing():
+    syn = parse_synonyms(RULES)
+    assert syn["dup"] == ("copy", "dup", "duplicate")
+    assert syn["copy"] == ("copy", "dup", "duplicate")
+    # explicit mapping REPLACES the LHS term (ES behavior)
+    assert syn["batch"] == ("chunk", "group")
+    assert "chunk" not in syn
+    # rule terms go through the analyzer: case folds
+    assert parse_synonyms(["Fast, QUICK"])["fast"] == ("fast", "quick")
+    with pytest.raises(ValueError):
+        parse_synonyms(["multi word, x"])
+    with pytest.raises(ValueError):
+        parse_synonyms(["a => b => c"])
+
+
+def test_expansion():
+    syn = parse_synonyms(RULES)
+    assert expand_query("dup batch", syn) == "chunk copy dup duplicate group"
+    assert expand_query("scan", syn) == "scan"  # unknown passes through
+
+
+def test_synonym_search_matches_duckdb(documents, duck):
+    got = [
+        tuple(r)
+        for r in bm25_synonym_topk(documents, "dup batch", CORPUS_RULES, k=12).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in duck.execute(bm25_synonym_sql("dup batch", CORPUS_RULES, k=12)).fetchall()
+    ]
+    assert got == want and got
+
+
+def test_synonyms_change_the_result(documents):
+    from flume_elasticsearch_2_spark.operators.topk import bm25_topk
+
+    plain = [tuple(r) for r in bm25_topk(documents, "dup", k=10).collect()]
+    syn = [
+        tuple(r)
+        for r in bm25_synonym_topk(documents, "dup", CORPUS_RULES, k=10).collect()
+    ]
+    assert plain != syn
+
+
+def test_serving_equals_declarative(spark, documents, tmp_path_factory):
+    from flume_elasticsearch_2_spark.plans.build_index import (
+        build_segments_partial,
+    )
+    from flume_elasticsearch_2_spark.plans.query_index import IndexSearcher
+
+    d = str(tmp_path_factory.mktemp("synidx") / "idx")
+    build_segments_partial(spark, documents, d, n_shards=4)
+    searcher = IndexSearcher(spark, d)
+    got = [
+        tuple(r) for r in search_synonyms(searcher, "dup batch", CORPUS_RULES, k=12).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in bm25_synonym_topk(documents, "dup batch", CORPUS_RULES, k=12).collect()
+    ]
+    assert got == want
