@@ -2075,6 +2075,30 @@ def _nested_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSL_MIN_SCORE_BODY = {
+    "query": {"bool": {"must": [{"match": {"text": "dup batch scan"}}],
+                       "filter": [{"range": {"n_chars": {"gte": 100}}}]}},
+    "size": 30, "min_score": 2.0,
+}
+
+
+def _dsl_min_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES min_score: hits below the threshold dropped. Passing docs are a
+    prefix of the score-desc ranking, so the post-slice filter equals ES's
+    filter-then-slice; compared on the rounded score all engines share."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_MIN_SCORE_BODY)
+
+
+def _dsl_min_score_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_score on the SERVING path: the threshold filters the k-row
+    gather — zero extra scatter work."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_MIN_SCORE_BODY)
+
+
 _SYN_RULES = ["dup => dup, group", "batch, fast"]
 
 
@@ -2196,6 +2220,8 @@ def _alias_filtered_search_segment(spark: SparkSession, sf_dir: str) -> DataFram
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dsl_min_score",
+    "dsl_min_score_segment",
     "synonym_search",
     "synonym_search_segment",
     "geo_distance_search",
@@ -2447,6 +2473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_percentiles_agg"] = _dsl_percentiles_agg
     q["dsl_sig_terms"] = _dsl_sig_terms
     q["dsl_top_hits"] = _dsl_top_hits
+    q["dsl_min_score"] = _dsl_min_score
+    q["dsl_min_score_segment"] = _dsl_min_score_segment
     q["synonym_search"] = _synonym_search
     q["synonym_search_segment"] = _synonym_search_segment
     q["geo_distance_search"] = _geo_distance_search
@@ -2881,6 +2909,8 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["funnel_events"] = funnel_sql(["view", "click", "purchase"], within_seconds=86400)
     o["retention_cohorts"] = retention_cohorts_sql("week")
     o["sessionize_events"] = sessionize_sql(1800)
+    o["dsl_min_score"] = dsl_search_sql(_DSL_MIN_SCORE_BODY)
+    o["dsl_min_score_segment"] = o["dsl_min_score"]
     from flume_elasticsearch_2_spark.operators.synonyms import bm25_synonym_sql
 
     o["synonym_search"] = bm25_synonym_sql("dup batch", _SYN_RULES, k=12)

@@ -47,6 +47,10 @@ silent best-effort):
     the field are kept, as in ES).
 * ``sort`` (ES TopFieldCollector semantics — scoring skipped) composes
   with match/match_all; ``highlight`` composes with plain match.
+* ``min_score`` (drop hits below the threshold, compared on the rounded
+  6-decimal score all three engines share) composes with scored
+  match/bool queries (incl. filters/must_not/from); other constructs
+  reject it loudly.
 * ``function_score`` with ``field_value_factor``, ``random_score`` (seeded)
   or ``script_score`` (the script — functions/scripts.py grammar, ``_score``
   bound to the BM25 base — REPLACES the score; declarative + oracle paths).
@@ -124,6 +128,7 @@ class _Spec:
         self.fscore_script: str | None = None  # function_score script_score src
         self.flt: dict | None = None  # fuzzy_like_this params
         self.nested: dict | None = None  # nested query (path/triples/score_mode)
+        self.min_score: float | None = None  # drop hits scoring below this
         # body script_fields: [(name, parsed Script)] computed at fetch time
         self.script_fields: list | None = None
 
@@ -374,13 +379,20 @@ def parse_body(
     analyzed = list(analyzed_fields) if analyzed_fields else [text_col]
     extra = set(body) - {
         "query", "from", "size", "sort", "highlight", "rescore", "_source",
-        "script_fields",
+        "script_fields", "min_score",
     }
     if extra:
         _err(f"body keys {sorted(extra)}")
     spec = _Spec()
     spec.from_ = int(body.get("from", 0))
     spec.size = int(body.get("size", 10))
+    if "min_score" in body:
+        # ES min_score: exclude hits below the threshold. Because ranking is
+        # score-descending, passing docs are exactly a PREFIX of the ranking,
+        # so filtering the sliced top-k equals slicing the filtered ranking —
+        # the executors apply it post-slice on the rounded score (threshold
+        # compared on the same 6-decimal value in all three engines).
+        spec.min_score = float(body["min_score"])
     kind, val = _one_field(body.get("query") or _err("body.query required"), "query")
     if kind == "match":
         _parse_match(spec, _one_field(val, "match"), text_col, analyzed)
@@ -854,6 +866,11 @@ def parse_body(
         # must_not clauses analyze against the DEFAULT text field; composing
         # them with a match on another field would silently mix analyzers
         _err("must_not with match on a non-default field")
+    if spec.min_score is not None and (
+        spec.sort is not None or spec.highlight is not None
+        or spec.rescore is not None or spec.kind != "match"
+    ):
+        _err("min_score composes with scored match/bool queries only")
     return spec
 
 
@@ -1078,6 +1095,8 @@ def dsl_search(
     )
     if spec.from_:
         hits = hits.orderBy(F.col("score").desc(), F.col("doc_id").asc()).offset(spec.from_)
+    if spec.min_score is not None:
+        hits = hits.where(F.col("score") >= spec.min_score)
     return _apply_source(hits, docs, spec, id_col)
 
 
@@ -1208,6 +1227,10 @@ def dsl_search_sql(
         text_expr=text_expr
         or (spec.field if spec.field not in (None, text_col) else "text"),
     )
+    if spec.min_score is not None:
+        inner = (
+            f"SELECT * FROM ({inner}) WHERE score >= {spec.min_score!r}"
+        )
     return _apply_source_sql(inner, spec, table)
 
 
@@ -1332,6 +1355,8 @@ def dsl_search_index(
         min_should_match=spec.msm, boosts=spec.boosts,
         from_=spec.from_, must_not=mn, fetch=bool(spec.source or sf),
     )
+    if spec.min_score is not None:
+        hits = hits.where(F.col("score") >= spec.min_score)
     if spec.source or sf:
         # ES fetch phase against the index's stored docs (_source analog);
         # script_fields compute over the fetched columns, pure JVM

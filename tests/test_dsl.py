@@ -174,6 +174,19 @@ BODIES: list[tuple[str, dict, bool]] = [
         False,
     ),
     (
+        "min_score",
+        {"query": {"match": {"text": "dup batch scan"}}, "size": 30,
+         "min_score": 3.0},
+        True,
+    ),
+    (
+        "min_score_filtered_bool",
+        {"query": {"bool": {"must": [{"match": {"text": "dup batch scan"}}],
+                            "filter": [{"range": {"n_chars": {"gte": 100}}}]}},
+         "size": 30, "min_score": 2.0},
+        True,
+    ),
+    (
         "fuzzy_like_this",
         {"query": {"fuzzy_like_this": {"like_text": "bath scen windoq",
                                        "fuzziness": 1}}, "size": 8},
@@ -291,6 +304,11 @@ def test_dsl_mlt_routes(documents, searcher):
                                       "script_score": {"script": "exp(_score)"}}}},
         {"query": {"function_score": {"query": {"match": {"text": "a"}},
                                       "script_score": {"script": "_source.text"}}}},
+        # min_score composes with scored match/bool only
+        {"query": {"match_all": {}}, "min_score": 1.0},
+        {"query": {"match": {"text": "a"}}, "min_score": 1.0,
+         "sort": [{"n_chars": "desc"}]},
+        {"query": {"match_phrase": {"text": "a b"}}, "min_score": 1.0},
         # fuzzy_like_this: 1.x min_similarity float form unsupported; text field only
         {"query": {"fuzzy_like_this": {"like_text": "a", "min_similarity": 0.5}}},
         {"query": {"fuzzy_like_this": {"like_text": "a", "fields": ["lang"]}}},
@@ -972,3 +990,24 @@ def test_function_score_random_score(documents, duck):
     with pytest.raises(ValueError):  # determinism contract: explicit seed
         parse_body({"query": {"function_score": {
             "query": {"match": {"text": "a"}}, "random_score": {}}}})
+
+
+def test_min_score_actually_bites_and_preserves_prefix(documents, duck):
+    """min_score drops the low-scoring tail of the SAME ranking (passing
+    docs are a prefix of the score-desc order, so post-slice filtering
+    equals ES's filter-then-slice)."""
+    base = {"query": {"match": {"text": "dup batch scan"}}, "size": 30}
+    full = [tuple(r) for r in dsl_search(documents, base).collect()]
+    cut = [
+        tuple(r)
+        for r in dsl_search(documents, {**base, "min_score": 3.0}).collect()
+    ]
+    assert cut and len(cut) < len(full)
+    assert cut == [t for t in full if t[1] >= 3.0]
+    want = [
+        tuple(r)
+        for r in duck.execute(
+            dsl_search_sql({**base, "min_score": 3.0})
+        ).fetchall()
+    ]
+    assert cut == want
