@@ -2099,6 +2099,85 @@ def _dsl_min_score_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_MIN_SCORE_BODY)
 
 
+_DSL_DECAY_GAUSS_BODY = {
+    "query": {"function_score": {
+        "query": {"match": {"text": "dup batch scan"}},
+        "gauss": {"n_chars": {"origin": 400, "scale": 250, "offset": 20,
+                              "decay": 0.4}},
+    }},
+    "size": 12,
+}
+
+_DSL_DECAY_LINEAR_BODY = {
+    "query": {"function_score": {
+        "query": {"match": {"text": "dup batch"}},
+        "linear": {"n_chars": {"origin": 300, "scale": 200}},
+        "boost_mode": "sum",
+    }},
+    "size": 12,
+}
+
+
+def _dsl_decay_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x function_score decay (gauss over a numeric field): BM25 base ×
+    exp(λ·d²) with λ computed once in Python — the multiplier rides the same
+    scan as the tf columns (zero-join plan), so at 10^12 docs decay costs one
+    extra JVM column. Reference delegation: ElasticsearchSink.java:54."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_DECAY_GAUSS_BODY)
+
+
+def _dsl_decay_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linear decay, boost_mode=sum: max((s−d)/s, 0) added to the base —
+    hits past s = scale/(1−rate) keep the pure BM25 order."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_DECAY_LINEAR_BODY)
+
+
+_DSL_POST_FILTER_BODY = {
+    "query": {"match": {"text": "dup batch scan"}},
+    "post_filter": {"term": {"lang": "en"}},
+    "size": 15,
+}
+
+_DSL_TERMS_OPTS_BODY = {
+    "query": {"match": {"text": "dup batch scan"}},
+    "aggs": {"langs": {"terms": {"field": "lang", "size": 10,
+                                 "min_doc_count": 3, "exclude": "e.*",
+                                 "order": {"_count": "asc"}}}},
+}
+
+
+def _dsl_post_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES post_filter: hits collected only if they pass (identical hit page
+    to bool.filter — pinned by test), while aggs in the same body see the
+    unfiltered query scope. The triples push to the Parquet scan like any
+    filter. Reference delegation: ElasticsearchSink.java:54."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_POST_FILTER_BODY)
+
+
+def _dsl_terms_agg_opts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms-agg options (min_doc_count / include / exclude / order):
+    all bucket-level — include/exclude prune before the groupBy shuffle,
+    min_doc_count is a post-agg HAVING, order re-sorts ≤cardinality rows."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _DSL_TERMS_OPTS_BODY)
+
+
+def _dsl_terms_agg_opts_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms-agg options on the SERVING path: per-shard partials merge
+    first, then the bucket-level options apply to ≤cardinality rows with
+    the declarative twin's exact expressions."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_index
+
+    return dsl_aggregation_index(_segment_searcher(spark, sf_dir), _DSL_TERMS_OPTS_BODY)
+
+
 _SYN_RULES = ["dup => dup, group", "batch, fast"]
 
 
@@ -2220,6 +2299,11 @@ def _alias_filtered_search_segment(spark: SparkSession, sf_dir: str) -> DataFram
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dsl_post_filter",
+    "dsl_terms_agg_opts",
+    "dsl_terms_agg_opts_segment",
+    "dsl_decay_gauss",
+    "dsl_decay_linear",
     "dsl_min_score",
     "dsl_min_score_segment",
     "synonym_search",
@@ -2475,6 +2559,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_top_hits"] = _dsl_top_hits
     q["dsl_min_score"] = _dsl_min_score
     q["dsl_min_score_segment"] = _dsl_min_score_segment
+    q["dsl_decay_gauss"] = _dsl_decay_gauss
+    q["dsl_decay_linear"] = _dsl_decay_linear
+    q["dsl_post_filter"] = _dsl_post_filter
+    q["dsl_terms_agg_opts"] = _dsl_terms_agg_opts
+    q["dsl_terms_agg_opts_segment"] = _dsl_terms_agg_opts_segment
     q["synonym_search"] = _synonym_search
     q["synonym_search_segment"] = _synonym_search_segment
     q["geo_distance_search"] = _geo_distance_search
@@ -2911,6 +3000,13 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["sessionize_events"] = sessionize_sql(1800)
     o["dsl_min_score"] = dsl_search_sql(_DSL_MIN_SCORE_BODY)
     o["dsl_min_score_segment"] = o["dsl_min_score"]
+    o["dsl_decay_gauss"] = dsl_search_sql(_DSL_DECAY_GAUSS_BODY)
+    o["dsl_decay_linear"] = dsl_search_sql(_DSL_DECAY_LINEAR_BODY)
+    o["dsl_post_filter"] = dsl_search_sql(_DSL_POST_FILTER_BODY)
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_sql
+
+    o["dsl_terms_agg_opts"] = dsl_aggregation_sql(_DSL_TERMS_OPTS_BODY)
+    o["dsl_terms_agg_opts_segment"] = o["dsl_terms_agg_opts"]
     from flume_elasticsearch_2_spark.operators.synonyms import bm25_synonym_sql
 
     o["synonym_search"] = bm25_synonym_sql("dup batch", _SYN_RULES, k=12)

@@ -15,10 +15,13 @@ silent best-effort):
 * body keys: ``query`` (required), ``from``, ``size``, ``sort``,
   ``highlight``, ``rescore`` (match_phrase rescorer over a window —
   composes with a plain scored match query only), ``_source`` (stored-field
-  filter: ``false`` or a list; composes with match / match_all), and
+  filter: ``false`` or a list; composes with match / match_all),
   ``script_fields`` (per-hit computed fields at fetch time — the
   functions/scripts.py arithmetic subset over doc values, no ``_score``;
-  composes with match / match_all, both paths).
+  composes with match / match_all, both paths), and ``post_filter``
+  (hit-page filter with bool.filter's clause grammar; hits are identical
+  to bool.filter's, aggregations ignore it — the agg/hit split the
+  construct exists for).
 * query clauses: ``match`` (with ``operator``/``minimum_should_match``/
   ``boost``; on the default text field or ANY field named in
   ``analyzed_fields``), ``match_phrase`` (with ``slop`` — the engine's
@@ -51,9 +54,11 @@ silent best-effort):
   6-decimal score all three engines share) composes with scored
   match/bool queries (incl. filters/must_not/from); other constructs
   reject it loudly.
-* ``function_score`` with ``field_value_factor``, ``random_score`` (seeded)
-  or ``script_score`` (the script — functions/scripts.py grammar, ``_score``
-  bound to the BM25 base — REPLACES the score; declarative + oracle paths).
+* ``function_score`` with ``field_value_factor``, ``random_score`` (seeded),
+  ``script_score`` (the script — functions/scripts.py grammar, ``_score``
+  bound to the BM25 base — REPLACES the score), or ONE decay function
+  (``gauss``/``exp``/``linear`` over a numeric field; ES formulas, missing
+  values score 1.0; date/geo origins rejected) — declarative + oracle paths.
 
 Scale shape: translation is pure driver-side dict walking; execution is
 whatever the routed operator does (two-narrow-pass declarative plans, BMW
@@ -126,6 +131,7 @@ class _Spec:
         self.max_exp: int | None = None  # match_phrase_prefix expansion cap
         self.fscore_seed: int | None = None  # function_score random_score seed
         self.fscore_script: str | None = None  # function_score script_score src
+        self.fscore_decay: dict | None = None  # function_score decay spec
         self.flt: dict | None = None  # fuzzy_like_this params
         self.nested: dict | None = None  # nested query (path/triples/score_mode)
         self.min_score: float | None = None  # drop hits scoring below this
@@ -379,7 +385,7 @@ def parse_body(
     analyzed = list(analyzed_fields) if analyzed_fields else [text_col]
     extra = set(body) - {
         "query", "from", "size", "sort", "highlight", "rescore", "_source",
-        "script_fields", "min_score",
+        "script_fields", "min_score", "post_filter",
     }
     if extra:
         _err(f"body keys {sorted(extra)}")
@@ -544,13 +550,50 @@ def parse_body(
         # widens/narrows it
         extra_fs = set(val) - {
             "query", "field_value_factor", "random_score", "boost_mode",
-            "script_score",
+            "script_score", "gauss", "exp", "linear",
         }
         if extra_fs:
             _err(f"function_score keys {sorted(extra_fs)}")
         rsc = val.get("random_score")
         ssc = val.get("script_score")
-        if ssc is not None:
+        dec_kinds = [kk for kk in ("gauss", "exp", "linear") if kk in val]
+        if dec_kinds:
+            # ES decay functions: {"gauss": {"<field>": {"origin", "scale",
+            # "offset", "decay"}}} — numeric fields only (date/geo origins
+            # are out of the subset), missing values score 1.0 as in ES
+            if len(dec_kinds) > 1 or rsc is not None or ssc is not None \
+                    or "field_value_factor" in val:
+                _err("function_score with a decay function and another function")
+            dec_kind = dec_kinds[0]
+            dfield, dparams = _one_field(val[dec_kind], dec_kind)
+            if not isinstance(dparams, dict):
+                _err(f"{dec_kind} params must be an object")
+            extra_d = set(dparams) - {"origin", "scale", "offset", "decay"}
+            if extra_d:
+                _err(f"{dec_kind} keys {sorted(extra_d)}")
+            for p in ("origin", "scale"):
+                if p not in dparams:
+                    _err(f"{dec_kind} needs {p!r}")
+            for p in ("origin", "scale", "offset", "decay"):
+                if p in dparams and not isinstance(dparams[p], (int, float)):
+                    _err(f"{dec_kind} {p!r} must be numeric "
+                         "(date/geo origins unsupported)")
+            spec.fscore_decay = {
+                "kind": dec_kind, "field": str(dfield),
+                "origin": float(dparams["origin"]),
+                "scale": float(dparams["scale"]),
+                "offset": float(dparams.get("offset", 0.0)),
+                "decay": float(dparams.get("decay", 0.5)),
+            }
+            from .topk import _decay_params
+
+            try:
+                _decay_params(spec.fscore_decay)
+            except ValueError as e:
+                _err(str(e))
+            fvf = {}
+            modifier = "none"
+        elif ssc is not None:
             # ES 1.x script_score: the script REPLACES the score (base BM25
             # bound as _score) — the functions/scripts.py arithmetic subset,
             # compiled to a JVM Column + SQL twin at parse time
@@ -607,13 +650,14 @@ def parse_body(
                 _err(f"function_score match options {sorted(extra_q)}")
             fmode = {"or": "or", "and": "and"}[qq.get("operator", "or")]
             qq = qq["query"]
-        if rsc is None and ssc is None and "field" not in fvf:
+        plain_fvf = rsc is None and ssc is None and not dec_kinds
+        if plain_fvf and "field" not in fvf:
             _err("field_value_factor needs field")
         spec.kind = "function_score"
         spec.fscore = (
             str(qq),
             fmode,
-            str(fvf["field"]) if (rsc is None and ssc is None) else None,
+            str(fvf["field"]) if plain_fvf else None,
             float(fvf.get("factor", 1.0)),
             modifier,
             float(fvf.get("missing", 1.0)),
@@ -749,6 +793,16 @@ def parse_body(
         _parse_query_string(spec, qs, default_op, text_col)
     else:
         _err(f"query clause {kind!r}")
+
+    if "post_filter" in body:
+        # ES post_filter: a hit is collected only if it passes, so the hit
+        # page is IDENTICAL to bool.filter's — the triples merge into
+        # spec.filters (before the sort/rescore/highlight guards, which
+        # therefore reject post_filter exactly as they reject filter).
+        # Aggregations legitimately IGNORE post_filter (that split is the
+        # construct's entire purpose) — dsl_aggregation reads only the
+        # body's query scope, which implements that for free.
+        spec.filters = spec.filters + _filter_triples([body["post_filter"]])
 
     if "sort" in body:
         sb = []
@@ -1035,7 +1089,7 @@ def dsl_search(
             docs, q, field, factor=factor, modifier=modifier, missing=missing,
             boost_mode=boost_mode, k=spec.size, mode=fmode,
             id_col=id_col, text_col=text_col, random_seed=spec.fscore_seed,
-            script=spec.fscore_script,
+            script=spec.fscore_script, decay=spec.fscore_decay,
         )
     if spec.kind == "common":
         if spec.from_:
@@ -1184,6 +1238,7 @@ def dsl_search_sql(
             q, field, factor=factor, modifier=modifier, missing=missing,
             boost_mode=boost_mode, k=spec.size, mode=fmode, table=table,
             random_seed=spec.fscore_seed, script=spec.fscore_script,
+            decay=spec.fscore_decay,
         )
     if spec.kind == "common":
         if spec.from_:
@@ -1447,7 +1502,24 @@ def _parse_aggs(body: dict, text_col: str) -> tuple[str | None, str, str, dict]:
         else:
             field = conf["field"]
         if kind == "terms":
+            extra_t = set(conf) - {
+                "field", "size", "min_doc_count", "include", "exclude", "order",
+            }
+            if extra_t:
+                _err(f"terms agg options {sorted(extra_t)}")
             kw["size"] = int(conf.get("size", 10))
+            if "min_doc_count" in conf:
+                kw["min_doc_count"] = int(conf["min_doc_count"])
+            for rk in ("include", "exclude"):
+                if rk in conf:
+                    if not isinstance(conf[rk], str):
+                        _err(f"terms {rk} must be a regex string")
+                    kw[rk] = conf[rk]
+            if "order" in conf:
+                okey, odir = _one_field(conf["order"], "terms order")
+                if okey not in ("_count", "_term") or odir not in ("asc", "desc"):
+                    _err(f"terms order {conf['order']!r}")
+                kw["order"] = (okey, odir)
         if kind == "histogram":
             kw["interval"] = int(conf["interval"])
         if kind == "range":

@@ -77,6 +77,18 @@ def _match_sql(
     return f"{fn}({tok_expr}, {lst})"
 
 
+def _terms_order(order: tuple[str, str] | None):
+    """ES terms-agg ``order`` → deterministic sort columns. Default is ES's
+    ``{"_count": "desc"}`` with the value as tiebreak; ``_term`` needs no
+    tiebreak (values are unique after the groupBy)."""
+    key, dr = order or ("_count", "desc")
+    if key not in ("_count", "_term") or dr not in ("asc", "desc"):
+        raise ValueError(f"terms order must be (_count|_term, asc|desc), got {order!r}")
+    if key == "_term":
+        return [getattr(F.col("value"), dr)()]
+    return [getattr(F.col("count"), dr)(), F.col("value").asc()]
+
+
 def terms_facet(
     docs: DataFrame,
     query: str | None,
@@ -86,15 +98,32 @@ def terms_facet(
     text_col: str = "text",
     stopwords: list[str] | None = None,
     analyzer: str = "ascii",
+    min_doc_count: int = 1,
+    include: str | None = None,
+    exclude: str | None = None,
+    order: tuple[str, str] | None = None,
 ) -> DataFrame:
-    """(value, count) — top-``size`` field values over the match set."""
-    return (
-        docs.where(match_condition(query, mode, text_col, stopwords, analyzer))
-        .groupBy(F.col(field).alias("value"))
-        .agg(F.count("*").alias("count"))
-        .orderBy(F.col("count").desc(), F.col("value").asc())
-        .limit(int(size))
-    )
+    """(value, count) — top-``size`` field values over the match set.
+
+    ES terms-agg options: ``min_doc_count`` drops buckets below the count,
+    ``include``/``exclude`` are WHOLE-VALUE regexes over the bucket key
+    (the three-engine-agreed pattern subset multiterm's regexp query pins —
+    NULL keys never match, so they drop on these paths, as ES drops missing
+    values), ``order`` is ``(_count|_term, asc|desc)``. All are bucket-level
+    operations — the groupBy shuffle is unchanged; include/exclude push into
+    the pre-agg scan, min_doc_count is a post-agg HAVING."""
+    from .multiterm import _validate_regexp
+
+    out = docs.where(match_condition(query, mode, text_col, stopwords, analyzer))
+    val = F.col(field)
+    if include is not None:
+        out = out.where(val.cast("string").rlike(f"^(?:{_validate_regexp(include)})$"))
+    if exclude is not None:
+        out = out.where(~val.cast("string").rlike(f"^(?:{_validate_regexp(exclude)})$"))
+    out = out.groupBy(val.alias("value")).agg(F.count("*").alias("count"))
+    if int(min_doc_count) > 1:
+        out = out.where(F.col("count") >= int(min_doc_count))
+    return out.orderBy(*_terms_order(order)).limit(int(size))
 
 
 def stats_facet(
@@ -210,13 +239,37 @@ def terms_facet_sql(
     table: str = "documents",
     stopwords: list[str] | None = None,
     analyzer: str = "ascii",
+    min_doc_count: int = 1,
+    include: str | None = None,
+    exclude: str | None = None,
+    order: tuple[str, str] | None = None,
 ) -> str:
+    from .multiterm import _validate_regexp
+
+    where = [_match_sql(query, mode, stopwords, analyzer)]
+    if include is not None:
+        where.append(
+            f"regexp_full_match(CAST({field} AS VARCHAR), '{_validate_regexp(include)}')"
+        )
+    if exclude is not None:
+        where.append(
+            f"NOT regexp_full_match(CAST({field} AS VARCHAR), '{_validate_regexp(exclude)}')"
+        )
+    having = f"HAVING count(*) >= {int(min_doc_count)}" if int(min_doc_count) > 1 else ""
+    key, dr = order or ("_count", "desc")
+    if key not in ("_count", "_term") or dr not in ("asc", "desc"):
+        raise ValueError(f"terms order must be (_count|_term, asc|desc), got {order!r}")
+    order_by = (
+        f"value {dr.upper()}" if key == "_term"
+        else f"count(*) {dr.upper()}, value ASC"
+    )
     return f"""
 SELECT {field} AS value, count(*) AS count
 FROM {table}
-WHERE {_match_sql(query, mode, stopwords, analyzer)}
+WHERE {" AND ".join(where)}
 GROUP BY {field}
-ORDER BY count(*) DESC, value ASC
+{having}
+ORDER BY {order_by}
 LIMIT {int(size)}
 """
 

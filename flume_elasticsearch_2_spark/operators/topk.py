@@ -672,6 +672,83 @@ def match_count_sql(
 # the subset — no log10 parity is pinned anywhere here.
 FVF_MODIFIERS = ("none", "ln1p", "ln2p", "sqrt", "square", "reciprocal")
 
+# ES 1.x decay functions (gauss / exp / linear) over a NUMERIC doc field.
+# The multiplier is pure float64 arithmetic over exp/ln (the parity-pinned
+# pair the BM25 oracle itself rests on), with the shape constant λ computed
+# ONCE in Python and injected as the same literal into both engines — so the
+# Spark column and the DuckDB expression evaluate bit-identically. Date and
+# geo origins are out of the subset (raise loudly); cast dates to epoch
+# numerics upstream if needed.
+DECAY_KINDS = ("gauss", "exp", "linear")
+
+
+def _decay_params(decay: dict) -> tuple[str, str, float, float, float, float]:
+    """Validate/normalize a decay spec dict → (kind, field, origin, scale,
+    offset, rate). ES defaults: offset 0, decay rate 0.5."""
+    import math
+
+    kind = decay.get("kind")
+    if kind not in DECAY_KINDS:
+        raise ValueError(f"decay kind must be one of {DECAY_KINDS}, got {kind!r}")
+    extra = set(decay) - {"kind", "field", "origin", "scale", "offset", "decay"}
+    if extra:
+        raise ValueError(f"decay keys {sorted(extra)} unsupported")
+    for req in ("field", "origin", "scale"):
+        if req not in decay:
+            raise ValueError(f"decay needs {req!r}")
+    scale = float(decay["scale"])
+    rate = float(decay.get("decay", 0.5))
+    if scale <= 0:
+        raise ValueError("decay scale must be > 0")
+    if not 0.0 < rate < 1.0:
+        raise ValueError("decay rate must be in (0, 1)")
+    if math.isnan(float(decay["origin"])):
+        raise ValueError("decay origin must be a number")
+    return (
+        kind, str(decay["field"]), float(decay["origin"]), scale,
+        float(decay.get("offset", 0.0)), rate,
+    )
+
+
+def decay_col(decay: dict):
+    """ES decay multiplier as a pure JVM Column (docs missing the field get
+    1.0, as ES decay functions do).
+
+    gauss:  exp(λ·d²), λ = ln(rate)/scale²      (ES σ² = −scale²/(2·ln rate))
+    exp:    exp(λ·d),  λ = ln(rate)/scale
+    linear: max((s−d)/s, 0), s = scale/(1−rate)
+    with d = max(|v−origin|−offset, 0)."""
+    import math
+
+    kind, field, origin, scale, offset, rate = _decay_params(decay)
+    v = F.col(field).cast("double")
+    d = F.greatest(F.abs(v - F.lit(origin)) - F.lit(offset), F.lit(0.0))
+    if kind == "gauss":
+        mult = F.exp(F.lit(math.log(rate) / (scale * scale)) * d * d)
+    elif kind == "exp":
+        mult = F.exp(F.lit(math.log(rate) / scale) * d)
+    else:
+        s = scale / (1.0 - rate)
+        mult = F.greatest((F.lit(s) - d) / F.lit(s), F.lit(0.0))
+    return F.when(F.col(field).isNull(), F.lit(1.0)).otherwise(mult)
+
+
+def decay_sql(decay: dict) -> str:
+    """DuckDB twin of :func:`decay_col` — same λ literal, same arithmetic
+    order, so float64 results match bit-for-bit."""
+    import math
+
+    kind, field, origin, scale, offset, rate = _decay_params(decay)
+    d = f"greatest(abs(CAST({field} AS DOUBLE) - {origin!r}) - {offset!r}, 0.0)"
+    if kind == "gauss":
+        mult = f"exp({math.log(rate) / (scale * scale)!r} * {d} * {d})"
+    elif kind == "exp":
+        mult = f"exp({math.log(rate) / scale!r} * {d})"
+    else:
+        s = scale / (1.0 - rate)
+        mult = f"greatest(({s!r} - {d}) / {s!r}, 0.0)"
+    return f"(CASE WHEN {field} IS NULL THEN 1.0 ELSE {mult} END)"
+
 
 def bm25_function_score_topk(
     docs: DataFrame,
@@ -689,6 +766,7 @@ def bm25_function_score_topk(
     b: float = B,
     random_seed: int | None = None,
     script: str | None = None,
+    decay: dict | None = None,
 ) -> DataFrame:
     """ES ``function_score`` with a ``field_value_factor`` function
     (SURVEY §2.5 Q21 subset; reference delegation site
@@ -719,8 +797,19 @@ def bm25_function_score_topk(
     (the :mod:`..functions.scripts` arithmetic subset, ``_score`` bound to
     the BM25 base) REPLACES the score outright — compiled once into a pure
     JVM Column, so the "script" still runs inside whole-stage codegen, not
-    an interpreter. Mutually exclusive with ``field``/``random_seed``."""
+    an interpreter. Mutually exclusive with ``field``/``random_seed``.
+
+    ``decay`` switches the function to an ES decay function
+    (:data:`DECAY_KINDS` — dict keys ``kind``/``field``/``origin``/
+    ``scale``/``offset``/``decay``): the per-doc multiplier is
+    :func:`decay_col` over the numeric field (missing values → 1.0, as ES),
+    combined with the base per ``boost_mode``. Same zero-join plan — the
+    decay field rides the scan like any stored column."""
     sc = None
+    if decay is not None:
+        if script is not None or random_seed is not None or field is not None:
+            raise ValueError("decay excludes field_value_factor/random_score/script_score")
+        _decay_params(decay)  # validate eagerly, before any Spark job
     if script is not None:
         if random_seed is not None or field is not None:
             raise ValueError("script_score excludes field_value_factor/random_score")
@@ -764,6 +853,8 @@ def bm25_function_score_topk(
             F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(int(random_seed))))
         )
         fsv_col = F.lit(float(factor)) * (rv.cast("double") / F.lit(float(1 << 60)))
+    elif decay is not None:
+        fsv_col = decay_col(decay)
     else:
         fv = F.coalesce(F.col(field).cast("double"), F.lit(float(missing)))
         fn = {
@@ -843,11 +934,18 @@ def bm25_function_score_topk_sql(
     table: str = "documents",
     random_seed: int | None = None,
     script: str | None = None,
+    decay: dict | None = None,
 ) -> str:
     """DuckDB oracle for :func:`bm25_function_score_topk` — the bm25 oracle
     with a per-doc field-value-factor column combined per ``boost_mode``
     (``random_seed``: the seeded md5-prefix uniform draw instead;
-    ``script``: the script's SQL twin replaces the score outright)."""
+    ``script``: the script's SQL twin replaces the score outright;
+    ``decay``: :func:`decay_sql` as the multiplier, missing → 1.0)."""
+    if decay is not None:
+        if script is not None or random_seed is not None or field is not None:
+            raise ValueError("decay excludes field_value_factor/random_score/script_score")
+        _decay_params(decay)
+        factor = 1.0
     if script is not None:
         if random_seed is not None or field is not None:
             raise ValueError("script_score excludes field_value_factor/random_score")
@@ -873,6 +971,8 @@ def bm25_function_score_topk_sql(
             expr=f"(CAST(doc_id AS VARCHAR) || ':' || '{int(random_seed)}')"
         )
         fn = f"(CAST({rv} AS DOUBLE) / {float(1 << 60)!r})"
+    elif decay is not None:
+        fn = decay_sql(decay)
     else:
         fv = f"coalesce(CAST({field} AS DOUBLE), {float(missing)!r})"
         fn = {

@@ -1990,6 +1990,10 @@ class IndexSearcher:
         value_field: str | None = None,
         ranges: list[dict] | None = None,
         filters: dict[str, list] | None = None,
+        min_doc_count: int = 1,
+        include: str | None = None,
+        exclude: str | None = None,
+        order: tuple[str, str] | None = None,
     ) -> DataFrame:
         """ES facet/aggregation over the query's match set on the SERVING
         path (operators/facets.py and operators/aggs.py have the declarative
@@ -2294,9 +2298,23 @@ class IndexSearcher:
                     F.count("*").alias("count")
                 )
             )
-            return src.orderBy(F.col("count").desc(), F.col("value").asc()).limit(
-                int(size)
-            )
+            # ES terms-agg options are BUCKET-level: apply them after the
+            # partial merge (≤ field cardinality rows) with the exact
+            # expressions of the declarative twin (operators/facets.py)
+            from ..operators.facets import _terms_order
+            from ..operators.multiterm import _validate_regexp
+
+            if include is not None:
+                src = src.where(
+                    F.col("value").cast("string").rlike(f"^(?:{_validate_regexp(include)})$")
+                )
+            if exclude is not None:
+                src = src.where(
+                    ~F.col("value").cast("string").rlike(f"^(?:{_validate_regexp(exclude)})$")
+                )
+            if int(min_doc_count) > 1:
+                src = src.where(F.col("count") >= int(min_doc_count))
+            return src.orderBy(*_terms_order(order)).limit(int(size))
         if kind == "histogram":
             if partials is None:
                 bucket = (F.floor(F.col(field) / F.lit(int(interval))) * int(interval)).cast("long")

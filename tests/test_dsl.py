@@ -174,6 +174,19 @@ BODIES: list[tuple[str, dict, bool]] = [
         False,
     ),
     (
+        "post_filter_term",
+        {"query": {"match": {"text": "dup batch scan"}},
+         "post_filter": {"term": {"lang": "en"}}, "size": 10},
+        True,
+    ),
+    (
+        "post_filter_range_composed",
+        {"query": {"bool": {"must": [{"match": {"text": "dup batch"}}],
+                            "filter": [{"exists": {"field": "lang"}}]}},
+         "post_filter": {"range": {"n_chars": {"gte": 200}}}, "size": 10},
+        True,
+    ),
+    (
         "min_score",
         {"query": {"match": {"text": "dup batch scan"}}, "size": 30,
          "min_score": 3.0},
@@ -212,6 +225,32 @@ BODIES: list[tuple[str, dict, bool]] = [
             "query": {"match": {"text": "dup batch"}},
             "script_score": {"script": "sqrt(doc['n_chars'].value) + max(1, 2)"},
         }}, "size": 5},
+        False,
+    ),
+    (
+        "decay_gauss",
+        {"query": {"function_score": {
+            "query": {"match": {"text": "dup batch scan"}},
+            "gauss": {"n_chars": {"origin": 400, "scale": 250, "offset": 20,
+                                  "decay": 0.4}},
+        }}, "size": 8},
+        False,  # function_score is declarative-only (house precedent)
+    ),
+    (
+        "decay_linear_sum",
+        {"query": {"function_score": {
+            "query": {"match": {"text": "dup batch"}},
+            "linear": {"n_chars": {"origin": 300, "scale": 200}},
+            "boost_mode": "sum",
+        }}, "size": 8},
+        False,
+    ),
+    (
+        "decay_exp_defaults",
+        {"query": {"function_score": {
+            "query": {"match": {"text": {"query": "scan window", "operator": "and"}}},
+            "exp": {"n_chars": {"origin": 500, "scale": 150}},
+        }}, "size": 8},
         False,
     ),
     (
@@ -304,6 +343,28 @@ def test_dsl_mlt_routes(documents, searcher):
                                       "script_score": {"script": "exp(_score)"}}}},
         {"query": {"function_score": {"query": {"match": {"text": "a"}},
                                       "script_score": {"script": "_source.text"}}}},
+        # decay: ONE function, numeric origins only, params validated
+        {"query": {"function_score": {"query": {"match": {"text": "a"}},
+                                      "gauss": {"n_chars": {"origin": 1, "scale": 2}},
+                                      "linear": {"n_chars": {"origin": 1, "scale": 2}}}}},
+        {"query": {"function_score": {"query": {"match": {"text": "a"}},
+                                      "gauss": {"n_chars": {"origin": 1, "scale": 2}},
+                                      "random_score": {"seed": 7}}}},
+        {"query": {"function_score": {"query": {"match": {"text": "a"}},
+                                      "gauss": {"created_at": {"origin": "now",
+                                                               "scale": "7d"}}}}},
+        {"query": {"function_score": {"query": {"match": {"text": "a"}},
+                                      "gauss": {"n_chars": {"scale": 2}}}}},
+        {"query": {"function_score": {"query": {"match": {"text": "a"}},
+                                      "exp": {"n_chars": {"origin": 1, "scale": 0}}}}},
+        {"query": {"function_score": {"query": {"match": {"text": "a"}},
+                                      "linear": {"n_chars": {"origin": 1, "scale": 2,
+                                                             "decay": 1.5}}}}},
+        # post_filter merges into spec.filters -> sort/highlight reject it
+        {"query": {"match": {"text": "a"}}, "post_filter": {"term": {"lang": "en"}},
+         "sort": [{"n_chars": "desc"}]},
+        {"query": {"match": {"text": "a"}}, "post_filter": {"term": {"lang": "en"}},
+         "highlight": {"fields": {"text": {}}}},
         # min_score composes with scored match/bool only
         {"query": {"match_all": {}}, "min_score": 1.0},
         {"query": {"match": {"text": "a"}}, "min_score": 1.0,
@@ -334,6 +395,26 @@ AGG_BODIES = [
         "terms_scoped",
         {"query": {"match": {"text": "dup batch scan"}},
          "aggs": {"langs": {"terms": {"field": "lang", "size": 5}}}},
+    ),
+    (
+        # ES terms-agg options: bucket floor + ascending count order
+        "terms_min_doc_count_order",
+        {"query": {"match": {"text": "dup batch scan"}},
+         "aggs": {"langs": {"terms": {"field": "lang", "size": 10,
+                                      "min_doc_count": 3,
+                                      "order": {"_count": "asc"}}}}},
+    ),
+    (
+        # include: whole-value regex over the bucket key (three-engine subset)
+        "terms_include",
+        {"aggs": {"langs": {"terms": {"field": "lang", "size": 10,
+                                      "include": "(en|fr|de)"}}}},
+    ),
+    (
+        "terms_exclude_term_order",
+        {"aggs": {"langs": {"terms": {"field": "lang", "size": 10,
+                                      "exclude": "e.*",
+                                      "order": {"_term": "desc"}}}}},
     ),
     (
         "stats_matchall",
@@ -493,6 +574,20 @@ def test_dsl_aggs_rejects_unsupported():
 
     with pytest.raises(ValueError, match="unsupported DSL"):
         dsl_aggregation_sql({"aggs": {"a": {"geo_distance": {"field": "lang"}}}})
+    # terms-agg options validated loudly
+    for bad_terms in (
+        {"field": "lang", "order": {"_key": "asc"}},
+        {"field": "lang", "order": {"_count": "down"}},
+        {"field": "lang", "shard_size": 5},
+        {"field": "lang", "include": 5},
+    ):
+        with pytest.raises(ValueError, match="unsupported DSL"):
+            dsl_aggregation_sql({"aggs": {"a": {"terms": bad_terms}}})
+    # include/exclude restricted to the three-engine regex subset
+    with pytest.raises(ValueError, match="regexp pattern"):
+        dsl_aggregation_sql(
+            {"aggs": {"a": {"terms": {"field": "lang", "include": "en\\d"}}}}
+        )
     # significant_terms needs a foreground (match) scope and the text field
     with pytest.raises(ValueError, match="unsupported DSL"):
         dsl_aggregation_sql({"aggs": {"a": {"significant_terms": {"field": "text"}}}})
@@ -1011,3 +1106,90 @@ def test_min_score_actually_bites_and_preserves_prefix(documents, duck):
         ).fetchall()
     ]
     assert cut == want
+
+
+def _decay_body(kind: str, boost_mode: str = "multiply", **params) -> dict:
+    p = {"origin": 400, "scale": 250, "offset": 20, "decay": 0.4, **params}
+    return {
+        "query": {"function_score": {
+            "query": {"match": {"text": "dup batch scan"}},
+            kind: {"n_chars": p},
+            "boost_mode": boost_mode,
+        }},
+        "size": 12,
+    }
+
+
+@pytest.mark.parametrize("kind", ["gauss", "exp", "linear"])
+@pytest.mark.parametrize("boost_mode", ["multiply", "sum"])
+def test_decay_matches_duckdb(documents, duck, kind, boost_mode):
+    """ES decay functions: combined ranking identical to the DuckDB oracle
+    for every kind x boost_mode (the λ literal is computed once in Python,
+    so exp/ln float64 parity carries the whole expression)."""
+    body = _decay_body(kind, boost_mode)
+    got = [tuple(r) for r in dsl_search(documents, body).collect()]
+    want = [tuple(r) for r in duck.execute(dsl_search_sql(body)).fetchall()]
+    assert got == want and len(got) == 12, (kind, boost_mode)
+
+
+def test_decay_semantics_pinned(spark):
+    """The ES formulas, pinned on hand-checkable points: at |v-origin| <=
+    offset the multiplier is exactly 1; at distance == scale (past offset)
+    it is exactly the decay rate; linear hits 0 at s = scale/(1-rate)."""
+    import math
+
+    from flume_elasticsearch_2_spark.operators.topk import decay_col
+
+    rows = [
+        (i, None if v is None else float(v))
+        for i, v in enumerate([400, 390, 420, 670, 150, 1500, None])
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars double")
+    out = {}
+    for kind in ("gauss", "exp", "linear"):
+        dec = {"kind": kind, "field": "n_chars", "origin": 400.0,
+               "scale": 250.0, "offset": 20.0, "decay": 0.4}
+        vals = df.select("doc_id", decay_col(dec).alias("m")).collect()
+        out[kind] = {r.doc_id: r.m for r in vals}
+    for kind in out:
+        assert out[kind][0] == 1.0 and out[kind][1] == 1.0 and out[kind][2] == 1.0
+        assert out[kind][3] == pytest.approx(0.4, abs=1e-12)  # dist == scale
+        assert out[kind][6] == 1.0  # missing field -> 1.0, as ES
+    # rate^((dist/scale)^2) vs rate^(dist/scale): gauss decays slower inside
+    # the scale radius, faster outside
+    assert out["gauss"][4] > out["exp"][4]          # dist 230 < scale
+    assert out["gauss"][5] < out["exp"][5]          # dist 1080 > scale
+    # linear: zero exactly at offset + scale/(1-rate) past origin
+    s = 250.0 / (1.0 - 0.4)
+    row = spark.createDataFrame(
+        [(0, 400.0 + 20.0 + s)], "doc_id long, n_chars double"
+    ).select(decay_col({"kind": "linear", "field": "n_chars", "origin": 400.0,
+                        "scale": 250.0, "offset": 20.0, "decay": 0.4}).alias("m"))
+    assert row.collect()[0].m == 0.0
+    assert math.isclose(out["linear"][3], 0.4)
+
+
+def test_post_filter_hits_equal_bool_filter_but_aggs_ignore_it(documents, duck):
+    """The ES agg/hit split post_filter exists for: the hit page is identical
+    to bool.filter's (a hit is collected only if it passes), while an agg in
+    the same body sees the UNFILTERED query scope."""
+    from flume_elasticsearch_2_spark.operators.dsl import (
+        dsl_aggregation,
+        dsl_aggregation_sql,
+    )
+
+    pf = {"query": {"match": {"text": "dup batch scan"}},
+          "post_filter": {"term": {"lang": "en"}}, "size": 15}
+    bf = {"query": {"bool": {"must": [{"match": {"text": "dup batch scan"}}],
+                             "filter": [{"term": {"lang": "en"}}]}}, "size": 15}
+    got_pf = [tuple(r) for r in dsl_search(documents, pf).collect()]
+    got_bf = [tuple(r) for r in dsl_search(documents, bf).collect()]
+    assert got_pf and got_pf == got_bf
+    # aggs ignore post_filter: same agg result with and without it
+    agg_body = {"query": {"match": {"text": "dup batch scan"}},
+                "aggs": {"langs": {"terms": {"field": "lang", "size": 5}}}}
+    with_pf = {**agg_body, "post_filter": {"term": {"lang": "en"}}}
+    a = [tuple(r) for r in dsl_aggregation(documents, agg_body).collect()]
+    b = [tuple(r) for r in dsl_aggregation(documents, with_pf).collect()]
+    assert a == b and len(a) > 1  # >1 lang bucket -> the filter WOULD bite
+    assert dsl_aggregation_sql(with_pf) == dsl_aggregation_sql(agg_body)
