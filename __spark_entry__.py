@@ -2178,6 +2178,24 @@ def _dsl_terms_agg_opts_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsl_aggregation_index(_segment_searcher(spark, sf_dir), _DSL_TERMS_OPTS_BODY)
 
 
+_DSL_HLL_BODY = {
+    "query": {"match": {"text": "dup batch scan"}},
+    "aggs": {"n": {"cardinality": {"field": "text", "precision_threshold": 0}}},
+}
+
+
+def _dsl_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality agg at precision_threshold=0 ("always sketch") → a
+    DETERMINISTIC HyperLogLog whose registers are identical in Spark and
+    DuckDB (60-bit md5 hash, string-bit-length rho, BIGINT-scaled register
+    sums), so the ESTIMATE itself is oracle-exact. Scale shape: the only
+    shuffle is ≤2^p register rows with map-side-combined max — the reason
+    ES's own cardinality agg is HLL++. operators/aggs.py:hll_cardinality."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _DSL_HLL_BODY)
+
+
 _SYN_RULES = ["dup => dup, group", "batch, fast"]
 
 
@@ -2237,6 +2255,28 @@ def _geo_distance_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
         _geo_docs(spark, sf_dir), *_GEO_CENTER,
         [(None, 2000.0), (2000.0, 8000.0), (8000.0, None)],
     )
+
+
+_GEO_POLY = [(-60.0, -120.0), (70.0, -100.0), (60.0, 80.0), (-40.0, 60.0)]
+
+
+def _geohash_grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geohash_grid agg: standard Niemeyer geohash (pinned against an
+    independent textbook encoder by test) as a pure JVM bit-interleave
+    expression riding the scan — the only shuffle is ≤32^precision
+    map-side-combined cells. operators/geo.py:geohash_grid_agg."""
+    from flume_elasticsearch_2_spark.operators.geo import geohash_grid_agg
+
+    return geohash_grid_agg(_geo_docs(spark, sf_dir), precision=3, size=12)
+
+
+def _geo_polygon_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x geo_polygon filter: even-odd ray casting unrolled over the
+    vertex edges as one codegen boolean — zero joins, boundary cases
+    measure-zero on hash-derived coordinates."""
+    from flume_elasticsearch_2_spark.operators.geo import geo_polygon_hits
+
+    return geo_polygon_hits(_geo_docs(spark, sf_dir), _GEO_POLY, k=25)
 
 
 _DSL_FLT_BODY = {
@@ -2299,6 +2339,9 @@ def _alias_filtered_search_segment(spark: SparkSession, sf_dir: str) -> DataFram
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "geohash_grid_agg",
+    "geo_polygon_search",
+    "dsl_cardinality_hll",
     "dsl_post_filter",
     "dsl_terms_agg_opts",
     "dsl_terms_agg_opts_segment",
@@ -2562,6 +2605,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_decay_gauss"] = _dsl_decay_gauss
     q["dsl_decay_linear"] = _dsl_decay_linear
     q["dsl_post_filter"] = _dsl_post_filter
+    q["dsl_cardinality_hll"] = _dsl_cardinality_hll
+    q["geohash_grid_agg"] = _geohash_grid_agg
+    q["geo_polygon_search"] = _geo_polygon_search
     q["dsl_terms_agg_opts"] = _dsl_terms_agg_opts
     q["dsl_terms_agg_opts_segment"] = _dsl_terms_agg_opts_segment
     q["synonym_search"] = _synonym_search
@@ -3007,6 +3053,14 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
 
     o["dsl_terms_agg_opts"] = dsl_aggregation_sql(_DSL_TERMS_OPTS_BODY)
     o["dsl_terms_agg_opts_segment"] = o["dsl_terms_agg_opts"]
+    o["dsl_cardinality_hll"] = dsl_aggregation_sql(_DSL_HLL_BODY)
+    from flume_elasticsearch_2_spark.operators.geo import (
+        geo_polygon_hits_sql,
+        geohash_grid_agg_sql,
+    )
+
+    o["geohash_grid_agg"] = geohash_grid_agg_sql(precision=3, size=12)
+    o["geo_polygon_search"] = geo_polygon_hits_sql(_GEO_POLY, k=25)
     from flume_elasticsearch_2_spark.operators.synonyms import bm25_synonym_sql
 
     o["synonym_search"] = bm25_synonym_sql("dup batch", _SYN_RULES, k=12)

@@ -594,3 +594,141 @@ def query_facet_sql(
         f"WHERE ({_match_sql(query, mode, None, 'ascii')})\n"
         f"  AND ({_match_sql(facet_query, facet_mode, None, 'ascii')})"
     )
+
+
+# -- deterministic HyperLogLog cardinality --------------------------------------
+
+# The 100 TB cardinality path, made oracle-exact: a REAL HyperLogLog sketch
+# (Flajolet et al. 2007) whose every step is deterministic integer/float64
+# arithmetic both engines share, so Spark and DuckDB produce the IDENTICAL
+# estimate — unlike approx_count_distinct / DuckDB's approx functions, whose
+# internal sketches differ. ES's own cardinality agg is HLL++ for the same
+# reason this exists: registers merge with max(), so the agg is map-side
+# combinable and one shuffle of ≤ 2^p tiny rows replaces a full distinct.
+#
+# Determinism details (each one matters for the oracle hash-match):
+# * value hash = the house 60-bit md5 prefix (functions/text.py) — bit-equal
+#   cross-engine; register index = top p bits, rho over the low w = 60-p bits.
+# * rho via STRING bit-length (bin()+length, exact integer math in both
+#   engines) — never floor(log2(x)), whose float boundaries can disagree.
+# * Σ 2^-rho is summed SCALED BY 2^(w+1) in pure BIGINT (every term is an
+#   exact power of two, max m·2^(w+1) = 2^61 for p=12 — no float
+#   accumulation, so partition order can't change the sum).
+# * the bias constant α_m and the final division are single float64 ops with
+#   Python-computed literals injected into both engines.
+
+
+def _hll_alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_cardinality(
+    docs: DataFrame,
+    query: str | None,
+    field: str,
+    p: int = 12,
+    mode: str = "or",
+    text_col: str = "text",
+) -> DataFrame:
+    """HLL cardinality estimate of ``field`` over the match set (nulls
+    ignored, as ES ignores missing). One row ``(cardinality double)`` —
+    the raw HLL estimate with small-range linear counting, rounded to 6
+    decimals. Standard error ≈ 1.04/√(2^p) (~1.6 % at the default p=12).
+
+    Scale shape: scan → narrow (idx, rho) projection → groupBy(idx) with a
+    partially-aggregated max (≤ 2^p rows cross the exchange) → one scalar
+    row. At 10^12 docs this is the ONLY shuffle and it is 2^p rows."""
+    from ..functions.text import md5_long_col
+
+    if not 4 <= int(p) <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    p = int(p)
+    m, w = 1 << p, 60 - p
+    mask = (1 << w) - 1
+    h = md5_long_col(F.col(field).cast("string"))
+    rest = h.bitwiseAND(F.lit(mask))
+    rho = (
+        F.when(rest == 0, F.lit(w + 1))
+        .otherwise(F.lit(w + 1) - F.length(F.bin(rest)))
+        .cast("int")
+    )
+    regs = (
+        docs.where(match_condition(query, mode, text_col))
+        .where(F.col(field).isNotNull())
+        .select(F.shiftright(h, w).alias("idx"), rho.alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    alpha = _hll_alpha(m)
+    scale = float(1 << (w + 1))
+    # S (scaled): present registers contribute 2^(w+1-rho); the m-n_present
+    # absent ones contribute 2^(w+1) each — all exact BIGINTs
+    stats = regs.agg(
+        F.count("*").alias("n_present"),
+        F.coalesce(
+            # variable-distance shift: SQL shiftleft takes a column bit
+            # count (the F.shiftleft python wrapper insists on an int)
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {w + 1} - rho)")),
+            F.lit(0),
+        ).cast("long").alias("s_present"),
+    )
+    s_total = (
+        F.col("s_present")
+        + (F.lit(m) - F.col("n_present")) * F.lit(1 << (w + 1)).cast("long")
+    ).cast("double")
+    zeros = (F.lit(m) - F.col("n_present")).cast("double")
+    e_raw = F.lit(alpha * m * m * scale) / s_total
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(e_raw)
+    return stats.select(F.round(est, 6).alias("cardinality"))
+
+
+def hll_cardinality_sql(
+    query: str | None,
+    field: str,
+    p: int = 12,
+    mode: str = "or",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`hll_cardinality` — same hash, same integer
+    register math, same literals: the estimate matches bit-for-bit."""
+    from ..functions.text import MD5_LONG_SQL
+
+    if not 4 <= int(p) <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    p = int(p)
+    m, w = 1 << p, 60 - p
+    mask = (1 << w) - 1
+    alpha = _hll_alpha(m)
+    scale = float(1 << (w + 1))
+    h = MD5_LONG_SQL.format(expr=f"CAST({field} AS VARCHAR)")
+    return f"""
+WITH regs AS (
+  SELECT ({h}) >> {w} AS idx,
+         max(CASE WHEN (({h}) & {mask}) = 0 THEN {w + 1}
+                  ELSE {w + 1} - length(bin(({h}) & {mask})) END) AS rho
+  FROM {table}
+  WHERE ({_match_sql(query, mode, None, "ascii")}) AND {field} IS NOT NULL
+  GROUP BY 1
+),
+s AS (
+  SELECT count(*) AS n_present,
+         coalesce(sum(1::BIGINT << ({w + 1} - rho)), 0)::BIGINT AS s_present
+  FROM regs
+)
+SELECT round(
+  CASE WHEN ({alpha * m * m * scale!r} / CAST(s_present + ({m} - n_present) * {1 << (w + 1)}::BIGINT AS DOUBLE)) <= {2.5 * m!r}
+        AND ({m} - n_present) > 0
+       THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - n_present AS DOUBLE))
+       ELSE ({alpha * m * m * scale!r} / CAST(s_present + ({m} - n_present) * {1 << (w + 1)}::BIGINT AS DOUBLE))
+  END, 6) AS cardinality
+FROM s
+"""

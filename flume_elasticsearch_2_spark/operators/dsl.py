@@ -1526,11 +1526,15 @@ def _parse_aggs(body: dict, text_col: str) -> tuple[str | None, str, str, dict]:
             kw["ranges"] = list(conf["ranges"])
         if kind == "cardinality":
             # ES cardinality is HLL++ but EXACT below precision_threshold
-            # (default 3000); this engine's DSL route is the exact form —
-            # aggs.cardinality_facet(exact=False) is the above-threshold path
+            # (default 3000); the DSL default routes the exact form.
+            # precision_threshold: 0 = "always sketch" — routed to the
+            # DETERMINISTIC HLL (aggs.hll_cardinality), which is itself
+            # oracle-exact (same registers in both engines)
             extra = set(conf) - {"field", "precision_threshold"}
             if extra:
                 _err(f"cardinality options {sorted(extra)}")
+            if conf.get("precision_threshold") == 0:
+                kind = "cardinality_hll"
         if kind == "percentiles":
             if "percents" in conf:
                 kw["percents"] = tuple(float(p) for p in conf["percents"])
@@ -1611,7 +1615,7 @@ def dsl_aggregation(docs: DataFrame, body: dict, text_col: str = "text") -> Data
             docs, q, kw["facet_query"], mode=kw.get("mode", "or"),
             facet_mode=kw["facet_mode"], text_col=text_col,
         )
-    from .aggs import extended_stats_facet, value_count_facet
+    from .aggs import extended_stats_facet, hll_cardinality, value_count_facet
 
     fn = {
         "terms": terms_facet,
@@ -1619,6 +1623,7 @@ def dsl_aggregation(docs: DataFrame, body: dict, text_col: str = "text") -> Data
         "histogram": histogram_facet,
         "range": range_facet,
         "cardinality": cardinality_facet,
+        "cardinality_hll": hll_cardinality,
         "percentiles": percentiles_facet,
         "missing": missing_facet,
         "extended_stats": extended_stats_facet,
@@ -1671,7 +1676,7 @@ def dsl_aggregation_sql(body: dict, table: str = "documents", text_col: str = "t
             q, kw["facet_query"], mode=kw.get("mode", "or"),
             facet_mode=kw["facet_mode"], table=table,
         )
-    from .aggs import extended_stats_facet_sql, value_count_facet_sql
+    from .aggs import extended_stats_facet_sql, hll_cardinality_sql, value_count_facet_sql
 
     fn = {
         "terms": terms_facet_sql,
@@ -1679,6 +1684,7 @@ def dsl_aggregation_sql(body: dict, table: str = "documents", text_col: str = "t
         "histogram": histogram_facet_sql,
         "range": range_facet_sql,
         "cardinality": cardinality_facet_sql,
+        "cardinality_hll": hll_cardinality_sql,
         "percentiles": percentiles_facet_sql,
         "missing": missing_facet_sql,
         "extended_stats": extended_stats_facet_sql,
@@ -1697,6 +1703,16 @@ def dsl_aggregation_index(searcher, body: dict, text_col: str = "text") -> DataF
     builtins operators/aggs.py already routes) — refused loudly, never
     silently approximated."""
     q, kind, field, kw = _parse_aggs(body, text_col)
+    if kind == "cardinality_hll":
+        # the deterministic HLL is a two-stage groupBy over the STORED docs
+        # (registers merge map-side; one 2^p-row shuffle) — running it over
+        # the index's docs tree adds nothing a scan doesn't have; route the
+        # declarative form explicitly rather than silently computing exact
+        raise ValueError(
+            "cardinality precision_threshold=0 (deterministic HLL) is "
+            "declarative-only (operators/aggs.hll_cardinality); the serving "
+            "facet computes the exact form"
+        )
     if kind in ("percentiles", "significant_terms", "top_hits"):
         raise ValueError(
             f"agg kind {kind!r} is declarative-only (operators/aggs.py); "

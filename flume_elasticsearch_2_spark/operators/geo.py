@@ -46,6 +46,12 @@ __all__ = [
     "geo_bbox_hits_sql",
     "geo_distance_agg",
     "geo_distance_agg_sql",
+    "geohash_col",
+    "geohash_sql",
+    "geohash_grid_agg",
+    "geohash_grid_agg_sql",
+    "geo_polygon_hits",
+    "geo_polygon_hits_sql",
 ]
 
 EARTH_RADIUS_KM = 6371.0088
@@ -290,4 +296,195 @@ def geo_distance_agg_sql(
 WITH geo AS ({corpus_sql or geo_enrich_sql()}),
 ringed AS (SELECT {d} AS d FROM geo)
 {union}
+"""
+
+
+# -- geohash_grid aggregation ----------------------------------------------------
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _cell_indices(prec: int) -> tuple[int, int, int]:
+    """(total_bits, n_lon_bits, n_lat_bits) for a geohash precision. Geohash
+    interleaves bits lon-first, so lon gets the extra bit on odd totals."""
+    if not 1 <= int(prec) <= 8:
+        raise ValueError(f"geohash precision must be in [1, 8], got {prec}")
+    total = 5 * int(prec)
+    nlon = (total + 1) // 2
+    return total, nlon, total - nlon
+
+
+def geohash_col(lat_col: str, lon_col: str, precision: int = 5) -> Column:
+    """The standard geohash (Niemeyer base32) of (lat, lon) at ``precision``
+    chars, as a pure JVM expression: cell indices via ONE float multiply +
+    floor each (identical literal order to the SQL twin, so the doubles and
+    therefore the cells match bit-for-bit), then integer bit interleaving
+    (lon first) unrolled over the 5·precision bits, then base32 chars via
+    element_at. No UDF — the whole encode stays in whole-stage codegen."""
+    total, nlon, nlat = _cell_indices(precision)
+    li = F.least(
+        F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << nlon))).cast("long"),
+        F.lit((1 << nlon) - 1),
+    )
+    la = F.least(
+        F.floor((F.col(lat_col) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << nlat))).cast("long"),
+        F.lit((1 << nlat) - 1),
+    )
+    g = F.lit(0).cast("long")
+    for b in range(total):
+        # bit b (0 = MSB of the geohash): even -> lon, odd -> lat
+        src, nbits, j = (li, nlon, b // 2) if b % 2 == 0 else (la, nlat, b // 2)
+        bit = F.shiftright(src, nbits - 1 - j).bitwiseAND(F.lit(1))
+        g = g + bit * F.lit(1 << (total - 1 - b))
+    chars = F.array(*[F.lit(c) for c in GEOHASH_ALPHABET])
+    out = [
+        F.element_at(chars, (F.shiftright(g, 5 * (int(precision) - 1 - i)).bitwiseAND(F.lit(31)) + F.lit(1)).cast("int"))
+        for i in range(int(precision))
+    ]
+    return F.concat(*out)
+
+
+def geohash_sql(lat_col: str, lon_col: str, precision: int = 5) -> str:
+    """DuckDB twin of :func:`geohash_col` — same float literals, same
+    integer interleave, same alphabet. Expects ``li``/``la`` cell-index
+    columns NOT precomputed: the expression is self-contained over
+    ``lat_col``/``lon_col`` (readable SQL via one nested select is the
+    caller's choice; DuckDB CSE handles the repetition)."""
+    total, nlon, nlat = _cell_indices(precision)
+    li = (
+        f"least(CAST(floor(({lon_col} + 180.0) / 360.0 * {float(1 << nlon)!r}) AS BIGINT), "
+        f"{(1 << nlon) - 1})"
+    )
+    la = (
+        f"least(CAST(floor(({lat_col} + 90.0) / 180.0 * {float(1 << nlat)!r}) AS BIGINT), "
+        f"{(1 << nlat) - 1})"
+    )
+    terms = []
+    for b in range(total):
+        src, nbits, j = (li, nlon, b // 2) if b % 2 == 0 else (la, nlat, b // 2)
+        terms.append(f"((({src}) >> {nbits - 1 - j}) & 1) * {1 << (total - 1 - b)}")
+    g = "(" + " + ".join(terms) + ")"
+    chars = " || ".join(
+        f"substr('{GEOHASH_ALPHABET}', CAST((({g}) >> {5 * (int(precision) - 1 - i)}) & 31 AS INTEGER) + 1, 1)"
+        for i in range(int(precision))
+    )
+    return f"({chars})"
+
+
+def geohash_grid_agg(
+    docs: DataFrame,
+    precision: int = 5,
+    size: int = 10,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """ES geohash_grid aggregation: doc counts per geohash cell at
+    ``precision``, top-``size`` cells (count DESC, key ASC — ES order).
+    ONE map-side-combined groupBy over ≤32^precision cells; the encode is
+    a JVM expression riding the scan."""
+    return (
+        docs.groupBy(geohash_col(lat_col, lon_col, precision).alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+        .limit(int(size))
+    )
+
+
+def geohash_grid_agg_sql(
+    precision: int = 5,
+    size: int = 10,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    corpus_sql: str | None = None,
+) -> str:
+    """DuckDB oracle for :func:`geohash_grid_agg`."""
+    gh = geohash_sql(lat_col, lon_col, precision)
+    return f"""
+WITH geo AS ({corpus_sql or geo_enrich_sql()})
+SELECT {gh} AS key, count(*) AS doc_count
+FROM geo
+GROUP BY 1
+ORDER BY doc_count DESC, key ASC
+LIMIT {int(size)}
+"""
+
+
+# -- geo_polygon filter ----------------------------------------------------------
+
+
+def _check_polygon(points: list[tuple[float, float]]) -> list[tuple[float, float]]:
+    if len(points) < 3:
+        raise ValueError("geo_polygon needs at least 3 (lat, lon) points")
+    return [(float(a), float(b)) for a, b in points]
+
+
+def geo_polygon_hits(
+    docs: DataFrame,
+    points: list[tuple[float, float]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """ES 1.x geo_polygon filter: points inside the polygon (vertices as
+    (lat, lon), auto-closed). Even-odd ray casting unrolled over the edges —
+    a pure JVM boolean expression with Python-computed vertex literals, the
+    same arithmetic text as the SQL twin (boundary points are measure-zero
+    for the md5-derived test coordinates). Returns (id, lat6, lon6) by id,
+    top-k. Scale: a codegen filter on the scan — zero joins/shuffles."""
+    pts = _check_polygon(points)
+    y, x = F.col(lat_col), F.col(lon_col)
+    inside = F.lit(False)
+    n = len(pts)
+    for i in range(n):
+        yi, xi = pts[i]
+        yj, xj = pts[(i + 1) % n]
+        if yi == yj:
+            continue  # horizontal edge never crosses a horizontal ray test
+        crosses = ((F.lit(yi) > y) != (F.lit(yj) > y)) & (
+            x < (F.lit(xj) - F.lit(xi)) * (y - F.lit(yi)) / (F.lit(yj) - F.lit(yi)) + F.lit(xi)
+        )
+        inside = inside != crosses  # boolean XOR (Column ^ is int-typed)
+    return (
+        docs.where(inside)
+        .orderBy(F.col(id_col).asc())
+        .limit(int(k))
+        .select(
+            id_col,
+            F.round(lat_col, 6).alias("lat6"),
+            F.round(lon_col, 6).alias("lon6"),
+        )
+    )
+
+
+def geo_polygon_hits_sql(
+    points: list[tuple[float, float]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    corpus_sql: str | None = None,
+) -> str:
+    """DuckDB oracle for :func:`geo_polygon_hits` — identical edge terms."""
+    pts = _check_polygon(points)
+    n = len(pts)
+    clauses = []
+    for i in range(n):
+        yi, xi = pts[i]
+        yj, xj = pts[(i + 1) % n]
+        if yi == yj:
+            continue
+        clauses.append(
+            f"CAST((({yi!r} > {lat_col}) != ({yj!r} > {lat_col})) AND "
+            f"({lon_col} < ({xj!r} - {xi!r}) * ({lat_col} - {yi!r}) / ({yj!r} - {yi!r}) + {xi!r}) "
+            f"AS INTEGER)"
+        )
+    parity = " + ".join(clauses) or "0"
+    return f"""
+WITH geo AS ({corpus_sql or geo_enrich_sql()})
+SELECT {id_col}, round({lat_col}, 6) AS lat6, round({lon_col}, 6) AS lon6
+FROM geo
+WHERE (({parity}) % 2) = 1
+ORDER BY {id_col} ASC
+LIMIT {int(k)}
 """

@@ -328,3 +328,85 @@ def test_serving_extended_stats_empty_scope(agg_searcher, documents):
         documents, "zzzznotaterm", "n_chars"
     ).collect()]
     assert got == want and got[0][0] == 0
+
+
+# -- deterministic HLL cardinality ----------------------------------------------
+
+
+@pytest.mark.parametrize("query,mode", CASES)
+def test_hll_cardinality_matches_duckdb_exactly(documents, sf_dir, query, mode):
+    """The SAME HLL registers in both engines -> the IDENTICAL estimate
+    (not approximately: bit-for-bit, which is what makes a sketch
+    oracle-checkable at all)."""
+    from flume_elasticsearch_2_spark.operators.aggs import (
+        hll_cardinality,
+        hll_cardinality_sql,
+    )
+
+    got = [tuple(r) for r in hll_cardinality(documents, query, "text", mode=mode).collect()]
+    want = _duck(sf_dir, hll_cardinality_sql(query, "text", mode=mode))
+    assert got == want
+
+
+@pytest.mark.parametrize("field,p", [("text", 12), ("doc_id", 12), ("lang", 12),
+                                     ("n_chars", 10), ("source", 8)])
+def test_hll_cardinality_accuracy(documents, sf_dir, field, p):
+    """The estimate is a REAL HLL: within ~5σ of exact (σ = 1.04/√m) —
+    loose enough to never flake, tight enough to catch a broken register
+    path (which is off by orders of magnitude)."""
+    from flume_elasticsearch_2_spark.operators.aggs import hll_cardinality
+
+    est = hll_cardinality(documents, None, field, p=p).collect()[0][0]
+    exact = _duck(sf_dir, f"SELECT count(DISTINCT {field}) FROM documents")[0][0]
+    tol = 5 * 1.04 / (1 << p) ** 0.5
+    assert abs(est - exact) <= max(tol * exact, 3.0), (field, p, est, exact)
+
+
+def test_hll_cardinality_partition_invariant(documents):
+    """BIGINT register sums: partition order cannot change the estimate
+    (the float trap a naive sum(2^-rho) would step into)."""
+    from flume_elasticsearch_2_spark.operators.aggs import hll_cardinality
+
+    a = hll_cardinality(documents.repartition(32), None, "text").collect()
+    b = hll_cardinality(documents.coalesce(1), None, "text").collect()
+    assert a == b
+    with pytest.raises(ValueError, match="p must be"):
+        hll_cardinality(documents, None, "text", p=20)
+
+
+def test_hll_registers_shuffle_is_tiny_and_partial(documents):
+    """Plan shape: the ONLY exchange before the scalar agg hashes on idx and
+    is fed by a partial aggregate — at 10^12 docs the shuffle is ≤2^p rows."""
+    from flume_elasticsearch_2_spark.operators.aggs import hll_cardinality
+
+    plan = hll_cardinality(documents, None, "text")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(idx") == 1
+    # partial max before the exchange (map-side combine)
+    head = plan.split("Exchange hashpartitioning(idx")[1]
+    assert "partial_max(rho)" in head or "partial_max" in head
+
+
+def test_dsl_cardinality_hll_route(documents, sf_dir):
+    """precision_threshold=0 routes to the deterministic HLL on declarative
+    + oracle; the serving path refuses rather than silently computing
+    exact."""
+    from flume_elasticsearch_2_spark.operators.dsl import (
+        dsl_aggregation,
+        dsl_aggregation_sql,
+    )
+
+    body = {"query": {"match": {"text": "dup batch scan"}},
+            "aggs": {"n": {"cardinality": {"field": "text",
+                                           "precision_threshold": 0}}}}
+    got = [tuple(r) for r in dsl_aggregation(documents, body).collect()]
+    want = _duck(sf_dir, dsl_aggregation_sql(body))
+    assert got == want and got[0][0] > 0
+
+
+def test_dsl_cardinality_hll_serving_refuses(agg_searcher):
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_index
+
+    body = {"aggs": {"n": {"cardinality": {"field": "lang",
+                                           "precision_threshold": 0}}}}
+    with pytest.raises(ValueError, match="declarative-only"):
+        dsl_aggregation_index(agg_searcher, body)

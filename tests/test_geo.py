@@ -123,3 +123,102 @@ def test_geo_distance_band_prefilter_is_lossless(geo_docs, duck):
         for x in geo_distance_hits(geo_docs, *CENTER, r, k=50).collect()
     ]
     assert got == [tuple(x) for x in brute] and got
+
+
+# -- geohash_grid + geo_polygon (round-3 continuation) ---------------------------
+
+
+def _ref_geohash(lat: float, lon: float, prec: int) -> str:
+    """Textbook geohash encoder (successive halving) — the independent
+    reference the bit-interleave expression is pinned against."""
+    from flume_elasticsearch_2_spark.operators.geo import GEOHASH_ALPHABET
+
+    lat_rng, lon_rng = [-90.0, 90.0], [-180.0, 180.0]
+    even, out, ch, nbits = True, "", 0, 0
+    while len(out) < prec:
+        rng = lon_rng if even else lat_rng
+        v = lon if even else lat
+        mid = (rng[0] + rng[1]) / 2
+        ch <<= 1
+        if v >= mid:
+            ch |= 1
+            rng[0] = mid
+        else:
+            rng[1] = mid
+        even = not even
+        nbits += 1
+        if nbits == 5:
+            out += GEOHASH_ALPHABET[ch]
+            ch, nbits = 0, 0
+    return out
+
+
+@pytest.mark.parametrize("prec", [1, 3, 5])
+def test_geohash_matches_reference_implementation(geo_docs, prec):
+    from flume_elasticsearch_2_spark.operators.geo import geohash_col
+
+    rows = (
+        geo_docs.select("lat", "lon", geohash_col("lat", "lon", prec).alias("gh"))
+        .limit(100)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.gh == _ref_geohash(r.lat, r.lon, prec), (r.lat, r.lon, prec)
+
+
+@pytest.mark.parametrize("prec", [2, 5])
+def test_geohash_grid_matches_duckdb(geo_docs, duck, prec):
+    from flume_elasticsearch_2_spark.operators.geo import (
+        geohash_grid_agg,
+        geohash_grid_agg_sql,
+    )
+
+    got = sorted(
+        tuple(r) for r in geohash_grid_agg(geo_docs, precision=prec, size=12).collect()
+    )
+    want = sorted(duck.execute(geohash_grid_agg_sql(precision=prec, size=12)).fetchall())
+    assert got == want and got
+
+
+def test_geohash_precision_validated(geo_docs):
+    from flume_elasticsearch_2_spark.operators.geo import geohash_col
+
+    with pytest.raises(ValueError, match="precision"):
+        geohash_col("lat", "lon", 9)
+
+
+POLY = [(-60.0, -120.0), (70.0, -100.0), (60.0, 80.0), (-40.0, 60.0)]
+
+
+def test_geo_polygon_matches_duckdb(geo_docs, duck):
+    from flume_elasticsearch_2_spark.operators.geo import (
+        geo_polygon_hits,
+        geo_polygon_hits_sql,
+    )
+
+    got = [tuple(r) for r in geo_polygon_hits(geo_docs, POLY, k=25).collect()]
+    want = duck.execute(geo_polygon_hits_sql(POLY, k=25)).fetchall()
+    assert got == want and got
+
+
+def test_geo_polygon_semantics_pinned(spark):
+    """Ray casting on a hand-checkable square: inside in, outside out,
+    concave polygon handled (the even-odd rule, not winding)."""
+    from flume_elasticsearch_2_spark.operators.geo import geo_polygon_hits
+
+    pts = [
+        (0, 0.0, 0.0), (1, 5.0, 5.0), (2, 20.0, 5.0), (3, 5.0, 20.0),
+        (4, -5.0, 5.0), (5, 9.9, 9.9),
+    ]
+    df = spark.createDataFrame(pts, "doc_id long, lat double, lon double")
+    square = [(-10.0, -10.0), (10.0, -10.0), (10.0, 10.0), (-10.0, 10.0)]
+    ids = [r.doc_id for r in geo_polygon_hits(df, square, k=10).collect()]
+    assert ids == [0, 1, 4, 5]
+    # concave "notch": square minus a wedge cut to the center
+    notch = [(-10.0, -10.0), (10.0, -10.0), (10.0, 10.0), (0.0, 0.0), (-10.0, 10.0)]
+    ids = [r.doc_id for r in geo_polygon_hits(df, notch, k=10).collect()]
+    assert 1 not in ids  # (5, 5) sits in the cut wedge
+    assert 0 not in ids or True  # boundary vertex — not asserted
+    with pytest.raises(ValueError, match="at least 3"):
+        geo_polygon_hits(df, [(0.0, 0.0), (1.0, 1.0)])
