@@ -2257,6 +2257,77 @@ def _geo_distance_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROUTED_CACHE: dict[str, str] = {}
+_N_ROUTES = 3
+
+
+def _routed_dir(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    if sf_dir not in _ROUTED_CACHE:
+        from flume_elasticsearch_2_spark.plans.routing import build_routed_index
+
+        d = os.path.join(tempfile.mkdtemp(prefix="fts_routed_"), "ridx")
+        build_routed_index(
+            spark, _docs(spark, sf_dir), d, routing_field="lang",
+            n_routes=_N_ROUTES, n_shards=2,
+        )
+        _ROUTED_CACHE[sf_dir] = d
+    return _ROUTED_CACHE[sf_dir]
+
+
+def _routed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x custom routing (?routing= on index+search): the corpus is
+    route-partitioned by md5_60(routing)%N at build, a routed query opens
+    ONLY its route's sub-index (filesystem-level pruning, test-pinned) and
+    scores with the route's LOCAL stats — exactly ES query_then_fetch +
+    routing. Oracle = BM25 over only the route's docs, route membership by
+    the identical hash. plans/routing.py; ElasticsearchSink.java:54."""
+    from flume_elasticsearch_2_spark.plans.routing import routed_search
+
+    return routed_search(spark, _routed_dir(spark, sf_dir), "en", "dup batch scan", k=10)
+
+
+def _routed_search_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search WITHOUT routing over the routed index: dfs_query_then_fetch
+    across all routes — rank- AND score-identical to the unrouted index
+    (pinned by test), so routing never changes unrouted results. Oracle =
+    plain whole-corpus BM25."""
+    from flume_elasticsearch_2_spark.plans.routing import routed_search_all
+
+    return routed_search_all(spark, _routed_dir(spark, sf_dir), "dup batch scan", k=10)
+
+
+def _bm25_generations_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES indices_boost over the alias generations: each hit's UNROUNDED
+    score × its index's boost before the global merge (BMW stays valid —
+    a positive constant preserves per-index order). Oracle = whole-corpus
+    BM25 with a membership CASE multiplier over the generation split."""
+    from flume_elasticsearch_2_spark.plans.query_index import search_generations
+
+    return search_generations(
+        spark, _generation_dirs(spark, sf_dir), "dup batch scan", k=10,
+        boosts=[2.0, 0.5],
+    )
+
+
+_DSL_SCRIPTED_METRIC_BODY = {
+    "query": {"match": {"text": "dup batch scan"}},
+    "aggs": {"m": {"scripted_metric": {
+        "map_script": "log1p(doc['n_chars'].value) * 2 + 1", "reduce": "avg"}}},
+}
+
+
+def _dsl_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES scripted_metric agg (arithmetic map + associative reduce): the
+    "script" compiles once to a JVM column, map rides the scan in codegen,
+    reduce is a map-side-combined aggregate — one scalar row crosses the
+    wire. operators/aggs.py:scripted_metric_facet."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _DSL_SCRIPTED_METRIC_BODY)
+
+
 _GEO_POLY = [(-60.0, -120.0), (70.0, -100.0), (60.0, 80.0), (-40.0, 60.0)]
 
 
@@ -2339,6 +2410,10 @@ def _alias_filtered_search_segment(spark: SparkSession, sf_dir: str) -> DataFram
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "bm25_generations_boosted",
+    "dsl_scripted_metric",
+    "routed_search",
+    "routed_search_all",
     "geohash_grid_agg",
     "geo_polygon_search",
     "dsl_cardinality_hll",
@@ -2608,6 +2683,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_cardinality_hll"] = _dsl_cardinality_hll
     q["geohash_grid_agg"] = _geohash_grid_agg
     q["geo_polygon_search"] = _geo_polygon_search
+    q["routed_search"] = _routed_search
+    q["bm25_generations_boosted"] = _bm25_generations_boosted
+    q["dsl_scripted_metric"] = _dsl_scripted_metric
+    q["routed_search_all"] = _routed_search_all
     q["dsl_terms_agg_opts"] = _dsl_terms_agg_opts
     q["dsl_terms_agg_opts_segment"] = _dsl_terms_agg_opts_segment
     q["synonym_search"] = _synonym_search
@@ -3061,6 +3140,20 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
 
     o["geohash_grid_agg"] = geohash_grid_agg_sql(precision=3, size=12)
     o["geo_polygon_search"] = geo_polygon_hits_sql(_GEO_POLY, k=25)
+    from flume_elasticsearch_2_spark.plans.routing import routed_search_sql
+
+    o["routed_search"] = routed_search_sql(
+        "lang", _N_ROUTES, "en", "dup batch scan", k=10
+    )
+    o["routed_search_all"] = bm25_topk_sql("dup batch scan", k=10)
+    o["bm25_generations_boosted"] = bm25_topk_sql(
+        "dup batch scan", k=10,
+        score_multiplier_sql=(
+            "CASE WHEN doc_id < (SELECT count(*) // 2 FROM documents) "
+            "THEN 2.0 ELSE 0.5 END"
+        ),
+    )
+    o["dsl_scripted_metric"] = dsl_aggregation_sql(_DSL_SCRIPTED_METRIC_BODY)
     from flume_elasticsearch_2_spark.operators.synonyms import bm25_synonym_sql
 
     o["synonym_search"] = bm25_synonym_sql("dup batch", _SYN_RULES, k=12)

@@ -228,6 +228,45 @@ def main() -> None:
     geo_distance_hits(gdocs, 48.8566, 2.3522, "2000km", k=20).collect()
     timings["geo_distance"] = time.time() - t0
 
+    # 3e2. geohash_grid (round 3, Q43): pure-JVM bit-interleave encode +
+    # one map-side-combined groupBy over <=32^prec cells
+    from flume_elasticsearch_2_spark.operators.geo import geohash_grid_agg
+
+    t0 = time.time()
+    geohash_grid_agg(gdocs, precision=4, size=20).collect()
+    timings["geohash_grid"] = time.time() - t0
+
+    # 3e3. deterministic HLL cardinality (round 3, Q14): the only shuffle is
+    # <=2^p register rows (map-side-combined max) vs the exact distinct
+    from flume_elasticsearch_2_spark.operators.aggs import hll_cardinality
+
+    t0 = time.time()
+    hll_cardinality(docs, None, "text", p=12).collect()
+    timings["hll_cardinality"] = time.time() - t0
+    t0 = time.time()
+    docs.agg(F.count_distinct("text")).collect()
+    timings["exact_distinct"] = time.time() - t0
+
+    # 3e4. custom routing (round 3, Q45): routed query opens ONE route
+    # sub-index — compare vs the unrouted dfs search over all routes
+    from flume_elasticsearch_2_spark.plans.routing import (
+        build_routed_index,
+        routed_search,
+        routed_search_all,
+    )
+
+    rdir = os.path.join(tempfile.mkdtemp(prefix="fts_bench_"), "routed_idx")
+    t0 = time.time()
+    build_routed_index(spark, docs, rdir, routing_field="lang", n_routes=4, n_shards=2)
+    timings["routed_build"] = time.time() - t0
+    routed_search(spark, rdir, "en", "batch scan", k=10).collect()  # warm
+    t0 = time.time()
+    routed_search(spark, rdir, "en", "batch scan", k=10).collect()
+    timings["routed_query"] = time.time() - t0
+    t0 = time.time()
+    routed_search_all(spark, rdir, "batch scan", k=10).collect()
+    timings["unrouted_query_all_routes"] = time.time() - t0
+
     # 3f. fuzzy_like_this (round 3, Q40): vocabulary-scale Levenshtein
     # expansion + the expanded-OR bm25 plan
     from flume_elasticsearch_2_spark.operators.flt import fuzzy_like_this_topk

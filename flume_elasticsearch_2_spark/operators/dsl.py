@@ -1489,11 +1489,34 @@ def _parse_aggs(body: dict, text_col: str) -> tuple[str | None, str, str, dict]:
         if kind not in (
             "terms", "stats", "histogram", "range", "filters", "cardinality",
             "percentiles", "missing", "significant_terms", "extended_stats",
-            "value_count",
+            "value_count", "scripted_metric",
         ):
             _err(f"agg kind {kind!r}")
         kw = {}
-        if kind == "filters":
+        if kind == "scripted_metric":
+            # the shape deployments use scripted_metric for: an arithmetic
+            # per-doc map (functions/scripts.py subset, compiled once to a
+            # JVM column) + an associative named reduce. Free-form ES
+            # init/combine/reduce scripts are out of the subset.
+            extra_sm = set(conf) - {"map_script", "reduce"}
+            if extra_sm:
+                _err(f"scripted_metric keys {sorted(extra_sm)} "
+                     "(map_script + named reduce only)")
+            ms = conf.get("map_script") or _err("scripted_metric needs map_script")
+            from ..functions.scripts import parse_script
+
+            try:
+                psc = parse_script(str(ms))
+            except ValueError as e:
+                _err(str(e))
+            if psc.uses_score:
+                _err("scripted_metric map_script has no _score (no hit context)")
+            kw["map_script"] = str(ms)
+            kw["reduce"] = str(conf.get("reduce", "sum"))
+            if kw["reduce"] not in ("sum", "min", "max", "avg"):
+                _err(f"scripted_metric reduce {kw['reduce']!r}")
+            field = None
+        elif kind == "filters":
             named = conf.get("filters")
             if not isinstance(named, dict) or not named:
                 _err("filters agg needs named filter clauses")
@@ -1615,6 +1638,10 @@ def dsl_aggregation(docs: DataFrame, body: dict, text_col: str = "text") -> Data
             docs, q, kw["facet_query"], mode=kw.get("mode", "or"),
             facet_mode=kw["facet_mode"], text_col=text_col,
         )
+    if kind == "scripted_metric":
+        from .aggs import scripted_metric_facet
+
+        return scripted_metric_facet(docs, q, text_col=text_col, **kw)
     from .aggs import extended_stats_facet, hll_cardinality, value_count_facet
 
     fn = {
@@ -1669,6 +1696,10 @@ def dsl_aggregation_sql(body: dict, table: str = "documents", text_col: str = "t
         return filters_facet_sql(kw.pop("filters"), query=q, table=table, **kw)
     if kind == "significant_terms":
         return significant_terms_facet_sql(q, table=table, **kw)
+    if kind == "scripted_metric":
+        from .aggs import scripted_metric_facet_sql
+
+        return scripted_metric_facet_sql(q, table=table, **kw)
     if kind == "query":
         from .aggs import query_facet_sql
 
@@ -1713,7 +1744,7 @@ def dsl_aggregation_index(searcher, body: dict, text_col: str = "text") -> DataF
             "declarative-only (operators/aggs.hll_cardinality); the serving "
             "facet computes the exact form"
         )
-    if kind in ("percentiles", "significant_terms", "top_hits"):
+    if kind in ("percentiles", "significant_terms", "top_hits", "scripted_metric"):
         raise ValueError(
             f"agg kind {kind!r} is declarative-only (operators/aggs.py); "
             "the serving path does not silently approximate it"

@@ -388,6 +388,7 @@ def bm25_topk_sql(
     boosts: dict[str, float] | None = None,
     offset: int = 0,
     must_not: str | None = None,
+    score_multiplier_sql: str | None = None,
 ) -> str:
     """DuckDB oracle SQL equivalent of :func:`bm25_topk` (same rounding).
 
@@ -395,7 +396,11 @@ def bm25_topk_sql(
     restricting candidates, with stats/df/avgdl still computed index-wide;
     ``stopwords`` mirrors the analyzer option via ``list_filter``;
     ``analyzer``/``text_expr`` mirror the token class and an optional SQL
-    expression replacing the raw ``text`` column."""
+    expression replacing the raw ``text`` column. ``score_multiplier_sql``
+    multiplies the UNROUNDED per-doc score (a scalar SQL expression over
+    ``doc_id`` — the ES ``indices_boost`` analog: membership CASE × boost)
+    before the final round/order, mirroring engines that boost exact scores
+    and round once at the end."""
     q_terms = tokenize(query, stopwords, analyzer)
     weights: dict[str, float] = {}
     for t in q_terms:
@@ -416,6 +421,7 @@ def bm25_topk_sql(
             f"doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term IN ({mn_list}))"
         )
     cand_filter = f"WHERE {' AND '.join(cand_preds)}" if cand_preds else ""
+    mult = f" * ({score_multiplier_sql})" if score_multiplier_sql else ""
     from ..functions.tokenizer import duckdb_token_pattern
 
     tok_expr = f"regexp_extract_all(lower({text_expr}), '{duckdb_token_pattern(analyzer)}')"
@@ -450,12 +456,12 @@ scored AS (
   JOIN dfreq USING (term) JOIN qterms USING (term) JOIN dl USING (doc_id)
   CROSS JOIN stats
 )
-SELECT doc_id, round(sum(partial), 6) AS score
+SELECT doc_id, round(sum(partial){mult}, 6) AS score
 FROM scored
 {cand_filter}
 GROUP BY doc_id
 {and_filter}
-ORDER BY sum(partial) DESC, doc_id ASC
+ORDER BY sum(partial){mult} DESC, doc_id ASC
 LIMIT {k}{f' OFFSET {offset}' if offset else ''}
 """
 

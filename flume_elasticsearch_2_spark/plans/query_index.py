@@ -2603,6 +2603,7 @@ def search_generations(
     k: int = 10,
     mode: str = "or",
     pruned: bool = True,
+    boosts: list[float] | None = None,
 ) -> DataFrame:
     """ES multi-index (alias) search across UNMERGED generations with
     ``dfs_query_then_fetch`` semantics: a distributed-frequencies pass
@@ -2616,7 +2617,21 @@ def search_generations(
     Requires the generations contract (disjoint doc ids; chunked/streaming
     ingest guarantees it). Scale shape: the dfs pass is |indexes| tiny
     dictionary reads; the scatter is the same one-task-per-shard direct
-    engine per index; the gather is <= sum(shards)·k rows."""
+    engine per index; the gather is <= sum(shards)·k rows.
+
+    ``boosts`` (one float per index dir) is ES ``indices_boost``: every
+    hit's UNROUNDED score is multiplied by its index's boost before the
+    global merge — BMW stays valid per index because a constant factor
+    preserves each index's internal order."""
+    if boosts is not None and len(boosts) != len(index_dirs):
+        raise ValueError("boosts must have one entry per index dir")
+    if boosts is not None and any(b <= 0 for b in boosts):
+        # a non-positive factor would invert the per-shard order the k-row
+        # truncation relies on
+        raise ValueError("indices_boost factors must be > 0")
+    boost_of = {
+        d: float(b) for d, b in zip(index_dirs, boosts or [])
+    }
     searchers = [IndexSearcher(spark, d) for d in index_dirs]
     q_terms = tokenize(query)
     empty = spark.createDataFrame([], "doc_id long, score double")
@@ -2671,9 +2686,13 @@ def search_generations(
             for d, sh in zip(pdf["dir"].tolist(), pdf["shard"].tolist()):
                 m = meta[d]
                 pt, dt = _read_shard_tables(d, int(sh), m["present"])
-                yield _score_shard(
+                out = _score_shard(
                     pt, dt, id_space=m["id_space"], n_shards=m["n_shards"], **common
                 )
+                b = boost_of.get(d, 1.0)
+                if b != 1.0:
+                    out = out.assign(score=out["score"] * b)
+                yield out
 
     task_df = spark.createDataFrame(
         spark.sparkContext.parallelize(tasks, max(1, len(tasks))),

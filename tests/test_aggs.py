@@ -410,3 +410,55 @@ def test_dsl_cardinality_hll_serving_refuses(agg_searcher):
                                            "precision_threshold": 0}}}}
     with pytest.raises(ValueError, match="declarative-only"):
         dsl_aggregation_index(agg_searcher, body)
+
+
+# -- scripted_metric -------------------------------------------------------------
+
+
+@pytest.mark.parametrize("reduce", ["sum", "min", "max", "avg"])
+def test_scripted_metric_matches_duckdb(documents, sf_dir, reduce):
+    from flume_elasticsearch_2_spark.operators.aggs import (
+        scripted_metric_facet,
+        scripted_metric_facet_sql,
+    )
+
+    script = "log1p(doc['n_chars'].value) * 2 + 1"
+    got = [
+        tuple(r)
+        for r in scripted_metric_facet(
+            documents, "dup batch scan", script, reduce=reduce
+        ).collect()
+    ]
+    want = _duck(sf_dir, scripted_metric_facet_sql("dup batch scan", script, reduce=reduce))
+    assert got == want and got[0][0] is not None
+
+
+def test_scripted_metric_validation(documents):
+    from flume_elasticsearch_2_spark.operators.aggs import scripted_metric_facet
+
+    with pytest.raises(ValueError, match="_score"):
+        scripted_metric_facet(documents, None, "_score + 1")
+    with pytest.raises(ValueError, match="reduce"):
+        scripted_metric_facet(documents, None, "doc['n_chars'].value", reduce="median")
+    with pytest.raises(ValueError, match="unknown doc fields"):
+        scripted_metric_facet(documents, None, "doc['nope'].value")
+
+
+def test_dsl_scripted_metric_route(documents, sf_dir, agg_searcher):
+    from flume_elasticsearch_2_spark.operators.dsl import (
+        dsl_aggregation,
+        dsl_aggregation_index,
+        dsl_aggregation_sql,
+    )
+
+    body = {"query": {"match": {"text": "dup batch scan"}},
+            "aggs": {"m": {"scripted_metric": {
+                "map_script": "sqrt(doc['n_chars'].value)", "reduce": "avg"}}}}
+    got = [tuple(r) for r in dsl_aggregation(documents, body).collect()]
+    want = _duck(sf_dir, dsl_aggregation_sql(body))
+    assert got == want and got[0][0] > 0
+    with pytest.raises(ValueError, match="declarative-only"):
+        dsl_aggregation_index(agg_searcher, body)
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        dsl_aggregation_sql({"aggs": {"m": {"scripted_metric": {
+            "map_script": "1", "combine_script": "x"}}}})

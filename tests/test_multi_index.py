@@ -79,3 +79,42 @@ def test_three_generations_and_empty_slice(spark, documents, tmp_path_factory):
     got = [tuple(r) for r in search_generations(spark, dirs, "dup batch scan", k=10).collect()]
     want = [tuple(r) for r in bm25_topk(documents, "dup batch scan", k=10).collect()]
     assert got == want and got
+
+
+# -- indices_boost (round-3 continuation) ----------------------------------------
+
+
+def test_indices_boost_matches_multiplier_oracle(spark, sf_dir, generations):
+    """ES indices_boost: every hit's UNROUNDED score × its index's boost
+    before the global merge — oracle = whole-corpus BM25 with a membership
+    CASE multiplier (the generations split is doc_id < 250)."""
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    got = [
+        tuple(r)
+        for r in search_generations(
+            spark, generations, "dup batch scan", k=10, boosts=[2.0, 0.5]
+        ).collect()
+    ]
+    want = con.execute(
+        bm25_topk_sql(
+            "dup batch scan", k=10,
+            score_multiplier_sql="CASE WHEN doc_id < 250 THEN 2.0 ELSE 0.5 END",
+        )
+    ).fetchall()
+    assert got == want and got
+
+
+def test_indices_boost_identity_and_validation(spark, generations):
+    plain = [tuple(r) for r in search_generations(spark, generations, "dup batch", k=10).collect()]
+    unit = [
+        tuple(r)
+        for r in search_generations(
+            spark, generations, "dup batch", k=10, boosts=[1.0, 1.0]
+        ).collect()
+    ]
+    assert plain == unit
+    with pytest.raises(ValueError, match="one entry per index"):
+        search_generations(spark, generations, "dup", boosts=[1.0])
+    with pytest.raises(ValueError, match="> 0"):
+        search_generations(spark, generations, "dup", boosts=[1.0, -2.0])
