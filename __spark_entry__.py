@@ -2328,6 +2328,100 @@ def _dsl_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsl_aggregation(_docs(spark, sf_dir), _DSL_SCRIPTED_METRIC_BODY)
 
 
+_DSL_METRIC_BODY = {
+    "query": {"match": {"text": "dup batch scan"}},
+    "aggs": {"a": {"avg": {"field": "n_chars"}}},
+}
+
+_DSL_METRIC_SCRIPT_BODY = {
+    "query": {"match": {"text": "dup batch scan"}},
+    "aggs": {"a": {"sum": {"script": "log1p(doc['n_chars'].value)"}}},
+}
+
+_DSL_GLOBAL_BODY = {
+    "query": {"match": {"text": "dup batch scan"}},
+    "aggs": {"all": {"global": {},
+                     "aggs": {"len": {"stats": {"field": "n_chars"}}}}},
+}
+
+_DSL_HISTO_EMPTY_BODY = {
+    "query": {"match": {"text": "dup batch scan"}},
+    "aggs": {"h": {"histogram": {"field": "n_chars", "interval": 500,
+                                 "min_doc_count": 0,
+                                 "extended_bounds": {"min": 0, "max": 4000}}}},
+}
+
+_DSL_TOPLEVEL_TERMS_BODY = {"query": {"terms": {"lang": ["en", "fr"]}}, "size": 12}
+
+
+def _dsl_metric_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES standalone metric agg (avg) — the most common agg body a client
+    sends; one map-side-combined aggregate, one scalar row."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _DSL_METRIC_BODY)
+
+
+def _dsl_metric_avg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric agg on the SERVING path: the stats partials (per-shard
+    count/min/max/sum) project the one requested metric."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_index
+
+    return dsl_aggregation_index(_segment_searcher(spark, sf_dir), _DSL_METRIC_BODY)
+
+
+def _dsl_metric_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES metric agg with a script value: the script compiles once to a
+    JVM column riding the scan (declarative+oracle; serving refuses)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _DSL_METRIC_SCRIPT_BODY)
+
+
+def _dsl_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES global agg: the sub-agg ignores the body's query scope — the
+    all-docs stats next to a scoped search in one request."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _DSL_GLOBAL_BODY)
+
+
+def _dsl_histogram_empty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram min_doc_count:0 + extended_bounds: the complete bucket
+    spine with empties kept — one scalar min/max agg + a sequence explode
+    joined back, never a second corpus pass (shared by both paths)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _DSL_HISTO_EMPTY_BODY)
+
+
+def _dsl_toplevel_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1.x top-level terms query (the constant_score/filtered idiom without
+    the wrapper): constant-score filtered match_all, filters pushed to the
+    scan."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_TOPLEVEL_TERMS_BODY)
+
+
+def _events_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_range agg over the events stream: counts per [from, to)
+    timestamp window in ONE conditional-sum pass (empty windows kept);
+    literals cast to the column's own timestamp type, so the
+    TIMESTAMP/NTZ split never reaches the comparison."""
+    from flume_elasticsearch_2_spark.operators.facets import date_range_facet
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return date_range_facet(ev, "ts", _EVENTS_DATE_RANGES)
+
+
+_EVENTS_DATE_RANGES = [
+    {"to": "2024-01-10"},
+    {"from": "2024-01-10", "to": "2024-02-01", "key": "mid_jan"},
+    {"from": "2024-02-01"},
+]
+
+
 _GEO_POLY = [(-60.0, -120.0), (70.0, -100.0), (60.0, 80.0), (-40.0, 60.0)]
 
 
@@ -2410,6 +2504,13 @@ def _alias_filtered_search_segment(spark: SparkSession, sf_dir: str) -> DataFram
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dsl_metric_avg",
+    "dsl_metric_avg_segment",
+    "dsl_metric_script",
+    "dsl_global_agg",
+    "dsl_histogram_empty_buckets",
+    "dsl_toplevel_terms",
+    "events_date_range",
     "bm25_generations_boosted",
     "dsl_scripted_metric",
     "routed_search",
@@ -2686,6 +2787,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["routed_search"] = _routed_search
     q["bm25_generations_boosted"] = _bm25_generations_boosted
     q["dsl_scripted_metric"] = _dsl_scripted_metric
+    q["dsl_metric_avg"] = _dsl_metric_avg
+    q["dsl_metric_avg_segment"] = _dsl_metric_avg_segment
+    q["dsl_metric_script"] = _dsl_metric_script
+    q["dsl_global_agg"] = _dsl_global_agg
+    q["dsl_histogram_empty_buckets"] = _dsl_histogram_empty_buckets
+    q["dsl_toplevel_terms"] = _dsl_toplevel_terms
+    q["events_date_range"] = _events_date_range
     q["routed_search_all"] = _routed_search_all
     q["dsl_terms_agg_opts"] = _dsl_terms_agg_opts
     q["dsl_terms_agg_opts_segment"] = _dsl_terms_agg_opts_segment
@@ -3154,6 +3262,15 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
         ),
     )
     o["dsl_scripted_metric"] = dsl_aggregation_sql(_DSL_SCRIPTED_METRIC_BODY)
+    o["dsl_metric_avg"] = dsl_aggregation_sql(_DSL_METRIC_BODY)
+    o["dsl_metric_avg_segment"] = o["dsl_metric_avg"]
+    o["dsl_metric_script"] = dsl_aggregation_sql(_DSL_METRIC_SCRIPT_BODY)
+    o["dsl_global_agg"] = dsl_aggregation_sql(_DSL_GLOBAL_BODY)
+    o["dsl_histogram_empty_buckets"] = dsl_aggregation_sql(_DSL_HISTO_EMPTY_BODY)
+    o["dsl_toplevel_terms"] = dsl_search_sql(_DSL_TOPLEVEL_TERMS_BODY)
+    from flume_elasticsearch_2_spark.operators.facets import date_range_facet_sql
+
+    o["events_date_range"] = date_range_facet_sql("ts", _EVENTS_DATE_RANGES)
     from flume_elasticsearch_2_spark.operators.synonyms import bm25_synonym_sql
 
     o["synonym_search"] = bm25_synonym_sql("dup batch", _SYN_RULES, k=12)

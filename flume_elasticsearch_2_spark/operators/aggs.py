@@ -794,3 +794,74 @@ def scripted_metric_facet_sql(
         f"SELECT round(CAST({reduce}({expr}) AS DOUBLE), 6) AS value\n"
         f"FROM {table}\nWHERE {_match_sql(query, mode, None, 'ascii')}"
     )
+
+
+# -- standalone metric aggs (min / max / sum / avg) ------------------------------
+
+
+_METRICS = ("min", "max", "sum", "avg")
+
+
+def metric_facet(
+    docs: DataFrame,
+    query: str | None,
+    field: str | None,
+    metric: str,
+    script: str | None = None,
+    mode: str = "or",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES single-metric aggs ``min``/``max``/``sum``/``avg`` over the match
+    set — the most common agg bodies a client sends. Value column is
+    ``value`` (double, round-6) as ES returns doubles. ``script`` replaces
+    ``field`` with a computed per-doc value (ES's ``script`` option on
+    metric aggs; the functions/scripts.py subset compiled once to a JVM
+    column). One map-side-combined aggregate; a scalar row returned."""
+    if metric not in _METRICS:
+        raise ValueError(f"metric must be one of {_METRICS}, got {metric!r}")
+    if (field is None) == (script is None):
+        raise ValueError("exactly one of field/script required")
+    if script is not None:
+        from ..functions.scripts import parse_script
+
+        sc = parse_script(script)
+        if sc.uses_score:
+            raise ValueError("metric agg scripts have no _score (no hit context)")
+        missing = sorted(sc.fields - set(docs.columns))
+        if missing:
+            raise ValueError(f"script references unknown doc fields {missing}")
+        v = sc.spark_col(None)
+    else:
+        v = F.col(field)
+    fn = {"min": F.min, "max": F.max, "sum": F.sum, "avg": F.avg}[metric]
+    return (
+        docs.where(match_condition(query, mode, text_col))
+        .agg(F.round(fn(v).cast("double"), 6).alias("value"))
+    )
+
+
+def metric_facet_sql(
+    query: str | None,
+    field: str | None,
+    metric: str,
+    script: str | None = None,
+    mode: str = "or",
+    table: str = "documents",
+) -> str:
+    if metric not in _METRICS:
+        raise ValueError(f"metric must be one of {_METRICS}, got {metric!r}")
+    if (field is None) == (script is None):
+        raise ValueError("exactly one of field/script required")
+    if script is not None:
+        from ..functions.scripts import parse_script
+
+        sc = parse_script(script)
+        if sc.uses_score:
+            raise ValueError("metric agg scripts have no _score (no hit context)")
+        v = sc.sql(None)
+    else:
+        v = field
+    return (
+        f"SELECT round(CAST({metric}({v}) AS DOUBLE), 6) AS value\n"
+        f"FROM {table}\nWHERE {_match_sql(query, mode, None, 'ascii')}"
+    )

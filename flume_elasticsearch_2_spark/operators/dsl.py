@@ -34,7 +34,8 @@ silent best-effort):
   terms query: ``cutoff_frequency`` df-split, ``low_freq_operator``),
   the 1.x ``filtered`` wrapper
   (rewritten to bool), ``constant_score`` (filter + boost), top-level
-  ``range``, ``query_string`` (Lucene mini-language subset: bare/+/- terms,
+  ``range`` / ``exists`` / ``missing`` / ``terms`` (constant-score filtered
+  match_all over stored fields; the analyzed text field refuses), ``query_string`` (Lucene mini-language subset: bare/+/- terms,
   one quoted phrase, one wildcard, AND/OR, ``text:`` field syntax), and
   ``bool`` with:
   - ``must``: ONE scored clause (match / match_phrase / term-on-text),
@@ -791,6 +792,17 @@ def parse_body(
                 _err(f"query_string keys {sorted(extra_q)}")
             default_op = val.get("default_operator", "or").lower()
         _parse_query_string(spec, qs, default_op, text_col)
+    elif kind in ("exists", "missing", "terms"):
+        # 1.x clients often send these as TOP-LEVEL queries (the
+        # constant_score/filtered idiom without the wrapper): a
+        # constant-score filtered match_all over stored doc fields. The
+        # analyzed text field is out of scope here (a terms query on it
+        # scores like bool.should — route those through bool).
+        f_probe = val.get("field") if kind in ("exists", "missing") else next(iter(val), None)
+        if f_probe == text_col:
+            _err(f"top-level {kind} on the analyzed field {text_col!r} — use bool")
+        spec.kind = "match_all"
+        spec.filters = spec.filters + _filter_triples([{kind: val}])
     else:
         _err(f"query clause {kind!r}")
 
@@ -1321,10 +1333,20 @@ def dsl_search_index(
             "candidate set cannot be filtered server-side yet)"
         )
     if spec.kind == "function_score":
-        _err(
-            "function_score is declarative-only in this version (the "
-            "re-ranking factor invalidates the BMW serving bound; a bounded-"
-            "factor rescore window is the planned serving shape)"
+        # field-driven forms (field_value_factor / decay) serve exactly:
+        # per-shard full candidate scoring with the factor from the shard's
+        # own stored docs column (BMW off — the factor invalidates the
+        # bound). random_score / script_score stay declarative-only.
+        if spec.fscore_seed is not None or spec.fscore_script is not None:
+            _err("random_score/script_score are declarative-only on the serving path")
+        if spec.filters or mn or spec.from_:
+            _err("function_score with filters/must_not/from")
+        q, fmode, field, factor, modifier, missing, boost_mode = spec.fscore
+        if multifield:
+            searcher = searcher.field_searcher(searcher.fields[0])
+        return searcher.search_function_score(
+            q, field=field, factor=factor, modifier=modifier, missing=missing,
+            decay=spec.fscore_decay, boost_mode=boost_mode, k=spec.size, mode=fmode,
         )
     if spec.kind == "common":
         if spec.from_:
@@ -1440,6 +1462,12 @@ def _parse_aggs(body: dict, text_col: str) -> tuple[str | None, str, str, dict]:
         # (k best docs per bucket)
         agg = {k: v for k, v in agg.items() if k not in ("aggs", "aggregations")}
         kind, conf = _one_field(agg, "agg")
+        if kind == "global":
+            # ES global agg: the sub-agg runs over ALL docs, ignoring the
+            # body's query — re-parse the sub-agg with a match_all scope
+            if conf not in ({}, None):
+                _err("global agg options")
+            return _parse_aggs({"aggs": sub}, text_col)
         if kind != "terms":
             _err(f"sub-aggs under agg kind {kind!r} (terms buckets only)")
         if not isinstance(sub, dict) or len(sub) != 1:
@@ -1489,10 +1517,35 @@ def _parse_aggs(body: dict, text_col: str) -> tuple[str | None, str, str, dict]:
         if kind not in (
             "terms", "stats", "histogram", "range", "filters", "cardinality",
             "percentiles", "missing", "significant_terms", "extended_stats",
-            "value_count", "scripted_metric",
+            "value_count", "scripted_metric", "min", "max", "sum", "avg",
         ):
             _err(f"agg kind {kind!r}")
         kw = {}
+        if kind in ("min", "max", "sum", "avg"):
+            # ES standalone metric aggs — the most common agg bodies; the
+            # optional `script` computes the per-doc value (scripts.py
+            # subset), mirroring ES's script option on metric aggs
+            extra_m = set(conf) - {"field", "script"}
+            if extra_m:
+                _err(f"{kind} agg options {sorted(extra_m)}")
+            kw["metric"] = kind
+            field = conf.get("field")
+            scr = conf.get("script")
+            if scr is not None:
+                if not isinstance(scr, str):
+                    _err(f"{kind} agg script must be a string")
+                from ..functions.scripts import parse_script
+
+                try:
+                    psc = parse_script(scr)
+                except ValueError as e:
+                    _err(str(e))
+                if psc.uses_score:
+                    _err("metric agg scripts have no _score (no hit context)")
+                kw["script"] = scr
+            if (field is None) == (scr is None):
+                _err(f"{kind} agg needs exactly one of field/script")
+            return _parse_aggs_finish(body, text_col, "metric", field, kw)
         if kind == "scripted_metric":
             # the shape deployments use scripted_metric for: an arithmetic
             # per-doc map (functions/scripts.py subset, compiled once to a
@@ -1544,7 +1597,20 @@ def _parse_aggs(body: dict, text_col: str) -> tuple[str | None, str, str, dict]:
                     _err(f"terms order {conf['order']!r}")
                 kw["order"] = (okey, odir)
         if kind == "histogram":
+            extra_h = set(conf) - {"field", "interval", "min_doc_count",
+                                   "extended_bounds"}
+            if extra_h:
+                _err(f"histogram options {sorted(extra_h)}")
             kw["interval"] = int(conf["interval"])
+            if "min_doc_count" in conf:
+                kw["min_doc_count"] = int(conf["min_doc_count"])
+            if "extended_bounds" in conf:
+                eb = conf["extended_bounds"]
+                if not isinstance(eb, dict) or set(eb) != {"min", "max"}:
+                    _err("extended_bounds needs {min, max}")
+                if int(conf.get("min_doc_count", 1)) != 0:
+                    _err("extended_bounds only applies with min_doc_count: 0")
+                kw["extended_bounds"] = (float(eb["min"]), float(eb["max"]))
         if kind == "range":
             kw["ranges"] = list(conf["ranges"])
         if kind == "cardinality":
@@ -1642,6 +1708,10 @@ def dsl_aggregation(docs: DataFrame, body: dict, text_col: str = "text") -> Data
         from .aggs import scripted_metric_facet
 
         return scripted_metric_facet(docs, q, text_col=text_col, **kw)
+    if kind == "metric":
+        from .aggs import metric_facet
+
+        return metric_facet(docs, q, field, text_col=text_col, **kw)
     from .aggs import extended_stats_facet, hll_cardinality, value_count_facet
 
     fn = {
@@ -1700,6 +1770,10 @@ def dsl_aggregation_sql(body: dict, table: str = "documents", text_col: str = "t
         from .aggs import scripted_metric_facet_sql
 
         return scripted_metric_facet_sql(q, table=table, **kw)
+    if kind == "metric":
+        from .aggs import metric_facet_sql
+
+        return metric_facet_sql(q, field, table=table, **kw)
     if kind == "query":
         from .aggs import query_facet_sql
 
@@ -1743,6 +1817,18 @@ def dsl_aggregation_index(searcher, body: dict, text_col: str = "text") -> DataF
             "cardinality precision_threshold=0 (deterministic HLL) is "
             "declarative-only (operators/aggs.hll_cardinality); the serving "
             "facet computes the exact form"
+        )
+    if kind == "metric":
+        if kw.get("script") is not None:
+            raise ValueError(
+                "metric agg with script is declarative-only "
+                "(operators/aggs.metric_facet) — the stats partials read "
+                "only (doc_id, field)"
+            )
+        metric = kw["metric"]
+        st = searcher.facet(q, field, kind="stats", mode=kw.get("mode", "or"))
+        return st.select(
+            F.round(F.col(metric).cast("double"), 6).alias("value")
         )
     if kind in ("percentiles", "significant_terms", "top_hits", "scripted_metric"):
         raise ValueError(

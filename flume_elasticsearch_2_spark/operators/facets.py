@@ -146,6 +146,40 @@ def stats_facet(
     )
 
 
+def fill_histogram_buckets(
+    counts: DataFrame,
+    interval: int,
+    extended_bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """ES histogram ``min_doc_count: 0``: complete the bucket spine — every
+    interval step between the data's min/max bucket (widened to
+    ``extended_bounds`` when given) appears, empties with count 0.
+
+    Works on any merged ``(bucket, count)`` frame, so the declarative and
+    SERVING paths share it. The spine is one scalar min/max agg + a
+    ``sequence`` explode joined back — ≤ (hi−lo)/interval tiny rows, never
+    a second corpus pass. An empty match set with no bounds yields no
+    buckets (ES behavior); with bounds it yields the full zero spine."""
+    i = int(interval)
+    lo = F.min("bucket")
+    hi = F.max("bucket")
+    if extended_bounds is not None:
+        bmin, bmax = extended_bounds
+        blo = int(bmin // i) * i
+        bhi = int(bmax // i) * i
+        lo = F.least(F.coalesce(lo, F.lit(blo)), F.lit(blo))
+        hi = F.greatest(F.coalesce(hi, F.lit(bhi)), F.lit(bhi))
+    spine = (
+        counts.agg(lo.cast("long").alias("lo"), hi.cast("long").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi", F.lit(i))).alias("bucket"))
+    )
+    return (
+        spine.join(counts, "bucket", "left")
+        .select("bucket", F.coalesce("count", F.lit(0)).cast("long").alias("count"))
+        .orderBy("bucket")
+    )
+
+
 def histogram_facet(
     docs: DataFrame,
     query: str | None,
@@ -155,16 +189,26 @@ def histogram_facet(
     text_col: str = "text",
     stopwords: list[str] | None = None,
     analyzer: str = "ascii",
+    min_doc_count: int = 1,
+    extended_bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """(bucket, count) at ``floor(field/interval)*interval``, bucket-ordered
-    (ES histogram facet default order)."""
+    (ES histogram facet default order). ``min_doc_count: 0`` keeps empty
+    buckets over the data span (widened to ``extended_bounds``);
+    ``min_doc_count > 1`` drops buckets below the floor."""
+    if extended_bounds is not None and int(min_doc_count) != 0:
+        raise ValueError("extended_bounds only applies with min_doc_count=0 (ES)")
     bucket = (F.floor(F.col(field) / F.lit(int(interval))) * int(interval)).cast("long")
-    return (
+    out = (
         docs.where(match_condition(query, mode, text_col, stopwords, analyzer))
         .groupBy(bucket.alias("bucket"))
         .agg(F.count("*").alias("count"))
-        .orderBy("bucket")
     )
+    if int(min_doc_count) == 0:
+        return fill_histogram_buckets(out, interval, extended_bounds)
+    if int(min_doc_count) > 1:
+        out = out.where(F.col("count") >= int(min_doc_count))
+    return out.orderBy("bucket")
 
 
 _DATE_UNITS = ("hour", "day", "week", "month", "year")
@@ -348,12 +392,119 @@ def histogram_facet_sql(
     table: str = "documents",
     stopwords: list[str] | None = None,
     analyzer: str = "ascii",
+    min_doc_count: int = 1,
+    extended_bounds: tuple[float, float] | None = None,
 ) -> str:
-    bucket = f"CAST(floor({field} / {int(interval)}) AS BIGINT) * {int(interval)}"
-    return f"""
+    if extended_bounds is not None and int(min_doc_count) != 0:
+        raise ValueError("extended_bounds only applies with min_doc_count=0 (ES)")
+    i = int(interval)
+    bucket = f"CAST(floor({field} / {i}) AS BIGINT) * {i}"
+    base = f"""
 SELECT {bucket} AS bucket, count(*) AS count
 FROM {table}
 WHERE {_match_sql(query, mode, stopwords, analyzer)}
 GROUP BY 1
+"""
+    if int(min_doc_count) == 0:
+        lo, hi = "min(bucket)", "max(bucket)"
+        if extended_bounds is not None:
+            bmin, bmax = extended_bounds
+            blo, bhi = int(bmin // i) * i, int(bmax // i) * i
+            lo = f"least(coalesce(min(bucket), {blo}), {blo})"
+            hi = f"greatest(coalesce(max(bucket), {bhi}), {bhi})"
+        return f"""
+WITH c AS ({base}),
+lim AS (SELECT CAST({lo} AS BIGINT) AS lo, CAST({hi} AS BIGINT) AS hi FROM c),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, {i})) AS bucket FROM lim
+  WHERE lo IS NOT NULL
+)
+SELECT s.bucket, CAST(coalesce(c.count, 0) AS BIGINT) AS count
+FROM spine s LEFT JOIN c USING (bucket)
 ORDER BY bucket
 """
+    having = (
+        f"HAVING count(*) >= {int(min_doc_count)}" if int(min_doc_count) > 1 else ""
+    )
+    return base + having + "\nORDER BY bucket\n"
+
+
+def date_range_facet(
+    df: DataFrame,
+    ts_col: str = "ts",
+    ranges: list[dict] | None = None,
+    where: Column | None = None,
+) -> DataFrame:
+    """ES ``date_range`` agg: doc counts per [from, to) timestamp window
+    (ISO strings; from inclusive, to exclusive, open ends allowed — ES
+    semantics, same as the numeric range agg). ONE pass, counts as
+    map-side-combined conditional sums — no row shuffle; empty and
+    overlapping windows behave exactly like the range agg.
+
+    Timestamp literals are cast to the COLUMN's own type (the
+    TIMESTAMP/TIMESTAMP_NTZ split between engines never reaches the
+    comparison)."""
+    if not ranges:
+        raise ValueError("date_range needs at least one range")
+    ts_type = df.schema[ts_col].dataType
+    src = df if where is None else df.where(where)
+    aggs, keys = [], []
+    for r in ranges:
+        extra = set(r) - {"from", "to", "key"}
+        if extra:
+            raise ValueError(f"date_range keys {sorted(extra)}")
+        lo, hi = r.get("from"), r.get("to")
+        if lo is None and hi is None:
+            raise ValueError("date_range range needs from and/or to")
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(ts_col) >= F.lit(str(lo)).cast(ts_type))
+        if hi is not None:
+            cond = cond & (F.col(ts_col) < F.lit(str(hi)).cast(ts_type))
+        key = r.get("key", f"{lo or '*'}-{hi or '*'}")
+        if key in keys:
+            raise ValueError(f"duplicate date_range key {key!r}")
+        keys.append(key)
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"c{len(aggs)}"))
+    row = src.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(k).alias("range_key"),
+                 F.col(f"c{i}").cast("long").alias("doc_count"))
+        for i, k in enumerate(keys)
+    ])
+    return row.select(F.explode(pairs).alias("x")).select("x.*")
+
+
+def date_range_facet_sql(
+    ts_col: str = "ts",
+    ranges: list[dict] | None = None,
+    where_sql: str | None = None,
+    table: str = "events",
+) -> str:
+    """DuckDB oracle for :func:`date_range_facet`."""
+    if not ranges:
+        raise ValueError("date_range needs at least one range")
+    where = where_sql or "TRUE"
+    selects = []
+    seen = set()
+    for r in ranges:
+        extra = set(r) - {"from", "to", "key"}
+        if extra:
+            raise ValueError(f"date_range keys {sorted(extra)}")
+        lo, hi = r.get("from"), r.get("to")
+        if lo is None and hi is None:
+            raise ValueError("date_range range needs from and/or to")
+        conds = [where]
+        if lo is not None:
+            conds.append(f"{ts_col} >= CAST('{lo}' AS TIMESTAMP)")
+        if hi is not None:
+            conds.append(f"{ts_col} < CAST('{hi}' AS TIMESTAMP)")
+        key = r.get("key", f"{lo or '*'}-{hi or '*'}")
+        if key in seen:
+            raise ValueError(f"duplicate date_range key {key!r}")
+        seen.add(key)
+        selects.append(
+            f"SELECT '{key}' AS range_key, "
+            f"(SELECT count(*) FROM {table} WHERE {' AND '.join(conds)}) AS doc_count"
+        )
+    return "\nUNION ALL\n".join(selects)

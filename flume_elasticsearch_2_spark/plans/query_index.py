@@ -54,6 +54,45 @@ from ..functions.tokenizer import tokenize
 from .build_index import shard_start
 
 
+def _fsv_dense(
+    docs: pd.DataFrame, span: int, base: int, spec: dict
+) -> np.ndarray:
+    """Dense per-local-doc function_score factor from the shard's docs table
+    — the serving twin of the declarative fsv column (operators/topk.py).
+    Arithmetic ORDER mirrors the JVM/SQL expressions exactly (coalesce→
+    modifier→factor for field_value_factor; |v−origin|−offset clamp → shape
+    for decay, missing → 1.0), so all three engines stay bit-identical."""
+    arr = np.ones(span, dtype=np.float64)
+    local = docs["doc_id"].to_numpy(np.int64) - base
+    v = pd.to_numeric(docs[spec["value_col"]], errors="coerce").to_numpy(np.float64)
+    if spec["kind"] == "fvf":
+        v = np.where(np.isnan(v), float(spec["missing"]), v)
+        fn = {
+            "none": lambda x: x,
+            "ln1p": lambda x: np.log(1.0 + x),
+            "ln2p": lambda x: np.log(2.0 + x),
+            "sqrt": np.sqrt,
+            "square": lambda x: x * x,
+            "reciprocal": lambda x: 1.0 / x,
+        }[spec["modifier"]]
+        arr[local] = float(spec["factor"]) * fn(v)
+    else:  # decay — λ precomputed in Python exactly as decay_col/decay_sql
+        import math
+
+        origin, scale = float(spec["origin"]), float(spec["scale"])
+        offset, rate = float(spec["offset"]), float(spec["decay"])
+        d = np.maximum(np.abs(v - origin) - offset, 0.0)
+        if spec["kind"] == "gauss":
+            m = np.exp((math.log(rate) / (scale * scale)) * d * d)
+        elif spec["kind"] == "exp":
+            m = np.exp((math.log(rate) / scale) * d)
+        else:
+            s = scale / (1.0 - rate)
+            m = np.maximum((s - d) / s, 0.0)
+        arr[local] = np.where(np.isnan(v), 1.0, m)
+    return arr
+
+
 def _score_shard(
     postings: pd.DataFrame,
     docs: pd.DataFrame,
@@ -69,12 +108,21 @@ def _score_shard(
     pruned: bool,
     counters: dict | None = None,
     msm: int | None = None,
+    fsv_spec: dict | None = None,
+    boost_mode: str = "multiply",
 ) -> pd.DataFrame:
     """Score one shard; returns up to k (doc_id, score) rows. ``counters``
     (optional dict) accumulates ``blocks_decoded`` — BMW effectiveness
     instrumentation for tests/bench. ``msm`` (OR mode) keeps only docs
     matching at least that many distinct query terms (ES
-    minimum_should_match)."""
+    minimum_should_match).
+
+    ``fsv_spec`` turns the shard into an ES function_score scorer: every
+    candidate with base > 0 has its score combined with the per-doc factor
+    (:func:`_fsv_dense` over the docs table, which must carry the value
+    column) per ``boost_mode``. The factor invalidates the BMW upper bound,
+    so pruning is FORCED OFF — a full (but shard-local, candidate-only)
+    scan, exactly the declarative plan's cost shape."""
     if len(postings) == 0 or len(docs) == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
     shard = int(postings["shard"].iloc[0])
@@ -91,6 +139,11 @@ def _score_shard(
     local_doc = docs["doc_id"].to_numpy(dtype=np.int64) - base
     dl[local_doc] = docs["dl"].to_numpy(dtype=np.float64)
     present[local_doc] = True
+
+    fsv = None
+    if fsv_spec is not None:
+        pruned = False  # the re-rank factor invalidates the BMW bound
+        fsv = _fsv_dense(docs, span, base, fsv_spec)
 
     terms = []
     for row in postings.itertuples(index=False):
@@ -219,8 +272,12 @@ def _score_shard(
         ids, scores = score_span(int(grid[si]), int(grid[si + 1]), seg_active[si])
         if len(ids) == 0:
             continue
-        pos = scores > 0.0
+        pos = scores > 0.0  # candidate eligibility is on the BASE score
         ids, scores = ids[pos], scores[pos]
+        if fsv is not None:
+            scores = (
+                scores * fsv[ids] if boost_mode == "multiply" else scores + fsv[ids]
+            )
         if len(ids) > k:  # vectorized per-segment top-k: (-score, doc_id) lexsort
             sel = np.lexsort((ids, -scores))[:k]
             ids, scores = ids[sel], scores[sel]
@@ -559,6 +616,7 @@ def _read_shard_tables(
     terms: list[str],
     doc_filter: tuple | None = None,
     cols: list[str] = POST_COLS,
+    extra_doc_cols: list[str] | None = None,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """One shard's postings (column-pruned, term-filtered via Parquet
     row-group stats) and docs (doc_id, dl) as pandas frames — the data-node
@@ -584,7 +642,10 @@ def _read_shard_tables(
     pt["shard"] = shard
     dt = (
         pads.dataset(f"{index_dir}/docs/shard={shard}", format="parquet")
-        .to_table(columns=["doc_id", "dl"], filter=_docs_filter_expr(doc_filter))
+        .to_table(
+            columns=["doc_id", "dl"] + list(extra_doc_cols or []),
+            filter=_docs_filter_expr(doc_filter),
+        )
         .to_pandas()
     )
     return pt, dt
@@ -1994,6 +2055,7 @@ class IndexSearcher:
         include: str | None = None,
         exclude: str | None = None,
         order: tuple[str, str] | None = None,
+        extended_bounds: tuple[float, float] | None = None,
     ) -> DataFrame:
         """ES facet/aggregation over the query's match set on the SERVING
         path (operators/facets.py and operators/aggs.py have the declarative
@@ -2318,16 +2380,21 @@ class IndexSearcher:
         if kind == "histogram":
             if partials is None:
                 bucket = (F.floor(F.col(field) / F.lit(int(interval))) * int(interval)).cast("long")
-                return (
-                    docs.groupBy(bucket.alias("bucket"))
-                    .agg(F.count("*").alias("count"))
-                    .orderBy("bucket")
+                merged = docs.groupBy(bucket.alias("bucket")).agg(
+                    F.count("*").alias("count")
                 )
-            return (
-                partials.groupBy("bucket")
-                .agg(F.sum("count").alias("count"))
-                .orderBy("bucket")
-            )
+            else:
+                merged = partials.groupBy("bucket").agg(F.sum("count").alias("count"))
+            # ES min_doc_count / extended_bounds are bucket-level: apply on
+            # the merged (bucket, count) frame with the declarative twin's
+            # shared spine helper (operators/facets.py)
+            if int(min_doc_count) == 0:
+                from ..operators.facets import fill_histogram_buckets
+
+                return fill_histogram_buckets(merged, int(interval), extended_bounds)
+            if int(min_doc_count) > 1:
+                merged = merged.where(F.col("count") >= int(min_doc_count))
+            return merged.orderBy("bucket")
         if partials is None:
             return docs.agg(
                 F.count("*").alias("count"),
@@ -2432,6 +2499,89 @@ class IndexSearcher:
         partials = _one_task_per_shard(spark, active).mapInPandas(shard_tops, ddl)
         return partials.orderBy(*order_cols).offset(int(from_)).limit(int(size))
 
+    def search_function_score(
+        self,
+        query: str,
+        field: str | None = None,
+        factor: float = 1.0,
+        modifier: str = "none",
+        missing: float = 1.0,
+        decay: dict | None = None,
+        boost_mode: str = "multiply",
+        k: int = 10,
+        mode: str = "or",
+    ) -> DataFrame:
+        """ES ``function_score`` on the SERVING path — the two field-driven
+        function forms (``field_value_factor`` and a decay function; the
+        operators/topk.py semantics exactly): every candidate with base
+        BM25 > 0 is re-scored with the per-doc factor computed from the
+        shard's OWN stored docs column and the top-k is taken by the
+        COMBINED score.
+
+        Scale shape: the factor invalidates the BMW bound, so each shard
+        scores its full candidate set (pruned=False) — the same work the
+        declarative plan does, but shard-local with only k rows gathered;
+        the value column rides the existing docs read (column-pruned
+        pyarrow), no join. ``random_score``/``script_score`` stay
+        declarative-only (a seeded hash / arbitrary-field script has no
+        dense-array form worth pinning here)."""
+        from ..operators.topk import FVF_MODIFIERS, _decay_params
+
+        if (field is None) == (decay is None):
+            raise ValueError("exactly one of field/decay required")
+        if decay is not None:
+            _decay_params(decay)
+            fsv_spec = {**decay, "value_col": decay["field"]}
+        else:
+            if modifier not in FVF_MODIFIERS:
+                raise ValueError(f"modifier must be one of {FVF_MODIFIERS}")
+            fsv_spec = {
+                "kind": "fvf", "value_col": field, "factor": float(factor),
+                "modifier": modifier, "missing": float(missing),
+            }
+        if boost_mode not in ("multiply", "sum"):
+            raise ValueError(f"boost_mode must be multiply|sum, got {boost_mode!r}")
+        value_col = fsv_spec["value_col"]
+        doc_schema = pads.dataset(
+            f"{self.index_dir}/docs/shard=0", format="parquet"
+        ).schema
+        if value_col not in doc_schema.names:
+            raise ValueError(
+                f"function_score field {value_col!r} is not a stored docs "
+                "column of this index (pass it via orig_ids at build)"
+            )
+        spark = self.spark
+        q_terms = tokenize(query)
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        if not q_terms:
+            return empty
+        weights = {t: float(c) for t, c in Counter(q_terms).items()}
+        dfreq, active_shards = self._query_meta(sorted(weights))
+        present = sorted(t for t in weights if t in dfreq)
+        if not present or (mode == "and" and len(present) < len(weights)):
+            return empty
+        kwargs = dict(
+            weights=weights,
+            dfreq=dfreq,
+            n_docs=self.n_docs,
+            avgdl=self.avgdl,
+            id_space=self.id_space,
+            n_shards=self.n_shards,
+            k=k,
+            mode=mode,
+            pruned=False,
+            fsv_spec=fsv_spec,
+            boost_mode=boost_mode,
+        )
+        rows = self._scatter_direct(
+            active_shards, present, kwargs, extra_doc_cols=[value_col]
+        ).collect()
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        return spark.createDataFrame(
+            [(int(r["doc_id"]), round_half_up6(r["score"])) for r in rows[:k]],
+            "doc_id long, score double",
+        )
+
     def _scatter_direct(
         self,
         active_shards: list[int],
@@ -2441,6 +2591,7 @@ class IndexSearcher:
         mn_terms: list[str] | None = None,
         must_terms: list[str] | None = None,
         must_mode: str = "or",
+        extra_doc_cols: list[str] | None = None,
     ) -> DataFrame:
         """One task per active shard; each reads its own shard dir (postings
         term-filtered + norms) with pyarrow and scores locally. No shuffle —
@@ -2460,7 +2611,10 @@ class IndexSearcher:
         def score_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 for shard in pdf["shard"].tolist():
-                    pt, dt = _read_shard_tables(index_dir, shard, present, doc_filter)
+                    pt, dt = _read_shard_tables(
+                        index_dir, shard, present, doc_filter,
+                        extra_doc_cols=extra_doc_cols,
+                    )
                     if must_terms:
                         incl = _facet_match_ids(index_dir, shard, must_terms, must_mode)
                         dt = dt[dt["doc_id"].isin(incl)]

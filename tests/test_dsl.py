@@ -174,6 +174,16 @@ BODIES: list[tuple[str, dict, bool]] = [
         False,
     ),
     (
+        "toplevel_exists",
+        {"query": {"exists": {"field": "lang"}}, "size": 6},
+        False,
+    ),
+    (
+        "toplevel_terms",
+        {"query": {"terms": {"lang": ["en", "fr"]}}, "size": 6},
+        False,
+    ),
+    (
         "post_filter_term",
         {"query": {"match": {"text": "dup batch scan"}},
          "post_filter": {"term": {"lang": "en"}}, "size": 10},
@@ -234,7 +244,7 @@ BODIES: list[tuple[str, dict, bool]] = [
             "gauss": {"n_chars": {"origin": 400, "scale": 250, "offset": 20,
                                   "decay": 0.4}},
         }}, "size": 8},
-        False,  # function_score is declarative-only (house precedent)
+        True,  # field-driven function_score serves exactly (BMW off)
     ),
     (
         "decay_linear_sum",
@@ -243,7 +253,7 @@ BODIES: list[tuple[str, dict, bool]] = [
             "linear": {"n_chars": {"origin": 300, "scale": 200}},
             "boost_mode": "sum",
         }}, "size": 8},
-        False,
+        True,
     ),
     (
         "decay_exp_defaults",
@@ -251,7 +261,7 @@ BODIES: list[tuple[str, dict, bool]] = [
             "query": {"match": {"text": {"query": "scan window", "operator": "and"}}},
             "exp": {"n_chars": {"origin": 500, "scale": 150}},
         }}, "size": 8},
-        False,
+        True,
     ),
     (
         "script_fields",
@@ -365,6 +375,9 @@ def test_dsl_mlt_routes(documents, searcher):
          "sort": [{"n_chars": "desc"}]},
         {"query": {"match": {"text": "a"}}, "post_filter": {"term": {"lang": "en"}},
          "highlight": {"fields": {"text": {}}}},
+        # top-level filter queries: analyzed text field refused
+        {"query": {"terms": {"text": ["a", "b"]}}},
+        {"query": {"exists": {"field": "text"}}},
         # min_score composes with scored match/bool only
         {"query": {"match_all": {}}, "min_score": 1.0},
         {"query": {"match": {"text": "a"}}, "min_score": 1.0,
@@ -391,6 +404,46 @@ def test_dsl_rejects_unsupported_loudly(bad):
 # -- aggs ---------------------------------------------------------------------
 
 AGG_BODIES = [
+    (
+        # ES standalone metric aggs — the most common agg bodies
+        "metric_avg_scoped",
+        {"query": {"match": {"text": "dup batch scan"}},
+         "aggs": {"a": {"avg": {"field": "n_chars"}}}},
+    ),
+    (
+        "metric_min_matchall",
+        {"aggs": {"a": {"min": {"field": "n_chars"}}}},
+    ),
+    (
+        "metric_sum_scoped",
+        {"query": {"match": {"text": "batch scan"}},
+         "aggs": {"a": {"sum": {"field": "n_chars"}}}},
+    ),
+    (
+        "metric_max_scoped",
+        {"query": {"match": {"text": "dup"}},
+         "aggs": {"a": {"max": {"field": "n_chars"}}}},
+    ),
+    (
+        # ES global agg: the sub-agg ignores the body's query scope
+        "global_stats",
+        {"query": {"match": {"text": "dup batch scan"}},
+         "aggs": {"all": {"global": {},
+                          "aggs": {"len": {"stats": {"field": "n_chars"}}}}}},
+    ),
+    (
+        # ES histogram min_doc_count:0 + extended_bounds — empty buckets kept
+        "histogram_empty_buckets",
+        {"query": {"match": {"text": "dup batch scan"}},
+         "aggs": {"h": {"histogram": {"field": "n_chars", "interval": 500,
+                                      "min_doc_count": 0,
+                                      "extended_bounds": {"min": 0, "max": 4000}}}}},
+    ),
+    (
+        "histogram_min_doc_count",
+        {"aggs": {"h": {"histogram": {"field": "n_chars", "interval": 200,
+                                      "min_doc_count": 3}}}},
+    ),
     (
         "terms_scoped",
         {"query": {"match": {"text": "dup batch scan"}},
@@ -511,6 +564,13 @@ AGG_BODIES = [
 # declarative-only kinds (serving path refuses: exact forms need the match
 # set's raw values; aggs.py routes the sketch-merging builtins at scale)
 AGG_BODIES_DECLARATIVE = [
+    (
+        # metric agg with a script value: the stats partials on the serving
+        # path read only (doc_id, field) — declarative+oracle only
+        "metric_script_avg",
+        {"query": {"match": {"text": "dup batch scan"}},
+         "aggs": {"a": {"avg": {"script": "log1p(doc['n_chars'].value)"}}}},
+    ),
     (
         "percentiles_scoped",
         {"query": {"match": {"text": "dup batch scan"}},
@@ -977,9 +1037,9 @@ def test_function_score_missing_fills_nulls(spark):
     assert hits[0][0] == 0 and hits[1][0] == 1
 
 
-def test_function_score_rejected_on_serving(searcher):
-    with pytest.raises(ValueError, match="declarative-only"):
-        dsl_search_index(searcher, _fscore_body("ln1p", "multiply"))
+# (field_value_factor/decay now SERVE exactly —
+# test_function_score_serving_equals_declarative; random_score/script_score
+# rejection is pinned in test_function_score_serving_missing_field_and_guards)
 
 
 # -- _msearch -----------------------------------------------------------------
@@ -1193,3 +1253,70 @@ def test_post_filter_hits_equal_bool_filter_but_aggs_ignore_it(documents, duck):
     b = [tuple(r) for r in dsl_aggregation(documents, with_pf).collect()]
     assert a == b and len(a) > 1  # >1 lang bucket -> the filter WOULD bite
     assert dsl_aggregation_sql(with_pf) == dsl_aggregation_sql(agg_body)
+
+
+def test_toplevel_missing_query_matches_null_docs(documents):
+    """1.x top-level missing query = constant-score filtered match_all over
+    docs lacking the field (synthesized nulls: the corpus has none)."""
+    from pyspark.sql import functions as F
+
+    with_nulls = documents.withColumn(
+        "maybe", F.when(F.col("doc_id") % 5 == 0, F.col("source"))
+    )
+    hits = dsl_search(with_nulls, {"query": {"missing": {"field": "maybe"}}, "size": 1000})
+    got = sorted(r.doc_id for r in hits.collect())
+    want = sorted(
+        r.doc_id for r in with_nulls.where(F.col("maybe").isNull()).collect()
+    )
+    assert got == want[: len(got)] and len(got) == min(1000, len(want)) and got
+    assert {r.score for r in hits.collect()} == {1.0}  # constant score
+
+
+def test_histogram_empty_buckets_actually_filled(documents, duck):
+    """The spine really contains zero-count buckets (and extended_bounds
+    widens past the data span)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    body = {"query": {"match": {"text": "dup batch scan"}},
+            "aggs": {"h": {"histogram": {"field": "n_chars", "interval": 500,
+                                         "min_doc_count": 0,
+                                         "extended_bounds": {"min": 0, "max": 4000}}}}}
+    rows = dsl_aggregation(documents, body).collect()
+    buckets = [r.bucket for r in rows]
+    assert buckets == list(range(0, 4001, 500))  # contiguous spine incl bounds
+    assert any(r["count"] == 0 for r in rows)
+    with pytest.raises(ValueError, match="extended_bounds"):
+        dsl_aggregation(documents, {"aggs": {"h": {"histogram": {
+            "field": "n_chars", "interval": 500,
+            "extended_bounds": {"min": 0, "max": 10}}}}})
+
+
+@pytest.mark.parametrize("modifier", ["none", "ln1p", "sqrt", "reciprocal"])
+@pytest.mark.parametrize("boost_mode", ["multiply", "sum"])
+def test_function_score_serving_equals_declarative(documents, searcher, modifier, boost_mode):
+    """field_value_factor on the SERVING path: per-shard full candidate
+    scoring with the factor from the shard's own stored docs column —
+    identical output to the declarative plan (which the oracle pins)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    body = _fscore_body(modifier, boost_mode)
+    got = [tuple(r) for r in dsl_search_index(searcher, body).collect()]
+    want = [tuple(r) for r in dsl_search(documents, body).collect()]
+    assert got == want and len(got) == 10, (modifier, boost_mode)
+
+
+def test_function_score_serving_missing_field_and_guards(searcher):
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    with pytest.raises(ValueError, match="stored docs column"):
+        dsl_search_index(searcher, {"query": {"function_score": {
+            "query": {"match": {"text": "dup"}},
+            "field_value_factor": {"field": "nope_col"}}}})
+    with pytest.raises(ValueError, match="declarative-only"):
+        dsl_search_index(searcher, {"query": {"function_score": {
+            "query": {"match": {"text": "dup"}},
+            "random_score": {"seed": 7}}}})
+    with pytest.raises(ValueError, match="declarative-only"):
+        dsl_search_index(searcher, {"query": {"function_score": {
+            "query": {"match": {"text": "dup"}},
+            "script_score": {"script": "_score * 2"}}}})

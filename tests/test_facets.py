@@ -181,3 +181,44 @@ def test_date_histogram_rejects_bad_interval(events):
 
     with pytest.raises(ValueError):
         date_histogram_facet(events, "ts", "fortnight")
+
+
+# -- date_range over the events table ------------------------------------------
+
+
+_DR = [
+    {"to": "2024-01-10"},
+    {"from": "2024-01-10", "to": "2024-02-01", "key": "mid_jan"},
+    {"from": "2024-02-01"},
+    {"from": "2030-01-01", "key": "future"},  # empty window kept (count 0)
+]
+
+
+def test_date_range_matches_duckdb(events, sf_dir):
+    from flume_elasticsearch_2_spark.operators.facets import (
+        date_range_facet,
+        date_range_facet_sql,
+    )
+
+    got = [tuple(r) for r in date_range_facet(events, "ts", _DR).collect()]
+    want = _duck_events(sf_dir, date_range_facet_sql("ts", _DR))
+    assert got == want and len(got) == 4
+    counts = dict(got)
+    assert counts["future"] == 0
+    total = events.count()
+    # the first three windows partition the corpus (from incl, to excl)
+    assert counts[f"*-2024-01-10"] + counts["mid_jan"] + counts["2024-02-01-*"] == total
+
+
+def test_date_range_validation(events):
+    from flume_elasticsearch_2_spark.operators.facets import date_range_facet
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least one"):
+        date_range_facet(events, "ts", [])
+    with _pt.raises(ValueError, match="from and/or to"):
+        date_range_facet(events, "ts", [{"key": "x"}])
+    with _pt.raises(ValueError, match="duplicate"):
+        date_range_facet(events, "ts", [{"to": "2024-01-01", "key": "a"},
+                                        {"from": "2024-01-01", "key": "a"}])
