@@ -2328,6 +2328,58 @@ def _dsl_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsl_aggregation(_docs(spark, sf_dir), _DSL_SCRIPTED_METRIC_BODY)
 
 
+def _dsl_function_score_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score/field_value_factor on the SERVING path: per-shard
+    full candidate scoring with the factor from the shard's own stored
+    docs column (BMW off — the factor invalidates the bound); same
+    arithmetic order as the JVM/SQL twins, so all three engines agree.
+    plans/query_index.py:search_function_score."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_FSCORE_BODY)
+
+
+def _dsl_decay_gauss_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gauss decay on the SERVING path — the decay multiplier computed
+    shard-locally from the stored numeric column (missing → 1.0)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_DECAY_GAUSS_BODY)
+
+
+_DSL_AND_NOT_BODY = {
+    "query": {"filtered": {
+        "query": {"match": {"text": "dup batch"}},
+        "filter": {"and": [{"range": {"n_chars": {"gte": 100}}},
+                           {"not": {"term": {"lang": "de"}}}]}}},
+    "size": 10,
+}
+
+_DSL_OR_FILTER_BODY = {
+    "query": {"bool": {
+        "must": [{"match": {"text": "dup batch scan"}}],
+        "filter": [{"or": [{"term": {"lang": "en"}}, {"term": {"lang": "fr"}}]}]}},
+    "size": 10,
+}
+
+
+def _dsl_and_not_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1.x compound filters (`and` flatten + null-safe `not`) inside the
+    filtered wrapper — docs missing the negated field are KEPT, as ES;
+    the triples still push to the Parquet scan."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_AND_NOT_BODY)
+
+
+def _dsl_or_filter_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1.x `or` filter (same-field term branches == the terms filter / IN)
+    on the SERVING path — IN-list pushed to the per-shard docs read."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_OR_FILTER_BODY)
+
+
 _DSL_METRIC_BODY = {
     "query": {"match": {"text": "dup batch scan"}},
     "aggs": {"a": {"avg": {"field": "n_chars"}}},
@@ -2504,6 +2556,10 @@ def _alias_filtered_search_segment(spark: SparkSession, sf_dir: str) -> DataFram
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dsl_and_not_filter",
+    "dsl_or_filter_segment",
+    "dsl_function_score_segment",
+    "dsl_decay_gauss_segment",
     "dsl_metric_avg",
     "dsl_metric_avg_segment",
     "dsl_metric_script",
@@ -2794,6 +2850,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_histogram_empty_buckets"] = _dsl_histogram_empty_buckets
     q["dsl_toplevel_terms"] = _dsl_toplevel_terms
     q["events_date_range"] = _events_date_range
+    q["dsl_function_score_segment"] = _dsl_function_score_segment
+    q["dsl_decay_gauss_segment"] = _dsl_decay_gauss_segment
+    q["dsl_and_not_filter"] = _dsl_and_not_filter
+    q["dsl_or_filter_segment"] = _dsl_or_filter_segment
     q["routed_search_all"] = _routed_search_all
     q["dsl_terms_agg_opts"] = _dsl_terms_agg_opts
     q["dsl_terms_agg_opts_segment"] = _dsl_terms_agg_opts_segment
@@ -3271,6 +3331,10 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     from flume_elasticsearch_2_spark.operators.facets import date_range_facet_sql
 
     o["events_date_range"] = date_range_facet_sql("ts", _EVENTS_DATE_RANGES)
+    o["dsl_function_score_segment"] = dsl_search_sql(_DSL_FSCORE_BODY)
+    o["dsl_decay_gauss_segment"] = dsl_search_sql(_DSL_DECAY_GAUSS_BODY)
+    o["dsl_and_not_filter"] = dsl_search_sql(_DSL_AND_NOT_BODY)
+    o["dsl_or_filter_segment"] = dsl_search_sql(_DSL_OR_FILTER_BODY)
     from flume_elasticsearch_2_spark.operators.synonyms import bm25_synonym_sql
 
     o["synonym_search"] = bm25_synonym_sql("dup batch", _SYN_RULES, k=12)

@@ -206,6 +206,45 @@ def _filter_triples(clauses: list[dict]) -> list[tuple[str, str, Any]]:
         elif kind == "missing":
             # ES 1.x missing filter (removed in 2.x; == bool must_not exists)
             out.append((body["field"], "null", None))
+        elif kind == "and":
+            # 1.x `and` compound filter: flatten (triples AND by contract)
+            out.extend(_filter_triples(list(body)))
+        elif kind == "not":
+            # 1.x `not` filter over ONE single-predicate clause; null
+            # semantics follow ES: a doc missing the field does not match
+            # the inner filter, so `not` KEEPS it
+            nk, nb = _one_field(body, "not filter")
+            if nk == "term":
+                f, v = _one_field(nb, "term filter")
+                out.append((f, "!=", v))
+            elif nk == "terms":
+                f, v = _one_field(nb, "terms filter")
+                out.append((f, "not_in", list(v)))
+            elif nk == "exists":
+                out.append((nb["field"], "null", None))
+            elif nk == "missing":
+                out.append((nb["field"], "notnull", None))
+            else:
+                _err(
+                    f"not filter over {nk!r} (term/terms/exists/missing only — "
+                    "a negated multi-bound range is a disjunction the "
+                    "AND-triple contract cannot express)"
+                )
+        elif kind == "or":
+            # 1.x `or` compound filter: supported when every branch is a
+            # term filter on ONE shared field (== the terms filter / IN);
+            # general disjunctions are out of the AND-triple subset
+            branches = [_one_field(c, "or branch") for c in body]
+            if not branches or any(k != "term" for k, _ in branches):
+                _err("or filter supports term branches only")
+            fields_vals = [_one_field(b, "term filter") for _, b in branches]
+            fields = {f for f, _ in fields_vals}
+            if len(fields) != 1:
+                _err(
+                    "or filter branches must target one shared field "
+                    "(use bool.should for cross-field disjunction)"
+                )
+            out.append((fields_vals[0][0], "in", [v for _, v in fields_vals]))
         else:
             _err(f"filter clause {kind!r}")
     return out
@@ -946,6 +985,8 @@ def _filters_col(triples: list[tuple[str, str, Any]]) -> Column | None:
         # null-safe: ES must_not(term) KEEPS docs missing the field; a plain
         # != is null-rejecting and would drop them (SQL twin: IS DISTINCT FROM)
         "!=": lambda c, v: ~c.eqNullSafe(v),
+        # 1.x `not terms`: docs missing the field are KEPT (as ES not)
+        "not_in": lambda c, v: ~c.isin(list(v)) | c.isNull(),
         "<": lambda c, v: c < v,
         "<=": lambda c, v: c <= v,
         ">": lambda c, v: c > v,
@@ -973,6 +1014,10 @@ def _filters_sql(triples: list[tuple[str, str, Any]]) -> str | None:
             preds.append(f"{f} = {q(v)}")
         elif op == "!=":
             preds.append(f"{f} IS DISTINCT FROM {q(v)}")
+        elif op == "not_in":
+            preds.append(
+                f"({f} NOT IN ({', '.join(q(x) for x in v)}) OR {f} IS NULL)"
+            )
         elif op == "notnull":
             preds.append(f"{f} IS NOT NULL")
         elif op == "null":

@@ -591,6 +591,7 @@ _FILTER_OPS = {
     ">": lambda f, v: f > v,
     ">=": lambda f, v: f >= v,
     "in": lambda f, v: f.isin(list(v)),
+    "not_in": lambda f, v: ~f.isin(list(v)) | f.is_null(),
     "notnull": lambda f, v: f.is_valid(),  # ES exists filter
     "null": lambda f, v: ~f.is_valid(),   # ES 1.x missing filter
 }
@@ -680,6 +681,8 @@ def _pd_filter_mask(dt: pd.DataFrame, triples: list[tuple]) -> np.ndarray:
             e = ~(s == v).to_numpy(dtype=bool)
         elif op == "in":
             e = s.isin(list(v)).to_numpy(dtype=bool)
+        elif op == "not_in":
+            e = (~s.isin(list(v)) | s.isna()).to_numpy(dtype=bool)
         elif op == "notnull":
             e = s.notna().to_numpy(dtype=bool)
         elif op == "null":

@@ -174,6 +174,26 @@ BODIES: list[tuple[str, dict, bool]] = [
         False,
     ),
     (
+        # 1.x compound filters: and-flatten + null-safe not
+        "filtered_and_not",
+        {"query": {"filtered": {
+            "query": {"match": {"text": "dup batch"}},
+            "filter": {"and": [{"range": {"n_chars": {"gte": 100}}},
+                               {"not": {"term": {"lang": "de"}}}]}}},
+         "size": 10},
+        True,
+    ),
+    (
+        # 1.x or filter: same-field term branches == the terms filter
+        "bool_or_filter",
+        {"query": {"bool": {
+            "must": [{"match": {"text": "dup batch scan"}}],
+            "filter": [{"or": [{"term": {"lang": "en"}},
+                               {"term": {"lang": "fr"}}]}]}},
+         "size": 10},
+        True,
+    ),
+    (
         "toplevel_exists",
         {"query": {"exists": {"field": "lang"}}, "size": 6},
         False,
@@ -375,6 +395,14 @@ def test_dsl_mlt_routes(documents, searcher):
          "sort": [{"n_chars": "desc"}]},
         {"query": {"match": {"text": "a"}}, "post_filter": {"term": {"lang": "en"}},
          "highlight": {"fields": {"text": {}}}},
+        # compound filters: general disjunction / negated range are out
+        {"query": {"filtered": {"query": {"match": {"text": "a"}},
+                                "filter": {"or": [{"term": {"lang": "en"}},
+                                                  {"term": {"source": "web"}}]}}}},
+        {"query": {"filtered": {"query": {"match": {"text": "a"}},
+                                "filter": {"or": [{"range": {"n_chars": {"gte": 1}}}]}}}},
+        {"query": {"filtered": {"query": {"match": {"text": "a"}},
+                                "filter": {"not": {"range": {"n_chars": {"gte": 1, "lt": 5}}}}}}},
         # top-level filter queries: analyzed text field refused
         {"query": {"terms": {"text": ["a", "b"]}}},
         {"query": {"exists": {"field": "text"}}},
@@ -1320,3 +1348,26 @@ def test_function_score_serving_missing_field_and_guards(searcher):
         dsl_search_index(searcher, {"query": {"function_score": {
             "query": {"match": {"text": "dup"}},
             "script_score": {"script": "_score * 2"}}}})
+
+
+def test_not_filter_keeps_docs_missing_the_field(documents):
+    """ES `not` semantics: a doc missing the field does not match the inner
+    filter, so `not` KEEPS it — pinned on not-term AND not-terms (the
+    not_in op) with synthesized nulls."""
+    from pyspark.sql import functions as F
+
+    with_nulls = documents.withColumn(
+        "maybe", F.when(F.col("doc_id") % 4 == 0, F.col("lang"))
+    )
+    null_ids = {r.doc_id for r in with_nulls.where(F.col("maybe").isNull())
+                .select("doc_id").collect()}
+    for flt in ({"not": {"term": {"maybe": "en"}}},
+                {"not": {"terms": {"maybe": ["en", "fr"]}}}):
+        body = {"query": {"filtered": {"filter": flt}}, "size": 100000}
+        got = {r.doc_id for r in dsl_search(with_nulls, body).collect()}
+        assert null_ids <= got  # every missing-field doc kept
+        assert not any(
+            r.maybe == "en"
+            for r in with_nulls.where(F.col("doc_id").isin(list(got)))
+            .select("maybe").collect()
+        )
