@@ -352,3 +352,51 @@ def test_sessionize_single_user_keyed_exchange(spark, sf_dir):
     win_block = tree[tree.find("Window") : tree.rfind("Window")]
     assert "Exchange" not in win_block, plan  # lag + cumsum share the shuffle
     assert tree.count("Exchange") == 2 and tree.count("HashAggregate") >= 2, plan
+
+
+def test_session_new_operators_stay_jvm_side(spark, documents, sf_dir):
+    """Round-3 continuation operators whose whole point is staying inside
+    whole-stage codegen: geohash encode, decay multiplier, polygon test,
+    HLL register map, and the metric-agg script value must compile to pure
+    JVM expressions — NO Python evaluation node in any plan."""
+    from flume_elasticsearch_2_spark.operators.aggs import (
+        hll_cardinality,
+        metric_facet,
+    )
+    from flume_elasticsearch_2_spark.operators.geo import (
+        geo_enrich,
+        geo_polygon_hits,
+        geohash_grid_agg,
+    )
+    from flume_elasticsearch_2_spark.operators.topk import bm25_function_score_topk
+
+    gdocs = geo_enrich(documents)
+    frames = [
+        geohash_grid_agg(gdocs, precision=4, size=10),
+        geo_polygon_hits(
+            gdocs, [(-60.0, -120.0), (70.0, -100.0), (60.0, 80.0)], k=10
+        ),
+        hll_cardinality(documents, "dup batch", "text"),
+        metric_facet(documents, None, None, "avg",
+                     script="log1p(doc['n_chars'].value)"),
+        bm25_function_score_topk(
+            documents, "dup batch", None, boost_mode="sum",
+            decay={"kind": "gauss", "field": "n_chars", "origin": 400.0,
+                   "scale": 250.0},
+        ),
+    ]
+    for df in frames:
+        plan = _plan(df)
+        assert "EvalPython" not in plan, plan  # no row-at-a-time/Arrow UDF
+
+
+def test_histogram_spine_join_is_tiny_and_broadcast_or_reused(spark, documents):
+    """min_doc_count:0 histogram: the spine join must not shuffle the
+    bucket counts a second time at scale — the spine side is one scalar
+    agg exploded (a handful of rows), so the join is broadcast (or the
+    agg exchange is reused)."""
+    from flume_elasticsearch_2_spark.operators.facets import histogram_facet
+
+    plan = _plan(histogram_facet(documents, None, "n_chars", 500,
+                                 min_doc_count=0))
+    assert "BroadcastHashJoin" in plan or "ReusedExchange" in plan, plan
