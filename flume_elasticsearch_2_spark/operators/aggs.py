@@ -749,28 +749,14 @@ def scripted_metric_facet(
     text_col: str = "text",
 ) -> DataFrame:
     """ES ``scripted_metric`` agg, the shape real deployments use it for
-    (a per-doc arithmetic map + an associative reduce): ``map_script`` is
-    the functions/scripts.py subset over doc values (no ``_score`` — there
-    is no hit context in an agg), ``reduce`` one of sum/min/max/avg.
-
-    The "script" compiles ONCE to a pure JVM Column, so the map stage is
-    whole-stage codegen over the scan and the reduce is a map-side-combined
-    Spark aggregate — one scalar row crosses the wire. Free-form ES
-    init/combine/reduce scripts are out of the subset and raise."""
-    from ..functions.scripts import parse_script
-
+    (a per-doc arithmetic map + an associative reduce): exactly
+    :func:`metric_facet` with a script value — one validation + aggregate
+    shape, two ES surfaces. Free-form ES init/combine/reduce scripts are
+    out of the subset and raise."""
     if reduce not in _SM_REDUCES:
         raise ValueError(f"reduce must be one of {_SM_REDUCES}, got {reduce!r}")
-    sc = parse_script(map_script)
-    if sc.uses_score:
-        raise ValueError("scripted_metric map_script has no _score (no hit context)")
-    missing = sorted(sc.fields - set(docs.columns))
-    if missing:
-        raise ValueError(f"map_script references unknown doc fields {missing}")
-    fn = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}[reduce]
-    return (
-        docs.where(match_condition(query, mode, text_col))
-        .agg(F.round(fn(sc.spark_col(None)).cast("double"), 6).alias("value"))
+    return metric_facet(
+        docs, query, None, reduce, script=map_script, mode=mode, text_col=text_col
     )
 
 
@@ -781,19 +767,10 @@ def scripted_metric_facet_sql(
     mode: str = "or",
     table: str = "documents",
 ) -> str:
-    """DuckDB twin of :func:`scripted_metric_facet` (same compiled SQL)."""
-    from ..functions.scripts import parse_script
-
+    """DuckDB twin of :func:`scripted_metric_facet` (same delegation)."""
     if reduce not in _SM_REDUCES:
         raise ValueError(f"reduce must be one of {_SM_REDUCES}, got {reduce!r}")
-    sc = parse_script(map_script)
-    if sc.uses_score:
-        raise ValueError("scripted_metric map_script has no _score (no hit context)")
-    expr = sc.sql(None)
-    return (
-        f"SELECT round(CAST({reduce}({expr}) AS DOUBLE), 6) AS value\n"
-        f"FROM {table}\nWHERE {_match_sql(query, mode, None, 'ascii')}"
-    )
+    return metric_facet_sql(query, None, reduce, script=map_script, mode=mode, table=table)
 
 
 # -- standalone metric aggs (min / max / sum / avg) ------------------------------

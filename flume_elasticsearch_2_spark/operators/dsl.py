@@ -1174,6 +1174,8 @@ def dsl_search(
             _err(f"{kind} with filters/must_not")
         return bm25_multiterm_topk(docs, pat, kind, k=spec.size, **kw)
     if spec.kind == "mlt":
+        if spec.filters or mn or spec.from_:
+            _err("more_like_this with filters/must_not/from")
         m = spec.mlt
         return more_like_this(
             docs, like_text=m["like"], k=spec.size,
@@ -1262,6 +1264,8 @@ def dsl_search_sql(
         )
         return _apply_source_sql(inner, spec, table)
     if spec.kind == "phrase":
+        if spec.filters or mn:
+            _err("match_phrase with filters/must_not")
         return bm25_phrase_topk_sql(spec.query, k=spec.size, table=table, slop=spec.slop)
     if spec.kind == "phrase_prefix":
         if spec.filters or mn or spec.from_:
@@ -1319,6 +1323,8 @@ def dsl_search_sql(
         )
     if spec.kind == "multiterm":
         pat, kind, kw = spec.mt
+        if spec.filters or mn:
+            _err(f"{kind} with filters/must_not")
         return multiterm_topk_sql(pat, kind, k=spec.size, table=table, **kw)
     if spec.kind == "mlt":
         _err("more_like_this free-text form has no standalone SQL oracle here")
@@ -1455,8 +1461,12 @@ def dsl_search_index(
         return searcher.search_phrase(spec.query, k=spec.size, slop=spec.slop)
     if spec.kind == "multiterm":
         pat, kind, kw = spec.mt
+        if spec.filters or mn:
+            _err(f"{kind} with filters/must_not")
         return searcher.search_multiterm(pat, kind, k=spec.size, **kw)
     if spec.kind == "mlt":
+        if spec.filters or mn or spec.from_:
+            _err("more_like_this with filters/must_not/from")
         m = spec.mlt
         return searcher.more_like_this(
             m["like"], k=spec.size,

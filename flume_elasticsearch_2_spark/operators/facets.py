@@ -77,6 +77,30 @@ def _match_sql(
     return f"{fn}({tok_expr}, {lst})"
 
 
+import re as _re
+
+# the multiterm regexp subset widened to RAW bucket keys: field values keep
+# their case (unlike the analyzed-term domain, where the tokenizer
+# lowercases), plus `_` which stored values commonly contain. Same
+# three-engine-agreed operator set.
+_BUCKET_REGEXP_RE = _re.compile(r"^[A-Za-z0-9_.*+?|()\[\]\-{},]+$")
+
+
+def _validate_bucket_regexp(pattern: str) -> str:
+    """Terms-agg include/exclude pattern: validated for the three-engine
+    subset WITHOUT lowercasing — bucket keys are raw stored values."""
+    if not _BUCKET_REGEXP_RE.match(pattern):
+        raise ValueError(
+            "regexp pattern must use only [A-Za-z0-9_.*+?|()[]-{},], "
+            f"got {pattern!r}"
+        )
+    try:
+        _re.compile(pattern)
+    except _re.error as e:
+        raise ValueError(f"invalid regexp pattern {pattern!r}: {e}") from None
+    return pattern
+
+
 def _terms_order(order: tuple[str, str] | None):
     """ES terms-agg ``order`` → deterministic sort columns. Default is ES's
     ``{"_count": "desc"}`` with the value as tiebreak; ``_term`` needs no
@@ -84,9 +108,14 @@ def _terms_order(order: tuple[str, str] | None):
     key, dr = order or ("_count", "desc")
     if key not in ("_count", "_term") or dr not in ("asc", "desc"):
         raise ValueError(f"terms order must be (_count|_term, asc|desc), got {order!r}")
+    # NULL bucket placement pinned to DuckDB's default (NULLS LAST in BOTH
+    # directions — its default_null_order is direction-independent);
+    # Spark's bare asc() puts nulls FIRST and desc() LAST, which would
+    # diverge from the oracle whenever docs miss the field
     if key == "_term":
-        return [getattr(F.col("value"), dr)()]
-    return [getattr(F.col("count"), dr)(), F.col("value").asc()]
+        v = F.col("value")
+        return [v.asc_nulls_last() if dr == "asc" else v.desc_nulls_last()]
+    return [getattr(F.col("count"), dr)(), F.col("value").asc_nulls_last()]
 
 
 def terms_facet(
@@ -112,14 +141,19 @@ def terms_facet(
     values), ``order`` is ``(_count|_term, asc|desc)``. All are bucket-level
     operations — the groupBy shuffle is unchanged; include/exclude push into
     the pre-agg scan, min_doc_count is a post-agg HAVING."""
-    from .multiterm import _validate_regexp
-
+    if int(min_doc_count) < 1:
+        # ES min_doc_count: 0 emits ZERO-count buckets for terms outside
+        # the match set — that needs the unscoped value universe, which
+        # this engine does not compute; refuse rather than silently
+        # behaving like 1 (the histogram agg DOES implement 0)
+        raise ValueError("terms min_doc_count: 0 unsupported (zero buckets "
+                         "need the unscoped value universe)")
     out = docs.where(match_condition(query, mode, text_col, stopwords, analyzer))
     val = F.col(field)
     if include is not None:
-        out = out.where(val.cast("string").rlike(f"^(?:{_validate_regexp(include)})$"))
+        out = out.where(val.cast("string").rlike(f"^(?:{_validate_bucket_regexp(include)})$"))
     if exclude is not None:
-        out = out.where(~val.cast("string").rlike(f"^(?:{_validate_regexp(exclude)})$"))
+        out = out.where(~val.cast("string").rlike(f"^(?:{_validate_bucket_regexp(exclude)})$"))
     out = out.groupBy(val.alias("value")).agg(F.count("*").alias("count"))
     if int(min_doc_count) > 1:
         out = out.where(F.col("count") >= int(min_doc_count))
@@ -288,16 +322,17 @@ def terms_facet_sql(
     exclude: str | None = None,
     order: tuple[str, str] | None = None,
 ) -> str:
-    from .multiterm import _validate_regexp
-
+    if int(min_doc_count) < 1:
+        raise ValueError("terms min_doc_count: 0 unsupported (zero buckets "
+                         "need the unscoped value universe)")
     where = [_match_sql(query, mode, stopwords, analyzer)]
     if include is not None:
         where.append(
-            f"regexp_full_match(CAST({field} AS VARCHAR), '{_validate_regexp(include)}')"
+            f"regexp_full_match(CAST({field} AS VARCHAR), '{_validate_bucket_regexp(include)}')"
         )
     if exclude is not None:
         where.append(
-            f"NOT regexp_full_match(CAST({field} AS VARCHAR), '{_validate_regexp(exclude)}')"
+            f"NOT regexp_full_match(CAST({field} AS VARCHAR), '{_validate_bucket_regexp(exclude)}')"
         )
     having = f"HAVING count(*) >= {int(min_doc_count)}" if int(min_doc_count) > 1 else ""
     key, dr = order or ("_count", "desc")

@@ -2366,16 +2366,20 @@ class IndexSearcher:
             # ES terms-agg options are BUCKET-level: apply them after the
             # partial merge (≤ field cardinality rows) with the exact
             # expressions of the declarative twin (operators/facets.py)
-            from ..operators.facets import _terms_order
-            from ..operators.multiterm import _validate_regexp
+            from ..operators.facets import _terms_order, _validate_bucket_regexp
 
+            if int(min_doc_count) < 1:
+                raise ValueError(
+                    "terms min_doc_count: 0 unsupported (zero buckets need "
+                    "the unscoped value universe)"
+                )
             if include is not None:
                 src = src.where(
-                    F.col("value").cast("string").rlike(f"^(?:{_validate_regexp(include)})$")
+                    F.col("value").cast("string").rlike(f"^(?:{_validate_bucket_regexp(include)})$")
                 )
             if exclude is not None:
                 src = src.where(
-                    ~F.col("value").cast("string").rlike(f"^(?:{_validate_regexp(exclude)})$")
+                    ~F.col("value").cast("string").rlike(f"^(?:{_validate_bucket_regexp(exclude)})$")
                 )
             if int(min_doc_count) > 1:
                 src = src.where(F.col("count") >= int(min_doc_count))

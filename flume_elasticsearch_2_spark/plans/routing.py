@@ -87,7 +87,10 @@ def build_routed_index(
         )
     routed = docs.withColumn("__route", route_col(routing_field, n_routes)).persist()
     try:
-        id_space = int(routed.agg(F.max(F.col(id_col))).collect()[0][0]) + 1
+        mx = routed.agg(F.max(F.col(id_col))).collect()[0][0]
+        # empty corpus: a valid routed index with zero built routes — every
+        # routed search answers 0 hits (the manifest contract below)
+        id_space = int(mx) + 1 if mx is not None else 1
         # routes with no docs are recorded, not built: an empty ES shard
         # answers searches with 0 hits, and a search routed to an empty
         # route must do the same instead of failing on a missing index

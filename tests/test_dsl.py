@@ -1371,3 +1371,25 @@ def test_not_filter_keeps_docs_missing_the_field(documents):
             for r in with_nulls.where(F.col("doc_id").isin(list(got)))
             .select("maybe").collect()
         )
+
+
+def test_post_filter_rejected_where_filters_cannot_apply(documents, searcher, duck):
+    """Review regression: kinds that cannot honor filters must refuse them
+    on EVERY executor — a post_filter (or bool.filter) must never be
+    silently dropped (both engines agreeing on the wrong answer is the trap
+    oracle tests cannot catch)."""
+    bodies = [
+        {"query": {"prefix": {"text": "ba"}},
+         "post_filter": {"term": {"lang": "en"}}},
+        {"query": {"more_like_this": {"like": "dup batch scan window"}},
+         "post_filter": {"term": {"lang": "en"}}},
+        {"query": {"bool": {"must": [{"match_phrase": {"text": "part filter"}}],
+                            "filter": [{"term": {"lang": "en"}}]}}},
+    ]
+    for body in bodies:
+        with pytest.raises(ValueError, match="filters"):
+            dsl_search(documents, body)
+        with pytest.raises(ValueError, match="filters|oracle"):
+            dsl_search_sql(body)
+        with pytest.raises(ValueError, match="filters"):
+            dsl_search_index(searcher, body)

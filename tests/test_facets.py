@@ -222,3 +222,65 @@ def test_date_range_validation(events):
     with _pt.raises(ValueError, match="duplicate"):
         date_range_facet(events, "ts", [{"to": "2024-01-01", "key": "a"},
                                         {"from": "2024-01-01", "key": "a"}])
+
+
+# -- review regressions: terms-agg option edge cases ------------------------------
+
+
+def test_terms_include_preserves_case(spark):
+    """Bucket keys are RAW stored values: an include pattern with uppercase
+    must match uppercase values (the analyzed-term validator lowercases —
+    wrong domain here)."""
+    import duckdb as _d
+
+    from flume_elasticsearch_2_spark.operators.facets import (
+        terms_facet,
+        terms_facet_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "x", v) for i, v in enumerate(["EN", "EN", "Fr-CA", "de", "EN"])],
+        "doc_id long, text string, lang string",
+    )
+    got = [tuple(r) for r in terms_facet(df, None, "lang", include="EN|Fr.*").collect()]
+    assert got == [("EN", 3), ("Fr-CA", 1)]
+    con = _d.connect()
+    con.register("documents", df.toPandas())
+    want = con.sql(terms_facet_sql(None, "lang", include="EN|Fr.*")).fetchall()
+    assert got == want
+
+
+def test_terms_term_order_null_bucket_matches_duckdb(spark):
+    """NULL bucket placement under order _term pinned to DuckDB defaults
+    (NULLS LAST in BOTH directions) on the Spark side."""
+    import duckdb as _d
+
+    from flume_elasticsearch_2_spark.operators.facets import (
+        terms_facet,
+        terms_facet_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "x", "en"), (1, "x", None), (2, "x", "de"), (3, "x", None)],
+        "doc_id long, text string, lang string",
+    )
+    con = _d.connect()
+    con.register("documents", df.toPandas())
+    for dr in ("asc", "desc"):
+        got = [tuple(r) for r in terms_facet(df, None, "lang", order=("_term", dr)).collect()]
+        want = con.sql(terms_facet_sql(None, "lang", order=("_term", dr))).fetchall()
+        assert got == want, dr
+        assert got[-1][0] is None  # NULLS LAST both directions (DuckDB default)
+
+
+def test_terms_min_doc_count_zero_refuses(documents):
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_sql
+    from flume_elasticsearch_2_spark.operators.facets import terms_facet
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unscoped value universe"):
+        terms_facet(documents, None, "lang", min_doc_count=0)
+    with _pt.raises(ValueError, match="unscoped value universe"):
+        dsl_aggregation_sql({"aggs": {"t": {"terms": {"field": "lang",
+                                                      "min_doc_count": 0}}}})

@@ -182,3 +182,15 @@ def test_empty_routes_answer_with_zero_hits(spark, documents, tmp_path):
     got = [(r.doc_id, r.score) for r in routed_search_all(spark, d, QUERY, k=10).collect()]
     want = [(r.doc_id, r.score) for r in bm25_topk(documents, QUERY, k=10).collect()]
     assert got == want
+
+
+def test_empty_corpus_builds_valid_zero_route_index(spark, documents, tmp_path):
+    """Review regression: an empty corpus builds a VALID routed index with
+    zero routes (no opaque TypeError) and every search answers 0 hits."""
+    d = str(tmp_path / "empty")
+    meta = build_routed_index(
+        spark, documents.where(F.lit(False)), d, routing_field="lang", n_routes=4
+    )
+    assert meta["built_routes"] == []
+    assert routed_search(spark, d, "en", QUERY, k=5).count() == 0
+    assert routed_search_all(spark, d, QUERY, k=5).count() == 0
