@@ -2551,11 +2551,174 @@ def _alias_filtered_search_segment(spark: SparkSession, sf_dir: str) -> DataFram
                               _segment_searcher(spark, sf_dir), _ALIAS_BODY)
 
 
+# _bulk: the reference sink's exact surface (ElasticsearchSink.java:54-85,
+# prepareBulk + prepareIndex().setId() per event) — a mixed action batch
+# folded driver-side into per-id programs, applied with one broadcast join
+_BULK_ACTIONS = [
+    ("index", 90001, {"text": "fresh bulk document window scan batch",
+                      "lang": "en", "source": "bulk", "n_chars": 37}),
+    ("index", 5, {"text": "replaced by bulk window filter",
+                  "lang": "en", "source": "bulk", "n_chars": 30}),
+    ("update", 7, {"lang": "xx"}),
+    ("update", 888888, {"lang": "yy"}),  # missing id: per-action skip
+    ("delete", 3, None),
+    ("create", 90002, {"text": "created by bulk small scan",
+                       "lang": "de", "source": "bulk", "n_chars": 26}),
+    ("create", 11, {"text": "conflicting create", "lang": "en",
+                    "source": "bulk", "n_chars": 18}),  # exists: skip
+    ("index", 90003, {"text": "indexed then patched", "lang": "en",
+                      "source": "bulk", "n_chars": 20}),
+    ("update", 90003, {"n_chars": 123}),  # folds into the index above
+    ("delete", 12, None),
+    ("create", 12, {"text": "delete then create upsert", "lang": "fr",
+                    "source": "bulk", "n_chars": 25}),  # folds to upsert
+]
+_BULK_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _bulk_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _bulk applied to the corpus: in-batch action order folded ONCE on
+    the driver (shared with the oracle generator, so both engines run the
+    identical per-id program), then one broadcast LEFT JOIN (patches) + one
+    broadcast anti-join (creates) + a union (inserts) — no corpus shuffle.
+    operators/bulk.py:apply_bulk; ElasticsearchSink.java:54-85."""
+    from flume_elasticsearch_2_spark.operators.bulk import apply_bulk
+
+    return apply_bulk(_docs(spark, sf_dir), _BULK_ACTIONS)
+
+
+def _bulk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference lifecycle end-to-end: bulk-index, then search — BM25
+    over the post-bulk corpus (oracle: the same scoring SQL over the
+    subquery-composed applied corpus). operators/bulk.py."""
+    from flume_elasticsearch_2_spark.operators.bulk import apply_bulk
+    from flume_elasticsearch_2_spark.operators.topk import bm25_topk
+
+    return bm25_topk(apply_bulk(_docs(spark, sf_dir), _BULK_ACTIONS),
+                     "window scan batch", k=10)
+
+
+_TEMPLATE_BODY = {
+    "template": {
+        "query": {"match": {"text": "{{q}}"}},
+        "size": "{{k}}",
+    },
+    "params": {"q": "window filter batch", "k": 7},
+}
+
+
+def _dsl_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x search template: mustache {{param}} rendering (type-preserving
+    for whole-string placeholders) on the driver, then the ordinary DSL
+    front door — templates inherit the whole parsed subset + guards.
+    operators/templates.py; ElasticsearchSink.java:54 delegation."""
+    from flume_elasticsearch_2_spark.operators.templates import dsl_template_search
+
+    return dsl_template_search(_docs(spark, sf_dir), _TEMPLATE_BODY)
+
+
+def _dsl_template_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search template on the SERVING path (render, then the index-backed
+    executor: BMW scatter over the prebuilt segments)."""
+    from flume_elasticsearch_2_spark.operators.templates import (
+        dsl_template_search_index,
+    )
+
+    return dsl_template_search_index(_segment_searcher(spark, sf_dir), _TEMPLATE_BODY)
+
+
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy in-order sequence packing into token-budget bins (LLM
+    pretraining shaping): sequential recurrence per group via
+    applyInPandas — groups bound the scan and parallelize embarrassingly;
+    oracle replays the identical recurrence as a recursive CTE.
+    operators/packing.py:pack_sequences."""
+    from flume_elasticsearch_2_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=64)
+
+
+def _chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (embedding-pipeline shape): pure
+    JVM sequence/posexplode + slice/array_join, zero shuffle.
+    operators/packing.py:chunk_docs."""
+    from flume_elasticsearch_2_spark.operators.packing import chunk_docs
+
+    return chunk_docs(_docs(spark, sf_dir), window=32, stride=16)
+
+
+def _doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k tf-idf keywords per doc (ClassicSimilarity-style idf, the MLT
+    selector's formula): one tf agg, one vocabulary-sized df agg joined on
+    term (term-keyed shuffle, NOT broadcast), one per-doc window top-k.
+    operators/packing.py:doc_keywords."""
+    from flume_elasticsearch_2_spark.operators.packing import doc_keywords
+
+    return doc_keywords(_docs(spark, sf_dir), k=3)
+
+
+def _geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.4 geo_bounds agg: bounding box of the matching docs' points —
+    one map-side-combined min/max agg, a single 4-value row crosses the
+    wire. operators/geo.py:geo_bounds_agg."""
+    from flume_elasticsearch_2_spark.operators.geo import geo_bounds_agg
+
+    return geo_bounds_agg(_geo_docs(spark, sf_dir), "window filter")
+
+
+
+_EXPLAIN_BODY = {"query": {"match": {"text": "dup batch scan"}}, "size": 5,
+                 "explain": True}
+
+
+def _dsl_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search with explain:true — per-hit per-term breakdown (the Q20
+    contract joined onto the hit page; Σpartial == score per hit, pinned):
+    k-row page broadcast-joins back to the corpus, per-term tf/dl are JVM
+    array expressions, rows explode from a k×|terms| struct array.
+    operators/explain_hits.py."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _EXPLAIN_BODY)
+
+
+def _dsl_explain_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explain:true on the SERVING path: ordinary BMW scatter for the page,
+    then each hit's breakdown is the metadata-scale IndexSearcher.explain
+    decode — ES's fetch-phase explain exactly."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _EXPLAIN_BODY)
+
+
+def _cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized cosine top-k (FAISS-SQ8-style per-vector affine
+    codes, deterministic floor(+0.5) rounding both engines): quantize →
+    dequantize → the exact scorer's fold in ONE narrow pass, 1/4 the bytes
+    at the scan. operators/quantize.py."""
+    from flume_elasticsearch_2_spark.operators.quantize import cosine_topk_quantized
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = list(emb.where("vec_id = 0").first().embedding)
+    return cosine_topk_quantized(emb, qv, k=10)
+
+
 # first-50 priority for the driver's truncated correctness artifact: round-3
 # entries first, then everything CORRECTNESS_r02.json did not record (the
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dsl_explain",
+    "dsl_explain_segment",
+    "cosine_topk_int8",
+    "bulk_apply",
+    "bulk_search",
+    "dsl_template",
+    "dsl_template_segment",
+    "pack_sequences",
+    "chunk_docs",
+    "doc_keywords",
+    "geo_bounds",
     "dsl_and_not_filter",
     "dsl_or_filter_segment",
     "dsl_function_score_segment",
@@ -2908,6 +3071,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_common_terms"] = _bm25_common_terms
     q["bm25_common_terms_segment"] = _bm25_common_terms_segment
     q["dsl_common"] = _dsl_common
+    q["dsl_explain"] = _dsl_explain
+    q["dsl_explain_segment"] = _dsl_explain_segment
+    q["cosine_topk_int8"] = _cosine_topk_int8
+    q["bulk_apply"] = _bulk_apply
+    q["bulk_search"] = _bulk_search
+    q["dsl_template"] = _dsl_template
+    q["dsl_template_segment"] = _dsl_template_segment
+    q["pack_sequences"] = _pack_sequences
+    q["chunk_docs"] = _chunk_docs
+    q["doc_keywords"] = _doc_keywords
+    q["geo_bounds"] = _geo_bounds
     # newest-first, then previously-unrecorded: the driver artifact truncates
     # at 50 keys in dict order (judge r2 finding #1)
     priority = _R3_NEW + _R2_UNRECORDED
@@ -3308,6 +3482,34 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
 
     o["geohash_grid_agg"] = geohash_grid_agg_sql(precision=3, size=12)
     o["geo_polygon_search"] = geo_polygon_hits_sql(_GEO_POLY, k=25)
+    from flume_elasticsearch_2_spark.operators.bulk import apply_bulk_sql
+    from flume_elasticsearch_2_spark.operators.geo import geo_bounds_agg_sql
+    from flume_elasticsearch_2_spark.operators.packing import (
+        chunk_docs_sql,
+        doc_keywords_sql,
+        pack_sequences_sql,
+    )
+    from flume_elasticsearch_2_spark.operators.templates import dsl_template_search_sql
+
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_sql as _dss
+    from flume_elasticsearch_2_spark.operators.quantize import (
+        cosine_topk_quantized_sql,
+    )
+
+    o["dsl_explain"] = _dss(_EXPLAIN_BODY)
+    o["dsl_explain_segment"] = o["dsl_explain"]
+    o["cosine_topk_int8"] = cosine_topk_quantized_sql(0, k=10)
+    o["bulk_apply"] = apply_bulk_sql(_BULK_ACTIONS, _BULK_COLS)
+    o["bulk_search"] = bm25_topk_sql(
+        "window scan batch", k=10,
+        table=f"({apply_bulk_sql(_BULK_ACTIONS, _BULK_COLS, order_by=False)})",
+    )
+    o["dsl_template"] = dsl_template_search_sql(_TEMPLATE_BODY)
+    o["dsl_template_segment"] = o["dsl_template"]
+    o["pack_sequences"] = pack_sequences_sql(budget=64)
+    o["chunk_docs"] = chunk_docs_sql(window=32, stride=16)
+    o["doc_keywords"] = doc_keywords_sql(k=3)
+    o["geo_bounds"] = geo_bounds_agg_sql("window filter")
     from flume_elasticsearch_2_spark.plans.routing import routed_search_sql
 
     o["routed_search"] = routed_search_sql(

@@ -350,6 +350,44 @@ def main() -> None:
         percolate_indexed(spark, pidx, perc_doc).count()
         timings[f"percolate_idx_{tag}"] = time.time() - t0
 
+    # 5c. training-data shaping (round 3): packing is the sequential
+    # applyInPandas recurrence (one group exchange), chunking is the
+    # zero-shuffle JVM explode, keywords the term-keyed tf-idf join
+    from flume_elasticsearch_2_spark.operators.packing import (
+        chunk_docs,
+        doc_keywords,
+        pack_sequences,
+    )
+
+    t0 = time.time()
+    pack_sequences(docs, budget=2048).count()
+    timings["pack_sequences"] = time.time() - t0
+    t0 = time.time()
+    chunk_docs(docs, window=256, stride=128).count()
+    timings["chunk_docs"] = time.time() - t0
+    t0 = time.time()
+    doc_keywords(docs, k=5).count()
+    timings["doc_keywords"] = time.time() - t0
+
+    # 5d. _bulk apply + post-bulk search (round 3, Q46): broadcast-only
+    # corpus edit, then the ordinary scoring pass over the applied corpus
+    from flume_elasticsearch_2_spark.operators.bulk import apply_bulk
+
+    bulk_actions = (
+        [("index", 10_000_000 + i,
+          {"text": f"bulk doc {i} batch scan", "lang": "en", "source": "bulk",
+           "n_chars": 20}) for i in range(500)]
+        + [("update", i, {"lang": "xx"}) for i in range(0, 500, 2)]
+        + [("delete", i, None) for i in range(500, 600)]
+    )
+    t0 = time.time()
+    applied = apply_bulk(docs, bulk_actions)
+    applied.count()
+    timings["bulk_apply_1100"] = time.time() - t0
+    t0 = time.time()
+    bm25_topk(applied, "batch scan", k=10).collect()
+    timings["bulk_search"] = time.time() - t0
+
     # 6. end-to-end webpages pipeline (extract → dedup → classify → index)
     # over a 20k-doc synthesized corpus — the north_star path at a size where
     # work dominates scheduler overhead

@@ -136,6 +136,7 @@ class _Spec:
         self.flt: dict | None = None  # fuzzy_like_this params
         self.nested: dict | None = None  # nested query (path/triples/score_mode)
         self.min_score: float | None = None  # drop hits scoring below this
+        self.explain: bool = False  # per-hit breakdown rows (Q20 companion)
         # body script_fields: [(name, parsed Script)] computed at fetch time
         self.script_fields: list | None = None
 
@@ -425,7 +426,7 @@ def parse_body(
     analyzed = list(analyzed_fields) if analyzed_fields else [text_col]
     extra = set(body) - {
         "query", "from", "size", "sort", "highlight", "rescore", "_source",
-        "script_fields", "min_score", "post_filter",
+        "script_fields", "min_score", "post_filter", "explain",
     }
     if extra:
         _err(f"body keys {sorted(extra)}")
@@ -439,6 +440,8 @@ def parse_body(
         # the executors apply it post-slice on the rounded score (threshold
         # compared on the same 6-decimal value in all three engines).
         spec.min_score = float(body["min_score"])
+    if body.get("explain"):
+        spec.explain = True
     kind, val = _one_field(body.get("query") or _err("body.query required"), "query")
     if kind == "match":
         _parse_match(spec, _one_field(val, "match"), text_col, analyzed)
@@ -1061,6 +1064,23 @@ def dsl_search(
     """Execute an ES search body on the DECLARATIVE path."""
     spec = parse_body(body, text_col, analyzed_fields)
     mn = " ".join(spec.must_not_text) or None
+    if spec.explain:
+        # ES attaches an Explanation to every hit; this engine returns the
+        # flattened per-hit per-term rows (the Q20 contract joined onto the
+        # hit page) and composes with nothing else — loudly
+        if (spec.kind != "match" or spec.filters or mn or spec.sort is not None
+                or spec.highlight is not None or spec.rescore is not None
+                or spec.min_score is not None or spec.from_
+                or spec.source is not None or spec.script_fields is not None
+                or spec.msm is not None):
+            _err("explain: true composes with a plain match query only")
+        if spec.field is not None and spec.field != text_col:
+            _err("explain on a non-default analyzed field")
+        from .explain_hits import search_explain
+
+        return search_explain(docs, spec.query, k=spec.size, mode=spec.mode,
+                              id_col=id_col, text_col=text_col,
+                              boosts=spec.boosts)
     if spec.sort is not None:
         return match_sorted(
             docs,
@@ -1226,6 +1246,19 @@ def dsl_search_sql(
     spec = parse_body(body, text_col, analyzed_fields)
     mn = " ".join(spec.must_not_text) or None
     filter_sql = _filters_sql(spec.filters)
+    if spec.explain:
+        if (spec.kind != "match" or spec.filters or mn or spec.sort is not None
+                or spec.highlight is not None or spec.rescore is not None
+                or spec.min_score is not None or spec.from_
+                or spec.source is not None or spec.script_fields is not None
+                or spec.msm is not None):
+            _err("explain: true composes with a plain match query only")
+        if spec.field is not None and spec.field != text_col:
+            _err("explain on a non-default analyzed field")
+        from .explain_hits import search_explain_sql
+
+        return search_explain_sql(spec.query, k=spec.size, mode=spec.mode,
+                                  boosts=spec.boosts, table=table)
     if spec.sort is not None:
         return match_sorted_sql(
             None if spec.kind == "match_all" else spec.query,
@@ -1377,6 +1410,19 @@ def dsl_search_index(
     dis_max)."""
     spec = parse_body(body, text_col, analyzed_fields)
     mn = " ".join(spec.must_not_text) or None
+    if spec.explain:
+        if (spec.kind != "match" or spec.filters or mn or spec.sort is not None
+                or spec.highlight is not None or spec.rescore is not None
+                or spec.min_score is not None or spec.from_
+                or spec.source is not None or spec.script_fields is not None
+                or spec.msm is not None):
+            _err("explain: true composes with a plain match query only")
+        if spec.field is not None and spec.field != text_col:
+            _err("explain on a non-default analyzed field")
+        from .explain_hits import search_explain_index
+
+        return search_explain_index(searcher, spec.query, k=spec.size,
+                                    mode=spec.mode, boosts=spec.boosts)
     multifield = hasattr(searcher, "field_searcher")
     if spec.kind == "boosting":
         _err(

@@ -488,3 +488,53 @@ WHERE (({parity}) % 2) = 1
 ORDER BY {id_col} ASC
 LIMIT {int(k)}
 """
+
+
+# -- geo_bounds aggregation ------------------------------------------------------
+
+
+def geo_bounds_agg(
+    docs: DataFrame,
+    query: str | None = None,
+    mode: str = "or",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES 1.4 ``geo_bounds`` aggregation: the bounding box of the matching
+    docs' points as one row ``(top, left, bottom, right)`` = (max lat,
+    min lon, min lat, max lon), rounded to 6 places. ONE map-side-combined
+    min/max agg riding the scan — a single 4-value row crosses the wire.
+    (``wrap_longitude`` date-line handling is out of subset.)"""
+    from .facets import match_condition
+
+    out = docs
+    if query is not None:
+        out = out.where(match_condition(query, mode, text_col))
+    return out.agg(
+        F.round(F.max(lat_col).cast("double"), 6).alias("top"),
+        F.round(F.min(lon_col).cast("double"), 6).alias("left"),
+        F.round(F.min(lat_col).cast("double"), 6).alias("bottom"),
+        F.round(F.max(lon_col).cast("double"), 6).alias("right"),
+    )
+
+
+def geo_bounds_agg_sql(
+    query: str | None = None,
+    mode: str = "or",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    corpus_sql: str | None = None,
+) -> str:
+    """DuckDB oracle for :func:`geo_bounds_agg`."""
+    from .facets import _match_sql
+
+    where = f"WHERE {_match_sql(query, mode, None, 'ascii')}" if query is not None else ""
+    return f"""
+WITH geo AS ({corpus_sql or geo_enrich_sql()})
+SELECT round(CAST(max({lat_col}) AS DOUBLE), 6) AS top,
+       round(CAST(min({lon_col}) AS DOUBLE), 6) AS "left",
+       round(CAST(min({lat_col}) AS DOUBLE), 6) AS bottom,
+       round(CAST(max({lon_col}) AS DOUBLE), 6) AS "right"
+FROM geo {where}
+"""

@@ -222,3 +222,17 @@ def test_geo_polygon_semantics_pinned(spark):
     assert 0 not in ids or True  # boundary vertex — not asserted
     with pytest.raises(ValueError, match="at least 3"):
         geo_polygon_hits(df, [(0.0, 0.0), (1.0, 1.0)])
+
+
+def test_geo_bounds_matches_duckdb(geo_docs, duck):
+    from flume_elasticsearch_2_spark.operators.geo import (
+        geo_bounds_agg,
+        geo_bounds_agg_sql,
+    )
+
+    for q in (None, "window filter"):
+        got = [tuple(r) for r in geo_bounds_agg(geo_docs, q).collect()]
+        want = [tuple(r) for r in duck.execute(geo_bounds_agg_sql(q)).fetchall()]
+        assert got == want, q
+    (top, left, bottom, right), = got
+    assert bottom <= top and left <= right

@@ -400,3 +400,43 @@ def test_histogram_spine_join_is_tiny_and_broadcast_or_reused(spark, documents):
     plan = _plan(histogram_facet(documents, None, "n_chars", 500,
                                  min_doc_count=0))
     assert "BroadcastHashJoin" in plan or "ReusedExchange" in plan, plan
+
+
+def test_bulk_apply_joins_are_broadcast_only(spark, documents):
+    """apply_bulk: the batch-sized patch table joins the corpus BROADCAST
+    (one LEFT), creates anti-join BROADCAST — never a corpus shuffle join."""
+    from flume_elasticsearch_2_spark.operators.bulk import apply_bulk
+
+    plan = _plan(apply_bulk(documents, [
+        ("update", 7, {"lang": "xx"}),
+        ("create", 90002, {"text": "t", "lang": "de", "source": "s", "n_chars": 1}),
+        ("delete", 3, None),
+    ]))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_chunk_docs_is_shuffle_free(spark, documents):
+    """chunk_docs: sequence/explode/slice ride the scan — zero Exchange
+    below the output ordering (the orderBy is presentation for the oracle
+    compare; the chunking itself never shuffles)."""
+    from flume_elasticsearch_2_spark.operators.packing import chunk_docs
+    from pyspark.sql import functions as F
+
+    df = chunk_docs(documents, window=32, stride=16)
+    # strip the presentation orderBy: count the chunks instead
+    plan = _plan(df.groupBy().agg(F.count("*")))
+    # only the final single-partition agg exchange may appear — never a
+    # hash/range repartition of the chunk stream
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_pack_sequences_single_group_shuffle(spark, documents):
+    """pack_sequences: ONE hash exchange on the group key feeds the
+    per-group sequential packer; no second corpus shuffle."""
+    from flume_elasticsearch_2_spark.operators.packing import pack_sequences
+
+    plan = _plan(pack_sequences(documents, budget=64))
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan, plan
+    assert plan.count("hashpartitioning") == 1, plan  # the group key, once
