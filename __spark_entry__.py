@@ -2703,11 +2703,117 @@ def _cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_quantized(emb, qv, k=10)
 
 
+
+_FQUERY_BODY = {
+    "query": {"bool": {"must": [{"match": {"text": "dup batch scan"}}],
+                       "filter": [
+                           {"fquery": {"query": {"match": {"text": "window"}}}},
+                           {"term": {"lang": "en"}}]}},
+    "size": 10,
+}
+_PRANKS_BODY = {
+    "query": {"match": {"text": "dup batch"}},
+    "aggs": {"p": {"percentile_ranks": {"field": "n_chars",
+                                        "values": [200, 400, 800]}}},
+}
+
+
+def _dsl_fquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x query/fquery FILTER (a match query in filter context):
+    candidates must contain the filter query's analyzed terms, scoring and
+    stats untouched — declarative = one extra JVM arrays_overlap predicate
+    in bm25_topk's doc_filter; composes with stored-field triples.
+    operators/dsl.py:_filter_query_col."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _FQUERY_BODY)
+
+
+def _dsl_fquery_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query/fquery filter on the SERVING path: the common-terms mask-IN
+    machinery (must_terms) — admitted ids decoded from the filter terms'
+    own doc streams inside the one scatter; BMW stays admissible (the mask
+    only shrinks candidates)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _FQUERY_BODY)
+
+
+def _dsl_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks agg (inverse percentiles): pinned EXACT
+    empirical-CDF contract (100*avg(x<=v) over non-NULL values) — one
+    map-side-combined conditional-avg pass. operators/aggs.py."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _PRANKS_BODY)
+
+
+def _geocell_probe() -> tuple[float, float]:
+    """Doc 0's deterministic (lat, lon), computed in pure Python with the
+    SAME 60-bit-md5 arithmetic as geo_enrich/geo_enrich_sql — all three
+    engines share one probe point without touching data."""
+    import hashlib
+
+    def h60(sx: str) -> int:
+        return int(hashlib.md5(sx.encode()).hexdigest()[:15], 16)
+
+    two60 = float(1 << 60)
+    return (h60("0:lat") / two60 * 180.0 - 90.0,
+            h60("0:lon") / two60 * 360.0 - 180.0)
+
+
+def _geohash_cell_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x geohash_cell filter: docs in the query point's geohash cell —
+    query cell encoded by the pure-Python twin (pinned == the JVM
+    expression), doc side one codegen equality riding the scan.
+    operators/geo.py:geohash_cell_hits."""
+    from flume_elasticsearch_2_spark.operators.geo import geohash_cell_hits
+
+    la, lo = _geocell_probe()
+    return geohash_cell_hits(_geo_docs(spark, sf_dir), la, lo, precision=2, k=50)
+
+
+
+_NAMED_BODY = {
+    "query": {"bool": {"should": [
+        {"match": {"text": {"query": "dup batch", "_name": "dups"}}},
+        {"match": {"text": {"query": "window scan", "_name": "windows"}}},
+        {"term": {"text": "filter"}},
+    ]}},
+    "size": 10,
+}
+
+
+def _dsl_named_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES named queries (_name on should clauses): hits carry
+    matched_queries (comma-joined, name-ASC pinned) — the k-row page
+    broadcast-joins back to the corpus, one JVM arrays_overlap probe per
+    name in that single projection. operators/dsl.py:_attach_matched_queries."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _NAMED_BODY)
+
+
+def _dsl_named_queries_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named queries on the SERVING path: per-name match sets decoded from
+    the index's own doc streams, intersected with the k-row page
+    driver-side — the ES coordinator fetch-phase shape."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _NAMED_BODY)
+
+
 # first-50 priority for the driver's truncated correctness artifact: round-3
 # entries first, then everything CORRECTNESS_r02.json did not record (the
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dsl_named_queries",
+    "dsl_named_queries_segment",
+    "dsl_fquery",
+    "dsl_fquery_segment",
+    "dsl_percentile_ranks",
+    "geohash_cell_search",
     "dsl_explain",
     "dsl_explain_segment",
     "cosine_topk_int8",
@@ -3071,6 +3177,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_common_terms"] = _bm25_common_terms
     q["bm25_common_terms_segment"] = _bm25_common_terms_segment
     q["dsl_common"] = _dsl_common
+    q["dsl_named_queries"] = _dsl_named_queries
+    q["dsl_named_queries_segment"] = _dsl_named_queries_segment
+    q["dsl_fquery"] = _dsl_fquery
+    q["dsl_fquery_segment"] = _dsl_fquery_segment
+    q["dsl_percentile_ranks"] = _dsl_percentile_ranks
+    q["geohash_cell_search"] = _geohash_cell_search
     q["dsl_explain"] = _dsl_explain
     q["dsl_explain_segment"] = _dsl_explain_segment
     q["cosine_topk_int8"] = _cosine_topk_int8
@@ -3496,6 +3608,16 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
         cosine_topk_quantized_sql,
     )
 
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_sql as _das
+    from flume_elasticsearch_2_spark.operators.geo import geohash_cell_hits_sql
+
+    o["dsl_named_queries"] = _dss(_NAMED_BODY)
+    o["dsl_named_queries_segment"] = o["dsl_named_queries"]
+    o["dsl_fquery"] = _dss(_FQUERY_BODY)
+    o["dsl_fquery_segment"] = o["dsl_fquery"]
+    o["dsl_percentile_ranks"] = _das(_PRANKS_BODY)
+    _la, _lo = _geocell_probe()
+    o["geohash_cell_search"] = geohash_cell_hits_sql(_la, _lo, precision=2, k=50)
     o["dsl_explain"] = _dss(_EXPLAIN_BODY)
     o["dsl_explain_segment"] = o["dsl_explain"]
     o["cosine_topk_int8"] = cosine_topk_quantized_sql(0, k=10)

@@ -311,6 +311,77 @@ ORDER BY percent
 """
 
 
+# -- percentile_ranks ----------------------------------------------------------
+
+
+def percentile_ranks_facet(
+    docs: DataFrame,
+    query: str | None,
+    field: str,
+    values: tuple[float, ...],
+    mode: str = "or",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``percentile_ranks`` aggregation (the inverse of ``percentiles``):
+    for each given value, the percentage of the match set's observed field
+    values that are <= it. Pinned EXACT contract: ``100 * avg(x <= v)``
+    over non-NULL values (missing values skipped, as ES skips docs without
+    the field) — the empirical CDF, a documented divergence from t-digest's
+    interpolated estimate (which is approximation, not semantics). ONE
+    map-side-combined conditional-avg pass; rows (value, rank) value-ASC.
+    Duplicate probe values raise."""
+    vs = [float(v) for v in values]
+    if not vs:
+        raise ValueError("percentile_ranks needs at least one value")
+    if len(set(vs)) != len(vs):
+        raise ValueError("duplicate percentile_ranks values")
+    vs = sorted(vs)
+    col = F.col(field).cast("double")
+    matched = docs.where(match_condition(query, mode, text_col)).where(col.isNotNull())
+    aggs = [
+        F.round(F.avg(F.when(col <= F.lit(v), 1).otherwise(0)) * 100.0, 6).alias(
+            f"__r{i}"
+        )
+        for i, v in enumerate(vs)
+    ]
+    vlits = F.array(*[F.lit(v) for v in vs])
+    return (
+        matched.agg(*aggs)
+        .select(F.posexplode(F.array(*[F.col(f"__r{i}") for i in range(len(vs))]))
+                .alias("pos", "rank"))
+        .select(
+            F.element_at(vlits, F.col("pos") + 1).alias("value"), F.col("rank")
+        )
+        .orderBy("value")
+    )
+
+
+def percentile_ranks_facet_sql(
+    query: str | None,
+    field: str,
+    values: tuple[float, ...],
+    mode: str = "or",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`percentile_ranks_facet` (same CASE + avg)."""
+    vs = [float(v) for v in values]
+    if not vs:
+        raise ValueError("percentile_ranks needs at least one value")
+    if len(set(vs)) != len(vs):
+        raise ValueError("duplicate percentile_ranks values")
+    vs = sorted(vs)
+    vals = ", ".join(f"({v!r})" for v in vs)
+    return f"""
+SELECT v.value,
+       round(avg(CASE WHEN CAST({field} AS DOUBLE) <= v.value THEN 1 ELSE 0 END)
+             * 100.0, 6) AS rank
+FROM {table}, (VALUES {vals}) v(value)
+WHERE {_match_sql(query, mode, None, 'ascii')} AND {field} IS NOT NULL
+GROUP BY v.value
+ORDER BY v.value
+"""
+
+
 # -- top_hits (terms sub-agg) --------------------------------------------------
 
 

@@ -42,9 +42,13 @@ silent best-effort):
   - ``should``: term-on-text and single/multi-term match-on-text clauses
     with optional per-clause ``boost`` (only when ``must`` is absent;
     ``minimum_should_match`` honored for single-term clauses — clause-count
-    semantics; BM25 additivity makes the concatenated rewrite exact),
+    semantics; BM25 additivity makes the concatenated rewrite exact) and
+    optional per-clause ``_name`` — hits then carry ``matched_queries``
+    (comma-joined, name-ASC pinned; ES leaves array order unspecified),
   - ``filter``: ``term`` / ``terms`` / ``range`` / ``exists`` / ``missing``
-    on stored doc fields,
+    on stored doc fields, plus at most ONE 1.x ``query``/``fquery`` clause
+    (a match query in filter context: candidates restricted by analyzed
+    term membership, scoring/stats untouched),
   - ``must_not``: ``match``/``term`` on the text field (analyzed,
     non-scoring; works WITHOUT a scored clause too — match_all minus the
     excluded docs) or ``term`` on a stored field (null-safe: docs missing
@@ -137,6 +141,9 @@ class _Spec:
         self.nested: dict | None = None  # nested query (path/triples/score_mode)
         self.min_score: float | None = None  # drop hits scoring below this
         self.explain: bool = False  # per-hit breakdown rows (Q20 companion)
+        self.filter_query: tuple[str, str] | None = None  # 1.x query/fquery filter
+        # ES named queries (_name on should clauses) -> matched_queries per hit
+        self.named: list[tuple[str, tuple[str, ...]]] | None = None
         # body script_fields: [(name, parsed Script)] computed at fetch time
         self.script_fields: list | None = None
 
@@ -182,6 +189,37 @@ def _parse_match(
     extra = set(val) - {"query", "operator", "minimum_should_match", "boost"}
     if extra:
         _err(f"match options {sorted(extra)}")
+
+
+def _extract_query_filters(clauses: list, text_col: str):
+    """Split 1.x ``query`` / ``fquery`` filter clauses (a match query in
+    FILTER context: restricts candidates, scores nothing) from a filter
+    list; the rest stays in the stored-field triple dialect. At most ONE
+    query filter is supported (two would need cross-predicate candidate
+    intersection on the serving path) — more raise loudly."""
+    rest, qf = [], []
+    for c in clauses:
+        kind, body = _one_field(c, "filter clause")
+        if kind not in ("query", "fquery"):
+            rest.append(c)
+            continue
+        inner = body["query"] if kind == "fquery" else body
+        k2, v2 = _one_field(inner, f"{kind} filter")
+        if k2 != "match":
+            _err(f"{kind} filter supports match only, got {k2!r}")
+        f, v = _one_field(v2, "match")
+        if f != text_col:
+            _err(f"{kind} filter match on field {f!r}")
+        if isinstance(v, str):
+            qf.append((v, "or"))
+        else:
+            extra_m = set(v) - {"query", "operator"}
+            if extra_m:
+                _err(f"{kind} filter match options {sorted(extra_m)}")
+            qf.append((str(v["query"]), {"or": "or", "and": "and"}[v.get("operator", "or")]))
+    if len(qf) > 1:
+        _err("at most one query/fquery filter per body")
+    return (qf[0] if qf else None), rest
 
 
 def _filter_triples(clauses: list[dict]) -> list[tuple[str, str, Any]]:
@@ -306,6 +344,7 @@ def _parse_bool(spec: _Spec, body: dict, text_col: str, analyzed: list[str] | No
         # clause-count semantics in ES; the engine's msm counts distinct
         # terms, so msm is only accepted when every clause is a single term.
         terms, boosts = [], {}
+        named: list[tuple[str, tuple[str, ...]]] = []
         multi_tok = False
         for c in should:
             kind, val = _one_field(c, "should clause")
@@ -314,9 +353,14 @@ def _parse_bool(spec: _Spec, body: dict, text_col: str, analyzed: list[str] | No
                 if f != text_col:
                     _err(f"should term on {f!r}")
                 if isinstance(v, dict):
+                    extra_t = set(v) - {"value", "boost", "_name"}
+                    if extra_t:
+                        _err(f"should term options {sorted(extra_t)}")
                     terms.append(v["value"])
                     if "boost" in v:
                         boosts[v["value"]] = float(v["boost"])
+                    if "_name" in v:
+                        named.append((str(v["_name"]), (str(v["value"]),)))
                 else:
                     terms.append(v)
             elif kind == "match":
@@ -324,15 +368,22 @@ def _parse_bool(spec: _Spec, body: dict, text_col: str, analyzed: list[str] | No
                 if f != text_col:
                     _err(f"should match on {f!r}")
                 q = v if isinstance(v, str) else v["query"]
-                if isinstance(v, dict) and set(v) - {"query"}:
-                    _err(f"should match options {sorted(set(v) - {'query'})}")
+                if isinstance(v, dict) and set(v) - {"query", "_name"}:
+                    _err(f"should match options {sorted(set(v) - {'query', '_name'})}")
                 toks = tokenize(q)
                 multi_tok = multi_tok or len(toks) != 1
                 terms.extend(toks)
+                if isinstance(v, dict) and "_name" in v:
+                    named.append((str(v["_name"]), tuple(sorted(set(toks)))))
             else:
                 _err(f"should clause {kind!r} (term/match on text only)")
         spec.query = " ".join(terms)
         spec.boosts = boosts or None
+        if named:
+            names = [n for n, _ in named]
+            if len(set(names)) != len(names):
+                _err("duplicate _name across should clauses")
+            spec.named = sorted(named)  # name-sorted: the pinned output order
         if "minimum_should_match" in body:
             if multi_tok:
                 _err(
@@ -342,7 +393,9 @@ def _parse_bool(spec: _Spec, body: dict, text_col: str, analyzed: list[str] | No
             spec.msm = int(body["minimum_should_match"])
     else:
         spec.kind = "match_all"
-    spec.filters = _filter_triples(body.get("filter", []))
+    fq, rest_filters = _extract_query_filters(body.get("filter", []), text_col)
+    spec.filter_query = fq
+    spec.filters = _filter_triples(rest_filters)
     for c in body.get("must_not", []) if isinstance(body.get("must_not", []), list) else [body["must_not"]]:
         kind, val = _one_field(c, "must_not clause")
         if kind in ("match", "term"):
@@ -979,6 +1032,20 @@ def parse_body(
         or spec.rescore is not None or spec.kind != "match"
     ):
         _err("min_score composes with scored match/bool queries only")
+    if spec.filter_query is not None and (
+        spec.kind != "match"
+        or (spec.field is not None and spec.field != text_col)
+        or spec.sort is not None or spec.highlight is not None
+        or spec.rescore is not None or spec.explain
+    ):
+        _err("query/fquery filter composes with a plain scored match only")
+    if spec.named is not None and (
+        spec.kind != "match" or spec.sort is not None
+        or spec.highlight is not None or spec.rescore is not None
+        or spec.explain or spec.source is not None
+        or spec.script_fields is not None
+    ):
+        _err("_name (matched_queries) composes with plain should bodies only")
     return spec
 
 
@@ -1003,6 +1070,82 @@ def _filters_col(triples: list[tuple[str, str, Any]]) -> Column | None:
         e = ops[op](F.col(f), v)
         expr = e if expr is None else (expr & e)
     return expr
+
+
+def _filter_query_col(fq: tuple[str, str], text_col: str) -> Column:
+    """The 1.x query-filter predicate, declarative form: candidate docs
+    must contain ANY ('or') / ALL ('and') of the filter query's analyzed
+    terms — constant-score filter context, scoring untouched (stats stay
+    index-wide in bm25_topk's doc_filter contract)."""
+    q, mode = fq
+    terms = sorted(set(tokenize(q)))
+    toks = tokens_col(text_col)
+    if not terms:
+        return F.lit(mode == "and")  # empty query filters nothing ('or' = none match)
+    if mode == "or":
+        return F.arrays_overlap(toks, F.array(*[F.lit(t) for t in terms]))
+    pred = None
+    for t in terms:
+        e = F.array_contains(toks, t)
+        pred = e if pred is None else (pred & e)
+    return pred
+
+
+def _filter_query_sql(fq: tuple[str, str], analyzer: str = "ascii") -> str:
+    """DuckDB twin of :func:`_filter_query_col` (a WHERE predicate over the
+    corpus table, composable into bm25_topk_sql's filter_sql)."""
+    q, mode = fq
+    terms = sorted(set(tokenize(q)))
+    tok = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    if not terms:
+        return "TRUE" if mode == "and" else "FALSE"
+    lst = ", ".join(f"'{t}'" for t in terms)
+    if mode == "or":
+        return f"len(list_filter({tok}, t -> t IN ({lst}))) > 0"
+    return f"list_has_all({tok}, [{lst}])"
+
+
+def _attach_matched_queries(hits, docs, named, id_col, text_col):
+    """ES named queries: per-hit `matched_queries` (comma-joined, name-ASC —
+    the pinned deterministic order; ES leaves array order unspecified).
+    The k-row hit page broadcast-joins back to the corpus (the fetch
+    phase); each name is one JVM arrays_overlap probe in that projection."""
+    toks = tokens_col(text_col)
+    name_cols = [
+        F.when(
+            F.arrays_overlap(toks, F.array(*[F.lit(t) for t in terms])), F.lit(name)
+        )
+        for name, terms in named
+    ]
+    page = hits.select(F.col("doc_id").alias("__hid"), F.col("score").alias("__hscore"))
+    return (
+        docs.join(F.broadcast(page), F.col(id_col) == F.col("__hid"))
+        .select(
+            F.col("__hid").alias("doc_id"), F.col("__hscore").alias("score"),
+            F.array_join(
+                F.filter(F.array(*name_cols), lambda x: x.isNotNull()), ","
+            ).alias("matched_queries"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _matched_queries_sql(inner: str, named, table: str, analyzer: str = "ascii") -> str:
+    """DuckDB twin of :func:`_attach_matched_queries`."""
+    tok = f"regexp_extract_all(lower(d.text), '{duckdb_token_pattern(analyzer)}')"
+    cases = ", ".join(
+        "CASE WHEN len(list_filter({tok}, t -> t IN ({lst}))) > 0 THEN '{n}' END".format(
+            tok=tok, lst=", ".join(f"'{t}'" for t in terms), n=name
+        )
+        for name, terms in named
+    )
+    return f"""
+SELECT h.doc_id, h.score,
+       array_to_string(list_filter([{cases}], x -> x IS NOT NULL), ',')
+         AS matched_queries
+FROM ({inner}) h JOIN {table} d ON d.doc_id = h.doc_id
+ORDER BY h.score DESC, h.doc_id ASC
+"""
 
 
 def _filters_sql(triples: list[tuple[str, str, Any]]) -> str | None:
@@ -1220,16 +1363,22 @@ def dsl_search(
             docs, n["triples"], score_mode=n["score_mode"], k=spec.size,
             id_col=id_col, nested_col=n["path"],
         )
+    doc_filter = _filters_col(spec.filters)
+    if spec.filter_query is not None:
+        fq_pred = _filter_query_col(spec.filter_query, text_col)
+        doc_filter = fq_pred if doc_filter is None else (doc_filter & fq_pred)
     hits = bm25_topk(
         docs, spec.query, k=spec.from_ + spec.size, mode=spec.mode,
         id_col=id_col, text_col=spec.field or text_col,
-        doc_filter=_filters_col(spec.filters),
+        doc_filter=doc_filter,
         min_should_match=spec.msm, boosts=spec.boosts, must_not=mn,
     )
     if spec.from_:
         hits = hits.orderBy(F.col("score").desc(), F.col("doc_id").asc()).offset(spec.from_)
     if spec.min_score is not None:
         hits = hits.where(F.col("score") >= spec.min_score)
+    if spec.named:
+        return _attach_matched_queries(hits, docs, spec.named, id_col, text_col)
     return _apply_source(hits, docs, spec, id_col)
 
 
@@ -1246,6 +1395,9 @@ def dsl_search_sql(
     spec = parse_body(body, text_col, analyzed_fields)
     mn = " ".join(spec.must_not_text) or None
     filter_sql = _filters_sql(spec.filters)
+    if spec.filter_query is not None:
+        fq_sql = _filter_query_sql(spec.filter_query)
+        filter_sql = fq_sql if filter_sql is None else f"({filter_sql}) AND ({fq_sql})"
     if spec.explain:
         if (spec.kind != "match" or spec.filters or mn or spec.sort is not None
                 or spec.highlight is not None or spec.rescore is not None
@@ -1382,6 +1534,8 @@ def dsl_search_sql(
         inner = (
             f"SELECT * FROM ({inner}) WHERE score >= {spec.min_score!r}"
         )
+    if spec.named:
+        return _matched_queries_sql(inner, spec.named, table)
     return _apply_source_sql(inner, spec, table)
 
 
@@ -1532,9 +1686,33 @@ def dsl_search_index(
         doc_filter=spec.filters or None,
         min_should_match=spec.msm, boosts=spec.boosts,
         from_=spec.from_, must_not=mn, fetch=bool(spec.source or sf),
+        filter_query=spec.filter_query,
     )
     if spec.min_score is not None:
         hits = hits.where(F.col("score") >= spec.min_score)
+    if spec.named:
+        # fetch-phase names from the INDEX itself: one doc-stream match-set
+        # per name (postings doc streams only), intersected with the k-row
+        # page driver-side — the ES coordinator shape, no corpus access
+        rows = hits.collect()
+        hit_ids = [int(r["doc_id"]) for r in rows]
+        member: dict[str, set] = {}
+        for name, nterms in spec.named:
+            ids = {
+                r[0]
+                for r in searcher.matching_ids(" ".join(nterms), mode="or")
+                .where(F.col("doc_id").isin(hit_ids)).collect()
+            } if hit_ids else set()
+            member[name] = ids
+        spark = hits.sparkSession
+        out = [
+            (i, float(r["score"]),
+             ",".join(n for n, _ in spec.named if i in member[n]))
+            for r in rows for i in [int(r["doc_id"])]
+        ]
+        return spark.createDataFrame(
+            out, "doc_id long, score double, matched_queries string"
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
     if spec.source or sf:
         # ES fetch phase against the index's stored docs (_source analog);
         # script_fields compute over the fetched columns, pure JVM
@@ -1617,8 +1795,9 @@ def _parse_aggs(body: dict, text_col: str) -> tuple[str | None, str, str, dict]:
             )
         if kind not in (
             "terms", "stats", "histogram", "range", "filters", "cardinality",
-            "percentiles", "missing", "significant_terms", "extended_stats",
-            "value_count", "scripted_metric", "min", "max", "sum", "avg",
+            "percentiles", "percentile_ranks", "missing", "significant_terms",
+            "extended_stats", "value_count", "scripted_metric",
+            "min", "max", "sum", "avg",
         ):
             _err(f"agg kind {kind!r}")
         kw = {}
@@ -1728,6 +1907,13 @@ def _parse_aggs(body: dict, text_col: str) -> tuple[str | None, str, str, dict]:
         if kind == "percentiles":
             if "percents" in conf:
                 kw["percents"] = tuple(float(p) for p in conf["percents"])
+        if kind == "percentile_ranks":
+            extra_pr = set(conf) - {"field", "values"}
+            if extra_pr:
+                _err(f"percentile_ranks options {sorted(extra_pr)}")
+            if "values" not in conf:
+                _err("percentile_ranks needs 'values'")
+            kw["values"] = tuple(float(v) for v in conf["values"])
         if kind == "significant_terms":
             if field != text_col:
                 _err(
@@ -1777,6 +1963,7 @@ def dsl_aggregation(docs: DataFrame, body: dict, text_col: str = "text") -> Data
         cardinality_facet,
         filters_facet,
         missing_facet,
+        percentile_ranks_facet,
         percentiles_facet,
         range_facet,
         significant_terms_facet,
@@ -1823,6 +2010,7 @@ def dsl_aggregation(docs: DataFrame, body: dict, text_col: str = "text") -> Data
         "cardinality": cardinality_facet,
         "cardinality_hll": hll_cardinality,
         "percentiles": percentiles_facet,
+        "percentile_ranks": percentile_ranks_facet,
         "missing": missing_facet,
         "extended_stats": extended_stats_facet,
         "value_count": value_count_facet,
@@ -1846,6 +2034,7 @@ def dsl_aggregation_sql(body: dict, table: str = "documents", text_col: str = "t
         cardinality_facet_sql,
         filters_facet_sql,
         missing_facet_sql,
+        percentile_ranks_facet_sql,
         percentiles_facet_sql,
         range_facet_sql,
         significant_terms_facet_sql,
@@ -1892,6 +2081,7 @@ def dsl_aggregation_sql(body: dict, table: str = "documents", text_col: str = "t
         "cardinality": cardinality_facet_sql,
         "cardinality_hll": hll_cardinality_sql,
         "percentiles": percentiles_facet_sql,
+        "percentile_ranks": percentile_ranks_facet_sql,
         "missing": missing_facet_sql,
         "extended_stats": extended_stats_facet_sql,
         "value_count": value_count_facet_sql,
@@ -1931,7 +2121,8 @@ def dsl_aggregation_index(searcher, body: dict, text_col: str = "text") -> DataF
         return st.select(
             F.round(F.col(metric).cast("double"), 6).alias("value")
         )
-    if kind in ("percentiles", "significant_terms", "top_hits", "scripted_metric"):
+    if kind in ("percentiles", "percentile_ranks", "significant_terms",
+                "top_hits", "scripted_metric"):
         raise ValueError(
             f"agg kind {kind!r} is declarative-only (operators/aggs.py); "
             "the serving path does not silently approximate it"

@@ -538,3 +538,88 @@ SELECT round(CAST(max({lat_col}) AS DOUBLE), 6) AS top,
        round(CAST(max({lon_col}) AS DOUBLE), 6) AS "right"
 FROM geo {where}
 """
+
+
+# -- geohash_cell filter ---------------------------------------------------------
+
+
+def geohash_encode(lat: float, lon: float, precision: int = 5) -> str:
+    """Pure-Python Niemeyer geohash of one point — used to compute the
+    QUERY cell literal; pinned equal to the JVM `geohash_col` expression
+    (and thus the DuckDB twin) by test, so the filter is three-engine
+    consistent."""
+    lat, lon = float(lat), float(lon)
+    lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+    bits, out, even = 0, [], True
+    ch = 0
+    while len(out) < int(precision):
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lon_lo = mid
+            else:
+                ch = ch << 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lat_lo = mid
+            else:
+                ch = ch << 1
+                lat_hi = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(GEOHASH_ALPHABET[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+def geohash_cell_hits(
+    docs: DataFrame,
+    lat: float,
+    lon: float,
+    precision: int = 5,
+    k: int = 10,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """ES 1.x ``geohash_cell`` filter: docs whose geohash cell at
+    ``precision`` equals the query point's cell (``neighbors: true`` is out
+    of subset and would be 8 more equality terms). The doc-side encode is
+    the same pure-JVM bit-interleave `geohash_col` expression riding the
+    scan — one codegen equality filter, id-ascending, LIMIT k."""
+    cell = geohash_encode(lat, lon, precision)
+    return (
+        docs.where(geohash_col(lat_col, lon_col, precision) == F.lit(cell))
+        .select(id_col, F.round(F.col(lat_col), 6).alias("lat6"),
+                F.round(F.col(lon_col), 6).alias("lon6"))
+        .orderBy(F.col(id_col).asc())
+        .limit(int(k))
+    )
+
+
+def geohash_cell_hits_sql(
+    lat: float,
+    lon: float,
+    precision: int = 5,
+    k: int = 10,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    corpus_sql: str | None = None,
+) -> str:
+    """DuckDB oracle for :func:`geohash_cell_hits` (same cell literal)."""
+    cell = geohash_encode(lat, lon, precision)
+    gh = geohash_sql(lat_col, lon_col, precision)
+    return f"""
+WITH geo AS ({corpus_sql or geo_enrich_sql()})
+SELECT {id_col}, round({lat_col}, 6) AS lat6, round({lon_col}, 6) AS lon6
+FROM geo
+WHERE {gh} = '{cell}'
+ORDER BY {id_col} ASC
+LIMIT {int(k)}
+"""

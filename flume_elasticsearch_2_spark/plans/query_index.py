@@ -823,6 +823,7 @@ class IndexSearcher:
         boosts: dict[str, float] | None = None,
         from_: int = 0,
         must_not: str | None = None,
+        filter_query: tuple[str, str] | None = None,
     ) -> DataFrame:
         """Top-k BM25 as a DataFrame (doc_id, score[, fetch cols]).
 
@@ -871,6 +872,23 @@ class IndexSearcher:
         )
 
         mn_terms = sorted(set(tokenize(must_not))) if must_not else []
+        fq_terms, fq_mode = None, "or"
+        if filter_query is not None:
+            # 1.x query/fquery filter: candidates must contain ANY/ALL of the
+            # filter query's analyzed terms — the common-terms mask-IN
+            # machinery (must_terms), computed from the index's own doc
+            # streams; scoring/stats untouched, BMW bounds stay admissible
+            # (the mask only shrinks the candidate set)
+            if engine != "direct":
+                raise ValueError("filter_query needs the direct engine")
+            fq_terms = sorted(set(tokenize(filter_query[0]))) or None
+            fq_mode = filter_query[1]
+            if fq_mode not in ("or", "and"):
+                raise ValueError(f"filter_query mode {fq_mode!r}")
+            if fq_terms is None:
+                # empty analyzed filter: 'and' admits everything, 'or' nothing
+                if fq_mode == "or":
+                    return empty
         if engine == "direct":
             # single narrow stage: per-shard top-k tasks -> collect -> heap
             # merge ON THE DRIVER (the ES coordinating-node gather). Collecting
@@ -878,7 +896,8 @@ class IndexSearcher:
             # and its scheduling round-trip — at most n_shards * (from_+k)
             # tiny rows cross the wire, never postings.
             rows = self._scatter_direct(
-                active_shards, present, kwargs, doc_filter, mn_terms
+                active_shards, present, kwargs, doc_filter, mn_terms,
+                must_terms=fq_terms, must_mode=fq_mode,
             ).collect()
             rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
             out = spark.createDataFrame(

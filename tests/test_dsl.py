@@ -1393,3 +1393,108 @@ def test_post_filter_rejected_where_filters_cannot_apply(documents, searcher, du
             dsl_search_sql(body)
         with pytest.raises(ValueError, match="filters"):
             dsl_search_index(searcher, body)
+
+
+# -- 1.x query / fquery filters ---------------------------------------------------
+
+
+FQ_BODIES = [
+    {"query": {"bool": {"must": [{"match": {"text": "dup batch scan"}}],
+                        "filter": [{"fquery": {"query": {"match": {"text": "window"}}}}]}},
+     "size": 10},
+    {"query": {"bool": {"must": [{"match": {"text": "dup batch scan"}}],
+                        "filter": [
+                            {"query": {"match": {"text": {"query": "window part",
+                                                          "operator": "and"}}}},
+                            {"term": {"lang": "en"}}]}},
+     "size": 10},
+]
+
+
+@pytest.mark.parametrize("body", FQ_BODIES, ids=["fquery_or", "query_and_plus_term"])
+def test_query_filter_three_engines(documents, duck, searcher, body):
+    got = [tuple(r) for r in dsl_search(documents, body).collect()]
+    want = [tuple(r) for r in duck.sql(dsl_search_sql(body)).fetchall()]
+    assert got == want and got
+    serving = [tuple(r) for r in dsl_search_index(searcher, body).collect()]
+    assert serving == got
+
+
+def test_query_filter_restricts_candidates_not_scores(documents):
+    """Filter context: hits all contain the filter terms, and surviving hits
+    keep the UNFILTERED query's exact scores (stats index-wide)."""
+    base = {(r.doc_id, r.score)
+            for r in dsl_search(documents,
+                                {"query": {"match": {"text": "dup batch scan"}},
+                                 "size": 500}).collect()}
+    got = dsl_search(documents, FQ_BODIES[0]).collect()
+    toks = {r["doc_id"]: set(r["text"].lower().split())
+            for r in documents.collect()}
+    for r in got:
+        assert (r.doc_id, r.score) in base        # scoring untouched
+        assert "window" in toks[r.doc_id]         # filter applied
+
+
+def test_query_filter_rejections(documents):
+    with pytest.raises(ValueError, match="at most one"):
+        dsl_search(documents, {"query": {"bool": {
+            "must": [{"match": {"text": "dup"}}],
+            "filter": [{"fquery": {"query": {"match": {"text": "a"}}}},
+                       {"query": {"match": {"text": "b"}}}]}}})
+    with pytest.raises(ValueError, match="match only"):
+        dsl_search(documents, {"query": {"bool": {
+            "must": [{"match": {"text": "dup"}}],
+            "filter": [{"fquery": {"query": {"term": {"lang": "en"}}}}]}}})
+    with pytest.raises(ValueError, match="plain scored match"):
+        dsl_search(documents, {"query": {"bool": {
+            "must": [{"match_phrase": {"text": "part filter"}}],
+            "filter": [{"fquery": {"query": {"match": {"text": "a"}}}}]}}})
+
+
+# -- named queries (_name -> matched_queries) -------------------------------------
+
+
+NAMED_BODY = {
+    "query": {"bool": {"should": [
+        {"match": {"text": {"query": "dup batch", "_name": "dups"}}},
+        {"match": {"text": {"query": "window scan", "_name": "windows"}}},
+        {"term": {"text": "filter"}},
+    ]}},
+    "size": 10,
+}
+
+
+def test_named_queries_three_engines(documents, duck, searcher):
+    got = [tuple(r) for r in dsl_search(documents, NAMED_BODY).collect()]
+    want = [tuple(r) for r in duck.sql(dsl_search_sql(NAMED_BODY)).fetchall()]
+    assert got == want and got
+    serving = [tuple(r) for r in dsl_search_index(searcher, NAMED_BODY).collect()]
+    assert serving == got
+    # names reflect real term membership
+    toks = {r["doc_id"]: set(r["text"].lower().split()) for r in documents.collect()}
+    for doc_id, _, names in got:
+        ns = set(names.split(",")) if names else set()
+        assert ("dups" in ns) == bool({"dup", "batch"} & toks[doc_id])
+        assert ("windows" in ns) == bool({"window", "scan"} & toks[doc_id])
+
+
+def test_named_term_clause_and_scores_unchanged(documents):
+    body = {"query": {"bool": {"should": [
+        {"term": {"text": {"value": "dup", "_name": "d"}}},
+        {"term": {"text": "batch"}}]}}, "size": 10}
+    got = dsl_search(documents, body).collect()
+    plain = {"query": {"bool": {"should": [
+        {"term": {"text": "dup"}}, {"term": {"text": "batch"}}]}}, "size": 10}
+    want = dsl_search(documents, plain).collect()
+    assert [(r.doc_id, r.score) for r in got] == [(r.doc_id, r.score) for r in want]
+
+
+def test_named_queries_rejections(documents):
+    with pytest.raises(ValueError, match="duplicate _name"):
+        dsl_search(documents, {"query": {"bool": {"should": [
+            {"match": {"text": {"query": "a", "_name": "x"}}},
+            {"match": {"text": {"query": "b", "_name": "x"}}}]}}})
+    with pytest.raises(ValueError, match="matched_queries"):
+        dsl_search(documents, {"query": {"bool": {"should": [
+            {"match": {"text": {"query": "dup", "_name": "x"}}}]}},
+            "sort": [{"n_chars": "desc"}]})

@@ -284,3 +284,36 @@ def test_terms_min_doc_count_zero_refuses(documents):
     with _pt.raises(ValueError, match="unscoped value universe"):
         dsl_aggregation_sql({"aggs": {"t": {"terms": {"field": "lang",
                                                       "min_doc_count": 0}}}})
+
+
+def test_percentile_ranks_matches_duckdb(documents):
+    import duckdb as _d
+
+    from flume_elasticsearch_2_spark.operators.aggs import (
+        percentile_ranks_facet,
+        percentile_ranks_facet_sql,
+    )
+
+    con = _d.connect()
+    con.register("documents", documents.toPandas())
+    for q in (None, "dup batch"):
+        got = [tuple(r) for r in
+               percentile_ranks_facet(documents, q, "n_chars", (200, 400, 800)).collect()]
+        want = con.sql(percentile_ranks_facet_sql(q, "n_chars", (200, 400, 800))).fetchall()
+        assert got == want, q
+    vals = [r for _, r in got]
+    assert vals == sorted(vals) and vals[-1] <= 100.0  # CDF is monotone
+
+
+def test_percentile_ranks_validation(documents):
+    import pytest as _pt
+
+    from flume_elasticsearch_2_spark.operators.aggs import (
+        percentile_ranks_facet,
+        percentile_ranks_facet_sql,
+    )
+
+    with _pt.raises(ValueError, match="duplicate"):
+        percentile_ranks_facet(documents, None, "n_chars", (1, 1))
+    with _pt.raises(ValueError, match="at least one"):
+        percentile_ranks_facet_sql(None, "n_chars", ())

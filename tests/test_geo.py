@@ -236,3 +236,40 @@ def test_geo_bounds_matches_duckdb(geo_docs, duck):
         assert got == want, q
     (top, left, bottom, right), = got
     assert bottom <= top and left <= right
+
+
+def test_geohash_encode_pinned_to_jvm_expression(geo_docs):
+    """The pure-Python query-point encoder must equal the JVM doc-side
+    expression on real coordinates (three-engine consistency anchor)."""
+    from flume_elasticsearch_2_spark.operators.geo import geohash_col, geohash_encode
+
+    rows = geo_docs.select(
+        "lat", "lon", geohash_col("lat", "lon", 5).alias("gh")
+    ).limit(50).collect()
+    for r in rows:
+        assert geohash_encode(r["lat"], r["lon"], 5) == r["gh"], (r["lat"], r["lon"])
+
+
+def test_geohash_cell_matches_duckdb(geo_docs, duck):
+    from flume_elasticsearch_2_spark.operators.geo import (
+        geohash_cell_hits,
+        geohash_cell_hits_sql,
+        geohash_encode,
+    )
+
+    # anchor the probe on a real doc's position so the cell is non-empty
+    p = geo_docs.select("lat", "lon").first()
+    for prec in (2, 3):
+        got = [tuple(r) for r in
+               geohash_cell_hits(geo_docs, p["lat"], p["lon"], prec, k=50).collect()]
+        want = duck.execute(
+            geohash_cell_hits_sql(p["lat"], p["lon"], prec, k=50)
+        ).fetchall()
+        assert got == want and got, prec
+        cell = geohash_encode(p["lat"], p["lon"], prec)
+        ids = {i for i, _, _ in got}
+        # membership property: exactly the docs whose own geohash prefixes match
+        from flume_elasticsearch_2_spark.operators.geo import geohash_col as _gc
+        member = {r["doc_id"] for r in geo_docs
+                  .where(_gc("lat", "lon", prec) == cell).collect()}
+        assert ids <= member
