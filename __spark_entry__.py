@@ -2803,11 +2803,25 @@ def _dsl_named_queries_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsl_search_index(_segment_searcher(spark, sf_dir), _NAMED_BODY)
 
 
+
+def _mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling (pretraining source reweighting): per-group
+    keep fraction via the seeded 60-bit-md5 Bernoulli — ONE map-side CASE
+    predicate riding the scan, zero shuffles; repartition/re-run stable and
+    fraction-monotone. operators/sampling.py:mix_sample."""
+    from flume_elasticsearch_2_spark.operators.sampling import mix_sample
+
+    return mix_sample(
+        _docs(spark, sf_dir), {"src0": 1.0, "src1": 0.5, "src2": 0.25}, seed=7
+    ).orderBy("doc_id")
+
+
 # first-50 priority for the driver's truncated correctness artifact: round-3
 # entries first, then everything CORRECTNESS_r02.json did not record (the
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "mix_sample",
     "dsl_named_queries",
     "dsl_named_queries_segment",
     "dsl_fquery",
@@ -3177,6 +3191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_common_terms"] = _bm25_common_terms
     q["bm25_common_terms_segment"] = _bm25_common_terms_segment
     q["dsl_common"] = _dsl_common
+    q["mix_sample"] = _mix_sample
     q["dsl_named_queries"] = _dsl_named_queries
     q["dsl_named_queries_segment"] = _dsl_named_queries_segment
     q["dsl_fquery"] = _dsl_fquery
@@ -3611,6 +3626,13 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_sql as _das
     from flume_elasticsearch_2_spark.operators.geo import geohash_cell_hits_sql
 
+    from flume_elasticsearch_2_spark.operators.sampling import mix_sample_sql
+
+    o["mix_sample"] = (
+        "SELECT * FROM ("
+        + mix_sample_sql({"src0": 1.0, "src1": 0.5, "src2": 0.25}, seed=7)
+        + ") ORDER BY doc_id"
+    )
     o["dsl_named_queries"] = _dss(_NAMED_BODY)
     o["dsl_named_queries_segment"] = o["dsl_named_queries"]
     o["dsl_fquery"] = _dss(_FQUERY_BODY)

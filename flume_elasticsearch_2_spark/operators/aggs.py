@@ -349,6 +349,10 @@ def percentile_ranks_facet(
         matched.agg(*aggs)
         .select(F.posexplode(F.array(*[F.col(f"__r{i}") for i in range(len(vs))]))
                 .alias("pos", "rank"))
+        # empty match set (or all-NULL field): Spark's global agg still emits
+        # one row with NULL ranks, while the oracle's GROUP BY emits zero
+        # rows — drop the NULL rows so both engines return 0 rows
+        .where(F.col("rank").isNotNull())
         .select(
             F.element_at(vlits, F.col("pos") + 1).alias("value"), F.col("rank")
         )

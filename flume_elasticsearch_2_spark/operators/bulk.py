@@ -32,8 +32,9 @@ order; the narrow data-dependent corners are parameterized):
 
 Out-of-subset interleavings raise loudly (no silent best-effort, matching
 operators/dsl.py's contract): ``update`` after ``delete`` with no
-intervening insert, and ``create`` after a bare ``update`` (its outcome
-would depend on corpus membership in a way that forks the whole program).
+intervening insert, and ``update``/``create`` adjacent to an in-batch
+``create``/bare-``update`` for the same id (those outcomes fork on corpus
+membership in a way one folded program cannot express).
 """
 
 from __future__ import annotations
@@ -103,8 +104,15 @@ def fold_actions(
         elif op == "update":
             if prior is None:
                 state[doc_id] = ("PATCH", dict(doc))
-            elif prior[0] in ("REPLACE", "CREATE"):
-                state[doc_id] = (prior[0], {**prior[1], **doc})
+            elif prior[0] == "REPLACE":
+                state[doc_id] = ("REPLACE", {**prior[1], **doc})
+            elif prior[0] == "CREATE":
+                # if the create conflicts (id exists), ES fails it per-item
+                # and the update then patches the EXISTING doc — the merged
+                # outcome forks on corpus membership, same as create-after-
+                # update below; out of the folded subset
+                raise ValueError(f"bulk update after create for id {doc_id} "
+                                 "forks on corpus membership — out of subset")
             elif prior[0] == "PATCH":
                 state[doc_id] = ("PATCH", {**prior[1], **doc})
             else:  # DELETE
@@ -169,18 +177,23 @@ def apply_bulk(
             raise ValueError(f"bulk full doc for id {i} missing corpus fields "
                              f"{miss} (fixed-schema corpus: supply every column)")
 
-    if missing == "error" or conflict == "error":
-        probe_ids = sorted({*patch, *create})
-        existing = {
-            r[0] for r in docs.where(F.col(id_col).isin(probe_ids))
-            .select(id_col).collect()
-        } if probe_ids else set()
+    # one batch-sized id-IN existence probe (Parquet row-group pruned — the
+    # ES coordinator's per-item responses): resolves create conflicts in BOTH
+    # modes (the insert-if-absent join must never broadcast the corpus side)
+    # and update-on-missing failures in error mode
+    probe_ids = sorted({*create, *(patch if missing == "error" else ())})
+    existing = {
+        r[0] for r in docs.where(F.col(id_col).isin(probe_ids))
+        .select(id_col).collect()
+    } if probe_ids else set()
+    if missing == "error":
         miss_ids = sorted(set(patch) - existing)
-        if missing == "error" and miss_ids:
+        if miss_ids:
             raise ValueError(f"bulk update on missing ids {miss_ids}")
-        conf_ids = sorted(set(create) & existing)
-        if conflict == "error" and conf_ids:
-            raise ValueError(f"bulk create conflicts on existing ids {conf_ids}")
+    conf_ids = sorted(set(create) & existing)
+    if conflict == "error" and conf_ids:
+        raise ValueError(f"bulk create conflicts on existing ids {conf_ids}")
+    create = {i: d for i, d in create.items() if i not in existing}
 
     base = docs
     removed = sorted({*replace, *delete})
@@ -208,15 +221,13 @@ def apply_bulk(
     if inserts:
         new_df = spark.createDataFrame(inserts, docs.select(id_col, *other).schema)
     if create:
+        # insert-if-absent vs the ORIGINAL corpus (ES create conflicts
+        # against the live index; an in-batch index/delete already owns the
+        # id in the fold, so a surviving CREATE has no in-batch prior and
+        # the original corpus IS the live state). Conflicts were resolved by
+        # the batch-sized probe above — never by broadcasting the corpus.
         crows = [tuple([i] + [d[c] for c in other]) for i, d in sorted(create.items())]
         cdf = spark.createDataFrame(crows, docs.select(id_col, *other).schema)
-        # insert-if-absent vs the ORIGINAL corpus (replaced ids were removed
-        # above but still exist for conflict purposes only if... no: ES
-        # create conflicts against the live index, and an earlier in-batch
-        # index/delete already owns the id in the fold — a CREATE here has
-        # no in-batch prior, so the original corpus IS the live state)
-        cdf = cdf.join(F.broadcast(docs.select(F.col(id_col).alias("__eid"))),
-                       cdf[id_col] == F.col("__eid"), "left_anti")
         new_df = cdf if new_df is None else new_df.unionByName(cdf)
     base = base.select(id_col, *other)
     if new_df is not None:

@@ -203,7 +203,18 @@ def _extract_query_filters(clauses: list, text_col: str):
         if kind not in ("query", "fquery"):
             rest.append(c)
             continue
-        inner = body["query"] if kind == "fquery" else body
+        if kind == "fquery":
+            # `_cache` is the canonical 1.x companion key — a pure caching
+            # HINT with identical semantics, accepted and ignored; anything
+            # else raises (loud-subset contract)
+            extra_f = set(body) - {"query", "_cache"}
+            if extra_f:
+                _err(f"fquery keys {sorted(extra_f)}")
+            if "query" not in body:
+                _err("fquery needs a 'query'")
+            inner = body["query"]
+        else:
+            inner = body
         k2, v2 = _one_field(inner, f"{kind} filter")
         if k2 != "match":
             _err(f"{kind} filter supports match only, got {k2!r}")
@@ -360,7 +371,15 @@ def _parse_bool(spec: _Spec, body: dict, text_col: str, analyzed: list[str] | No
                     if "boost" in v:
                         boosts[v["value"]] = float(v["boost"])
                     if "_name" in v:
-                        named.append((str(v["_name"]), (str(v["value"]),)))
+                        # ES term queries are UNANALYZED: a non-normalized
+                        # value (e.g. "Dup") would never match the lowercased
+                        # index — and the serving path's doc-stream probe
+                        # tokenizes, so it WOULD diverge. Require normalized
+                        # values loudly instead of three-engine drift.
+                        tv = str(v["value"])
+                        if tokenize(tv) != [tv]:
+                            _err(f"_name on non-analyzer-normalized term {tv!r}")
+                        named.append((str(v["_name"]), (tv,)))
                 else:
                     terms.append(v)
             elif kind == "match":

@@ -16,8 +16,11 @@ with ``partial`` as in explain.py and ``sum(partial per doc) == score``
 Scale shape (declarative): the hit page is k rows — it BROADCAST-joins
 back to the corpus (the ES fetch phase), per-term tf/dl are JVM array
 expressions in that one projection, and the per-term rows come from
-exploding a k×|terms| struct array — O(k·|terms|) rows after one stats
-agg; nothing but the hit page shuffles. Serving: the hit page comes from
+exploding a k×|terms| struct array — O(k·|terms|) rows. Honest cost note:
+this path runs TWO corpus-wide aggregations (bm25_topk's internal stats
+pass for the page, plus the breakdown's df/n/avgdl pass — bm25_topk does
+not expose its stats), i.e. the debug surface costs one extra narrow scan;
+the serving path pays neither (dictionary + manifest constants). Serving: the hit page comes from
 the ordinary BMW scatter, then each hit's breakdown is the metadata-scale
 ``IndexSearcher.explain`` decode (k bounded by the window cap — exactly
 ES, which explains hits in the fetch phase per shard)."""

@@ -65,7 +65,8 @@ def pack_sequences(
         F.col(id_col).alias("doc_id"),
         F.size(tokens_col(text_col)).alias("n_tokens"),
     )
-    schema = "group string, doc_id long, n_tokens int, bin long"
+    gtype = docs.schema[group_col].dataType.simpleString()
+    schema = f"group {gtype}, doc_id long, n_tokens int, bin long"
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)

@@ -78,11 +78,16 @@ def cosine_topk_quantized(
     qz = quantize_embeddings(df, id_col, vec_col)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     dq = dequantize_col(F.col("codes"), F.col("mn"), F.col("scale"))
+    # rank on the UNROUNDED cosine (the oracle's ORDER BY) — quantization
+    # collapses values, so round-level ties are likelier than in the float
+    # path and a rounded sort key could admit/order a different row
     scored = qz.select(
-        F.col("id"),
-        F.round(_dot(dq, q) / (_norm(dq) * _norm(q)), 6).alias("cosine"),
+        F.col("id"), (_dot(dq, q) / (_norm(dq) * _norm(q))).alias("__raw")
     )
-    return scored.orderBy(F.col("cosine").desc(), F.col("id").asc()).limit(k)
+    return (
+        scored.orderBy(F.col("__raw").desc(), F.col("id").asc()).limit(k)
+        .select("id", F.round("__raw", 6).alias("cosine"))
+    )
 
 
 def cosine_topk_quantized_sql(

@@ -128,3 +128,58 @@ def hash_sample_sql(
         raise ValueError("fraction must be in [0, 1]")
     threshold = int(float(fraction) * _SIXTY_BITS)
     return f"SELECT {columns} FROM {table} WHERE {_seeded_hash_sql(key_col, seed)} < {threshold}"
+
+def mix_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    default: float = 0.0,
+) -> DataFrame:
+    """Domain-mixture sampling (the pretraining source-reweighting op, cf.
+    the public Pile/GPT-3 mixture methodology): per-group KEEP fraction from
+    ``weights`` (group value -> fraction in [0, 1]; groups absent from the
+    map keep ``default``). The kept set is the seeded deterministic
+    Bernoulli of :func:`hash_sample` with a per-group threshold — stable
+    under repartitioning/re-runs, disjoint-monotone across fractions (a
+    row kept at 0.3 is kept at 0.5: same hash, higher bar).
+
+    Scale shape: ONE pure map-side predicate riding the scan (a CASE over
+    the literal weights map picks the threshold) — zero shuffles, zero
+    joins; the mixture spec is driver-literal like every sampling config."""
+    fr = {str(g): float(f) for g, f in weights.items()}
+    if not fr:
+        raise ValueError("mix_sample needs at least one group weight")
+    bad = {g: f for g, f in fr.items() if not 0.0 <= f <= 1.0}
+    if bad or not 0.0 <= float(default) <= 1.0:
+        raise ValueError(f"fractions must be in [0, 1], got {bad or default}")
+    thr = F.lit(int(float(default) * _SIXTY_BITS))
+    for g in sorted(fr):
+        thr = F.when(F.col(group_col).cast("string") == g,
+                     F.lit(int(fr[g] * _SIXTY_BITS))).otherwise(thr)
+    return df.where(_seeded_hash_col(key_col, seed) < thr)
+
+
+def mix_sample_sql(
+    weights: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    default: float = 0.0,
+    columns: str = "*",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`mix_sample` (same thresholds, same hash)."""
+    fr = {str(g): float(f) for g, f in weights.items()}
+    if not fr:
+        raise ValueError("mix_sample needs at least one group weight")
+    bad = {g: f for g, f in fr.items() if not 0.0 <= f <= 1.0}
+    if bad or not 0.0 <= float(default) <= 1.0:
+        raise ValueError(f"fractions must be in [0, 1], got {bad or default}")
+    cases = " ".join(
+        f"WHEN CAST({group_col} AS VARCHAR) = '{g}' THEN {int(fr[g] * _SIXTY_BITS)}"
+        for g in sorted(fr)
+    )
+    thr = f"CASE {cases} ELSE {int(float(default) * _SIXTY_BITS)} END"
+    return f"SELECT {columns} FROM {table} WHERE {_seeded_hash_sql(key_col, seed)} < ({thr})"

@@ -51,11 +51,15 @@ def cosine_topk(
     """Exact cosine top-k against one query vector. JVM-side arithmetic;
     deterministic (-cosine, id) tie-break; cosine rounded to 6 decimals."""
     q = F.array(*[F.lit(float(v)) for v in query_vec])
+    # rank on the UNROUNDED cosine — the oracle's ORDER BY is unrounded, so
+    # a rounded sort key could order round-level ties differently
     scored = df.select(
-        F.col(id_col).alias("id"),
-        F.round(cosine_col(F.col(vec_col), q), 6).alias("cosine"),
+        F.col(id_col).alias("id"), cosine_col(F.col(vec_col), q).alias("__raw")
     )
-    return scored.orderBy(F.col("cosine").desc(), F.col("id").asc()).limit(k)
+    return (
+        scored.orderBy(F.col("__raw").desc(), F.col("id").asc()).limit(k)
+        .select("id", F.round("__raw", 6).alias("cosine"))
+    )
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:

@@ -154,3 +154,29 @@ def test_bulk_then_search_matches_oracle(documents, duck):
     ]
     assert got == want
     assert 9100 in {i for i, _ in got}
+
+
+# -- review regressions ------------------------------------------------------------
+
+
+def test_update_after_create_refuses():
+    """Review regression: when the create conflicts (skip mode) ES would
+    still patch the EXISTING doc — the merged fold silently dropped the
+    update; the interleaving forks on corpus membership and must refuse."""
+    with pytest.raises(ValueError, match="update after create"):
+        fold_actions([("create", 11, _doc()), ("update", 11, {"lang": "xx"})])
+
+
+def test_create_never_broadcasts_corpus(documents):
+    """Review regression: insert-if-absent resolves via the batch-sized
+    id-IN probe, never an anti-join that broadcasts the corpus id column —
+    the plan must contain NO join at all for a creates-only batch."""
+    from tests.test_plan_hygiene import _plan
+
+    out = apply_bulk(documents, [
+        ("create", 90002, _doc()), ("create", 11, _doc()),  # one new, one conflict
+    ])
+    plan = _plan(out)
+    assert "Join" not in plan, plan
+    n = documents.count()
+    assert out.count() == n + 1  # conflict skipped via the probe

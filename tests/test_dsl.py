@@ -1498,3 +1498,33 @@ def test_named_queries_rejections(documents):
         dsl_search(documents, {"query": {"bool": {"should": [
             {"match": {"text": {"query": "dup", "_name": "x"}}}]}},
             "sort": [{"n_chars": "desc"}]})
+
+
+def test_fquery_cache_hint_accepted_and_malformed_rejected(documents, duck):
+    """Review regressions: the canonical 1.x `_cache` hint parses (ignored —
+    identical semantics); a missing inner query raises the dialect's
+    ValueError, not a KeyError."""
+    body = {"query": {"bool": {"must": [{"match": {"text": "dup batch scan"}}],
+                               "filter": [{"fquery": {
+                                   "query": {"match": {"text": "window"}},
+                                   "_cache": True}}]}}, "size": 10}
+    got = [tuple(r) for r in dsl_search(documents, body).collect()]
+    want = [tuple(r) for r in duck.sql(dsl_search_sql(body)).fetchall()]
+    assert got == want and got
+    with pytest.raises(ValueError, match="fquery needs"):
+        dsl_search(documents, {"query": {"bool": {
+            "must": [{"match": {"text": "dup"}}], "filter": [{"fquery": {}}]}}})
+    with pytest.raises(ValueError, match="fquery keys"):
+        dsl_search(documents, {"query": {"bool": {
+            "must": [{"match": {"text": "dup"}}],
+            "filter": [{"fquery": {"query": {"match": {"text": "a"}},
+                                   "boost": 2}}]}}})
+
+
+def test_named_term_requires_normalized_value(documents):
+    """Review regression: _name on an unanalyzed term value the tokenizer
+    would normalize (e.g. 'Dup') would diverge between the serving path
+    (which re-tokenizes) and the declarative/SQL probes — refuse loudly."""
+    with pytest.raises(ValueError, match="non-analyzer-normalized"):
+        dsl_search(documents, {"query": {"bool": {"should": [
+            {"term": {"text": {"value": "Dup", "_name": "d"}}}]}}})

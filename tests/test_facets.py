@@ -317,3 +317,21 @@ def test_percentile_ranks_validation(documents):
         percentile_ranks_facet(documents, None, "n_chars", (1, 1))
     with _pt.raises(ValueError, match="at least one"):
         percentile_ranks_facet_sql(None, "n_chars", ())
+
+
+def test_percentile_ranks_empty_match_set(documents):
+    """Review regression: an empty match set returns ZERO rows on both
+    engines (Spark's global agg emits a NULL-rank row that must be
+    dropped to match the oracle's empty GROUP BY)."""
+    import duckdb as _d
+
+    from flume_elasticsearch_2_spark.operators.aggs import (
+        percentile_ranks_facet,
+        percentile_ranks_facet_sql,
+    )
+
+    got = percentile_ranks_facet(documents, "zzzznotaterm", "n_chars", (200,)).collect()
+    con = _d.connect()
+    con.register("documents", documents.toPandas())
+    want = con.sql(percentile_ranks_facet_sql("zzzznotaterm", "n_chars", (200,))).fetchall()
+    assert got == [] and want == []

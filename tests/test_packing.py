@@ -112,3 +112,20 @@ def test_pack_validation(documents):
         pack_sequences(documents, budget=0)
     with pytest.raises(ValueError, match="budget"):
         pack_sequences_sql(budget=0)
+
+
+def test_pack_non_string_group(spark):
+    """Review regression: the applyInPandas schema derives the group type
+    from the column (hash-bucket int groups must work, as the docstring
+    promises)."""
+    import duckdb as _d
+
+    df = spark.createDataFrame(
+        [(i, i % 3, "tok " * (i % 7 + 1)) for i in range(30)],
+        "doc_id long, bucket long, text string",
+    )
+    got = [tuple(r) for r in pack_sequences(df, budget=8, group_col="bucket").collect()]
+    con = _d.connect()
+    con.register("documents", df.toPandas())
+    want = con.sql(pack_sequences_sql(budget=8, group_col="bucket")).fetchall()
+    assert got == want and len(got) == 30

@@ -81,3 +81,55 @@ def test_sampling_validation():
         hash_sample_sql(1.5)
     with pytest.raises(ValueError):
         stratified_sample_sql("lang", 0)
+
+
+# -- domain-mixture sampling -------------------------------------------------------
+
+
+def test_mix_sample_matches_duckdb(documents, duck):
+    from flume_elasticsearch_2_spark.operators.sampling import (
+        mix_sample,
+        mix_sample_sql,
+    )
+
+    w = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+    got = sorted(r["doc_id"] for r in mix_sample(documents, w, seed=7).collect())
+    want = sorted(
+        r[0] for r in duck.execute(
+            mix_sample_sql(w, seed=7, columns="doc_id")
+        ).fetchall()
+    )
+    assert got == want and got
+
+
+def test_mix_sample_fractions_behave(documents):
+    from flume_elasticsearch_2_spark.operators.sampling import mix_sample
+
+    n_by_src = {r["source"]: r["count"]
+                for r in documents.groupBy("source").count().collect()}
+    kept = mix_sample(documents, {"src0": 1.0, "src1": 0.5}, seed=3)
+    k_by_src = {r["source"]: r["count"]
+                for r in kept.groupBy("source").count().collect()}
+    assert k_by_src.get("src0") == n_by_src["src0"]        # fraction 1.0 keeps all
+    assert "src2" not in k_by_src                           # default 0.0 drops
+    assert 0 < k_by_src.get("src1", 0) < n_by_src["src1"]
+    # monotone: the 0.5 kept set is a subset of the 0.8 kept set (same seed)
+    k8 = {r["doc_id"] for r in
+          mix_sample(documents, {"src1": 0.8}, seed=3).collect()}
+    k5 = {r["doc_id"] for r in
+          mix_sample(documents, {"src1": 0.5}, seed=3).collect()}
+    assert k5 <= k8
+
+
+def test_mix_sample_validation(documents):
+    from flume_elasticsearch_2_spark.operators.sampling import (
+        mix_sample,
+        mix_sample_sql,
+    )
+
+    with pytest.raises(ValueError, match="at least one"):
+        mix_sample(documents, {})
+    with pytest.raises(ValueError, match="fractions"):
+        mix_sample(documents, {"src0": 1.5})
+    with pytest.raises(ValueError, match="fractions"):
+        mix_sample_sql({"src0": 0.5}, default=-0.1)
