@@ -2347,6 +2347,123 @@ def _dsl_decay_gauss_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_DECAY_GAUSS_BODY)
 
 
+# ES 1.x weighted functions array: filter+boost_factor / filter+weight,
+# score_mode combines matching functions' constants, boost_mode folds the
+# factor into the BM25 base (operators/dsl.py _weight_functions_col).
+_DSL_FSCORE_WEIGHTS_BODY = {
+    "query": {"function_score": {
+        "query": {"match": {"text": "dup batch scan"}},
+        "functions": [
+            {"filter": {"term": {"lang": "en"}}, "boost_factor": 2.0},
+            {"filter": {"range": {"n_chars": {"gte": 500}}}, "weight": 1.5},
+        ],
+        "score_mode": "multiply",
+        "boost_mode": "multiply",
+    }},
+    "size": 10,
+}
+
+_DSL_FSCORE_WEIGHTS_SUM_BODY = {
+    "query": {"function_score": {
+        "query": {"match": {"text": "batch small scan"}},
+        "functions": [
+            {"filter": {"term": {"lang": "en"}}, "weight": 1.25},
+            {"filter": {"terms": {"source": ["src1", "src2", "src3"]}}, "weight": 0.75},
+        ],
+        "score_mode": "sum",
+        "boost_mode": "sum",
+    }},
+    "size": 10,
+}
+
+_DSL_FSCORE_WEIGHTS_MAX_BODY = {
+    "query": {"function_score": {
+        "query": {"match": {"text": "dup batch scan"}},
+        "functions": [
+            {"filter": {"term": {"lang": "de"}}, "boost_factor": 3.0},
+            {"filter": {"range": {"n_chars": {"gte": 200}}}, "boost_factor": 1.5},
+            # filterless function: matches every doc (the ES always-apply arm)
+            {"weight": 1.1},
+        ],
+        "score_mode": "max",
+    }},
+    "size": 10,
+}
+
+
+def _dsl_fscore_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score weighted-functions array (filter + boost_factor/
+    weight, score_mode=multiply): per-function stored-field predicates fold
+    into ONE pure JVM factor column riding the scoring scan — the same
+    zero-join two-pass plan as field_value_factor."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_FSCORE_WEIGHTS_BODY)
+
+
+def _dsl_fscore_weights_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted functions array on the SERVING path: the factor is computed
+    shard-locally from the stored filter columns (_fsv_dense
+    kind=functions), BMW off — same gather shape as field_value_factor."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_FSCORE_WEIGHTS_BODY)
+
+
+def _dsl_fscore_weights_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions array with score_mode=sum + boost_mode=sum: matching
+    weights add (no-match docs keep factor 1.0), then the factor ADDS to
+    the base — exercises both non-default fold modes."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_FSCORE_WEIGHTS_SUM_BODY)
+
+
+def _dsl_fscore_weights_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions array with score_mode=max and a filterless (always-match)
+    function: the factor is the first match in (weight DESC, index ASC)
+    order — a CASE chain, no greatest(), so no NULL-fold parity surface."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_FSCORE_WEIGHTS_MAX_BODY)
+
+
+def _wrapper_body() -> dict:
+    """The ES wrapper query: a base64-encoded query JSON a 1.x client ships
+    inside {"wrapper": {"query": ...}} — built here at call time so the
+    entry exercises the decode path, not a pre-decoded constant."""
+    import base64
+    import json
+
+    inner = {"bool": {
+        "must": [{"match": {"text": "dup batch scan"}}],
+        "filter": [{"range": {"n_chars": {"gte": 100}}}],
+    }}
+    return {
+        "query": {"wrapper": {
+            "query": base64.b64encode(json.dumps(inner).encode()).decode()
+        }},
+        "size": 10,
+    }
+
+
+def _dsl_wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES wrapper query (base64 query JSON): decoded + substituted before
+    dispatch, zero new execution semantics — here a filtered bool rides
+    inside (operators/dsl.py parse_body)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _wrapper_body())
+
+
+def _dsl_wrapper_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wrapper on the SERVING path — the decoded bool routes to the
+    filtered BMW scatter like any native body."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _wrapper_body())
+
+
 _DSL_AND_NOT_BODY = {
     "query": {"filtered": {
         "query": {"match": {"text": "dup batch"}},
@@ -2821,6 +2938,12 @@ def _mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dsl_fscore_weights",
+    "dsl_fscore_weights_segment",
+    "dsl_fscore_weights_sum",
+    "dsl_fscore_weights_max",
+    "dsl_wrapper",
+    "dsl_wrapper_segment",
     "mix_sample",
     "dsl_named_queries",
     "dsl_named_queries_segment",
@@ -3103,6 +3226,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_source_filtered_segment"] = _dsl_source_filtered_segment
     q["dsl_boosting"] = _dsl_boosting
     q["dsl_function_score"] = _dsl_function_score
+    q["dsl_fscore_weights"] = _dsl_fscore_weights
+    q["dsl_fscore_weights_segment"] = _dsl_fscore_weights_segment
+    q["dsl_fscore_weights_sum"] = _dsl_fscore_weights_sum
+    q["dsl_fscore_weights_max"] = _dsl_fscore_weights_max
+    q["dsl_wrapper"] = _dsl_wrapper
+    q["dsl_wrapper_segment"] = _dsl_wrapper_segment
     q["dsl_span_near"] = _dsl_span_near
     q["dsl_span_near_segment"] = _dsl_span_near_segment
     # round-3 aggregation-kind wave
@@ -3816,6 +3945,12 @@ SELECT CAST(rk // 100 AS BIGINT) AS page, doc_id FROM r
     o["dsl_source_filtered_segment"] = o["dsl_source_filtered"]
     o["dsl_boosting"] = dsl_search_sql(_DSL_BOOSTING_BODY)
     o["dsl_function_score"] = dsl_search_sql(_DSL_FSCORE_BODY)
+    o["dsl_fscore_weights"] = dsl_search_sql(_DSL_FSCORE_WEIGHTS_BODY)
+    o["dsl_fscore_weights_segment"] = o["dsl_fscore_weights"]
+    o["dsl_fscore_weights_sum"] = dsl_search_sql(_DSL_FSCORE_WEIGHTS_SUM_BODY)
+    o["dsl_fscore_weights_max"] = dsl_search_sql(_DSL_FSCORE_WEIGHTS_MAX_BODY)
+    o["dsl_wrapper"] = dsl_search_sql(_wrapper_body())
+    o["dsl_wrapper_segment"] = o["dsl_wrapper"]
     o["dsl_span_near"] = dsl_search_sql(_DSL_SPAN_NEAR_BODY)
     o["dsl_span_near_segment"] = o["dsl_span_near"]
     o["dedup_exact_docs"] = """

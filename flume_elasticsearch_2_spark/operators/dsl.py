@@ -61,9 +61,16 @@ silent best-effort):
   reject it loudly.
 * ``function_score`` with ``field_value_factor``, ``random_score`` (seeded),
   ``script_score`` (the script — functions/scripts.py grammar, ``_score``
-  bound to the BM25 base — REPLACES the score), or ONE decay function
+  bound to the BM25 base — REPLACES the score), ONE decay function
   (``gauss``/``exp``/``linear`` over a numeric field; ES formulas, missing
-  values score 1.0; date/geo origins rejected) — declarative + oracle paths.
+  values score 1.0; date/geo origins rejected) — declarative + oracle paths —
+  or a weighted ``functions`` array (per-function stored-field ``filter`` +
+  ``boost_factor``/``weight``; ``score_mode`` multiply/sum/max combines the
+  matching functions' constants, no-match docs keep 1.0) on all THREE paths.
+* ``wrapper`` (base64-encoded query JSON, the ES wrapper query) — decoded
+  and substituted at the TOP-LEVEL ``body.query`` position before dispatch,
+  so any supported clause rides inside; nested wrappers beyond depth 4,
+  non-JSON payloads, and wrapper in inner clause positions refuse loudly.
 
 Scale shape: translation is pure driver-side dict walking; execution is
 whatever the routed operator does (two-narrow-pass declarative plans, BMW
@@ -137,6 +144,8 @@ class _Spec:
         self.fscore_seed: int | None = None  # function_score random_score seed
         self.fscore_script: str | None = None  # function_score script_score src
         self.fscore_decay: dict | None = None  # function_score decay spec
+        # weighted functions array: (((triples, weight), ...), score_mode)
+        self.fscore_functions: tuple | None = None
         self.flt: dict | None = None  # fuzzy_like_this params
         self.nested: dict | None = None  # nested query (path/triples/score_mode)
         self.min_score: float | None = None  # drop hits scoring below this
@@ -515,6 +524,27 @@ def parse_body(
     if body.get("explain"):
         spec.explain = True
     kind, val = _one_field(body.get("query") or _err("body.query required"), "query")
+    # ES wrapper query: {"wrapper": {"query": "<base64 of a query JSON>"}} —
+    # decode and substitute BEFORE the dispatch, so any supported clause can
+    # ride inside it (delegation, zero new semantics). Nesting is bounded;
+    # a payload that fails base64/JSON decoding refuses loudly.
+    unwraps = 0
+    while kind == "wrapper":
+        unwraps += 1
+        if unwraps > 4:
+            _err("wrapper nesting deeper than 4")
+        if not isinstance(val, dict) or set(val) != {"query"}:
+            _err("wrapper needs exactly {'query': <base64 string>}")
+        import base64
+        import json
+
+        try:
+            decoded = json.loads(base64.b64decode(str(val["query"]), validate=True))
+        except Exception as e:  # binascii.Error / JSONDecodeError / Unicode
+            _err(f"wrapper payload does not decode to JSON: {e}")
+        if not isinstance(decoded, dict):
+            _err("wrapper payload must decode to a query object")
+        kind, val = _one_field(decoded, "wrapper query")
     if kind == "match":
         _parse_match(spec, _one_field(val, "match"), text_col, analyzed)
     elif kind == "match_phrase":
@@ -665,14 +695,56 @@ def parse_body(
         # widens/narrows it
         extra_fs = set(val) - {
             "query", "field_value_factor", "random_score", "boost_mode",
-            "script_score", "gauss", "exp", "linear",
+            "script_score", "gauss", "exp", "linear", "functions", "score_mode",
         }
         if extra_fs:
             _err(f"function_score keys {sorted(extra_fs)}")
         rsc = val.get("random_score")
         ssc = val.get("script_score")
         dec_kinds = [kk for kk in ("gauss", "exp", "linear") if kk in val]
-        if dec_kinds:
+        wfs = val.get("functions")
+        if "score_mode" in val and wfs is None:
+            _err("score_mode only applies to a functions array")
+        if wfs is not None:
+            # ES 1.x weighted functions array: each entry is an optional
+            # filter (the bool.filter clause grammar) + exactly one of
+            # boost_factor (1.x spelling) / weight (1.4+): matching docs
+            # contribute the constant, non-matching don't; score_mode
+            # combines the MATCHING functions' constants (multiply — the ES
+            # default — sum, or max/first-by-weight), a candidate matching
+            # NO function keeps factor 1.0 (ES FiltersFunctionScoreQuery's
+            # subquery-score passthrough). The factor then combines with
+            # the BM25 base per boost_mode, re-ranking only.
+            if rsc is not None or ssc is not None or dec_kinds \
+                    or "field_value_factor" in val:
+                _err("functions array with another function form")
+            score_mode = val.get("score_mode", "multiply")
+            if score_mode not in ("multiply", "sum", "max"):
+                _err(f"score_mode {score_mode!r} (multiply|sum|max)")
+            if not isinstance(wfs, list) or not wfs:
+                _err("functions must be a non-empty array")
+            funcs: list[tuple[tuple, float]] = []
+            for fd in wfs:
+                if not isinstance(fd, dict):
+                    _err("functions entries must be objects")
+                extra_f = set(fd) - {"filter", "boost_factor", "weight"}
+                if extra_f:
+                    _err(f"function keys {sorted(extra_f)} "
+                         "(filter + boost_factor/weight only)")
+                wkeys = [kk for kk in ("boost_factor", "weight") if kk in fd]
+                if len(wkeys) != 1:
+                    _err("each function needs exactly one of boost_factor/weight")
+                w = fd[wkeys[0]]
+                if not isinstance(w, (int, float)) or isinstance(w, bool):
+                    _err(f"{wkeys[0]} must be numeric")
+                triples = (
+                    tuple(_filter_triples([fd["filter"]])) if "filter" in fd else ()
+                )
+                funcs.append((triples, float(w)))
+            spec.fscore_functions = (tuple(funcs), score_mode)
+            fvf = {}
+            modifier = "none"
+        elif dec_kinds:
             # ES decay functions: {"gauss": {"<field>": {"origin", "scale",
             # "offset", "decay"}}} — numeric fields only (date/geo origins
             # are out of the subset), missing values score 1.0 as in ES
@@ -765,7 +837,7 @@ def parse_body(
                 _err(f"function_score match options {sorted(extra_q)}")
             fmode = {"or": "or", "and": "and"}[qq.get("operator", "or")]
             qq = qq["query"]
-        plain_fvf = rsc is None and ssc is None and not dec_kinds
+        plain_fvf = rsc is None and ssc is None and not dec_kinds and wfs is None
         if plain_fvf and "field" not in fvf:
             _err("field_value_factor needs field")
         spec.kind = "function_score"
@@ -1192,6 +1264,67 @@ def _filters_sql(triples: list[tuple[str, str, Any]]) -> str | None:
     return " AND ".join(preds) if preds else None
 
 
+def _weight_functions_col(funcs: tuple, score_mode: str) -> Column:
+    """Per-doc factor for the ES weighted-functions array, as a pure JVM
+    Column over the stored doc row. Combination contract (pinned identical
+    in :func:`_weight_functions_sql` and the serving dense kernel):
+
+    * ``multiply`` — left-fold product of ``matched ? w : 1.0`` in array
+      order (non-matching functions contribute the identity, so no-match
+      docs get 1.0 — ES's subquery-score passthrough);
+    * ``sum`` — ``any-match ? Σ(matched ? w : 0.0) : 1.0``, left-fold;
+    * ``max`` — a CASE over functions sorted by (weight DESC, index ASC):
+      the first matching function's weight, else 1.0. No ``greatest()``,
+      so there is no NULL-vs-skip parity surface at all.
+
+    A NULL filter predicate (e.g. a range over a NULL field) is not-true in
+    both engines, so it falls to the non-matching arm identically."""
+    matched = [
+        (_filters_col(list(t)) if t else F.lit(True), float(w)) for t, w in funcs
+    ]
+    if score_mode == "multiply":
+        expr = F.lit(1.0)
+        for m, w in matched:
+            expr = expr * F.when(m, F.lit(w)).otherwise(F.lit(1.0))
+        return expr
+    if score_mode == "sum":
+        any_m = matched[0][0]
+        for m, _ in matched[1:]:
+            any_m = any_m | m
+        s = F.when(matched[0][0], F.lit(matched[0][1])).otherwise(F.lit(0.0))
+        for m, w in matched[1:]:
+            s = s + F.when(m, F.lit(w)).otherwise(F.lit(0.0))
+        return F.when(any_m, s).otherwise(F.lit(1.0))
+    # max: first match in (weight DESC, original index ASC) order
+    case = None
+    for _, (m, w) in sorted(enumerate(matched), key=lambda p: (-p[1][1], p[0])):
+        case = F.when(m, F.lit(w)) if case is None else case.when(m, F.lit(w))
+    return case.otherwise(F.lit(1.0))
+
+
+def _weight_functions_sql(funcs: tuple, score_mode: str) -> str:
+    """DuckDB twin of :func:`_weight_functions_col` — same predicates
+    (:func:`_filters_sql`), same fold order, same literals, so the float64
+    factor is bit-identical."""
+    preds = [(_filters_sql(list(t)) or "TRUE", float(w)) for t, w in funcs]
+    if score_mode == "multiply":
+        expr = "1.0"
+        for p, w in preds:
+            expr = f"({expr} * (CASE WHEN {p} THEN {w!r} ELSE 1.0 END))"
+        return expr
+    if score_mode == "sum":
+        any_m = " OR ".join(f"({p})" for p, _ in preds)
+        s = f"(CASE WHEN {preds[0][0]} THEN {preds[0][1]!r} ELSE 0.0 END)"
+        for p, w in preds[1:]:
+            s = f"({s} + (CASE WHEN {p} THEN {w!r} ELSE 0.0 END))"
+        return f"(CASE WHEN {any_m} THEN {s} ELSE 1.0 END)"
+    arms = " ".join(
+        f"WHEN {p} THEN {w!r}"
+        for _, (p, w) in sorted(enumerate(preds), key=lambda q_: (-q_[1][1], q_[0]))
+    )
+    return f"(CASE {arms} ELSE 1.0 END)"
+
+
 
 def _apply_source(hits: DataFrame, docs: DataFrame, spec: _Spec, id_col: str) -> DataFrame:
     """ES fetch phase for ``_source`` / ``script_fields``: broadcast the
@@ -1324,11 +1457,20 @@ def dsl_search(
         from .topk import bm25_function_score_topk
 
         q, fmode, field, factor, modifier, missing, boost_mode = spec.fscore
+        fsv_col = None
+        if spec.fscore_functions is not None:
+            funcs, sm = spec.fscore_functions
+            missing_f = sorted(
+                {f for t, _ in funcs for f, _, _ in t} - set(docs.columns)
+            )
+            if missing_f:
+                _err(f"functions filter fields {missing_f} are not doc columns")
+            fsv_col = _weight_functions_col(funcs, sm)
         return bm25_function_score_topk(
             docs, q, field, factor=factor, modifier=modifier, missing=missing,
             boost_mode=boost_mode, k=spec.size, mode=fmode,
             id_col=id_col, text_col=text_col, random_seed=spec.fscore_seed,
-            script=spec.fscore_script, decay=spec.fscore_decay,
+            script=spec.fscore_script, decay=spec.fscore_decay, fsv_col=fsv_col,
         )
     if spec.kind == "common":
         if spec.from_:
@@ -1499,11 +1641,15 @@ def dsl_search_sql(
         from .topk import bm25_function_score_topk_sql
 
         q, fmode, field, factor, modifier, missing, boost_mode = spec.fscore
+        fsv_expr = None
+        if spec.fscore_functions is not None:
+            funcs, sm = spec.fscore_functions
+            fsv_expr = _weight_functions_sql(funcs, sm)
         return bm25_function_score_topk_sql(
             q, field, factor=factor, modifier=modifier, missing=missing,
             boost_mode=boost_mode, k=spec.size, mode=fmode, table=table,
             random_seed=spec.fscore_seed, script=spec.fscore_script,
-            decay=spec.fscore_decay,
+            decay=spec.fscore_decay, fsv_expr=fsv_expr,
         )
     if spec.kind == "common":
         if spec.from_:
@@ -1614,6 +1760,12 @@ def dsl_search_index(
         q, fmode, field, factor, modifier, missing, boost_mode = spec.fscore
         if multifield:
             searcher = searcher.field_searcher(searcher.fields[0])
+        if spec.fscore_functions is not None:
+            funcs, sm = spec.fscore_functions
+            return searcher.search_function_score(
+                q, functions=funcs, score_mode=sm, boost_mode=boost_mode,
+                k=spec.size, mode=fmode,
+            )
         return searcher.search_function_score(
             q, field=field, factor=factor, modifier=modifier, missing=missing,
             decay=spec.fscore_decay, boost_mode=boost_mode, k=spec.size, mode=fmode,

@@ -15,7 +15,7 @@ Replaces the [delegated] ES query layer at the reference delegation site
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.bm25 import B, K1, bm25_col
@@ -773,6 +773,7 @@ def bm25_function_score_topk(
     random_seed: int | None = None,
     script: str | None = None,
     decay: dict | None = None,
+    fsv_col: Column | None = None,
 ) -> DataFrame:
     """ES ``function_score`` with a ``field_value_factor`` function
     (SURVEY §2.5 Q21 subset; reference delegation site
@@ -810,8 +811,19 @@ def bm25_function_score_topk(
     ``scale``/``offset``/``decay``): the per-doc multiplier is
     :func:`decay_col` over the numeric field (missing values → 1.0, as ES),
     combined with the base per ``boost_mode``. Same zero-join plan — the
-    decay field rides the scan like any stored column."""
+    decay field rides the scan like any stored column.
+
+    ``fsv_col`` is the generic escape hatch the DSL's weighted-functions
+    array uses (ES 1.x ``functions: [{filter, boost_factor}, ...]``,
+    operators/dsl.py builds it): a caller-supplied pure JVM Column over the
+    stored doc row that becomes the per-doc factor verbatim. Mutually
+    exclusive with every named function form; the referenced columns ride
+    the same scoring scan, so the plan shape is unchanged."""
     sc = None
+    if fsv_col is not None:
+        if (field is not None or script is not None or random_seed is not None
+                or decay is not None):
+            raise ValueError("fsv_col excludes the single-function forms")
     if decay is not None:
         if script is not None or random_seed is not None or field is not None:
             raise ValueError("decay excludes field_value_factor/random_score/script_score")
@@ -847,7 +859,9 @@ def bm25_function_score_topk(
     distinct_terms = sorted(weights)
     toks = tokens_col(text_col)
     extra_cols: list = []
-    if sc is not None:
+    if fsv_col is not None:
+        pass  # caller-built factor column (weighted functions array)
+    elif sc is not None:
         # the script's doc fields ride the same scan as the tf columns —
         # still the two-narrow-pass zero-join plan
         fsv_col = F.lit(1.0)
@@ -941,12 +955,21 @@ def bm25_function_score_topk_sql(
     random_seed: int | None = None,
     script: str | None = None,
     decay: dict | None = None,
+    fsv_expr: str | None = None,
 ) -> str:
     """DuckDB oracle for :func:`bm25_function_score_topk` — the bm25 oracle
     with a per-doc field-value-factor column combined per ``boost_mode``
     (``random_seed``: the seeded md5-prefix uniform draw instead;
     ``script``: the script's SQL twin replaces the score outright;
-    ``decay``: :func:`decay_sql` as the multiplier, missing → 1.0)."""
+    ``decay``: :func:`decay_sql` as the multiplier, missing → 1.0;
+    ``fsv_expr``: a caller-built SQL expression over the table row used as
+    the factor verbatim — the weighted-functions-array twin of the
+    declarative ``fsv_col``)."""
+    if fsv_expr is not None:
+        if (field is not None or script is not None or random_seed is not None
+                or decay is not None):
+            raise ValueError("fsv_expr excludes the single-function forms")
+        factor = 1.0
     if decay is not None:
         if script is not None or random_seed is not None or field is not None:
             raise ValueError("decay excludes field_value_factor/random_score/script_score")
@@ -968,7 +991,9 @@ def bm25_function_score_topk_sql(
     and_filter = (
         f"HAVING count(DISTINCT s.term) = {len(weights)}" if mode == "and" else ""
     )
-    if script is not None:
+    if fsv_expr is not None:
+        fn = fsv_expr  # caller-built factor expression (weighted functions)
+    elif script is not None:
         fn = "1.0"  # fsv CTE unused on the script path
     elif random_seed is not None:
         from ..functions.text import MD5_LONG_SQL

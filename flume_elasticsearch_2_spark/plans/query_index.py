@@ -64,6 +64,42 @@ def _fsv_dense(
     for decay, missing → 1.0), so all three engines stay bit-identical."""
     arr = np.ones(span, dtype=np.float64)
     local = docs["doc_id"].to_numpy(np.int64) - base
+    if spec["kind"] == "functions":
+        # ES weighted functions array — same combination contract as the
+        # JVM/SQL builders (operators/dsl.py _weight_functions_col):
+        # multiply folds matched?w:1.0 in array order; sum is
+        # any-match ? Σ(matched?w:0) : 1; max takes the first match in
+        # (weight DESC, index ASC) order; no function matching → 1.0.
+        masks = [
+            (
+                _pd_filter_mask(docs, list(t)) if t
+                else np.ones(len(docs), dtype=bool),
+                float(w),
+            )
+            for t, w in spec["functions"]
+        ]
+        sm = spec["score_mode"]
+        if sm == "multiply":
+            m = np.ones(len(docs), dtype=np.float64)
+            for mask, w in masks:
+                m = m * np.where(mask, w, 1.0)
+        elif sm == "sum":
+            any_m = np.zeros(len(docs), dtype=bool)
+            s = np.zeros(len(docs), dtype=np.float64)
+            for mask, w in masks:
+                any_m |= mask
+                s = s + np.where(mask, w, 0.0)
+            m = np.where(any_m, s, 1.0)
+        else:  # max
+            m = np.ones(len(docs), dtype=np.float64)
+            assigned = np.zeros(len(docs), dtype=bool)
+            for _, (mask, w) in sorted(
+                enumerate(masks), key=lambda p: (-p[1][1], p[0])
+            ):
+                m = np.where(~assigned & mask, w, m)
+                assigned |= mask
+        arr[local] = m
+        return arr
     v = pd.to_numeric(docs[spec["value_col"]], errors="coerce").to_numpy(np.float64)
     if spec["kind"] == "fvf":
         v = np.where(np.isnan(v), float(spec["missing"]), v)
@@ -2536,6 +2572,8 @@ class IndexSearcher:
         boost_mode: str = "multiply",
         k: int = 10,
         mode: str = "or",
+        functions: tuple | None = None,
+        score_mode: str = "multiply",
     ) -> DataFrame:
         """ES ``function_score`` on the SERVING path — the two field-driven
         function forms (``field_value_factor`` and a decay function; the
@@ -2553,6 +2591,62 @@ class IndexSearcher:
         dense-array form worth pinning here)."""
         from ..operators.topk import FVF_MODIFIERS, _decay_params
 
+        if functions is not None:
+            # ES weighted functions array: per-doc factor from the shard's
+            # stored filter columns (_fsv_dense kind="functions"); every
+            # filter field must be a stored docs column and rides the
+            # existing column-pruned docs read — no join, BMW off.
+            if field is not None or decay is not None:
+                raise ValueError("functions excludes field/decay")
+            if score_mode not in ("multiply", "sum", "max"):
+                raise ValueError(f"score_mode {score_mode!r} (multiply|sum|max)")
+            if boost_mode not in ("multiply", "sum"):
+                raise ValueError(f"boost_mode must be multiply|sum, got {boost_mode!r}")
+            need_cols = sorted({f for t, _ in functions for f, _, _ in t})
+            doc_schema = pads.dataset(
+                f"{self.index_dir}/docs/shard=0", format="parquet"
+            ).schema
+            missing_c = [c for c in need_cols if c not in doc_schema.names]
+            if missing_c:
+                raise ValueError(
+                    f"functions filter fields {missing_c} are not stored docs "
+                    "columns of this index (pass them via orig_ids at build)"
+                )
+            spark = self.spark
+            q_terms = tokenize(query)
+            empty = spark.createDataFrame([], "doc_id long, score double")
+            if not q_terms:
+                return empty
+            weights = {t: float(c) for t, c in Counter(q_terms).items()}
+            dfreq, active_shards = self._query_meta(sorted(weights))
+            present = sorted(t for t in weights if t in dfreq)
+            if not present or (mode == "and" and len(present) < len(weights)):
+                return empty
+            kwargs = dict(
+                weights=weights,
+                dfreq=dfreq,
+                n_docs=self.n_docs,
+                avgdl=self.avgdl,
+                id_space=self.id_space,
+                n_shards=self.n_shards,
+                k=k,
+                mode=mode,
+                pruned=False,
+                fsv_spec={
+                    "kind": "functions",
+                    "functions": functions,
+                    "score_mode": score_mode,
+                },
+                boost_mode=boost_mode,
+            )
+            rows = self._scatter_direct(
+                active_shards, present, kwargs, extra_doc_cols=need_cols
+            ).collect()
+            rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+            return spark.createDataFrame(
+                [(int(r["doc_id"]), round_half_up6(r["score"])) for r in rows[:k]],
+                "doc_id long, score double",
+            )
         if (field is None) == (decay is None):
             raise ValueError("exactly one of field/decay required")
         if decay is not None:

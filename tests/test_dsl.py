@@ -1528,3 +1528,138 @@ def test_named_term_requires_normalized_value(documents):
     with pytest.raises(ValueError, match="non-analyzer-normalized"):
         dsl_search(documents, {"query": {"bool": {"should": [
             {"term": {"text": {"value": "Dup", "_name": "d"}}}]}}})
+
+
+# -- function_score weighted functions array + wrapper query ------------------
+
+def _wf_body(score_mode: str, boost_mode: str = "multiply") -> dict:
+    return {
+        "query": {"function_score": {
+            "query": {"match": {"text": "dup batch scan"}},
+            "functions": [
+                {"filter": {"term": {"lang": "en"}}, "boost_factor": 2.0},
+                {"filter": {"range": {"n_chars": {"gte": 400}}}, "weight": 1.5},
+                {"weight": 1.1},
+            ],
+            "score_mode": score_mode,
+            "boost_mode": boost_mode,
+        }},
+        "size": 10,
+    }
+
+
+@pytest.mark.parametrize("score_mode", ["multiply", "sum", "max"])
+@pytest.mark.parametrize("boost_mode", ["multiply", "sum"])
+def test_fscore_functions_three_engines(documents, duck, searcher, score_mode, boost_mode):
+    """ES weighted functions array: per-filter constants combined per
+    score_mode, folded into the BM25 base per boost_mode — declarative ==
+    DuckDB oracle == serving path for every mode pair."""
+    body = _wf_body(score_mode, boost_mode)
+    got = [tuple(r) for r in dsl_search(documents, body).collect()]
+    want = [tuple(r) for r in duck.execute(dsl_search_sql(body)).fetchall()]
+    srv = [tuple(r) for r in dsl_search_index(searcher, body).collect()]
+    assert got == want == srv and len(got) == 10, (score_mode, boost_mode)
+
+
+def test_fscore_functions_no_match_keeps_base(documents, duck):
+    """A candidate matching NO function keeps factor 1.0 (ES subquery-score
+    passthrough): with filters nothing satisfies, the ranking equals the
+    plain match query's."""
+    from flume_elasticsearch_2_spark.operators.dsl import parse_body  # noqa: F401
+
+    body = {
+        "query": {"function_score": {
+            "query": {"match": {"text": "dup batch scan"}},
+            "functions": [
+                {"filter": {"term": {"lang": "zz-nonexistent"}}, "weight": 9.0},
+            ],
+            "score_mode": "sum",
+        }},
+        "size": 10,
+    }
+    plain = {"query": {"match": {"text": "dup batch scan"}}, "size": 10}
+    got = [tuple(r) for r in dsl_search(documents, body).collect()]
+    base = [tuple(r) for r in dsl_search(documents, plain).collect()]
+    assert got == base and len(got) == 10
+
+
+def test_fscore_functions_rejections(documents):
+    q = {"match": {"text": "dup"}}
+    with pytest.raises(ValueError, match="score_mode only applies"):
+        dsl_search(documents, {"query": {"function_score": {
+            "query": q, "field_value_factor": {"field": "n_chars"},
+            "score_mode": "sum"}}})
+    with pytest.raises(ValueError, match="another function form"):
+        dsl_search(documents, {"query": {"function_score": {
+            "query": q, "field_value_factor": {"field": "n_chars"},
+            "functions": [{"weight": 2.0}]}}})
+    with pytest.raises(ValueError, match="exactly one of boost_factor/weight"):
+        dsl_search(documents, {"query": {"function_score": {
+            "query": q, "functions": [
+                {"boost_factor": 2.0, "weight": 1.0}]}}})
+    with pytest.raises(ValueError, match="non-empty array"):
+        dsl_search(documents, {"query": {"function_score": {
+            "query": q, "functions": []}}})
+    with pytest.raises(ValueError, match="must be numeric"):
+        dsl_search(documents, {"query": {"function_score": {
+            "query": q, "functions": [{"weight": True}]}}})
+    with pytest.raises(ValueError, match="function keys"):
+        dsl_search(documents, {"query": {"function_score": {
+            "query": q, "functions": [
+                {"weight": 1.0, "script_score": {"script": "1"}}]}}})
+    with pytest.raises(ValueError, match=r"score_mode 'avg'"):
+        dsl_search(documents, {"query": {"function_score": {
+            "query": q, "functions": [{"weight": 1.0}],
+            "score_mode": "avg"}}})
+
+
+def _b64_query(inner: dict) -> dict:
+    import base64 as _b
+    import json as _j
+
+    return {"wrapper": {"query": _b.b64encode(_j.dumps(inner).encode()).decode()}}
+
+
+def test_wrapper_round_trip_three_engines(documents, duck, searcher):
+    """wrapper(base64(Q)) is exactly Q on all three paths."""
+    inner = {"bool": {"must": [{"match": {"text": "dup batch scan"}}],
+                      "filter": [{"range": {"n_chars": {"gte": 100}}}]}}
+    body_w = {"query": _b64_query(inner), "size": 10}
+    body_p = {"query": inner, "size": 10}
+    got_w = [tuple(r) for r in dsl_search(documents, body_w).collect()]
+    got_p = [tuple(r) for r in dsl_search(documents, body_p).collect()]
+    want = [tuple(r) for r in duck.execute(dsl_search_sql(body_w)).fetchall()]
+    srv = [tuple(r) for r in dsl_search_index(searcher, body_w).collect()]
+    assert got_w == got_p == want == srv and len(got_w) == 10
+
+
+def test_wrapper_nested_and_rejections(documents):
+    import base64 as _b
+    import json as _j
+
+    # depth 3 nesting unwraps fine
+    inner = {"match": {"text": "dup batch"}}
+    b = inner
+    for _ in range(3):
+        b = _b64_query(b)
+    got = [tuple(r) for r in dsl_search(documents, {"query": b, "size": 5}).collect()]
+    plain = [tuple(r) for r in dsl_search(
+        documents, {"query": inner, "size": 5}).collect()]
+    assert got == plain and got
+    # depth 5 refuses
+    for _ in range(2):
+        b = _b64_query(b)
+    with pytest.raises(ValueError, match="deeper than 4"):
+        dsl_search(documents, {"query": b})
+    with pytest.raises(ValueError, match="does not decode to JSON"):
+        dsl_search(documents, {"query": {"wrapper": {
+            "query": _b.b64encode(b"not json at all{{").decode()}}})
+    with pytest.raises(ValueError, match="must decode to a query object"):
+        dsl_search(documents, {"query": {"wrapper": {
+            "query": _b.b64encode(_j.dumps([1, 2]).encode()).decode()}}})
+    with pytest.raises(ValueError, match="exactly"):
+        dsl_search(documents, {"query": {"wrapper": {"query": "x", "extra": 1}}})
+    # wrapper in an inner clause position refuses loudly
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        dsl_search(documents, {"query": {"bool": {"must": [
+            _b64_query({"match": {"text": "dup"}})]}}})
