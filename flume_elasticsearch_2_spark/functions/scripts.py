@@ -28,6 +28,13 @@ a missing/NULL numeric field reads as 0.0 (ES fielddata default), compiled as
 ``coalesce(cast(f as double), 0.0)`` in both engines — NULL never propagates,
 so Spark's nulls-last and DuckDB's nulls-first desc orderings can't diverge.
 
+:func:`parse_predicate` adds the BOOLEAN layer the ES ``script`` FILTER
+context needs (comparisons ``> < >= <= == !=`` over arithmetic operands,
+combined with ``&&``/``||``/``!``); because doc fields coalesce NULL to 0.0
+before any comparison, no predicate is ever NULL and Spark/DuckDB
+three-valued-logic can't diverge. ``_score`` is rejected there (filter
+context is non-scoring).
+
 Unsupported constructs (assignments, conditionals, string ops, method calls,
 ``_source`` access) raise ``ValueError`` at parse time — the module-wide
 no-silent-best-effort contract.
@@ -40,7 +47,7 @@ from dataclasses import dataclass, field as dc_field
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["Script", "parse_script"]
+__all__ = ["Script", "parse_predicate", "parse_script"]
 
 _FUNCS_1 = {"log", "log1p", "sqrt", "abs"}
 _FUNCS_2 = {"min", "max", "pow"}
@@ -50,7 +57,9 @@ _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)"
     r"|(?P<doc>doc\[\s*'(?P<field>[A-Za-z_][A-Za-z0-9_]*)'\s*\]\s*\.\s*value)"
     r"|(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
-    r"|(?P<op>[-+*/(),]))"
+    # multi-char comparison/boolean operators before their single-char
+    # prefixes, or `>=` lexes as `>` `=` and fails
+    r"|(?P<op>>=|<=|==|!=|&&|\|\||[-+*/(),><!]))"
 )
 
 
@@ -175,6 +184,67 @@ class _Parser:
         raise ValueError(f"script: unexpected token {val!r}")
 
 
+_CMP_OPS = (">", "<", ">=", "<=", "==", "!=")
+
+
+class _PredParser(_Parser):
+    """Boolean-predicate layer over the arithmetic grammar — the ES 1.x
+    ``script`` FILTER context (a script returning true/false)::
+
+        bpred   := bterm ('||' bterm)*
+        bterm   := bfactor ('&&' bfactor)*
+        bfactor := '!' bfactor | cmp | '(' bpred ')'
+        cmp     := expr ('>'|'<'|'>='|'<='|'=='|'!=') expr
+
+    A leading ``(`` is ambiguous (arithmetic vs boolean group); the parser
+    tries the comparison first and backtracks to the boolean group on
+    failure, restoring the field/_score bookkeeping so a failed attempt
+    leaves no trace. Operands are the arithmetic grammar's — doc fields
+    coalesce NULL to 0.0, so no comparison ever evaluates to NULL and the
+    Spark/DuckDB boolean parity is total (no three-valued-logic surface)."""
+
+    def bpred(self) -> tuple:
+        node = self.bterm()
+        while self.peek() == ("op", "||"):
+            self.take()
+            node = ("or", node, self.bterm())
+        return node
+
+    def bterm(self) -> tuple:
+        node = self.bfactor()
+        while self.peek() == ("op", "&&"):
+            self.take()
+            node = ("and", node, self.bfactor())
+        return node
+
+    def bfactor(self) -> tuple:
+        if self.peek() == ("op", "!"):
+            self.take()
+            return ("not", self.bfactor())
+        if self.peek() == ("op", "("):
+            state = (self.i, set(self.fields), self.uses_score)
+            try:
+                return self.cmp()
+            except ValueError:
+                self.i, self.fields, self.uses_score = state
+            self.take()  # '('
+            node = self.bpred()
+            self.expect_op(")")
+            return node
+        return self.cmp()
+
+    def cmp(self) -> tuple:
+        l = self.expr()
+        t = self.peek()
+        if t is None or t[0] != "op" or t[1] not in _CMP_OPS:
+            raise ValueError(
+                f"script predicate: expected a comparison operator, got "
+                f"{t[1]!r}" if t else "script predicate: expected a comparison"
+            )
+        self.take()
+        return ("cmp", t[1], l, self.expr())
+
+
 def parse_script(src: str) -> Script:
     """Parse ``src`` into a :class:`Script`; raises ``ValueError`` on anything
     outside the documented grammar."""
@@ -183,6 +253,20 @@ def parse_script(src: str) -> Script:
     if p.peek() is not None:
         raise ValueError(f"script: trailing input at {p.peek()[1]!r}")
     return Script(source=src, ast=ast, fields=p.fields, uses_score=p.uses_score)
+
+
+def parse_predicate(src: str) -> Script:
+    """Parse a BOOLEAN script (the ES ``script`` filter's source) into a
+    :class:`Script` whose ``spark_col()``/``sql()`` yield a boolean
+    Column/predicate. ``_score`` is rejected — ES filter context is
+    non-scoring and has no score in scope."""
+    p = _PredParser(_lex(src))
+    ast = p.bpred()
+    if p.peek() is not None:
+        raise ValueError(f"script predicate: trailing input at {p.peek()[1]!r}")
+    if p.uses_score:
+        raise ValueError("script predicate: _score is not in scope in filter context")
+    return Script(source=src, ast=ast, fields=p.fields, uses_score=False)
 
 
 def _to_spark(node: tuple, score: Column | None) -> Column:
@@ -199,6 +283,19 @@ def _to_spark(node: tuple, score: Column | None) -> Column:
     if kind == "bin":
         op, l, r = node[1], _to_spark(node[2], score), _to_spark(node[3], score)
         return {"+": l + r, "-": l - r, "*": l * r, "/": l / r}[op]
+    if kind == "cmp":
+        op, l, r = node[1], _to_spark(node[2], score), _to_spark(node[3], score)
+        # operands are coalesced doubles/literals — never NULL, so != is safe
+        return {
+            ">": l > r, "<": l < r, ">=": l >= r, "<=": l <= r,
+            "==": l == r, "!=": l != r,
+        }[op]
+    if kind == "and":
+        return _to_spark(node[1], score) & _to_spark(node[2], score)
+    if kind == "or":
+        return _to_spark(node[1], score) | _to_spark(node[2], score)
+    if kind == "not":
+        return ~_to_spark(node[1], score)
     if kind == "call":
         fn, args = node[1], [_to_spark(a, score) for a in node[2]]
         if fn == "log":
@@ -232,6 +329,18 @@ def _to_sql(node: tuple, score_expr: str | None, qual: str) -> str:
         l = _to_sql(node[2], score_expr, qual)
         r = _to_sql(node[3], score_expr, qual)
         return f"({l} {node[1]} {r})"
+    if kind == "cmp":
+        l = _to_sql(node[2], score_expr, qual)
+        r = _to_sql(node[3], score_expr, qual)
+        # operands never NULL (coalesce), so <> matches Spark's != exactly
+        op = {"==": "=", "!=": "<>"}.get(node[1], node[1])
+        return f"({l} {op} {r})"
+    if kind == "and":
+        return f"({_to_sql(node[1], score_expr, qual)} AND {_to_sql(node[2], score_expr, qual)})"
+    if kind == "or":
+        return f"({_to_sql(node[1], score_expr, qual)} OR {_to_sql(node[2], score_expr, qual)})"
+    if kind == "not":
+        return f"(NOT {_to_sql(node[1], score_expr, qual)})"
     if kind == "call":
         fn, args = node[1], [_to_sql(a, score_expr, qual) for a in node[2]]
         if fn == "log":

@@ -48,7 +48,10 @@ silent best-effort):
   - ``filter``: ``term`` / ``terms`` / ``range`` / ``exists`` / ``missing``
     on stored doc fields, plus at most ONE 1.x ``query``/``fquery`` clause
     (a match query in filter context: candidates restricted by analyzed
-    term membership, scoring/stats untouched),
+    term membership, scoring/stats untouched), plus at most ONE ``script``
+    filter (the functions/scripts.py boolean predicate grammar over stored
+    numeric fields — comparisons/&&/||/! over arithmetic; declarative +
+    oracle paths, serving refuses loudly; ``params``/``lang`` rejected),
   - ``must_not``: ``match``/``term`` on the text field (analyzed,
     non-scoring; works WITHOUT a scored clause too — match_all minus the
     excluded docs) or ``term`` on a stored field (null-safe: docs missing
@@ -67,6 +70,10 @@ silent best-effort):
   or a weighted ``functions`` array (per-function stored-field ``filter`` +
   ``boost_factor``/``weight``; ``score_mode`` multiply/sum/max combines the
   matching functions' constants, no-match docs keep 1.0) on all THREE paths.
+* ``span_first`` over a single ``span_term`` (term restricted to the first
+  ``end`` token positions; Lucene span-end <= end, freq = matching spans,
+  idf = the term's corpus df) — all three paths; multi-clause span matches
+  refuse loudly.
 * ``wrapper`` (base64-encoded query JSON, the ES wrapper query) — decoded
   and substituted at the TOP-LEVEL ``body.query`` position before dispatch,
   so any supported clause rides inside; nested wrappers beyond depth 4,
@@ -132,6 +139,7 @@ class _Spec:
         self.from_: int = 0
         self.size: int = 10
         self.sort: list[tuple[str, str]] | None = None
+        self.track_scores: bool = False  # ES track_scores on sorted search
         self.highlight: tuple[str, str] | None = None  # (pre, post)
         self.const_score: float = 1.0  # match_all/ids/constant_score score
         self.rescore: dict | None = None  # (phrase, window, qw, rw)
@@ -146,11 +154,13 @@ class _Spec:
         self.fscore_decay: dict | None = None  # function_score decay spec
         # weighted functions array: (((triples, weight), ...), score_mode)
         self.fscore_functions: tuple | None = None
+        self.span_first: tuple[str, int] | None = None  # (term, end)
         self.flt: dict | None = None  # fuzzy_like_this params
         self.nested: dict | None = None  # nested query (path/triples/score_mode)
         self.min_score: float | None = None  # drop hits scoring below this
         self.explain: bool = False  # per-hit breakdown rows (Q20 companion)
         self.filter_query: tuple[str, str] | None = None  # 1.x query/fquery filter
+        self.script_filter = None  # parsed boolean Script (ES script filter)
         # ES named queries (_name on should clauses) -> matched_queries per hit
         self.named: list[tuple[str, tuple[str, ...]]] | None = None
         # body script_fields: [(name, parsed Script)] computed at fetch time
@@ -240,6 +250,39 @@ def _extract_query_filters(clauses: list, text_col: str):
     if len(qf) > 1:
         _err("at most one query/fquery filter per body")
     return (qf[0] if qf else None), rest
+
+
+def _extract_script_filter(clauses: list):
+    """Split ES 1.x ``script`` filter clauses (``{"script": {"script":
+    "<boolean source>"}}`` — a non-scoring per-doc predicate over stored
+    numeric fields, the functions/scripts.py predicate grammar) from a
+    filter list. ``_cache`` is the 1.x caching hint, accepted and ignored;
+    ``params`` (MVEL variable binding) and ``lang`` are outside the subset
+    and raise. At most ONE script filter per body — the conjunction is a
+    single predicate anyway, so a second clause signals a client we would
+    half-support."""
+    from ..functions.scripts import parse_predicate
+
+    rest, sf = [], []
+    for c in clauses:
+        kind, body = _one_field(c, "filter clause")
+        if kind != "script":
+            rest.append(c)
+            continue
+        if not isinstance(body, dict):
+            _err("script filter needs an object body")
+        extra = set(body) - {"script", "_cache"}
+        if extra:
+            _err(f"script filter keys {sorted(extra)} (script + _cache only)")
+        if "script" not in body:
+            _err("script filter needs a 'script'")
+        try:
+            sf.append(parse_predicate(str(body["script"])))
+        except ValueError as e:
+            _err(f"script filter: {e}")
+    if len(sf) > 1:
+        _err("at most one script filter per body")
+    return (sf[0] if sf else None), rest
 
 
 def _filter_triples(clauses: list[dict]) -> list[tuple[str, str, Any]]:
@@ -423,6 +466,7 @@ def _parse_bool(spec: _Spec, body: dict, text_col: str, analyzed: list[str] | No
         spec.kind = "match_all"
     fq, rest_filters = _extract_query_filters(body.get("filter", []), text_col)
     spec.filter_query = fq
+    spec.script_filter, rest_filters = _extract_script_filter(rest_filters)
     spec.filters = _filter_triples(rest_filters)
     for c in body.get("must_not", []) if isinstance(body.get("must_not", []), list) else [body["must_not"]]:
         kind, val = _one_field(c, "must_not clause")
@@ -507,10 +551,20 @@ def parse_body(
     analyzed = list(analyzed_fields) if analyzed_fields else [text_col]
     extra = set(body) - {
         "query", "from", "size", "sort", "highlight", "rescore", "_source",
-        "script_fields", "min_score", "post_filter", "explain",
+        "script_fields", "min_score", "post_filter", "explain", "fields",
+        "track_scores",
     }
     if extra:
         _err(f"body keys {sorted(extra)}")
+    if "fields" in body:
+        # 1.x `fields` (stored-field selection, the pre-_source-filtering
+        # spelling): identical fetch semantics here because the docs table
+        # IS the stored-fields store — normalize to _source and share its
+        # whole path. Both in one body would be ambiguous; refuse.
+        if "_source" in body:
+            _err("fields and _source in one body")
+        body = {**body, "_source": body["fields"]}
+        del body["fields"]
     spec = _Spec()
     spec.from_ = int(body.get("from", 0))
     spec.size = int(body.get("size", 10))
@@ -688,6 +742,30 @@ def parse_body(
         spec.kind = "phrase"
         spec.slop = int(val.get("slop", 0))
         spec.query = " ".join(terms)
+    elif kind == "span_first":
+        # Lucene/ES span_first over a single span_term: the term matches
+        # only within the first `end` token positions (span end <= end).
+        # Contract pinned in operators/topk.py bm25_span_first_topk — for a
+        # single-term span this IS Lucene's scorer (sloppyFreq 1.0/span).
+        extra_s = set(val) - {"match", "end"}
+        if extra_s:
+            _err(f"span_first keys {sorted(extra_s)} (match + end only)")
+        if "end" not in val:
+            _err("span_first needs end")
+        mk, mv = _one_field(
+            val.get("match") or _err("span_first needs a match clause"),
+            "span_first match",
+        )
+        if mk != "span_term":
+            _err(f"span_first match {mk!r} (span_term only)")
+        f, t = _one_field(mv, "span_term")
+        if f != text_col:
+            _err(f"span_term on {f!r}")
+        t = t if isinstance(t, str) else t.get("value")
+        if tokenize(str(t).lower()) != [str(t).lower()]:
+            _err(f"span_term {t!r} is not a single analyzed token")
+        spec.kind = "span_first"
+        spec.span_first = (str(t).lower(), int(val["end"]))
     elif kind == "function_score":
         # ES function_score: field_value_factor (base scores combined with
         # factor*modifier(field) per boost_mode) or random_score (seeded
@@ -1017,6 +1095,16 @@ def parse_body(
             _err("sort with match on a non-default field")
         if spec.filters or spec.must_not_text or spec.msm or spec.boosts:
             _err("sort with filters/must_not/msm/boosts")
+    if "track_scores" in body:
+        # ES track_scores: sorted hits also carry their BM25 score (scoring
+        # is otherwise skipped on field-sorted searches). Only meaningful
+        # with a sort + a scored query — anywhere else it is a silent no-op
+        # in ES, which this dialect refuses instead.
+        if body["track_scores"] is not True:
+            _err("track_scores must be true when present")
+        if spec.sort is None or spec.kind != "match":
+            _err("track_scores composes with a sorted scored match only")
+        spec.track_scores = True
     if "rescore" in body:
         r = body["rescore"]
         extra_r = set(r) - {"window_size", "query"}
@@ -1130,6 +1218,13 @@ def parse_body(
         or spec.rescore is not None or spec.explain
     ):
         _err("query/fquery filter composes with a plain scored match only")
+    if spec.script_filter is not None and (
+        spec.kind != "match"
+        or (spec.field is not None and spec.field != text_col)
+        or spec.sort is not None or spec.highlight is not None
+        or spec.rescore is not None or spec.explain
+    ):
+        _err("script filter composes with a plain scored match only")
     if spec.named is not None and (
         spec.kind != "match" or spec.sort is not None
         or spec.highlight is not None or spec.rescore is not None
@@ -1377,6 +1472,13 @@ def dsl_search(
                               id_col=id_col, text_col=text_col,
                               boosts=spec.boosts)
     if spec.sort is not None:
+        if spec.track_scores:
+            from .sorting import match_sorted_tracked
+
+            return match_sorted_tracked(
+                docs, spec.query, spec.sort, size=spec.size, from_=spec.from_,
+                mode=spec.mode, id_col=id_col, text_col=text_col,
+            )
         return match_sorted(
             docs,
             None if spec.kind == "match_all" else spec.query,
@@ -1431,6 +1533,14 @@ def dsl_search(
         return bm25_phrase_topk(
             docs, spec.query, k=spec.size, id_col=id_col, text_col=text_col,
             slop=spec.slop,
+        )
+    if spec.kind == "span_first":
+        if spec.filters or mn or spec.from_:
+            _err("span_first with filters/must_not/from")
+        from .topk import bm25_span_first_topk
+
+        return bm25_span_first_topk(
+            docs, *spec.span_first, k=spec.size, id_col=id_col, text_col=text_col
         )
     if spec.kind == "phrase_prefix":
         if spec.filters or mn or spec.from_:
@@ -1528,6 +1638,12 @@ def dsl_search(
     if spec.filter_query is not None:
         fq_pred = _filter_query_col(spec.filter_query, text_col)
         doc_filter = fq_pred if doc_filter is None else (doc_filter & fq_pred)
+    if spec.script_filter is not None:
+        missing_sf = sorted(spec.script_filter.fields - set(docs.columns))
+        if missing_sf:
+            _err(f"script filter fields {missing_sf} are not doc columns")
+        sf_pred = spec.script_filter.spark_col()
+        doc_filter = sf_pred if doc_filter is None else (doc_filter & sf_pred)
     hits = bm25_topk(
         docs, spec.query, k=spec.from_ + spec.size, mode=spec.mode,
         id_col=id_col, text_col=spec.field or text_col,
@@ -1559,6 +1675,9 @@ def dsl_search_sql(
     if spec.filter_query is not None:
         fq_sql = _filter_query_sql(spec.filter_query)
         filter_sql = fq_sql if filter_sql is None else f"({filter_sql}) AND ({fq_sql})"
+    if spec.script_filter is not None:
+        sf_sql = spec.script_filter.sql()
+        filter_sql = sf_sql if filter_sql is None else f"({filter_sql}) AND ({sf_sql})"
     if spec.explain:
         if (spec.kind != "match" or spec.filters or mn or spec.sort is not None
                 or spec.highlight is not None or spec.rescore is not None
@@ -1573,6 +1692,13 @@ def dsl_search_sql(
         return search_explain_sql(spec.query, k=spec.size, mode=spec.mode,
                                   boosts=spec.boosts, table=table)
     if spec.sort is not None:
+        if spec.track_scores:
+            from .sorting import match_sorted_tracked_sql
+
+            return match_sorted_tracked_sql(
+                spec.query, spec.sort, size=spec.size, from_=spec.from_,
+                mode=spec.mode, table=table,
+            )
         return match_sorted_sql(
             None if spec.kind == "match_all" else spec.query,
             spec.sort, size=spec.size, from_=spec.from_, mode=spec.mode, table=table,
@@ -1613,6 +1739,12 @@ def dsl_search_sql(
         if spec.filters or mn:
             _err("match_phrase with filters/must_not")
         return bm25_phrase_topk_sql(spec.query, k=spec.size, table=table, slop=spec.slop)
+    if spec.kind == "span_first":
+        if spec.filters or mn or spec.from_:
+            _err("span_first with filters/must_not/from")
+        from .topk import bm25_span_first_topk_sql
+
+        return bm25_span_first_topk_sql(*spec.span_first, k=spec.size, table=table)
     if spec.kind == "phrase_prefix":
         if spec.filters or mn or spec.from_:
             _err("match_phrase_prefix with filters/must_not/from")
@@ -1729,6 +1861,11 @@ def dsl_search_index(
     dis_max)."""
     spec = parse_body(body, text_col, analyzed_fields)
     mn = " ".join(spec.must_not_text) or None
+    if spec.script_filter is not None:
+        _err(
+            "script filter is declarative-only in this version (the serving "
+            "path would need per-shard predicate evaluation over stored docs)"
+        )
     if spec.explain:
         if (spec.kind != "match" or spec.filters or mn or spec.sort is not None
                 or spec.highlight is not None or spec.rescore is not None
@@ -1801,6 +1938,11 @@ def dsl_search_index(
         # primary field's subtree and keep the single-field surface below
         searcher = searcher.field_searcher(searcher.fields[0])
     if spec.sort is not None:
+        if spec.track_scores:
+            _err(
+                "track_scores is declarative-only in this version (the "
+                "serving sorted scatter carries no scoring state)"
+            )
         return searcher.search_sorted(
             None if spec.kind == "match_all" else spec.query,
             spec.sort, size=spec.size, from_=spec.from_, mode=spec.mode,
@@ -1830,6 +1972,12 @@ def dsl_search_index(
         if spec.filters or mn:
             _err("match_phrase with filters/must_not")
         return searcher.search_phrase(spec.query, k=spec.size, slop=spec.slop)
+    if spec.kind == "span_first":
+        if spec.filters or mn or spec.from_:
+            _err("span_first with filters/must_not/from")
+        if multifield:
+            searcher = searcher.field_searcher(searcher.fields[0])
+        return searcher.search_span_first(*spec.span_first, k=spec.size)
     if spec.kind == "multiterm":
         pat, kind, kw = spec.mt
         if spec.filters or mn:

@@ -42,6 +42,8 @@ __all__ = [
     "haversine_sql",
     "geo_distance_hits",
     "geo_distance_hits_sql",
+    "geo_distance_range_hits",
+    "geo_distance_range_hits_sql",
     "geo_bbox_hits",
     "geo_bbox_hits_sql",
     "geo_distance_agg",
@@ -177,6 +179,70 @@ cand AS (
 )
 SELECT {id_col}, round(d, 6) AS dist_km
 FROM cand WHERE d <= {r!r}
+ORDER BY d ASC, {id_col} ASC
+LIMIT {int(k)}
+"""
+
+
+def geo_distance_range_hits(
+    docs: DataFrame,
+    center_lat: float,
+    center_lon: float,
+    gte: float | int | str,
+    lt: float | int | str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """ES 1.x ``geo_distance_range`` filter: points in the ANNULUS
+    ``gte <= d < lt`` around the center (the ES from/to ring — the
+    inclusive-lower/exclusive-upper pairing the distance-ring agg also
+    pins), nearest first. Same sargable latitude-band pre-filter as
+    :func:`geo_distance_hits` sized by the OUTER radius; haversine refines
+    both bounds in one scan — no second pass for the inner ring."""
+    r_in, r_out = parse_distance(gte), parse_distance(lt)
+    if r_in >= r_out:
+        raise ValueError("geo_distance_range needs gte < lt")
+    dlat = math.degrees(r_out / EARTH_RADIUS_KM)
+    lat_band = F.col(lat_col).between(center_lat - dlat, center_lat + dlat)
+    d = haversine_col(lat_col, lon_col, center_lat, center_lon)
+    return (
+        docs.where(lat_band)
+        .select(id_col, d.alias("d"))
+        .where((F.col("d") >= r_in) & (F.col("d") < r_out))
+        .orderBy(F.col("d").asc(), F.col(id_col).asc())
+        .limit(int(k))
+        .select(id_col, F.round("d", 6).alias("dist_km"))
+    )
+
+
+def geo_distance_range_hits_sql(
+    center_lat: float,
+    center_lon: float,
+    gte: float | int | str,
+    lt: float | int | str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    corpus_sql: str | None = None,
+) -> str:
+    """DuckDB oracle for :func:`geo_distance_range_hits` (same band
+    pre-filter, same inclusive/exclusive bounds)."""
+    r_in, r_out = parse_distance(gte), parse_distance(lt)
+    if r_in >= r_out:
+        raise ValueError("geo_distance_range needs gte < lt")
+    dlat = math.degrees(r_out / EARTH_RADIUS_KM)
+    d = haversine_sql(lat_col, lon_col, center_lat, center_lon)
+    return f"""
+WITH geo AS ({corpus_sql or geo_enrich_sql()}),
+cand AS (
+  SELECT {id_col}, {d} AS d FROM geo
+  WHERE {lat_col} BETWEEN {center_lat - dlat!r} AND {center_lat + dlat!r}
+)
+SELECT {id_col}, round(d, 6) AS dist_km
+FROM cand WHERE d >= {r_in!r} AND d < {r_out!r}
 ORDER BY d ASC, {id_col} ASC
 LIMIT {int(k)}
 """

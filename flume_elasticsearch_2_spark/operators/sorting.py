@@ -165,3 +165,143 @@ WHERE {_match_sql(query, mode, stopwords, analyzer)}{after_pred}
 ORDER BY {order}
 LIMIT {int(size)} OFFSET {int(from_)}
 """
+
+
+def match_sorted_tracked(
+    docs: DataFrame,
+    query: str,
+    sort_by: list[tuple[str, str]],
+    size: int = 10,
+    from_: int = 0,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``track_scores: true`` on a sorted search: hits are ordered by the
+    sort fields exactly as :func:`match_sorted`, but each hit also carries
+    its BM25 score (ES skips scoring on sorted searches unless asked).
+
+    Plan: the page is the usual TakeOrderedAndProject; scores come from one
+    corpus-stats agg (driver constants, the bm25_topk pass-1 shape) plus a
+    BROADCAST join of the <= max_result_window page rows back to the corpus
+    scan that recomputes tf/dl — scoring work is O(page), never a corpus
+    sort by score. Returns (doc_id, *sort_fields, score) in sort order."""
+    from ..functions.bm25 import bm25_col
+    from ..functions.tokenizer import tokenize, tokens_col
+
+    q_terms = tokenize(query or "")
+    if not q_terms:
+        raise ValueError("track_scores needs a scored (non-empty) query")
+    page = match_sorted(
+        docs, query, sort_by, size=size, from_=from_, mode=mode,
+        id_col=id_col, text_col=text_col,
+    )
+    weights: dict[str, float] = {}
+    for t in q_terms:
+        weights[t] = weights.get(t, 0.0) + 1.0
+    distinct_terms = sorted(weights)
+    toks = tokens_col(text_col)
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(toks, lambda x: x == F.lit(t)))
+            .cast("double").alias(f"tf_{i}")
+            for i, t in enumerate(distinct_terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(distinct_terms))
+        ],
+    ).collect()[0]
+    n_docs = int(stats["n_docs"])
+    avgdl = float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0
+    score = F.lit(0.0)
+    for i, t in enumerate(distinct_terms):
+        df_t = int(stats[f"df_{i}"])
+        if df_t == 0:
+            continue
+        score = score + float(weights[t]) * bm25_col(
+            F.col(f"tf_{i}"), F.lit(df_t), F.col("dl"), F.lit(n_docs), F.lit(avgdl)
+        )
+    asc = _ascending(sort_by)
+    order = [
+        F.col(f).asc() if a else F.col(f).desc() for (f, _), a in zip(sort_by, asc)
+    ]
+    order.append(F.col("doc_id").asc())
+    return (
+        per_doc.join(F.broadcast(page), "doc_id")
+        .select(
+            "doc_id", *[f for f, _ in sort_by],
+            F.round(score, 6).alias("score"),
+        )
+        .orderBy(*order)
+    )
+
+
+def match_sorted_tracked_sql(
+    query: str,
+    sort_by: list[tuple[str, str]],
+    size: int = 10,
+    from_: int = 0,
+    mode: str = "or",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`match_sorted_tracked` — the match_sorted
+    page joined to the bm25_topk_sql scoring CTEs restricted to page docs
+    (same formula, same 6-decimal rounding)."""
+    from ..functions.tokenizer import duckdb_token_pattern, tokenize
+
+    q_terms = tokenize(query or "")
+    if not q_terms:
+        raise ValueError("track_scores needs a scored (non-empty) query")
+    weights: dict[str, float] = {}
+    for t in q_terms:
+        weights[t] = weights.get(t, 0.0) + 1.0
+    terms_values = ", ".join(f"('{t}', {c!r})" for t, c in sorted(weights.items()))
+    in_list = ", ".join(f"'{t}'" for t in sorted(weights))
+    order = ", ".join(f"{f} {o.upper()}" for f, o in sort_by) + ", doc_id ASC"
+    fields = ", ".join(f for f, _ in sort_by)
+    tok_expr = f"regexp_extract_all(lower(text), '{duckdb_token_pattern()}')"
+    return f"""
+WITH page AS (
+  SELECT doc_id, {fields}
+  FROM {table}
+  WHERE {_match_sql(query, mode, None, 'ascii')}
+  ORDER BY {order}
+  LIMIT {int(size)} OFFSET {int(from_)}
+),
+toks AS (
+  SELECT doc_id, unnest({tok_expr}) AS term FROM {table}
+),
+dl AS (SELECT doc_id, len({tok_expr}) AS dl FROM {table}),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term, qw) AS (VALUES {terms_values}),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN ({in_list}) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({in_list}) GROUP BY doc_id, term
+),
+sc AS (
+  SELECT tf.doc_id,
+         round(sum(qterms.qw
+           * ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 6) AS score
+  FROM tf
+  JOIN dfreq USING (term) JOIN qterms USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.doc_id IN (SELECT doc_id FROM page)
+  GROUP BY tf.doc_id
+)
+SELECT p.doc_id, {', '.join('p.' + f for f, _ in sort_by)}, sc.score
+FROM page p JOIN sc ON sc.doc_id = p.doc_id
+ORDER BY {order.replace('doc_id ASC', 'p.doc_id ASC')}
+"""

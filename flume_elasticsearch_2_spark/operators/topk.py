@@ -375,6 +375,108 @@ LIMIT {k}
 """
 
 
+def bm25_span_first_topk(
+    docs: DataFrame,
+    term: str,
+    end: int,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Lucene/ES ``span_first`` over a single ``span_term`` (the form 1.x
+    clients use; reference delegation site ElasticsearchSink.java:54): the
+    term matches only within the FIRST ``end`` token positions of the doc.
+
+    Pinned contract (all three engines): a span of the term at 0-based
+    start ``p`` has span-end ``p+1`` and matches iff ``p+1 <= end``;
+    ``sf`` = number of matching spans — exactly Lucene's SpanScorer freq
+    here, since a single-term span has matchLength 0 and sloppyFreq 1.0
+    per match; idf uses the term's CORPUS df (Lucene span weights use the
+    term's docFreq, not the positional match count); score =
+    ``idf * sf*(k1+1)/(sf + k1*(1-b+b*dl/avgdl))``, docs with sf=0 drop.
+
+    Same two-narrow-pass zero-join shape as :func:`bm25_topk`: sf is a JVM
+    ``slice``+``filter`` over the token array, stats are one map-side
+    combined agg collected as driver constants, the scoring pass ends in
+    TakeOrderedAndProject."""
+    toks_q = tokenize(term)
+    spark = docs.sparkSession
+    if int(end) < 1:
+        raise ValueError("span_first end must be >= 1")
+    if len(toks_q) != 1 or toks_q != [term]:
+        raise ValueError(
+            f"span_term {term!r} is not a single analyzed token"
+        )
+    tok = toks_q[0]
+    toks = tokens_col(text_col)
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        F.size(F.filter(toks, lambda x: x == F.lit(tok))).cast("long").alias("tf"),
+        F.size(
+            F.filter(F.slice(toks, 1, int(end)), lambda x: x == F.lit(tok))
+        ).cast("double").alias("sf"),
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.sum((F.col("tf") > 0).cast("long")).alias("df"),
+    ).collect()[0]
+    n_docs, df_t = int(stats["n_docs"]), int(stats["df"])
+    avgdl = float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0
+    if n_docs == 0 or avgdl == 0.0 or df_t == 0:
+        return spark.createDataFrame([], "doc_id long, score double")
+    score = bm25_col(
+        F.col("sf"), F.lit(df_t), F.col("dl"), F.lit(n_docs), F.lit(avgdl), k1, b
+    )
+    return (
+        per_doc.where(F.col("sf") > 0)
+        .withColumn("score_exact", score)
+        .orderBy(F.col("score_exact").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.round("score_exact", 6).alias("score"))
+    )
+
+
+def bm25_span_first_topk_sql(
+    term: str, end: int, k: int = 10, table: str = "documents"
+) -> str:
+    """DuckDB oracle for :func:`bm25_span_first_topk` — sf via a list slice
+    of the first ``end`` tokens (1-based inclusive slice = 0-based
+    positions < end, the identical window), df/avgdl corpus-wide."""
+    toks_q = tokenize(term)
+    if int(end) < 1 or len(toks_q) != 1 or toks_q != [term]:
+        raise ValueError(f"span_term {term!r}/end {end!r} invalid")
+    t = term.replace("'", "''")
+    score = (
+        f"ln(1 + (s.n_docs - s.df + 0.5) / (s.df + 0.5)) * f.sf * (1.2 + 1.0)"
+        f" / (f.sf + 1.2 * (1.0 - 0.75 + 0.75 * f.dl / s.avgdl))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM {table}
+),
+f AS (
+  SELECT doc_id, len(ts) AS dl,
+         len(list_filter(ts, x -> x = '{t}')) AS tf,
+         CAST(len(list_filter(ts[1:{int(end)}], x -> x = '{t}')) AS DOUBLE) AS sf
+  FROM toks
+),
+s AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+         sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+  FROM f
+)
+SELECT f.doc_id, round({score}, 6) AS score
+FROM f CROSS JOIN s
+WHERE f.sf > 0
+ORDER BY {score} DESC, f.doc_id ASC
+LIMIT {int(k)}
+"""
+
+
 def bm25_topk_sql(
     query: str,
     k: int = 10,

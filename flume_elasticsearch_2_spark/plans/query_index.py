@@ -472,6 +472,60 @@ def _phrase_score_shard(
     )
 
 
+def _span_first_score_shard(
+    postings: pd.DataFrame,
+    docs: pd.DataFrame,
+    *,
+    term: str,
+    end: int,
+    idf: float,
+    avgdl: float,
+    id_space: int,
+    n_shards: int,
+    k: int,
+) -> pd.DataFrame:
+    """One shard of ``span_first`` (operators/topk.py bm25_span_first_topk
+    pins the contract): sf per candidate = count of the term's stored
+    0-based positions ``p < end`` (span end ``p+1 <= end``), scored
+    ``idf * sf*(k1+1)/(sf+k1*(1-b+b*dl/avgdl))`` with the GLOBAL idf passed
+    in. One segmented bincount over the decoded positions stream — no
+    per-doc loop."""
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+    )
+    if len(postings) == 0 or len(docs) == 0:
+        return empty
+    shard = int(postings["shard"].iloc[0])
+    base = shard_start(shard, id_space, n_shards)
+    from ..codec import decode_positions, svb_decode
+
+    row = next(r for r in postings.itertuples(index=False) if r.term == term)
+    n = int(row.n)
+    ids = np.cumsum(svb_decode(row.doc_bytes, n).astype(np.int64))
+    tfs = svb_decode(row.tf_bytes, n).astype(np.int64)
+    pos = decode_positions(row.pos_bytes, tfs).astype(np.int64)
+    segidx = np.repeat(np.arange(n, dtype=np.int64), tfs)
+    sf = np.bincount(segidx[pos < end], minlength=n).astype(np.float64)
+    hit = sf > 0
+    if not hit.any():
+        return empty
+    cand, sf = ids[hit], sf[hit]
+    doc_ids_local = docs["doc_id"].to_numpy(dtype=np.int64) - base
+    dls = docs["dl"].to_numpy(np.float64)
+    order = np.argsort(doc_ids_local)
+    doc_ids_local, dls = doc_ids_local[order], dls[order]
+    adm = np.searchsorted(doc_ids_local, cand)
+    dl = dls[adm]
+    scores = idf * sf * (K1 + 1.0) / (sf + K1 * (1.0 - B + B * dl / avgdl))
+    sel = np.lexsort((cand, -scores))[:k]
+    return pd.DataFrame(
+        {
+            "doc_id": (base + cand[sel]).astype(np.int64),
+            "score": scores[sel].astype(np.float64),
+        }
+    )
+
+
 def _phrase_prefix_score_shard(
     postings: pd.DataFrame,
     docs: pd.DataFrame,
@@ -1147,6 +1201,55 @@ class IndexSearcher:
 
         rows = (
             _one_task_per_shard(spark, sorted(shards))
+            .mapInPandas(score_shards, "doc_id long, score double")
+            .collect()
+        )
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        return spark.createDataFrame(
+            [(int(r["doc_id"]), round_half_up6(r["score"])) for r in rows[:k]],
+            "doc_id long, score double",
+        )
+
+    def search_span_first(self, term: str, end: int, k: int = 10) -> DataFrame:
+        """``span_first`` on the SERVING path (rank-identical to
+        ``operators.topk.bm25_span_first_topk`` by test): scatter only to
+        shards holding the term, count stored positions ``< end`` per
+        posting, score with the manifest's global stats. Requires
+        ``store_positions=True``."""
+        import math
+
+        spark = self.spark
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        if not self.manifest.get("positions"):
+            raise ValueError(
+                "index stores freqs only — build with store_positions=True for span queries"
+            )
+        if int(end) < 1:
+            raise ValueError("span_first end must be >= 1")
+        if tokenize(term) != [term]:
+            raise ValueError(f"span_term {term!r} is not a single analyzed token")
+        dfreq, term_shards = self._query_meta_terms([term])
+        if term not in dfreq:
+            return empty
+        df_t = dfreq[term]
+        idf = math.log1p((self.n_docs - df_t + 0.5) / (df_t + 0.5))
+        shards = sorted(term_shards[term])
+        index_dir = self.index_dir
+        kwargs = dict(
+            term=term, end=int(end), idf=idf, avgdl=self.avgdl,
+            id_space=self.id_space, n_shards=self.n_shards, k=k,
+        )
+
+        def score_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for shard in pdf["shard"].tolist():
+                    pt, dt = _read_shard_tables(
+                        index_dir, shard, [term], None, cols=POST_COLS_POSITIONAL
+                    )
+                    yield _span_first_score_shard(pt, dt, **kwargs)
+
+        rows = (
+            _one_task_per_shard(spark, shards)
             .mapInPandas(score_shards, "doc_id long, score double")
             .collect()
         )

@@ -1663,3 +1663,152 @@ def test_wrapper_nested_and_rejections(documents):
     with pytest.raises(ValueError, match="unsupported DSL"):
         dsl_search(documents, {"query": {"bool": {"must": [
             _b64_query({"match": {"text": "dup"}})]}}})
+
+
+# -- script filter + span_first ----------------------------------------------
+
+def test_script_filter_three_way_composition(documents, duck):
+    """ES script filter: boolean predicate over stored numerics composed
+    with term filter + fquery — declarative == DuckDB oracle."""
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "dup batch scan"}}],
+        "filter": [
+            {"term": {"lang": "en"}},
+            {"fquery": {"query": {"match": {"text": "window"}}}},
+            {"script": {"script": "doc['n_chars'].value >= 150", "_cache": True}},
+        ],
+    }}, "size": 10}
+    got = [tuple(r) for r in dsl_search(documents, body).collect()]
+    want = [tuple(r) for r in duck.execute(dsl_search_sql(body)).fetchall()]
+    assert got == want and got
+
+
+def test_script_filter_actually_restricts(documents):
+    plain = {"query": {"match": {"text": "dup batch scan"}}, "size": 10}
+    tight = {"query": {"bool": {
+        "must": [{"match": {"text": "dup batch scan"}}],
+        "filter": [{"script": {"script": "doc['n_chars'].value > 100000"}}],
+    }}, "size": 10}
+    assert dsl_search(documents, plain).count() == 10
+    assert dsl_search(documents, tight).count() == 0
+
+
+def test_script_filter_rejections(documents, searcher):
+    base = {"query": {"bool": {
+        "must": [{"match": {"text": "dup"}}],
+        "filter": [{"script": {"script": "doc['n_chars'].value > 1"}}],
+    }}, "size": 5}
+    with pytest.raises(ValueError, match="declarative-only"):
+        dsl_search_index(searcher, base)
+    with pytest.raises(ValueError, match="script filter keys"):
+        dsl_search(documents, {"query": {"bool": {
+            "must": [{"match": {"text": "dup"}}],
+            "filter": [{"script": {"script": "doc['a'].value > 1",
+                                   "params": {"x": 1}}}]}}})
+    with pytest.raises(ValueError, match="at most one script filter"):
+        dsl_search(documents, {"query": {"bool": {
+            "must": [{"match": {"text": "dup"}}],
+            "filter": [{"script": {"script": "doc['a'].value > 1"}},
+                       {"script": {"script": "doc['b'].value > 1"}}]}}})
+    with pytest.raises(ValueError, match="script filter:"):
+        dsl_search(documents, {"query": {"bool": {
+            "must": [{"match": {"text": "dup"}}],
+            "filter": [{"script": {"script": "doc['a'].value + 1"}}]}}})
+    with pytest.raises(ValueError, match="not doc columns"):
+        dsl_search(documents, {"query": {"bool": {
+            "must": [{"match": {"text": "dup"}}],
+            "filter": [{"script": {"script": "doc['nonexistent_f'].value > 1"}}]}}})
+    with pytest.raises(ValueError, match="plain scored match only"):
+        dsl_search(documents, {"query": {"bool": {
+            "must": [{"match": {"text": "dup"}}],
+            "filter": [{"script": {"script": "doc['n_chars'].value > 1"}}]},
+        }, "sort": [{"n_chars": "desc"}]})
+
+
+def test_span_first_three_engines(documents, duck, searcher):
+    body = {"query": {"span_first": {
+        "match": {"span_term": {"text": "batch"}}, "end": 3}}, "size": 10}
+    got = [tuple(r) for r in dsl_search(documents, body).collect()]
+    want = [tuple(r) for r in duck.execute(dsl_search_sql(body)).fetchall()]
+    srv = [tuple(r) for r in dsl_search_index(searcher, body).collect()]
+    assert got == want == srv and got
+
+
+def test_span_first_window_semantics(spark):
+    """Pinned: 0-based position p matches iff p < end; sf counts matching
+    occurrences; docs with the term only beyond the window drop."""
+    from flume_elasticsearch_2_spark.operators.topk import bm25_span_first_topk
+
+    rows = [
+        (0, "alpha beta alpha"),   # alpha at 0 and 2
+        (1, "beta alpha alpha"),   # alpha at 1 and 2
+        (2, "beta beta alpha"),    # alpha at 2 only
+        (3, "beta beta beta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hits = {r.doc_id for r in bm25_span_first_topk(df, "alpha", end=2, k=10).collect()}
+    assert hits == {0, 1}  # doc 2's only occurrence is at p=2 (span end 3 > 2)
+    # sf ordering: doc 0 has 1 match in window, same as doc 1 -> same sf/dl
+    hits3 = bm25_span_first_topk(df, "alpha", end=3, k=10).collect()
+    assert {r.doc_id for r in hits3} == {0, 1, 2}
+    by_id = {r.doc_id: r.score for r in hits3}
+    assert by_id[0] == by_id[1] > by_id[2]  # 2 in-window occurrences beat 1
+
+
+def test_span_first_rejections(documents, searcher):
+    with pytest.raises(ValueError, match="single analyzed token"):
+        dsl_search(documents, {"query": {"span_first": {
+            "match": {"span_term": {"text": "two words"}}, "end": 3}}})
+    with pytest.raises(ValueError, match="needs end"):
+        dsl_search(documents, {"query": {"span_first": {
+            "match": {"span_term": {"text": "batch"}}}}})
+    with pytest.raises(ValueError, match="span_term only"):
+        dsl_search(documents, {"query": {"span_first": {
+            "match": {"span_near": {"clauses": []}}, "end": 3}}})
+    with pytest.raises(ValueError, match="end must be >= 1"):
+        dsl_search(documents, {"query": {"span_first": {
+            "match": {"span_term": {"text": "batch"}}, "end": 0}}})
+
+
+def test_fields_param_is_source_alias(documents, duck):
+    """1.x `fields` ≡ `_source` (the docs table IS the stored-fields store);
+    both in one body refuse."""
+    f_body = {"query": {"match": {"text": "dup batch"}},
+              "fields": ["lang", "n_chars"], "size": 5}
+    s_body = {"query": {"match": {"text": "dup batch"}},
+              "_source": ["lang", "n_chars"], "size": 5}
+    got_f = [tuple(r) for r in dsl_search(documents, f_body).collect()]
+    got_s = [tuple(r) for r in dsl_search(documents, s_body).collect()]
+    want = [tuple(r) for r in duck.execute(dsl_search_sql(f_body)).fetchall()]
+    assert got_f == got_s == want and got_f
+    with pytest.raises(ValueError, match="fields and _source"):
+        dsl_search(documents, {**f_body, "_source": ["lang"]})
+
+
+def test_track_scores_on_sorted_search(documents, duck, searcher):
+    """ES track_scores: true — sorted hits carry their BM25 score; hit set/
+    order identical to the untracked sort; score equals the plain match
+    query's score for the same doc. Serving refuses loudly."""
+    body_t = {"query": {"match": {"text": "dup batch scan"}},
+              "sort": [{"n_chars": "desc"}], "track_scores": True, "size": 8}
+    body_p = {"query": {"match": {"text": "dup batch scan"}},
+              "sort": [{"n_chars": "desc"}], "size": 8}
+    got = [tuple(r) for r in dsl_search(documents, body_t).collect()]
+    want = [tuple(r) for r in duck.execute(dsl_search_sql(body_t)).fetchall()]
+    assert got == want and len(got) == 8
+    plain = [tuple(r) for r in dsl_search(documents, body_p).collect()]
+    assert [(d, n) for d, n, _ in got] == plain  # same hits, same order
+    # scores match the score-ranked query's values for overlapping docs
+    by_id = {r.doc_id: r.score for r in dsl_search(
+        documents, {"query": {"match": {"text": "dup batch scan"}},
+                    "size": 10000}).collect()}
+    assert all(abs(by_id[d] - s) < 1e-9 for d, _, s in got)
+    with pytest.raises(ValueError, match="declarative-only"):
+        dsl_search_index(searcher, body_t)
+    with pytest.raises(ValueError, match="sorted scored match only"):
+        dsl_search(documents, {"query": {"match": {"text": "a"}},
+                               "track_scores": True})
+    with pytest.raises(ValueError, match="sorted scored match only"):
+        dsl_search(documents, {"query": {"match_all": {}},
+                               "sort": [{"n_chars": "desc"}],
+                               "track_scores": True})

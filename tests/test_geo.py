@@ -273,3 +273,31 @@ def test_geohash_cell_matches_duckdb(geo_docs, duck):
         member = {r["doc_id"] for r in geo_docs
                   .where(_gc("lat", "lon", prec) == cell).collect()}
         assert ids <= member
+
+
+def test_geo_distance_range_matches_duckdb(geo_docs, duck):
+    from flume_elasticsearch_2_spark.operators.geo import (
+        geo_distance_range_hits,
+        geo_distance_range_hits_sql,
+    )
+
+    got = [tuple(r) for r in
+           geo_distance_range_hits(geo_docs, *CENTER, "800km", "2500km", k=20).collect()]
+    want = [tuple(r) for r in duck.execute(
+        geo_distance_range_hits_sql(*CENTER, "800km", "2500km", k=20)).fetchall()]
+    assert got == want and got
+
+
+def test_geo_distance_range_annulus_bounds(geo_docs):
+    """gte inclusive / lt exclusive: the ring's hits are exactly the outer
+    disk minus the inner OPEN disk (d < gte drops, d >= lt drops)."""
+    from flume_elasticsearch_2_spark.operators.geo import geo_distance_range_hits
+
+    ring = geo_distance_range_hits(geo_docs, *CENTER, 800.0, 2500.0, k=10_000).collect()
+    assert ring and all(800.0 <= r.dist_km < 2500.0 for r in ring)
+    outer = {r.doc_id for r in
+             geo_distance_hits(geo_docs, *CENTER, 2500.0, k=10_000).collect()
+             if r.dist_km < 2500.0 and r.dist_km >= 800.0}
+    assert {r.doc_id for r in ring} == outer
+    with pytest.raises(ValueError, match="gte < lt"):
+        geo_distance_range_hits(geo_docs, *CENTER, 2500.0, 800.0)

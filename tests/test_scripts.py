@@ -119,3 +119,65 @@ def test_spark_column_twin_matches_sql(spark):
         ).fetchall()
     )
     assert got == pytest.approx(want, abs=1e-12)
+
+
+# -- boolean predicate layer (ES script filter) -------------------------------
+
+from flume_elasticsearch_2_spark.functions.scripts import parse_predicate
+
+
+@pytest.mark.parametrize("src,rows,expected", [
+    ("doc['a'].value > 1", [(0.0,), (1.0,), (2.0,), (None,)], [False, False, True, False]),
+    ("doc['a'].value >= 1 && doc['a'].value != 2", [(0.0,), (1.0,), (2.0,), (3.0,)],
+     [False, True, False, True]),
+    ("doc['a'].value == 0 || doc['a'].value > 2", [(0.0,), (1.0,), (3.0,), (None,)],
+     [True, False, True, True]),  # NULL coalesces to 0.0 -> matches == 0
+    ("!(doc['a'].value <= 1)", [(0.0,), (1.0,), (2.0,)], [False, False, True]),
+    ("(doc['a'].value > 0 || doc['a'].value < -5) && doc['a'].value * 2 <= 4",
+     [(1.0,), (2.0,), (3.0,), (-10.0,)], [True, True, False, True]),
+    ("log1p(doc['a'].value) > 1", [(1.0,), (2.0,), (3.0,)], [False, True, True]),
+])
+def test_predicate_duckdb_matches_expectation(src, rows, expected):
+    import duckdb as _d
+
+    con = _d.connect()
+    con.execute("CREATE TABLE t(a DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    got = [r[0] for r in con.execute(
+        f"SELECT {parse_predicate(src).sql()} FROM t").fetchall()]
+    assert got == expected, (src, got)
+
+
+def test_predicate_spark_twin_matches_sql(spark):
+    import duckdb as _d
+
+    rows = [(float(i) - 3.0,) for i in range(9)] + [(None,)]
+    srcs = [
+        "doc['a'].value > 1",
+        "doc['a'].value >= -1 && doc['a'].value < 2",
+        "doc['a'].value == 0 || !(doc['a'].value != 3)",
+        "(doc['a'].value + 1) * 2 <= doc['a'].value + 4",
+        "min(doc['a'].value, 2) == 2",
+    ]
+    df = spark.createDataFrame(rows, "a double")
+    con = _d.connect()
+    con.execute("CREATE TABLE t(a DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    for src in srcs:
+        p = parse_predicate(src)
+        got = [bool(r[0]) for r in df.select(p.spark_col()).collect()]
+        want = [bool(r[0]) for r in con.execute(f"SELECT {p.sql()} FROM t").fetchall()]
+        assert got == want, src
+
+
+@pytest.mark.parametrize("bad", [
+    "doc['a'].value",                 # no comparison
+    "_score > 1",                     # _score out of scope in filter context
+    "doc['a'].value > 1 &&",          # dangling operator
+    "doc['a'].value = 1",             # single = is not an operator
+    "doc['a'].value > 1 || foo",      # bare name
+    "doc['a'].value > (1 && 2)",      # boolean inside arithmetic
+])
+def test_bad_predicates_raise(bad):
+    with pytest.raises(ValueError):
+        parse_predicate(bad)
