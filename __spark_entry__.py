@@ -3023,6 +3023,94 @@ def _mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_TREE_SIBLING_BODY = {
+    "query": {"match": {"text": "dup batch scan"}},
+    "aggs": {
+        "avg_chars": {"avg": {"field": "n_chars"}},
+        "sum_chars": {"sum": {"field": "n_chars"}},
+        "min_chars": {"min": {"field": "n_chars"}},
+        "max_chars": {"max": {"field": "n_chars"}},
+        "n_vals": {"value_count": {"field": "n_chars"}},
+    },
+}
+_TREE_TERMS_BODY = {
+    "query": {"match": {"text": "dup batch scan"}},
+    "aggs": {"by_lang": {
+        "terms": {"field": "lang", "size": 5},
+        "aggs": {"avg_chars": {"avg": {"field": "n_chars"}},
+                 "chars": {"stats": {"field": "n_chars"}}},
+    }},
+}
+_TREE_NESTED_BODY = {
+    "aggs": {"by_lang": {
+        "terms": {"field": "lang", "size": 3},
+        "aggs": {"avg_chars": {"avg": {"field": "n_chars"}},
+                 "by_source": {
+                     "terms": {"field": "source", "size": 2},
+                     "aggs": {"sum_chars": {"sum": {"field": "n_chars"}}},
+                 }},
+    }},
+}
+_TREE_ORDER_BODY = {
+    "aggs": {"by_source": {
+        "terms": {"field": "source", "size": 4, "order": {"avg_chars": "desc"}},
+        "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}},
+    }},
+}
+
+
+def _agg_tree_sibling_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sibling metric aggs (one global row over the match scope): five
+    metrics in ONE map-side-combined aggregate. operators/subaggs.py."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _TREE_SIBLING_BODY)
+
+
+def _agg_tree_terms_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms bucket with metric sub-aggs (avg + stats): the canonical
+    aggs-tree request. One shuffle at the bucket level; ES bucket order
+    (_count desc, key asc) with the flattened stats columns."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _TREE_TERMS_BODY)
+
+
+def _agg_tree_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level bucket nesting (terms>terms) with metrics at both levels:
+    ONE wide shuffle at the (lang, source) level, parent derived by
+    re-aggregating partials (never a second scan), LEFT-JOIN flattening."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _TREE_NESTED_BODY)
+
+
+def _agg_tree_metric_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms buckets ORDERED BY a metric sub-agg (ES order: {metric:
+    desc}) — selection happens on the rounded metric with key-asc ties, so
+    the page is engine-independent."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _TREE_ORDER_BODY)
+
+
+def _agg_tree_nested_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nested tree on the SERVING path: per-shard finest-level partials
+    from postings doc-stream decode (match_all here: declarative base over
+    the stored docs), merged into the shared finisher."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_index
+
+    return dsl_aggregation_index(_segment_searcher(spark, sf_dir), _TREE_NESTED_BODY)
+
+
+def _agg_tree_terms_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms+metrics tree on the SERVING path with a scored-match scope:
+    postings doc-streams -> finest-level partials per shard -> merge."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_index
+
+    return dsl_aggregation_index(_segment_searcher(spark, sf_dir), _TREE_TERMS_BODY)
+
+
 def _charlm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring, self-contained proxy: add-alpha
     char-bigram LM trained on the corpus itself (one explode + 1369-key
@@ -3048,6 +3136,12 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "agg_tree_sibling_metrics",
+    "agg_tree_terms_metrics",
+    "agg_tree_nested",
+    "agg_tree_metric_order",
+    "agg_tree_nested_segment",
+    "agg_tree_terms_segment",
     "charlm_scores",
     "charlm_tail_filter",
     "dsl_track_scores",
@@ -3462,6 +3556,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["chunk_docs"] = _chunk_docs
     q["doc_keywords"] = _doc_keywords
     q["geo_bounds"] = _geo_bounds
+    q["agg_tree_sibling_metrics"] = _agg_tree_sibling_metrics
+    q["agg_tree_terms_metrics"] = _agg_tree_terms_metrics
+    q["agg_tree_nested"] = _agg_tree_nested
+    q["agg_tree_metric_order"] = _agg_tree_metric_order
+    q["agg_tree_nested_segment"] = _agg_tree_nested_segment
+    q["agg_tree_terms_segment"] = _agg_tree_terms_segment
     q["charlm_scores"] = _charlm_scores
     q["charlm_tail_filter"] = _charlm_tail_filter
     # newest-first, then previously-unrecorded: the driver artifact truncates
@@ -3893,6 +3993,12 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
         charlm_tail_filter_sql,
     )
 
+    o["agg_tree_sibling_metrics"] = _das(_TREE_SIBLING_BODY)
+    o["agg_tree_terms_metrics"] = _das(_TREE_TERMS_BODY)
+    o["agg_tree_nested"] = _das(_TREE_NESTED_BODY)
+    o["agg_tree_metric_order"] = _das(_TREE_ORDER_BODY)
+    o["agg_tree_nested_segment"] = o["agg_tree_nested"]
+    o["agg_tree_terms_segment"] = o["agg_tree_terms_metrics"]
     o["charlm_scores"] = charlm_score_sql()
     o["charlm_tail_filter"] = charlm_tail_filter_sql(keep_frac=0.9)
     o["dsl_named_queries"] = _dss(_NAMED_BODY)

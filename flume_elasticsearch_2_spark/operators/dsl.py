@@ -2269,7 +2269,13 @@ def _parse_aggs_finish(
 
 def dsl_aggregation(docs: DataFrame, body: dict, text_col: str = "text") -> DataFrame:
     """Execute the body's single agg over its query scope, declarative path
-    (ES 1.x facets = aggs over ALL matching docs, not the top-k page)."""
+    (ES 1.x facets = aggs over ALL matching docs, not the top-k page).
+    Tree-shaped bodies (sibling aggs, metric sub-aggs, metric bucket order,
+    two bucket levels) route to operators/subaggs.py."""
+    from .subaggs import agg_tree, tree_shaped
+
+    if tree_shaped(body):
+        return agg_tree(docs, body, text_col)
     from .facets import (
         histogram_facet,
         match_condition,
@@ -2341,6 +2347,10 @@ def dsl_aggregation(docs: DataFrame, body: dict, text_col: str = "text") -> Data
 
 def dsl_aggregation_sql(body: dict, table: str = "documents", text_col: str = "text") -> str:
     """DuckDB oracle for :func:`dsl_aggregation`."""
+    from .subaggs import agg_tree_sql, tree_shaped
+
+    if tree_shaped(body):
+        return agg_tree_sql(body, table=table, text_col=text_col)
     from .facets import (
         _match_sql,
         histogram_facet_sql,
@@ -2417,6 +2427,10 @@ def dsl_aggregation_index(searcher, body: dict, text_col: str = "text") -> DataF
     set's raw values; the honest 100 TB forms are the sketch-merging Spark
     builtins operators/aggs.py already routes) — refused loudly, never
     silently approximated."""
+    from .subaggs import agg_tree_index, tree_shaped
+
+    if tree_shaped(body):
+        return agg_tree_index(searcher, body, text_col)
     q, kind, field, kw = _parse_aggs(body, text_col)
     if kind == "cardinality_hll":
         # the deterministic HLL is a two-stage groupBy over the STORED docs

@@ -440,3 +440,40 @@ def test_pack_sequences_single_group_shuffle(spark, documents):
     plan = _plan(pack_sequences(documents, budget=64))
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan, plan
     assert plan.count("hashpartitioning") == 1, plan  # the group key, once
+
+
+def test_agg_tree_nested_scans_corpus_once(spark, documents):
+    from flume_elasticsearch_2_spark.operators.subaggs import agg_tree
+
+    body = {"aggs": {"by_lang": {
+        "terms": {"field": "lang", "size": 3},
+        "aggs": {"avg_chars": {"avg": {"field": "n_chars"}},
+                 "by_source": {"terms": {"field": "source", "size": 2},
+                     "aggs": {"sum_chars": {"sum": {"field": "n_chars"}}}}},
+    }}}
+    plan = _plan(agg_tree(documents, body))
+    # the finest-level partials are persisted: every branch (parent rollup,
+    # page join, child ranking) reads the cached partials, so the corpus
+    # parquet appears as ONE distinct scan node (the formatted plan reprints
+    # the same node id inside each InMemoryRelation definition); without the
+    # persist this plan had 3 independent scans
+    import re as _re
+
+    scan_ids = set(_re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) <= 1, plan
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+    # the parent-page join must broadcast the <= size page, never shuffle it
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_agg_tree_partials_are_map_side_combined(spark, documents):
+    from flume_elasticsearch_2_spark.operators.subaggs import agg_tree
+
+    body = {"query": {"match": {"text": "dup batch"}},
+            "aggs": {"by_lang": {"terms": {"field": "lang", "size": 5},
+                     "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}}}
+    plan = _plan(agg_tree(documents, body))
+    # one wide shuffle at the bucket level with partial_ functions before it
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    assert "SortMergeJoin" not in plan
