@@ -3023,6 +3023,38 @@ def _mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_CFS_BODY = {
+    "query": {"custom_filters_score": {
+        "query": {"match": {"text": "dup batch scan"}},
+        "filters": [
+            {"filter": {"range": {"n_chars": {"gte": 400}}}, "boost": 1.5},
+            {"filter": {"term": {"lang": "en"}}, "boost": 2.0},
+        ],
+        "score_mode": "first",
+    }},
+    "size": 10,
+}
+
+
+def _dsl_custom_filters_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x custom_filters_score (function_score's precursor, same
+    FiltersFunctionScoreQuery): rewritten verbatim onto the weighted-
+    functions spec; score_mode `first` = the 1.x default array-order first
+    matching filter. Factor is a pure JVM CASE riding the scoring scan."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _CFS_BODY)
+
+
+def _dsl_custom_filters_score_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """custom_filters_score on the SERVING path: the same pinned first-match
+    kernel over each shard's stored docs (BMW off — the factor invalidates
+    the bound), identical bits to declarative/oracle."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _CFS_BODY)
+
+
 _TREE_SIBLING_BODY = {
     "query": {"match": {"text": "dup batch scan"}},
     "aggs": {
@@ -3136,6 +3168,8 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dsl_custom_filters_score",
+    "dsl_custom_filters_score_segment",
     "agg_tree_sibling_metrics",
     "agg_tree_terms_metrics",
     "agg_tree_nested",
@@ -3556,6 +3590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["chunk_docs"] = _chunk_docs
     q["doc_keywords"] = _doc_keywords
     q["geo_bounds"] = _geo_bounds
+    q["dsl_custom_filters_score"] = _dsl_custom_filters_score
+    q["dsl_custom_filters_score_segment"] = _dsl_custom_filters_score_segment
     q["agg_tree_sibling_metrics"] = _agg_tree_sibling_metrics
     q["agg_tree_terms_metrics"] = _agg_tree_terms_metrics
     q["agg_tree_nested"] = _agg_tree_nested
@@ -3993,6 +4029,8 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
         charlm_tail_filter_sql,
     )
 
+    o["dsl_custom_filters_score"] = _dss(_CFS_BODY)
+    o["dsl_custom_filters_score_segment"] = o["dsl_custom_filters_score"]
     o["agg_tree_sibling_metrics"] = _das(_TREE_SIBLING_BODY)
     o["agg_tree_terms_metrics"] = _das(_TREE_TERMS_BODY)
     o["agg_tree_nested"] = _das(_TREE_NESTED_BODY)

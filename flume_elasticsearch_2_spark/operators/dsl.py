@@ -68,8 +68,14 @@ silent best-effort):
   (``gauss``/``exp``/``linear`` over a numeric field; ES formulas, missing
   values score 1.0; date/geo origins rejected) — declarative + oracle paths —
   or a weighted ``functions`` array (per-function stored-field ``filter`` +
-  ``boost_factor``/``weight``; ``score_mode`` multiply/sum/max combines the
-  matching functions' constants, no-match docs keep 1.0) on all THREE paths.
+  ``boost_factor``/``weight``; ``score_mode`` multiply/sum/max/first/min/avg
+  combines the matching functions' constants, no-match docs keep 1.0) on
+  all THREE paths.
+* ``custom_filters_score`` (the 1.x precursor of function_score — same
+  FiltersFunctionScoreQuery underneath): rewritten verbatim into the
+  weighted-functions spec before dispatch; ``score_mode`` first (the 1.x
+  default) / min / max / total / avg / multiply; per-filter ``script``
+  scoring refuses loudly.
 * ``span_first`` over a single ``span_term`` (term restricted to the first
   ``end`` token positions; Lucene span-end <= end, freq = matching spans,
   idf = the term's corpus df) — all three paths; multi-clause span matches
@@ -599,6 +605,43 @@ def parse_body(
         if not isinstance(decoded, dict):
             _err("wrapper payload must decode to a query object")
         kind, val = _one_field(decoded, "wrapper query")
+    if kind == "custom_filters_score":
+        # ES 1.x custom_filters_score — the PRECURSOR of function_score's
+        # weighted functions array (the same FiltersFunctionScoreQuery
+        # underneath, which is why function_score replaced it in 1.x):
+        # rewritten verbatim into that spec before dispatch. score_mode
+        # `first` is the 1.x DEFAULT (array-order first matching filter);
+        # `total` is 1.x's spelling of sum; min/avg extend the shared
+        # combination contract. Per-filter `script` scoring is out of the
+        # subset and refuses loudly.
+        if not isinstance(val, dict):
+            _err("custom_filters_score needs an options object")
+        extra_c = set(val) - {"query", "filters", "score_mode"}
+        if extra_c:
+            _err(f"custom_filters_score keys {sorted(extra_c)}")
+        flts = val.get("filters")
+        if not isinstance(flts, list) or not flts:
+            _err("custom_filters_score needs a non-empty filters array")
+        funcs_in = []
+        for e in flts:
+            if not isinstance(e, dict):
+                _err("custom_filters_score filters entries must be objects")
+            extra_e = set(e) - {"filter", "boost"}
+            if extra_e:
+                _err(f"custom_filters_score entry keys {sorted(extra_e)} "
+                     "(filter + boost only; script scoring unsupported)")
+            if "filter" not in e or "boost" not in e:
+                _err("each custom_filters_score entry needs filter + boost")
+            funcs_in.append({"filter": e["filter"], "boost_factor": e["boost"]})
+        sm_in = val.get("score_mode", "first")
+        sm = {"first": "first", "min": "min", "max": "max", "total": "sum",
+              "multiply": "multiply", "avg": "avg"}.get(sm_in)
+        if sm is None:
+            _err(f"custom_filters_score score_mode {sm_in!r}")
+        kind = "function_score"
+        val = {"query": val.get("query")
+               or _err("custom_filters_score needs a query"),
+               "functions": funcs_in, "score_mode": sm}
     if kind == "match":
         _parse_match(spec, _one_field(val, "match"), text_col, analyzed)
     elif kind == "match_phrase":
@@ -797,8 +840,9 @@ def parse_body(
                     or "field_value_factor" in val:
                 _err("functions array with another function form")
             score_mode = val.get("score_mode", "multiply")
-            if score_mode not in ("multiply", "sum", "max"):
-                _err(f"score_mode {score_mode!r} (multiply|sum|max)")
+            if score_mode not in ("multiply", "sum", "max", "first", "min", "avg"):
+                _err(f"score_mode {score_mode!r} "
+                     "(multiply|sum|max|first|min|avg)")
             if not isinstance(wfs, list) or not wfs:
                 _err("functions must be a non-empty array")
             funcs: list[tuple[tuple, float]] = []
@@ -1370,7 +1414,12 @@ def _weight_functions_col(funcs: tuple, score_mode: str) -> Column:
     * ``sum`` — ``any-match ? Σ(matched ? w : 0.0) : 1.0``, left-fold;
     * ``max`` — a CASE over functions sorted by (weight DESC, index ASC):
       the first matching function's weight, else 1.0. No ``greatest()``,
-      so there is no NULL-vs-skip parity surface at all.
+      so there is no NULL-vs-skip parity surface at all;
+    * ``min`` — the same CASE sorted by (weight ASC, index ASC);
+    * ``first`` — the CASE in ORIGINAL array order (the
+      custom_filters_score 1.x default);
+    * ``avg`` — ``any-match ? Σ(matched ? w : 0) / Σ(matched ? 1 : 0) :
+      1.0`` — sum and count folded in the same order, one division.
 
     A NULL filter predicate (e.g. a range over a NULL field) is not-true in
     both engines, so it falls to the non-matching arm identically."""
@@ -1382,17 +1431,27 @@ def _weight_functions_col(funcs: tuple, score_mode: str) -> Column:
         for m, w in matched:
             expr = expr * F.when(m, F.lit(w)).otherwise(F.lit(1.0))
         return expr
-    if score_mode == "sum":
+    if score_mode in ("sum", "avg"):
         any_m = matched[0][0]
         for m, _ in matched[1:]:
             any_m = any_m | m
         s = F.when(matched[0][0], F.lit(matched[0][1])).otherwise(F.lit(0.0))
         for m, w in matched[1:]:
             s = s + F.when(m, F.lit(w)).otherwise(F.lit(0.0))
+        if score_mode == "avg":
+            n = F.when(matched[0][0], F.lit(1.0)).otherwise(F.lit(0.0))
+            for m, _ in matched[1:]:
+                n = n + F.when(m, F.lit(1.0)).otherwise(F.lit(0.0))
+            return F.when(any_m, s / n).otherwise(F.lit(1.0))
         return F.when(any_m, s).otherwise(F.lit(1.0))
-    # max: first match in (weight DESC, original index ASC) order
+    # max/min/first: first match in the mode's pinned order
+    order = {
+        "max": lambda p: (-p[1][1], p[0]),
+        "min": lambda p: (p[1][1], p[0]),
+        "first": lambda p: (p[0],),
+    }[score_mode]
     case = None
-    for _, (m, w) in sorted(enumerate(matched), key=lambda p: (-p[1][1], p[0])):
+    for _, (m, w) in sorted(enumerate(matched), key=order):
         case = F.when(m, F.lit(w)) if case is None else case.when(m, F.lit(w))
     return case.otherwise(F.lit(1.0))
 
@@ -1407,15 +1466,25 @@ def _weight_functions_sql(funcs: tuple, score_mode: str) -> str:
         for p, w in preds:
             expr = f"({expr} * (CASE WHEN {p} THEN {w!r} ELSE 1.0 END))"
         return expr
-    if score_mode == "sum":
+    if score_mode in ("sum", "avg"):
         any_m = " OR ".join(f"({p})" for p, _ in preds)
         s = f"(CASE WHEN {preds[0][0]} THEN {preds[0][1]!r} ELSE 0.0 END)"
         for p, w in preds[1:]:
             s = f"({s} + (CASE WHEN {p} THEN {w!r} ELSE 0.0 END))"
+        if score_mode == "avg":
+            n = f"(CASE WHEN {preds[0][0]} THEN 1.0 ELSE 0.0 END)"
+            for p, _ in preds[1:]:
+                n = f"({n} + (CASE WHEN {p} THEN 1.0 ELSE 0.0 END))"
+            return f"(CASE WHEN {any_m} THEN ({s} / {n}) ELSE 1.0 END)"
         return f"(CASE WHEN {any_m} THEN {s} ELSE 1.0 END)"
+    order = {
+        "max": lambda q_: (-q_[1][1], q_[0]),
+        "min": lambda q_: (q_[1][1], q_[0]),
+        "first": lambda q_: (q_[0],),
+    }[score_mode]
     arms = " ".join(
         f"WHEN {p} THEN {w!r}"
-        for _, (p, w) in sorted(enumerate(preds), key=lambda q_: (-q_[1][1], q_[0]))
+        for _, (p, w) in sorted(enumerate(preds), key=order)
     )
     return f"(CASE {arms} ELSE 1.0 END)"
 

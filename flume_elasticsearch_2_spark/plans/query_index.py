@@ -83,19 +83,27 @@ def _fsv_dense(
             m = np.ones(len(docs), dtype=np.float64)
             for mask, w in masks:
                 m = m * np.where(mask, w, 1.0)
-        elif sm == "sum":
+        elif sm in ("sum", "avg"):
             any_m = np.zeros(len(docs), dtype=bool)
             s = np.zeros(len(docs), dtype=np.float64)
+            n = np.zeros(len(docs), dtype=np.float64)
             for mask, w in masks:
                 any_m |= mask
                 s = s + np.where(mask, w, 0.0)
-            m = np.where(any_m, s, 1.0)
-        else:  # max
+                n = n + np.where(mask, 1.0, 0.0)
+            if sm == "avg":
+                m = np.where(any_m, s / np.where(n > 0, n, 1.0), 1.0)
+            else:
+                m = np.where(any_m, s, 1.0)
+        else:  # max / min / first: first match in the mode's pinned order
+            order = {
+                "max": lambda p: (-p[1][1], p[0]),
+                "min": lambda p: (p[1][1], p[0]),
+                "first": lambda p: (p[0],),
+            }[sm]
             m = np.ones(len(docs), dtype=np.float64)
             assigned = np.zeros(len(docs), dtype=bool)
-            for _, (mask, w) in sorted(
-                enumerate(masks), key=lambda p: (-p[1][1], p[0])
-            ):
+            for _, (mask, w) in sorted(enumerate(masks), key=order):
                 m = np.where(~assigned & mask, w, m)
                 assigned |= mask
         arr[local] = m
@@ -2701,8 +2709,10 @@ class IndexSearcher:
             # existing column-pruned docs read — no join, BMW off.
             if field is not None or decay is not None:
                 raise ValueError("functions excludes field/decay")
-            if score_mode not in ("multiply", "sum", "max"):
-                raise ValueError(f"score_mode {score_mode!r} (multiply|sum|max)")
+            if score_mode not in ("multiply", "sum", "max", "first", "min", "avg"):
+                raise ValueError(
+                    f"score_mode {score_mode!r} (multiply|sum|max|first|min|avg)"
+                )
             if boost_mode not in ("multiply", "sum"):
                 raise ValueError(f"boost_mode must be multiply|sum, got {boost_mode!r}")
             need_cols = sorted({f for t, _ in functions for f, _, _ in t})

@@ -1548,7 +1548,9 @@ def _wf_body(score_mode: str, boost_mode: str = "multiply") -> dict:
     }
 
 
-@pytest.mark.parametrize("score_mode", ["multiply", "sum", "max"])
+@pytest.mark.parametrize(
+    "score_mode", ["multiply", "sum", "max", "first", "min", "avg"]
+)
 @pytest.mark.parametrize("boost_mode", ["multiply", "sum"])
 def test_fscore_functions_three_engines(documents, duck, searcher, score_mode, boost_mode):
     """ES weighted functions array: per-filter constants combined per
@@ -1607,10 +1609,105 @@ def test_fscore_functions_rejections(documents):
         dsl_search(documents, {"query": {"function_score": {
             "query": q, "functions": [
                 {"weight": 1.0, "script_score": {"script": "1"}}]}}})
-    with pytest.raises(ValueError, match=r"score_mode 'avg'"):
+    with pytest.raises(ValueError, match=r"score_mode 'median'"):
         dsl_search(documents, {"query": {"function_score": {
             "query": q, "functions": [{"weight": 1.0}],
-            "score_mode": "avg"}}})
+            "score_mode": "median"}}})
+
+
+# -- custom_filters_score (1.x precursor of function_score) -------------------
+
+def _cfs_body(score_mode: str | None = None) -> dict:
+    inner: dict = {
+        "query": {"match": {"text": "dup batch scan"}},
+        "filters": [
+            {"filter": {"term": {"lang": "en"}}, "boost": 2.0},
+            {"filter": {"range": {"n_chars": {"gte": 400}}}, "boost": 1.5},
+        ],
+    }
+    if score_mode is not None:
+        inner["score_mode"] = score_mode
+    return {"query": {"custom_filters_score": inner}, "size": 10}
+
+
+@pytest.mark.parametrize(
+    "score_mode", [None, "first", "min", "max", "total", "avg", "multiply"]
+)
+def test_custom_filters_score_three_engines(documents, duck, searcher, score_mode):
+    """1.x custom_filters_score rewrites onto the weighted-functions spec:
+    declarative == oracle == serving for every 1.x score_mode (None = the
+    1.x default `first`)."""
+    body = _cfs_body(score_mode)
+    got = [tuple(r) for r in dsl_search(documents, body).collect()]
+    want = [tuple(r) for r in duck.execute(dsl_search_sql(body)).fetchall()]
+    srv = [tuple(r) for r in dsl_search_index(searcher, body).collect()]
+    assert got == want == srv and len(got) == 10, score_mode
+
+
+def test_custom_filters_score_equals_function_score(documents):
+    """The rewrite is verbatim: cfs(total) == function_score(sum) with the
+    same filters as boost_factor functions."""
+    fs = {
+        "query": {"function_score": {
+            "query": {"match": {"text": "dup batch scan"}},
+            "functions": [
+                {"filter": {"term": {"lang": "en"}}, "boost_factor": 2.0},
+                {"filter": {"range": {"n_chars": {"gte": 400}}},
+                 "boost_factor": 1.5},
+            ],
+            "score_mode": "sum",
+        }},
+        "size": 10,
+    }
+    got = [tuple(r) for r in dsl_search(documents, _cfs_body("total")).collect()]
+    want = [tuple(r) for r in dsl_search(documents, fs).collect()]
+    assert got == want and len(got) == 10
+
+
+def test_custom_filters_score_first_is_array_order(spark):
+    """score_mode first takes the FIRST matching filter in array order,
+    not the largest: a doc matching both filters gets boost 1.5 here."""
+    df = spark.createDataFrame(
+        [(1, "dup dup", "en", 500)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    body = {"query": {"custom_filters_score": {
+        "query": {"match": {"text": "dup"}},
+        "filters": [
+            {"filter": {"range": {"n_chars": {"gte": 400}}}, "boost": 1.5},
+            {"filter": {"term": {"lang": "en"}}, "boost": 9.0},
+        ],
+        "score_mode": "first",
+    }}, "size": 1}
+    plain = {"query": {"match": {"text": "dup"}}, "size": 1}
+    got = dsl_search(df, body).collect()[0]["score"]
+    base = dsl_search(df, plain).collect()[0]["score"]
+    assert got == pytest.approx(base * 1.5, rel=1e-6)
+
+
+def test_custom_filters_score_rejections(documents):
+    with pytest.raises(ValueError, match="script scoring unsupported"):
+        dsl_search(documents, {"query": {"custom_filters_score": {
+            "query": {"match": {"text": "dup"}},
+            "filters": [{"filter": {"term": {"lang": "en"}},
+                         "script": "2.0"}]}}})
+    with pytest.raises(ValueError, match="non-empty filters"):
+        dsl_search(documents, {"query": {"custom_filters_score": {
+            "query": {"match": {"text": "dup"}}, "filters": []}}})
+    with pytest.raises(ValueError, match="needs filter \\+ boost"):
+        dsl_search(documents, {"query": {"custom_filters_score": {
+            "query": {"match": {"text": "dup"}},
+            "filters": [{"filter": {"term": {"lang": "en"}}}]}}})
+    with pytest.raises(ValueError, match=r"score_mode 'median'"):
+        dsl_search(documents, {"query": {"custom_filters_score": {
+            "query": {"match": {"text": "dup"}},
+            "filters": [{"filter": {"term": {"lang": "en"}}, "boost": 2.0}],
+            "score_mode": "median"}}})
+    with pytest.raises(ValueError, match="custom_filters_score keys"):
+        dsl_search(documents, {"query": {"custom_filters_score": {
+            "query": {"match": {"text": "dup"}},
+            "filters": [{"filter": {"term": {"lang": "en"}}, "boost": 2.0}],
+            "boost_mode": "sum"}}})
 
 
 def _b64_query(inner: dict) -> dict:
