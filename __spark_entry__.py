@@ -3023,6 +3023,31 @@ def _mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram bucket
+    distributions trained on raw vs target (lang='en') docs, per-doc log
+    importance ratio summed as integer nano-nats — two driver-sized train
+    collects then a zero-join per-row JVM fold. operators/dsir.py."""
+    from pyspark.sql import functions as F
+
+    from flume_elasticsearch_2_spark.operators.dsir import dsir_log_weights
+
+    docs = _docs(spark, sf_dir)
+    return dsir_log_weights(docs, docs.where(F.col("lang") == "en"))
+
+
+def _dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: keep the most target-like 40% by the deterministic
+    (log_weight DESC, id ASC) rank cut — the exact oracle form of the
+    paper's Gumbel resampling step. operators/dsir.py."""
+    from pyspark.sql import functions as F
+
+    from flume_elasticsearch_2_spark.operators.dsir import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    return dsir_select(docs, docs.where(F.col("lang") == "en"), keep_frac=0.4)
+
+
 _CFS_BODY = {
     "query": {"custom_filters_score": {
         "query": {"match": {"text": "dup batch scan"}},
@@ -3168,6 +3193,8 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dsir_weights",
+    "dsir_select",
     "dsl_custom_filters_score",
     "dsl_custom_filters_score_segment",
     "agg_tree_sibling_metrics",
@@ -3573,6 +3600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_common_terms_segment"] = _bm25_common_terms_segment
     q["dsl_common"] = _dsl_common
     q["mix_sample"] = _mix_sample
+    q["dsir_weights"] = _dsir_weights
+    q["dsir_select"] = _dsir_select
     q["dsl_named_queries"] = _dsl_named_queries
     q["dsl_named_queries_segment"] = _dsl_named_queries_segment
     q["dsl_fquery"] = _dsl_fquery
@@ -4024,6 +4053,13 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
         + mix_sample_sql({"src0": 1.0, "src1": 0.5, "src2": 0.25}, seed=7)
         + ") ORDER BY doc_id"
     )
+    from flume_elasticsearch_2_spark.operators.dsir import (
+        dsir_log_weights_sql,
+        dsir_select_sql,
+    )
+
+    o["dsir_weights"] = dsir_log_weights_sql("lang = 'en'")
+    o["dsir_select"] = dsir_select_sql("lang = 'en'", keep_frac=0.4)
     from flume_elasticsearch_2_spark.operators.charlm import (
         charlm_score_sql,
         charlm_tail_filter_sql,
