@@ -1382,6 +1382,61 @@ _DSL_SPAN_FIRST_BODY = {
     }},
     "size": 10,
 }
+_DSL_SPAN_OR_BODY = {
+    "query": {"span_or": {"clauses": [
+        {"span_term": {"text": "dup"}},
+        {"span_term": {"text": "merge"}},
+        {"span_term": {"text": "vector"}},
+    ]}},
+    "size": 10,
+}
+_DSL_SPAN_NOT_BODY = {
+    "query": {"span_not": {
+        "include": {"span_term": {"text": "batch"}},
+        "exclude": {"span_term": {"text": "scan"}},
+        "pre": 2,
+        "post": 2,
+    }},
+    "size": 10,
+}
+
+
+def _dsl_span_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene/ES span_or over span_term clauses (union of single-term
+    spans): sf = summed clause tfs, idf = summed clause idfs — one JVM
+    filter over the tokens array, stats as driver constants, zero joins."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_SPAN_OR_BODY)
+
+
+def _dsl_span_or_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_or on the SERVING path: scatter to shards holding >= 1 clause
+    term, sf = group-summed stored tfs (freq-only postings suffice —
+    single-term spans never need positions)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_SPAN_OR_BODY)
+
+
+def _dsl_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene/ES span_not (include minus exclude within the [p-pre, p+post]
+    forbidden window): nested JVM exists over two position lists; only the
+    include term's corpus df scores (SpanNotQuery never scores exclude)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_SPAN_NOT_BODY)
+
+
+def _dsl_span_not_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_not on the SERVING path: scatter only to include-term shards,
+    window check = two vectorized searchsorted probes over doc*2^40+pos
+    keys of the stored position streams."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_SPAN_NOT_BODY)
+
+
 _DSL_SCRIPT_FILTER_BODY = {
     "query": {"bool": {
         "must": [{"match": {"text": "dup batch scan"}}],
@@ -3193,6 +3248,10 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dsl_span_or",
+    "dsl_span_or_segment",
+    "dsl_span_not",
+    "dsl_span_not_segment",
     "dsir_weights",
     "dsir_select",
     "dsl_custom_filters_score",
@@ -3509,6 +3568,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_wrapper_segment"] = _dsl_wrapper_segment
     q["dsl_span_first"] = _dsl_span_first
     q["dsl_span_first_segment"] = _dsl_span_first_segment
+    q["dsl_span_or"] = _dsl_span_or
+    q["dsl_span_or_segment"] = _dsl_span_or_segment
+    q["dsl_span_not"] = _dsl_span_not
+    q["dsl_span_not_segment"] = _dsl_span_not_segment
     q["dsl_script_filter"] = _dsl_script_filter
     q["dsl_span_near"] = _dsl_span_near
     q["dsl_span_near_segment"] = _dsl_span_near_segment
@@ -4272,6 +4335,10 @@ SELECT CAST(rk // 100 AS BIGINT) AS page, doc_id FROM r
     o["dsl_wrapper_segment"] = o["dsl_wrapper"]
     o["dsl_span_first"] = dsl_search_sql(_DSL_SPAN_FIRST_BODY)
     o["dsl_span_first_segment"] = o["dsl_span_first"]
+    o["dsl_span_or"] = dsl_search_sql(_DSL_SPAN_OR_BODY)
+    o["dsl_span_or_segment"] = o["dsl_span_or"]
+    o["dsl_span_not"] = dsl_search_sql(_DSL_SPAN_NOT_BODY)
+    o["dsl_span_not_segment"] = o["dsl_span_not"]
     o["dsl_script_filter"] = dsl_search_sql(_DSL_SCRIPT_FILTER_BODY)
     o["dsl_span_near"] = dsl_search_sql(_DSL_SPAN_NEAR_BODY)
     o["dsl_span_near_segment"] = o["dsl_span_near"]

@@ -80,6 +80,15 @@ silent best-effort):
   ``end`` token positions; Lucene span-end <= end, freq = matching spans,
   idf = the term's corpus df) — all three paths; multi-clause span matches
   refuse loudly.
+* ``span_or`` over ``span_term`` clauses (union of single-term spans:
+  freq = summed clause tfs, idf = summed clause idfs — Lucene SpanWeight
+  sums idf over every extracted term; duplicate clauses collapse) — all
+  three paths.
+* ``span_not`` over single ``span_term`` include/exclude with ``pre``/
+  ``post``/``dist`` windows (an include occurrence survives iff no exclude
+  occurrence within ``[p-pre, p+post]``; idf = the include term's corpus
+  df only — SpanNotQuery never scores its exclude clause) — all three
+  paths; non-span_term clauses refuse loudly.
 * ``wrapper`` (base64-encoded query JSON, the ES wrapper query) — decoded
   and substituted at the TOP-LEVEL ``body.query`` position before dispatch,
   so any supported clause rides inside; nested wrappers beyond depth 4,
@@ -161,6 +170,8 @@ class _Spec:
         # weighted functions array: (((triples, weight), ...), score_mode)
         self.fscore_functions: tuple | None = None
         self.span_first: tuple[str, int] | None = None  # (term, end)
+        self.span_or: list[str] | None = None  # deduped span_term clauses
+        self.span_not: tuple[str, str, int, int] | None = None  # (inc, exc, pre, post)
         self.flt: dict | None = None  # fuzzy_like_this params
         self.nested: dict | None = None  # nested query (path/triples/score_mode)
         self.min_score: float | None = None  # drop hits scoring below this
@@ -809,6 +820,61 @@ def parse_body(
             _err(f"span_term {t!r} is not a single analyzed token")
         spec.kind = "span_first"
         spec.span_first = (str(t).lower(), int(val["end"]))
+    elif kind == "span_or":
+        # Lucene/ES span_or over span_term clauses: union of single-term
+        # spans. Contract pinned in operators/topk.py bm25_span_or_topk —
+        # freq = summed clause tfs, idf = summed clause idfs, duplicate
+        # clauses collapse (set semantics).
+        extra_s = set(val) - {"clauses"}
+        if extra_s:
+            _err(f"span_or keys {sorted(extra_s)} (clauses only)")
+        terms_so: list[str] = []
+        for c in val.get("clauses") or _err("span_or needs clauses"):
+            ck, cv = _one_field(c, "span_or clause")
+            if ck != "span_term":
+                _err(f"span_or clause {ck!r} (span_term only)")
+            f, t = _one_field(cv, "span_term")
+            if f != text_col:
+                _err(f"span_term on {f!r}")
+            t = t if isinstance(t, str) else t.get("value")
+            if tokenize(str(t).lower()) != [str(t).lower()]:
+                _err(f"span_term {t!r} is not a single analyzed token")
+            terms_so.append(str(t).lower())
+        spec.kind = "span_or"
+        spec.span_or = sorted(set(terms_so))
+    elif kind == "span_not":
+        # Lucene/ES span_not over single span_term include/exclude with the
+        # pre/post (or dist = both) forbidden window. Contract pinned in
+        # operators/topk.py bm25_span_not_topk — an include occurrence at
+        # position p survives iff no exclude occurrence in [p-pre, p+post];
+        # only the include term scores.
+        extra_s = set(val) - {"include", "exclude", "pre", "post", "dist"}
+        if extra_s:
+            _err(f"span_not keys {sorted(extra_s)}")
+        if "dist" in val and ("pre" in val or "post" in val):
+            _err("span_not dist is exclusive with pre/post")
+        pre_sn = int(val.get("dist", val.get("pre", 0)))
+        post_sn = int(val.get("dist", val.get("post", 0)))
+        if pre_sn < 0 or post_sn < 0:
+            _err("span_not pre/post/dist must be >= 0")
+        pair_sn: list[str] = []
+        for key in ("include", "exclude"):
+            ck, cv = _one_field(
+                val.get(key) or _err(f"span_not needs {key}"), f"span_not {key}"
+            )
+            if ck != "span_term":
+                _err(f"span_not {key} {ck!r} (span_term only)")
+            f, t = _one_field(cv, "span_term")
+            if f != text_col:
+                _err(f"span_term on {f!r}")
+            t = t if isinstance(t, str) else t.get("value")
+            if tokenize(str(t).lower()) != [str(t).lower()]:
+                _err(f"span_term {t!r} is not a single analyzed token")
+            pair_sn.append(str(t).lower())
+        if pair_sn[0] == pair_sn[1]:
+            _err("span_not include and exclude must differ")
+        spec.kind = "span_not"
+        spec.span_not = (pair_sn[0], pair_sn[1], pre_sn, post_sn)
     elif kind == "function_score":
         # ES function_score: field_value_factor (base scores combined with
         # factor*modifier(field) per boost_mode) or random_score (seeded
@@ -1611,6 +1677,22 @@ def dsl_search(
         return bm25_span_first_topk(
             docs, *spec.span_first, k=spec.size, id_col=id_col, text_col=text_col
         )
+    if spec.kind == "span_or":
+        if spec.filters or mn or spec.from_:
+            _err("span_or with filters/must_not/from")
+        from .topk import bm25_span_or_topk
+
+        return bm25_span_or_topk(
+            docs, spec.span_or, k=spec.size, id_col=id_col, text_col=text_col
+        )
+    if spec.kind == "span_not":
+        if spec.filters or mn or spec.from_:
+            _err("span_not with filters/must_not/from")
+        from .topk import bm25_span_not_topk
+
+        return bm25_span_not_topk(
+            docs, *spec.span_not, k=spec.size, id_col=id_col, text_col=text_col
+        )
     if spec.kind == "phrase_prefix":
         if spec.filters or mn or spec.from_:
             _err("match_phrase_prefix with filters/must_not/from")
@@ -1814,6 +1896,18 @@ def dsl_search_sql(
         from .topk import bm25_span_first_topk_sql
 
         return bm25_span_first_topk_sql(*spec.span_first, k=spec.size, table=table)
+    if spec.kind == "span_or":
+        if spec.filters or mn or spec.from_:
+            _err("span_or with filters/must_not/from")
+        from .topk import bm25_span_or_topk_sql
+
+        return bm25_span_or_topk_sql(spec.span_or, k=spec.size, table=table)
+    if spec.kind == "span_not":
+        if spec.filters or mn or spec.from_:
+            _err("span_not with filters/must_not/from")
+        from .topk import bm25_span_not_topk_sql
+
+        return bm25_span_not_topk_sql(*spec.span_not, k=spec.size, table=table)
     if spec.kind == "phrase_prefix":
         if spec.filters or mn or spec.from_:
             _err("match_phrase_prefix with filters/must_not/from")
@@ -2047,6 +2141,18 @@ def dsl_search_index(
         if multifield:
             searcher = searcher.field_searcher(searcher.fields[0])
         return searcher.search_span_first(*spec.span_first, k=spec.size)
+    if spec.kind == "span_or":
+        if spec.filters or mn or spec.from_:
+            _err("span_or with filters/must_not/from")
+        if multifield:
+            searcher = searcher.field_searcher(searcher.fields[0])
+        return searcher.search_span_or(spec.span_or, k=spec.size)
+    if spec.kind == "span_not":
+        if spec.filters or mn or spec.from_:
+            _err("span_not with filters/must_not/from")
+        if multifield:
+            searcher = searcher.field_searcher(searcher.fields[0])
+        return searcher.search_span_not(*spec.span_not, k=spec.size)
     if spec.kind == "multiterm":
         pat, kind, kw = spec.mt
         if spec.filters or mn:

@@ -477,6 +477,257 @@ LIMIT {int(k)}
 """
 
 
+def _span_tok(term: str) -> str:
+    """Validate a span_term literal: must BE a single analyzed token
+    (span queries are term-level, not analyzed) or it can never match."""
+    t = str(term).lower()
+    if tokenize(t) != [t]:
+        raise ValueError(f"span_term {term!r} is not a single analyzed token")
+    return t
+
+
+def bm25_span_or_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Lucene/ES ``span_or`` over ``span_term`` clauses (ES 1.x body
+    ``{"span_or": {"clauses": [{"span_term": ...}, ...]}}``; reference
+    delegation site ElasticsearchSink.java:54).
+
+    Pinned contract (all three engines): the union of single-term spans —
+    ``sf`` per doc = TOTAL occurrences of any clause term (each single-term
+    span has sloppyFreq 1.0, so SpanScorer freq is the plain sum);
+    duplicate clauses collapse (set semantics); idf is the SUM of the
+    clause terms' idfs (Lucene's SpanWeight builds its similarity weight
+    from every extracted term — ``idfExplain(termStats[])`` sums — and a
+    term absent from the corpus still contributes its df=0 idf); score =
+    ``idf_sum * sf*(k1+1)/(sf + k1*(1-b+b*dl/avgdl))``, sf=0 docs drop.
+
+    Same two-narrow-pass zero-join shape as :func:`bm25_topk`: sf and the
+    per-term df flags are JVM ``filter``/``size`` expressions over ONE
+    tokens array, stats one map-side-combined agg collected as driver
+    constants, the scoring pass ends in TakeOrderedAndProject."""
+    import math
+
+    toks_q = sorted({_span_tok(t) for t in terms})
+    if not toks_q:
+        raise ValueError("span_or needs >= 1 span_term clause")
+    spark = docs.sparkSession
+    lits = F.array(*[F.lit(t) for t in toks_q])
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(text_col).alias("_t"),
+    ).select(
+        "doc_id",
+        F.size("_t").cast("long").alias("dl"),
+        F.size(F.filter(F.col("_t"), lambda x: F.array_contains(lits, x)))
+        .cast("double")
+        .alias("sf"),
+        *[
+            F.array_contains("_t", t).cast("long").alias(f"_h{i}")
+            for i, t in enumerate(toks_q)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum(f"_h{i}").alias(f"_df{i}") for i in range(len(toks_q))],
+    ).collect()[0]
+    n_docs = int(stats["n_docs"])
+    avgdl = float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0
+    if n_docs == 0 or avgdl == 0.0:
+        return spark.createDataFrame([], "doc_id long, score double")
+    idf_sum = sum(
+        math.log1p((n_docs - int(stats[f"_df{i}"]) + 0.5) / (int(stats[f"_df{i}"]) + 0.5))
+        for i in range(len(toks_q))
+    )
+    sat = (
+        F.col("sf")
+        * (k1 + 1.0)
+        / (F.col("sf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        per_doc.where(F.col("sf") > 0)
+        .withColumn("score_exact", F.lit(idf_sum) * sat)
+        .orderBy(F.col("score_exact").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.round("score_exact", 6).alias("score"))
+    )
+
+
+def bm25_span_or_topk_sql(
+    terms: list[str], k: int = 10, table: str = "documents"
+) -> str:
+    """DuckDB oracle for :func:`bm25_span_or_topk` — identical pinned
+    contract (summed idf over the deduped clause set, summed sf)."""
+    toks_q = sorted({_span_tok(t) for t in terms})
+    if not toks_q:
+        raise ValueError("span_or needs >= 1 span_term clause")
+    lits = ", ".join("'" + t.replace("'", "''") + "'" for t in toks_q)
+    dfs = ", ".join(
+        f"sum(CASE WHEN list_contains(ts, '{t.replace(chr(39), chr(39)*2)}') "
+        f"THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(toks_q)
+    )
+    idf_sum = " + ".join(
+        f"ln(1 + (s.n_docs - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+        for i in range(len(toks_q))
+    )
+    score = (
+        f"({idf_sum}) * f.sf * (1.2 + 1.0)"
+        f" / (f.sf + 1.2 * (1.0 - 0.75 + 0.75 * f.dl / s.avgdl))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM {table}
+),
+f AS (
+  SELECT doc_id, len(ts) AS dl, ts,
+         CAST(len(list_filter(ts, x -> list_contains([{lits}], x))) AS DOUBLE) AS sf
+  FROM toks
+),
+s AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl, {dfs}
+  FROM f
+)
+SELECT f.doc_id, round({score}, 6) AS score
+FROM f CROSS JOIN s
+WHERE f.sf > 0
+ORDER BY {score} DESC, f.doc_id ASC
+LIMIT {int(k)}
+"""
+
+
+def bm25_span_not_topk(
+    docs: DataFrame,
+    include: str,
+    exclude: str,
+    pre: int = 0,
+    post: int = 0,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Lucene/ES ``span_not`` over single ``span_term`` include/exclude
+    (ES 1.x body ``{"span_not": {"include": ..., "exclude": ..., "pre": n,
+    "post": n}}``; reference delegation site ElasticsearchSink.java:54).
+
+    Pinned contract (all three engines): an include occurrence at token
+    position ``p`` survives iff NO exclude occurrence sits in
+    ``[p - pre, p + post]`` (Lucene's SpanNotQuery forbidden window;
+    pre=post=0 is the pure-overlap default — vacuous for two DISTINCT
+    single-token terms, which is why 1.x added pre/post). ``sf`` = count
+    of surviving include spans; idf uses the INCLUDE term's corpus df only
+    (SpanNotQuery extracts only include terms for its weight — the exclude
+    clause never contributes to scoring); score =
+    ``idf * sf*(k1+1)/(sf + k1*(1-b+b*dl/avgdl))``, sf=0 docs drop.
+
+    Zero-join shape: 1-based position lists of both terms are JVM
+    ``filter(sequence(...))`` expressions over one tokens array; the
+    window check is a nested ``exists`` — all whole-stage-codegen."""
+    inc, exc = _span_tok(include), _span_tok(exclude)
+    if inc == exc:
+        raise ValueError("span_not include and exclude must differ")
+    if int(pre) < 0 or int(post) < 0:
+        raise ValueError("span_not pre/post must be >= 0")
+    pre, post = int(pre), int(post)
+    spark = docs.sparkSession
+    toks = tokens_col(text_col)
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        toks.alias("_t"),
+    ).select(
+        "doc_id",
+        "dl",
+        F.expr(f"filter(sequence(1, size(_t)), i -> element_at(_t, i) = '{inc}')").alias("_pi"),
+        F.expr(f"filter(sequence(1, size(_t)), i -> element_at(_t, i) = '{exc}')").alias("_pe"),
+    ).select(
+        "doc_id",
+        "dl",
+        F.size("_pi").cast("long").alias("tf"),
+        F.expr(
+            f"CAST(size(filter(_pi, p -> NOT exists(_pe, "
+            f"q -> q >= p - {pre} AND q <= p + {post}))) AS DOUBLE)"
+        ).alias("sf"),
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.sum((F.col("tf") > 0).cast("long")).alias("df"),
+    ).collect()[0]
+    n_docs, df_t = int(stats["n_docs"]), int(stats["df"])
+    avgdl = float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0
+    if n_docs == 0 or avgdl == 0.0 or df_t == 0:
+        return spark.createDataFrame([], "doc_id long, score double")
+    score = bm25_col(
+        F.col("sf"), F.lit(df_t), F.col("dl"), F.lit(n_docs), F.lit(avgdl), k1, b
+    )
+    return (
+        per_doc.where(F.col("sf") > 0)
+        .withColumn("score_exact", score)
+        .orderBy(F.col("score_exact").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.round("score_exact", 6).alias("score"))
+    )
+
+
+def bm25_span_not_topk_sql(
+    include: str,
+    exclude: str,
+    pre: int = 0,
+    post: int = 0,
+    k: int = 10,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`bm25_span_not_topk` — identical 1-based
+    positions, forbidden-window filter, include-df idf."""
+    inc, exc = _span_tok(include), _span_tok(exclude)
+    if inc == exc or int(pre) < 0 or int(post) < 0:
+        raise ValueError("span_not include/exclude/pre/post invalid")
+    pre, post = int(pre), int(post)
+    i_ = inc.replace("'", "''")
+    e_ = exc.replace("'", "''")
+    score = (
+        f"ln(1 + (s.n_docs - s.df + 0.5) / (s.df + 0.5)) * f.sf * (1.2 + 1.0)"
+        f" / (f.sf + 1.2 * (1.0 - 0.75 + 0.75 * f.dl / s.avgdl))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM {table}
+),
+p AS (
+  SELECT doc_id, len(ts) AS dl,
+         list_filter(range(1, len(ts) + 1), i -> ts[i] = '{i_}') AS pi,
+         list_filter(range(1, len(ts) + 1), i -> ts[i] = '{e_}') AS pe
+  FROM toks
+),
+f AS (
+  SELECT doc_id, dl, len(pi) AS tf,
+         CAST(len(list_filter(pi, pp -> len(list_filter(pe,
+              qq -> qq >= pp - {pre} AND qq <= pp + {post})) = 0)) AS DOUBLE) AS sf
+  FROM p
+),
+s AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+         sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+  FROM f
+)
+SELECT f.doc_id, round({score}, 6) AS score
+FROM f CROSS JOIN s
+WHERE f.sf > 0
+ORDER BY {score} DESC, f.doc_id ASC
+LIMIT {int(k)}
+"""
+
+
 def bm25_topk_sql(
     query: str,
     k: int = 10,

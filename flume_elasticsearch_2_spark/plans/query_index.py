@@ -534,6 +534,144 @@ def _span_first_score_shard(
     )
 
 
+def _span_or_score_shard(
+    postings: pd.DataFrame,
+    docs: pd.DataFrame,
+    *,
+    terms: list[str],
+    idf_sum: float,
+    avgdl: float,
+    id_space: int,
+    n_shards: int,
+    k: int,
+) -> pd.DataFrame:
+    """One shard of ``span_or`` (operators/topk.py bm25_span_or_topk pins
+    the contract): sf per candidate = SUM of the clause terms' tfs (the
+    union of single-term spans — no positions needed), scored
+    ``idf_sum * sf*(k1+1)/(sf+k1*(1-b+b*dl/avgdl))`` with the GLOBAL
+    summed idf passed in. Concatenated doc streams group-summed with one
+    ``np.unique`` — no per-doc loop."""
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+    )
+    if len(postings) == 0 or len(docs) == 0:
+        return empty
+    shard = int(postings["shard"].iloc[0])
+    base = shard_start(shard, id_space, n_shards)
+    from ..codec import svb_decode
+
+    want = set(terms)
+    ids_all: list[np.ndarray] = []
+    tfs_all: list[np.ndarray] = []
+    for row in postings.itertuples(index=False):
+        if row.term not in want:
+            continue
+        n = int(row.n)
+        ids_all.append(np.cumsum(svb_decode(row.doc_bytes, n).astype(np.int64)))
+        tfs_all.append(svb_decode(row.tf_bytes, n).astype(np.float64))
+    if not ids_all:
+        return empty
+    ids_cat = np.concatenate(ids_all)
+    tfs_cat = np.concatenate(tfs_all)
+    cand, inv = np.unique(ids_cat, return_inverse=True)
+    sf = np.bincount(inv, weights=tfs_cat, minlength=len(cand))
+    doc_ids_local = docs["doc_id"].to_numpy(dtype=np.int64) - base
+    dls = docs["dl"].to_numpy(np.float64)
+    order = np.argsort(doc_ids_local)
+    doc_ids_local, dls = doc_ids_local[order], dls[order]
+    dl = dls[np.searchsorted(doc_ids_local, cand)]
+    scores = idf_sum * sf * (K1 + 1.0) / (sf + K1 * (1.0 - B + B * dl / avgdl))
+    sel = np.lexsort((cand, -scores))[:k]
+    return pd.DataFrame(
+        {
+            "doc_id": (base + cand[sel]).astype(np.int64),
+            "score": scores[sel].astype(np.float64),
+        }
+    )
+
+
+def _span_not_score_shard(
+    postings: pd.DataFrame,
+    docs: pd.DataFrame,
+    *,
+    include: str,
+    exclude: str,
+    pre: int,
+    post: int,
+    idf: float,
+    avgdl: float,
+    id_space: int,
+    n_shards: int,
+    k: int,
+) -> pd.DataFrame:
+    """One shard of ``span_not`` (operators/topk.py bm25_span_not_topk pins
+    the contract): an include occurrence at 0-based stored position ``p``
+    survives iff no exclude occurrence sits in ``[p-pre, p+post]``. Both
+    terms' position streams are decoded once; the window check is two
+    vectorized ``searchsorted`` probes over ``doc*2^40 + pos`` keys
+    (shard-local doc index < 2^23 guarded, so the product fits int64 —
+    same bound discipline as the phrase kernel)."""
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+    )
+    if len(postings) == 0 or len(docs) == 0:
+        return empty
+    shard = int(postings["shard"].iloc[0])
+    base = shard_start(shard, id_space, n_shards)
+    from ..codec import decode_positions, svb_decode
+
+    rows = {r.term: r for r in postings.itertuples(index=False)}
+    if include not in rows:
+        return empty
+    ri = rows[include]
+    n_i = int(ri.n)
+    ids_i = np.cumsum(svb_decode(ri.doc_bytes, n_i).astype(np.int64))
+    tfs_i = svb_decode(ri.tf_bytes, n_i).astype(np.int64)
+    pos_i = decode_positions(ri.pos_bytes, tfs_i).astype(np.int64)
+    seg_i = np.repeat(np.arange(n_i, dtype=np.int64), tfs_i)
+    if exclude in rows:
+        re_ = rows[exclude]
+        n_e = int(re_.n)
+        ids_e = np.cumsum(svb_decode(re_.doc_bytes, n_e).astype(np.int64))
+        tfs_e = svb_decode(re_.tf_bytes, n_e).astype(np.int64)
+        pos_e = decode_positions(re_.pos_bytes, tfs_e).astype(np.int64)
+        seg_e = np.repeat(np.arange(n_e, dtype=np.int64), tfs_e)
+        big = np.int64(1) << 40
+        hi_doc = max(int(ids_i.max()), int(ids_e.max()) if n_e else 0)
+        if hi_doc >= (1 << 23) or (pos_i.size and int(pos_i.max()) + post >= int(big)):
+            raise ValueError(
+                "span_not shard exceeds the pinned doc/pos bounds "
+                "(doc index < 2^23, position + post < 2^40)"
+            )
+        inc_doc = ids_i[seg_i]
+        exc_keys = np.sort(ids_e[seg_e] * big + pos_e)
+        lo = inc_doc * big + np.maximum(pos_i - pre, 0)
+        hi = inc_doc * big + pos_i + post
+        dead = np.searchsorted(exc_keys, lo, side="left") != np.searchsorted(
+            exc_keys, hi, side="right"
+        )
+        sf = np.bincount(seg_i[~dead], minlength=n_i).astype(np.float64)
+    else:
+        sf = tfs_i.astype(np.float64)
+    hit = sf > 0
+    if not hit.any():
+        return empty
+    cand, sf = ids_i[hit], sf[hit]
+    doc_ids_local = docs["doc_id"].to_numpy(dtype=np.int64) - base
+    dls = docs["dl"].to_numpy(np.float64)
+    order = np.argsort(doc_ids_local)
+    doc_ids_local, dls = doc_ids_local[order], dls[order]
+    dl = dls[np.searchsorted(doc_ids_local, cand)]
+    scores = idf * sf * (K1 + 1.0) / (sf + K1 * (1.0 - B + B * dl / avgdl))
+    sel = np.lexsort((cand, -scores))[:k]
+    return pd.DataFrame(
+        {
+            "doc_id": (base + cand[sel]).astype(np.int64),
+            "score": scores[sel].astype(np.float64),
+        }
+    )
+
+
 def _phrase_prefix_score_shard(
     postings: pd.DataFrame,
     docs: pd.DataFrame,
@@ -1255,6 +1393,120 @@ class IndexSearcher:
                         index_dir, shard, [term], None, cols=POST_COLS_POSITIONAL
                     )
                     yield _span_first_score_shard(pt, dt, **kwargs)
+
+        rows = (
+            _one_task_per_shard(spark, shards)
+            .mapInPandas(score_shards, "doc_id long, score double")
+            .collect()
+        )
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        return spark.createDataFrame(
+            [(int(r["doc_id"]), round_half_up6(r["score"])) for r in rows[:k]],
+            "doc_id long, score double",
+        )
+
+
+    def search_span_or(self, terms: list[str], k: int = 10) -> DataFrame:
+        """``span_or`` on the SERVING path (rank-identical to
+        ``operators.topk.bm25_span_or_topk`` by test): scatter only to
+        shards holding >= 1 clause term, sf = summed stored tfs, idf = the
+        GLOBAL summed clause idf (df=0 terms still contribute). Freq-only
+        index suffices — single-term spans never need positions."""
+        import math
+
+        from ..functions.tokenizer import tokenize as _tok
+
+        spark = self.spark
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        toks_q = sorted({str(t).lower() for t in terms})
+        if not toks_q:
+            raise ValueError("span_or needs >= 1 span_term clause")
+        for t in toks_q:
+            if _tok(t) != [t]:
+                raise ValueError(f"span_term {t!r} is not a single analyzed token")
+        dfreq, term_shards = self._query_meta_terms(toks_q)
+        idf_sum = sum(
+            math.log1p(
+                (self.n_docs - dfreq.get(t, 0) + 0.5) / (dfreq.get(t, 0) + 0.5)
+            )
+            for t in toks_q
+        )
+        shard_set: set[int] = set()
+        for s in term_shards.values():
+            shard_set |= s
+        if not shard_set:
+            return empty
+        shards = sorted(shard_set)
+        index_dir = self.index_dir
+        kwargs = dict(
+            terms=toks_q, idf_sum=idf_sum, avgdl=self.avgdl,
+            id_space=self.id_space, n_shards=self.n_shards, k=k,
+        )
+
+        def score_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for shard in pdf["shard"].tolist():
+                    pt, dt = _read_shard_tables(index_dir, shard, toks_q, None)
+                    yield _span_or_score_shard(pt, dt, **kwargs)
+
+        rows = (
+            _one_task_per_shard(spark, shards)
+            .mapInPandas(score_shards, "doc_id long, score double")
+            .collect()
+        )
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        return spark.createDataFrame(
+            [(int(r["doc_id"]), round_half_up6(r["score"])) for r in rows[:k]],
+            "doc_id long, score double",
+        )
+
+    def search_span_not(
+        self, include: str, exclude: str, pre: int = 0, post: int = 0, k: int = 10
+    ) -> DataFrame:
+        """``span_not`` on the SERVING path (rank-identical to
+        ``operators.topk.bm25_span_not_topk`` by test): scatter only to
+        shards holding the INCLUDE term (exclude alone can never match),
+        kill include positions inside the ``[p-pre, p+post]`` window of any
+        stored exclude position, idf = include-term corpus df. Requires
+        ``store_positions=True``."""
+        import math
+
+        from ..functions.tokenizer import tokenize as _tok
+
+        spark = self.spark
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        if not self.manifest.get("positions"):
+            raise ValueError(
+                "index stores freqs only — build with store_positions=True for span queries"
+            )
+        inc, exc = str(include).lower(), str(exclude).lower()
+        for t in (inc, exc):
+            if _tok(t) != [t]:
+                raise ValueError(f"span_term {t!r} is not a single analyzed token")
+        if inc == exc:
+            raise ValueError("span_not include and exclude must differ")
+        if int(pre) < 0 or int(post) < 0:
+            raise ValueError("span_not pre/post must be >= 0")
+        dfreq, term_shards = self._query_meta_terms([inc, exc])
+        if inc not in dfreq:
+            return empty
+        df_t = dfreq[inc]
+        idf = math.log1p((self.n_docs - df_t + 0.5) / (df_t + 0.5))
+        shards = sorted(term_shards[inc])
+        index_dir = self.index_dir
+        kwargs = dict(
+            include=inc, exclude=exc, pre=int(pre), post=int(post), idf=idf,
+            avgdl=self.avgdl, id_space=self.id_space, n_shards=self.n_shards, k=k,
+        )
+
+        def score_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for shard in pdf["shard"].tolist():
+                    pt, dt = _read_shard_tables(
+                        index_dir, shard, [inc, exc], None,
+                        cols=POST_COLS_POSITIONAL,
+                    )
+                    yield _span_not_score_shard(pt, dt, **kwargs)
 
         rows = (
             _one_task_per_shard(spark, shards)
