@@ -738,6 +738,61 @@ def _generation_dirs(spark: SparkSession, sf_dir: str) -> list:
     return _GEN_CACHE[sf_dir]
 
 
+_PGEN_CACHE: dict[str, list] = {}  # sf_dir -> [even_dir, odd_dir]
+
+
+def _parity_generation_dirs(spark: SparkSession, sf_dir: str) -> list:
+    """Two index generations carved by doc-id parity (a count-free split the
+    static DuckDB oracle can name: doc_id % 2) — the indices-query fixture."""
+    import tempfile
+
+    from flume_elasticsearch_2_spark.plans.build_index import build_index
+
+    if sf_dir not in _PGEN_CACHE:
+        docs = _docs(spark, sf_dir)
+        space = docs.count()
+        base = tempfile.mkdtemp(prefix="fts_pgen_")
+        d1, d2 = os.path.join(base, "even"), os.path.join(base, "odd")
+        build_index(spark, docs.where("doc_id % 2 = 0"), d1, n_shards=4, id_space=space)
+        build_index(spark, docs.where("doc_id % 2 = 1"), d2, n_shards=4, id_space=space)
+        _PGEN_CACHE[sf_dir] = [d1, d2]
+    return _PGEN_CACHE[sf_dir]
+
+
+def _indices_query_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x indices query: the 'even' generation runs the main query, the
+    'odd' generation runs no_match_query — both scored with GLOBAL
+    dfs_query_then_fetch stats, one scatter job, coordinator merge."""
+    from flume_elasticsearch_2_spark.plans.query_index import indices_query
+
+    return indices_query(
+        spark, _parity_generation_dirs(spark, sf_dir), ["even", "odd"],
+        ["even"], "dup batch scan", no_match_query="merge vector", k=10,
+    )
+
+
+def _indices_query_none(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """indices query with no_match_query='none': non-targeted generations
+    drop out entirely (scatter never visits their shards)."""
+    from flume_elasticsearch_2_spark.plans.query_index import indices_query
+
+    return indices_query(
+        spark, _parity_generation_dirs(spark, sf_dir), ["even", "odd"],
+        ["even"], "dup batch scan", no_match_query="none", k=10,
+    )
+
+
+def _indices_query_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """indices query with ES's default no_match_query='all': non-targeted
+    docs ride in at constant score 1.0 (ties doc_id-ascending)."""
+    from flume_elasticsearch_2_spark.plans.query_index import indices_query
+
+    return indices_query(
+        spark, _parity_generation_dirs(spark, sf_dir), ["even", "odd"],
+        ["even"], "dup batch scan", no_match_query="all", k=10,
+    )
+
+
 def _bm25_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES multi-index (alias) search across UNMERGED generations,
     dfs_query_then_fetch: global df/avgdl/N from a driver-side dictionary
@@ -3248,6 +3303,9 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "indices_query_scored",
+    "indices_query_none",
+    "indices_query_all",
     "dsl_span_or",
     "dsl_span_or_segment",
     "dsl_span_not",
@@ -3509,6 +3567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_rescore"] = _bm25_rescore
     q["bm25_rescore_segment"] = _bm25_rescore_segment
     q["bm25_generations"] = _bm25_generations
+    q["indices_query_scored"] = _indices_query_scored
+    q["indices_query_none"] = _indices_query_none
+    q["indices_query_all"] = _indices_query_all
     q["es_analyze"] = _es_analyze
     q["percolate_matches"] = _percolate_matches
     q["dsl_query_string"] = _dsl_query_string
@@ -4016,6 +4077,17 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["bm25_rescore"] = bm25_rescore_sql("batch small scan", "batch small", k=10, rescore_weight=2.0)
     o["bm25_rescore_segment"] = o["bm25_rescore"]
     o["bm25_generations"] = bm25_topk_sql("dup batch scan", k=10)
+    from flume_elasticsearch_2_spark.plans.query_index import indices_query_sql
+
+    o["indices_query_scored"] = indices_query_sql(
+        "doc_id % 2 = 0", "dup batch scan", no_match_query="merge vector", k=10
+    )
+    o["indices_query_none"] = indices_query_sql(
+        "doc_id % 2 = 0", "dup batch scan", no_match_query="none", k=10
+    )
+    o["indices_query_all"] = indices_query_sql(
+        "doc_id % 2 = 0", "dup batch scan", no_match_query="all", k=10
+    )
     o["es_analyze"] = analyze_sql("The QUICK-brown fox_42, jumps; over!")
     _perc_rows = " UNION ALL ".join(
         "SELECT {} AS query_id, '{}' AS mode, {} AS terms".format(

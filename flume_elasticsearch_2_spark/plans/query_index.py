@@ -3343,3 +3343,187 @@ def search_generations(
         [(int(r["doc_id"]), round_half_up6(r["score"])) for r in rows[:k]],
         "doc_id long, score double",
     )
+
+
+def indices_query(
+    spark: SparkSession,
+    index_dirs: list[str],
+    names: list[str],
+    target_names: list[str],
+    query: str,
+    no_match_query: str = "all",
+    k: int = 10,
+    mode: str = "or",
+    pruned: bool = True,
+) -> DataFrame:
+    """ES 1.x ``indices`` query over unmerged generations (reference
+    delegation site ElasticsearchSink.java:54): indices named in
+    ``target_names`` run ``query``; every other index runs
+    ``no_match_query`` — a query string, ``"none"`` (exclude those
+    indices), or ``"all"`` (ES's default: match_all, constant score 1.0
+    per doc, ties broken doc_id-ascending).
+
+    Pinned contract: ``dfs_query_then_fetch`` like :func:`search_generations`
+    — BOTH queries' term stats (df / n_docs / avgdl) are GLOBAL across
+    every index in the alias, so a doc's score depends only on which query
+    its index runs, never on generation boundaries; the union's top-k is
+    merged on the coordinator. Scale shape: one dictionary-read dfs pass
+    per index, ONE scatter job across all active shards, <= shards·k rows
+    gathered."""
+    if len(names) != len(index_dirs):
+        raise ValueError("names must have one entry per index dir")
+    if len(set(names)) != len(names):
+        raise ValueError("index names must be unique")
+    unknown = set(target_names) - set(names)
+    if unknown:
+        raise ValueError(f"indices query targets unknown indices {sorted(unknown)}")
+    if not target_names:
+        raise ValueError("indices query needs >= 1 target index")
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    searchers = [IndexSearcher(spark, d) for d in index_dirs]
+    targets = set(target_names)
+
+    q_of: dict[str, str | None] = {}
+    for nm in names:
+        if nm in targets:
+            q_of[nm] = query
+        elif no_match_query == "none":
+            q_of[nm] = None
+        elif no_match_query == "all":
+            q_of[nm] = ""  # sentinel: constant-score match_all
+        else:
+            q_of[nm] = no_match_query
+
+    all_terms = sorted(
+        {t for q in q_of.values() if q for t in tokenize(q)}
+    )
+    # --- dfs pass: GLOBAL stats across all generations, both queries ---
+    df_global: dict[str, int] = {}
+    n_docs, dl_total = 0, 0.0
+    for s in searchers:
+        for t, d in s.term_stats(all_terms).items():
+            df_global[t] = df_global.get(t, 0) + int(d)
+        n_docs += s.n_docs
+        dl_total += s.avgdl * s.n_docs
+    if n_docs == 0:
+        return empty
+    avgdl = dl_total / n_docs
+
+    tasks: list[tuple[str, int]] = []
+    meta: dict[str, dict] = {}
+    for s, nm in zip(searchers, names):
+        q = q_of[nm]
+        if q is None:
+            continue
+        if q == "":
+            # match_all: every shard HOLDING DOCS is active (doc-range
+            # sharding leaves shards of an id-subrange index empty — their
+            # hive dirs don't exist), no postings read
+            doc_shards = sorted(
+                int(p.split("=", 1)[1])
+                for p in os.listdir(os.path.join(s.index_dir, "docs"))
+                if p.startswith("shard=")
+            )
+            meta[s.index_dir] = dict(
+                present=[], weights={}, id_space=s.id_space,
+                n_shards=s.n_shards, match_all=True,
+            )
+            tasks.extend((s.index_dir, sh) for sh in doc_shards)
+            continue
+        q_terms = tokenize(q)
+        weights = {t: float(c) for t, c in Counter(q_terms).items()}
+        present = sorted(t for t in weights if df_global.get(t, 0) > 0)
+        if not present or (mode == "and" and len(present) < len(q_terms)):
+            continue
+        dfreq_local, active = s._query_meta(present)
+        local_present = [t for t in present if t in dfreq_local]
+        if not local_present or (
+            mode == "and" and len(local_present) < len(q_terms)
+        ):
+            continue
+        meta[s.index_dir] = dict(
+            present=local_present, weights=weights, id_space=s.id_space,
+            n_shards=s.n_shards, match_all=False,
+        )
+        tasks.extend((s.index_dir, int(sh)) for sh in active)
+    if not tasks:
+        return empty
+    common = dict(dfreq=df_global, n_docs=n_docs, avgdl=avgdl, k=k,
+                  mode=mode, pruned=pruned, msm=None)
+
+    def score_tasks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for d, sh in zip(pdf["dir"].tolist(), pdf["shard"].tolist()):
+                m = meta[d]
+                if m["match_all"]:
+                    dt = (
+                        pads.dataset(
+                            f"{d}/docs/shard={int(sh)}", format="parquet"
+                        )
+                        .to_table(columns=["doc_id"])
+                        .to_pandas()
+                    )
+                    ids = np.sort(dt["doc_id"].to_numpy(dtype=np.int64))[:k]
+                    yield pd.DataFrame(
+                        {"doc_id": ids, "score": np.ones(len(ids))}
+                    )
+                    continue
+                pt, dt = _read_shard_tables(d, int(sh), m["present"])
+                yield _score_shard(
+                    pt, dt, weights=m["weights"], id_space=m["id_space"],
+                    n_shards=m["n_shards"], **common
+                )
+
+    task_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(tasks, max(1, len(tasks))),
+        "dir string, shard int",
+    )
+    rows = task_df.mapInPandas(score_tasks, "doc_id long, score double").collect()
+    rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+    return spark.createDataFrame(
+        [(int(r["doc_id"]), round_half_up6(r["score"])) for r in rows[:k]],
+        "doc_id long, score double",
+    )
+
+
+def indices_query_sql(
+    target_pred: str,
+    query: str,
+    no_match_query: str = "all",
+    k: int = 10,
+    mode: str = "or",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`indices_query` where index membership is the
+    ``target_pred`` row predicate (how the driver entry carves generations):
+    target rows score ``query``, the rest score ``no_match_query`` —
+    each via the bm25 oracle with candidates RESTRICTED by the predicate
+    but stats corpus-wide (exactly the dfs_query_then_fetch contract);
+    ``"all"`` contributes constant-1.0 rows, ``"none"`` contributes none."""
+    from ..operators.topk import bm25_topk_sql
+
+    parts = [
+        "SELECT * FROM ("
+        + bm25_topk_sql(query, k=k, mode=mode, table=table,
+                        filter_sql=f"({target_pred})")
+        + ")"
+    ]
+    other = f"NOT ({target_pred})"
+    if no_match_query == "all":
+        parts.append(
+            f"SELECT doc_id, 1.0 AS score FROM {table} WHERE {other} "
+            f"ORDER BY doc_id LIMIT {int(k)}"
+        )
+    elif no_match_query != "none":
+        parts.append(
+            "SELECT * FROM ("
+            + bm25_topk_sql(no_match_query, k=k, mode=mode, table=table,
+                            filter_sql=f"({other})")
+            + ")"
+        )
+    union = " UNION ALL ".join(f"({p})" for p in parts)
+    return f"""
+SELECT doc_id, score FROM ({union})
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""

@@ -477,3 +477,24 @@ def test_agg_tree_partials_are_map_side_combined(spark, documents):
     # one wide shuffle at the bucket level with partial_ functions before it
     assert "partial_count" in plan and "partial_sum" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_span_queries_are_join_free_take_ordered(spark, documents):
+    """span_or / span_not (round 3): both declarative scorers are two narrow
+    passes over (doc_id, text) — the scoring pass is one projection ending
+    in TakeOrderedAndProject, no join or shuffle anywhere, and the scan
+    reads exactly the two needed columns."""
+    from flume_elasticsearch_2_spark.operators.topk import (
+        bm25_span_not_topk,
+        bm25_span_or_topk,
+    )
+
+    for df in (
+        bm25_span_or_topk(documents, ["dup", "merge"], k=10),
+        bm25_span_not_topk(documents, "batch", "scan", pre=2, post=2, k=10),
+    ):
+        plan = _plan(df)
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "Join" not in plan and "Exchange" not in plan, plan
+        read = plan.split("ReadSchema")[1].split("\n")[0]
+        assert "doc_id" in read and "text" in read and "lang" not in read
