@@ -2087,6 +2087,27 @@ def _has_parent_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TC_QUERY = "dup batch scan"
+
+
+def _top_children_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x top_children (score_mode=sum, exact factor->inf form):
+    documents are the children, source is the parent key — per-child BM25
+    flows straight into a map-side-combined groupBy(parent); only
+    <=|parents| partials cross the exchange."""
+    from flume_elasticsearch_2_spark.operators.joins import top_children
+
+    return top_children(_docs(spark, sf_dir), _TC_QUERY, "source", "sum", k=12)
+
+
+def _top_children_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top_children score_mode=max: each parent scored by its single best
+    child (pinned equal to the flat bm25_topk winner in tests)."""
+    from flume_elasticsearch_2_spark.operators.joins import top_children
+
+    return top_children(_docs(spark, sf_dir), _TC_QUERY, "source", "max", k=12)
+
+
 def _bm25_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES match_phrase_prefix (search-as-you-type): last analyzed term is a
     prefix class scored as ONE virtual term (df_class idf); exact
@@ -2264,6 +2285,19 @@ def _nested_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _reverse_nested_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.2 reverse_nested: bucket nested children by l_linenumber, then
+    join BACK to parents — doc_count counts children, parent_docs/sum_metric
+    count the distinct owning orders. One explode + two map-side-combined
+    aggs, no joins (operators/nested.py:reverse_nested_agg)."""
+    from flume_elasticsearch_2_spark.operators.nested import reverse_nested_agg
+
+    return reverse_nested_agg(
+        _nested_corpus(spark, sf_dir), "o_orderkey", "l_linenumber",
+        "o_totalprice", [("o_orderpriority", "==", "1-URGENT")],
+    )
+
+
 _DSL_MIN_SCORE_BODY = {
     "query": {"bool": {"must": [{"match": {"text": "dup batch scan"}}],
                        "filter": [{"range": {"n_chars": {"gte": 100}}}]}},
@@ -2286,6 +2320,31 @@ def _dsl_min_score_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
 
     return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_MIN_SCORE_BODY)
+
+
+_DSL_SQS_BODY = {
+    "query": {"simple_query_string": {
+        "query": "dup batch -slow", "default_operator": "and",
+        "flags": "AND|NOT|WHITESPACE"}},
+    "size": 12,
+}
+
+
+def _dsl_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES simple_query_string (Lucene SimpleQueryParser subset): AND'd
+    terms + -negation, flags-gated; parses onto the same bm25 spec as
+    query_string so the declarative plan is unchanged."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_SQS_BODY)
+
+
+def _dsl_simple_query_string_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simple_query_string on the SERVING path (scatter/gather over the
+    prebuilt segments)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_SQS_BODY)
 
 
 _DSL_DECAY_GAUSS_BODY = {
@@ -3303,6 +3362,11 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dsl_simple_query_string",
+    "dsl_simple_query_string_segment",
+    "top_children_sum",
+    "top_children_max",
+    "reverse_nested_buckets",
     "indices_query_scored",
     "indices_query_none",
     "indices_query_all",
@@ -3648,6 +3712,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_top_hits"] = _dsl_top_hits
     q["dsl_min_score"] = _dsl_min_score
     q["dsl_min_score_segment"] = _dsl_min_score_segment
+    q["dsl_simple_query_string"] = _dsl_simple_query_string
+    q["dsl_simple_query_string_segment"] = _dsl_simple_query_string_segment
+    q["top_children_sum"] = _top_children_sum
+    q["top_children_max"] = _top_children_max
+    q["reverse_nested_buckets"] = _reverse_nested_buckets
     q["dsl_decay_gauss"] = _dsl_decay_gauss
     q["dsl_decay_linear"] = _dsl_decay_linear
     q["dsl_post_filter"] = _dsl_post_filter
@@ -4149,6 +4218,12 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["sessionize_events"] = sessionize_sql(1800)
     o["dsl_min_score"] = dsl_search_sql(_DSL_MIN_SCORE_BODY)
     o["dsl_min_score_segment"] = o["dsl_min_score"]
+    o["dsl_simple_query_string"] = dsl_search_sql(_DSL_SQS_BODY)
+    o["dsl_simple_query_string_segment"] = o["dsl_simple_query_string"]
+    from flume_elasticsearch_2_spark.operators.joins import top_children_sql
+
+    o["top_children_sum"] = top_children_sql(_TC_QUERY, "source", "sum", k=12)
+    o["top_children_max"] = top_children_sql(_TC_QUERY, "source", "max", k=12)
     o["dsl_decay_gauss"] = dsl_search_sql(_DSL_DECAY_GAUSS_BODY)
     o["dsl_decay_linear"] = dsl_search_sql(_DSL_DECAY_LINEAR_BODY)
     o["dsl_post_filter"] = dsl_search_sql(_DSL_POST_FILTER_BODY)
@@ -4293,6 +4368,12 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     )
     o["nested_agg_stats"] = nested_agg_sql(
         "l_quantity", [("o_orderpriority", "==", "1-URGENT")], corpus_sql=_nc_sql,
+    )
+    from flume_elasticsearch_2_spark.operators.nested import reverse_nested_agg_sql
+
+    o["reverse_nested_buckets"] = reverse_nested_agg_sql(
+        "o_orderkey", "l_linenumber", "o_totalprice",
+        [("o_orderpriority", "==", "1-URGENT")], corpus_sql=_nc_sql,
     )
     o["dsl_fuzzy_like_this"] = dsl_search_sql(_DSL_FLT_BODY)
     o["dsl_fuzzy_like_this_segment"] = o["dsl_fuzzy_like_this"]

@@ -554,6 +554,80 @@ def _parse_query_string(spec: _Spec, qs: str, default_op: str, text_col: str) ->
     spec.must_not_text.extend(minus)
 
 
+_SQS_FLAGS = {"ALL", "AND", "OR", "NOT", "PREFIX", "PHRASE", "WHITESPACE"}
+
+
+def _parse_simple_query_string(
+    spec: _Spec, qs: str, default_op: str, flags: str, text_col: str
+) -> None:
+    """ES 1.x ``simple_query_string`` (Lucene SimpleQueryParser), the subset
+    that maps exactly onto this engine's operators: whitespace-separated
+    terms joined by ``default_operator``, INFIX ``+`` (AND) / ``|`` (OR)
+    connectors (sqs syntax — unlike query_string's prefix ``+``), ``-term``
+    negation, one full-string ``"quoted phrase"``, one trailing-``*``
+    prefix term. ``flags`` gates features as in ES; a construct whose flag
+    is DISABLED raises rather than silently degrading to literal text
+    (ES's lenient fallback is exactly the silent-divergence surface this
+    module's contract forbids). Parens and ``~N`` are outside the subset."""
+    enabled = {f.strip().upper() for f in flags.split("|") if f.strip()}
+    unknown = enabled - _SQS_FLAGS
+    if unknown:
+        _err(f"simple_query_string flags {sorted(unknown)}")
+    if "ALL" in enabled:
+        enabled = set(_SQS_FLAGS)
+
+    def need(flag: str, what: str) -> None:
+        if flag not in enabled:
+            _err(f"simple_query_string uses {what} but flag {flag} is disabled")
+
+    qs = qs.strip()
+    if not qs:
+        _err("empty simple_query_string")
+    if any(c in qs for c in "()~"):
+        _err("simple_query_string parens/~ are outside the parsed subset")
+    if '"' in qs:
+        need("PHRASE", "a quoted phrase")
+        if qs.count('"') != 2 or not (qs.startswith('"') and qs.endswith('"')):
+            _err("simple_query_string supports exactly one full-string quoted phrase")
+        spec.kind = "phrase"
+        spec.query = qs.strip('"')
+        return
+    # connectors may arrive unspaced ("a|b"); normalize to standalone tokens
+    toks = qs.replace("|", " | ").replace("+", " + ").split()
+    ops = {t for t in toks if t in ("|", "+")}
+    if len(ops) > 1:
+        _err("simple_query_string mixes + and |")
+    if ops == {"+"}:
+        need("AND", "the + connector")
+        default_op = "and"
+    elif ops == {"|"}:
+        need("OR", "the | connector")
+        default_op = "or"
+    toks = [t for t in toks if t not in ("|", "+")]
+    positives, minus = [], []
+    for t in toks:
+        if t.startswith("-"):
+            need("NOT", "a -negated term")
+            minus.append(t[1:])
+        else:
+            positives.append(t)
+    if not positives:
+        _err("simple_query_string needs at least one positive clause")
+    starred = [t for t in positives if "*" in t]
+    if starred:
+        need("PREFIX", "a * prefix")
+        if len(positives) != 1 or minus:
+            _err("simple_query_string prefix must be the only clause")
+        if not positives[0].endswith("*") or "*" in positives[0][:-1]:
+            _err("simple_query_string * is a trailing prefix marker only")
+        spec.kind = "multiterm"
+        spec.mt = (positives[0][:-1], "prefix", {})
+        return
+    spec.query = " ".join(positives)
+    spec.mode = "and" if default_op == "and" else "or"
+    spec.must_not_text.extend(minus)
+
+
 def parse_body(
     body: dict, text_col: str = "text", analyzed_fields: list[str] | None = None
 ) -> _Spec:
@@ -1166,6 +1240,25 @@ def parse_body(
                 _err(f"query_string keys {sorted(extra_q)}")
             default_op = val.get("default_operator", "or").lower()
         _parse_query_string(spec, qs, default_op, text_col)
+    elif kind == "simple_query_string":
+        if not isinstance(val, dict):
+            _err("simple_query_string needs an options object")
+        extra_q = set(val) - {"query", "fields", "default_operator", "flags"}
+        if extra_q:
+            _err(f"simple_query_string keys {sorted(extra_q)}")
+        fields = val.get("fields", [text_col])
+        if fields != [text_col]:
+            _err(
+                f"simple_query_string fields {fields!r} "
+                f"(the analyzed field {text_col!r} only)"
+            )
+        q_in = val.get("query")
+        if not isinstance(q_in, str):
+            _err("simple_query_string needs a string 'query'")
+        _parse_simple_query_string(
+            spec, q_in, val.get("default_operator", "or").lower(),
+            str(val.get("flags", "ALL")), text_col,
+        )
     elif kind in ("exists", "missing", "terms"):
         # 1.x clients often send these as TOP-LEVEL queries (the
         # constant_score/filtered idiom without the wrapper): a

@@ -34,6 +34,7 @@ No UDFs anywhere.
 
 from __future__ import annotations
 
+from collections import Counter
 from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
@@ -182,5 +183,163 @@ FROM {children} c
 JOIN (SELECT * FROM {parents} WHERE {where}) p
   ON p.{parent_key} = c.{child_key}
 ORDER BY {score} DESC, {order_ids}
+LIMIT {int(k)}
+"""
+
+
+_TC_MODES = ("max", "sum", "avg")
+
+
+def top_children(
+    children: DataFrame,
+    query: str,
+    parent_col: str,
+    score_mode: str = "max",
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES 1.x ``top_children`` query (delegation site
+    ElasticsearchSink.java:54): a SCORED text query over child documents
+    whose BM25 scores are aggregated up to their parent per ``score_mode``
+    (max / sum / avg), parents ranked by the aggregate.
+
+    Pinned contract — the exact (factor -> infinity) form: the aggregate
+    ranges over ALL matching children. ES approximates this by fetching
+    ``size * factor`` top children and growing the window by
+    ``incremental_factor`` until k parents fill; that answer converges to
+    this one and is fetch-order-dependent on the way, so the deterministic
+    limit is what all three engines pin (divergence documented, not silent).
+
+    Scale shape (10^12 children): the same two narrow corpus passes as
+    bm25_topk — one map-side-combined stats agg, then a scoring pass whose
+    rows flow STRAIGHT into a map-side-combined groupBy on the parent key
+    (child scores never sort globally; only <=|parents| partial rows cross
+    the exchange), ending in TakeOrderedAndProject. No joins, no UDFs.
+
+    Returns (parent, score) top-k by (score DESC, parent ASC), round-6.
+    """
+    from ..functions.bm25 import bm25_col
+    from ..functions.tokenizer import tokenize, tokens_col
+
+    if score_mode not in _TC_MODES:
+        raise ValueError(f"score_mode must be one of {_TC_MODES}")
+    empty = children.sparkSession.createDataFrame([], "parent string, score double")
+    q_terms = tokenize(query)
+    if not q_terms:
+        return empty
+    weights = Counter(q_terms)
+    terms = sorted(weights)
+
+    toks = tokens_col(text_col)
+    per_child = children.select(
+        F.col(parent_col).alias("parent"),
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(toks, lambda x: x == F.lit(t)))
+            .cast("double")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_child.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
+    n_docs = int(stats["n_docs"])
+    avgdl = float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0
+    if n_docs == 0 or avgdl == 0.0:
+        return empty
+    score = F.lit(0.0)
+    any_present = False
+    for i, t in enumerate(terms):
+        df_t = int(stats[f"df_{i}"])
+        if df_t == 0:
+            continue
+        any_present = True
+        score = score + float(weights[t]) * bm25_col(
+            F.col(f"tf_{i}"), F.lit(df_t), F.col("dl"), F.lit(n_docs), F.lit(avgdl)
+        )
+    if not any_present:
+        return empty
+    agg = {"max": F.max, "sum": F.sum, "avg": F.avg}[score_mode](
+        F.col("child_score")
+    )
+    return (
+        per_child.withColumn("child_score", score)
+        .where(F.col("child_score") > 0.0)
+        .groupBy("parent")
+        .agg(agg.alias("score_exact"))
+        .orderBy(F.col("score_exact").desc(), F.col("parent").asc())
+        .limit(int(k))
+        .select("parent", F.round("score_exact", 6).alias("score"))
+    )
+
+
+def top_children_sql(
+    query: str,
+    parent_col: str,
+    score_mode: str = "max",
+    k: int = 10,
+    children: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`top_children` — the independent relational
+    formulation: per-child BM25 via the exploded tf/df CTE shape, then the
+    parent-level aggregate."""
+    from ..functions.tokenizer import duckdb_token_pattern, tokenize
+
+    if score_mode not in _TC_MODES:
+        raise ValueError(f"score_mode must be one of {_TC_MODES}")
+    q_terms = tokenize(query)
+    weights = Counter(q_terms)
+    terms_values = ", ".join(
+        f"('{t}', {float(c)!r})" for t, c in sorted(weights.items())
+    )
+    in_list = ", ".join(f"'{t}'" for t in sorted(weights))
+    tok_expr = (
+        f"regexp_extract_all(lower({text_expr}), '{duckdb_token_pattern()}')"
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS cid, unnest({tok_expr}) AS term FROM {children}
+),
+dl AS (
+  SELECT {id_col} AS cid, {parent_col} AS parent,
+         len({tok_expr}) AS dl
+  FROM {children}
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term, qw) AS (VALUES {terms_values}),
+dfreq AS (
+  SELECT term, count(DISTINCT cid) AS df FROM toks
+  WHERE term IN ({in_list}) GROUP BY term
+),
+tf AS (
+  SELECT cid, term, count(*) AS tf FROM toks
+  WHERE term IN ({in_list}) GROUP BY cid, term
+),
+child AS (
+  SELECT dl.parent,
+         sum(qterms.qw
+             * ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS child_score
+  FROM tf
+  JOIN dfreq USING (term) JOIN qterms USING (term) JOIN dl USING (cid)
+  CROSS JOIN stats
+  GROUP BY dl.parent, dl.cid
+)
+SELECT parent, round({score_mode}(child_score), 6) AS score
+FROM child
+WHERE child_score > 0.0
+GROUP BY parent
+ORDER BY {score_mode}(child_score) DESC, parent ASC
 LIMIT {int(k)}
 """

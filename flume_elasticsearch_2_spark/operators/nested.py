@@ -279,3 +279,101 @@ SELECT count(*) AS n_nested,
        round(max(v), 6) AS max_v
 FROM flat
 """
+
+
+def reverse_nested_agg(
+    docs: DataFrame,
+    parent_key: str,
+    bucket_field: str,
+    parent_metric: str,
+    scope_filters: list[Triple] | None = None,
+    nested_col: str = "children",
+    size: int = 10,
+) -> DataFrame:
+    """ES 1.x ``reverse_nested`` aggregation: inside a nested context,
+    bucket the nested objects by ``bucket_field``, then JOIN BACK to the
+    parent documents — per bucket, ``doc_count`` counts nested objects
+    (the enclosing nested/terms agg) while ``parent_docs`` and
+    ``sum_metric`` come from the DISTINCT parents owning >=1 object in the
+    bucket (the reverse_nested sub-agg with a parent-field sum metric).
+
+    ES 1.2 shipped reverse_nested exactly for this "how many PARENT docs
+    per nested bucket" question that the plain nested agg can't answer
+    (delegation site ElasticsearchSink.java:54).
+
+    Scale shape: one explode, ONE map-side-combined groupBy at the finest
+    (bucket, parent) grain — the parent metric rides as first() since it's
+    constant per parent — then a second tiny agg over <=|buckets·parents|
+    partial rows. No joins, no distinct-count shuffle of raw nested rows.
+
+    Returns (key, doc_count, parent_docs, sum_metric) top-``size`` buckets
+    by (doc_count DESC, key ASC).
+    """
+    from .dsl import _filters_col
+
+    pred = _filters_col(scope_filters or [])
+    scoped = docs.where(pred) if pred is not None else docs
+    # decimal(18,2) accumulation: thousands of money values per bucket sum
+    # EXACTLY (integer cents), so the result is partition-order invariant
+    # and bit-equal across engines — double folds drift ~1e-6 at 1e8 sums.
+    fine = (
+        scoped.select(
+            F.col(parent_key).alias("pk"),
+            F.col(parent_metric).cast("decimal(18,2)").alias("pm"),
+            F.explode(nested_col).alias("x"),
+        )
+        .select(F.col("x")[bucket_field].cast("long").alias("key"), "pk", "pm")
+        .groupBy("key", "pk")
+        .agg(F.count("*").alias("n_in_parent"), F.first("pm").alias("pm"))
+    )
+    return (
+        fine.groupBy("key")
+        .agg(
+            F.sum("n_in_parent").alias("doc_count"),
+            F.count("*").alias("parent_docs"),
+            F.round(F.sum("pm").cast("double"), 6).alias("sum_metric"),
+        )
+        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+        .limit(int(size))
+    )
+
+
+def reverse_nested_agg_sql(
+    parent_key: str,
+    bucket_field: str,
+    parent_metric: str,
+    scope_filters: list[Triple] | None = None,
+    nested_col: str = "children",
+    size: int = 10,
+    corpus_sql: str | None = None,
+) -> str:
+    """DuckDB oracle for :func:`reverse_nested_agg` — the independent
+    formulation: unnest + direct count(DISTINCT parent) and a
+    distinct-parent metric sum."""
+    from .dsl import _filters_sql
+
+    where = _filters_sql(scope_filters or []) or "TRUE"
+    return f"""
+WITH nested AS ({corpus_sql or nested_corpus_sql()}),
+flat AS (
+  SELECT CAST(x.{bucket_field} AS BIGINT) AS key,
+         {parent_key} AS pk,
+         CAST({parent_metric} AS DECIMAL(18,2)) AS pm
+  FROM (
+    SELECT {parent_key}, {parent_metric}, unnest({nested_col}) AS x
+    FROM nested WHERE {where}
+  )
+),
+per_parent AS (
+  SELECT key, pk, count(*) AS n_in_parent, any_value(pm) AS pm
+  FROM flat GROUP BY key, pk
+)
+SELECT key,
+       CAST(sum(n_in_parent) AS BIGINT) AS doc_count,
+       count(*) AS parent_docs,
+       round(CAST(sum(pm) AS DOUBLE), 6) AS sum_metric
+FROM per_parent
+GROUP BY key
+ORDER BY doc_count DESC, key ASC
+LIMIT {int(size)}
+"""

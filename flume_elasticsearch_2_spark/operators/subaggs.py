@@ -80,7 +80,9 @@ _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def _err(msg: str):
-    raise ValueError(f"unsupported agg tree: {msg}")
+    # "unsupported DSL" prefix keeps the module's loud-rejection contract
+    # regex-compatible with the dsl front door that delegates here.
+    raise ValueError(f"unsupported DSL agg tree: {msg}")
 
 
 @dataclass

@@ -299,6 +299,36 @@ BODIES: list[tuple[str, dict, bool]] = [
          "size": 6},
         False,
     ),
+    (
+        # sqs infix | = OR; connectors may arrive unspaced
+        "sqs_or",
+        {"query": {"simple_query_string": {"query": "dup|batch | scan"}}},
+        True,
+    ),
+    (
+        # sqs infix + = AND (unlike query_string's prefix +)
+        "sqs_and",
+        {"query": {"simple_query_string": {"query": "dup + batch"}}, "size": 8},
+        True,
+    ),
+    (
+        "sqs_not_default_and",
+        {"query": {"simple_query_string": {
+            "query": "dup batch -slow", "default_operator": "and",
+            "flags": "AND|NOT|WHITESPACE"}}},
+        True,
+    ),
+    (
+        "sqs_phrase",
+        {"query": {"simple_query_string": {
+            "query": '"batch scan"', "fields": ["text"]}}},
+        True,
+    ),
+    (
+        "sqs_prefix",
+        {"query": {"simple_query_string": {"query": "merg*"}}, "size": 10},
+        True,
+    ),
 ]
 
 
@@ -701,10 +731,13 @@ def test_dsl_aggs_rejects_unsupported():
             {"aggs": {"a": {"stats": {"field": "n_chars"},
                             "aggs": {"b": {"stats": {"field": "n_chars"}}}}}}
         )
+    # two bucket levels are supported since the agg-tree wave; THREE are not
     with pytest.raises(ValueError, match="unsupported DSL"):
         dsl_aggregation_sql(
             {"aggs": {"a": {"terms": {"field": "lang"},
-                            "aggs": {"b": {"terms": {"field": "source"}}}}}}
+                            "aggs": {"b": {"terms": {"field": "source"},
+                                           "aggs": {"c": {"terms": {
+                                               "field": "lang"}}}}}}}}
         )
 
 
@@ -774,6 +807,39 @@ def test_1x_wrappers_serving_equals_declarative(documents, searcher, name, body)
 def test_query_string_rejects_unsupported(qs):
     with pytest.raises(ValueError, match="unsupported DSL"):
         parse_body({"query": {"query_string": {"query": qs}}})
+
+
+@pytest.mark.parametrize(
+    "opts",
+    [
+        {"query": "dup + batch | scan"},            # mixed connectors
+        {"query": "dup (batch scan)"},              # parens outside subset
+        {"query": "part~2"},                        # fuzzy ~ outside subset
+        {"query": "-slow"},                         # no positive clause
+        {"query": "du*p"},                          # * not a trailing prefix
+        {"query": "merg* batch"},                   # prefix not alone
+        {"query": "dup -slow", "flags": "OR|AND"},  # NOT disabled by flags
+        {"query": '"batch scan"', "flags": "OR"},   # PHRASE disabled
+        {"query": "dup + batch", "flags": "OR|NOT"},   # AND disabled
+        {"query": "dup batch", "flags": "NOPE"},    # unknown flag
+        {"query": "dup", "fields": ["lang"]},       # non-analyzed field
+        {"query": "dup", "analyze_wildcard": True},  # unsupported option
+        {"query": 7},                               # non-string query
+    ],
+)
+def test_simple_query_string_rejects_unsupported(opts):
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        parse_body({"query": {"simple_query_string": opts}})
+
+
+def test_simple_query_string_equals_query_string_on_shared_shapes(documents):
+    """Where the two mini-languages overlap (bare terms + -negation), the
+    routed spec is identical — sqs is a syntax, not a new scorer."""
+    sqs = parse_body({"query": {"simple_query_string": {"query": "dup batch -slow"}}})
+    qs = parse_body({"query": {"query_string": {"query": "dup batch -slow"}}})
+    assert (sqs.kind, sqs.query, sqs.mode, sqs.must_not_text) == (
+        qs.kind, qs.query, qs.mode, qs.must_not_text
+    )
 
 
 RESCORE_BODY = {

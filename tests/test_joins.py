@@ -127,3 +127,63 @@ def test_bad_modes_raise(tables):
         has_child_sql(CF, "product")
     with pytest.raises(ValueError):
         has_parent_sql(PF, "max")
+
+
+TCQ = "dup batch scan"
+
+
+@pytest.fixture(scope="module")
+def doc_duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    return con
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.mark.parametrize("mode", ["max", "sum", "avg"])
+def test_top_children_matches_duckdb(docs, doc_duck, mode):
+    from flume_elasticsearch_2_spark.operators.joins import (
+        top_children,
+        top_children_sql,
+    )
+
+    got = [
+        tuple(r)
+        for r in top_children(docs, TCQ, "source", mode, k=10).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in doc_duck.execute(
+            top_children_sql(TCQ, "source", mode, k=10)
+        ).fetchall()
+    ]
+    assert got == want and got, mode
+
+
+def test_top_children_max_equals_best_child(docs):
+    """score_mode=max: a parent's score IS its best child's bm25_topk score
+    — the aggregate and the flat ranking agree on the winning child."""
+    from flume_elasticsearch_2_spark.operators.joins import top_children
+    from flume_elasticsearch_2_spark.operators.topk import bm25_topk
+
+    parents = {r["parent"]: r["score"] for r in
+               top_children(docs, TCQ, "source", "max", k=20).collect()}
+    flat = bm25_topk(docs, TCQ, k=1).collect()[0]
+    best_src = docs.where(f"doc_id = {flat['doc_id']}").collect()[0]["source"]
+    assert parents[best_src] == flat["score"]
+    assert max(parents.values()) == flat["score"]
+
+
+def test_top_children_empty_and_bad_mode(docs):
+    from flume_elasticsearch_2_spark.operators.joins import top_children
+
+    assert top_children(docs, "zzznotaterm", "source").count() == 0
+    assert top_children(docs, "", "source").count() == 0
+    with pytest.raises(ValueError, match="score_mode"):
+        top_children(docs, TCQ, "source", "none")

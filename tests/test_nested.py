@@ -180,3 +180,51 @@ def test_float_fold_is_deterministic(corpus):
         corpus.repartition(3), f, "sum", "l_extendedprice", k=10
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_reverse_nested_matches_duckdb(corpus, duck):
+    from flume_elasticsearch_2_spark.operators.nested import (
+        reverse_nested_agg,
+        reverse_nested_agg_sql,
+    )
+
+    for filt in (None, [("o_orderpriority", "==", "1-URGENT")]):
+        got = [
+            tuple(r)
+            for r in reverse_nested_agg(
+                corpus, "o_orderkey", "l_linenumber", "o_totalprice", filt
+            ).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in duck.execute(
+                reverse_nested_agg_sql(
+                    "o_orderkey", "l_linenumber", "o_totalprice", filt,
+                    corpus_sql=CORPUS_SQL,
+                )
+            ).fetchall()
+        ]
+        assert got == want and got, filt
+
+
+def test_reverse_nested_parent_semantics(corpus):
+    """The construct's point: parent_docs counts DISTINCT parents, never
+    nested rows; bucket key=1 exists in every order, so parent_docs there
+    equals the corpus size while doc_count >= parent_docs elsewhere too."""
+    from flume_elasticsearch_2_spark.operators.nested import reverse_nested_agg
+
+    rows = {r["key"]: r for r in reverse_nested_agg(
+        corpus, "o_orderkey", "l_linenumber", "o_totalprice"
+    ).collect()}
+    assert all(r["doc_count"] >= r["parent_docs"] for r in rows.values())
+    # per bucket: parent_docs == independently-counted DISTINCT owners
+    for key in sorted(rows)[:3]:
+        owners = corpus.where(
+            F.exists("children", lambda x: x["l_linenumber"] == F.lit(key))
+        ).count()
+        assert rows[key]["parent_docs"] == owners, key
+    # all buckets together account for every nested row exactly once
+    n_nested = corpus.select(
+        F.sum(F.size("children")).alias("n")
+    ).collect()[0]["n"]
+    assert sum(r["doc_count"] for r in rows.values()) == n_nested
