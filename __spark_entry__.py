@@ -1938,6 +1938,16 @@ def _dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(pairs)
 
 
+def _link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (5 iterations) in fixed-point int64 — the
+    CC-pipeline quality signal. Integer arithmetic makes every iteration
+    associative, so ranks are byte-identical across partitionings/cluster
+    sizes AND engines (operators/linkrank.py)."""
+    from flume_elasticsearch_2_spark.operators.linkrank import pagerank
+
+    return pagerank(_docs(spark, sf_dir), iters=5, k=20)
+
+
 def _dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The removal half: keep one member per near-dup cluster (smallest id)
     plus every unpaired doc — corpus anti-join against the non-canonical
@@ -3362,6 +3372,7 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "link_pagerank",
     "dsl_simple_query_string",
     "dsl_simple_query_string_segment",
     "top_children_sum",
@@ -3766,6 +3777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_common_filtered_segment"] = _dsl_common_filtered_segment
     q["dedup_clusters"] = _dedup_clusters
     q["dedup_clusters_star"] = _dedup_clusters_star
+    q["link_pagerank"] = _link_pagerank
     q["dedup_canonical_docs"] = _dedup_canonical_docs
     q["mtermvectors"] = _mtermvectors
     q["mtermvectors_segment"] = _mtermvectors_segment
@@ -4390,6 +4402,9 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     _pairs_sql = minhash_lsh_pairs_sql(num_hashes=32, bands=8)
     o["dedup_clusters"] = connected_components_sql(_pairs_sql)
     o["dedup_clusters_star"] = o["dedup_clusters"]
+    from flume_elasticsearch_2_spark.operators.linkrank import pagerank_sql
+
+    o["link_pagerank"] = pagerank_sql(iters=5, k=20)
     o["dedup_canonical_docs"] = dedup_keep_canonical_sql(_pairs_sql)
     o["mtermvectors"] = mtermvectors_sql([3, 141, 499])
     o["mtermvectors_segment"] = o["mtermvectors"]
