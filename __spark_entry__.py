@@ -466,6 +466,17 @@ def _bm25_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES minimal_english-style stemming (Harman S-stemmer) as an analyzer
+    option: plural query terms unify with singular corpus terms — "scans
+    windows tables" hits docs containing scan/window/table. Stemming runs
+    in-engine (JVM transform / DuckDB list_transform), never in Python
+    (functions/tokenizer.py s_stem)."""
+    return bm25_topk(
+        _docs(spark, sf_dir), "scans windows tables", k=10, analyzer="ascii_sstem"
+    )
+
+
 def _bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bool-filter semantics: candidates restricted to lang='en', idf/
     avgdl/N index-wide (operators/topk.py doc_filter)."""
@@ -3372,6 +3383,7 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "bm25_stemmed",
     "link_pagerank",
     "dsl_simple_query_string",
     "dsl_simple_query_string_segment",
@@ -3576,6 +3588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_phrase"] = _bm25_phrase
     q["bm25_segment_phrase"] = _bm25_segment_phrase
     q["bm25_stopwords"] = _bm25_stopwords
+    q["bm25_stemmed"] = _bm25_stemmed
     q["bm25_unicode"] = _bm25_unicode
     q["bm25_msm"] = _bm25_msm
     q["bm25_segment_msm"] = _bm25_segment_msm
@@ -3853,6 +3866,7 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_phrase"] = bm25_phrase_topk_sql("part filter", k=10)
     o["bm25_segment_phrase"] = o["bm25_phrase"]
     o["bm25_stopwords"] = bm25_topk_sql("the dup batch scan", k=10, stopwords=EN_STOPWORDS)
+    o["bm25_stemmed"] = bm25_topk_sql("scans windows tables", k=10, analyzer="ascii_sstem")
     o["bm25_msm"] = bm25_topk_sql("dup batch scan small", k=10, min_should_match=2)
     o["bm25_segment_msm"] = o["bm25_msm"]
     o["bm25_boosted"] = bm25_topk_sql("dup batch scan", k=10, boosts=_BOOSTS)

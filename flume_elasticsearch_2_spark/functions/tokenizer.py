@@ -39,6 +39,72 @@ _PY_RES = {"ascii": _TOKEN_RE, "unicode": _TOKEN_RE_UNICODE}
 _JAVA_PATTERNS = {"ascii": TOKEN_PATTERN, "unicode": TOKEN_PATTERN_UNICODE_JAVA}
 _RE2_PATTERNS = {"ascii": TOKEN_PATTERN, "unicode": TOKEN_PATTERN_UNICODE_RE2}
 
+# Opt-in light stemming: the published Harman "S-stemmer" (Harman 1991,
+# "How Effective Is Suffixing?") — the same conflation class as ES's
+# minimal_english token filter. Three ordered plural rules, applied after
+# stopword removal, skipping tokens of length <= 2 (so "s"/"as"/"is" never
+# stem to junk). Analyzer name "<base>_sstem" composes with either token
+# class; the identical CASE chain is expressible in all three engines.
+for _base in ("ascii", "unicode"):
+    _PY_RES[f"{_base}_sstem"] = _PY_RES[_base]
+    _JAVA_PATTERNS[f"{_base}_sstem"] = _JAVA_PATTERNS[_base]
+    _RE2_PATTERNS[f"{_base}_sstem"] = _RE2_PATTERNS[_base]
+
+
+def s_stem(t: str) -> str:
+    """Harman S-stemmer, one token. First matching rule wins."""
+    if len(t) <= 2:
+        return t
+    if t.endswith("ies") and not t.endswith(("eies", "aies")):
+        return t[:-3] + "y"
+    if t.endswith("es") and not t.endswith(("aes", "ees", "oes")):
+        return t[:-1]
+    if t.endswith("s") and not t.endswith(("us", "ss")):
+        return t[:-1]
+    return t
+
+
+def _s_stem_col(t: Column) -> Column:
+    """The same three ordered rules as a JVM expression (whole-stage
+    codegen; used inside ``transform`` over the tokens array)."""
+    return (
+        F.when(F.length(t) <= 2, t)
+        .when(
+            t.endswith("ies") & ~t.endswith("eies") & ~t.endswith("aies"),
+            F.concat(F.substr(t, F.lit(1), F.length(t) - F.lit(3)), F.lit("y")),
+        )
+        .when(
+            t.endswith("es")
+            & ~t.endswith("aes")
+            & ~t.endswith("ees")
+            & ~t.endswith("oes"),
+            F.substr(t, F.lit(1), F.length(t) - F.lit(1)),
+        )
+        .when(
+            t.endswith("s") & ~t.endswith("us") & ~t.endswith("ss"),
+            F.substr(t, F.lit(1), F.length(t) - F.lit(1)),
+        )
+        .otherwise(t)
+    )
+
+
+def duckdb_stem_case(var: str = "t") -> str:
+    """The S-stemmer as a DuckDB CASE expression over token variable
+    ``var`` (for ``list_transform(toks, t -> ...)`` in oracle SQL)."""
+    return (
+        f"CASE WHEN len({var}) <= 2 THEN {var} "
+        f"WHEN {var} LIKE '%ies' AND {var} NOT LIKE '%eies' "
+        f"AND {var} NOT LIKE '%aies' "
+        f"THEN substr({var}, 1, len({var}) - 3) || 'y' "
+        f"WHEN {var} LIKE '%es' AND {var} NOT LIKE '%aes' "
+        f"AND {var} NOT LIKE '%ees' AND {var} NOT LIKE '%oes' "
+        f"THEN substr({var}, 1, len({var}) - 1) "
+        f"WHEN {var} LIKE '%s' AND {var} NOT LIKE '%us' "
+        f"AND {var} NOT LIKE '%ss' "
+        f"THEN substr({var}, 1, len({var}) - 1) "
+        f"ELSE {var} END"
+    )
+
 
 def duckdb_token_pattern(analyzer: str = "ascii") -> str:
     """The RE2 token pattern for DuckDB oracle SQL generators."""
@@ -57,6 +123,8 @@ def tokenize(
     if stopwords:
         stop = set(stopwords)
         toks = [t for t in toks if t not in stop]
+    if analyzer.endswith("_sstem"):
+        toks = [s_stem(t) for t in toks]
     return toks
 
 
@@ -77,6 +145,8 @@ def tokens_col(
     toks = F.regexp_extract_all(F.lower(c), F.lit(_JAVA_PATTERNS[analyzer]), F.lit(0))
     if stopwords:
         toks = F.filter(toks, lambda t: ~t.isin(list(stopwords)))
+    if analyzer.endswith("_sstem"):
+        toks = F.transform(toks, _s_stem_col)
     return toks
 
 

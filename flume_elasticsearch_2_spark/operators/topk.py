@@ -781,6 +781,10 @@ def bm25_topk_sql(
     if stopwords:
         stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
         tok_expr = f"list_filter({tok_expr}, t -> t NOT IN ({stop_list}))"
+    if analyzer.endswith("_sstem"):
+        from ..functions.tokenizer import duckdb_stem_case
+
+        tok_expr = f"list_transform({tok_expr}, t -> {duckdb_stem_case('t')})"
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest({tok_expr}) AS term
