@@ -3213,6 +3213,29 @@ def _mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_SHUF_CURSOR = (1 << 59, -1)
+
+
+def _shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle for training export, keyset-
+    cursor paged (the scroll pattern that stays O(page) at any depth):
+    hash is a pure projection, cursor predicate prunes map-side, top-size
+    merges per-partition heaps. Page 2 shown (cursor fixed from page 1's
+    deterministic tail). operators/sampling.py:shuffle_export."""
+    from flume_elasticsearch_2_spark.operators.sampling import shuffle_export
+
+    return shuffle_export(_docs(spark, sf_dir), 25, seed=3, after=_SHUF_CURSOR)
+
+
+def _token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token-budget mixture cap: greedy prefix in (longest,
+    doc_id) priority under a running-sum window — one shuffle on the group
+    key. operators/sampling.py:token_budget_select."""
+    from flume_elasticsearch_2_spark.operators.sampling import token_budget_select
+
+    return token_budget_select(_docs(spark, sf_dir), 400)
+
+
 def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): hashed-bigram bucket
     distributions trained on raw vs target (lang='en') docs, per-doc log
@@ -3383,6 +3406,8 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "shuffle_export",
+    "token_budget_select",
     "bm25_stemmed",
     "link_pagerank",
     "dsl_simple_query_string",
@@ -3818,6 +3843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_common_terms_segment"] = _bm25_common_terms_segment
     q["dsl_common"] = _dsl_common
     q["mix_sample"] = _mix_sample
+    q["shuffle_export"] = _shuffle_export
+    q["token_budget_select"] = _token_budget_select
     q["dsir_weights"] = _dsir_weights
     q["dsir_select"] = _dsir_select
     q["dsl_named_queries"] = _dsl_named_queries
@@ -4284,6 +4311,13 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
 
     from flume_elasticsearch_2_spark.operators.sampling import mix_sample_sql
 
+    from flume_elasticsearch_2_spark.operators.sampling import (
+        shuffle_export_sql,
+        token_budget_select_sql,
+    )
+
+    o["shuffle_export"] = shuffle_export_sql(25, seed=3, after=_SHUF_CURSOR)
+    o["token_budget_select"] = token_budget_select_sql(400)
     o["mix_sample"] = (
         "SELECT * FROM ("
         + mix_sample_sql({"src0": 1.0, "src1": 0.5, "src2": 0.25}, seed=7)

@@ -183,3 +183,140 @@ def mix_sample_sql(
     )
     thr = f"CASE {cases} ELSE {int(float(default) * _SIXTY_BITS)} END"
     return f"SELECT {columns} FROM {table} WHERE {_seeded_hash_sql(key_col, seed)} < ({thr})"
+
+
+def shuffle_export(
+    df: DataFrame,
+    size: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    after: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for training export, keyset-paged.
+
+    Training pipelines need a REPRODUCIBLE pseudo-random epoch order over
+    the corpus; ``ORDER BY rand()`` is neither reproducible nor resumable.
+    This orders rows by ``(md5_60(key:seed), key)`` — a seeded permutation
+    that depends only on key values — and pages with a KEYSET CURSOR
+    (``after`` = the last page's final ``(shuffle_key, key)``), the scroll
+    pattern that stays cheap at any depth: every page is one map-side
+    predicate + a TakeOrderedAndProject, no global offset skip, no state.
+
+    Scale shape (10^12 docs): the hash is a pure projection (zero
+    shuffles); the composite-cursor predicate prunes map-side; top-``size``
+    merges per-partition heaps on the driver. Pages are identical across
+    partitionings and re-runs, so a killed export resumes from its last
+    cursor exactly (the same contract the TRS resume path pins).
+
+    Returns (shuffle_key, <row columns...>) in shuffle order.
+    """
+    if size <= 0:
+        raise ValueError("size must be positive")
+    h = _seeded_hash_col(key_col, seed)
+    out = df.select(h.alias("shuffle_key"), "*")
+    if after is not None:
+        ak, aid = int(after[0]), int(after[1])
+        out = out.where(
+            (F.col("shuffle_key") > ak)
+            | ((F.col("shuffle_key") == ak) & (F.col(key_col) > aid))
+        )
+    return out.orderBy(F.col("shuffle_key").asc(), F.col(key_col).asc()).limit(int(size))
+
+
+def shuffle_export_sql(
+    size: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    after: tuple[int, int] | None = None,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`shuffle_export` (same hash, same cursor)."""
+    if size <= 0:
+        raise ValueError("size must be positive")
+    h = _seeded_hash_sql(key_col, seed)
+    cursor = ""
+    if after is not None:
+        ak, aid = int(after[0]), int(after[1])
+        cursor = f"WHERE ({h} > {ak} OR ({h} = {ak} AND {key_col} > {aid}))"
+    return f"""
+SELECT {h} AS shuffle_key, *
+FROM {table}
+{cursor}
+ORDER BY shuffle_key ASC, {key_col} ASC
+LIMIT {int(size)}
+"""
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy per-group token-budget selection (data-mixture building):
+    within each group, take docs in priority order (longest first,
+    ``key`` tiebreak) while the RUNNING token total stays <= ``budget`` —
+    the "N tokens per domain" cap every mixture recipe needs.
+
+    A doc whose inclusion would cross the budget is dropped, and so is
+    everything after it in priority order (strict greedy prefix, pinned —
+    not best-fit repacking, which is order-dependent under parallelism).
+
+    Scale shape: token counts are one JVM projection (no explode); the
+    running sum is a window keyed by group — ONE hash-partitioned shuffle
+    on ``group_col``; groups are domains, so skew is bounded by the
+    biggest domain (salt upstream if one domain dominates).
+
+    Returns (group, key, n_tokens, cum_tokens) for kept docs, ordered.
+    """
+    from ..functions.tokenizer import tokens_col
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = Window.partitionBy("group").orderBy(
+        F.col("n_tokens").desc(), F.col("key").asc()
+    )
+    sized = docs.select(
+        F.col(group_col).alias("group"),
+        F.col(key_col).alias("key"),
+        F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
+    )
+    return (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .where(F.col("cum_tokens") <= int(budget))
+        .orderBy(F.col("group").asc(), F.col("cum_tokens").asc())
+    )
+
+
+def token_budget_select_sql(
+    budget: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    text_expr: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`token_budget_select` (same greedy prefix;
+    windowed sums CAST to BIGINT — DuckDB widens to HUGEINT)."""
+    from ..functions.tokenizer import duckdb_token_pattern
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    tok = f"len(regexp_extract_all(lower({text_expr}), '{duckdb_token_pattern()}'))"
+    return f"""
+WITH sized AS (
+  SELECT {group_col} AS "group", {key_col} AS key,
+         CAST({tok} AS BIGINT) AS n_tokens
+  FROM {table}
+),
+running AS (
+  SELECT "group", key, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY "group" ORDER BY n_tokens DESC, key ASC
+         ) AS BIGINT) AS cum_tokens
+  FROM sized
+)
+SELECT * FROM running
+WHERE cum_tokens <= {int(budget)}
+ORDER BY "group" ASC, cum_tokens ASC
+"""

@@ -133,3 +133,111 @@ def test_mix_sample_validation(documents):
         mix_sample(documents, {"src0": 1.5})
     with pytest.raises(ValueError, match="fractions"):
         mix_sample_sql({"src0": 0.5}, default=-0.1)
+
+
+# -- shuffle_export ------------------------------------------------------------
+
+
+def test_shuffle_export_matches_duckdb(documents, duck):
+    from flume_elasticsearch_2_spark.operators.sampling import (
+        shuffle_export,
+        shuffle_export_sql,
+    )
+
+    p1 = [tuple(r) for r in shuffle_export(documents, 20, seed=3).collect()]
+    w1 = [tuple(r) for r in duck.execute(shuffle_export_sql(20, seed=3)).fetchall()]
+    assert p1 == w1 and len(p1) == 20
+    cur = (p1[-1][0], p1[-1][1])
+    p2 = [tuple(r) for r in shuffle_export(documents, 20, seed=3, after=cur).collect()]
+    w2 = [
+        tuple(r)
+        for r in duck.execute(shuffle_export_sql(20, seed=3, after=cur)).fetchall()
+    ]
+    assert p2 == w2
+    # keyset paging: pages are disjoint and concatenation == one big page
+    assert not {x[1] for x in p1} & {x[1] for x in p2}
+    big = [tuple(r) for r in shuffle_export(documents, 40, seed=3).collect()]
+    assert p1 + p2 == big
+
+
+def test_shuffle_export_partition_invariant_and_seeded(documents):
+    from flume_elasticsearch_2_spark.operators.sampling import shuffle_export
+
+    a = [r["doc_id"] for r in shuffle_export(documents, 30, seed=1).collect()]
+    b = [
+        r["doc_id"]
+        for r in shuffle_export(documents.repartition(7), 30, seed=1).collect()
+    ]
+    c = [r["doc_id"] for r in shuffle_export(documents, 30, seed=2).collect()]
+    assert a == b
+    assert a != c  # a different seed is a different permutation
+    assert a != sorted(a)  # and it is actually shuffled
+
+
+def test_shuffle_export_validation(documents):
+    from flume_elasticsearch_2_spark.operators.sampling import (
+        shuffle_export,
+        shuffle_export_sql,
+    )
+
+    with pytest.raises(ValueError, match="size"):
+        shuffle_export(documents, 0)
+    with pytest.raises(ValueError, match="size"):
+        shuffle_export_sql(-1)
+
+
+# -- token_budget_select -------------------------------------------------------
+
+
+def test_token_budget_matches_duckdb(documents, duck):
+    from flume_elasticsearch_2_spark.operators.sampling import (
+        token_budget_select,
+        token_budget_select_sql,
+    )
+
+    for budget in (150, 400):
+        got = [tuple(r) for r in token_budget_select(documents, budget).collect()]
+        want = [
+            tuple(r) for r in duck.execute(token_budget_select_sql(budget)).fetchall()
+        ]
+        assert got == want and got, budget
+
+
+def test_token_budget_greedy_prefix_semantics(documents):
+    from pyspark.sql import functions as F
+
+    from flume_elasticsearch_2_spark.operators.sampling import token_budget_select
+
+    budget = 300
+    out = token_budget_select(documents, budget)
+    rows = out.collect()
+    # hard cap holds per group
+    per_group = out.groupBy("group").agg(F.max("cum_tokens").alias("m")).collect()
+    assert all(r["m"] <= budget for r in per_group)
+    # strict prefix: within a group, kept docs are the TOP-n_tokens docs
+    # (longest first) — no doc outside the kept set is longer than a kept one
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["group"], []).append(r["n_tokens"])
+    one = sorted(by_group)[0]
+    kept_min = min(by_group[one])
+    all_lens = sorted(
+        (r["n_tokens"] for r in documents.selectExpr(
+            "source AS g", "size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS n_tokens"
+        ).where(F.col("g") == one).collect()),
+        reverse=True,
+    )
+    assert all_lens[: len(by_group[one])] == sorted(by_group[one], reverse=True)
+    assert kept_min >= 0
+
+
+def test_token_budget_validation(documents):
+    from flume_elasticsearch_2_spark.operators.sampling import (
+        token_budget_select,
+        token_budget_select_sql,
+    )
+
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_select(documents, 0)
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_select_sql(-5)
