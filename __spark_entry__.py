@@ -582,6 +582,24 @@ def _search_highlight_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _segment_searcher(spark, sf_dir).search_highlight("dup batch scan", k=10)
 
 
+def _search_highlight_fragment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlight single-fragment mode (ES number_of_fragments=1,
+    fragment_size=60): the deterministic first-occurrence window of the
+    marked-up field — markup still O(k) after the broadcast join."""
+    from flume_elasticsearch_2_spark.operators.highlight import search_highlight
+
+    return search_highlight(
+        _docs(spark, sf_dir), "dup batch scan", k=10, fragment_size=60
+    )
+
+
+def _search_highlight_fragment_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment mode on the SERVING path."""
+    return _segment_searcher(spark, sf_dir).search_highlight(
+        "dup batch scan", k=10, fragment_size=60
+    )
+
+
 _DSL_BOOL_BODY = {
     "query": {
         "bool": {
@@ -2343,6 +2361,21 @@ def _dsl_min_score_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_MIN_SCORE_BODY)
 
 
+_DSL_ZTQ_BODY = {
+    "query": {"match": {"text": {"query": "!!! ...", "zero_terms_query": "all"}}},
+    "size": 15,
+}
+
+
+def _dsl_zero_terms_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match zero_terms_query=all: an all-punctuation query matches
+    EVERYTHING (rewritten to match_all at parse time) instead of the
+    default none=0 hits. Declarative-only: serving refuses match_all."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_ZTQ_BODY)
+
+
 _DSL_SQS_BODY = {
     "query": {"simple_query_string": {
         "query": "dup batch -slow", "default_operator": "and",
@@ -3406,6 +3439,9 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "search_highlight_fragment",
+    "search_highlight_fragment_segment",
+    "dsl_zero_terms_all",
     "shuffle_export",
     "token_budget_select",
     "bm25_stemmed",
@@ -3699,6 +3735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["explain_top1_segment"] = _explain_top1_segment
     q["search_highlight"] = _search_highlight
     q["search_highlight_segment"] = _search_highlight_segment
+    q["search_highlight_fragment"] = _search_highlight_fragment
+    q["search_highlight_fragment_segment"] = _search_highlight_fragment_segment
     q["more_like_this"] = _more_like_this
     q["more_like_this_segment"] = _more_like_this_segment
     q["bm25_must_not"] = _bm25_must_not
@@ -3761,6 +3799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_top_hits"] = _dsl_top_hits
     q["dsl_min_score"] = _dsl_min_score
     q["dsl_min_score_segment"] = _dsl_min_score_segment
+    q["dsl_zero_terms_all"] = _dsl_zero_terms_all
     q["dsl_simple_query_string"] = _dsl_simple_query_string
     q["dsl_simple_query_string_segment"] = _dsl_simple_query_string_segment
     q["top_children_sum"] = _top_children_sum
@@ -4271,6 +4310,7 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["sessionize_events"] = sessionize_sql(1800)
     o["dsl_min_score"] = dsl_search_sql(_DSL_MIN_SCORE_BODY)
     o["dsl_min_score_segment"] = o["dsl_min_score"]
+    o["dsl_zero_terms_all"] = dsl_search_sql(_DSL_ZTQ_BODY)
     o["dsl_simple_query_string"] = dsl_search_sql(_DSL_SQS_BODY)
     o["dsl_simple_query_string_segment"] = o["dsl_simple_query_string"]
     from flume_elasticsearch_2_spark.operators.joins import top_children_sql
@@ -4495,6 +4535,10 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["explain_top1_segment"] = o["explain_top1"]
     o["search_highlight"] = search_highlight_sql("dup batch scan", k=10)
     o["search_highlight_segment"] = o["search_highlight"]
+    o["search_highlight_fragment"] = search_highlight_sql(
+        "dup batch scan", k=10, fragment_size=60
+    )
+    o["search_highlight_fragment_segment"] = o["search_highlight_fragment"]
     o["more_like_this"] = more_like_this_sql(_MLT_ID, k=10)
     o["more_like_this_segment"] = o["more_like_this"]
     o["bm25_must_not"] = bm25_topk_sql("dup batch scan", k=10, must_not="slow")

@@ -222,9 +222,23 @@ def _parse_match(
     if "boost" in val:
         b = float(val["boost"])
         spec.boosts = {t: b for t in set(tokenize(spec.query))}
-    extra = set(val) - {"query", "operator", "minimum_should_match", "boost"}
+    ztq = str(val.get("zero_terms_query", "none")).lower()
+    if ztq not in ("none", "all"):
+        _err(f"match zero_terms_query {ztq!r} (none / all)")
+    extra = set(val) - {
+        "query", "operator", "minimum_should_match", "boost", "zero_terms_query"
+    }
     if extra:
         _err(f"match options {sorted(extra)}")
+    if ztq == "all" and not tokenize(str(spec.query)):
+        # ES zero_terms_query=all: an all-stop/punctuation query matches
+        # EVERYTHING instead of nothing — rewrite to match_all (filters,
+        # must_not, paging still apply downstream). The default "none"
+        # keeps the existing empty-candidate plan (0 hits).
+        spec.kind = "match_all"
+        spec.query = ""
+        spec.msm = None
+        spec.boosts = {}
 
 
 def _extract_query_filters(clauses: list, text_col: str):
@@ -1343,11 +1357,27 @@ def parse_body(
         )
     if "highlight" in body:
         h = body["highlight"]
+        extra_h = set(h) - {"fields", "pre_tags", "post_tags"}
+        if extra_h:
+            _err(f"highlight options {sorted(extra_h)}")
         if list(h.get("fields", {})) != [text_col]:
             _err("highlight fields must be exactly the text field")
+        fopts = h["fields"][text_col] or {}
+        extra_f = set(fopts) - {"fragment_size", "number_of_fragments"}
+        if extra_f:
+            _err(f"highlight field options {sorted(extra_f)}")
+        nof = int(fopts.get("number_of_fragments", 0))
+        if nof not in (0, 1):
+            _err("highlight number_of_fragments must be 0 (whole field) or 1")
+        if nof == 0 and "fragment_size" in fopts:
+            _err("highlight fragment_size needs number_of_fragments: 1")
+        frag = int(fopts.get("fragment_size", 100)) if nof == 1 else None
+        if frag is not None and frag <= 0:
+            _err("highlight fragment_size must be positive")
         spec.highlight = (
             h.get("pre_tags", ["<em>"])[0],
             h.get("post_tags", ["</em>"])[0],
+            frag,
         )
         if (
             spec.kind != "match"
@@ -1718,10 +1748,11 @@ def dsl_search(
             text_col=text_col,
         )
     if spec.highlight is not None:
-        pre, post = spec.highlight
+        pre, post, frag = spec.highlight
         return search_highlight(
             docs, spec.query, k=spec.size, mode=spec.mode,
             pre_tag=pre, post_tag=post, id_col=id_col, text_col=text_col,
+            fragment_size=frag,
         )
     if spec.rescore is not None:
         from .rescore import bm25_rescore
@@ -1948,10 +1979,10 @@ def dsl_search_sql(
             spec.sort, size=spec.size, from_=spec.from_, mode=spec.mode, table=table,
         )
     if spec.highlight is not None:
-        pre, post = spec.highlight
+        pre, post, frag = spec.highlight
         return search_highlight_sql(
             spec.query, k=spec.size, mode=spec.mode, table=table,
-            pre_tag=pre, post_tag=post,
+            pre_tag=pre, post_tag=post, fragment_size=frag,
         )
     if spec.rescore is not None:
         from .rescore import bm25_rescore_sql
@@ -2204,9 +2235,10 @@ def dsl_search_index(
             spec.sort, size=spec.size, from_=spec.from_, mode=spec.mode,
         )
     if spec.highlight is not None:
-        pre, post = spec.highlight
+        pre, post, frag = spec.highlight
         return searcher.search_highlight(
-            spec.query, k=spec.size, mode=spec.mode, pre_tag=pre, post_tag=post
+            spec.query, k=spec.size, mode=spec.mode, pre_tag=pre, post_tag=post,
+            fragment_size=frag,
         )
     if spec.rescore is not None:
         from .rescore import rescore_serving

@@ -111,11 +111,14 @@ def search_highlight(
     stopwords: list[str] | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fragment_size: int | None = None,
 ) -> DataFrame:
     """Top-k BM25 hits with whole-field highlights — the ES search+highlight
     response shape (doc_id, score, highlight). Markup joins AFTER top-k: the
     k-row hit list broadcasts against the docs table, so the highlight cost
-    is O(k), not O(corpus)."""
+    is O(k), not O(corpus). ``fragment_size`` switches to the deterministic
+    single-fragment mode (ES number_of_fragments=1): that many chars of the
+    marked-up text starting at the first highlighted occurrence."""
     terms = sorted(set(tokenize(query, stopwords, analyzer)))
     hits = bm25_topk(
         docs, query, k=k, mode=mode, id_col=id_col, text_col=text_col,
@@ -131,10 +134,18 @@ def search_highlight(
         joined.select(
             "doc_id",
             "score",
-            highlight_col(F.col("_t"), terms, pre_tag, post_tag, analyzer).alias("highlight"),
+            _frag(
+                highlight_col(F.col("_t"), terms, pre_tag, post_tag, analyzer),
+                fragment_size,
+                pre_tag,
+            ).alias("highlight"),
         )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
     )
+
+
+def _frag(hl: Column, fragment_size: int | None, pre_tag: str) -> Column:
+    return hl if fragment_size is None else first_fragment_col(hl, int(fragment_size), pre_tag)
 
 
 def search_highlight_sql(
@@ -146,10 +157,13 @@ def search_highlight_sql(
     post_tag: str = POST_TAG,
     analyzer: str = "ascii",
     stopwords: list[str] | None = None,
+    fragment_size: int | None = None,
 ) -> str:
     """DuckDB oracle for :func:`search_highlight`."""
     terms = sorted(set(tokenize(query, stopwords, analyzer)))
     hl = highlight_sql_expr(terms, "d.text", pre_tag, post_tag, analyzer)
+    if fragment_size is not None:
+        hl = first_fragment_sql(hl, int(fragment_size), pre_tag)
     inner = bm25_topk_sql(query, k=k, mode=mode, table=table, stopwords=stopwords, analyzer=analyzer)
     return f"""
 SELECT h.doc_id, h.score, {hl} AS highlight

@@ -755,6 +755,13 @@ def bm25_topk_sql(
     before the final round/order, mirroring engines that boost exact scores
     and round once at the end."""
     q_terms = tokenize(query, stopwords, analyzer)
+    if not q_terms:
+        # zero analyzed terms (all-punctuation / all-stopword query): the
+        # declarative path returns an empty (doc_id, score) frame; emit the
+        # same instead of a syntactically-invalid empty VALUES list.
+        return (
+            f"SELECT doc_id, CAST(0.0 AS DOUBLE) AS score FROM {table} WHERE FALSE"
+        )
     weights: dict[str, float] = {}
     for t in q_terms:
         weights[t] = weights.get(t, 0.0) + float((boosts or {}).get(t, 1.0))

@@ -2334,6 +2334,7 @@ class IndexSearcher:
         mode: str = "or",
         pre_tag: str | None = None,
         post_tag: str | None = None,
+        fragment_size: int | None = None,
     ) -> DataFrame:
         """ES search+highlight on the SERVING path: BMW top-k, then the
         k hit ids broadcast against the index's stored docs table (the ES
@@ -2358,7 +2359,15 @@ class IndexSearcher:
             .select(
                 "doc_id",
                 "score",
-                hl.highlight_col(F.col("text"), terms, pre, post).alias("highlight"),
+                (
+                    hl.highlight_col(F.col("text"), terms, pre, post)
+                    if fragment_size is None
+                    else hl.first_fragment_col(
+                        hl.highlight_col(F.col("text"), terms, pre, post),
+                        int(fragment_size),
+                        pre,
+                    )
+                ).alias("highlight"),
             )
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         )

@@ -329,6 +329,34 @@ BODIES: list[tuple[str, dict, bool]] = [
         {"query": {"simple_query_string": {"query": "merg*"}}, "size": 10},
         True,
     ),
+    (
+        # all-punctuation query + zero_terms_query=all -> match_all
+        "match_ztq_all",
+        {"query": {"match": {"text": {"query": "!!! ...", "zero_terms_query": "all"}}},
+         "size": 7},
+        False,  # rewrites to match_all, which serving refuses (declarative-only)
+    ),
+    (
+        # the default (none): same query yields zero hits
+        "match_ztq_none",
+        {"query": {"match": {"text": {"query": "!!! ...",
+                                      "zero_terms_query": "none"}}}},
+        True,
+    ),
+    (
+        "highlight_fragment",
+        {"query": {"match": {"text": "dup batch"}}, "size": 6,
+         "highlight": {"fields": {"text": {"fragment_size": 50,
+                                           "number_of_fragments": 1}}}},
+        True,
+    ),
+    (
+        # non-empty analysis: the option is inert
+        "match_ztq_inert",
+        {"query": {"match": {"text": {"query": "dup batch",
+                                      "zero_terms_query": "all"}}}, "size": 6},
+        True,
+    ),
 ]
 
 
@@ -355,7 +383,10 @@ def test_dsl_matches_duckdb(documents, duck, name, body, _srv):
     got = [tuple(r) for r in dsl_search(documents, body).collect()]
     want = [tuple(r) for r in duck.execute(dsl_search_sql(body)).fetchall()]
     assert got == want, name
-    assert got or name == "fuzzy", f"{name}: empty result weakens the check"
+    # fuzzy legitimately misses at sf0.001; match_ztq_none's CONTRACT is 0 hits
+    assert got or name in ("fuzzy", "match_ztq_none"), (
+        f"{name}: empty result weakens the check"
+    )
 
 
 @pytest.mark.parametrize(
@@ -381,6 +412,7 @@ def test_dsl_mlt_routes(documents, searcher):
     "bad",
     [
         {"query": {"match": {"title": "x"}}},
+        {"query": {"match": {"text": {"query": "a", "zero_terms_query": "bogus"}}}},
         {"query": {"regexp": {"text": "a\\d+"}}},  # backslash outside the 3-engine subset
         {"query": {"bool": {"must": [{"match": {"text": "a"}}, {"match": {"text": "b"}}]}}},
         {"query": {"match": {"text": "a"}}, "aggs": {}},

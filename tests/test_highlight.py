@@ -114,3 +114,62 @@ def test_serving_highlight_requires_stored_text(spark, documents, tmp_path_facto
     build_index(spark, documents, d, n_shards=2)
     with pytest.raises(ValueError, match="stored text"):
         IndexSearcher(spark, d).search_highlight("dup", k=5)
+
+
+def test_search_highlight_fragment_matches_duckdb(documents, duck):
+    got = [
+        tuple(r)
+        for r in search_highlight(
+            documents, "dup batch", k=8, fragment_size=60
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in duck.execute(
+            search_highlight_sql("dup batch", k=8, fragment_size=60)
+        ).fetchall()
+    ]
+    assert got == want and got
+    # fragments are substrings of the whole-field markup, capped at size
+    whole = {
+        r["doc_id"]: r["highlight"]
+        for r in search_highlight(documents, "dup batch", k=8).collect()
+    }
+    for doc_id, _score, frag in got:
+        assert len(frag) <= 60
+        assert frag in whole[doc_id]
+        assert frag.startswith("<em>") or "<em>" not in whole[doc_id]
+
+
+def test_dsl_highlight_fragment_three_paths(documents, duck):
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search, dsl_search_sql
+
+    body = {
+        "query": {"match": {"text": "dup batch"}},
+        "size": 6,
+        "highlight": {
+            "fields": {"text": {"fragment_size": 50, "number_of_fragments": 1}},
+            "pre_tags": ["[H]"],
+            "post_tags": ["[/H]"],
+        },
+    }
+    got = [tuple(r) for r in dsl_search(documents, body).collect()]
+    want = [tuple(r) for r in duck.execute(dsl_search_sql(body)).fetchall()]
+    assert got == want and got
+    assert all(len(r[2]) <= 50 for r in got)
+
+
+def test_dsl_highlight_rejects_bad_options():
+    from flume_elasticsearch_2_spark.operators.dsl import parse_body
+
+    base = {"query": {"match": {"text": "dup"}}}
+    for h in (
+        {"fields": {"text": {}}, "encoder": "html"},
+        {"fields": {"text": {"fragment_size": 50}}},         # needs nof: 1
+        {"fields": {"text": {"number_of_fragments": 5}}},    # 0 or 1 only
+        {"fields": {"text": {"fragment_size": 0,
+                             "number_of_fragments": 1}}},    # positive
+        {"fields": {"text": {"order": "score"}}},            # unknown field opt
+    ):
+        with pytest.raises(ValueError, match="unsupported DSL"):
+            parse_body({**base, "highlight": h})
