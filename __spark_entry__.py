@@ -244,6 +244,37 @@ def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, q, k=10)
 
 
+_CMS_TERMS = ["batch", "dup", "scan", "table", "zzznothere"]
+
+
+def _terms_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates vs exact counts: depth-4 x
+    width-64 integer sketch (corpus-size-independent memory, cell-wise
+    mergeable, partition-order invariant); est >= true by construction
+    (operators/sketch.py)."""
+    from flume_elasticsearch_2_spark.operators.sketch import cms_estimate_terms
+
+    return cms_estimate_terms(_docs(spark, sf_dir), _CMS_TERMS, width=64)
+
+
+def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (c=60) of the engine's own
+    BM25 top-50 and exact-cosine top-50 — ranks re-derived from the rounded
+    scores so fusion is engine-exact; all corpus-scale work stays in the
+    two underlying top-k operators (operators/hybrid.py)."""
+    from flume_elasticsearch_2_spark.operators.hybrid import rrf_fuse
+    from flume_elasticsearch_2_spark.operators.similarity import cosine_topk
+    from flume_elasticsearch_2_spark.operators.topk import bm25_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.where("vec_id = 0").first().embedding)
+    return rrf_fuse(
+        bm25_topk(_docs(spark, sf_dir), "dup batch scan", k=50),
+        cosine_topk(emb, q, k=50),
+        k=15,
+    )
+
+
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flume_elasticsearch_2_spark.operators.similarity import embedding_near_dup_pairs
 
@@ -3439,6 +3470,8 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "hybrid_rrf",
+    "terms_cms_estimate",
     "search_highlight_fragment",
     "search_highlight_fragment_segment",
     "dsl_zero_terms_all",
@@ -3674,6 +3707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard"] = _ngram_jaccard
     q["lsh_jaccard_verify"] = _lsh_jaccard_verify  # LSH candidates -> exact verify, full oracle
     q["cosine_topk"] = _cosine_topk
+    q["hybrid_rrf"] = _hybrid_rrf
+    q["terms_cms_estimate"] = _terms_cms_estimate
     q["embedding_near_dup"] = _embedding_near_dup
     q["json_serialize"] = _json_serialize
     q["trs_roundtrip"] = _trs_roundtrip
@@ -4109,6 +4144,17 @@ d AS (
 SELECT id, round(dot / (na * nb), 6) AS cosine
 FROM d ORDER BY dot / (na * nb) DESC, id ASC LIMIT 10
 """
+    from flume_elasticsearch_2_spark.operators.hybrid import rrf_fuse_sql
+    from flume_elasticsearch_2_spark.operators.similarity import cosine_topk_sql
+
+    from flume_elasticsearch_2_spark.operators.sketch import cms_estimate_terms_sql
+
+    o["terms_cms_estimate"] = cms_estimate_terms_sql(_CMS_TERMS, width=64)
+    o["hybrid_rrf"] = rrf_fuse_sql(
+        bm25_topk_sql("dup batch scan", k=50),
+        cosine_topk_sql("SELECT embedding FROM embeddings WHERE vec_id = 0", k=50),
+        k=15,
+    )
     o["cosine_topk_ivf"] = o["cosine_topk"]
     o["cosine_topk_lsh_exhaustive"] = o["cosine_topk"]
     o["cosine_topk_ivf_indexed"] = o["cosine_topk"]

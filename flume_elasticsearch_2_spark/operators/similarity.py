@@ -322,3 +322,29 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
     )
+
+
+def cosine_topk_sql(
+    query_vec_sql: str,
+    k: int = 10,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for :func:`cosine_topk`. ``query_vec_sql`` is a scalar
+    subquery yielding the query vector (e.g. ``SELECT embedding FROM
+    embeddings WHERE vec_id = 0``). Same unrounded ORDER BY contract."""
+    return f"""
+WITH q AS (SELECT ({query_vec_sql}) AS qe),
+d AS (
+  SELECT e.{id_col} AS id,
+         sum(e.{vec_col}[t.i]::DOUBLE * q.qe[t.i]::DOUBLE) AS dot,
+         sqrt(sum(e.{vec_col}[t.i]::DOUBLE * e.{vec_col}[t.i]::DOUBLE)) AS na,
+         sqrt(sum(q.qe[t.i]::DOUBLE * q.qe[t.i]::DOUBLE)) AS nb
+  FROM {table} e, q, unnest(range(1, {int(dim) + 1})) AS t(i)
+  GROUP BY e.{id_col}
+)
+SELECT id, round(dot / (na * nb), 6) AS cosine
+FROM d ORDER BY dot / (na * nb) DESC, id ASC LIMIT {int(k)}
+"""
