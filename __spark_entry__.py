@@ -1398,6 +1398,33 @@ def _multi_match_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSL_QS_FIELDS_BODY = {
+    "query": {"query_string": {"query": "dup batch scan",
+                               "fields": ["title", "text"],
+                               "default_operator": "or"}},
+    "size": 10,
+}
+
+
+def _dsl_query_string_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x multi-field query_string (use_dis_max=true default): plain
+    terms fanned into per-field sub-queries, dis_max-combined — routed onto
+    the same dis_max spec multi_match uses."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(
+        _docs_titled(spark, sf_dir), _DSL_QS_FIELDS_BODY, analyzed_fields=_ANALYZED
+    )
+
+
+def _dsl_query_string_fields_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(
+        _mf_searcher(spark, sf_dir), _DSL_QS_FIELDS_BODY, analyzed_fields=_ANALYZED
+    )
+
+
 _DSL_MULTI_MATCH_BODY = {
     "query": {"multi_match": {"query": "dup batch scan", "fields": ["title", "text"]}}
 }
@@ -3470,6 +3497,8 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dsl_query_string_fields",
+    "dsl_query_string_fields_segment",
     "hybrid_rrf",
     "terms_cms_estimate",
     "search_highlight_fragment",
@@ -3784,6 +3813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multi_match_best_fields"] = _multi_match_best_fields
     q["multi_match_segment"] = _multi_match_segment
     q["dsl_multi_match"] = _dsl_multi_match
+    q["dsl_query_string_fields"] = _dsl_query_string_fields
+    q["dsl_query_string_fields_segment"] = _dsl_query_string_fields_segment
     q["dsl_multi_match_segment"] = _dsl_multi_match_segment
     q["dsl_dis_max"] = _dsl_dis_max
     q["dsl_must_not_only"] = _dsl_must_not_only
@@ -4600,6 +4631,10 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
         "dup batch scan", ["title", "text"], k=10, field_exprs=_FIELD_EXPRS
     )
     o["multi_match_segment"] = o["multi_match_best_fields"]
+    o["dsl_query_string_fields"] = dsl_search_sql(
+        _DSL_QS_FIELDS_BODY, analyzed_fields=_ANALYZED, field_exprs=_FIELD_EXPRS
+    )
+    o["dsl_query_string_fields_segment"] = o["dsl_query_string_fields"]
     o["dsl_multi_match"] = dsl_search_sql(
         _DSL_MULTI_MATCH_BODY, analyzed_fields=_ANALYZED, field_exprs=_FIELD_EXPRS
     )

@@ -1248,12 +1248,45 @@ def parse_body(
     elif kind == "query_string":
         qs = val if isinstance(val, str) else val["query"]
         default_op = "or"
+        qs_fields: list | None = None
+        tb = 0.0
         if isinstance(val, dict):
-            extra_q = set(val) - {"query", "default_operator"}
+            extra_q = set(val) - {
+                "query", "default_operator", "fields", "use_dis_max", "tie_breaker"
+            }
             if extra_q:
                 _err(f"query_string keys {sorted(extra_q)}")
             default_op = val.get("default_operator", "or").lower()
-        _parse_query_string(spec, qs, default_op, text_col)
+            qs_fields = val.get("fields")
+            # ES 1.x multi-field query_string: per-field sub-queries
+            # combined dis_max (use_dis_max=true default, tie_breaker=0) or
+            # summed (use_dis_max=false == tie_breaker 1)
+            if val.get("use_dis_max") is False:
+                if "tie_breaker" in val:
+                    _err("query_string use_dis_max=false fixes tie_breaker=1")
+                tb = 1.0
+            else:
+                tb = float(val.get("tie_breaker", 0.0))
+            if qs_fields is None and ("use_dis_max" in val or "tie_breaker" in val):
+                _err("query_string use_dis_max/tie_breaker need fields")
+        if qs_fields is not None and list(qs_fields) != [text_col]:
+            for f in qs_fields:
+                if "^" in f:
+                    _err(f"query_string field boost {f!r}")
+                if f not in analyzed:
+                    _err(
+                        f"query_string field {f!r} (analyzed: {sorted(analyzed)})"
+                    )
+            if any(c in qs for c in '+-*"~()'):
+                _err(
+                    "multi-field query_string supports plain terms only "
+                    "(syntax operators need the single-field form)"
+                )
+            spec.kind = "dis_max"
+            spec.clauses = [(f, qs, default_op) for f in qs_fields]
+            spec.tie_breaker = tb
+        else:
+            _parse_query_string(spec, qs, default_op, text_col)
     elif kind == "simple_query_string":
         if not isinstance(val, dict):
             _err("simple_query_string needs an options object")

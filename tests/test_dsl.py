@@ -844,6 +844,26 @@ def test_query_string_rejects_unsupported(qs):
 @pytest.mark.parametrize(
     "opts",
     [
+        {"query": "du*p", "fields": ["text", "title"]},  # syntax ops need 1 field
+        {"query": '"a b"', "fields": ["text", "title"]},
+        {"query": "a", "fields": ["text^2", "title"]},   # field boost
+        {"query": "a", "fields": ["text", "nope"]},      # not analyzed
+        {"query": "a", "tie_breaker": 0.3},              # tb without fields
+        {"query": "a", "use_dis_max": True},             # udm without fields
+        {"query": "a", "fields": ["text", "title"],
+         "use_dis_max": False, "tie_breaker": 0.5},      # contradiction
+    ],
+)
+def test_query_string_fields_rejects(opts):
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        parse_body(
+            {"query": {"query_string": opts}}, analyzed_fields=["text", "title"]
+        )
+
+
+@pytest.mark.parametrize(
+    "opts",
+    [
         {"query": "dup + batch | scan"},            # mixed connectors
         {"query": "dup (batch scan)"},              # parens outside subset
         {"query": "part~2"},                        # fuzzy ~ outside subset

@@ -232,6 +232,35 @@ def test_dsl_field_match_and_multi_match(fdocs, duck, mf_searcher):
                 }
             }
         },
+        # 1.x multi-field query_string == dis_max over per-field queries
+        {
+            "query": {
+                "query_string": {
+                    "query": "dup batch scan",
+                    "fields": ["title", "text"],
+                }
+            }
+        },
+        {
+            "query": {
+                "query_string": {
+                    "query": "dup batch",
+                    "fields": ["title", "text"],
+                    "default_operator": "and",
+                    "tie_breaker": 0.2,
+                }
+            }
+        },
+        # use_dis_max=false == per-field sum == tie_breaker 1
+        {
+            "query": {
+                "query_string": {
+                    "query": "dup batch scan",
+                    "fields": ["title", "text"],
+                    "use_dis_max": False,
+                }
+            }
+        },
     ]
     for body in bodies:
         got = [
@@ -242,9 +271,14 @@ def test_dsl_field_match_and_multi_match(fdocs, duck, mf_searcher):
             dsl_search_sql(body, analyzed_fields=analyzed, field_exprs=FIELD_EXPRS)
         ).fetchall()
         assert got == [tuple(r) for r in want] and got, body
-        tb = body["query"].get("dis_max", {}).get("tie_breaker", 0.0)
-        if body["query"].get("multi_match", {}).get("type") == "most_fields":
+        q = body["query"]
+        tb = q.get("dis_max", {}).get("tie_breaker", 0.0) or q.get(
+            "query_string", {}
+        ).get("tie_breaker", 0.0)
+        if q.get("multi_match", {}).get("type") == "most_fields":
             tb = 1.0  # pinned by the parse; serving refuses it loudly
+        if q.get("query_string", {}).get("use_dis_max") is False:
+            tb = 1.0
         if tb == 0.0:  # serving combiner supports tie_breaker=0 only
             srv = [
                 tuple(r)
