@@ -3304,6 +3304,46 @@ def _mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-url canonicalization (the input_hint's url key): lowercase
+    scheme/host, strip default ports + fragments + tracking params, sort the
+    survivors — a zero-shuffle codegen projection over the deterministically
+    messy webpages synth. operators/urls.py:canonicalize_urls."""
+    from flume_elasticsearch_2_spark.operators.urls import (
+        canonicalize_urls,
+        synth_webpages,
+    )
+
+    return canonicalize_urls(synth_webpages(_docs(spark, sf_dir))).select(
+        "doc_id", "url", "canon_url"
+    )
+
+
+def _url_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl rollup with registered-domain attribution (co.uk-style
+    public-suffix classes handled) — ONE partial-agg shuffle on the host key.
+    operators/urls.py:host_profile."""
+    from flume_elasticsearch_2_spark.operators.urls import host_profile, synth_webpages
+
+    return host_profile(synth_webpages(_docs(spark, sf_dir)))
+
+
+def _url_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-refresh dedup: LWW by canonical url on warc_ts over two synth
+    captures (the %4==1 class collides after canonicalization; the newer
+    recrawl wins) — one shuffle on the canonical key, window sorts (ts, id)
+    never the payload. operators/urls.py:url_dedup_latest."""
+    from flume_elasticsearch_2_spark.operators.urls import (
+        synth_recrawl,
+        synth_webpages,
+        url_dedup_latest,
+    )
+
+    docs = _docs(spark, sf_dir)
+    both = synth_webpages(docs).unionByName(synth_recrawl(docs))
+    return url_dedup_latest(both)
+
+
 _SHUF_CURSOR = (1 << 59, -1)
 
 
@@ -3497,6 +3537,9 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "url_canonicalize",
+    "url_host_profile",
+    "url_dedup_latest",
     "dsl_query_string_fields",
     "dsl_query_string_fields_segment",
     "hybrid_rrf",
@@ -3948,6 +3991,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_common_terms_segment"] = _bm25_common_terms_segment
     q["dsl_common"] = _dsl_common
     q["mix_sample"] = _mix_sample
+    q["url_canonicalize"] = _url_canonicalize
+    q["url_host_profile"] = _url_host_profile
+    q["url_dedup_latest"] = _url_dedup_latest
     q["shuffle_export"] = _shuffle_export
     q["token_budget_select"] = _token_budget_select
     q["dsir_weights"] = _dsir_weights
@@ -4433,6 +4479,23 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
         token_budget_select_sql,
     )
 
+    from flume_elasticsearch_2_spark.operators.urls import (
+        canonical_url_sql,
+        host_profile_sql,
+        synth_recrawl_sql,
+        synth_webpages_sql,
+        url_dedup_latest_sql,
+    )
+
+    o["url_canonicalize"] = (
+        f"SELECT doc_id, url, {canonical_url_sql('url')} AS canon_url "
+        f"FROM ({synth_webpages_sql()})"
+    )
+    o["url_host_profile"] = host_profile_sql(f"({synth_webpages_sql()})")
+    o["url_dedup_latest"] = url_dedup_latest_sql(
+        f"(SELECT * FROM ({synth_webpages_sql()}) "
+        f"UNION ALL SELECT * FROM ({synth_recrawl_sql()}))"
+    )
     o["shuffle_export"] = shuffle_export_sql(25, seed=3, after=_SHUF_CURSOR)
     o["token_budget_select"] = token_budget_select_sql(400)
     o["mix_sample"] = (
