@@ -3292,6 +3292,37 @@ def _dsl_named_queries_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation over the deterministic link graph (the
+    web-index signal: a page described by its in-link anchors): zero-shuffle
+    anchor projection, one narrow src join, partial-agg (dst, term) rollup,
+    pinned per-target top-3 window. operators/anchors.py:anchor_text_topk."""
+    from flume_elasticsearch_2_spark.operators.anchors import anchor_text_topk
+
+    docs = _docs(spark, sf_dir)
+    return anchor_text_topk(docs, docs.count())
+
+
+def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    local-fingerprint sketch — guarantees shared >= w+k-1 token spans share
+    a fingerprint): tokenize -> k-gram md5 -> window-min, all JVM
+    higher-order array ops riding the scan, ZERO shuffles.
+    operators/winnow.py:winnow_fingerprints."""
+    from flume_elasticsearch_2_spark.operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def _winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidate pairs from winnowing selections: one
+    fp-keyed self-join with the hot-fingerprint df cap applied BEFORE the
+    join (the boilerplate guard). operators/winnow.py:winnow_pairs."""
+    from flume_elasticsearch_2_spark.operators.winnow import winnow_pairs
+
+    return winnow_pairs(_docs(spark, sf_dir))
+
+
 def _mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture sampling (pretraining source reweighting): per-group
     keep fraction via the seeded 60-bit-md5 Bernoulli — ONE map-side CASE
@@ -3537,6 +3568,9 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "anchor_text_topk",
+    "winnow_fingerprints",
+    "winnow_pairs",
     "url_canonicalize",
     "url_host_profile",
     "url_dedup_latest",
@@ -3991,6 +4025,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_common_terms_segment"] = _bm25_common_terms_segment
     q["dsl_common"] = _dsl_common
     q["mix_sample"] = _mix_sample
+    q["anchor_text_topk"] = _anchor_text_topk
+    q["winnow_fingerprints"] = _winnow_fingerprints
+    q["winnow_pairs"] = _winnow_pairs
     q["url_canonicalize"] = _url_canonicalize
     q["url_host_profile"] = _url_host_profile
     q["url_dedup_latest"] = _url_dedup_latest
@@ -4487,6 +4524,15 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
         url_dedup_latest_sql,
     )
 
+    from flume_elasticsearch_2_spark.operators.anchors import anchor_text_topk_sql
+    from flume_elasticsearch_2_spark.operators.winnow import (
+        winnow_fingerprints_sql,
+        winnow_pairs_sql,
+    )
+
+    o["anchor_text_topk"] = anchor_text_topk_sql()
+    o["winnow_fingerprints"] = winnow_fingerprints_sql()
+    o["winnow_pairs"] = winnow_pairs_sql()
     o["url_canonicalize"] = (
         f"SELECT doc_id, url, {canonical_url_sql('url')} AS canon_url "
         f"FROM ({synth_webpages_sql()})"
