@@ -1532,6 +1532,12 @@ _DSL_SPAN_OR_BODY = {
     ]}},
     "size": 10,
 }
+_DSL_SPAN_MULTI_BODY = {
+    # prefix 's' expands to the corpus's s* dictionary slice (6 terms at
+    # test SF) under the Lucene (df DESC, term ASC) cap, scored as span_or
+    "query": {"span_multi": {"match": {"prefix": {"text": "s"}}}},
+    "size": 10,
+}
 _DSL_SPAN_NOT_BODY = {
     "query": {"span_not": {
         "include": {"span_term": {"text": "batch"}},
@@ -1559,6 +1565,25 @@ def _dsl_span_or_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
 
     return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_SPAN_OR_BODY)
+
+
+def _dsl_span_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene/ES span_multi (SpanMultiTermQueryWrapper): the inner prefix
+    query expands against the term dictionary under the (df DESC, term ASC)
+    cap, then scores as span_or over the expansion.
+    operators/multiterm.py:bm25_span_multi_topk."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_SPAN_MULTI_BODY)
+
+
+def _dsl_span_multi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_multi on the SERVING path: expansion from the prebuilt terms/
+    dictionary (range-pruned read), scoring via the span_or scatter —
+    freq-only postings suffice."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_SPAN_MULTI_BODY)
 
 
 def _dsl_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3568,6 +3593,8 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dsl_span_multi",
+    "dsl_span_multi_segment",
     "anchor_text_topk",
     "winnow_fingerprints",
     "winnow_pairs",
@@ -3923,6 +3950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_wrapper_segment"] = _dsl_wrapper_segment
     q["dsl_span_first"] = _dsl_span_first
     q["dsl_span_first_segment"] = _dsl_span_first_segment
+    q["dsl_span_multi"] = _dsl_span_multi
+    q["dsl_span_multi_segment"] = _dsl_span_multi_segment
     q["dsl_span_or"] = _dsl_span_or
     q["dsl_span_or_segment"] = _dsl_span_or_segment
     q["dsl_span_not"] = _dsl_span_not
@@ -4785,6 +4814,8 @@ SELECT CAST(rk // 100 AS BIGINT) AS page, doc_id FROM r
     o["dsl_wrapper_segment"] = o["dsl_wrapper"]
     o["dsl_span_first"] = dsl_search_sql(_DSL_SPAN_FIRST_BODY)
     o["dsl_span_first_segment"] = o["dsl_span_first"]
+    o["dsl_span_multi"] = dsl_search_sql(_DSL_SPAN_MULTI_BODY)
+    o["dsl_span_multi_segment"] = o["dsl_span_multi"]
     o["dsl_span_or"] = dsl_search_sql(_DSL_SPAN_OR_BODY)
     o["dsl_span_or_segment"] = o["dsl_span_or"]
     o["dsl_span_not"] = dsl_search_sql(_DSL_SPAN_NOT_BODY)

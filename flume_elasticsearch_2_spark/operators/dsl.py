@@ -89,6 +89,10 @@ silent best-effort):
   occurrence within ``[p-pre, p+post]``; idf = the include term's corpus
   df only — SpanNotQuery never scores its exclude clause) — all three
   paths; non-span_term clauses refuse loudly.
+* ``span_multi`` wrapping a ``prefix``/``wildcard``/``fuzzy``/``regexp``
+  on the text field: Lucene's SpanMultiTermQueryWrapper rewrite — a SpanOr
+  over the (df DESC, term ASC)-capped dictionary expansion; zero matching
+  terms -> zero hits — all three paths.
 * ``wrapper`` (base64-encoded query JSON, the ES wrapper query) — decoded
   and substituted at the TOP-LEVEL ``body.query`` position before dispatch,
   so any supported clause rides inside; nested wrappers beyond depth 4,
@@ -171,6 +175,8 @@ class _Spec:
         self.fscore_functions: tuple | None = None
         self.span_first: tuple[str, int] | None = None  # (term, end)
         self.span_or: list[str] | None = None  # deduped span_term clauses
+        # span_multi: (pattern, mt_kind, {fuzziness, prefix_length, max_expansions})
+        self.span_multi: tuple[str, str, dict] | None = None
         self.span_not: tuple[str, str, int, int] | None = None  # (inc, exc, pre, post)
         self.flt: dict | None = None  # fuzzy_like_this params
         self.nested: dict | None = None  # nested query (path/triples/score_mode)
@@ -930,6 +936,42 @@ def parse_body(
             terms_so.append(str(t).lower())
         spec.kind = "span_or"
         spec.span_or = sorted(set(terms_so))
+    elif kind == "span_multi":
+        # Lucene/ES span_multi: a multi-term query (prefix/wildcard/fuzzy/
+        # regexp on the text field) wrapped as spans. Lucene's
+        # SpanMultiTermQueryWrapper rewrites to a SpanOr over the matching
+        # dictionary terms, so the scoring contract is span_or's over the
+        # deterministic (df DESC, term ASC)-capped expansion — pinned in
+        # operators/multiterm.py:bm25_span_multi_topk. Empty expansion = 0
+        # hits (the empty-SpanOr rewrite), never an error.
+        extra_sm = set(val) - {"match"}
+        if extra_sm:
+            _err(f"span_multi keys {sorted(extra_sm)} (match only)")
+        mk, mv = _one_field(val.get("match") or _err("span_multi needs match"),
+                            "span_multi match")
+        if mk not in _MT_KINDS:
+            _err(f"span_multi match {mk!r} ({'/'.join(_MT_KINDS)} only)")
+        f, v = _one_field(mv, mk)
+        if f != text_col:
+            _err(f"{mk} on {f!r}")
+        kw_sm: dict = {}
+        if isinstance(v, dict):
+            pat_sm = v.get("value", v.get(mk))
+            for opt in ("fuzziness", "prefix_length", "max_expansions"):
+                if opt in v:
+                    kw_sm[opt] = int(v[opt])
+            extra_smo = set(v) - {"value", mk, "fuzziness", "prefix_length",
+                                  "max_expansions"}
+            if extra_smo:
+                _err(f"span_multi {mk} options {sorted(extra_smo)}")
+        else:
+            pat_sm = v
+        try:
+            _normalize_pattern(str(pat_sm), mk, int(kw_sm.get("prefix_length", 0)))
+        except ValueError as e:
+            _err(str(e))
+        spec.kind = "span_multi"
+        spec.span_multi = (str(pat_sm), mk, kw_sm)
     elif kind == "span_not":
         # Lucene/ES span_not over single span_term include/exclude with the
         # pre/post (or dist = both) forbidden window. Contract pinned in
@@ -1842,6 +1884,16 @@ def dsl_search(
         return bm25_span_or_topk(
             docs, spec.span_or, k=spec.size, id_col=id_col, text_col=text_col
         )
+    if spec.kind == "span_multi":
+        if spec.filters or mn or spec.from_:
+            _err("span_multi with filters/must_not/from")
+        from .multiterm import bm25_span_multi_topk
+
+        pat_sm, mk_sm, kw_sm = spec.span_multi
+        return bm25_span_multi_topk(
+            docs, pat_sm, mk_sm, k=spec.size, id_col=id_col, text_col=text_col,
+            **kw_sm,
+        )
     if spec.kind == "span_not":
         if spec.filters or mn or spec.from_:
             _err("span_not with filters/must_not/from")
@@ -2059,6 +2111,15 @@ def dsl_search_sql(
         from .topk import bm25_span_or_topk_sql
 
         return bm25_span_or_topk_sql(spec.span_or, k=spec.size, table=table)
+    if spec.kind == "span_multi":
+        if spec.filters or mn or spec.from_:
+            _err("span_multi with filters/must_not/from")
+        from .multiterm import bm25_span_multi_topk_sql
+
+        pat_sm, mk_sm, kw_sm = spec.span_multi
+        return bm25_span_multi_topk_sql(
+            pat_sm, mk_sm, k=spec.size, table=table, **kw_sm
+        )
     if spec.kind == "span_not":
         if spec.filters or mn or spec.from_:
             _err("span_not with filters/must_not/from")
@@ -2305,6 +2366,13 @@ def dsl_search_index(
         if multifield:
             searcher = searcher.field_searcher(searcher.fields[0])
         return searcher.search_span_or(spec.span_or, k=spec.size)
+    if spec.kind == "span_multi":
+        if spec.filters or mn or spec.from_:
+            _err("span_multi with filters/must_not/from")
+        if multifield:
+            searcher = searcher.field_searcher(searcher.fields[0])
+        pat_sm, mk_sm, kw_sm = spec.span_multi
+        return searcher.search_span_multi(pat_sm, mk_sm, k=spec.size, **kw_sm)
     if spec.kind == "span_not":
         if spec.filters or mn or spec.from_:
             _err("span_not with filters/must_not/from")

@@ -831,3 +831,95 @@ def suggest_body_index(searcher, body: dict) -> DataFrame:
     for f in frames[1:]:
         out = out.unionAll(f)
     return out.orderBy("name", "rank")
+
+
+def bm25_span_multi_topk(
+    docs: DataFrame,
+    pattern: str,
+    kind: str = "prefix",
+    k: int = 10,
+    fuzziness: int = 1,
+    prefix_length: int = 0,
+    max_expansions: int = MAX_EXPANSIONS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lucene/ES ``span_multi`` wrapping a multi-term query (ES 1.x body
+    ``{"span_multi": {"match": {"prefix": {"text": "qu"}}}}``; reference
+    delegation site ElasticsearchSink.java:54).
+
+    Lucene's SpanMultiTermQueryWrapper rewrites the inner multi-term query
+    to a SpanOr over every dictionary term it matches — so the pinned
+    contract IS span_or's (operators/topk.py:bm25_span_or_topk: summed sf,
+    summed idf over the expanded set), with the expansion following the
+    deterministic Lucene cap ``(df DESC, term ASC) LIMIT max_expansions``
+    (:func:`expand_pattern`). An expansion of ZERO terms returns zero hits
+    (Lucene's empty SpanOr), unlike span_or's explicit-clause refusal.
+
+    Scale shape: expansion is one map-side-combined dictionary agg (<=
+    vocabulary rows shuffled) collected as driver constants; scoring is
+    span_or's two-narrow-pass zero-join plan."""
+    from .topk import bm25_span_or_topk
+
+    terms = expand_pattern(
+        docs, pattern, kind, fuzziness=fuzziness, prefix_length=prefix_length,
+        max_expansions=max_expansions, text_col=text_col,
+    )
+    if not terms:
+        return docs.sparkSession.createDataFrame([], "doc_id long, score double")
+    return bm25_span_or_topk(docs, terms, k=k, id_col=id_col, text_col=text_col)
+
+
+def bm25_span_multi_topk_sql(
+    pattern: str,
+    kind: str = "prefix",
+    k: int = 10,
+    fuzziness: int = 1,
+    prefix_length: int = 0,
+    max_expansions: int = MAX_EXPANSIONS,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`bm25_span_multi_topk` — the expansion (same
+    dictionary df + Lucene cap) and the span_or scoring contract inlined as
+    one self-contained query (sf via an explode join: lambdas cannot hold
+    subqueries)."""
+    pattern_n = _normalize_pattern(pattern, kind, prefix_length)
+    pred = term_match_sql(pattern_n, kind, fuzziness, prefix_length)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM {table}
+),
+dict AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(ts)) AS term FROM toks)
+  GROUP BY term
+),
+mt AS (
+  SELECT term, df FROM dict WHERE {pred}
+  ORDER BY df DESC, term ASC LIMIT {int(max_expansions)}
+),
+s AS (SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl FROM toks),
+idf AS (
+  SELECT coalesce(sum(ln(1 + ((SELECT n_docs FROM s) - df + 0.5) / (df + 0.5))), 0) AS v
+  FROM mt
+),
+sfq AS (
+  SELECT t.doc_id, CAST(count(*) AS DOUBLE) AS sf
+  FROM (SELECT doc_id, unnest(ts) AS tok FROM toks) t
+  JOIN mt ON t.tok = mt.term
+  GROUP BY t.doc_id
+),
+f AS (
+  SELECT toks.doc_id, len(toks.ts) AS dl, sfq.sf
+  FROM toks JOIN sfq USING (doc_id)
+)
+SELECT f.doc_id,
+       round((SELECT v FROM idf) * f.sf * (1.2 + 1.0)
+             / (f.sf + 1.2 * (1.0 - 0.75 + 0.75 * f.dl / (SELECT avgdl FROM s))), 6) AS score
+FROM f
+WHERE f.sf > 0
+ORDER BY (SELECT v FROM idf) * f.sf * (1.2 + 1.0)
+         / (f.sf + 1.2 * (1.0 - 0.75 + 0.75 * f.dl / (SELECT avgdl FROM s))) DESC,
+         f.doc_id ASC
+LIMIT {int(k)}
+"""

@@ -1460,6 +1460,30 @@ class IndexSearcher:
             "doc_id long, score double",
         )
 
+    def search_span_multi(
+        self,
+        pattern: str,
+        kind: str = "prefix",
+        k: int = 10,
+        fuzziness: int = 1,
+        prefix_length: int = 0,
+        max_expansions: int = 50,
+    ) -> DataFrame:
+        """``span_multi`` on the SERVING path (rank-identical to
+        ``operators.multiterm.bm25_span_multi_topk`` by test): Lucene's
+        SpanMultiTermQueryWrapper rewrite — expand the inner multi-term
+        query against the prebuilt ``terms/`` dictionary (range-pruned
+        read + the ``(df DESC, term ASC) LIMIT n`` cap,
+        :meth:`expand_terms`), then score as a SpanOr over the expansion.
+        Zero matching terms -> zero hits (the empty-SpanOr rewrite)."""
+        terms = self.expand_terms(
+            pattern, kind, fuzziness=fuzziness, prefix_length=prefix_length,
+            max_expansions=max_expansions,
+        )
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search_span_or(terms, k=k)
+
     def search_span_not(
         self, include: str, exclude: str, pre: int = 0, post: int = 0, k: int = 10
     ) -> DataFrame:
