@@ -1228,6 +1228,30 @@ def _facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats_facet(_docs(spark, sf_dir), "dup batch scan", "n_chars")
 
 
+_STAT_FACET_BODY = {
+    "query": {"match": {"text": "dup batch scan"}},
+    "facets": {"s": {"statistical": {"field": "n_chars"}}},
+}
+
+
+def _facet_statistical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x statistical FACET (count/total/min/max/mean/sum_of_squares/
+    variance/std_deviation) — the extended_stats row under the 1.x names,
+    resolved at DSL parse time. operators/dsl.py:dsl_aggregation."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    return dsl_aggregation(_docs(spark, sf_dir), _STAT_FACET_BODY)
+
+
+def _facet_statistical_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1.x statistical facet on the SERVING path: extended_stats partials
+    (count/min/max/sum/sos) merge exactly per shard, renamed to the 1.x
+    row. operators/dsl.py:dsl_aggregation_index."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_index
+
+    return dsl_aggregation_index(_segment_searcher(spark, sf_dir), _STAT_FACET_BODY)
+
+
 def _facet_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES histogram facet, match_all scope (whole-corpus distribution)."""
     from flume_elasticsearch_2_spark.operators.facets import histogram_facet
@@ -3593,6 +3617,8 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "facet_statistical",
+    "facet_statistical_segment",
     "dsl_span_multi",
     "dsl_span_multi_segment",
     "anchor_text_topk",
@@ -3857,6 +3883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cosine_topk_ivf_indexed"] = _cosine_topk_ivf_indexed  # materialized index, full probe -> cosine oracle
     q["facet_terms"] = _facet_terms
     q["facet_stats"] = _facet_stats
+    q["facet_statistical"] = _facet_statistical
+    q["facet_statistical_segment"] = _facet_statistical_segment
     q["facet_histogram"] = _facet_histogram
     q["facet_segment_terms"] = _facet_segment_terms
     q["facet_segment_stats"] = _facet_segment_stats
@@ -4335,6 +4363,12 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
 
     o["facet_terms"] = terms_facet_sql("dup batch scan", "lang", size=10)
     o["facet_stats"] = stats_facet_sql("dup batch scan", "n_chars")
+    from flume_elasticsearch_2_spark.operators.dsl import (
+        dsl_aggregation_sql as _dagg_sql,
+    )
+
+    o["facet_statistical"] = _dagg_sql(_STAT_FACET_BODY)
+    o["facet_statistical_segment"] = o["facet_statistical"]
     o["facet_histogram"] = histogram_facet_sql(None, "n_chars", 100)
     o["facet_segment_terms"] = o["facet_terms"]
     # serving-path dl == DuckDB token count (same analyzer)

@@ -2517,10 +2517,17 @@ def _parse_aggs(body: dict, text_col: str) -> tuple[str | None, str, str, dict]:
             "terms", "stats", "histogram", "range", "filters", "cardinality",
             "percentiles", "percentile_ranks", "missing", "significant_terms",
             "extended_stats", "value_count", "scripted_metric",
-            "min", "max", "sum", "avg",
+            "min", "max", "sum", "avg", "statistical",
         ):
             _err(f"agg kind {kind!r}")
         kw = {}
+        if kind == "statistical":
+            # ES 1.x statistical FACET: extended_stats under the 1.x names
+            # (total/mean) and column order — the alias resolves at parse
+            # time, the executors rename the extended_stats row
+            extra_st = set(conf) - {"field"}
+            if extra_st:
+                _err(f"statistical facet options {sorted(extra_st)}")
         if kind in ("min", "max", "sum", "avg"):
             # ES standalone metric aggs — the most common agg bodies; the
             # optional `script` computes the per-doc value (scripts.py
@@ -2728,6 +2735,13 @@ def dsl_aggregation(docs: DataFrame, body: dict, text_col: str = "text") -> Data
         return metric_facet(docs, q, field, text_col=text_col, **kw)
     from .aggs import extended_stats_facet, hll_cardinality, value_count_facet
 
+    if kind == "statistical":
+        xs = extended_stats_facet(docs, q, field, text_col=text_col, **kw)
+        return xs.select(
+            "count", F.col("sum").alias("total"), "min", "max",
+            F.col("avg").alias("mean"), "sum_of_squares", "variance",
+            "std_deviation",
+        )
     fn = {
         "terms": terms_facet,
         "stats": stats_facet,
@@ -2803,6 +2817,12 @@ def dsl_aggregation_sql(body: dict, table: str = "documents", text_col: str = "t
         )
     from .aggs import extended_stats_facet_sql, hll_cardinality_sql, value_count_facet_sql
 
+    if kind == "statistical":
+        inner = extended_stats_facet_sql(q, field, table=table, **kw)
+        return (
+            'SELECT "count", "sum" AS total, "min", "max", "avg" AS mean, '
+            f'sum_of_squares, variance, std_deviation FROM ({inner})'
+        )
     fn = {
         "terms": terms_facet_sql,
         "stats": stats_facet_sql,
@@ -2870,6 +2890,13 @@ def dsl_aggregation_index(searcher, body: dict, text_col: str = "text") -> DataF
         return searcher.facet_query_count(
             q, kw["facet_query"], mode=kw.get("mode", "or"),
             facet_mode=kw["facet_mode"],
+        )
+    if kind == "statistical":
+        xs = searcher.facet(q, field, kind="extended_stats", **kw)
+        return xs.select(
+            "count", F.col("sum").alias("total"), "min", "max",
+            F.col("avg").alias("mean"), "sum_of_squares", "variance",
+            "std_deviation",
         )
     return searcher.facet(q, field, kind=kind, **kw)
 

@@ -462,3 +462,26 @@ def test_dsl_scripted_metric_route(documents, sf_dir, agg_searcher):
     with pytest.raises(ValueError, match="unsupported DSL"):
         dsl_aggregation_sql({"aggs": {"m": {"scripted_metric": {
             "map_script": "1", "combine_script": "x"}}}})
+
+
+def test_statistical_facet_three_engines(documents, sf_dir, agg_searcher):
+    # ES 1.x statistical facet = extended_stats under the 1.x names
+    # (total/mean), resolved at parse time on all three paths
+    from flume_elasticsearch_2_spark.operators.dsl import (
+        dsl_aggregation,
+        dsl_aggregation_index,
+        dsl_aggregation_sql,
+    )
+
+    body = {"query": {"match": {"text": "dup batch scan"}},
+            "facets": {"s": {"statistical": {"field": "n_chars"}}}}
+    got = dsl_aggregation(documents, body)
+    assert got.columns == ["count", "total", "min", "max", "mean",
+                           "sum_of_squares", "variance", "std_deviation"]
+    rows = [tuple(r) for r in got.collect()]
+    want = _duck(sf_dir, dsl_aggregation_sql(body))
+    srv = [tuple(r) for r in dsl_aggregation_index(agg_searcher, body).collect()]
+    assert rows == want == srv and rows[0][0] > 0
+    with pytest.raises(ValueError, match="unsupported DSL"):
+        dsl_aggregation_sql({"facets": {"s": {"statistical": {
+            "field": "n_chars", "script": "x"}}}})
