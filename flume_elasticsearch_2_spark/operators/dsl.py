@@ -30,7 +30,9 @@ silent best-effort):
   (best_fields over analyzed fields, ``tie_breaker``), ``dis_max`` (match
   clauses, ``tie_breaker``), ``match_all``, ``ids``, ``term``/
   ``prefix``/``wildcard``/``fuzzy`` on the text field,
-  ``more_like_this`` (``like`` text form), ``common`` (the 1.x common
+  ``more_like_this`` (``like`` text form; the 1.x ``like_text`` name and
+  the single-field ``more_like_this_field``/``fuzzy_like_this_field``
+  wrappers parse to the same execution), ``common`` (the 1.x common
   terms query: ``cutoff_frequency`` df-split, ``low_freq_operator``),
   the 1.x ``filtered`` wrapper
   (rewritten to bool), ``constant_score`` (filter + boost), top-level
@@ -1207,12 +1209,28 @@ def parse_body(
             _err(str(e))
         spec.kind = "multiterm"
         spec.mt = (pat, kind, kw)
-    elif kind == "more_like_this":
+    elif kind in ("more_like_this", "mlt", "more_like_this_field"):
+        if kind == "more_like_this_field":
+            # 1.x single-field form: {"more_like_this_field": {"<field>":
+            # {...params}}} — the field must be the analyzed text field
+            f, val = _one_field(val, "more_like_this_field")
+            if f != text_col:
+                _err(f"more_like_this_field on {f!r}")
         spec.kind = "mlt"
         spec.mlt = dict(val)
+        if "like_text" in spec.mlt and "like" not in spec.mlt:
+            # the 1.x parameter name (renamed to `like` in 2.x)
+            spec.mlt["like"] = spec.mlt.pop("like_text")
         if "like" not in spec.mlt:
-            _err("more_like_this needs 'like' (free-text form)")
-    elif kind in ("fuzzy_like_this", "flt"):
+            _err("more_like_this needs 'like' / 1.x 'like_text'")
+    elif kind in ("fuzzy_like_this", "flt", "fuzzy_like_this_field", "flt_field"):
+        if kind in ("fuzzy_like_this_field", "flt_field"):
+            # 1.x single-field form, same params minus `fields`
+            f, val = _one_field(val, "fuzzy_like_this_field")
+            if f != text_col:
+                _err(f"fuzzy_like_this_field on {f!r}")
+            if "fields" in val:
+                _err("fuzzy_like_this_field with fields")
         # ES 1.x FLT: like_text where every analyzed term also matches its
         # close misspellings (operators/flt.py pins the contract; the 1.x
         # min_similarity float form is unsupported — integer fuzziness only)

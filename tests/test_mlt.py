@@ -121,3 +121,42 @@ def test_mlt_input_validation(documents):
     with pytest.raises(ValueError):
         more_like_this(documents, like_id=1, like_text="x")
     assert more_like_this(documents, like_id=10**9).count() == 0
+
+
+def test_mlt_field_and_1x_like_text_aliases(documents):
+    # 1.x more_like_this_field / like_text parse to the same mlt execution
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+    from flume_elasticsearch_2_spark.operators.mlt import more_like_this
+
+    direct = [
+        tuple(r)
+        for r in more_like_this(documents, like_text="batch scan merge").collect()
+    ]
+    for body in [
+        {"query": {"more_like_this_field": {"text": {"like_text": "batch scan merge"}}}},
+        {"query": {"more_like_this": {"like_text": "batch scan merge"}}},
+        {"query": {"more_like_this": {"like": "batch scan merge"}}},
+    ]:
+        assert [tuple(r) for r in dsl_search(documents, body).collect()] == direct
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unsupported DSL"):
+        dsl_search(documents, {"query": {"more_like_this_field": {
+            "lang": {"like_text": "x"}}}})
+
+
+def test_flt_field_alias(documents):
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+    from flume_elasticsearch_2_spark.operators.flt import fuzzy_like_this_topk
+
+    direct = [
+        tuple(r)
+        for r in fuzzy_like_this_topk(documents, like_text="batc scan").collect()
+    ]
+    body = {"query": {"fuzzy_like_this_field": {"text": {"like_text": "batc scan"}}}}
+    assert [tuple(r) for r in dsl_search(documents, body).collect()] == direct
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unsupported DSL"):
+        dsl_search(documents, {"query": {"fuzzy_like_this_field": {
+            "text": {"like_text": "x", "fields": ["text"]}}}})
