@@ -288,6 +288,36 @@ def main() -> None:
     cand = minhash_lsh_pairs(docs, num_hashes=32, bands=8)
     ngram_jaccard_pairs(docs, threshold=0.05, candidates=cand).count()
     timings["lsh_jaccard_verify"] = time.time() - t0
+    # winnowing (SWA/MOSS): zero-shuffle fingerprint projection + capped
+    # fp-keyed pair join — the partial-overlap complement to MinHash
+    from flume_elasticsearch_2_spark.operators.winnow import winnow_pairs
+
+    # widen first: the fingerprint projection is zero-shuffle, so on the
+    # single-split sf0.1 parquet it would otherwise run one-task (TESTDATA
+    # quirk, not a plan property)
+    docs_wide = docs.repartition(int(CPUS)).cache()
+    docs_wide.count()
+    t0 = time.time()
+    winnow_pairs(docs_wide).count()
+    timings["winnow_pairs"] = time.time() - t0
+
+    # 4b. webtext key ops: canonicalize (zero-shuffle projection) + LWW
+    # crawl-refresh dedup (one canonical-key shuffle) + anchor rollup
+    from flume_elasticsearch_2_spark.operators.anchors import anchor_text_topk
+    from flume_elasticsearch_2_spark.operators.urls import (
+        synth_recrawl,
+        synth_webpages,
+        url_dedup_latest,
+    )
+
+    web = synth_webpages(docs_wide).unionByName(synth_recrawl(docs_wide))
+    t0 = time.time()
+    url_dedup_latest(web).count()
+    timings["url_dedup_latest"] = time.time() - t0
+    t0 = time.time()
+    anchor_text_topk(docs_wide, n_docs).count()
+    timings["anchor_text_topk"] = time.time() - t0
+    docs_wide.unpersist()
 
     # 5. similarity
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")

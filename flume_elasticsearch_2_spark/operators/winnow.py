@@ -46,16 +46,27 @@ from ..functions.text import MD5_LONG_SQL, md5_long_col
 from ..functions.tokenizer import duckdb_token_pattern, tokens_col
 
 
-def _fingerprints_col(toks: Column, k: int, w: int) -> Column:
-    """array<long> of distinct winnowing selections for one token array."""
+def _grams_col(toks: Column, k: int) -> Column:
+    """array<long> of k-gram 60-bit md5 hashes for one token array."""
     g = F.size(toks) - (k - 1)  # gram count
-    grams = F.when(
+    return F.when(
         g >= 1,
         F.transform(
             F.sequence(F.lit(1), g),
             lambda i: md5_long_col(F.array_join(F.slice(toks, i, k), " ")),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+
+
+def _mins_col(grams: Column, w: int) -> Column:
+    """array<long> of distinct window-min selections over a BOUND gram
+    column. The caller MUST pass a materialized column reference, not the
+    gram expression itself: a Column expression inlined here is re-evaluated
+    per window by the higher-order lambda (O(grams²) md5 calls per doc —
+    measured 7× the whole operator's cost); Catalyst's CollapseProject keeps
+    the staged projection because the alias is non-cheap and multiply
+    referenced."""
+    g = F.size(grams)
     nwin = g - (w - 1)
     mins = (
         F.when(
@@ -78,9 +89,16 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """``(doc_id, fp)`` — one row per distinct winnowing selection."""
-    fps = _fingerprints_col(tokens_col(text_col), k, w)
-    return docs.select(F.col(id_col), F.explode(fps).alias("fp"))
+    """``(doc_id, fp)`` — one row per distinct winnowing selection.
+
+    Three staged zero-shuffle projections (tokens -> grams -> window mins)
+    so each heavy array is evaluated ONCE per row — see :func:`_mins_col`."""
+    staged = docs.select(
+        F.col(id_col), tokens_col(text_col).alias("_t")
+    ).select(F.col(id_col), _grams_col(F.col("_t"), k).alias("_g"))
+    return staged.select(
+        F.col(id_col), F.explode(_mins_col(F.col("_g"), w)).alias("fp")
+    )
 
 
 def _fingerprints_sql(k: int, w: int, text_col: str = "text") -> str:
