@@ -3341,6 +3341,28 @@ def _dsl_named_queries_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: build the MinHash index once over the corpus
+    partition (banded buckets + signatures on disk), then probe the 'new
+    batch' partition against it — batch-sized sketch work, corpus side is
+    a columnar (band, bucket, id) read, est_jaccard from STORED signatures
+    (no corpus text touched; plan-pinned one tokenize).
+    operators/minhash_index.py."""
+    import tempfile
+
+    from flume_elasticsearch_2_spark.operators.minhash_index import (
+        minhash_index_build,
+        minhash_index_probe,
+    )
+
+    docs = _docs(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="fts_mhidx_") + "/idx"
+    minhash_index_build(docs.where("doc_id % 4 <> 0"), d, hash_fn="md5")
+    return minhash_index_probe(
+        spark, d, docs.where("doc_id % 4 = 0"), min_est_jaccard=0.2
+    )
+
+
 def _anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation over the deterministic link graph (the
     web-index signal: a page described by its in-link anchors): zero-shuffle
@@ -3617,6 +3639,7 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "minhash_probe",
     "facet_statistical",
     "facet_statistical_segment",
     "dsl_span_multi",
@@ -4082,6 +4105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_common_terms_segment"] = _bm25_common_terms_segment
     q["dsl_common"] = _dsl_common
     q["mix_sample"] = _mix_sample
+    q["minhash_probe"] = _minhash_probe
     q["anchor_text_topk"] = _anchor_text_topk
     q["winnow_fingerprints"] = _winnow_fingerprints
     q["winnow_pairs"] = _winnow_pairs
@@ -4593,6 +4617,13 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
         winnow_pairs_sql,
     )
 
+    from flume_elasticsearch_2_spark.operators.minhash_index import (
+        minhash_index_probe_sql,
+    )
+
+    o["minhash_probe"] = minhash_index_probe_sql(
+        "{id} % 4 = 0", "{id} % 4 <> 0", min_est_jaccard=0.2
+    )
     o["anchor_text_topk"] = anchor_text_topk_sql()
     o["winnow_fingerprints"] = winnow_fingerprints_sql()
     o["winnow_pairs"] = winnow_pairs_sql()

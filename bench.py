@@ -310,6 +310,23 @@ def main() -> None:
         url_dedup_latest,
     )
 
+    # incremental dedup: sketch the corpus once to disk, probe a 10% "new
+    # batch" — probe cost is batch-sized, corpus side columnar reads only
+    from flume_elasticsearch_2_spark.operators.minhash_index import (
+        minhash_index_build,
+        minhash_index_probe,
+    )
+
+    mh_dir = os.path.join(tempfile.mkdtemp(prefix="fts_bench_"), "mhidx")
+    t0 = time.time()
+    minhash_index_build(docs_wide.where("doc_id % 10 <> 0"), mh_dir)
+    timings["minhash_index_build"] = time.time() - t0
+    t0 = time.time()
+    minhash_index_probe(
+        spark, mh_dir, docs_wide.where("doc_id % 10 = 0"), min_est_jaccard=0.2
+    ).count()
+    timings["minhash_index_probe"] = time.time() - t0
+
     web = synth_webpages(docs_wide).unionByName(synth_recrawl(docs_wide))
     t0 = time.time()
     url_dedup_latest(web).count()

@@ -99,8 +99,18 @@ def dedup_latest_by_key(df: DataFrame, key: str, order_col: str, tie_col: str | 
 
 
 def shingles_col(text: Column | str, k: int = 3) -> Column:
-    """Distinct k-token shingles (JVM higher-order functions, no UDF)."""
-    toks = tokens_col(text)
+    """Distinct k-token shingles (JVM higher-order functions, no UDF).
+
+    NOTE: inlines the tokenize expression 3× (two size guards + the
+    transform); prefer :func:`shingles_from_tokens` over a STAGED token
+    column when the caller controls the projection — the winnowing staging
+    lesson (operators/winnow.py:_mins_col)."""
+    return shingles_from_tokens(tokens_col(text), k)
+
+
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles from an (ideally already-materialized)
+    token array column."""
     idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
     # guard: Spark sequence(1, n) DESCENDS for n < 1 — short docs get no shingles
     return F.when(
@@ -138,11 +148,37 @@ def minhash_signatures(
             out.append(m.min(axis=1))
         return pd.Series(out)
 
-    hashed = _widen(df).select(
-        F.col(id_col).alias("id"),
-        F.transform(shingles_col(text_col, shingle_k), lambda s: _hash64(s, hash_fn)).alias("sh"),
+    # staged projections: tokenize once, shingle once (the inlined form
+    # re-evaluates the regexp per guard/transform reference — winnow lesson)
+    hashed = (
+        _widen(df)
+        .select(F.col(id_col).alias("id"), tokens_col(text_col).alias("_t"))
+        .select("id", shingles_from_tokens(F.col("_t"), shingle_k).alias("_s"))
+        .select("id", F.transform("_s", lambda s: _hash64(s, hash_fn)).alias("sh"))
     )
     return hashed.select("id", sig_udf("sh").alias("signature"))
+
+
+def banded_buckets(
+    sigs: DataFrame, num_hashes: int, bands: int, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(id, band, bucket) — each signature split into ``bands`` row-groups of
+    ``num_hashes // bands`` values, each group hashed to one bucket key.
+    Shared by the in-corpus pair join and the materialized incremental index
+    (operators/minhash_index.py)."""
+    r = num_hashes // bands
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: _hash64(
+                    F.concat_ws(",", F.transform(F.slice("signature", bi * r + 1, r), lambda v: v.cast("string"))),
+                    hash_fn,
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -158,20 +194,8 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs (id_a < id_b) whose signatures collide in at
     least one LSH band. rows_per_band = num_hashes // bands."""
     assert num_hashes % bands == 0
-    r = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed, hash_fn)
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: _hash64(
-                    F.concat_ws(",", F.transform(F.slice("signature", bi * r + 1, r), lambda v: v.cast("string"))),
-                    hash_fn,
-                ),
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = banded_buckets(sigs, num_hashes, bands, hash_fn)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
