@@ -1212,10 +1212,16 @@ def parse_body(
     elif kind in ("more_like_this", "mlt", "more_like_this_field"):
         if kind == "more_like_this_field":
             # 1.x single-field form: {"more_like_this_field": {"<field>":
-            # {...params}}} — the field must be the analyzed text field
+            # {...params}}} — the field must be the analyzed text field, and
+            # the inner params are strictly whitelisted (refuse-loudly: a
+            # silently dropped 'fields' here would be silently wrong results)
             f, val = _one_field(val, "more_like_this_field")
             if f != text_col:
                 _err(f"more_like_this_field on {f!r}")
+            extra_mf = set(val) - {"like", "like_text", "max_query_terms",
+                                   "min_term_freq", "min_doc_freq"}
+            if extra_mf:
+                _err(f"more_like_this_field options {sorted(extra_mf)}")
         spec.kind = "mlt"
         spec.mlt = dict(val)
         if "like_text" in spec.mlt and "like" not in spec.mlt:

@@ -20,8 +20,9 @@ index and the IVF embedding index already make (build once, probe cheap):
   an id+bucket columnar read — no tokenize, no shingles, no text.
 
 Config (num_hashes/bands/shingle_k/seed/hash_fn) is pinned in
-``manifest.json``; a probe validates it — mixed-config sketches silently
-produce garbage candidates, so mismatch raises.
+``manifest.json`` and probes take NO sketch parameters — the new batch is
+always sketched with the stored config, so mixed-config garbage candidates
+are unrepresentable rather than merely checked for.
 
 Exactly SQL-expressible with ``hash_fn='md5'`` (the driver-oracle config —
 the oracle recomputes both sides' sketches and the estimator from scratch).
@@ -95,12 +96,17 @@ def minhash_index_probe(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_est_jaccard: float | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidates ``(new_id, corpus_id)`` — new docs LSH-colliding with the
     stored corpus; with ``min_est_jaccard``, adds ``est_jaccard`` (fraction
     of equal signature positions, rounded 6) and filters to the threshold.
     Sketch work is new-batch-sized; the corpus contributes columnar reads
-    only."""
+    only. ``materialize=True`` (default) eagerly localCheckpoints the
+    (candidate-sized) result so the batch's signature cache is released
+    before returning — per-batch persists must not accumulate across a
+    long-lived ingest session; pass False to keep the lazy plan (plan
+    inspection / tests)."""
     with open(os.path.join(index_dir, _MANIFEST)) as f:
         m = json.load(f)
     sigs_new = minhash_signatures(
@@ -116,7 +122,9 @@ def minhash_index_probe(
         .distinct()
     )
     if min_est_jaccard is None:
-        sigs_new.unpersist()
+        if materialize:
+            cand = cand.localCheckpoint(eager=True)
+            sigs_new.unpersist()
         return cand
     sig_c = spark.read.parquet(f"{index_dir}/signatures")
     est = (
@@ -140,6 +148,9 @@ def minhash_index_probe(
         .where(F.col("est_jaccard") >= float(min_est_jaccard))
         .select("new_id", "corpus_id", "est_jaccard")
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        sigs_new.unpersist()
     return out
 
 

@@ -64,9 +64,12 @@ _DEFAULT_PORTS = {"http": 80, "https": 443}
 _RE_SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _RE_HOSTPORT = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _RE_HOST = r"^([^:]*)"
-_RE_PORT = r":([0-9]+)$"
+# 1-5 digits: a longer run is not a port (and would overflow int32
+# asymmetrically: Spark cast -> NULL, DuckDB CAST -> error)
+_RE_PORT = r":([0-9]{1,5})$"
 _RE_PATH = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_RE_QUERY = r"\?([^#]*)"
+# first '?' with no '#' before it — a '?' inside the fragment is NOT a query
+_RE_QUERY = r"^[^#?]*\?([^#]*)"
 
 
 def _scheme(url: Column) -> Column:
@@ -150,7 +153,7 @@ def parse_urls_sql_cols(url_col: str = "url") -> dict[str, str]:
         "port": port,
         "reg_domain": _reg_domain_sql(host),
         "path": f"regexp_extract({url_col}, '{_RE_PATH}', 1)",
-        "query": f"regexp_extract({url_col}, '\\?([^#]*)', 1)",
+        "query": f"regexp_extract({url_col}, '^[^#?]*\\?([^#]*)', 1)",
     }
 
 
@@ -195,7 +198,7 @@ def canonical_url_sql(url_col: str = "url") -> str:
     keys = ", ".join(f"'{k}'" for k in _TRACKING_KEYS)
     kept = (
         f"list_sort(list_filter(str_split({query}, '&'), "
-        f"p -> p <> '' AND p NOT LIKE '{_TRACKING_PREFIX}%' "
+        f"p -> p <> '' AND NOT starts_with(p, '{_TRACKING_PREFIX}') "
         f"AND regexp_extract(p, '^([^=]*)', 1) NOT IN ({keys})))"
     )
     port_part = (

@@ -70,7 +70,7 @@ def test_estimator_identical_doc_is_one(spark, documents, built):
 def test_probe_never_rescans_corpus_text(spark, documents, built):
     new = documents.where("doc_id % 4 = 0")
     plan = (
-        minhash_index_probe(spark, built, new)
+        minhash_index_probe(spark, built, new, materialize=False)
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
@@ -78,9 +78,10 @@ def test_probe_never_rescans_corpus_text(spark, documents, built):
     # tokenize runs ONCE (staged projection — the new batch only); the
     # corpus side is columnar (band, bucket, id) reads from the stored index
     assert plan.count("regexp_extract_all") == 1
-    # and the only text-bearing relation is the new batch's documents scan
-    import re
-
-    rels = re.findall(r"Relation \[[^\]]*\] parquet", plan)
-    text_rels = [r for r in rels if "text#" in r]
-    assert len(text_rels) == 1
+    # and the only text-bearing scan is the new batch's documents read (the
+    # cached signature subtree prints as FileScan inside InMemoryRelation)
+    scan_lines = [
+        ln for ln in plan.splitlines() if "Relation" in ln or "FileScan" in ln
+    ]
+    text_scans = [ln for ln in scan_lines if "text#" in ln]
+    assert len(text_scans) == 1

@@ -128,14 +128,18 @@ def test_mlt_field_and_1x_like_text_aliases(documents):
     from flume_elasticsearch_2_spark.operators.dsl import dsl_search
     from flume_elasticsearch_2_spark.operators.mlt import more_like_this
 
+    # repeat each term so it clears the ES min_term_freq=2 floor — a
+    # single-occurrence like_text selects zero terms and the comparison
+    # would be vacuously 0 == 0
+    like = "batch batch scan scan merge merge"
     direct = [
-        tuple(r)
-        for r in more_like_this(documents, like_text="batch scan merge").collect()
+        tuple(r) for r in more_like_this(documents, like_text=like).collect()
     ]
+    assert direct  # non-vacuous
     for body in [
-        {"query": {"more_like_this_field": {"text": {"like_text": "batch scan merge"}}}},
-        {"query": {"more_like_this": {"like_text": "batch scan merge"}}},
-        {"query": {"more_like_this": {"like": "batch scan merge"}}},
+        {"query": {"more_like_this_field": {"text": {"like_text": like}}}},
+        {"query": {"more_like_this": {"like_text": like}}},
+        {"query": {"more_like_this": {"like": like}}},
     ]:
         assert [tuple(r) for r in dsl_search(documents, body).collect()] == direct
     import pytest as _pt

@@ -31,6 +31,27 @@ def test_canonical_pinned_forms(spark):
     assert got == [c for _, c in cases]
 
 
+def test_canonical_edge_parity(spark):
+    # review-found edge cases: utm-PREFIX must be the literal underscore
+    # (LIKE's '_' wildcard dropped utmz/utma in the oracle only); a '?'
+    # inside the fragment is NOT a query; >5-digit runs are not a port
+    cases = [
+        ("https://ex.com/p?utmz=1", "https://ex.com/p?utmz=1"),  # kept!
+        ("https://app.com/#/route?tab=1", "https://app.com/"),
+        ("http://ex.com:99999999999/p", "http://ex.com/p"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [r.canon_url for r in U.canonicalize_urls(df).collect()]
+    assert got == [c for _, c in cases]
+    # and the DuckDB twin agrees byte-for-byte
+    con = duckdb.connect()
+    vals = ", ".join(f"('{r}')" for r, _ in cases)
+    odf = con.sql(
+        f"SELECT {U.canonical_url_sql('url')} AS c FROM (VALUES {vals}) t(url)"
+    ).df()
+    assert list(odf.c) == [c for _, c in cases]
+
+
 def test_parse_and_reg_domain(spark):
     df = spark.createDataFrame(
         [("https://news.bbc.co.uk:8080/x/y?q=1#f",), ("http://localhost/p",)],
