@@ -3341,6 +3341,42 @@ def _dsl_named_queries_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+_IP_RANGE_BODY = {
+    "aggs": {"r": {"ip_range": {"field": "client_ip", "ranges": [
+        {"to": "10.0.0.64"},
+        {"from": "10.0.0.64", "to": "10.0.0.128"},
+        {"from": "10.0.0.128"},
+    ]}}},
+}
+_IP_SYNTH_SQL = (
+    "SELECT *, '10.' || CAST((user_id // 65536) % 256 AS VARCHAR) || '.' || "
+    "CAST((user_id // 256) % 256 AS VARCHAR) || '.' || "
+    "CAST(user_id % 256 AS VARCHAR) AS client_ip FROM events"
+)
+
+
+def _events_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ip_range aggregation over a deterministic dotted-quad synth from
+    events.user_id: address parses to a 32-bit long via split+cast JVM
+    expressions, then ONE zero-shuffle conditional-count aggregate (from
+    inclusive / to exclusive — the ES contract).
+    operators/aggs.py:ip_range_facet."""
+    from pyspark.sql import functions as F
+
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ip = F.concat_ws(
+        ".", F.lit("10"),
+        ((F.col("user_id") / 65536).cast("long") % 256).cast("string"),
+        ((F.col("user_id") / 256).cast("long") % 256).cast("string"),
+        (F.col("user_id") % 256).cast("string"),
+    )
+    return dsl_aggregation(
+        ev.withColumn("client_ip", ip), _IP_RANGE_BODY, text_col="event_type"
+    )
+
+
 def _minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: build the MinHash index once over the corpus
     partition (banded buckets + signatures on disk), then probe the 'new
@@ -3639,6 +3675,7 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "events_ip_range",
     "minhash_probe",
     "facet_statistical",
     "facet_statistical_segment",
@@ -4105,6 +4142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_common_terms_segment"] = _bm25_common_terms_segment
     q["dsl_common"] = _dsl_common
     q["mix_sample"] = _mix_sample
+    q["events_ip_range"] = _events_ip_range
     q["minhash_probe"] = _minhash_probe
     q["anchor_text_topk"] = _anchor_text_topk
     q["winnow_fingerprints"] = _winnow_fingerprints
@@ -4621,6 +4659,13 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
         minhash_index_probe_sql,
     )
 
+    from flume_elasticsearch_2_spark.operators.dsl import (
+        dsl_aggregation_sql as _ipr_sql,
+    )
+
+    o["events_ip_range"] = _ipr_sql(
+        _IP_RANGE_BODY, table=f"({_IP_SYNTH_SQL})", text_col="event_type"
+    )
     o["minhash_probe"] = minhash_index_probe_sql(
         "{id} % 4 = 0", "{id} % 4 <> 0", min_est_jaccard=0.2
     )

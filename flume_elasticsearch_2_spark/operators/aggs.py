@@ -917,3 +917,117 @@ def metric_facet_sql(
         f"SELECT round(CAST({metric}({v}) AS DOUBLE), 6) AS value\n"
         f"FROM {table}\nWHERE {_match_sql(query, mode, None, 'ascii')}"
     )
+
+
+# -- ip_range ------------------------------------------------------------------
+
+_IP_MULT = (16777216, 65536, 256, 1)
+
+
+def _ip_num_py(s: str) -> int:
+    parts = s.split(".")
+    if len(parts) != 4 or not all(p.isdigit() and 0 <= int(p) <= 255 for p in parts):
+        raise ValueError(f"not a dotted-quad IPv4 address: {s!r}")
+    return sum(int(p) * m for p, m in zip(parts, _IP_MULT))
+
+
+def _ip_num_col(field: str) -> Column:
+    # try_cast both engines: malformed octets yield NULL, never an error
+    # (Spark 4 ANSI cast would throw; DuckDB plain CAST too)
+    p = F.split(F.col(field), r"\.")
+    out = F.lit(0).cast("long")
+    for i, m in enumerate(_IP_MULT, start=1):
+        out = out + F.element_at(p, i).try_cast("long") * F.lit(m)
+    return out
+
+
+def _ip_num_sql(field: str) -> str:
+    parts = " + ".join(
+        f"TRY_CAST(str_split({field}, '.')[{i}] AS BIGINT) * {m}"
+        for i, m in enumerate(_IP_MULT, start=1)
+    )
+    return f"({parts})"
+
+
+def _norm_ip_ranges(ranges: list[dict]) -> list[tuple[str, int | None, int | None]]:
+    out = []
+    for r in ranges:
+        extra = set(r) - {"key", "from", "to"}
+        if extra:
+            # ES also takes CIDR "mask" buckets; out of the subset — refuse
+            raise ValueError(f"ip_range keys {sorted(extra)} unsupported (from/to/key only)")
+        lo, hi = r.get("from"), r.get("to")
+        if lo is None and hi is None:
+            raise ValueError("ip_range bucket needs from and/or to")
+        key = str(r.get("key", f"{lo or '*'}-{hi or '*'}"))
+        out.append(
+            (key, None if lo is None else _ip_num_py(str(lo)),
+             None if hi is None else _ip_num_py(str(hi)))
+        )
+    if len({k for k, _, _ in out}) != len(out):
+        raise ValueError("duplicate ip_range bucket keys")
+    return out
+
+
+def ip_range_facet(
+    docs: DataFrame,
+    query: str | None,
+    field: str,
+    ranges: list[dict],
+    mode: str = "or",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``ip_range`` aggregation: dotted-quad IPv4 buckets, ``from``
+    inclusive / ``to`` exclusive on the 32-bit address value (ES contract;
+    buckets may overlap). Keys default to ``"from-to"`` with ``*`` for open
+    edges, rendered as the INPUT address strings. Returns (key, count) for
+    every requested bucket — empties kept at 0 — ordered key ASC.
+
+    Scale shape: the address parses to a long with split+cast JVM
+    expressions riding the scan (malformed/NULL values drop — both engines
+    yield NULL via non-ANSI cast / TRY_CAST), then ONE zero-shuffle
+    conditional-count aggregate, exactly like the numeric range agg.
+    Declarative + oracle paths; no stored index carries an ip column, so
+    there is no serving form to (dis)honestly approximate."""
+    rs = _norm_ip_ranges(ranges)
+    sel = docs.where(match_condition(query, mode, text_col)).select(
+        _ip_num_col(field).alias("v")
+    )
+    aggs = []
+    for i, (_, lo, hi) in enumerate(rs):
+        cond = F.lit(True) if lo is None else F.col("v") >= int(lo)
+        if hi is not None:
+            cond = cond & (F.col("v") < int(hi))
+        aggs.append(F.count_if(cond & F.col("v").isNotNull()).alias(f"c{i}"))
+    pairs = ", ".join(
+        f"'{k.replace(chr(39), chr(39) * 2)}', c{i}" for i, (k, _, _) in enumerate(rs)
+    )
+    return (
+        sel.agg(*aggs)
+        .selectExpr(f"stack({len(rs)}, {pairs}) AS (key, count)")
+        .orderBy("key")
+    )
+
+
+def ip_range_facet_sql(
+    query: str | None,
+    field: str,
+    ranges: list[dict],
+    mode: str = "or",
+    table: str = "documents",
+) -> str:
+    rs = _norm_ip_ranges(ranges)
+    m = _match_sql(query, mode, None, "ascii")
+    num = _ip_num_sql(field)
+    parts = []
+    for k, lo, hi in rs:
+        conds = [m, f"{num} IS NOT NULL"]
+        if lo is not None:
+            conds.append(f"{num} >= {int(lo)}")
+        if hi is not None:
+            conds.append(f"{num} < {int(hi)}")
+        key = k.replace("'", "''")
+        parts.append(
+            f"SELECT '{key}' AS key, count(*) FILTER (WHERE {' AND '.join(conds)}) AS count\nFROM {table}"
+        )
+    return "SELECT * FROM (\n" + "\nUNION ALL\n".join(parts) + "\n) ORDER BY key"

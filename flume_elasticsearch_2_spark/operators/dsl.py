@@ -2541,7 +2541,7 @@ def _parse_aggs(body: dict, text_col: str) -> tuple[str | None, str, str, dict]:
             "terms", "stats", "histogram", "range", "filters", "cardinality",
             "percentiles", "percentile_ranks", "missing", "significant_terms",
             "extended_stats", "value_count", "scripted_metric",
-            "min", "max", "sum", "avg", "statistical",
+            "min", "max", "sum", "avg", "statistical", "ip_range",
         ):
             _err(f"agg kind {kind!r}")
         kw = {}
@@ -2642,7 +2642,7 @@ def _parse_aggs(body: dict, text_col: str) -> tuple[str | None, str, str, dict]:
                 if int(conf.get("min_doc_count", 1)) != 0:
                     _err("extended_bounds only applies with min_doc_count: 0")
                 kw["extended_bounds"] = (float(eb["min"]), float(eb["max"]))
-        if kind == "range":
+        if kind in ("range", "ip_range"):
             kw["ranges"] = list(conf["ranges"])
         if kind == "cardinality":
             # ES cardinality is HLL++ but EXACT below precision_threshold
@@ -2759,6 +2759,10 @@ def dsl_aggregation(docs: DataFrame, body: dict, text_col: str = "text") -> Data
         return metric_facet(docs, q, field, text_col=text_col, **kw)
     from .aggs import extended_stats_facet, hll_cardinality, value_count_facet
 
+    if kind == "ip_range":
+        from .aggs import ip_range_facet
+
+        return ip_range_facet(docs, q, field, kw.pop("ranges"), text_col=text_col, **kw)
     if kind == "statistical":
         xs = extended_stats_facet(docs, q, field, text_col=text_col, **kw)
         return xs.select(
@@ -2841,6 +2845,10 @@ def dsl_aggregation_sql(body: dict, table: str = "documents", text_col: str = "t
         )
     from .aggs import extended_stats_facet_sql, hll_cardinality_sql, value_count_facet_sql
 
+    if kind == "ip_range":
+        from .aggs import ip_range_facet_sql
+
+        return ip_range_facet_sql(q, field, kw.pop("ranges"), table=table, **kw)
     if kind == "statistical":
         inner = extended_stats_facet_sql(q, field, table=table, **kw)
         return (
@@ -2900,7 +2908,7 @@ def dsl_aggregation_index(searcher, body: dict, text_col: str = "text") -> DataF
             F.round(F.col(metric).cast("double"), 6).alias("value")
         )
     if kind in ("percentiles", "percentile_ranks", "significant_terms",
-                "top_hits", "scripted_metric"):
+                "top_hits", "scripted_metric", "ip_range"):
         raise ValueError(
             f"agg kind {kind!r} is declarative-only (operators/aggs.py); "
             "the serving path does not silently approximate it"

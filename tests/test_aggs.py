@@ -485,3 +485,36 @@ def test_statistical_facet_three_engines(documents, sf_dir, agg_searcher):
     with pytest.raises(ValueError, match="unsupported DSL"):
         dsl_aggregation_sql({"facets": {"s": {"statistical": {
             "field": "n_chars", "script": "x"}}}})
+
+
+def test_ip_range_facet_three_cases(spark, documents, sf_dir, agg_searcher):
+    # dotted-quad buckets: from inclusive / to exclusive on the 32-bit value
+    from pyspark.sql import functions as F
+
+    from flume_elasticsearch_2_spark.operators.aggs import (
+        ip_range_facet,
+        ip_range_facet_sql,
+    )
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_index
+
+    df = spark.createDataFrame(
+        [(1, "10.0.0.5", "x"), (2, "10.0.0.64", "x"), (3, "10.0.1.2", "x"),
+         (4, None, "x"), (5, "bogus", "x")],
+        "doc_id long, ip string, text string",
+    )
+    ranges = [{"to": "10.0.0.64"}, {"from": "10.0.0.64", "to": "10.0.1.0"},
+              {"from": "10.0.0.0"}]
+    rows = {r.key: r["count"] for r in ip_range_facet(df, None, "ip", ranges).collect()}
+    # .5 below 64; .64 lands in the second (from inclusive); NULL/bogus drop
+    assert rows == {"*-10.0.0.64": 1, "10.0.0.64-10.0.1.0": 1, "10.0.0.0-*": 3}
+    # refusals: CIDR masks + duplicate keys + empty bucket
+    for bad in ([{"mask": "10.0.0.0/24"}], [{"key": "k"}],
+                [{"to": "10.0.0.1"}, {"to": "10.0.0.1"}]):
+        with pytest.raises(ValueError):
+            ip_range_facet(df, None, "ip", bad)
+    with pytest.raises(ValueError, match="dotted-quad"):
+        ip_range_facet_sql(None, "ip", [{"to": "10.0.999.1"}])
+    # serving refuses loudly (no stored index carries an ip column)
+    with pytest.raises(ValueError, match="declarative-only"):
+        dsl_aggregation_index(agg_searcher, {"aggs": {"r": {"ip_range": {
+            "field": "ip", "ranges": [{"to": "10.0.0.1"}]}}}})
