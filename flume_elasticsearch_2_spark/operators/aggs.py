@@ -101,10 +101,19 @@ def range_facet(
         if hi is not None:
             cond = cond & (F.col("v") < float(hi))
         aggs.append(F.count_if(cond & F.col("v").isNotNull()).alias(f"c{i}"))
-    pairs = ", ".join(f"'{k.replace(chr(39), chr(39)*2)}', c{i}" for i, (k, _, _) in enumerate(rs))
+    # keys as Column literals, not a selectExpr stack() string: SQL-literal
+    # backslash escaping in a user-supplied key would diverge from the
+    # DuckDB oracle (which does not process escapes)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(k).alias("key"), F.col(f"c{i}").alias("count"))
+            for i, (k, _, _) in enumerate(rs)
+        ]
+    )
     return (
         sel.agg(*aggs)  # one row: a count per bucket
-        .selectExpr(f"stack({len(rs)}, {pairs}) AS (key, count)")
+        .select(F.explode(pairs).alias("p"))
+        .select("p.key", "p.count")
         .orderBy("key")
     )
 
@@ -931,14 +940,23 @@ def _ip_num_py(s: str) -> int:
     return sum(int(p) * m for p, m in zip(parts, _IP_MULT))
 
 
+# full-string dotted-quad validation, shared verbatim by both engines (the
+# pattern is in the Java-regex ∩ RE2 dialect). Invalid values — wrong part
+# count, octets > 255, signs, junk — become NULL and DROP, matching the
+# docstring contract; without it '10.0.0.300' silently lands in the wrong
+# bucket in BOTH engines (so the oracle could never catch the miscount) and
+# a short value like '1.2.3' crashes Spark's ANSI element_at outright.
+_IP_OCTET = "([0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])"
+_IP_RE = f"^{_IP_OCTET}(\\.{_IP_OCTET}){{3}}$"
+
+
 def _ip_num_col(field: str) -> Column:
-    # try_cast both engines: malformed octets yield NULL, never an error
-    # (Spark 4 ANSI cast would throw; DuckDB plain CAST too)
     p = F.split(F.col(field), r"\.")
-    out = F.lit(0).cast("long")
+    num = F.lit(0).cast("long")
     for i, m in enumerate(_IP_MULT, start=1):
-        out = out + F.element_at(p, i).try_cast("long") * F.lit(m)
-    return out
+        # try_element_at: never raises even pre-validation (ANSI mode)
+        num = num + F.try_element_at(p, F.lit(i)).try_cast("long") * F.lit(m)
+    return F.when(F.col(field).rlike(_IP_RE), num)
 
 
 def _ip_num_sql(field: str) -> str:
@@ -946,7 +964,7 @@ def _ip_num_sql(field: str) -> str:
         f"TRY_CAST(str_split({field}, '.')[{i}] AS BIGINT) * {m}"
         for i, m in enumerate(_IP_MULT, start=1)
     )
-    return f"({parts})"
+    return f"(CASE WHEN regexp_full_match({field}, '{_IP_RE}') THEN ({parts}) END)"
 
 
 def _norm_ip_ranges(ranges: list[dict]) -> list[tuple[str, int | None, int | None]]:
@@ -999,12 +1017,18 @@ def ip_range_facet(
         if hi is not None:
             cond = cond & (F.col("v") < int(hi))
         aggs.append(F.count_if(cond & F.col("v").isNotNull()).alias(f"c{i}"))
-    pairs = ", ".join(
-        f"'{k.replace(chr(39), chr(39) * 2)}', c{i}" for i, (k, _, _) in enumerate(rs)
+    # keys ride as Column literals, never through a selectExpr string — SQL
+    # literal backslash escaping would diverge from the DuckDB oracle's
+    pairs = F.array(
+        *[
+            F.struct(F.lit(k).alias("key"), F.col(f"c{i}").alias("count"))
+            for i, (k, _, _) in enumerate(rs)
+        ]
     )
     return (
         sel.agg(*aggs)
-        .selectExpr(f"stack({len(rs)}, {pairs}) AS (key, count)")
+        .select(F.explode(pairs).alias("p"))
+        .select("p.key", "p.count")
         .orderBy("key")
     )
 

@@ -2644,6 +2644,12 @@ def _parse_aggs(body: dict, text_col: str) -> tuple[str | None, str, str, dict]:
                 kw["extended_bounds"] = (float(eb["min"]), float(eb["max"]))
         if kind in ("range", "ip_range"):
             kw["ranges"] = list(conf["ranges"])
+        if kind == "ip_range":
+            # refuse-loudly for out-of-subset options ('keyed' changes the
+            # ES response SHAPE — silently ignoring it is silently wrong)
+            extra_ipr = set(conf) - {"field", "ranges"}
+            if extra_ipr:
+                _err(f"ip_range options {sorted(extra_ipr)}")
         if kind == "cardinality":
             # ES cardinality is HLL++ but EXACT below precision_threshold
             # (default 3000); the DSL default routes the exact form.

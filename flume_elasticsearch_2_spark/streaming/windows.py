@@ -62,8 +62,12 @@ def windowed_event_counts(
 
 
 def dropped_late_rows(query) -> int:
-    """Total rows dropped by the watermark across a (finished) query's
-    progress history — the late-data observability counter."""
+    """Rows dropped by the watermark across the query's RETAINED progress
+    history — the late-data observability counter. Spark keeps only the
+    last ``spark.sql.streaming.numRecentProgressUpdates`` entries (default
+    100), so for queries longer than that this is a recent-window count,
+    not a lifetime total; a long-lived deployment should accumulate the
+    same counter from a StreamingQueryListener instead."""
     total = 0
     for p in query.recentProgress:
         for op in p.get("stateOperators", []) if isinstance(p, dict) else []:

@@ -518,3 +518,57 @@ def test_ip_range_facet_three_cases(spark, documents, sf_dir, agg_searcher):
     with pytest.raises(ValueError, match="declarative-only"):
         dsl_aggregation_index(agg_searcher, {"aggs": {"r": {"ip_range": {
             "field": "ip", "ranges": [{"to": "10.0.0.1"}]}}}})
+
+
+def test_ip_range_invalid_values_drop_in_both_engines(spark):
+    # review-found: short quads crashed ANSI element_at; out-of-range octets
+    # silently miscounted in BOTH engines (oracle-invisible). All invalid
+    # forms must now parse to NULL and drop.
+    import duckdb as _dd
+
+    from flume_elasticsearch_2_spark.operators.aggs import (
+        ip_range_facet,
+        ip_range_facet_sql,
+    )
+
+    vals = ["10.0.0.5", "42", "1.2.3", "10.0.0.300", "10.0.0.-6",
+            "1.2.3.4.5", None, "bogus", "010.0.0.1"]
+    df = spark.createDataFrame(
+        [(i, v, "x") for i, v in enumerate(vals)],
+        "doc_id long, ip string, text string",
+    )
+    ranges = [{"from": "0.0.0.0"}]
+    rows = {r.key: r["count"] for r in ip_range_facet(df, None, "ip", ranges).collect()}
+    assert rows == {"0.0.0.0-*": 1}  # only the well-formed quad counts
+    con = _dd.connect()
+    con.sql(
+        "create view t as select * from (values "
+        + ", ".join(
+            f"({i}, {('NULL' if v is None else chr(39)+v+chr(39))}, 'x')"
+            for i, v in enumerate(vals)
+        )
+        + ") v(doc_id, ip, text)"
+    )
+    odf = con.sql(ip_range_facet_sql(None, "ip", ranges, table="t")).df()
+    assert list(odf.itertuples(index=False, name=None)) == [("0.0.0.0-*", 1)]
+
+
+def test_range_bucket_keys_never_sql_parsed(spark):
+    # a backslash-bearing user key must come out verbatim (Column literal,
+    # not a selectExpr string that processes escapes)
+    from flume_elasticsearch_2_spark.operators.aggs import ip_range_facet, range_facet
+
+    df = spark.createDataFrame([(1, 5.0, "10.0.0.1", "x")],
+                               "doc_id long, v double, ip string, text string")
+    r1 = range_facet(df, None, "v", [{"key": "a\\tb'c", "from": 0}]).collect()
+    assert r1[0].key == "a\\tb'c" and r1[0]["count"] == 1
+    r2 = ip_range_facet(df, None, "ip", [{"key": "a\\tb'c", "from": "0.0.0.0"}]).collect()
+    assert r2[0].key == "a\\tb'c" and r2[0]["count"] == 1
+
+
+def test_ip_range_dsl_refuses_extra_options(documents):
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
+
+    with pytest.raises(ValueError, match="ip_range options"):
+        dsl_aggregation(documents, {"aggs": {"r": {"ip_range": {
+            "field": "ip", "ranges": [{"to": "10.0.0.1"}], "keyed": True}}}})
