@@ -2084,6 +2084,25 @@ def _link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_docs(spark, sf_dir), iters=5, k=20)
 
 
+def _winnow_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed removal pass over the WINNOWING sketch: SWA fingerprints ->
+    partial-overlap pairs (capped fp join) -> connected components -> keep
+    the smallest-id member per cluster. The partial-overlap complement of
+    the MinHash-driven dedup_canonical_docs (quotes/boilerplate spans that
+    whole-document Jaccard dilutes below threshold).
+    operators/winnow.py + operators/dedup.py:dedup_keep_canonical."""
+    from flume_elasticsearch_2_spark.operators.dedup import dedup_keep_canonical
+    from flume_elasticsearch_2_spark.operators.winnow import winnow_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = winnow_pairs(docs)
+    return (
+        dedup_keep_canonical(docs, pairs)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def _dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The removal half: keep one member per near-dup cluster (smallest id)
     plus every unpaired doc — corpus anti-join against the non-canonical
@@ -3675,6 +3694,7 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "winnow_canonical_docs",
     "events_ip_range",
     "minhash_probe",
     "facet_statistical",
@@ -4142,6 +4162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_common_terms_segment"] = _bm25_common_terms_segment
     q["dsl_common"] = _dsl_common
     q["mix_sample"] = _mix_sample
+    q["winnow_canonical_docs"] = _winnow_canonical_docs
     q["events_ip_range"] = _events_ip_range
     q["minhash_probe"] = _minhash_probe
     q["anchor_text_topk"] = _anchor_text_topk
@@ -4663,6 +4684,14 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
         dsl_aggregation_sql as _ipr_sql,
     )
 
+    from flume_elasticsearch_2_spark.operators.dedup import (
+        dedup_keep_canonical_sql as _dkc_sql,
+    )
+    from flume_elasticsearch_2_spark.operators.winnow import (
+        winnow_pairs_sql as _wp_sql,
+    )
+
+    o["winnow_canonical_docs"] = _dkc_sql(_wp_sql())
     o["events_ip_range"] = _ipr_sql(
         _IP_RANGE_BODY, table=f"({_IP_SYNTH_SQL})", text_col="event_type"
     )
