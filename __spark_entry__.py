@@ -650,6 +650,97 @@ _DSL_MATCHALL_BODY = {
 }
 
 
+_DSL_PREFIX_FILTER_BODY = {
+    "query": {
+        "bool": {
+            "must": [{"match": {"text": "dup batch scan"}}],
+            # 1.x prefix FILTER on the stored source field: matches src1,
+            # src10..src19 — a real prefix, not a term-equality rewrite
+            "filter": [{"prefix": {"source": "src1"}}],
+        }
+    },
+    "size": 10,
+}
+_DSL_REGEXP_FILTER_BODY = {
+    "query": {
+        "bool": {
+            "must": [{"match": {"text": "dup batch scan"}}],
+            # 1.x regexp FILTER: whole-string anchored (Lucene RegexpQuery)
+            # on the three-engine-safe pattern subset
+            "filter": [{"regexp": {"source": {"value": "src1[0-5]|src7"}}}],
+        }
+    },
+    "size": 10,
+}
+
+
+_DSL_CUSTOM_SCORE_BODY = {
+    "query": {
+        "custom_score": {
+            "query": {"match": {"text": "dup batch scan"}},
+            "script": "_score * (1 + log(1 + doc['n_chars'].value / 100))",
+        }
+    },
+    "size": 10,
+}
+_DSL_CUSTOM_BOOST_BODY = {
+    "query": {
+        "custom_boost_factor": {
+            "query": {"match": {"text": "dup batch scan"}},
+            "boost_factor": 2.5,
+        }
+    },
+    "size": 10,
+}
+
+
+def _dsl_custom_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x custom_score query (precursor of function_score.script_score):
+    the script result replaces the BM25 base — alias-rewritten at parse."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_CUSTOM_SCORE_BODY)
+
+
+def _dsl_custom_boost_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x custom_boost_factor query: score × constant (rank-preserving
+    scale) — alias-rewritten to script_score at parse."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_CUSTOM_BOOST_BODY)
+
+
+def _dsl_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x prefix FILTER (bool.filter context): stored-field string
+    prefix, null-rejecting, scoring untouched — declarative path."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_PREFIX_FILTER_BODY)
+
+
+def _dsl_prefix_filter_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same body on the SERVING path: the prefix triple pushes into the
+    per-shard docs read as a pyarrow starts_with dataset filter."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_PREFIX_FILTER_BODY)
+
+
+def _dsl_regexp_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x regexp FILTER: anchored verbatim stored-field match on the
+    Java/RE2/Python-agreeing pattern subset — declarative path."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_REGEXP_FILTER_BODY)
+
+
+def _dsl_regexp_filter_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same body on the SERVING path (RE2 match_substring_regex pushdown)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_REGEXP_FILTER_BODY)
+
+
 def _dsl_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES query-DSL front door: a composite bool body (scored match +
     term/range filters + must_not) routed to the declarative operators."""
@@ -3694,6 +3785,12 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "dsl_custom_score",
+    "dsl_custom_boost_factor",
+    "dsl_prefix_filter",
+    "dsl_prefix_filter_segment",
+    "dsl_regexp_filter",
+    "dsl_regexp_filter_segment",
     "winnow_canonical_docs",
     "events_ip_range",
     "minhash_probe",
@@ -4006,6 +4103,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_nested_agg_segment"] = _dsl_nested_agg_segment
     q["dsl_bool"] = _dsl_bool
     q["dsl_bool_segment"] = _dsl_bool_segment
+    q["dsl_custom_score"] = _dsl_custom_score
+    q["dsl_custom_boost_factor"] = _dsl_custom_boost_factor
+    q["dsl_prefix_filter"] = _dsl_prefix_filter
+    q["dsl_prefix_filter_segment"] = _dsl_prefix_filter_segment
+    q["dsl_regexp_filter"] = _dsl_regexp_filter
+    q["dsl_regexp_filter_segment"] = _dsl_regexp_filter_segment
     q["dsl_match_all_filtered"] = _dsl_match_all_filtered
     q["explain_top1"] = _explain_top1
     q["explain_top1_segment"] = _explain_top1_segment
@@ -4883,6 +4986,12 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["dsl_common"] = dsl_search_sql(_DSL_COMMON_BODY)
     o["dsl_bool"] = dsl_search_sql(_DSL_BOOL_BODY)
     o["dsl_bool_segment"] = o["dsl_bool"]
+    o["dsl_custom_score"] = dsl_search_sql(_DSL_CUSTOM_SCORE_BODY)
+    o["dsl_custom_boost_factor"] = dsl_search_sql(_DSL_CUSTOM_BOOST_BODY)
+    o["dsl_prefix_filter"] = dsl_search_sql(_DSL_PREFIX_FILTER_BODY)
+    o["dsl_prefix_filter_segment"] = o["dsl_prefix_filter"]
+    o["dsl_regexp_filter"] = dsl_search_sql(_DSL_REGEXP_FILTER_BODY)
+    o["dsl_regexp_filter_segment"] = o["dsl_regexp_filter"]
     o["dsl_match_all_filtered"] = dsl_search_sql(_DSL_MATCHALL_BODY)
     _top1 = "SELECT doc_id FROM (" + bm25_topk_sql("dup batch scan", k=1) + ")"
     o["explain_top1"] = explain_score_sql("dup batch scan", _top1)

@@ -48,6 +48,9 @@ silent best-effort):
     optional per-clause ``_name`` — hits then carry ``matched_queries``
     (comma-joined, name-ASC pinned; ES leaves array order unspecified),
   - ``filter``: ``term`` / ``terms`` / ``range`` / ``exists`` / ``missing``
+    / ``prefix`` (stored-field string prefix, not_analyzed semantics) /
+    ``regexp`` (whole-string-anchored, Lucene RegexpQuery semantics, on
+    the three-engine-safe pattern subset — see ``_FIELD_REGEXP_RE``)
     on stored doc fields, plus at most ONE 1.x ``query``/``fquery`` clause
     (a match query in filter context: candidates restricted by analyzed
     term membership, scoring/stats untouched), plus at most ONE ``script``
@@ -78,6 +81,11 @@ silent best-effort):
   weighted-functions spec before dispatch; ``score_mode`` first (the 1.x
   default) / min / max / total / avg / multiply; per-filter ``script``
   scoring refuses loudly.
+* ``custom_score`` / ``custom_boost_factor`` (the other two 1.x
+  function_score precursors): pure alias rewrites to
+  ``function_score.script_score`` before dispatch — custom_score's script
+  replaces the score, custom_boost_factor multiplies it by the constant
+  (declarative + oracle paths, as script_score).
 * ``span_first`` over a single ``span_term`` (term restricted to the first
   ``end`` token positions; Lucene span-end <= end, freq = matching spans,
   idf = the term's corpus df) — all three paths; multi-clause span matches
@@ -108,6 +116,7 @@ layer adds zero Spark jobs of its own.
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -324,6 +333,34 @@ def _extract_script_filter(clauses: list):
     return (sf[0] if sf else None), rest
 
 
+# Stored-field regexp-FILTER pattern subset: characters that behave
+# identically in Java regex (Spark ``rlike``), RE2 (DuckDB
+# ``regexp_matches`` / pyarrow ``match_substring_regex``) and Python ``re``
+# (the serving path's pandas mask) — the token-dictionary subset
+# (multiterm._REGEXP_RE) widened with URL-ish literal characters
+# ``:/_~=&`` (literals in all three engines). Backslash escapes, anchors
+# and Lucene-regexp-only operators (``~ & < >`` as operators) stay
+# rejected; patterns are whole-string anchored when compiled (Lucene
+# RegexpQuery semantics) and are NOT lowercased — stored fields are
+# matched verbatim, unlike the analyzed term dictionary.
+_FIELD_REGEXP_RE = re.compile(r"^[a-zA-Z0-9.*+?|()\[\]\-{},:/_~=&]+$")
+
+
+def _validate_field_regexp(pattern) -> str:
+    if not isinstance(pattern, str) or not pattern:
+        _err("regexp filter needs a non-empty pattern string")
+    if not _FIELD_REGEXP_RE.match(pattern):
+        _err(
+            "regexp filter pattern outside the three-engine-safe subset "
+            f"[a-zA-Z0-9.*+?|()[]-{{}},:/_~=&]: {pattern!r}"
+        )
+    try:
+        re.compile(pattern)
+    except re.error as e:
+        _err(f"invalid regexp pattern {pattern!r}: {e}")
+    return pattern
+
+
 def _filter_triples(clauses: list[dict]) -> list[tuple[str, str, Any]]:
     out: list[tuple[str, str, Any]] = []
     for c in clauses:
@@ -347,6 +384,31 @@ def _filter_triples(clauses: list[dict]) -> list[tuple[str, str, Any]]:
         elif kind == "missing":
             # ES 1.x missing filter (removed in 2.x; == bool must_not exists)
             out.append((body["field"], "null", None))
+        elif kind == "prefix":
+            # ES 1.x prefix FILTER (not_analyzed semantics): stored-field
+            # string prefix, matched verbatim; docs missing the field do
+            # not match. Long forms {"value": ...} / {"prefix": ...}
+            # accepted as in ES.
+            f, v = _one_field(body, "prefix filter")
+            if isinstance(v, dict):
+                extra = set(v) - {"value", "prefix"}
+                if extra or not v:
+                    _err(f"prefix filter options {sorted(extra)}")
+                v = v.get("value", v.get("prefix"))
+            if not isinstance(v, str) or not v:
+                _err("prefix filter needs a non-empty string")
+            out.append((f, "prefix", v))
+        elif kind == "regexp":
+            # ES 1.x regexp FILTER: whole-string anchored (Lucene
+            # RegexpQuery), verbatim stored-field match on the
+            # three-engine-safe subset (_FIELD_REGEXP_RE above)
+            f, v = _one_field(body, "regexp filter")
+            if isinstance(v, dict):
+                extra = set(v) - {"value"}
+                if extra or "value" not in v:
+                    _err(f"regexp filter options {sorted(extra)}")
+                v = v["value"]
+            out.append((f, "regexp", _validate_field_regexp(v)))
         elif kind == "and":
             # 1.x `and` compound filter: flatten (triples AND by contract)
             out.extend(_filter_triples(list(body)))
@@ -712,6 +774,41 @@ def parse_body(
         if not isinstance(decoded, dict):
             _err("wrapper payload must decode to a query object")
         kind, val = _one_field(decoded, "wrapper query")
+    if kind == "custom_score":
+        # ES 1.x custom_score — the precursor of function_score.script_score
+        # (same ScriptScoreFunction underneath; removed in 1.x in favor of
+        # function_score): the script result REPLACES the subquery score.
+        # Pure alias rewrite, zero new semantics.
+        if not isinstance(val, dict):
+            _err("custom_score needs an options object")
+        extra_cs = set(val) - {"query", "script"}
+        if extra_cs:
+            _err(f"custom_score keys {sorted(extra_cs)} "
+                 "(params/lang unsupported)")
+        if "query" not in val or "script" not in val:
+            _err("custom_score needs query and script")
+        kind, val = "function_score", {
+            "query": val["query"],
+            "script_score": {"script": val["script"]},
+        }
+    elif kind == "custom_boost_factor":
+        # ES 1.x custom_boost_factor: score = subquery score × constant —
+        # rewritten to the equivalent script_score (the exact 1.x semantics;
+        # rank order is unchanged, scores scale)
+        if not isinstance(val, dict):
+            _err("custom_boost_factor needs an options object")
+        extra_cb = set(val) - {"query", "boost_factor"}
+        if extra_cb:
+            _err(f"custom_boost_factor keys {sorted(extra_cb)}")
+        if "query" not in val or "boost_factor" not in val:
+            _err("custom_boost_factor needs query and boost_factor")
+        bf = val["boost_factor"]
+        if not isinstance(bf, (int, float)) or isinstance(bf, bool) or bf <= 0:
+            _err(f"boost_factor must be a positive number, got {bf!r}")
+        kind, val = "function_score", {
+            "query": val["query"],
+            "script_score": {"script": f"_score * {float(bf)!r}"},
+        }
     if kind == "custom_filters_score":
         # ES 1.x custom_filters_score — the PRECURSOR of function_score's
         # weighted functions array (the same FiltersFunctionScoreQuery
@@ -1582,6 +1679,10 @@ def _filters_col(triples: list[tuple[str, str, Any]]) -> Column | None:
         "in": lambda c, v: c.isin(list(v)),
         "notnull": lambda c, v: c.isNotNull(),
         "null": lambda c, v: c.isNull(),
+        # prefix/regexp filters: null-rejecting (a NULL field never
+        # matches, as ES prefix/regexp on a missing field)
+        "prefix": lambda c, v: c.startswith(v),
+        "regexp": lambda c, v: c.rlike("^(?:" + v + ")$"),
     }
     expr = None
     for f, op, v in triples:
@@ -1668,7 +1769,9 @@ ORDER BY h.score DESC, h.doc_id ASC
 
 def _filters_sql(triples: list[tuple[str, str, Any]]) -> str | None:
     def q(v):
-        return f"'{v}'" if isinstance(v, str) else repr(v)
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
 
     preds = []
     for f, op, v in triples:
@@ -1686,6 +1789,12 @@ def _filters_sql(triples: list[tuple[str, str, Any]]) -> str | None:
             preds.append(f"{f} IS NOT NULL")
         elif op == "null":
             preds.append(f"{f} IS NULL")
+        elif op == "prefix":
+            preds.append(f"starts_with({f}, {q(v)})")
+        elif op == "regexp":
+            # subset excludes quotes/backslash, so the pattern is
+            # literal-safe inside the SQL string
+            preds.append(f"regexp_matches({f}, '^(?:{v})$')")
         else:
             preds.append(f"{f} {op} {q(v)}")
     return " AND ".join(preds) if preds else None

@@ -43,6 +43,7 @@ from typing import Any
 
 import numpy as np
 import pandas as pd
+import pyarrow.compute as pc
 import pyarrow.dataset as pads
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -830,6 +831,13 @@ _FILTER_OPS = {
     "not_in": lambda f, v: ~f.isin(list(v)) | f.is_null(),
     "notnull": lambda f, v: f.is_valid(),  # ES exists filter
     "null": lambda f, v: ~f.is_valid(),   # ES 1.x missing filter
+    # prefix/regexp filters: Arrow compute kernels work as dataset-filter
+    # expressions (row-group pruning degrades to post-read eval, which is
+    # exactly the ES behavior — these are not range-prunable predicates).
+    # RE2 regex semantics on the dsl._FIELD_REGEXP_RE subset match the
+    # Spark (Java) and pandas (Python re) compilers byte-for-byte.
+    "prefix": lambda f, v: pc.starts_with(f, pattern=v),
+    "regexp": lambda f, v: pc.match_substring_regex(f, "^(?:" + v + ")$"),
 }
 
 
@@ -923,6 +931,11 @@ def _pd_filter_mask(dt: pd.DataFrame, triples: list[tuple]) -> np.ndarray:
             e = s.notna().to_numpy(dtype=bool)
         elif op == "null":
             e = s.isna().to_numpy(dtype=bool)
+        elif op == "prefix":
+            e = s.str.startswith(v).fillna(False).to_numpy(dtype=bool)
+        elif op == "regexp":
+            # whole-string anchored, as the other three compilers
+            e = s.str.fullmatch(v).fillna(False).to_numpy(dtype=bool)
         elif op in ("<", "<=", ">", ">="):
             cmp = {"<": s.lt, "<=": s.le, ">": s.gt, ">=": s.ge}[op]
             e = (cmp(v) & s.notna()).to_numpy(dtype=bool)

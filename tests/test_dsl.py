@@ -44,6 +44,37 @@ BODIES: list[tuple[str, dict, bool]] = [
         True,
     ),
     (
+        # 1.x prefix FILTER on a stored field (vs the prefix QUERY above,
+        # which expands the analyzed term dictionary)
+        "prefix_filter",
+        {"query": {"bool": {"must": [{"match": {"text": "dup batch"}}],
+                            "filter": [{"prefix": {"source": "src1"}}]}},
+         "size": 8},
+        True,
+    ),
+    (
+        "prefix_filter_long_form",
+        {"query": {"bool": {"must": [{"match": {"text": "dup batch"}}],
+                            "filter": [{"prefix": {"source": {"value": "src1"}}}]}},
+         "size": 8},
+        True,
+    ),
+    (
+        # 1.x regexp FILTER: whole-string anchored, verbatim stored field
+        "regexp_filter",
+        {"query": {"bool": {"must": [{"match": {"text": "dup batch"}}],
+                            "filter": [{"regexp": {"source": "src1[0-5]"}}]}},
+         "size": 8},
+        True,
+    ),
+    (
+        "regexp_filter_alternation",
+        {"query": {"bool": {"must": [{"match": {"text": "scan"}}],
+                            "filter": [{"regexp": {"source": {"value": "src(2|4|17)"}}}]}},
+         "size": 8},
+        True,
+    ),
+    (
         "fuzzy",
         {"query": {"fuzzy": {"text": {"value": "part", "fuzziness": 2}}}},
         True,
@@ -258,6 +289,24 @@ BODIES: list[tuple[str, dict, bool]] = [
         False,
     ),
     (
+        # 1.x custom_score: alias of function_score.script_score
+        "custom_score_1x",
+        {"query": {"custom_score": {
+            "query": {"match": {"text": "dup batch scan"}},
+            "script": "_score * (1 + log(1 + doc['n_chars'].value / 100))",
+        }}, "size": 8},
+        False,
+    ),
+    (
+        # 1.x custom_boost_factor: score × constant (rank-preserving)
+        "custom_boost_factor_1x",
+        {"query": {"custom_boost_factor": {
+            "query": {"match": {"text": "dup batch scan"}},
+            "boost_factor": 2.5,
+        }}, "size": 8},
+        False,
+    ),
+    (
         "decay_gauss",
         {"query": {"function_score": {
             "query": {"match": {"text": "dup batch scan"}},
@@ -416,7 +465,7 @@ def test_dsl_mlt_routes(documents, searcher):
         {"query": {"regexp": {"text": "a\\d+"}}},  # backslash outside the 3-engine subset
         {"query": {"bool": {"must": [{"match": {"text": "a"}}, {"match": {"text": "b"}}]}}},
         {"query": {"match": {"text": "a"}}, "aggs": {}},
-        {"query": {"bool": {"filter": [{"regexp": {"field": "lang"}}]}}},
+        {"query": {"bool": {"filter": [{"limit": {"value": 5}}]}}},
         {"query": {"match_phrase": {"text": "a b"}}, "sort": [{"n_chars": "asc"}]},
         {"query": {"span_near": {"clauses": [{"span_term": {"text": "a"}},
                                              {"span_term": {"text": "b"}}],
@@ -424,6 +473,15 @@ def test_dsl_mlt_routes(documents, searcher):
         {"query": {"span_near": {"clauses": [{"span_term": {"text": "a b"}},
                                              {"span_term": {"text": "c"}}],
                                  "in_order": True}}},
+        # 1.x custom_score / custom_boost_factor alias guards
+        {"query": {"custom_score": {"query": {"match": {"text": "a"}},
+                                    "script": "_score * 2", "lang": "mvel"}}},
+        {"query": {"custom_score": {"query": {"match": {"text": "a"}}}}},
+        {"query": {"custom_boost_factor": {"query": {"match": {"text": "a"}},
+                                           "boost_factor": -1}}},
+        {"query": {"custom_boost_factor": {"query": {"match": {"text": "a"}},
+                                           "boost_factor": "2"}}},
+        {"query": {"custom_boost_factor": {"boost_factor": 2}}},
         # script_score excludes boost_mode / other functions; scripts parse-fail loudly
         {"query": {"function_score": {"query": {"match": {"text": "a"}},
                                       "script_score": {"script": "_score * 2"},
@@ -468,6 +526,18 @@ def test_dsl_mlt_routes(documents, searcher):
         # top-level filter queries: analyzed text field refused
         {"query": {"terms": {"text": ["a", "b"]}}},
         {"query": {"exists": {"field": "text"}}},
+        # prefix/regexp FILTERS: empty prefix, non-string prefix, regexp
+        # outside the three-engine-safe subset (backslash escape / anchor)
+        {"query": {"bool": {"must": [{"match": {"text": "a"}}],
+                            "filter": [{"prefix": {"source": ""}}]}}},
+        {"query": {"bool": {"must": [{"match": {"text": "a"}}],
+                            "filter": [{"prefix": {"source": 7}}]}}},
+        {"query": {"bool": {"must": [{"match": {"text": "a"}}],
+                            "filter": [{"regexp": {"source": "src\\d+"}}]}}},
+        {"query": {"bool": {"must": [{"match": {"text": "a"}}],
+                            "filter": [{"regexp": {"source": "^src1"}}]}}},
+        {"query": {"bool": {"must": [{"match": {"text": "a"}}],
+                            "filter": [{"regexp": {"source": {"value": "src1", "flags": "ALL"}}}]}}},
         # min_score composes with scored match/bool only
         {"query": {"match_all": {}}, "min_score": 1.0},
         {"query": {"match": {"text": "a"}}, "min_score": 1.0,
@@ -1186,6 +1256,28 @@ def test_function_score_missing_fills_nulls(spark):
 # (field_value_factor/decay now SERVE exactly —
 # test_function_score_serving_equals_declarative; random_score/script_score
 # rejection is pinned in test_function_score_serving_missing_field_and_guards)
+
+
+def test_custom_score_alias_equals_function_score(documents):
+    """1.x custom_score / custom_boost_factor are pure rewrites: results are
+    row-identical to the function_score.script_score they alias."""
+    script = "_score * (1 + doc['n_chars'].value / 1000)"
+    old = {"query": {"custom_score": {
+        "query": {"match": {"text": "dup batch scan"}}, "script": script}}, "size": 8}
+    new = {"query": {"function_score": {
+        "query": {"match": {"text": "dup batch scan"}},
+        "script_score": {"script": script}}}, "size": 8}
+    assert [tuple(r) for r in dsl_search(documents, old).collect()] == \
+           [tuple(r) for r in dsl_search(documents, new).collect()]
+
+    cbf = {"query": {"custom_boost_factor": {
+        "query": {"match": {"text": "dup batch scan"}}, "boost_factor": 2.5}}, "size": 8}
+    base = {"query": {"match": {"text": "dup batch scan"}}, "size": 8}
+    got = [(r.doc_id, r.score) for r in dsl_search(documents, cbf).collect()]
+    want = [(r.doc_id, round(r.score * 2.5, 6))
+            for r in dsl_search(documents, base).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert [s for _, s in got] == pytest.approx([s for _, s in want], abs=1e-5)
 
 
 # -- _msearch -----------------------------------------------------------------
