@@ -282,6 +282,20 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.45, exact=True)
 
 
+def _semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster + within-cluster cosine
+    dedup, keep-the-edge rule. The driver entry uses data-INDEPENDENT seeded
+    centroids so the static SQL oracle embeds the same literals; the k-means
+    path is pinned against NumPy + DuckDB in tests/test_similarity.py."""
+    from flume_elasticsearch_2_spark.operators.similarity import (
+        fixed_centroids,
+        semdedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup(emb, centroids=fixed_centroids(64, 8), threshold=0.4)
+
+
 def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs on the md5 hash family — the DuckDB
     oracle (dedup.minhash_lsh_pairs_sql) reproduces signatures, band
@@ -692,6 +706,39 @@ _DSL_CUSTOM_BOOST_BODY = {
     },
     "size": 10,
 }
+
+
+_DSL_FIELD_QUERY_BODY = {
+    "query": {"field": {"text": "dup batch -slow"}},
+    "size": 10,
+}
+
+
+def _dsl_field_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x field query {"field": {"<f>": <qs>}} — query_string scoped to
+    one field (FieldQueryParser delegates to the query_string parser);
+    rewritten at parse so the whole query_string surface is shared."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_FIELD_QUERY_BODY)
+
+
+def _dsl_field_query_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same 1.x field-query body on the SERVING path."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_FIELD_QUERY_BODY)
+
+
+_DSL_SPAN_TERM_BODY = {"query": {"span_term": {"text": "dup"}}, "size": 10}
+
+
+def _dsl_span_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanTermQuery standing alone: every occurrence is a width-1
+    span so span freq == tf — degenerates to the term query's scoring."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_SPAN_TERM_BODY)
 
 
 def _dsl_custom_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3785,6 +3832,10 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "semdedup_embeddings",
+    "dsl_field_query",
+    "dsl_field_query_segment",
+    "dsl_span_term",
     "dsl_custom_score",
     "dsl_custom_boost_factor",
     "dsl_prefix_filter",
@@ -4046,6 +4097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hybrid_rrf"] = _hybrid_rrf
     q["terms_cms_estimate"] = _terms_cms_estimate
     q["embedding_near_dup"] = _embedding_near_dup
+    q["semdedup_embeddings"] = _semdedup_embeddings
     q["json_serialize"] = _json_serialize
     q["trs_roundtrip"] = _trs_roundtrip
     q["bpe_token_counts"] = _bpe_token_counts
@@ -4103,6 +4155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_nested_agg_segment"] = _dsl_nested_agg_segment
     q["dsl_bool"] = _dsl_bool
     q["dsl_bool_segment"] = _dsl_bool_segment
+    q["dsl_field_query"] = _dsl_field_query
+    q["dsl_field_query_segment"] = _dsl_field_query_segment
+    q["dsl_span_term"] = _dsl_span_term
     q["dsl_custom_score"] = _dsl_custom_score
     q["dsl_custom_boost_factor"] = _dsl_custom_boost_factor
     q["dsl_prefix_filter"] = _dsl_prefix_filter
@@ -4541,6 +4596,12 @@ WITH d AS (
 SELECT id_a, id_b, round(dot / (na * nb), 6) AS cosine
 FROM d WHERE round(dot / (na * nb), 6) >= 0.45
 """
+    from flume_elasticsearch_2_spark.operators.similarity import (
+        fixed_centroids,
+        semdedup_sql,
+    )
+
+    o["semdedup_embeddings"] = semdedup_sql(fixed_centroids(64, 8), threshold=0.4)
     from flume_elasticsearch_2_spark.operators.facets import (
         histogram_facet_sql,
         stats_facet_sql,
@@ -4986,6 +5047,9 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["dsl_common"] = dsl_search_sql(_DSL_COMMON_BODY)
     o["dsl_bool"] = dsl_search_sql(_DSL_BOOL_BODY)
     o["dsl_bool_segment"] = o["dsl_bool"]
+    o["dsl_field_query"] = dsl_search_sql(_DSL_FIELD_QUERY_BODY)
+    o["dsl_field_query_segment"] = o["dsl_field_query"]
+    o["dsl_span_term"] = dsl_search_sql(_DSL_SPAN_TERM_BODY)
     o["dsl_custom_score"] = dsl_search_sql(_DSL_CUSTOM_SCORE_BODY)
     o["dsl_custom_boost_factor"] = dsl_search_sql(_DSL_CUSTOM_BOOST_BODY)
     o["dsl_prefix_filter"] = dsl_search_sql(_DSL_PREFIX_FILTER_BODY)

@@ -774,6 +774,33 @@ def parse_body(
         if not isinstance(decoded, dict):
             _err("wrapper payload must decode to a query object")
         kind, val = _one_field(decoded, "wrapper query")
+    if kind in ("text", "text_phrase", "text_phrase_prefix"):
+        # pre-0.19.9 spellings of match / match_phrase / match_phrase_prefix,
+        # kept as deprecated aliases through ES 1.x (MatchQueryParser
+        # registers both names) — pure renames, zero new semantics, so a
+        # reference-era client body runs verbatim on all three executors
+        kind = {"text": "match", "text_phrase": "match_phrase",
+                "text_phrase_prefix": "match_phrase_prefix"}[kind]
+    if kind == "field":
+        # ES 1.x field query: {"field": {"<f>": <query string>}} — shorthand
+        # for query_string scoped to one field (FieldQueryParser delegates to
+        # the query_string parser); rewritten here so the whole query_string
+        # surface (syntax subset, default_operator, refusals) is shared
+        f, fv = _one_field(val, "field")
+        if isinstance(fv, dict):
+            extra_f = set(fv) - {"query", "default_operator"}
+            if extra_f:
+                _err(f"field query options {sorted(extra_f)}")
+            if "query" not in fv:
+                _err("field query needs 'query'")
+            qv: dict = {"query": fv["query"]}
+            if "default_operator" in fv:
+                qv["default_operator"] = fv["default_operator"]
+        else:
+            qv = {"query": fv}
+        if f != text_col:
+            qv["fields"] = [f]
+        kind, val = "query_string", qv
     if kind == "custom_score":
         # ES 1.x custom_score — the precursor of function_score.script_score
         # (same ScriptScoreFunction underneath; removed in 1.x in favor of
@@ -1274,10 +1301,14 @@ def parse_body(
     elif kind == "ids":
         spec.kind = "ids"
         spec.ids = sorted(int(i) for i in val["values"])
-    elif kind == "term":
-        f, v = _one_field(val, "term")
+    elif kind in ("term", "span_term"):
+        # a LONE span_term degenerates to the term query: every occurrence
+        # is a width-1 span, so the span freq equals tf and the score is the
+        # term query's (Lucene SpanTermQuery/TermSpans; composition inside
+        # span_near/span_or/... is handled by their own branches above)
+        f, v = _one_field(val, kind)
         if f != text_col:
-            _err(f"top-level term on {f!r}")
+            _err(f"top-level {kind} on {f!r}")
         spec.query = v if isinstance(v, str) else v["value"]
     elif kind in _MT_KINDS:
         f, v = _one_field(val, kind)

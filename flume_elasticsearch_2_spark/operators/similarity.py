@@ -348,3 +348,145 @@ d AS (
 SELECT id, round(dot / (na * nb), 6) AS cosine
 FROM d ORDER BY dot / (na * nb) DESC, id ASC LIMIT {int(k)}
 """
+
+
+def fixed_centroids(dim: int, n_centroids: int, seed: int = 7) -> np.ndarray:
+    """Data-INDEPENDENT centroids: seeded Gaussian directions, L2-normalized.
+    A Voronoi partition of random directions — the statically-reproducible
+    clustering for oracle-checked :func:`semdedup` entries (the SQL twin
+    embeds the same literals without seeing the data); production use
+    passes :func:`ivf_centroids` output instead for balanced clusters."""
+    rng = np.random.RandomState(seed)
+    C = rng.standard_normal((n_centroids, dim))
+    return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+
+def semdedup(
+    df: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means clustering + within-cluster cosine thresholding. Docs land in
+    the cluster of their most-cosine-similar centroid; within a cluster,
+    of any pair with cosine >= ``threshold`` the member MORE similar to
+    the centroid is dropped (the paper's keep-low-centroid-similarity
+    choice — keeps the "edge" example), made fully deterministic here:
+
+    drop(a) iff exists same-cluster b != a with round(cos(a,b),6) >=
+    threshold and (cent(b) < cent(a) or (cent(b) == cent(a) and
+    b.id < a.id)), where cent(x) = round(cosine(x, centroid), 6).
+
+    Returns survivors ``(id, cluster, cent_sim)`` ordered by id. Centroids
+    come from :func:`ivf_centroids` (driver-side seeded spherical k-means)
+    unless passed in; cluster assignment is a pure JVM expression
+    (argmax of the rounded per-centroid cosines, first index on ties) so
+    the DuckDB twin :func:`semdedup_sql` reproduces it bit-for-bit.
+
+    Scale shape: the candidate pair space is the SemDeDup design itself —
+    quadratic ONLY within a cluster, never across the corpus; at 10^12
+    rows ``n_centroids`` scales with the corpus (the paper runs 50k
+    clusters) so per-cluster sizes stay bounded. One shuffle on the
+    cluster key for the pair join; the drop set is distinct ids only and
+    survivors come from a left_anti join (no driver-side collect). Skewed
+    clusters are visible as the max group and are re-split by raising
+    ``n_centroids`` — the same lever the paper uses.
+    """
+    C = centroids if centroids is not None else ivf_centroids(
+        df, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    cent_cols = [
+        F.round(cosine_col(F.col("v"), F.array(*[F.lit(float(x)) for x in c])), 6)
+        for c in C
+    ]
+    sims = F.array(*cent_cols)
+    assign = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).select(
+        "id",
+        "v",
+        (F.array_position(sims, F.array_max(sims)) - 1).alias("cluster"),
+        F.array_max(sims).alias("cent_sim"),
+    )
+    a = assign.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("cluster").alias("cl_a"), F.col("cent_sim").alias("ca"),
+    )
+    b = assign.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("cluster").alias("cl_b"), F.col("cent_sim").alias("cb"),
+    )
+    dropped = (
+        a.join(b, (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") != F.col("id_b")))
+        .where(F.round(cosine_col(F.col("va"), F.col("vb")), 6) >= threshold)
+        .where(
+            (F.col("cb") < F.col("ca"))
+            | ((F.col("cb") == F.col("ca")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+    )
+    return (
+        assign.join(dropped, "id", "left_anti")
+        .select("id", "cluster", "cent_sim")
+        .orderBy("id")
+    )
+
+
+def semdedup_sql(
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for :func:`semdedup` — same centroid literals, same
+    rounded-cosine argmax assignment (list_position of the max = first
+    index on ties, as Spark array_position), same deterministic drop rule."""
+    cent_rows = ", ".join(
+        f"({ci}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for ci, c in enumerate(centroids)
+    )
+    rng = f"unnest(range(1, {int(dim) + 1})) AS t(i)"
+    return f"""
+WITH base AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table}),
+cent AS (SELECT * FROM (VALUES {cent_rows}) c(ci, cv)),
+sims AS (
+  SELECT b.id, c.ci,
+         round(sum(b.v[t.i]::DOUBLE * c.cv[t.i])
+               / (sqrt(sum(b.v[t.i]::DOUBLE * b.v[t.i]::DOUBLE))
+                  * sqrt(sum(c.cv[t.i] * c.cv[t.i]))), 6) AS s
+  FROM base b, cent c, {rng}
+  GROUP BY b.id, c.ci
+),
+assign AS (
+  SELECT id,
+         list_position(ls, list_aggregate(ls, 'max')) - 1 AS cluster,
+         list_aggregate(ls, 'max') AS cent_sim
+  FROM (SELECT id, list(s ORDER BY ci) AS ls FROM sims GROUP BY id)
+),
+pair AS (
+  SELECT a.id AS id_a, a.cent_sim AS ca, b.id AS id_b, b.cent_sim AS cb,
+         round(sum(va.v[t.i]::DOUBLE * vb.v[t.i]::DOUBLE)
+               / (sqrt(sum(va.v[t.i]::DOUBLE * va.v[t.i]::DOUBLE))
+                  * sqrt(sum(vb.v[t.i]::DOUBLE * vb.v[t.i]::DOUBLE))), 6) AS pc
+  FROM assign a
+  JOIN assign b ON a.cluster = b.cluster AND a.id != b.id
+  JOIN base va ON va.id = a.id
+  JOIN base vb ON vb.id = b.id, {rng}
+  GROUP BY a.id, a.cent_sim, b.id, b.cent_sim
+),
+dropped AS (
+  SELECT DISTINCT id_a AS id FROM pair
+  WHERE pc >= {float(threshold)!r}
+    AND (cb < ca OR (cb = ca AND id_b < id_a))
+)
+SELECT a.id, a.cluster, a.cent_sim
+FROM assign a ANTI JOIN dropped d ON a.id = d.id
+ORDER BY a.id
+"""

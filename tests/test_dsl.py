@@ -28,6 +28,27 @@ BODIES: list[tuple[str, dict, bool]] = [
     ),
     ("match_phrase", {"query": {"match_phrase": {"text": "part filter"}}}, True),
     ("term_on_text", {"query": {"term": {"text": "dup"}}}, True),
+    (
+        # pre-0.19.9 text / text_phrase / text_phrase_prefix spellings, kept
+        # as deprecated aliases of match/* through ES 1.x (MatchQueryParser
+        # registers both names)
+        "text_alias_0x",
+        {"query": {"text": {"text": "dup batch scan"}}},
+        True,
+    ),
+    ("text_phrase_alias_0x", {"query": {"text_phrase": {"text": "part filter"}}}, True),
+    (
+        "text_phrase_prefix_alias_0x",
+        {"query": {"text_phrase_prefix": {"text": "batch s"}}},
+        True,
+    ),
+    (
+        # a LONE span_term degenerates to the term query (every occurrence
+        # is a width-1 span, span freq == tf)
+        "span_term_lone",
+        {"query": {"span_term": {"text": "dup"}}},
+        True,
+    ),
     ("prefix", {"query": {"prefix": {"text": "ba"}}}, True),
     ("wildcard", {"query": {"wildcard": {"text": "s*r*"}}}, True),
     (
@@ -473,6 +494,12 @@ def test_dsl_mlt_routes(documents, searcher):
         {"query": {"span_near": {"clauses": [{"span_term": {"text": "a b"}},
                                              {"span_term": {"text": "c"}}],
                                  "in_order": True}}},
+        # 1.x field query: unknown options / missing query / non-analyzed field
+        {"query": {"field": {"text": {"query": "a", "boost": 2.0}}}},
+        {"query": {"field": {"text": {}}}},
+        {"query": {"field": {"lang": "en"}}},
+        # lone span_term inherits the term guard: analyzed text field only
+        {"query": {"span_term": {"lang": "en"}}},
         # 1.x custom_score / custom_boost_factor alias guards
         {"query": {"custom_score": {"query": {"match": {"text": "a"}},
                                     "script": "_score * 2", "lang": "mvel"}}},
@@ -854,6 +881,19 @@ QS_BODIES = [
     ("qs_wildcard", {"query": {"query_string": {"query": "s*r*"}}}, True),
     ("qs_field", {"query": {"query_string": {"query": "text:dup text:batch"}}}, True),
     ("qs_default_and", {"query": {"query_string": {"query": "join filter", "default_operator": "and"}}}, True),
+    (
+        # ES 1.x field query: {"field": {"<f>": <qs>}} == query_string scoped
+        # to one field (FieldQueryParser delegates to the query_string parser)
+        "field_query_1x",
+        {"query": {"field": {"text": "dup batch -slow"}}},
+        True,
+    ),
+    (
+        "field_query_long_form",
+        {"query": {"field": {"text": {"query": "join filter",
+                                      "default_operator": "and"}}}},
+        True,
+    ),
     (
         "filtered_1x",
         {"query": {"filtered": {
@@ -1278,6 +1318,29 @@ def test_custom_score_alias_equals_function_score(documents):
             for r in dsl_search(documents, base).collect()]
     assert [d for d, _ in got] == [d for d, _ in want]
     assert [s for _, s in got] == pytest.approx([s for _, s in want], abs=1e-5)
+
+
+def test_1x_alias_queries_equal_canonical(documents):
+    """text* / field / lone-span_term 1.x spellings are pure rewrites:
+    row-identical to the canonical query they alias (parse_body rewrites
+    kind before dispatch — dsl.py text/field/span_term branches)."""
+    pairs = [
+        ({"text": {"text": "dup batch scan"}},
+         {"match": {"text": "dup batch scan"}}),
+        ({"text_phrase": {"text": "part filter"}},
+         {"match_phrase": {"text": "part filter"}}),
+        ({"text_phrase_prefix": {"text": "batch s"}},
+         {"match_phrase_prefix": {"text": "batch s"}}),
+        ({"field": {"text": "dup batch -slow"}},
+         {"query_string": {"query": "dup batch -slow"}}),
+        ({"field": {"text": {"query": "join filter", "default_operator": "and"}}},
+         {"query_string": {"query": "join filter", "default_operator": "and"}}),
+        ({"span_term": {"text": "dup"}}, {"term": {"text": "dup"}}),
+    ]
+    for old_q, new_q in pairs:
+        old = [tuple(r) for r in dsl_search(documents, {"query": old_q, "size": 8}).collect()]
+        new = [tuple(r) for r in dsl_search(documents, {"query": new_q, "size": 8}).collect()]
+        assert old == new and old, old_q
 
 
 # -- _msearch -----------------------------------------------------------------

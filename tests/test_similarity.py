@@ -168,3 +168,99 @@ def test_ivf_build_search_roundtrip(spark, embeddings, tmp_path):
     exact_all = {r.id: r.cosine for r in cosine_topk(embeddings, q, k=10**6).collect()}
     for i, c in part:
         assert abs(exact_all[i] - c) < 1e-9
+
+
+# -- SemDeDup ------------------------------------------------------------------
+
+
+def _np_semdedup(ids, m, C, threshold):
+    """NumPy reference of the semdedup drop rule (rounded as the engines)."""
+    from flume_elasticsearch_2_spark.functions.rounding import round_half_up6
+
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    sims = np.array([[round_half_up6(s) for s in row] for row in mn @ Cn.T])
+    cluster = sims.argmax(axis=1)  # first index on ties, as array_position
+    cent = sims.max(axis=1)
+    survivors = []
+    for i in range(len(ids)):
+        drop = False
+        for j in range(len(ids)):
+            if i == j or cluster[i] != cluster[j]:
+                continue
+            pc = round_half_up6(float(mn[i] @ mn[j]))
+            if pc >= threshold and (
+                cent[j] < cent[i] or (cent[j] == cent[i] and ids[j] < ids[i])
+            ):
+                drop = True
+                break
+        if not drop:
+            survivors.append((int(ids[i]), int(cluster[i]), float(cent[i])))
+    return sorted(survivors)
+
+
+def test_semdedup_matches_numpy_and_duckdb(spark, embeddings, emb_np, sf_dir):
+    import duckdb
+
+    from flume_elasticsearch_2_spark.operators.similarity import (
+        fixed_centroids,
+        ivf_centroids,
+        semdedup,
+        semdedup_sql,
+    )
+
+    ids, m = emb_np
+    for C in (fixed_centroids(64, 8), ivf_centroids(embeddings, 8)):
+        got = [
+            (r.id, r.cluster, r.cent_sim)
+            for r in semdedup(embeddings, centroids=C, threshold=0.4).collect()
+        ]
+        want = _np_semdedup(ids, m, C, 0.4)
+        assert [(i, c) for i, c, _ in got] == [(i, c) for i, c, _ in want]
+        assert [s for *_, s in got] == pytest.approx([s for *_, s in want], abs=2e-6)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+        )
+        duck = [tuple(r) for r in con.sql(semdedup_sql(C, threshold=0.4)).fetchall()]
+        assert [(i, int(c), s) for i, c, s in duck] == got
+    # non-vacuous: something was actually dropped
+    assert len(got) < len(ids)
+
+
+def test_semdedup_partition_invariant(spark, embeddings):
+    from flume_elasticsearch_2_spark.operators.similarity import (
+        fixed_centroids,
+        semdedup,
+    )
+
+    C = fixed_centroids(64, 8)
+    a = [tuple(r) for r in semdedup(embeddings, centroids=C, threshold=0.4).collect()]
+    b = [
+        tuple(r)
+        for r in semdedup(
+            embeddings.repartition(13), centroids=C, threshold=0.4
+        ).collect()
+    ]
+    assert a == b
+
+
+def test_semdedup_exact_duplicates_keep_one(spark):
+    """Two identical vectors (cosine 1.0) in one cluster: exactly one
+    survives, and it's the lower id (equal cent_sim -> id tie-break)."""
+    from flume_elasticsearch_2_spark.operators.similarity import (
+        fixed_centroids,
+        semdedup,
+    )
+
+    C = fixed_centroids(4, 2)
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.9, 0.1, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [(r.id) for r in semdedup(df, centroids=C, threshold=0.999).collect()]
+    assert 1 in got and 2 not in got
+    assert 3 in got and 4 in got
