@@ -662,6 +662,21 @@ _DSL_MATCHALL_BODY = {
     "size": 6,
     "from": 2,
 }
+_DSL_LEGACY_RANGE_BODY = {
+    "query": {
+        "bool": {
+            "must": [{"match": {"text": "dup batch"}}],
+            # BOTH reference-era spellings at once: the 1.x numeric_range
+            # alias of range, and the legacy from/to + include_upper form
+            # (RangeFilterParser: from→gte, to→lt when include_upper=false)
+            "filter": [
+                {"numeric_range": {"n_chars": {"from": 100, "to": 100000,
+                                               "include_upper": False}}},
+            ],
+        }
+    },
+    "size": 10,
+}
 
 
 _DSL_PREFIX_FILTER_BODY = {
@@ -802,6 +817,22 @@ def _dsl_bool_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
 
     return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_BOOL_BODY)
+
+
+def _dsl_legacy_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x legacy range spellings: the numeric_range filter alias with
+    from/to + include_upper bounds, normalized at parse — declarative path."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_LEGACY_RANGE_BODY)
+
+
+def _dsl_legacy_range_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same body on the SERVING path: the normalized range triples push into
+    the per-shard docs read as pyarrow dataset predicates."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_LEGACY_RANGE_BODY)
 
 
 def _dsl_match_all_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3833,6 +3864,8 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
     "semdedup_embeddings",
+    "dsl_legacy_range",
+    "dsl_legacy_range_segment",
     "dsl_field_query",
     "dsl_field_query_segment",
     "dsl_span_term",
@@ -4158,6 +4191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_field_query"] = _dsl_field_query
     q["dsl_field_query_segment"] = _dsl_field_query_segment
     q["dsl_span_term"] = _dsl_span_term
+    q["dsl_legacy_range"] = _dsl_legacy_range
+    q["dsl_legacy_range_segment"] = _dsl_legacy_range_segment
     q["dsl_custom_score"] = _dsl_custom_score
     q["dsl_custom_boost_factor"] = _dsl_custom_boost_factor
     q["dsl_prefix_filter"] = _dsl_prefix_filter
@@ -5050,6 +5085,8 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["dsl_field_query"] = dsl_search_sql(_DSL_FIELD_QUERY_BODY)
     o["dsl_field_query_segment"] = o["dsl_field_query"]
     o["dsl_span_term"] = dsl_search_sql(_DSL_SPAN_TERM_BODY)
+    o["dsl_legacy_range"] = dsl_search_sql(_DSL_LEGACY_RANGE_BODY)
+    o["dsl_legacy_range_segment"] = o["dsl_legacy_range"]
     o["dsl_custom_score"] = dsl_search_sql(_DSL_CUSTOM_SCORE_BODY)
     o["dsl_custom_boost_factor"] = dsl_search_sql(_DSL_CUSTOM_BOOST_BODY)
     o["dsl_prefix_filter"] = dsl_search_sql(_DSL_PREFIX_FILTER_BODY)

@@ -353,6 +353,16 @@ def main() -> None:
     t0 = time.time()
     ivf_search(spark, ivf_dir, qv, k=10, nprobe=4).collect()
     timings["ivf_search_nprobe4"] = time.time() - t0
+    # SemDeDup: cluster-confined quadratic — the pair join shuffles once on
+    # the cluster key; n_centroids is the per-cluster-size lever at scale
+    from flume_elasticsearch_2_spark.operators.similarity import (
+        fixed_centroids,
+        semdedup,
+    )
+
+    t0 = time.time()
+    semdedup(emb, centroids=fixed_centroids(64, 16), threshold=0.4).count()
+    timings["semdedup"] = time.time() - t0
 
     # 5b. percolator scale (round 3, Q24): flat analyzed-query scan vs the
     # term-keyed index at two registered-query counts — the indexed path must

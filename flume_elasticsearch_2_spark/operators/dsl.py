@@ -361,6 +361,42 @@ def _validate_field_regexp(pattern) -> str:
     return pattern
 
 
+_RANGE_OPS = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
+
+
+def _range_conds(conds, kind: str) -> list[tuple[str, Any]]:
+    """Normalize a range body to (op, value) pairs. Accepts BOTH the
+    gte/gt/lte/lt spelling and the legacy 1.x ``from``/``to`` +
+    ``include_lower``/``include_upper`` spelling (RangeFilterParser maps
+    from→gte|gt and to→lte|lt by the include flags, default true); the two
+    spellings refuse to mix, and a null from/to bound is simply open."""
+    if not isinstance(conds, dict) or not conds:
+        _err(f"{kind} needs a conditions object")
+    legacy = {"from", "to", "include_lower", "include_upper"}
+    if set(conds) & legacy:
+        extra = set(conds) - legacy
+        if extra:
+            _err(f"{kind} mixes from/to with {sorted(extra)}")
+        il = conds.get("include_lower", True)
+        iu = conds.get("include_upper", True)
+        if not isinstance(il, bool) or not isinstance(iu, bool):
+            _err(f"{kind} include_lower/include_upper must be booleans")
+        out = []
+        if conds.get("from") is not None:
+            out.append((">=" if il else ">", conds["from"]))
+        if conds.get("to") is not None:
+            out.append(("<=" if iu else "<", conds["to"]))
+        if not out:
+            _err(f"{kind} from/to both null")
+        return out
+    out = []
+    for key, val in conds.items():
+        if key not in _RANGE_OPS:
+            _err(f"{kind} op {key!r}")
+        out.append((_RANGE_OPS[key], val))
+    return out
+
+
 def _filter_triples(clauses: list[dict]) -> list[tuple[str, str, Any]]:
     out: list[tuple[str, str, Any]] = []
     for c in clauses:
@@ -371,13 +407,12 @@ def _filter_triples(clauses: list[dict]) -> list[tuple[str, str, Any]]:
         elif kind == "terms":
             f, v = _one_field(body, "terms filter")
             out.append((f, "in", list(v)))
-        elif kind == "range":
-            f, conds = _one_field(body, "range filter")
-            ops = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
-            for key, val in conds.items():
-                if key not in ops:
-                    _err(f"range op {key!r}")
-                out.append((f, ops[key], val))
+        elif kind in ("range", "numeric_range"):
+            # numeric_range: the 1.x fielddata-backed alias of range (same
+            # predicate semantics; RangeFilterParser/NumericRangeFilterParser
+            # differ only in execution strategy, which Parquet stats subsume)
+            f, conds = _one_field(body, f"{kind} filter")
+            out.extend((f, op, v) for op, v in _range_conds(conds, kind))
         elif kind == "exists":
             # ES 1.x exists filter: {"exists": {"field": f}}
             out.append((body["field"], "notnull", None))

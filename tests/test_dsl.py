@@ -96,6 +96,24 @@ BODIES: list[tuple[str, dict, bool]] = [
         True,
     ),
     (
+        # 1.x numeric_range filter: fielddata-backed alias of range
+        "numeric_range_filter",
+        {"query": {"bool": {"must": [{"match": {"text": "dup batch"}}],
+                            "filter": [{"numeric_range": {"n_chars": {"gte": 100,
+                                                                      "lt": 100000}}}]}},
+         "size": 8},
+        True,
+    ),
+    (
+        # legacy 1.x from/to + include_lower/include_upper range spelling
+        "range_from_to_filter",
+        {"query": {"bool": {"must": [{"match": {"text": "dup batch"}}],
+                            "filter": [{"range": {"n_chars": {"from": 100, "to": 5000,
+                                                              "include_upper": False}}}]}},
+         "size": 8},
+        True,
+    ),
+    (
         "fuzzy",
         {"query": {"fuzzy": {"text": {"value": "part", "fuzziness": 2}}}},
         True,
@@ -494,6 +512,13 @@ def test_dsl_mlt_routes(documents, searcher):
         {"query": {"span_near": {"clauses": [{"span_term": {"text": "a b"}},
                                              {"span_term": {"text": "c"}}],
                                  "in_order": True}}},
+        # range spellings refuse to mix; both-null from/to; non-bool flags
+        {"query": {"bool": {"must": [{"match": {"text": "a"}}],
+                            "filter": [{"range": {"n_chars": {"from": 1, "gte": 2}}}]}}},
+        {"query": {"bool": {"must": [{"match": {"text": "a"}}],
+                            "filter": [{"range": {"n_chars": {"from": None, "to": None}}}]}}},
+        {"query": {"bool": {"must": [{"match": {"text": "a"}}],
+                            "filter": [{"numeric_range": {"n_chars": {"from": 1, "include_lower": "true"}}}]}}},
         # 1.x field query: unknown options / missing query / non-analyzed field
         {"query": {"field": {"text": {"query": "a", "boost": 2.0}}}},
         {"query": {"field": {"text": {}}}},
@@ -1336,6 +1361,15 @@ def test_1x_alias_queries_equal_canonical(documents):
         ({"field": {"text": {"query": "join filter", "default_operator": "and"}}},
          {"query_string": {"query": "join filter", "default_operator": "and"}}),
         ({"span_term": {"text": "dup"}}, {"term": {"text": "dup"}}),
+        ({"bool": {"must": [{"match": {"text": "dup batch"}}],
+                   "filter": [{"numeric_range": {"n_chars": {"gte": 100}}}]}},
+         {"bool": {"must": [{"match": {"text": "dup batch"}}],
+                   "filter": [{"range": {"n_chars": {"gte": 100}}}]}}),
+        ({"bool": {"must": [{"match": {"text": "dup batch"}}],
+                   "filter": [{"range": {"n_chars": {"from": 100, "to": 5000,
+                                                     "include_upper": False}}}]}},
+         {"bool": {"must": [{"match": {"text": "dup batch"}}],
+                   "filter": [{"range": {"n_chars": {"gte": 100, "lt": 5000}}}]}}),
     ]
     for old_q, new_q in pairs:
         old = [tuple(r) for r in dsl_search(documents, {"query": old_q, "size": 8}).collect()]
