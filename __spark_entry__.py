@@ -3858,11 +3858,35 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charlm_tail_filter(_docs(spark, sf_dir), keep_frac=0.9)
 
 
+def _gopher_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule inputs (Rae et al. 2021 App. A): per-doc raw
+    whitespace-word / raw-line heuristics as ONE narrow JVM scan — word
+    count, mean word length, symbol ratio, bullet/ellipsis line fractions,
+    alpha-word fraction, distinct stop-word hits. operators/gopher.py."""
+    from flume_elasticsearch_2_spark.operators.gopher import gopher_metrics
+
+    return gopher_metrics(_docs(spark, sf_dir))
+
+
+def _gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed Gopher filter battery at paper thresholds (min_stop_hits
+    relaxed to 1: the synthetic vocabulary carries only 'the' from the
+    paper's 8-word stop list) — a single scan+filter conjunction, no join,
+    no shuffle (plan-pinned in tests/test_gopher.py)."""
+    from flume_elasticsearch_2_spark.operators.gopher import gopher_filter
+
+    return gopher_filter(_docs(spark, sf_dir), min_stop_hits=1).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 # first-50 priority for the driver's truncated correctness artifact: round-3
 # entries first, then everything CORRECTNESS_r02.json did not record (the
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "gopher_metrics",
+    "gopher_filter",
     "semdedup_embeddings",
     "dsl_legacy_range",
     "dsl_legacy_range_segment",
@@ -4393,6 +4417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["agg_tree_metric_order"] = _agg_tree_metric_order
     q["agg_tree_nested_segment"] = _agg_tree_nested_segment
     q["agg_tree_terms_segment"] = _agg_tree_terms_segment
+    q["gopher_metrics"] = _gopher_metrics
+    q["gopher_filter"] = _gopher_filter
     q["charlm_scores"] = _charlm_scores
     q["charlm_tail_filter"] = _charlm_tail_filter
     # newest-first, then previously-unrecorded: the driver artifact truncates
@@ -4938,6 +4964,15 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["agg_tree_terms_segment"] = o["agg_tree_terms_metrics"]
     o["charlm_scores"] = charlm_score_sql()
     o["charlm_tail_filter"] = charlm_tail_filter_sql(keep_frac=0.9)
+    from flume_elasticsearch_2_spark.operators.gopher import (
+        gopher_filter_sql,
+        gopher_metrics_sql,
+    )
+
+    o["gopher_metrics"] = gopher_metrics_sql()
+    o["gopher_filter"] = gopher_filter_sql(
+        min_stop_hits=1, select="doc_id, lang, n_chars"
+    )
     o["dsl_named_queries"] = _dss(_NAMED_BODY)
     o["dsl_named_queries_segment"] = o["dsl_named_queries"]
     o["dsl_fquery"] = _dss(_FQUERY_BODY)
