@@ -3880,11 +3880,40 @@ def _gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _c4_line_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-rule inputs (Raffel et al. 2020 §2.2): per-doc line counts,
+    surviving-line counts, sentence counts and page-policy flags as ONE
+    narrow JVM scan. Entry config relaxes the terminal-punctuation rule and
+    raises the word floor to 40 (the synthetic corpus is one unpunctuated
+    30-60-word line per doc) so the counts discriminate; the paper rules
+    are pinned on crafted docs in tests/test_c4.py. operators/c4.py."""
+    from flume_elasticsearch_2_spark.operators.c4 import c4_line_metrics
+
+    return c4_line_metrics(
+        _docs(spark, sf_dir), min_line_words=40, require_terminal_punct=False
+    )
+
+
+def _c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed C4 §2.2 pass (line filter -> sentence floor -> page
+    policy rules) at the synthetic-corpus relaxation (no-punct vocabulary:
+    terminal-punct off, word floor 40, sentence floor 0) — one scan+filter,
+    no join, no shuffle (plan-pinned in tests/test_c4.py)."""
+    from flume_elasticsearch_2_spark.operators.c4 import c4_filter
+
+    return c4_filter(
+        _docs(spark, sf_dir), min_line_words=40, min_sentences=0,
+        require_terminal_punct=False,
+    )
+
+
 # first-50 priority for the driver's truncated correctness artifact: round-3
 # entries first, then everything CORRECTNESS_r02.json did not record (the
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "c4_line_metrics",
+    "c4_filter",
     "gopher_metrics",
     "gopher_filter",
     "semdedup_embeddings",
@@ -4419,6 +4448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["agg_tree_terms_segment"] = _agg_tree_terms_segment
     q["gopher_metrics"] = _gopher_metrics
     q["gopher_filter"] = _gopher_filter
+    q["c4_line_metrics"] = _c4_line_metrics
+    q["c4_filter"] = _c4_filter
     q["charlm_scores"] = _charlm_scores
     q["charlm_tail_filter"] = _charlm_tail_filter
     # newest-first, then previously-unrecorded: the driver artifact truncates
@@ -4972,6 +5003,17 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["gopher_metrics"] = gopher_metrics_sql()
     o["gopher_filter"] = gopher_filter_sql(
         min_stop_hits=1, select="doc_id, lang, n_chars"
+    )
+    from flume_elasticsearch_2_spark.operators.c4 import (
+        c4_filter_sql,
+        c4_line_metrics_sql,
+    )
+
+    o["c4_line_metrics"] = c4_line_metrics_sql(
+        min_line_words=40, require_terminal_punct=False
+    )
+    o["c4_filter"] = c4_filter_sql(
+        min_line_words=40, min_sentences=0, require_terminal_punct=False
     )
     o["dsl_named_queries"] = _dss(_NAMED_BODY)
     o["dsl_named_queries_segment"] = o["dsl_named_queries"]

@@ -17,7 +17,7 @@ from flume_elasticsearch_2_spark.session import get_spark
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
     spark = get_spark(app_name="check-entry", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -25,12 +25,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    res = entrymod.entry(spark)
-    print(f"entry(): {len(res.collect())} rows, schema={res.schema.simpleString()}")
+    if not only:
+        res = entrymod.entry(spark)
+        print(f"entry(): {len(res.collect())} rows, schema={res.schema.simpleString()}")
 
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
             sdf = sdf.reindex(sorted(sdf.columns), axis=1)
