@@ -3858,6 +3858,16 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charlm_tail_filter(_docs(spark, sf_dir), keep_frac=0.9)
 
 
+def _ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing PER LANGUAGE (Wenzek et
+    al. 2020) over the charlm proxy LM: deterministic rank cuts at ceil
+    thirds within each lang partition; zero joins (lang carried through the
+    scoring fold). operators/ccnet.py."""
+    from flume_elasticsearch_2_spark.operators.ccnet import ccnet_buckets
+
+    return ccnet_buckets(_docs(spark, sf_dir))
+
+
 def _gopher_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule inputs (Rae et al. 2021 App. A): per-doc raw
     whitespace-word / raw-line heuristics as ONE narrow JVM scan — word
@@ -3912,6 +3922,7 @@ def _c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "ccnet_buckets",
     "c4_line_metrics",
     "c4_filter",
     "gopher_metrics",
@@ -4452,6 +4463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["c4_filter"] = _c4_filter
     q["charlm_scores"] = _charlm_scores
     q["charlm_tail_filter"] = _charlm_tail_filter
+    q["ccnet_buckets"] = _ccnet_buckets
     # newest-first, then previously-unrecorded: the driver artifact truncates
     # at 50 keys in dict order (judge r2 finding #1)
     priority = _R3_NEW + _R2_UNRECORDED
@@ -4995,6 +5007,9 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["agg_tree_terms_segment"] = o["agg_tree_terms_metrics"]
     o["charlm_scores"] = charlm_score_sql()
     o["charlm_tail_filter"] = charlm_tail_filter_sql(keep_frac=0.9)
+    from flume_elasticsearch_2_spark.operators.ccnet import ccnet_buckets_sql
+
+    o["ccnet_buckets"] = ccnet_buckets_sql()
     from flume_elasticsearch_2_spark.operators.gopher import (
         gopher_filter_sql,
         gopher_metrics_sql,

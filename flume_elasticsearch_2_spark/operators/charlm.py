@@ -103,19 +103,27 @@ def charlm_score(
     alpha: float = 0.1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Score every doc under the bigram LM: (id_col, n_bigrams,
-    avg_logprob) for docs with at least one bigram, ordered by id.
-    ``counts=None`` trains on ``docs`` itself (the self-contained oracle
-    config); pass a pre-trained dict to score against a reference corpus
-    (the CCNet shape). ``avg_logprob`` is nats/char, rounded to 6."""
+    avg_logprob[, *carry_cols]) for docs with at least one bigram, ordered
+    by id. ``counts=None`` trains on ``docs`` itself (the self-contained
+    oracle config); pass a pre-trained dict to score against a reference
+    corpus (the CCNet shape). ``carry_cols`` are passed through untouched
+    (appended after avg_logprob) so downstream ops (per-language bucketing)
+    need no join back to the corpus. ``avg_logprob`` is nats/char,
+    rounded to 6."""
     if alpha <= 0:
         raise ValueError("alpha must be positive")
     if counts is None:
         counts = charlm_train(docs, text_col)
     if not counts:
-        return docs.sparkSession.createDataFrame(
-            [], f"{id_col} long, n_bigrams long, avg_logprob double"
+        return (
+            docs.select(id_col, *carry_cols)
+            .limit(0)
+            .withColumn("n_bigrams", F.lit(0).cast("long"))
+            .withColumn("avg_logprob", F.lit(0.0).cast("double"))
+            .select(id_col, "n_bigrams", "avg_logprob", *carry_cols)
         )
     ctx = _ctx_counts(counts)
     alpha_v = alpha * ALPHABET_V  # computed ONCE here; injected as the same
@@ -135,7 +143,11 @@ def charlm_score(
         f"aggregate(_bgs_c, CAST(0 AS BIGINT), (acc, bg) -> acc + {term})"
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"), _norm_col(text_col).alias("_norm_c"))
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            _norm_col(text_col).alias("_norm_c"),
+            *[F.col(c) for c in carry_cols],
+        )
         .withColumn("_bgs_c", _bigrams_col(F.col("_norm_c")))
         .withColumn("n_bigrams", F.size("_bgs_c").cast("long"))
         .where(F.col("n_bigrams") > 0)
@@ -145,6 +157,7 @@ def charlm_score(
             F.round(
                 (nats / F.lit(_SCALE)) / F.col("n_bigrams").cast("double"), 6
             ).alias("avg_logprob"),
+            *carry_cols,
         )
         .orderBy(id_col)
     )
@@ -155,32 +168,37 @@ def charlm_score_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
 ) -> str:
     """DuckDB oracle for the self-trained :func:`charlm_score` config —
-    train CTEs + the identical nano-nat integer term, summed per doc."""
+    train CTEs + the identical nano-nat integer term, summed per doc.
+    ``carry_cols`` thread through the per-doc CTEs and the final GROUP BY
+    exactly as the Spark side appends them."""
     if alpha <= 0:
         raise ValueError("alpha must be positive")
     alpha_v = alpha * ALPHABET_V
+    carry_sel = "".join(f", {c}" for c in carry_cols)
+    carry_bg = "".join(f", bg.{c}" for c in carry_cols)
     return f"""
 WITH norm AS (
-  SELECT {id_col} AS doc_id,
+  SELECT {id_col} AS doc_id{carry_sel},
          trim(regexp_replace(lower({text_col}), '{_NORM_RE}', ' ', 'g')) AS s
   FROM {table}
 ),
 bg AS (
-  SELECT doc_id, unnest(list_transform(range(1, length(s)), i -> substr(s, i, 2))) AS b
+  SELECT doc_id{carry_sel}, unnest(list_transform(range(1, length(s)), i -> substr(s, i, 2))) AS b
   FROM norm WHERE length(s) >= 2
 ),
 cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
 ctx AS (SELECT substr(b, 1, 1) AS ch, sum(c) AS c FROM cnt GROUP BY 1),
 terms AS (
-  SELECT bg.doc_id,
+  SELECT bg.doc_id{carry_bg},
          CAST(floor(ln((cnt.c + {alpha!r}) / (ctx.c + {alpha_v!r})) * {_SCALE!r} + 0.5) AS BIGINT) AS nats
   FROM bg JOIN cnt ON cnt.b = bg.b JOIN ctx ON ctx.ch = substr(bg.b, 1, 1)
 )
 SELECT doc_id AS {id_col}, CAST(count(*) AS BIGINT) AS n_bigrams,
-       round((CAST(sum(nats) AS DOUBLE) / {_SCALE!r}) / count(*), 6) AS avg_logprob
-FROM terms GROUP BY doc_id ORDER BY doc_id
+       round((CAST(sum(nats) AS DOUBLE) / {_SCALE!r}) / count(*), 6) AS avg_logprob{carry_sel}
+FROM terms GROUP BY doc_id{carry_sel} ORDER BY doc_id
 """
 
 
