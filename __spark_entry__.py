@@ -2407,6 +2407,21 @@ def _has_child_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _children_agg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.4 children aggregation: terms bucket on the parent field with a
+    children->sum sub-agg — child rows collapse map-side to per-parent
+    partials BEFORE the key join, childless parents still count
+    (ES bucket semantics). operators/joins.py children_agg."""
+    from flume_elasticsearch_2_spark.operators.joins import children_agg
+
+    return children_agg(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        "o_orderkey", "l_orderkey", "o_orderpriority",
+        ("sum", "l_quantity"), child_filters=_HC_FILTERS, size=10,
+    )
+
+
 def _has_parent_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES has_parent (score mode): lineitems of urgent big orders, each
     inheriting the parent's o_totalprice as its score — the filtered parent
@@ -3922,6 +3937,7 @@ def _c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "children_agg_sum",
     "ccnet_buckets",
     "c4_line_metrics",
     "c4_filter",
@@ -4404,6 +4420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_most_fields"] = _dsl_most_fields
     q["has_child_count"] = _has_child_count
     q["has_child_max"] = _has_child_max
+    q["children_agg_sum"] = _children_agg_sum
     q["has_parent_score"] = _has_parent_score
     q["bm25_phrase_prefix"] = _bm25_phrase_prefix
     q["bm25_segment_phrase_prefix"] = _bm25_segment_phrase_prefix
@@ -5153,6 +5170,12 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
 
     o["has_child_count"] = has_child_sql(_HC_FILTERS, "sum", k=15)
     o["has_child_max"] = has_child_sql(_HC_FILTERS, "max", "l_extendedprice", k=10)
+    from flume_elasticsearch_2_spark.operators.joins import children_agg_sql
+
+    o["children_agg_sum"] = children_agg_sql(
+        "o_orderpriority", ("sum", "l_quantity"), child_filters=_HC_FILTERS,
+        size=10,
+    )
     o["has_parent_score"] = has_parent_sql(
         _HP_FILTERS, "score", "o_totalprice", k=12,
         child_id_cols=["l_orderkey", "l_linenumber"],

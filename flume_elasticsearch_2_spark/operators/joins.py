@@ -343,3 +343,131 @@ GROUP BY parent
 ORDER BY {score_mode}(child_score) DESC, parent ASC
 LIMIT {int(k)}
 """
+
+
+_CA_METRICS = ("count", "sum", "min", "max", "avg")
+
+
+def children_agg(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_key: str,
+    group_field: str,
+    metric: tuple[str, str] | None = None,
+    parent_filters: list[Triple] | None = None,
+    child_filters: list[Triple] | None = None,
+    size: int = 10,
+) -> DataFrame:
+    """ES 1.4 ``children`` aggregation (delegation site
+    ElasticsearchSink.java:54): a ``terms`` bucket on a PARENT field whose
+    sub-agg descends to the bucket's children — per bucket the parent
+    ``doc_count``, the ``children_count`` under those parents, and an
+    optional metric (``(kind, child_field)``, kind in count/sum/min/max/
+    avg) over the children's field. Buckets ordered ES-style
+    (doc_count DESC, key ASC), top ``size``.
+
+    Semantics pinned to ES: parents with ZERO matching children still
+    count in ``doc_count`` (the terms bucket is over parents; the children
+    step only feeds the sub-metrics); ``child_filters`` restrict which
+    children participate; avg/count are over the children whose metric
+    field is non-null, exactly the ES missing-value rule.
+
+    Scale shape (10^12 rows): child rows never cross a shuffle raw — they
+    collapse FIRST via one map-side-combined groupBy on the join key
+    (count + the metric partials), then the per-parent partials (<= one
+    row per parent) join the filtered parent projection key-partitioned
+    (AQE broadcasts when the filtered parent set is small), and the bucket
+    rollup is a second map-side-combined groupBy on the bucket key. Both
+    filters are JVM predicates pushed to the Parquet scans. No UDFs.
+    """
+    if metric is not None and metric[0] not in _CA_METRICS:
+        raise ValueError(f"metric kind must be one of {_CA_METRICS}")
+    ppred = _filters_col(parent_filters or [])
+    cpred = _filters_col(child_filters or [])
+    p = parents.where(ppred) if ppred is not None else parents
+    c = children.where(cpred) if cpred is not None else children
+
+    partials = [F.count("*").alias("_cc")]
+    if metric is not None:
+        kind, field = metric
+        fld = F.col(field).cast("double")
+        partials += [
+            F.sum(fld).alias("_ps"), F.min(fld).alias("_pmin"),
+            F.max(fld).alias("_pmax"), F.count(fld).alias("_pn"),
+        ]
+    per_parent = c.groupBy(F.col(child_key).alias(parent_key)).agg(*partials)
+
+    j = p.select(parent_key, group_field).join(per_parent, parent_key, "left")
+    rollup = [
+        F.count("*").alias("doc_count"),
+        F.coalesce(F.sum("_cc"), F.lit(0)).cast("long").alias("children_count"),
+    ]
+    if metric is not None:
+        kind = metric[0]
+        value = {
+            "count": F.sum("_pn").cast("double"),
+            "sum": F.sum("_ps"),
+            "min": F.min("_pmin"),
+            "max": F.max("_pmax"),
+            "avg": F.sum("_ps") / F.sum("_pn"),
+        }[kind]
+        rollup.append(F.round(value, 6).alias("value"))
+    return (
+        j.groupBy(F.col(group_field).alias("key"))
+        .agg(*rollup)
+        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+        .limit(int(size))
+    )
+
+
+def children_agg_sql(
+    group_field: str,
+    metric: tuple[str, str] | None = None,
+    parent_filters: list[Triple] | None = None,
+    child_filters: list[Triple] | None = None,
+    size: int = 10,
+    parents: str = "orders",
+    children: str = "lineitem",
+    parent_key: str = "o_orderkey",
+    child_key: str = "l_orderkey",
+) -> str:
+    """DuckDB oracle for :func:`children_agg` — identical partial-then-
+    rollup shape so float sums fold over the same per-parent partials."""
+    if metric is not None and metric[0] not in _CA_METRICS:
+        raise ValueError(f"metric kind must be one of {_CA_METRICS}")
+    pwhere = _filters_sql(parent_filters or []) or "TRUE"
+    cwhere = _filters_sql(child_filters or []) or "TRUE"
+    mparts, msel = "", ""
+    if metric is not None:
+        kind, field = metric
+        mparts = (
+            f", sum(CAST({field} AS DOUBLE)) AS ps"
+            f", min(CAST({field} AS DOUBLE)) AS pmin"
+            f", max(CAST({field} AS DOUBLE)) AS pmax"
+            f", count({field}) AS pn"
+        )
+        value = {
+            "count": "CAST(sum(pn) AS DOUBLE)",
+            "sum": "sum(ps)",
+            "min": "min(pmin)",
+            "max": "max(pmax)",
+            "avg": "sum(ps) / sum(pn)",
+        }[kind]
+        msel = f", round({value}, 6) AS value"
+    return f"""
+WITH per_parent AS (
+  SELECT {child_key} AS {parent_key}, count(*) AS cc{mparts}
+  FROM {children} WHERE {cwhere} GROUP BY {child_key}
+),
+j AS (
+  SELECT p.{group_field} AS key, pp.*
+  FROM (SELECT * FROM {parents} WHERE {pwhere}) p
+  LEFT JOIN per_parent pp USING ({parent_key})
+)
+SELECT key, count(*) AS doc_count,
+       CAST(coalesce(sum(cc), 0) AS BIGINT) AS children_count{msel}
+FROM j GROUP BY key
+ORDER BY doc_count DESC, key ASC
+LIMIT {int(size)}
+"""

@@ -187,3 +187,86 @@ def test_top_children_empty_and_bad_mode(docs):
     assert top_children(docs, "", "source").count() == 0
     with pytest.raises(ValueError, match="score_mode"):
         top_children(docs, TCQ, "source", "none")
+
+
+@pytest.mark.parametrize(
+    "metric",
+    [None, ("count", "l_quantity"), ("sum", "l_quantity"),
+     ("min", "l_quantity"), ("max", "l_quantity"), ("avg", "l_quantity")],
+)
+def test_children_agg_matches_duckdb(tables, duck, metric):
+    from flume_elasticsearch_2_spark.operators.joins import (
+        children_agg, children_agg_sql,
+    )
+
+    orders, lineitem = tables
+    cf = [("l_returnflag", "==", "R")]
+    got = [
+        tuple(r)
+        for r in children_agg(
+            orders, lineitem, "o_orderkey", "l_orderkey",
+            "o_orderpriority", metric, child_filters=cf, size=10,
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in duck.execute(
+            children_agg_sql("o_orderpriority", metric, child_filters=cf, size=10)
+        ).fetchall()
+    ]
+    assert got == want and got, metric
+
+
+def test_children_agg_counts_childless_parents(spark):
+    """ES semantics: the terms bucket is over PARENTS — a parent with zero
+    matching children still lands in doc_count, contributing nothing to
+    children_count or the metric."""
+    from flume_elasticsearch_2_spark.operators.joins import children_agg
+
+    parents = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "pk long, grp string"
+    )
+    children = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (3, 5.0)], "ck long, v double"
+    )
+    rows = {
+        r.key: (r.doc_count, r.children_count, r.value)
+        for r in children_agg(
+            parents, children, "pk", "ck", "grp", ("sum", "v")
+        ).collect()
+    }
+    assert rows == {"a": (2, 2, 30.0), "b": (1, 1, 5.0)}
+
+
+def test_children_agg_child_filter_and_order(spark):
+    """child_filters restrict the sub-agg only; buckets order by
+    doc_count DESC then key ASC and honor size."""
+    from flume_elasticsearch_2_spark.operators.joins import children_agg
+
+    parents = spark.createDataFrame(
+        [(i, "g" + str(i % 3)) for i in range(9)], "pk long, grp string"
+    )
+    children = spark.createDataFrame(
+        [(i, float(i)) for i in range(9)], "ck long, v double"
+    )
+    out = children_agg(
+        parents, children, "pk", "ck", "grp", ("max", "v"),
+        child_filters=[("v", ">=", 6)], size=2,
+    ).collect()
+    assert [r.key for r in out] == ["g0", "g1"]  # 3-way doc_count tie, key ASC
+    assert all(r.doc_count == 3 for r in out)
+    assert [r.children_count for r in out] == [1, 1]  # only v in {6,7,8}
+    assert [r.value for r in out] == [6.0, 7.0]
+
+
+def test_children_agg_bad_metric_raises(tables):
+    from flume_elasticsearch_2_spark.operators.joins import (
+        children_agg, children_agg_sql,
+    )
+
+    orders, lineitem = tables
+    with pytest.raises(ValueError, match="metric kind"):
+        children_agg(orders, lineitem, "o_orderkey", "l_orderkey",
+                     "o_orderpriority", ("median", "l_quantity"))
+    with pytest.raises(ValueError, match="metric kind"):
+        children_agg_sql("o_orderpriority", ("median", "l_quantity"))
