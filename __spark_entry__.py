@@ -3873,6 +3873,19 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charlm_tail_filter(_docs(spark, sf_dir), keep_frac=0.9)
 
 
+def _terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x terms LOOKUP filter: terms fetched from ONE stored doc (the
+    realtime GET — here documents row 7's lang), inlined as a literal
+    pushed-down IN-list on the corpus scan; no join, no shuffle.
+    operators/lookup.py."""
+    from flume_elasticsearch_2_spark.operators.lookup import terms_lookup_filter
+
+    d = _docs(spark, sf_dir)
+    return terms_lookup_filter(
+        d, d, "lang", 7, "lang", select=["doc_id", "lang", "source"]
+    )
+
+
 def _ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity bucketing PER LANGUAGE (Wenzek et
     al. 2020) over the charlm proxy LM: deterministic rank cuts at ceil
@@ -3937,6 +3950,7 @@ def _c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "terms_lookup",
     "children_agg_sum",
     "ccnet_buckets",
     "c4_line_metrics",
@@ -4481,6 +4495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["charlm_scores"] = _charlm_scores
     q["charlm_tail_filter"] = _charlm_tail_filter
     q["ccnet_buckets"] = _ccnet_buckets
+    q["terms_lookup"] = _terms_lookup
     # newest-first, then previously-unrecorded: the driver artifact truncates
     # at 50 keys in dict order (judge r2 finding #1)
     priority = _R3_NEW + _R2_UNRECORDED
@@ -5027,6 +5042,13 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     from flume_elasticsearch_2_spark.operators.ccnet import ccnet_buckets_sql
 
     o["ccnet_buckets"] = ccnet_buckets_sql()
+    from flume_elasticsearch_2_spark.operators.lookup import (
+        terms_lookup_filter_sql,
+    )
+
+    o["terms_lookup"] = terms_lookup_filter_sql(
+        "lang", 7, "lang", select="doc_id, lang, source"
+    )
     from flume_elasticsearch_2_spark.operators.gopher import (
         gopher_filter_sql,
         gopher_metrics_sql,

@@ -406,6 +406,14 @@ def _filter_triples(clauses: list[dict]) -> list[tuple[str, str, Any]]:
             out.append((f, "==", v))
         elif kind == "terms":
             f, v = _one_field(body, "terms filter")
+            if isinstance(v, dict):
+                # ES 1.x terms LOOKUP form ({"index":..,"id":..,"path":..})
+                # — needs a data fetch the pure parse cannot do; without
+                # this guard list(v) would silently match the dict KEYS
+                _err(
+                    "terms lookup filter (use operators.lookup."
+                    "terms_lookup_filter to resolve the lookup doc first)"
+                )
             out.append((f, "in", list(v)))
         elif kind in ("range", "numeric_range"):
             # numeric_range: the 1.x fielddata-backed alias of range (same
@@ -457,6 +465,11 @@ def _filter_triples(clauses: list[dict]) -> list[tuple[str, str, Any]]:
                 out.append((f, "!=", v))
             elif nk == "terms":
                 f, v = _one_field(nb, "terms filter")
+                if isinstance(v, dict):
+                    _err(
+                        "terms lookup filter (use operators.lookup."
+                        "terms_lookup_filter to resolve the lookup doc first)"
+                    )
                 out.append((f, "not_in", list(v)))
             elif nk == "exists":
                 out.append((nb["field"], "null", None))
