@@ -3873,6 +3873,21 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charlm_tail_filter(_docs(spark, sf_dir), keep_frac=0.9)
 
 
+def _refine_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed refinement recipe (RefinedWeb/FineWeb shape): exact
+    dedup -> Gopher battery -> C4 cleaning -> CCNet bucketing, keep
+    head+middle — one declarative plan, three narrow exchanges, each stage
+    at its standalone entry's relaxed config. operators/refine.py."""
+    from flume_elasticsearch_2_spark.operators.refine import refine_corpus
+
+    return refine_corpus(
+        _docs(spark, sf_dir),
+        {"min_stop_hits": 1},
+        {"min_line_words": 40, "min_sentences": 0,
+         "require_terminal_punct": False},
+    )
+
+
 def _terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES 1.x terms LOOKUP filter: terms fetched from ONE stored doc (the
     realtime GET — here documents row 7's lang), inlined as a literal
@@ -3950,6 +3965,7 @@ def _c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "refine_corpus",
     "terms_lookup",
     "children_agg_sum",
     "ccnet_buckets",
@@ -4496,6 +4512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["charlm_tail_filter"] = _charlm_tail_filter
     q["ccnet_buckets"] = _ccnet_buckets
     q["terms_lookup"] = _terms_lookup
+    q["refine_corpus"] = _refine_corpus
     # newest-first, then previously-unrecorded: the driver artifact truncates
     # at 50 keys in dict order (judge r2 finding #1)
     priority = _R3_NEW + _R2_UNRECORDED
@@ -5048,6 +5065,13 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
 
     o["terms_lookup"] = terms_lookup_filter_sql(
         "lang", 7, "lang", select="doc_id, lang, source"
+    )
+    from flume_elasticsearch_2_spark.operators.refine import refine_corpus_sql
+
+    o["refine_corpus"] = refine_corpus_sql(
+        {"min_stop_hits": 1},
+        {"min_line_words": 40, "min_sentences": 0,
+         "require_terminal_punct": False},
     )
     from flume_elasticsearch_2_spark.operators.gopher import (
         gopher_filter_sql,
