@@ -445,6 +445,19 @@ def main() -> None:
     bm25_topk(applied, "batch scan", k=10).collect()
     timings["bulk_search"] = time.time() - t0
 
+    # 5e. composed refinement recipe (round 3): dedup -> Gopher -> C4 ->
+    # CCNet keep-set — the modern pretraining-data pipeline as one plan
+    from flume_elasticsearch_2_spark.operators.refine import refine_corpus
+
+    t0 = time.time()
+    refine_corpus(
+        docs,
+        {"min_stop_hits": 1},
+        {"min_line_words": 40, "min_sentences": 0,
+         "require_terminal_punct": False},
+    ).count()
+    timings["refine_pipeline"] = time.time() - t0
+
     # 6. end-to-end webpages pipeline (extract → dedup → classify → index)
     # over a 20k-doc synthesized corpus — the north_star path at a size where
     # work dominates scheduler overhead

@@ -71,11 +71,17 @@ def _line_keep_pred(
     return keep
 
 
+def _split_lines(text: Column) -> Column:
+    # \r?\n so CRLF text never leaks a trailing \r into the predicates
+    # (Java $ and RE2 $ disagree on "abc.\r" — see the parity contract)
+    return F.split(text, "\\r?\\n", -1)
+
+
 def _kept_lines(
     text: Column, min_line_words: int, require_terminal_punct: bool
 ) -> Column:
     return F.filter(
-        F.split(text, "\n", -1),
+        _split_lines(text),
         lambda li: _line_keep_pred(li, min_line_words, require_terminal_punct),
     )
 
@@ -86,11 +92,17 @@ def _n_sentences(clean: Column) -> Column:
     ).cast("long")
 
 
+def _brace_flag(text: Column) -> Column:
+    return F.contains(text, F.lit("{")) | F.contains(text, F.lit("}"))
+
+
+def _lorem_flag(text: Column) -> Column:
+    return F.contains(F.lower(text), F.lit("lorem ipsum"))
+
+
 def _page_flags(text: Column, badwords: tuple[str, ...]) -> Column:
     """TRUE iff the page violates a page-level policy rule."""
-    bad = F.contains(text, F.lit("{")) | F.contains(text, F.lit("}")) | (
-        F.contains(F.lower(text), F.lit("lorem ipsum"))
-    )
+    bad = _brace_flag(text) | _lorem_flag(text)
     if badwords:
         words = F.filter(
             F.split(F.lower(text), "[ \t\n\r\f]+", -1),
@@ -116,13 +128,11 @@ def c4_line_metrics(
     clean = F.array_join(kept, "\n")
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(text, "\n", -1)).cast("long").alias("n_lines"),
+        F.size(_split_lines(text)).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept_lines"),
         _n_sentences(clean).alias("n_sentences"),
-        (
-            F.contains(text, F.lit("{")) | F.contains(text, F.lit("}"))
-        ).cast("int").alias("has_brace"),
-        F.contains(F.lower(text), F.lit("lorem ipsum")).cast("int").alias("has_lorem"),
+        _brace_flag(text).cast("int").alias("has_brace"),
+        _lorem_flag(text).cast("int").alias("has_lorem"),
         F.length(clean).cast("long").alias("clean_len"),
     )
 
@@ -174,7 +184,19 @@ def _kept_lines_sql(
     if require_terminal_punct:
         conds.append(f"regexp_matches(li, '{_TERMINAL_RE}')")
     pred = " AND ".join(conds)
-    return f"list_filter(string_split({text}, chr(10)), li -> ({pred}))"
+    return f"list_filter({_split_lines_sql(text)}, li -> ({pred}))"
+
+
+def _split_lines_sql(text: str) -> str:
+    return f"regexp_split_to_array({text}, '\\r?\\n')"
+
+
+def _brace_flag_sql(text: str) -> str:
+    return f"(contains({text}, '{{') OR contains({text}, '}}'))"
+
+
+def _lorem_flag_sql(text: str) -> str:
+    return f"contains(lower({text}), 'lorem ipsum')"
 
 
 def _n_sentences_sql(clean: str) -> str:
@@ -185,17 +207,15 @@ def _n_sentences_sql(clean: str) -> str:
 
 
 def _page_flags_sql(text: str, badwords: tuple[str, ...]) -> str:
-    conds = [
-        f"contains({text}, '{{')",
-        f"contains({text}, '}}')",
-        f"contains(lower({text}), 'lorem ipsum')",
-    ]
+    conds = [_brace_flag_sql(text), _lorem_flag_sql(text)]
     if badwords:
         words = (
             f"list_filter(regexp_split_to_array(lower({text}), "
             "'[ \\t\\n\\r\\f]+'), w -> length(w) > 0)"
         )
-        lits = "[" + ", ".join(f"'{b.lower()}'" for b in badwords) + "]"
+        lits = "[" + ", ".join(
+            "'" + b.lower().replace("'", "''") + "'" for b in badwords
+        ) + "]"
         conds.append(f"len(list_intersect({words}, {lits})) > 0")
     return "(" + " OR ".join(conds) + ")"
 
@@ -212,11 +232,11 @@ def c4_line_metrics_sql(
     clean = f"coalesce(array_to_string({kept}, chr(10)), '')"
     return f"""
 SELECT doc_id,
-       CAST(len(string_split({text}, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len({_split_lines_sql(text)}) AS BIGINT) AS n_lines,
        CAST(len({kept}) AS BIGINT) AS n_kept_lines,
        {_n_sentences_sql(clean)} AS n_sentences,
-       CAST(contains({text}, '{{') OR contains({text}, '}}') AS INT) AS has_brace,
-       CAST(contains(lower({text}), 'lorem ipsum') AS INT) AS has_lorem,
+       CAST({_brace_flag_sql(text)} AS INT) AS has_brace,
+       CAST({_lorem_flag_sql(text)} AS INT) AS has_lorem,
        CAST(length({clean}) AS BIGINT) AS clean_len
 FROM {table}
 """

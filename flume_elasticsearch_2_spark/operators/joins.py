@@ -369,9 +369,13 @@ def children_agg(
 
     Semantics pinned to ES: parents with ZERO matching children still
     count in ``doc_count`` (the terms bucket is over parents; the children
-    step only feeds the sub-metrics); ``child_filters`` restrict which
-    children participate; avg/count are over the children whose metric
-    field is non-null, exactly the ES missing-value rule.
+    step only feeds the sub-metrics); parents with a NULL ``group_field``
+    are dropped entirely (ES terms aggs skip missing-field docs — also
+    removes the Spark-NULLS-FIRST vs SQL-NULLS-LAST order divergence);
+    ``child_filters`` restrict which children participate; avg/count are
+    over the children whose metric field is non-null, exactly the ES
+    missing-value rule; sum and count over an empty child set are 0
+    (ES returns 0.0 for both), min/max/avg are NULL.
 
     Scale shape (10^12 rows): child rows never cross a shuffle raw — they
     collapse FIRST via one map-side-combined groupBy on the join key
@@ -398,7 +402,11 @@ def children_agg(
         ]
     per_parent = c.groupBy(F.col(child_key).alias(parent_key)).agg(*partials)
 
-    j = p.select(parent_key, group_field).join(per_parent, parent_key, "left")
+    j = (
+        p.select(parent_key, group_field)
+        .where(F.col(group_field).isNotNull())
+        .join(per_parent, parent_key, "left")
+    )
     rollup = [
         F.count("*").alias("doc_count"),
         F.coalesce(F.sum("_cc"), F.lit(0)).cast("long").alias("children_count"),
@@ -406,8 +414,8 @@ def children_agg(
     if metric is not None:
         kind = metric[0]
         value = {
-            "count": F.sum("_pn").cast("double"),
-            "sum": F.sum("_ps"),
+            "count": F.coalesce(F.sum("_pn"), F.lit(0)).cast("double"),
+            "sum": F.coalesce(F.sum("_ps"), F.lit(0.0)),
             "min": F.min("_pmin"),
             "max": F.max("_pmax"),
             "avg": F.sum("_ps") / F.sum("_pn"),
@@ -448,8 +456,8 @@ def children_agg_sql(
             f", count({field}) AS pn"
         )
         value = {
-            "count": "CAST(sum(pn) AS DOUBLE)",
-            "sum": "sum(ps)",
+            "count": "CAST(coalesce(sum(pn), 0) AS DOUBLE)",
+            "sum": "coalesce(sum(ps), 0.0)",
             "min": "min(pmin)",
             "max": "max(pmax)",
             "avg": "sum(ps) / sum(pn)",
@@ -462,7 +470,8 @@ WITH per_parent AS (
 ),
 j AS (
   SELECT p.{group_field} AS key, pp.*
-  FROM (SELECT * FROM {parents} WHERE {pwhere}) p
+  FROM (SELECT * FROM {parents}
+        WHERE ({pwhere}) AND {group_field} IS NOT NULL) p
   LEFT JOIN per_parent pp USING ({parent_key})
 )
 SELECT key, count(*) AS doc_count,

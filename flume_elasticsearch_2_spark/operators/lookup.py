@@ -97,7 +97,11 @@ def terms_lookup_filter_sql(
     equivalent one-row subquery (unnested when ``array_path``); SQL IN
     over an empty subquery is false for every row, matching the
     missing-doc contract."""
-    idlit = f"'{lookup_id}'" if isinstance(lookup_id, str) else repr(lookup_id)
+    idlit = (
+        "'" + lookup_id.replace("'", "''") + "'"
+        if isinstance(lookup_id, str)
+        else repr(lookup_id)
+    )
     sel = f"unnest({path_col})" if array_path else path_col
     inner = (
         f"SELECT {sel} FROM {lookup_table} "

@@ -43,24 +43,29 @@ def refine_corpus(
     head_frac: float = 1.0 / 3.0,
     middle_frac: float = 1.0 / 3.0,
     alpha: float = 0.1,
-    id_col: str = "doc_id",
-    lang_col: str = "lang",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id_col, lang, avg_logprob, bucket) of the docs surviving the whole
+    """(doc_id, lang, avg_logprob, bucket) of the docs surviving the whole
     recipe with bucket in {'head','middle'} (the CCNet keep set), ordered
-    by id. Stage parameters pass through to the underlying operators."""
+    by doc_id. Stage parameters pass through to the underlying operators;
+    the id/lang output names are fixed because :func:`c4_filter` pins its
+    output schema to (doc_id, lang, clean_text) — ``docs`` must carry
+    ``doc_id`` and ``lang`` columns (rename upstream otherwise).
+
+    The cleaned frame is persisted before the CCNet stage: charlm's train
+    pass materializes the chain once inside its counts collect, and the
+    returned plan scores over the SAME persisted rows instead of
+    recomputing dedup+filters a second time. The persist is left to
+    Spark's LRU eviction (no handle is returned to unpersist); call
+    ``spark.catalog.clearCache()`` to release it eagerly."""
     d = dedup_exact(docs, text_col=text_col)
     d = gopher_filter(d, text_col=text_col, **(gopher_kwargs or {}))
-    d = c4_filter(
-        d, id_col=id_col, text_col=text_col, lang_col=lang_col,
-        **(c4_kwargs or {}),
-    )
+    d = c4_filter(d, text_col=text_col, **(c4_kwargs or {})).persist()
     cc = ccnet_buckets(
         d, head_frac=head_frac, middle_frac=middle_frac, alpha=alpha,
-        id_col=id_col, lang_col=lang_col, text_col="clean_text",
+        text_col="clean_text",
     )
-    return cc.where(F.col("bucket") != "tail").orderBy(id_col)
+    return cc.where(F.col("bucket") != "tail").orderBy("doc_id")
 
 
 def refine_corpus_sql(
@@ -71,8 +76,6 @@ def refine_corpus_sql(
     alpha: float = 0.1,
     table: str = "documents",
     columns: tuple[str, ...] = ("doc_id", "text", "lang", "source", "n_chars"),
-    id_col: str = "doc_id",
-    lang_col: str = "lang",
     text_col: str = "text",
 ) -> str:
     """DuckDB oracle for :func:`refine_corpus` — the same stage chain as
@@ -89,7 +92,7 @@ def refine_corpus_sql(
     c4 = c4_filter_sql(table="gop", **(c4_kwargs or {}))
     cc = ccnet_buckets_sql(
         head_frac=head_frac, middle_frac=middle_frac, alpha=alpha,
-        table="c4kept", id_col=id_col, lang_col=lang_col,
+        table="c4kept", id_col="doc_id", lang_col="lang",
         text_col="clean_text",
     )
     return f"""
@@ -102,7 +105,7 @@ WITH dd AS (
 gop AS ({gop}),
 c4kept AS ({c4}),
 cc AS ({cc})
-SELECT {id_col}, {lang_col}, avg_logprob, bucket
+SELECT doc_id, lang, avg_logprob, bucket
 FROM cc WHERE bucket <> 'tail'
-ORDER BY {id_col}
+ORDER BY doc_id
 """

@@ -176,3 +176,33 @@ def test_filter_plan_is_single_stage(documents):
     )
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_crlf_lines_parse_identically(spark):
+    """CRLF corpora: the \\r?\\n split must consume the \\r — Java regex $
+    (Spark rlike) matches before a trailing \\r while RE2 (DuckDB) does
+    not, so a leaked \\r would silently diverge the engines. Both the
+    filter verdict and the metrics must match byte-for-byte, and the
+    clean_text must carry no \\r."""
+    text = (
+        "first good line is here.\r\nsecond good line lands too.\r\n"
+        "third sentence closes now.\r\nfourth one follows suit.\r\n"
+        "fifth one wraps the page.\r\n"
+    )
+    df = spark.createDataFrame(
+        [(0, "en", text)], "doc_id long, lang string, text string"
+    )
+    con = duckdb.connect()
+    lit = text.replace("\r\n", "' || chr(13) || chr(10) || '")
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        f"(0, 'en', '{lit}')) v(doc_id, lang, text)"
+    )
+    got = [tuple(r) for r in c4_filter(df).collect()]
+    want = [tuple(r) for r in con.sql(c4_filter_sql()).fetchall()]
+    assert got == want
+    assert len(got) == 1  # the page survives in BOTH engines
+    assert "\r" not in got[0][2]
+    gm = [tuple(r) for r in c4_line_metrics(df).collect()]
+    wm = [tuple(r) for r in con.sql(c4_line_metrics_sql()).fetchall()]
+    assert gm == wm

@@ -270,3 +270,28 @@ def test_children_agg_bad_metric_raises(tables):
                      "o_orderpriority", ("median", "l_quantity"))
     with pytest.raises(ValueError, match="metric kind"):
         children_agg_sql("o_orderpriority", ("median", "l_quantity"))
+
+
+def test_children_agg_null_group_and_empty_metric_edges(spark):
+    """ES edges: NULL group_field parents are dropped (terms aggs skip
+    missing-field docs); sum/count over a childless bucket are 0, min/max/
+    avg NULL."""
+    from flume_elasticsearch_2_spark.operators.joins import children_agg
+
+    parents = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "pk long, grp string"
+    )
+    children = spark.createDataFrame([(1, 4.0)], "ck long, v double")
+    for kind, want_a, want_b in [
+        ("sum", 4.0, 0.0), ("count", 1.0, 0.0),
+        ("max", 4.0, None), ("avg", 4.0, None),
+    ]:
+        rows = {
+            r.key: (r.doc_count, r.children_count, r.value)
+            for r in children_agg(
+                parents, children, "pk", "ck", "grp", (kind, "v")
+            ).collect()
+        }
+        assert set(rows) == {"a", "b"}, kind  # NULL-key parent dropped
+        assert rows["a"] == (1, 1, want_a), kind
+        assert rows["b"] == (1, 0, want_b), kind

@@ -31,6 +31,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
 
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    unknown = [n for n in only if n not in qs]
+    if unknown:
+        # a typo'd name must not read as a green run
+        print(f"  ERROR unknown entry names: {unknown}")
+        failures += len(unknown)
     for name, fn in qs.items():
         if only and name not in only:
             continue
