@@ -3873,6 +3873,14 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charlm_tail_filter(_docs(spark, sf_dir), keep_frac=0.9)
 
 
+def _search_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.4 _search/exists: any-match existence probe — the _count
+    predicate pass reduced to one 0/1 row. operators/topk.py."""
+    from flume_elasticsearch_2_spark.operators.topk import search_exists
+
+    return search_exists(_docs(spark, sf_dir), "batch small scan", mode="or")
+
+
 def _refine_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed refinement recipe (RefinedWeb/FineWeb shape): exact
     dedup -> Gopher battery -> C4 cleaning -> CCNet bucketing, keep
@@ -3965,6 +3973,7 @@ def _c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "search_exists_api",
     "refine_corpus",
     "terms_lookup",
     "children_agg_sum",
@@ -4513,6 +4522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ccnet_buckets"] = _ccnet_buckets
     q["terms_lookup"] = _terms_lookup
     q["refine_corpus"] = _refine_corpus
+    q["search_exists_api"] = _search_exists
     # newest-first, then previously-unrecorded: the driver artifact truncates
     # at 50 keys in dict order (judge r2 finding #1)
     priority = _R3_NEW + _R2_UNRECORDED
@@ -5270,6 +5280,9 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["bm25_segment_must_not"] = o["bm25_must_not"]
     o["match_count"] = match_count_sql("batch small scan", mode="or")
     o["match_count_segment"] = o["match_count"]
+    from flume_elasticsearch_2_spark.operators.topk import search_exists_sql
+
+    o["search_exists_api"] = search_exists_sql("batch small scan", mode="or")
     # -- round 3 --------------------------------------------------------------
     o["bm25_field_match"] = bm25_topk_sql("dup batch", k=10, text_expr=_TITLE_SQL)
     o["bm25_field_match_segment"] = o["bm25_field_match"]

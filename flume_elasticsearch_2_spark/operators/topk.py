@@ -1033,6 +1033,39 @@ def match_count_sql(
     return f"SELECT CAST(count(*) FILTER ({pred}) AS BIGINT) AS n_matching FROM {table}"
 
 
+def search_exists(
+    docs: DataFrame,
+    query: str,
+    mode: str = "or",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """ES 1.4 ``_search/exists`` API: does ANY doc match the analyzed
+    query — the 1.x terminate-early existence probe. One row
+    ``(exists INT 0/1)``; built on the same predicate as :func:`match_count`
+    (Spark has no cross-partition early-exit for an agg, so the honest
+    plan is the count's map-side-combined pass with a >0 reduce — at
+    10^12 docs the Parquet-pushed token predicate prunes, and the shuffle
+    ships one boolean per partition)."""
+    cnt = match_count(docs, query, mode, text_col, stopwords, analyzer)
+    return cnt.select(
+        (F.col("n_matching") > 0).cast("int").alias("exists")
+    )
+
+
+def search_exists_sql(
+    query: str,
+    mode: str = "or",
+    table: str = "documents",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB oracle for :func:`search_exists`."""
+    inner = match_count_sql(query, mode, table, stopwords, analyzer)
+    return f"SELECT CAST(n_matching > 0 AS INT) AS exists FROM ({inner})"
+
+
 # -- function_score (ES field_value_factor) -----------------------------------
 
 # ES field_value_factor modifiers supported: exactly those whose Spark (JVM)

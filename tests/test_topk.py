@@ -242,3 +242,21 @@ def test_common_terms_bad_operator_raises(spark, documents):
         bm25_common_topk(documents, "dup", low_freq_operator="xor")
     with pytest.raises(ValueError):
         bm25_common_topk_sql("dup", low_freq_operator="xor")
+
+
+@pytest.mark.parametrize(
+    "query,mode,want",
+    [("dup batch scan", "or", 1), ("zzzznotaterm", "or", 0), ("", "or", 0)],
+)
+def test_search_exists_semantics_and_parity(documents, sf_dir, query, mode, want):
+    """ES 1.4 _search/exists: 1 iff any doc matches; empty/absent query is
+    0, matching _count's all-absent contract; DuckDB twin agrees."""
+    from flume_elasticsearch_2_spark.operators.topk import (
+        search_exists,
+        search_exists_sql,
+    )
+
+    got = search_exists(documents, query, mode=mode).collect()[0]["exists"]
+    assert got == want
+    exp = _duck(sf_dir, search_exists_sql(query, mode=mode))[0][0]
+    assert got == exp
