@@ -3873,6 +3873,16 @@ def _charlm_tail_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charlm_tail_filter(_docs(spark, sf_dir), keep_frac=0.9)
 
 
+def _es_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x _segments: per-shard diagnostics from the committed index
+    tree; every number recomputed by the corpus-side oracle through the
+    range-sharding arithmetic. operators/admin.py segments_report."""
+    from flume_elasticsearch_2_spark.operators.admin import segments_report
+
+    searcher = _segment_searcher(spark, sf_dir)
+    return segments_report(spark, searcher.index_dir)
+
+
 def _search_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES 1.4 _search/exists: any-match existence probe — the _count
     predicate pass reduced to one 0/1 row. operators/topk.py."""
@@ -3973,6 +3983,7 @@ def _c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "es_segments",
     "search_exists_api",
     "refine_corpus",
     "terms_lookup",
@@ -4523,6 +4534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["terms_lookup"] = _terms_lookup
     q["refine_corpus"] = _refine_corpus
     q["search_exists_api"] = _search_exists
+    q["es_segments"] = _es_segments
     # newest-first, then previously-unrecorded: the driver artifact truncates
     # at 50 keys in dict order (judge r2 finding #1)
     priority = _R3_NEW + _R2_UNRECORDED
@@ -5283,6 +5295,9 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     from flume_elasticsearch_2_spark.operators.topk import search_exists_sql
 
     o["search_exists_api"] = search_exists_sql("batch small scan", mode="or")
+    from flume_elasticsearch_2_spark.operators.admin import segments_report_sql
+
+    o["es_segments"] = segments_report_sql(n_shards=4)
     # -- round 3 --------------------------------------------------------------
     o["bm25_field_match"] = bm25_topk_sql("dup batch", k=10, text_expr=_TITLE_SQL)
     o["bm25_field_match_segment"] = o["bm25_field_match"]

@@ -269,3 +269,79 @@ SELECT doc.doc_id, doc.term, doc.term_freq, stats.doc_freq, stats.ttf
 FROM doc JOIN stats USING (term)
 ORDER BY doc.doc_id, doc.term
 """
+
+
+def segments_report(spark, index_dir: str) -> DataFrame:
+    """ES 1.x ``_segments`` analog: per-shard segment diagnostics read from
+    the COMMITTED index tree — ``(shard, n_docs, sum_dl, n_terms,
+    n_postings)`` ordered by shard. ``n_terms`` counts the shard's posting
+    lists, ``n_postings`` their entries (Σ per-list n); ``sum_dl`` is the
+    shard's token mass (== Σ cf, the codec's conservation law — pinned in
+    tests as a structural invariant the corpus oracle can check).
+
+    Scale shape: two map-side-combined groupBys over column-pruned scans of
+    the docs sidecar (doc_id is never read — just dl + the shard partition
+    column) and the postings metadata (n only; the byte blobs are pruned),
+    then a shard-count-sized join. At 10^6 shards this moves 10^6 rows.
+
+    Oracle: doc-range sharding is pure arithmetic
+    (``shard = doc_id * n_shards // id_space``, plans/build_index.py
+    shard_start), so every reported number is recomputable from the corpus
+    in SQL — :func:`segments_report_sql`.
+    """
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    posts = spark.read.parquet(f"{index_dir}/postings")
+    d = docs.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    p = posts.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("n").cast("long").alias("n_postings"),
+    )
+    return (
+        d.join(p, "shard", "left")
+        .select(
+            "shard", "n_docs", "sum_dl",
+            F.coalesce("n_terms", F.lit(0)).cast("long").alias("n_terms"),
+            F.coalesce("n_postings", F.lit(0)).cast("long").alias("n_postings"),
+        )
+        .orderBy("shard")
+    )
+
+
+def segments_report_sql(
+    n_shards: int,
+    table: str = "documents",
+    analyzer: str = "ascii",
+    stopwords: list[str] | None = None,
+) -> str:
+    """DuckDB oracle for :func:`segments_report` over an index built from
+    ``table`` with default ``id_space`` (max id + 1): recompute each
+    shard's doc count, token mass, distinct terms and (doc, term) postings
+    from the corpus with the same range-sharding arithmetic."""
+    tok_expr = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    if stopwords:
+        stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
+        tok_expr = f"list_filter({tok_expr}, t -> t NOT IN ({stop_list}))"
+    return f"""
+WITH space AS (SELECT max(doc_id) + 1 AS id_space FROM {table}),
+sp AS (
+  SELECT doc_id, CAST(doc_id * {int(n_shards)} // space.id_space AS INT) AS shard,
+         {tok_expr} AS toks
+  FROM {table}, space
+),
+toks AS (SELECT doc_id, shard, unnest(toks) AS term FROM sp),
+post AS (SELECT shard, term, count(DISTINCT doc_id) AS df FROM toks GROUP BY shard, term)
+SELECT sp.shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(sp.toks)) AS BIGINT) AS sum_dl,
+       CAST(coalesce(any_value(p.n_terms), 0) AS BIGINT) AS n_terms,
+       CAST(coalesce(any_value(p.n_postings), 0) AS BIGINT) AS n_postings
+FROM sp
+LEFT JOIN (
+  SELECT shard, count(*) AS n_terms, sum(df) AS n_postings FROM post GROUP BY shard
+) p USING (shard)
+GROUP BY sp.shard
+ORDER BY sp.shard
+"""

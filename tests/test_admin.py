@@ -129,3 +129,23 @@ def test_mtermvectors_consistent_with_single(documents):
     ]
     single = [tuple(r) for r in termvectors(documents, 3).collect()]
     assert multi == single
+
+
+def test_segments_report_matches_corpus_oracle(spark, searcher, duck):
+    """_segments analog: every per-shard number the report reads from the
+    committed tree is recomputable from the corpus with the range-sharding
+    arithmetic (shard = doc_id * n_shards // id_space)."""
+    from flume_elasticsearch_2_spark.operators.admin import (
+        segments_report,
+        segments_report_sql,
+    )
+
+    got = [tuple(r) for r in segments_report(spark, searcher.index_dir).collect()]
+    want = [tuple(r) for r in duck.sql(segments_report_sql(n_shards=4)).fetchall()]
+    assert got == want
+    assert len(got) == 4  # dense ids at 4 shards: every shard populated
+    # conservation law: Σ sum_dl == corpus token count
+    n_toks = duck.sql(
+        "SELECT sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) FROM documents"
+    ).fetchone()[0]
+    assert sum(r[2] for r in got) == n_toks
