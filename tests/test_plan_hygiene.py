@@ -498,3 +498,29 @@ def test_span_queries_are_join_free_take_ordered(spark, documents):
         assert "Join" not in plan and "Exchange" not in plan, plan
         read = plan.split("ReadSchema")[1].split("\n")[0]
         assert "doc_id" in read and "text" in read and "lang" not in read
+
+
+def test_children_agg_collapses_children_before_join(spark, sf_dir):
+    """children aggregation (round 3): child rows must collapse to
+    per-parent partials via a map-side-combined groupBy BEFORE the parent
+    join — the exchange carries <= one row per parent, never raw children —
+    and the bucket rollup is a second partial-combined aggregate."""
+    from flume_elasticsearch_2_spark.operators.joins import children_agg
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = _plan(children_agg(
+        orders, lineitem, "o_orderkey", "l_orderkey", "o_orderpriority",
+        ("sum", "l_quantity"), child_filters=[("l_returnflag", "==", "R")],
+    ))
+    # per-parent partials are map-side combined (partial_ before the shuffle)
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    # exactly ONE join operator, and it consumes the per-parent partials
+    n_joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("BroadcastHashJoin")
+        + plan.count("ShuffledHashJoin")
+    )
+    assert n_joins == 1, plan
+    # the child filter reaches the parquet scan
+    assert "EqualTo(l_returnflag,R)" in plan, plan
