@@ -509,10 +509,12 @@ def test_children_agg_collapses_children_before_join(spark, sf_dir):
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    plan = _plan(children_agg(
+    df = children_agg(
         orders, lineitem, "o_orderkey", "l_orderkey", "o_orderpriority",
         ("sum", "l_quantity"), child_filters=[("l_returnflag", "==", "R")],
-    ))
+    )
+    # executedPlan (not formatted: that section lists every op twice)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     # per-parent partials are map-side combined (partial_ before the shuffle)
     assert "partial_count" in plan and "partial_sum" in plan, plan
     # exactly ONE join operator, and it consumes the per-parent partials
