@@ -271,6 +271,67 @@ ORDER BY doc.doc_id, doc.term
 """
 
 
+def cat_indices(spark, indexes: dict[str, str]) -> DataFrame:
+    """ES 1.x ``_cat/indices`` (the ops one-liner against the reference's ES
+    node, README.md:17's monitoring story): one row per index —
+    ``(index, pri, docs_count, store_bytes)`` ordered by index name.
+
+    Pure metadata: each row comes from the index's committed manifest.json
+    plus a directory byte walk — ZERO corpus or postings reads, exactly what
+    the real _cat endpoint reads from cluster state. ``store_bytes`` is a
+    physical quantity (compression-dependent), so oracle-backed callers
+    project it away and check the logical columns."""
+    import json
+    import os
+
+    rows = []
+    for name in sorted(indexes):
+        d = indexes[name]
+        with open(os.path.join(d, "manifest.json")) as fh:
+            m = json.load(fh)
+        nbytes = 0
+        for root, _dirs, files in os.walk(d):
+            nbytes += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        rows.append((name, int(m["n_shards"]), int(m["n_docs"]), int(nbytes)))
+    return spark.createDataFrame(
+        rows, "index string, pri int, docs_count long, store_bytes long"
+    )
+
+
+def cat_indices_sql(names: list[str], count_predicates: list[str], n_shards: int,
+                    table: str = "documents") -> str:
+    """DuckDB oracle for the LOGICAL columns of :func:`cat_indices` —
+    ``count_predicates[i]`` recomputes index i's doc count from the corpus
+    (the generation-split predicate)."""
+    if len(names) != len(count_predicates):
+        raise ValueError("names and count_predicates must align")
+    selects = [
+        f"SELECT '{n}' AS index, {int(n_shards)} AS pri, "
+        f"CAST(count(*) FILTER ({p}) AS BIGINT) AS docs_count FROM {table}"
+        for n, p in zip(names, count_predicates)
+    ]
+    return " UNION ALL ".join(selects) + " ORDER BY index"
+
+
+def cat_count(spark, indexes: dict[str, str]) -> DataFrame:
+    """ES 1.x ``_cat/count``: total docs across the given indexes, from the
+    committed manifests only (zero data reads). One row ``(count)``."""
+    import json
+    import os
+
+    total = 0
+    for d in indexes.values():
+        with open(os.path.join(d, "manifest.json")) as fh:
+            total += int(json.load(fh)["n_docs"])
+    return spark.createDataFrame([(int(total),)], "count long")
+
+
+def cat_count_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`cat_count` over generations that partition
+    ``table``."""
+    return f"SELECT CAST(count(*) AS BIGINT) AS count FROM {table}"
+
+
 def segments_report(spark, index_dir: str) -> DataFrame:
     """ES 1.x ``_segments`` analog: per-shard segment diagnostics read from
     the COMMITTED index tree — ``(shard, n_docs, sum_dl, n_terms,

@@ -1,0 +1,90 @@
+"""ES 1.x index warmers (SURVEY §2.5): registered search bodies executed
+against every new commit point before it serves traffic.
+
+Reference analog: the ``_warmer`` admin API of the ES 1.x deployment behind
+the sink (delegation site
+/root/reference/elasticsearch-sink/src/main/java/org/apache/flume/sink/elasticsearch/ElasticsearchSink.java:54)
+— PUT ``/{index}/_warmer/{name}`` registers a body; ES replays every
+registered body on each refresh so segment caches (filter bitsets,
+fielddata) are hot before queries land.
+
+This engine's analog is honest about what warming buys on Spark: a warmer
+run replays the body through the ordinary DSL front door against the NEW
+generation, which (a) validates the body still parses against the index
+(schema drift fails at warm time, not at query time — the operational win
+warmers actually deliver), and (b) faults the touched postings/doc parquet
+into the OS page cache on the executors that will serve them. There is no
+silent query rewriting: warmers inherit the full parsed DSL subset AND its
+loud refusals.
+
+Scale shape: each warmer is one ordinary serving query (per-shard BMW
+scatter, k rows back); N warmers = N scatters scheduled together. The
+registry itself is driver-side JSON — metadata-scale, like ES cluster
+state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+
+class WarmerRegistry:
+    """name -> search body, with the ES 1.x ``_warmer`` PUT/DELETE surface
+    (same persistence contract as :class:`~.alias.AliasRegistry`)."""
+
+    def __init__(self) -> None:
+        self._warmers: dict[str, dict[str, Any]] = {}
+
+    def put(self, name: str, body: dict) -> None:
+        """PUT ``/_warmer/{name}``. The body must be a dict; it is parsed
+        lazily at warm time (ES also accepts bodies its current mappings
+        cannot serve and fails at warm time)."""
+        if not isinstance(body, dict) or not body:
+            raise ValueError(f"warmer {name!r} body must be a non-empty dict")
+        self._warmers[name] = body
+
+    def delete(self, name: str) -> None:
+        """DELETE ``/_warmer/{name}`` — missing names are a no-op, as ES
+        treats wildcard deletes."""
+        self._warmers.pop(name, None)
+
+    def get(self, name: str) -> dict[str, Any]:
+        if name not in self._warmers:
+            raise KeyError(f"unknown warmer {name!r}")
+        return self._warmers[name]
+
+    def warmers(self) -> dict[str, dict[str, Any]]:
+        """The ``GET _warmer`` view."""
+        return dict(self._warmers)
+
+    def save(self, path: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._warmers, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "WarmerRegistry":
+        reg = cls()
+        with open(path) as f:
+            reg._warmers = json.load(f)
+        return reg
+
+
+def run_warmers(searcher, registry: WarmerRegistry) -> DataFrame:
+    """Replay every registered warmer body against ``searcher`` (the new
+    generation's :class:`~..plans.query_index.IndexSearcher`) through the
+    serving DSL front door; returns one row per warmer ``(warmer, hits)``
+    ordered by name. A body the DSL refuses propagates its ValueError —
+    a warmer that cannot run is an operational signal, never skipped."""
+    from .dsl import dsl_search_index
+
+    rows = []
+    for name in sorted(registry.warmers()):
+        hits = dsl_search_index(searcher, registry.get(name)).count()
+        rows.append((name, int(hits)))
+    return searcher.spark.createDataFrame(rows, "warmer string, hits long")

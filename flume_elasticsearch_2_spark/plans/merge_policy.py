@@ -104,3 +104,58 @@ def auto_merge(
             live = [d for d in live if d not in group] + [out_dir]
             live.sort(key=lambda d: order[d])
     raise RuntimeError(f"auto_merge did not converge in {max_rounds} rounds")
+
+
+def optimize(
+    spark: SparkSession,
+    gen_dirs: list[str],
+    out_root: str,
+    max_num_segments: int = 1,
+    dedup_key: str | None = None,
+    only_expunge_deletes: bool = False,
+) -> list[str]:
+    """ES 1.x ``_optimize`` API (force merge; the admin call 1.x operators
+    ran nightly against the reference's ES deployment — delegation site
+    ElasticsearchSink.java:54): merge the live generations down to
+    ``max_num_segments`` regardless of :func:`plan_merges`' tier thresholds.
+    ``max_num_segments=1`` is the classic full optimize.
+
+    Deterministic selection contract (pinned by tests): the LARGEST
+    ``max_num_segments - 1`` generations survive untouched (ties broken by
+    recency, then name) and every remaining generation merges into ONE new
+    generation at ``out_root/optimized_0000`` — Lucene's forceMerge also
+    prefers rewriting small segments over large ones, since bytes rewritten
+    is the cost that matters. Already at or below the target: no-op, no
+    bytes move (ES returns immediately too).
+
+    ``only_expunge_deletes`` REFUSES loudly: this engine reclaims deletions
+    eagerly at ``_delete_by_query``/merge time (immutable segments + atomic
+    manifest swap), so a committed generation never carries live tombstones
+    and there is nothing to expunge — a silent no-op would misreport the
+    ES semantics instead of documenting the model difference.
+
+    Input dirs are left on disk for the caller to GC after queries drain
+    (the commit-point contract shared with :func:`auto_merge`). Returns the
+    surviving generation list ordered oldest-first by original recency.
+    """
+    if only_expunge_deletes:
+        raise ValueError(
+            "only_expunge_deletes is meaningless here: deletions are "
+            "reclaimed eagerly at delete/merge time, committed generations "
+            "never hold live tombstones (see plans/merge.py delete_by_query)"
+        )
+    if max_num_segments < 1:
+        raise ValueError(f"max_num_segments must be >= 1, got {max_num_segments}")
+    if len(gen_dirs) <= max_num_segments:
+        return list(gen_dirs)
+    order = {d: i for i, d in enumerate(gen_dirs)}
+    sizes = generation_sizes(gen_dirs)
+    # survivors: largest first; ties newest-then-name so selection is stable
+    by_size = sorted(gen_dirs, key=lambda d: (-sizes[d], -order[d], d))
+    keep = set(by_size[: max_num_segments - 1])
+    group = [d for d in gen_dirs if d not in keep]  # oldest-first for dedup_key
+    out_dir = os.path.join(out_root, "optimized_0000")
+    merge_indexes(spark, group, out_dir, dedup_key=dedup_key)
+    merged_order = max(order[d] for d in group)
+    live = [(order[d], d) for d in keep] + [(merged_order, out_dir)]
+    return [d for _, d in sorted(live)]

@@ -149,3 +149,22 @@ def test_segments_report_matches_corpus_oracle(spark, searcher, duck):
         "SELECT sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) FROM documents"
     ).fetchone()[0]
     assert sum(r[2] for r in got) == n_toks
+
+
+def test_cat_indices_and_count(spark, documents, tmp_path_factory):
+    """_cat/indices + _cat/count are manifest-only reads whose logical
+    columns agree with the corpus; store_bytes is physical and positive."""
+    from flume_elasticsearch_2_spark.operators.admin import cat_count, cat_indices
+    from flume_elasticsearch_2_spark.plans.build_index import build_index
+
+    root = tmp_path_factory.mktemp("cat")
+    n = documents.count()
+    half = n // 2
+    d1, d2 = str(root / "g1"), str(root / "g2")
+    build_index(spark, documents.where(f"doc_id < {half}"), d1, n_shards=4, id_space=n)
+    build_index(spark, documents.where(f"doc_id >= {half}"), d2, n_shards=4, id_space=n)
+    rows = cat_indices(spark, {"g2": d2, "g1": d1}).collect()
+    assert [r["index"] for r in rows] == ["g1", "g2"]  # name-ordered
+    assert [r.docs_count for r in rows] == [half, n - half]
+    assert all(r.pri == 4 and r.store_bytes > 0 for r in rows)
+    assert cat_count(spark, {"g1": d1, "g2": d2}).collect()[0]["count"] == n

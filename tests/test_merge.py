@@ -212,3 +212,78 @@ def test_auto_merge_end_to_end(spark, documents, tmp_path_factory):
         got = [(r.doc_id, r.score) for r in sm.search(q, k=10).collect()]
         want = [(r.doc_id, r.score) for r in ss.search(q, k=10).collect()]
         assert got == want and want, q
+
+
+# -- ES 1.x _optimize (force merge) ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def uneven_generations(spark, documents, tmp_path_factory):
+    """Three generations over disjoint id ranges with distinct sizes
+    (100 / 150 / 250 docs), shared id space."""
+    root = tmp_path_factory.mktemp("opt")
+    dirs, cuts = [], [(0, 100), (100, 250), (250, 500)]
+    for i, (lo, hi) in enumerate(cuts):
+        d = str(root / f"gen{i}")
+        build_index(
+            spark, documents.where(f"doc_id >= {lo} AND doc_id < {hi}"), d,
+            n_shards=4, id_space=500,
+        )
+        dirs.append(d)
+    return dirs
+
+
+def test_optimize_to_one_equals_plain_merge(spark, uneven_generations, tmp_path_factory):
+    from flume_elasticsearch_2_spark.plans.merge_policy import optimize
+    from flume_elasticsearch_2_spark.plans.query_index import search_generations
+
+    root = tmp_path_factory.mktemp("opt_out")
+    live = optimize(spark, uneven_generations, str(root), max_num_segments=1)
+    assert len(live) == 1 and live[0].endswith("optimized_0000")
+    for q, mode in [("dup batch scan", "or"), ("join filter window", "and")]:
+        got = [tuple(r) for r in search_generations(spark, live, q, k=10, mode=mode).collect()]
+        want = [
+            tuple(r)
+            for r in search_generations(spark, uneven_generations, q, k=10, mode=mode).collect()
+        ]
+        assert got == want and want, q
+
+
+def test_optimize_partial_keeps_largest_untouched(spark, uneven_generations, tmp_path_factory):
+    """max_num_segments=2: the 250-doc generation survives AS-IS (same dir,
+    no rewrite) and the two smallest merge into one."""
+    import json
+    import os
+
+    from flume_elasticsearch_2_spark.plans.merge_policy import optimize
+    from flume_elasticsearch_2_spark.plans.query_index import search_generations
+
+    root = tmp_path_factory.mktemp("opt_out2")
+    big = uneven_generations[2]
+    mtime_before = os.path.getmtime(os.path.join(big, "manifest.json"))
+    live = optimize(spark, uneven_generations, str(root), max_num_segments=2)
+    assert len(live) == 2 and big in live
+    assert os.path.getmtime(os.path.join(big, "manifest.json")) == mtime_before
+    merged = [d for d in live if d != big][0]
+    with open(os.path.join(merged, "manifest.json")) as fh:
+        assert json.load(fh)["n_docs"] == 250  # 100 + 150
+    got = [tuple(r) for r in search_generations(spark, live, "dup batch scan", k=10).collect()]
+    want = [
+        tuple(r)
+        for r in search_generations(spark, uneven_generations, "dup batch scan", k=10).collect()
+    ]
+    assert got == want and want
+
+
+def test_optimize_noop_and_refusals(spark, uneven_generations, tmp_path_factory):
+    from flume_elasticsearch_2_spark.plans.merge_policy import optimize
+
+    root = str(tmp_path_factory.mktemp("opt_out3"))
+    # already at/below target: the input list comes back, nothing written
+    assert optimize(spark, uneven_generations, root, max_num_segments=3) == list(
+        uneven_generations
+    )
+    with pytest.raises(ValueError, match="only_expunge_deletes"):
+        optimize(spark, uneven_generations, root, only_expunge_deletes=True)
+    with pytest.raises(ValueError, match="max_num_segments"):
+        optimize(spark, uneven_generations, root, max_num_segments=0)
