@@ -613,6 +613,26 @@ def _match_count_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _segment_searcher(spark, sf_dir).count("batch small scan", mode="or")
 
 
+def _match_count_terminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.4 terminate_after on _count: per-shard collection capped at N,
+    count = sum(min(shard_matches, N)) + terminated_early flag. Declarative
+    twin needs only the range-sharding arithmetic (min is visit-order-free),
+    one map-side-combined shard groupBy."""
+    from flume_elasticsearch_2_spark.operators.topk import match_count_terminated
+
+    return match_count_terminated(
+        _docs(spark, sf_dir), "dup batch scan", terminate_after=10, n_shards=4
+    )
+
+
+def _match_count_terminated_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terminate_after on the SERVING path: the count kernel's per-shard
+    doc-stream decode, capped; two longs per active shard gathered."""
+    return _segment_searcher(spark, sf_dir).count_terminated(
+        "dup batch scan", terminate_after=10, mode="or"
+    )
+
+
 def _search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES search+highlight (number_of_fragments=0): top-k hits with every
     analyzed-term occurrence wrapped <em>..</em>, byte-exact vs DuckDB."""
@@ -3906,6 +3926,77 @@ def _refine_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDGE_IDX_CACHE: dict[str, str] = {}  # sf_dir -> edge-gram index dir
+
+
+def _edge_searcher(spark: SparkSession, sf_dir: str):
+    """Serving index for the autocomplete recipe: documents ANALYZED UNDER
+    ascii_edge1_6 at build time (the gram stream re-rendered as text — edge
+    grams are [a-z0-9]+ runs, so retokenization is the identity and the
+    proven builder/searcher work unchanged). Queries tokenize plain, so the
+    typed prefix is ONE exact gram lookup — the ES search_analyzer split."""
+    import tempfile
+
+    from flume_elasticsearch_2_spark.functions.tokenizer import tokens_col
+    from flume_elasticsearch_2_spark.plans.build_index import build_segments_partial
+    from flume_elasticsearch_2_spark.plans.query_index import IndexSearcher
+
+    from pyspark.sql import functions as F
+
+    if sf_dir not in _EDGE_IDX_CACHE:
+        d = os.path.join(tempfile.mkdtemp(prefix="fts_edge_"), "edgeidx")
+        docs = _docs(spark, sf_dir)
+        grams = docs.select(
+            "doc_id",
+            F.concat_ws(" ", tokens_col("text", analyzer="ascii_edge1_6")).alias("text"),
+        )
+        build_segments_partial(spark, grams, d, n_shards=4)
+        _EDGE_IDX_CACHE[sf_dir] = d
+    return IndexSearcher(spark, _EDGE_IDX_CACHE[sf_dir])
+
+
+def _bm25_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x index-time autocomplete: docs analyzed under edge_ngram
+    (ascii_edge1_6), query analyzed plain (search_analyzer) — the typed
+    prefix 'bat' scores as one exact gram term over gram statistics.
+    functions/tokenizer.py edge family; operators/topk.py search_analyzer."""
+    from flume_elasticsearch_2_spark.operators.topk import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir), "bat", k=10,
+        analyzer="ascii_edge1_6", search_analyzer="ascii",
+    )
+
+
+def _bm25_autocomplete_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete on the SERVING path: the same gram statistics from a
+    committed index built over the edge-analyzed stream; 'bat' is one
+    dictionary term — BMW scatter, k rows back."""
+    return _edge_searcher(spark, sf_dir).search("bat", k=10, pruned=True)
+
+
+def _cat_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x _cat/indices over the two live generations: per-index
+    (index, pri, docs_count) from committed manifests only — zero data
+    reads; store_bytes (physical, compression-dependent) projected away so
+    every reported column is corpus-recomputable. operators/admin.py."""
+    from flume_elasticsearch_2_spark.operators.admin import cat_indices
+
+    g1, g2 = _generation_dirs(spark, sf_dir)
+    return cat_indices(spark, {"g1": g1, "g2": g2}).select(
+        "index", "pri", "docs_count"
+    )
+
+
+def _cat_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x _cat/count across the generations: manifest doc counts summed
+    on the driver — the zero-read admin probe. operators/admin.py."""
+    from flume_elasticsearch_2_spark.operators.admin import cat_count
+
+    g1, g2 = _generation_dirs(spark, sf_dir)
+    return cat_count(spark, {"g1": g1, "g2": g2})
+
+
 def _terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES 1.x terms LOOKUP filter: terms fetched from ONE stored doc (the
     realtime GET — here documents row 7's lang), inlined as a literal
@@ -3983,6 +4074,12 @@ def _c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge's r2 finding: the artifact silently covered only the first 50 keys);
 # the committed GATE_r03 transcript records the full set regardless
 _R3_NEW = [
+    "match_count_terminated",
+    "match_count_terminated_segment",
+    "cat_indices",
+    "cat_count",
+    "bm25_autocomplete",
+    "bm25_autocomplete_segment",
     "es_segments",
     "search_exists_api",
     "refine_corpus",
@@ -4342,6 +4439,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_segment_must_not"] = _bm25_segment_must_not
     q["match_count"] = _match_count
     q["match_count_segment"] = _match_count_segment
+    q["match_count_terminated"] = _match_count_terminated
+    q["match_count_terminated_segment"] = _match_count_terminated_segment
+    q["cat_indices"] = _cat_indices
+    q["cat_count"] = _cat_count
+    q["bm25_autocomplete"] = _bm25_autocomplete
+    q["bm25_autocomplete_segment"] = _bm25_autocomplete_segment
     # round 3
     q["bm25_field_match"] = _bm25_field_match
     q["bm25_field_match_segment"] = _bm25_field_match_segment
@@ -5292,6 +5395,31 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["bm25_segment_must_not"] = o["bm25_must_not"]
     o["match_count"] = match_count_sql("batch small scan", mode="or")
     o["match_count_segment"] = o["match_count"]
+    from flume_elasticsearch_2_spark.operators.topk import match_count_terminated_sql
+
+    o["match_count_terminated"] = match_count_terminated_sql(
+        "dup batch scan", terminate_after=10, n_shards=4
+    )
+    o["match_count_terminated_segment"] = o["match_count_terminated"]
+    from flume_elasticsearch_2_spark.operators.admin import (
+        cat_count_sql,
+        cat_indices_sql,
+    )
+
+    # the generations split is doc_id < n//2 (see _generation_dirs)
+    o["cat_indices"] = cat_indices_sql(
+        ["g1", "g2"],
+        [
+            "doc_id < (SELECT count(*) // 2 FROM documents)",
+            "doc_id >= (SELECT count(*) // 2 FROM documents)",
+        ],
+        n_shards=4,
+    )
+    o["cat_count"] = cat_count_sql()
+    o["bm25_autocomplete"] = bm25_topk_sql(
+        "bat", k=10, analyzer="ascii_edge1_6", search_analyzer="ascii"
+    )
+    o["bm25_autocomplete_segment"] = o["bm25_autocomplete"]
     from flume_elasticsearch_2_spark.operators.topk import search_exists_sql
 
     o["search_exists_api"] = search_exists_sql("batch small scan", mode="or")

@@ -106,9 +106,68 @@ def duckdb_stem_case(var: str = "t") -> str:
     )
 
 
+# Opt-in edge n-grams: Lucene/ES `edge_ngram` TOKEN FILTER (the 1.x
+# index-time autocomplete recipe — index grams, search with a plain
+# analyzer so the typed prefix is ONE exact term lookup instead of a
+# dictionary wildcard scan). Analyzer name "<base>_edge{min}_{max}"
+# composes after either token class and after _sstem. Lucene 4.x
+# EdgeNGramTokenFilter contract, pinned in all three engines: each token
+# emits its prefixes of length min..min(max, len); tokens SHORTER than
+# min_gram emit nothing; tokens longer than max_gram lose their full form
+# (no preserve_original in 1.x). Emission order is per-token, gram-length
+# ascending; duplicates across tokens are preserved (tf semantics).
+# Divergence documented (not silent): Lucene norms count positions while
+# this engine pins dl = emitted-gram count on BOTH engines.
+_EDGE_RE = re.compile(r"^(?P<base>.+?)_edge(?P<min>\d+)_(?P<max>\d+)$")
+
+
+def edge_params(analyzer: str) -> "tuple[str, int, int] | None":
+    """``(base_analyzer, min_gram, max_gram)`` for an edge analyzer name,
+    else None. Bad bounds raise (min >= 1, max >= min)."""
+    m = _EDGE_RE.match(analyzer)
+    if not m:
+        return None
+    base, mn, mx = m.group("base"), int(m.group("min")), int(m.group("max"))
+    if base not in _PY_RES:
+        raise KeyError(f"unknown base analyzer {base!r} in {analyzer!r}")
+    if mn < 1 or mx < mn:
+        raise ValueError(f"edge_ngram needs 1 <= min <= max, got {analyzer!r}")
+    return base, mn, mx
+
+
+def _base_name(analyzer: str) -> str:
+    """Resolve an analyzer name to its registered token-class key."""
+    e = edge_params(analyzer)
+    return e[0] if e else analyzer
+
+
+def edge_ngrams_col(toks: Column, min_gram: int, max_gram: int) -> Column:
+    """Edge-ngram expansion of a token array as a pure JVM expression
+    (filter + nested transform + flatten — whole-stage codegen, no UDF)."""
+    kept = F.filter(toks, lambda t: F.length(t) >= F.lit(min_gram))
+    return F.flatten(
+        F.transform(
+            kept,
+            lambda t: F.transform(
+                F.sequence(F.lit(min_gram), F.least(F.lit(max_gram), F.length(t))),
+                lambda i: F.substr(t, F.lit(1), i),
+            ),
+        )
+    )
+
+
+def duckdb_edge_transform(tok_expr: str, min_gram: int, max_gram: int) -> str:
+    """The identical edge-ngram chain over a DuckDB list expression."""
+    return (
+        f"flatten(list_transform(list_filter({tok_expr}, t -> len(t) >= {min_gram}), "
+        f"t -> list_transform(range({min_gram}, least({max_gram}, len(t)) + 1), "
+        f"i -> substr(t, 1, i))))"
+    )
+
+
 def duckdb_token_pattern(analyzer: str = "ascii") -> str:
     """The RE2 token pattern for DuckDB oracle SQL generators."""
-    return _RE2_PATTERNS[analyzer]
+    return _RE2_PATTERNS[_base_name(analyzer)]
 
 
 def tokenize(
@@ -119,12 +178,17 @@ def tokenize(
     ``stopwords`` is the ES analyzer ``stopwords`` option (default
     ``_none_``, matching the ES standard analyzer): matching tokens are
     removed AFTER tokenization, duplicates preserved."""
-    toks = _PY_RES[analyzer].findall(text.lower())
+    edge = edge_params(analyzer)
+    base = edge[0] if edge else analyzer
+    toks = _PY_RES[base].findall(text.lower())
     if stopwords:
         stop = set(stopwords)
         toks = [t for t in toks if t not in stop]
-    if analyzer.endswith("_sstem"):
+    if base.endswith("_sstem"):
         toks = [s_stem(t) for t in toks]
+    if edge:
+        _, mn, mx = edge
+        toks = [t[:i] for t in toks if len(t) >= mn for i in range(mn, min(mx, len(t)) + 1)]
     return toks
 
 
@@ -142,11 +206,15 @@ def tokens_col(
     '[a-z0-9]+'), t -> t NOT IN (...))``.
     """
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.regexp_extract_all(F.lower(c), F.lit(_JAVA_PATTERNS[analyzer]), F.lit(0))
+    edge = edge_params(analyzer)
+    base = edge[0] if edge else analyzer
+    toks = F.regexp_extract_all(F.lower(c), F.lit(_JAVA_PATTERNS[base]), F.lit(0))
     if stopwords:
         toks = F.filter(toks, lambda t: ~t.isin(list(stopwords)))
-    if analyzer.endswith("_sstem"):
+    if base.endswith("_sstem"):
         toks = F.transform(toks, _s_stem_col)
+    if edge:
+        toks = edge_ngrams_col(toks, edge[1], edge[2])
     return toks
 
 

@@ -51,6 +51,7 @@ def bm25_topk(
     min_should_match: int | None = None,
     boosts: dict[str, float] | None = None,
     must_not: str | None = None,
+    search_analyzer: str | None = None,
 ) -> DataFrame:
     """Top-k BM25 over a document DataFrame, pure declarative plan.
 
@@ -76,8 +77,13 @@ def bm25_topk(
     ``must_not`` is the ES bool negative clause: a string analyzed with the
     same analyzer; docs containing ANY resulting term are excluded. Filter
     context per ES — non-scoring, and idf/avgdl/N stay index-wide.
+    ``search_analyzer`` analyzes the QUERY with a different chain than the
+    docs — the ES mapping ``search_analyzer`` option, which is what makes
+    the edge-ngram autocomplete recipe work (docs indexed under
+    ``ascii_edge1_N``, queries analyzed plain so the typed prefix is one
+    exact gram lookup).
     """
-    q_terms = tokenize(query, stopwords, analyzer)
+    q_terms = tokenize(query, stopwords, search_analyzer or analyzer)
     if not q_terms:
         return docs.sparkSession.createDataFrame([], "doc_id long, score double")
     # weight = occurrences of the term in the query, times its boost
@@ -742,6 +748,7 @@ def bm25_topk_sql(
     offset: int = 0,
     must_not: str | None = None,
     score_multiplier_sql: str | None = None,
+    search_analyzer: str | None = None,
 ) -> str:
     """DuckDB oracle SQL equivalent of :func:`bm25_topk` (same rounding).
 
@@ -753,8 +760,9 @@ def bm25_topk_sql(
     multiplies the UNROUNDED per-doc score (a scalar SQL expression over
     ``doc_id`` — the ES ``indices_boost`` analog: membership CASE × boost)
     before the final round/order, mirroring engines that boost exact scores
-    and round once at the end."""
-    q_terms = tokenize(query, stopwords, analyzer)
+    and round once at the end. ``search_analyzer`` mirrors
+    :func:`bm25_topk`'s query-side analyzer override."""
+    q_terms = tokenize(query, stopwords, search_analyzer or analyzer)
     if not q_terms:
         # zero analyzed terms (all-punctuation / all-stopword query): the
         # declarative path returns an empty (doc_id, score) frame; emit the
@@ -788,10 +796,17 @@ def bm25_topk_sql(
     if stopwords:
         stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
         tok_expr = f"list_filter({tok_expr}, t -> t NOT IN ({stop_list}))"
-    if analyzer.endswith("_sstem"):
+    from ..functions.tokenizer import edge_params
+
+    edge = edge_params(analyzer)
+    if (edge[0] if edge else analyzer).endswith("_sstem"):
         from ..functions.tokenizer import duckdb_stem_case
 
         tok_expr = f"list_transform({tok_expr}, t -> {duckdb_stem_case('t')})"
+    if edge:
+        from ..functions.tokenizer import duckdb_edge_transform
+
+        tok_expr = duckdb_edge_transform(tok_expr, edge[1], edge[2])
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest({tok_expr}) AS term
@@ -1064,6 +1079,114 @@ def search_exists_sql(
     """DuckDB oracle for :func:`search_exists`."""
     inner = match_count_sql(query, mode, table, stopwords, analyzer)
     return f"SELECT CAST(n_matching > 0 AS INT) AS exists FROM ({inner})"
+
+
+def match_count_terminated(
+    docs: DataFrame,
+    query: str,
+    terminate_after: int,
+    n_shards: int,
+    mode: str = "or",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """ES 1.4 ``terminate_after`` on ``_count`` (delegation site
+    ElasticsearchSink.java:54): each SHARD stops collecting after
+    ``terminate_after`` matching docs, so the response count is
+    Σ_shards min(shard_matches, N) with ``terminated_early`` set iff any
+    shard hit the cap. Lucene's EarlyTerminatingCollector raises ON
+    collecting the Nth hit, so a shard with exactly N matches reports
+    terminated (``shard_matches >= N``) — pinned here and in the oracle.
+
+    The count is visit-order-free (min is order-free), so the declarative
+    twin needs only the doc-range sharding arithmetic
+    (``shard = doc_id * n_shards // id_space``, plans/build_index.py
+    shard_start) — NOT the index. Plan: the match predicate rides the scan
+    as a JVM expression, ONE map-side-combined groupBy on the arithmetic
+    shard key (≤ n_shards longs shuffle), a scalar reduce. ``id_space``
+    is max(id)+1 (the builder's default), derived via a 1-row broadcast
+    cross join so no collect happens on the driver.
+
+    Returns one row ``(n_matching BIGINT, terminated_early INT)``.
+    """
+    if terminate_after < 1:
+        raise ValueError(f"terminate_after must be >= 1, got {terminate_after}")
+    terms = sorted(set(tokenize(query, stopwords, analyzer)))
+    toks = tokens_col(text_col, stopwords, analyzer)
+    if not terms:
+        pred = F.lit(False)
+    elif mode == "and":
+        pred = F.lit(True)
+        for t in terms:
+            pred = pred & F.array_contains(toks, t)
+    else:
+        pred = F.arrays_overlap(toks, F.array(*[F.lit(t) for t in terms]))
+    space = docs.agg((F.max(id_col) + 1).cast("long").alias("_id_space"))
+    n = F.lit(int(terminate_after)).cast("long")
+    per = (
+        docs.crossJoin(F.broadcast(space))
+        # exact integer floor division (DIV, not /): the float form loses
+        # precision past 2^53 and would disagree with shard_start's integer
+        # math at the 10^12-doc id-space target (plans/build_index.py:814)
+        .select(
+            F.expr(
+                f"CAST((CAST({id_col} AS BIGINT) * {int(n_shards)}) DIV _id_space AS INT)"
+            ).alias("_shard"),
+            pred.cast("long").alias("_m"),
+        )
+        .groupBy("_shard")
+        .agg(F.sum("_m").alias("_m"))
+    )
+    return per.agg(
+        F.coalesce(F.sum(F.least(F.col("_m"), n)), F.lit(0))
+        .cast("long")
+        .alias("n_matching"),
+        F.coalesce(F.max((F.col("_m") >= n).cast("int")), F.lit(0))
+        .cast("int")
+        .alias("terminated_early"),
+    )
+
+
+def match_count_terminated_sql(
+    query: str,
+    terminate_after: int,
+    n_shards: int,
+    mode: str = "or",
+    table: str = "documents",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB oracle for :func:`match_count_terminated` — identical match
+    predicate + the identical range-sharding arithmetic."""
+    from ..functions.tokenizer import duckdb_token_pattern
+
+    if terminate_after < 1:
+        raise ValueError(f"terminate_after must be >= 1, got {terminate_after}")
+    terms = sorted(set(tokenize(query, stopwords, analyzer)))
+    tok_expr = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    if stopwords:
+        stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
+        tok_expr = f"list_filter({tok_expr}, t -> t NOT IN ({stop_list}))"
+    if not terms:
+        pred = "FALSE"
+    else:
+        term_list = ", ".join(f"'{t}'" for t in terms)
+        fn = "list_has_all" if mode == "and" else "list_has_any"
+        pred = f"{fn}({tok_expr}, [{term_list}])"
+    n = int(terminate_after)
+    return f"""
+WITH space AS (SELECT max(doc_id) + 1 AS id_space FROM {table}),
+per AS (
+  SELECT CAST(doc_id * {int(n_shards)} // space.id_space AS INT) AS shard,
+         CAST(count(*) FILTER ({pred}) AS BIGINT) AS m
+  FROM {table}, space GROUP BY 1
+)
+SELECT CAST(coalesce(sum(least(m, {n})), 0) AS BIGINT) AS n_matching,
+       CAST(coalesce(max(CASE WHEN m >= {n} THEN 1 ELSE 0 END), 0) AS INT) AS terminated_early
+FROM per
+"""
 
 
 # -- function_score (ES field_value_factor) -----------------------------------

@@ -2443,6 +2443,49 @@ class IndexSearcher:
         )
         return out_one(sum(r["n"] for r in rows))
 
+    def count_terminated(
+        self, query: str, terminate_after: int, mode: str = "or"
+    ) -> DataFrame:
+        """ES 1.4 ``terminate_after`` on ``_count`` on the SERVING path:
+        each shard's postings doc-stream match set is capped at
+        ``terminate_after`` collected hits, so the response is
+        Σ min(shard_matches, N) with ``terminated_early`` iff any shard
+        reached the cap (Lucene's EarlyTerminatingCollector raises ON the
+        Nth collect, so exactly-N matches reports terminated — the same
+        pin as :func:`~..operators.topk.match_count_terminated`). min() is
+        visit-order-free, so the per-shard decode is the :meth:`count`
+        kernel; two longs per active shard cross the wire. Inactive shards
+        (no query term posted) contribute 0 and never terminate. Returns
+        one row ``(n_matching, terminated_early)``."""
+        if terminate_after < 1:
+            raise ValueError(f"terminate_after must be >= 1, got {terminate_after}")
+        terms = sorted(set(tokenize(query)))
+        out_one = lambda n, t: self.spark.createDataFrame(  # noqa: E731
+            [(int(n), int(t))], "n_matching long, terminated_early int"
+        )
+        if not terms:
+            return out_one(0, 0)
+        dfreq, active_shards = self._query_meta(terms)
+        present = [t for t in terms if t in dfreq]
+        if not present or (mode == "and" and len(present) < len(terms)):
+            return out_one(0, 0)
+        index_dir, cap = self.index_dir, int(terminate_after)
+
+        def count_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for shard in pdf["shard"].tolist():
+                    m = len(_facet_match_ids(index_dir, shard, present, mode))
+                    yield pd.DataFrame(
+                        {"n": [min(m, cap)], "t": [int(m >= cap)]}
+                    )
+
+        rows = (
+            _one_task_per_shard(self.spark, active_shards)
+            .mapInPandas(count_shards, "n long, t int")
+            .collect()
+        )
+        return out_one(sum(r["n"] for r in rows), max((r["t"] for r in rows), default=0))
+
     def facet_query_count(
         self,
         query: str | None,

@@ -523,6 +523,49 @@ def test_count_serving_equals_declarative(documents, searcher, query, mode):
     assert got == want
 
 
+@pytest.mark.parametrize(
+    "query,mode,cap",
+    [
+        ("dup batch scan", "or", 1),  # every active shard terminates
+        ("dup batch scan", "or", 10),  # mixed
+        ("dup batch scan", "or", 10**9),  # nothing terminates -> == _count
+        ("join filter window", "and", 3),
+        ("zzzznotaterm", "or", 5),  # absent term: (0, 0)
+    ],
+)
+def test_count_terminated_serving_equals_declarative(
+    documents, searcher, query, mode, cap
+):
+    """ES 1.4 terminate_after: serving (per-shard capped doc-stream decode)
+    must agree with the declarative range-sharding-arithmetic twin on both
+    the capped count and the terminated_early flag."""
+    from flume_elasticsearch_2_spark.operators.topk import (
+        match_count,
+        match_count_terminated,
+    )
+
+    got = searcher.count_terminated(query, terminate_after=cap, mode=mode).collect()[0]
+    want = match_count_terminated(
+        documents, query, terminate_after=cap, n_shards=4, mode=mode
+    ).collect()[0]
+    assert (got.n_matching, got.terminated_early) == (
+        want.n_matching,
+        want.terminated_early,
+    )
+    if cap == 10**9:  # uncapped degenerates to the plain _count, flag clear
+        plain = match_count(documents, query, mode=mode).collect()[0].n_matching
+        assert got.n_matching == plain and got.terminated_early == 0
+
+
+def test_count_terminated_rejects_bad_cap(documents, searcher):
+    from flume_elasticsearch_2_spark.operators.topk import match_count_terminated
+
+    with pytest.raises(ValueError, match="terminate_after"):
+        match_count_terminated(documents, "dup", terminate_after=0, n_shards=4)
+    with pytest.raises(ValueError, match="terminate_after"):
+        searcher.count_terminated("dup", terminate_after=0)
+
+
 # -- round-3 fixes: legacy-index reads, window cap, phrase key-space guard ----
 
 

@@ -168,6 +168,26 @@ def test_match_count_matches_duckdb(spark, documents, sf_dir, query, mode):
     assert got == exp
 
 
+@pytest.mark.parametrize(
+    "query,mode,cap",
+    [("dup batch scan", "or", 1), ("dup batch scan", "or", 10),
+     ("join filter window", "and", 3), ("zzzznotaterm", "or", 5)],
+)
+def test_match_count_terminated_matches_duckdb(spark, documents, sf_dir, query, mode, cap):
+    from flume_elasticsearch_2_spark.operators.topk import (
+        match_count_terminated,
+        match_count_terminated_sql,
+    )
+
+    got = match_count_terminated(
+        documents, query, terminate_after=cap, n_shards=4, mode=mode
+    ).collect()[0]
+    exp = _duck(
+        sf_dir, match_count_terminated_sql(query, terminate_after=cap, n_shards=4, mode=mode)
+    )[0]
+    assert (got.n_matching, got.terminated_early) == exp
+
+
 # -- common terms query (ES 1.x `common`: df-split selection) ----------------
 
 COMMON_CASES = [
