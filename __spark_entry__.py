@@ -2674,6 +2674,37 @@ _DSL_MIN_SCORE_BODY = {
 }
 
 
+_DSL_SCRIPT_SORT_BODY = {
+    "query": {"match": {"text": "dup batch scan"}},
+    "sort": [{"_script": {
+        "script": "doc['n_chars'].value / 100 + log1p(doc['doc_id'].value)",
+        "type": "number",
+        "order": "desc",
+    }}],
+    "size": 10,
+}
+
+
+def _dsl_script_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x _script sort (type number): the match set ordered by a Q39
+    arithmetic script compiled ONCE to a pure-JVM column riding the scan —
+    script sort costs a field sort plus codegen arithmetic. doc[].value
+    NULLs pin to 0.0 in both engines. operators/sorting.py
+    match_script_sorted; dsl.py routes the body."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_SCRIPT_SORT_BODY)
+
+
+def _dsl_script_sort_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_script sort on the SERVING path: match ids from postings doc
+    streams + the SAME compiled JVM Column over the stored-docs sidecar —
+    structural parity, no second arithmetic implementation."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_SCRIPT_SORT_BODY)
+
+
 def _dsl_min_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES min_score: hits below the threshold dropped. Passing docs are a
     prefix of the score-desc ranking, so the post-slice filter equals ES's
@@ -4080,6 +4111,8 @@ _R3_NEW = [
     "cat_count",
     "bm25_autocomplete",
     "bm25_autocomplete_segment",
+    "dsl_script_sort",
+    "dsl_script_sort_segment",
     "es_segments",
     "search_exists_api",
     "refine_corpus",
@@ -4503,6 +4536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_percentiles_agg"] = _dsl_percentiles_agg
     q["dsl_sig_terms"] = _dsl_sig_terms
     q["dsl_top_hits"] = _dsl_top_hits
+    q["dsl_script_sort"] = _dsl_script_sort
+    q["dsl_script_sort_segment"] = _dsl_script_sort_segment
     q["dsl_min_score"] = _dsl_min_score
     q["dsl_min_score_segment"] = _dsl_min_score_segment
     q["dsl_zero_terms_all"] = _dsl_zero_terms_all
@@ -5056,6 +5091,8 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["funnel_events"] = funnel_sql(["view", "click", "purchase"], within_seconds=86400)
     o["retention_cohorts"] = retention_cohorts_sql("week")
     o["sessionize_events"] = sessionize_sql(1800)
+    o["dsl_script_sort"] = dsl_search_sql(_DSL_SCRIPT_SORT_BODY)
+    o["dsl_script_sort_segment"] = o["dsl_script_sort"]
     o["dsl_min_score"] = dsl_search_sql(_DSL_MIN_SCORE_BODY)
     o["dsl_min_score_segment"] = o["dsl_min_score"]
     o["dsl_zero_terms_all"] = dsl_search_sql(_DSL_ZTQ_BODY)

@@ -169,6 +169,7 @@ class _Spec:
         self.from_: int = 0
         self.size: int = 10
         self.sort: list[tuple[str, str]] | None = None
+        self.script_sort: tuple[str, str] | None = None  # (_script src, order)
         self.track_scores: bool = False  # ES track_scores on sorted search
         self.highlight: tuple[str, str] | None = None  # (pre, post)
         self.const_score: float = 1.0  # match_all/ids/constant_score score
@@ -1575,12 +1576,36 @@ def parse_body(
     if "sort" in body:
         sb = []
         for s in body["sort"]:
+            if not isinstance(s, str) and list(s) == ["_script"]:
+                # ES 1.x _script sort (type number): the Q39 arithmetic
+                # subset compiled to a JVM Column — parsed HERE so a bad
+                # script refuses at the front door, not mid-plan
+                sc = s["_script"]
+                extra_sc = set(sc) - {"script", "type", "order"}
+                if extra_sc:
+                    _err(f"_script sort keys {sorted(extra_sc)}")
+                if sc.get("type", "number") != "number":
+                    _err(f"_script sort type {sc.get('type')!r} (number only)")
+                if len(body["sort"]) != 1:
+                    _err("_script sort does not mix with field sorts")
+                from ..functions.scripts import parse_script
+
+                src = sc.get("script") or _err("_script sort needs script")
+                if parse_script(src).uses_score:
+                    _err("_script sort: _score is not in scope (scoring is "
+                         "skipped on sorted searches)")
+                spec.script_sort = (src, sc.get("order", "asc"))
+                if spec.script_sort[1] not in ("asc", "desc"):
+                    _err(f"_script sort order {spec.script_sort[1]!r}")
+                continue
             if isinstance(s, str):
                 sb.append((s, "asc"))
             else:
                 f, o = _one_field(s, "sort")
                 sb.append((f, o["order"] if isinstance(o, dict) else o))
-        spec.sort = sb
+        # an all-_script sort list leaves spec.sort unset; an explicit empty
+        # "sort": [] keeps the pre-existing [] (doc_id-only order) semantics
+        spec.sort = None if (spec.script_sort is not None and not sb) else sb
         if spec.kind not in ("match", "match_all"):
             _err(f"sort with query kind {spec.kind!r}")
         if spec.field not in (None, text_col):
@@ -1740,6 +1765,14 @@ def parse_body(
         or spec.script_fields is not None
     ):
         _err("_name (matched_queries) composes with plain should bodies only")
+    if spec.script_sort is not None and (
+        spec.sort is not None or spec.highlight is not None
+        or spec.rescore is not None or spec.explain or spec.track_scores
+        or spec.source is not None or spec.script_fields is not None
+        or spec.min_score is not None or spec.named is not None
+        or spec.fscore is not None
+    ):
+        _err("_script sort composes with a plain match/match_all query only")
     return spec
 
 
@@ -2016,6 +2049,16 @@ def dsl_search(
         return search_explain(docs, spec.query, k=spec.size, mode=spec.mode,
                               id_col=id_col, text_col=text_col,
                               boosts=spec.boosts)
+    if spec.script_sort is not None:
+        from .sorting import match_script_sorted
+
+        src, order = spec.script_sort
+        return match_script_sorted(
+            docs,
+            None if spec.kind == "match_all" else spec.query,
+            src, order, size=spec.size, from_=spec.from_,
+            mode=spec.mode, id_col=id_col, text_col=text_col,
+        )
     if spec.sort is not None:
         if spec.track_scores:
             from .sorting import match_sorted_tracked
@@ -2263,6 +2306,15 @@ def dsl_search_sql(
 
         return search_explain_sql(spec.query, k=spec.size, mode=spec.mode,
                                   boosts=spec.boosts, table=table)
+    if spec.script_sort is not None:
+        from .sorting import match_script_sorted_sql
+
+        src, order = spec.script_sort
+        return match_script_sorted_sql(
+            None if spec.kind == "match_all" else spec.query,
+            src, order, size=spec.size, from_=spec.from_,
+            mode=spec.mode, table=table,
+        )
     if spec.sort is not None:
         if spec.track_scores:
             from .sorting import match_sorted_tracked_sql
@@ -2458,6 +2510,15 @@ def dsl_search_index(
         _err(
             "script filter is declarative-only in this version (the serving "
             "path would need per-shard predicate evaluation over stored docs)"
+        )
+    if spec.script_sort is not None:
+        # serving twin: match ids from postings doc streams + the SAME
+        # compiled JVM Column over the stored-docs sidecar (structural
+        # parity — no second arithmetic implementation to drift)
+        src, order = spec.script_sort
+        return searcher.search_script_sorted(
+            None if spec.kind == "match_all" else spec.query,
+            src, order, size=spec.size, from_=spec.from_, mode=spec.mode,
         )
     if spec.explain:
         if (spec.kind != "match" or spec.filters or mn or spec.sort is not None

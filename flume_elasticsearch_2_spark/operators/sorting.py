@@ -143,6 +143,83 @@ def match_sorted(
     )
 
 
+def match_script_sorted(
+    docs: DataFrame,
+    query: str | None,
+    script_src: str,
+    order: str = "asc",
+    size: int = 10,
+    from_: int = 0,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES 1.x ``_script`` sort, ``type: number`` (delegation site
+    ElasticsearchSink.java:54): the match set ordered by a script value
+    computed per doc — the Q39 arithmetic subset (functions/scripts.py)
+    compiled ONCE into a pure-JVM Column riding the scan, so "script" sort
+    costs exactly a field sort plus codegen arithmetic. ``doc['f'].value``
+    NULLs pin to 0.0 (the doc-values contract), so null ordering cannot
+    diverge between engines. Tie-break doc_id ASC; the output carries the
+    sort value rounded to 6 (house hash-stability rule; ordering uses the
+    exact float64). ``_score`` is rejected — ES skips scoring entirely on
+    field/script-sorted searches, so no score is in scope."""
+    from ..functions.scripts import parse_script
+
+    if order not in ("asc", "desc"):
+        raise ValueError(f"script sort order {order!r} (asc/desc)")
+    _check_window(size, from_)
+    script = parse_script(script_src)
+    if script.uses_score:
+        raise ValueError(
+            "_script sort: _score is not in scope (ES skips scoring on "
+            "sorted searches)"
+        )
+    val = script.spark_col()
+    return (
+        docs.where(match_condition(query, mode, text_col, None, "ascii"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            val.cast("double").alias("_sv"),
+        )
+        .orderBy(
+            F.col("_sv").asc() if order == "asc" else F.col("_sv").desc(),
+            F.col("doc_id").asc(),
+        )
+        .offset(int(from_))
+        .limit(int(size))
+        .select("doc_id", F.round(F.col("_sv"), 6).alias("sort_value"))
+    )
+
+
+def match_script_sorted_sql(
+    query: str | None,
+    script_src: str,
+    order: str = "asc",
+    size: int = 10,
+    from_: int = 0,
+    mode: str = "or",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`match_script_sorted` — the Script's
+    identical-semantics SQL twin in both the projection and ORDER BY."""
+    from ..functions.scripts import parse_script
+
+    if order not in ("asc", "desc"):
+        raise ValueError(f"script sort order {order!r} (asc/desc)")
+    script = parse_script(script_src)
+    if script.uses_score:
+        raise ValueError("_script sort: _score is not in scope")
+    expr = script.sql()
+    return f"""
+SELECT doc_id, round(CAST({expr} AS DOUBLE), 6) AS sort_value
+FROM {table}
+WHERE {_match_sql(query, mode, None, "ascii")}
+ORDER BY CAST({expr} AS DOUBLE) {order.upper()}, doc_id ASC
+LIMIT {int(size)} OFFSET {int(from_)}
+"""
+
+
 def match_sorted_sql(
     query: str | None,
     sort_by: list[tuple[str, str]],

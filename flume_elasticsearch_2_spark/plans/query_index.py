@@ -2148,6 +2148,57 @@ class IndexSearcher:
             shard_ids, "doc_id long"
         )
 
+    def search_script_sorted(
+        self,
+        query: str | None,
+        script_src: str,
+        order: str = "asc",
+        size: int = 10,
+        from_: int = 0,
+        mode: str = "or",
+    ) -> DataFrame:
+        """ES 1.x ``_script`` sort on the SERVING path: the match set comes
+        from postings DOC streams (:meth:`matching_ids` — tf never read,
+        nothing scored; ES also skips scoring on sorted searches), the sort
+        value is the SAME compiled JVM Column the declarative path uses,
+        evaluated over the index's own column-pruned stored-docs sidecar —
+        so serving≡declarative parity is structural, not numeric: there is
+        no second arithmetic implementation to drift. One semi-join
+        (match ids against the docs sidecar — AQE broadcasts the small
+        side) ending in TakeOrderedAndProject; ``query=None`` (match_all)
+        skips postings entirely. Script fields must be stored docs columns
+        — missing ones refuse loudly. Returns ``(doc_id, sort_value)``
+        with the house round-6 output contract."""
+        from ..functions.scripts import parse_script
+        from ..operators.sorting import _check_window
+
+        if order not in ("asc", "desc"):
+            raise ValueError(f"script sort order {order!r} (asc/desc)")
+        _check_window(size, from_)
+        script = parse_script(script_src)
+        if script.uses_score:
+            raise ValueError("_script sort: _score is not in scope")
+        docs = self.spark.read.parquet(f"{self.index_dir}/docs")
+        missing = sorted(set(script.fields) - set(docs.columns))
+        if missing:
+            raise ValueError(
+                f"_script sort fields {missing} are not stored docs columns "
+                f"(available: {sorted(docs.columns)})"
+            )
+        if query is not None:
+            docs = docs.join(self.matching_ids(query, mode), "doc_id", "left_semi")
+        val = script.spark_col()
+        return (
+            docs.select(F.col("doc_id"), val.cast("double").alias("_sv"))
+            .orderBy(
+                F.col("_sv").asc() if order == "asc" else F.col("_sv").desc(),
+                F.col("doc_id").asc(),
+            )
+            .offset(int(from_))
+            .limit(int(size))
+            .select("doc_id", F.round(F.col("_sv"), 6).alias("sort_value"))
+        )
+
     def scroll_export(
         self, query: str, mode: str = "or", page_size: int = 1000
     ) -> DataFrame:

@@ -181,3 +181,131 @@ def test_search_after_goes_past_max_result_window(documents):
     rows = match_sorted(documents, None, sort_by, size=5).collect()
     cursor = (rows[-1][1], rows[-1][0])
     assert match_sorted(documents, None, sort_by, size=5, after=cursor).count() == 5
+
+
+# -- ES 1.x _script sort (type number) ---------------------------------------
+
+SCRIPT_CASES = [
+    ("dup batch scan", "or", "doc['n_chars'].value / 100 + log1p(doc['doc_id'].value)", "desc", 10, 0),
+    ("dup batch scan", "or", "doc['n_chars'].value * -1", "asc", 10, 5),
+    (None, "or", "sqrt(doc['n_chars'].value)", "asc", 10, 0),  # match_all
+    ("zzzznotaterm", "or", "doc['n_chars'].value", "desc", 10, 0),  # empty
+]
+
+
+@pytest.mark.parametrize("query,mode,script,order,size,from_", SCRIPT_CASES)
+def test_match_script_sorted_matches_duckdb(
+    documents, sf_dir, query, mode, script, order, size, from_
+):
+    from flume_elasticsearch_2_spark.operators.sorting import (
+        match_script_sorted,
+        match_script_sorted_sql,
+    )
+
+    got = [
+        tuple(r)
+        for r in match_script_sorted(
+            documents, query, script, order, size=size, from_=from_, mode=mode
+        ).collect()
+    ]
+    want = _duck(
+        sf_dir,
+        match_script_sorted_sql(query, script, order, size=size, from_=from_, mode=mode),
+    )
+    assert got == want  # ordered compare
+    if query != "zzzznotaterm":
+        assert got
+
+
+def test_script_sort_dsl_routing(documents, sf_dir):
+    """The DSL front door routes {"sort": [{"_script": ...}]} onto the same
+    kernel on both declarative and oracle paths."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search, dsl_search_sql
+
+    body = {
+        "query": {"match": {"text": "dup batch"}},
+        "sort": [{"_script": {
+            "script": "doc['n_chars'].value / 10",
+            "type": "number",
+            "order": "desc",
+        }}],
+        "size": 7,
+    }
+    got = [tuple(r) for r in dsl_search(documents, body).collect()]
+    want = _duck(sf_dir, dsl_search_sql(body))
+    assert got == want and got
+
+
+def test_script_sort_refusals(documents, sort_searcher):
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search, dsl_search_index
+
+    base = {"query": {"match": {"text": "dup"}}}
+
+    def body(**sc):
+        return {**base, "sort": [{"_script": {"script": "doc['n_chars'].value", **sc}}]}
+
+    with pytest.raises(ValueError, match="number only"):
+        dsl_search(documents, body(type="string"))
+    with pytest.raises(ValueError, match="_score is not in scope"):
+        dsl_search(documents, {**base, "sort": [{"_script": {"script": "_score * 2"}}]})
+    with pytest.raises(ValueError, match="mix with field sorts"):
+        dsl_search(
+            documents,
+            {**base, "sort": [{"_script": {"script": "doc['n_chars'].value"}},
+                              {"n_chars": "desc"}]},
+        )
+    with pytest.raises(ValueError, match="plain match/match_all"):
+        dsl_search(
+            documents,
+            {**body(), "highlight": {"fields": {"text": {}}}},
+        )
+    with pytest.raises(ValueError, match="not stored docs columns"):
+        dsl_search_index(
+            sort_searcher,
+            {**base, "sort": [{"_script": {"script": "doc['nope'].value"}}]},
+        )
+
+
+@pytest.mark.parametrize(
+    "query,script,order,size,from_",
+    [
+        ("dup batch scan", "doc['n_chars'].value / 100 + log1p(doc['doc_id'].value)", "desc", 10, 0),
+        ("dup batch scan", "doc['n_chars'].value * -1", "asc", 10, 5),
+        (None, "sqrt(doc['n_chars'].value)", "asc", 10, 0),  # match_all
+        ("zzzznotaterm", "doc['n_chars'].value", "desc", 10, 0),
+    ],
+)
+def test_script_sort_serving_equals_declarative(
+    sort_searcher, documents, query, script, order, size, from_
+):
+    """Serving (_script sort over the stored-docs sidecar, match ids from
+    postings) must page-identically match the declarative kernel."""
+    from flume_elasticsearch_2_spark.operators.sorting import match_script_sorted
+
+    got = [
+        tuple(r)
+        for r in sort_searcher.search_script_sorted(
+            query, script, order, size=size, from_=from_
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in match_script_sorted(
+            documents, query, script, order, size=size, from_=from_
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_script_sort_dsl_serving_route(sort_searcher, documents):
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search, dsl_search_index
+
+    body = {
+        "query": {"match": {"text": "dup batch"}},
+        "sort": [{"_script": {"script": "doc['n_chars'].value / 10",
+                              "type": "number", "order": "desc"}}],
+        "size": 7,
+    }
+    got = [tuple(r) for r in dsl_search_index(sort_searcher, body).collect()]
+    want = [tuple(r) for r in dsl_search(documents, body).collect()]
+    assert got == want and got
