@@ -4006,6 +4006,29 @@ def _bm25_autocomplete_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _edge_searcher(spark, sf_dir).search("bat", k=10, pruned=True)
 
 
+_FIELD_STATS_FIELDS = ["lang", "source", "n_chars", "doc_id"]
+
+
+def _field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x _field_stats: per-field doc_count/min/max in ONE map-side-
+    combined corpus pass (a single scalar row crosses the wire per
+    partition). operators/admin.py field_stats."""
+    from flume_elasticsearch_2_spark.operators.admin import field_stats
+
+    return field_stats(_docs(spark, sf_dir), _FIELD_STATS_FIELDS)
+
+
+def _field_stats_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_field_stats on the SERVING path: the same one-pass aggregate over
+    the index's column-pruned stored-docs sidecar (zero postings reads) —
+    exactly ES's doc-values read."""
+    from flume_elasticsearch_2_spark.operators.admin import field_stats
+
+    s = _segment_searcher(spark, sf_dir)
+    docs = spark.read.parquet(f"{s.index_dir}/docs")
+    return field_stats(docs, _FIELD_STATS_FIELDS)
+
+
 def _cat_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES 1.x _cat/indices over the two live generations: per-index
     (index, pri, docs_count) from committed manifests only — zero data
@@ -4113,6 +4136,8 @@ _R3_NEW = [
     "bm25_autocomplete_segment",
     "dsl_script_sort",
     "dsl_script_sort_segment",
+    "field_stats",
+    "field_stats_segment",
     "es_segments",
     "search_exists_api",
     "refine_corpus",
@@ -4478,6 +4503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cat_count"] = _cat_count
     q["bm25_autocomplete"] = _bm25_autocomplete
     q["bm25_autocomplete_segment"] = _bm25_autocomplete_segment
+    q["field_stats"] = _field_stats
+    q["field_stats_segment"] = _field_stats_segment
     # round 3
     q["bm25_field_match"] = _bm25_field_match
     q["bm25_field_match_segment"] = _bm25_field_match_segment
@@ -5457,6 +5484,10 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
         "bat", k=10, analyzer="ascii_edge1_6", search_analyzer="ascii"
     )
     o["bm25_autocomplete_segment"] = o["bm25_autocomplete"]
+    from flume_elasticsearch_2_spark.operators.admin import field_stats_sql
+
+    o["field_stats"] = field_stats_sql(_FIELD_STATS_FIELDS)
+    o["field_stats_segment"] = o["field_stats"]
     from flume_elasticsearch_2_spark.operators.topk import search_exists_sql
 
     o["search_exists_api"] = search_exists_sql("batch small scan", mode="or")

@@ -271,6 +271,52 @@ ORDER BY doc.doc_id, doc.term
 """
 
 
+def field_stats(docs: DataFrame, fields: list[str]) -> DataFrame:
+    """ES 1.x ``_field_stats`` API (shipped 1.6; the query-planning probe
+    1.x clients use before building range filters): per field —
+    ``(field, doc_count, min_value, max_value)`` ordered by field name.
+    ``doc_count`` counts docs with a non-null value; min/max are rendered
+    as strings so mixed-type field sets share one schema (ES renders
+    ``min_value_as_string`` the same way).
+
+    Plan: ONE map-side-combined global aggregate computes every field's
+    three stats in a single corpus pass (a 1-row result), then a driver-side
+    unpivot to per-field rows — at 10^12 docs exactly one scalar row crosses
+    the wire per partition. The SERVING form is this function over the
+    index's column-pruned stored-docs sidecar (zero postings reads), which
+    is precisely what ES reads from doc values."""
+    missing = sorted(set(fields) - set(docs.columns))
+    if missing:
+        raise ValueError(f"field_stats fields {missing} not in {sorted(docs.columns)}")
+    aggs = []
+    for i, f in enumerate(sorted(fields)):
+        aggs += [
+            F.count(F.col(f)).cast("long").alias(f"c{i}"),
+            F.min(F.col(f)).cast("string").alias(f"mn{i}"),
+            F.max(F.col(f)).cast("string").alias(f"mx{i}"),
+        ]
+    row = docs.agg(*aggs).collect()[0]
+    rows = [
+        (f, int(row[f"c{i}"]), row[f"mn{i}"], row[f"mx{i}"])
+        for i, f in enumerate(sorted(fields))
+    ]
+    return docs.sparkSession.createDataFrame(
+        rows, "field string, doc_count long, min_value string, max_value string"
+    )
+
+
+def field_stats_sql(fields: list[str], table: str = "documents") -> str:
+    """DuckDB oracle for :func:`field_stats` — one scalar select per field,
+    UNION ALL'd in the same name order."""
+    selects = [
+        f"SELECT '{f}' AS field, CAST(count({f}) AS BIGINT) AS doc_count, "
+        f"CAST(min({f}) AS VARCHAR) AS min_value, "
+        f"CAST(max({f}) AS VARCHAR) AS max_value FROM {table}"
+        for f in sorted(fields)
+    ]
+    return " UNION ALL ".join(selects) + " ORDER BY field"
+
+
 def cat_indices(spark, indexes: dict[str, str]) -> DataFrame:
     """ES 1.x ``_cat/indices`` (the ops one-liner against the reference's ES
     node, README.md:17's monitoring story): one row per index —

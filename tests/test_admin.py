@@ -168,3 +168,26 @@ def test_cat_indices_and_count(spark, documents, tmp_path_factory):
     assert [r.docs_count for r in rows] == [half, n - half]
     assert all(r.pri == 4 and r.store_bytes > 0 for r in rows)
     assert cat_count(spark, {"g1": d1, "g2": d2}).collect()[0]["count"] == n
+
+
+def test_field_stats_matches_duckdb(documents, duck):
+    from flume_elasticsearch_2_spark.operators.admin import field_stats, field_stats_sql
+
+    fields = ["lang", "n_chars", "source"]
+    got = [tuple(r) for r in field_stats(documents, fields).collect()]
+    want = duck.sql(field_stats_sql(fields)).fetchall()
+    assert got == [tuple(r) for r in want] and got
+
+
+def test_field_stats_counts_non_null_and_refuses_unknown(spark, documents):
+    from flume_elasticsearch_2_spark.operators.admin import field_stats
+    from pyspark.sql import functions as F
+
+    # null out half of one field: doc_count must drop to the non-null count
+    d = documents.withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, F.col("lang"))
+    )
+    row = {r.field: r for r in field_stats(d, ["lang"]).collect()}["lang"]
+    assert row.doc_count == documents.where("doc_id % 2 = 0").count()
+    with pytest.raises(ValueError, match="field_stats fields"):
+        field_stats(documents, ["nope"])
