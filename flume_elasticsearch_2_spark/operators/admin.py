@@ -378,6 +378,150 @@ def cat_count_sql(table: str = "documents") -> str:
     return f"SELECT CAST(count(*) AS BIGINT) AS count FROM {table}"
 
 
+class IndexTemplateRegistry:
+    """ES 1.x ``_template`` API (PUT/GET/DELETE ``_template/{name}``): build
+    settings applied automatically to every new index whose name matches the
+    template's glob pattern. Delegation site ElasticsearchSink.java:66 —
+    ``prepareIndex(indexName.toLowerCase(), ...)`` creates indexes on first
+    write, so 1.x deployments control their settings exclusively through
+    templates.
+
+    The supported settings are this engine's build knobs
+    (``number_of_shards`` -> n_shards, ``store_positions``); unknown
+    settings refuse at PUT time. Matching templates merge LOWEST ``order``
+    first so higher-order values override per key — the ES contract.
+    Persistence mirrors :class:`~.alias.AliasRegistry` (driver-side JSON,
+    metadata-scale, like ES cluster state)."""
+
+    _SETTINGS = {"number_of_shards", "store_positions"}
+
+    def __init__(self) -> None:
+        self._templates: dict[str, dict] = {}
+
+    def put(self, name: str, template: str, settings: dict, order: int = 0) -> None:
+        if not template:
+            raise ValueError("template pattern must be non-empty")
+        extra = set(settings) - self._SETTINGS
+        if extra:
+            raise ValueError(
+                f"template settings {sorted(extra)} unsupported "
+                f"(supported: {sorted(self._SETTINGS)})"
+            )
+        self._templates[name] = {
+            "template": template,
+            "settings": dict(settings),
+            "order": int(order),
+        }
+
+    def delete(self, name: str) -> None:
+        self._templates.pop(name, None)
+
+    def get(self, name: str) -> dict:
+        if name not in self._templates:
+            raise KeyError(f"unknown template {name!r}")
+        return self._templates[name]
+
+    def templates(self) -> dict[str, dict]:
+        return dict(self._templates)
+
+    def resolve(self, index_name: str) -> dict:
+        """Merged settings for a new index named ``index_name``: matching
+        templates apply in (order ASC, name ASC) so higher order wins per
+        key — deterministic even for equal orders (ES leaves that tie
+        undefined; pinning name ASC removes the ambiguity loudly
+        documented)."""
+        import fnmatch
+
+        merged: dict = {}
+        for name, t in sorted(
+            self._templates.items(), key=lambda kv: (kv[1]["order"], kv[0])
+        ):
+            if fnmatch.fnmatchcase(index_name, t["template"]):
+                merged.update(t["settings"])
+        return merged
+
+    def save(self, path: str) -> None:
+        import json as _json
+        import os as _os
+
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(self._templates, f, indent=1, sort_keys=True)
+        _os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "IndexTemplateRegistry":
+        import json as _json
+
+        reg = cls()
+        with open(path) as f:
+            reg._templates = _json.load(f)
+        return reg
+
+
+def build_index_from_templates(
+    spark,
+    docs: DataFrame,
+    index_dir: str,
+    index_name: str,
+    registry: IndexTemplateRegistry,
+    **overrides,
+):
+    """Create an index the way the 1.x auto-create path does: resolve the
+    registry's matching templates for ``index_name``, translate to build
+    knobs, apply explicit ``overrides`` on top (the request body wins over
+    templates, as in ES), and run the proven builder."""
+    from ..plans.build_index import build_index
+
+    settings = registry.resolve(index_name)
+    kwargs: dict = {}
+    if "number_of_shards" in settings:
+        kwargs["n_shards"] = int(settings["number_of_shards"])
+    if "store_positions" in settings:
+        kwargs["store_positions"] = bool(settings["store_positions"])
+    kwargs.update(overrides)
+    return build_index(spark, docs, index_dir, **kwargs)
+
+
+def cluster_health(spark, indexes: dict[str, str]) -> DataFrame:
+    """ES ``_cluster/health`` analog over this engine's commit-point model:
+    one row per index ``(index, status, n_shards, n_docs)`` ordered by name.
+    ``green`` = committed manifest present and every shard's docs partition
+    exists on disk; ``red`` = missing/uncommitted (a crashed build's .tmp
+    never looks healthy — the atomic-rename contract). There is no
+    ``yellow``: immutable segments have no replica-lag state."""
+    import json
+    import os
+
+    rows = []
+    for name in sorted(indexes):
+        d = indexes[name]
+        mpath = os.path.join(d, "manifest.json")
+        if not os.path.exists(mpath):
+            rows.append((name, "red", 0, 0))
+            continue
+        with open(mpath) as fh:
+            m = json.load(fh)
+        # a generation may legitimately hold ZERO docs in some shards (e.g.
+        # an id-range slice of a shared id space), so health checks that the
+        # docs tree exists and every present shard dir is in range — never
+        # that every shard is populated
+        docs_dir = os.path.join(d, "docs")
+        ok = os.path.isdir(docs_dir)
+        if ok:
+            for e in os.listdir(docs_dir):
+                if e.startswith("shard="):
+                    s = int(e.split("=", 1)[1])
+                    if not (0 <= s < int(m["n_shards"])):
+                        ok = False
+        rows.append(
+            (name, "green" if ok else "red", int(m["n_shards"]), int(m["n_docs"]))
+        )
+    return spark.createDataFrame(
+        rows, "index string, status string, n_shards int, n_docs long"
+    )
+
+
 def segments_report(spark, index_dir: str) -> DataFrame:
     """ES 1.x ``_segments`` analog: per-shard segment diagnostics read from
     the COMMITTED index tree — ``(shard, n_docs, sum_dl, n_terms,

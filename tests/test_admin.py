@@ -191,3 +191,56 @@ def test_field_stats_counts_non_null_and_refuses_unknown(spark, documents):
     assert row.doc_count == documents.where("doc_id % 2 = 0").count()
     with pytest.raises(ValueError, match="field_stats fields"):
         field_stats(documents, ["nope"])
+
+
+# -- ES 1.x _template registry + auto-create settings ------------------------
+
+
+def test_index_template_registry(tmp_path):
+    from flume_elasticsearch_2_spark.operators.admin import IndexTemplateRegistry
+
+    reg = IndexTemplateRegistry()
+    reg.put("base", "web*", {"number_of_shards": 8}, order=0)
+    reg.put("hot", "web_hot*", {"number_of_shards": 2, "store_positions": True}, order=1)
+    # order merge: higher order overrides per key
+    assert reg.resolve("web_hot_2026") == {"number_of_shards": 2, "store_positions": True}
+    assert reg.resolve("web_archive") == {"number_of_shards": 8}
+    assert reg.resolve("unrelated") == {}
+    with pytest.raises(ValueError, match="unsupported"):
+        reg.put("bad", "x*", {"refresh_interval": "1s"})
+    reg.delete("hot")
+    assert reg.resolve("web_hot_2026") == {"number_of_shards": 8}
+    p = str(tmp_path / "templates.json")
+    reg.save(p)
+    from flume_elasticsearch_2_spark.operators.admin import IndexTemplateRegistry as R2
+
+    assert R2.load(p).templates() == reg.templates()
+
+
+def test_build_from_templates_and_health(spark, documents, tmp_path_factory):
+    """Templates drive the auto-create build knobs (request overrides win,
+    as ES); cluster_health reads green from the committed tree and red from
+    a missing manifest."""
+    from flume_elasticsearch_2_spark.operators.admin import (
+        IndexTemplateRegistry,
+        build_index_from_templates,
+        cluster_health,
+    )
+
+    root = tmp_path_factory.mktemp("tmpl")
+    reg = IndexTemplateRegistry()
+    reg.put("web", "web*", {"number_of_shards": 2})
+    d1 = str(root / "web_a")
+    m = build_index_from_templates(spark, documents, d1, "web_a", reg)
+    assert m["n_shards"] == 2
+    d2 = str(root / "web_b")
+    m2 = build_index_from_templates(
+        spark, documents, d2, "web_b", reg, n_shards=4
+    )
+    assert m2["n_shards"] == 4  # explicit override beats the template
+    rows = {r["index"]: r for r in cluster_health(
+        spark, {"web_a": d1, "web_b": d2, "ghost": str(root / "nope")}
+    ).collect()}
+    assert rows["web_a"].status == "green" and rows["web_a"].n_shards == 2
+    assert rows["web_b"].status == "green" and rows["web_b"].n_docs == documents.count()
+    assert rows["ghost"].status == "red" and rows["ghost"].n_docs == 0
