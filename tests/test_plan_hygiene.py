@@ -526,3 +526,65 @@ def test_children_agg_collapses_children_before_join(spark, sf_dir):
     assert n_joins == 1, plan
     # the child filter reaches the parquet scan
     assert "EqualTo(l_returnflag,R)" in plan, plan
+
+
+def test_count_terminated_single_shard_exchange(spark, documents):
+    """terminate_after declarative plan: the only exchange is the
+    <=n_shards-row shard groupBy (map-side combined) — the match predicate
+    rides the scan, no joins of doc-level data (the 1-row id_space side is
+    a broadcast)."""
+    from flume_elasticsearch_2_spark.operators.topk import match_count_terminated
+
+    plan = _plan(
+        match_count_terminated(documents, "dup batch", terminate_after=5, n_shards=4)
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "HashAggregate" in plan  # partial per-shard counts combine map-side
+
+
+def test_field_stats_is_one_aggregate_pass(spark, documents):
+    """field_stats: every field's stats come from ONE global aggregate —
+    no joins, no shuffle beyond the scalar agg's single exchange."""
+    from flume_elasticsearch_2_spark.operators.admin import field_stats
+
+    # the API collects internally; pin the plan of the underlying agg shape
+    aggs = []
+    for i, f in enumerate(["lang", "n_chars"]):
+        aggs += [
+            F.count(F.col(f)).alias(f"c{i}"),
+            F.min(F.col(f)).cast("string").alias(f"mn{i}"),
+            F.max(F.col(f)).cast("string").alias(f"mx{i}"),
+        ]
+    plan = _plan(documents.agg(*aggs))
+    assert "Join" not in plan
+    # formatted explain prints each operator in the tree AND the detail
+    # list, so count tree nodes only: exactly the one SinglePartition
+    # exchange between partial and final aggregates
+    assert plan.count("+- Exchange") == 1, plan
+    assert "partial_count" in plan  # map-side combine before the exchange
+
+
+def test_autocomplete_stays_single_scan(spark, documents):
+    """Edge-gram analyzed BM25 keeps bm25_topk's zero-join zero-exchange
+    scoring pass — the gram expansion is a JVM expression riding the scan,
+    never an explode/shuffle."""
+    from flume_elasticsearch_2_spark.operators.topk import bm25_topk
+
+    plan = _plan(
+        bm25_topk(documents, "bat", k=10, analyzer="ascii_edge1_6",
+                  search_analyzer="ascii")
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+
+
+def test_script_sort_take_ordered_no_join(spark, documents):
+    from flume_elasticsearch_2_spark.operators.sorting import match_script_sorted
+
+    plan = _plan(
+        match_script_sorted(documents, "dup batch", "doc['n_chars'].value / 10", "desc")
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan and "Exchange" not in plan
