@@ -665,6 +665,35 @@ def _search_highlight_fragment_segment(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def _search_highlight_multifrag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-fragment highlight (ES number_of_fragments=3): hits exploded
+    to (doc_id, score, fragment_no, fragment) under the pinned non-overlap
+    iteration — fetch-phase work on k rows (a pandas UDF where ES's own
+    highlighter runs Java on the fetch node); oracle = the identical
+    iteration as a recursive CTE. operators/highlight.py."""
+    from flume_elasticsearch_2_spark.operators.highlight import (
+        search_highlight_fragments,
+    )
+
+    return search_highlight_fragments(
+        _docs(spark, sf_dir), "dup batch scan", k=10,
+        number_of_fragments=3, fragment_size=24,
+    )
+
+
+def _search_highlight_multifrag_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-fragment mode on the SERVING path: BMW top-k + stored-docs
+    markup, the same pinned explode over the k-row page."""
+    from flume_elasticsearch_2_spark.operators.highlight import (
+        search_highlight_fragments_index,
+    )
+
+    return search_highlight_fragments_index(
+        _segment_searcher(spark, sf_dir), "dup batch scan", k=10,
+        number_of_fragments=3, fragment_size=24,
+    )
+
+
 _DSL_BOOL_BODY = {
     "query": {
         "bool": {
@@ -4138,6 +4167,8 @@ _R3_NEW = [
     "dsl_script_sort_segment",
     "field_stats",
     "field_stats_segment",
+    "search_highlight_multifrag",
+    "search_highlight_multifrag_segment",
     "es_segments",
     "search_exists_api",
     "refine_corpus",
@@ -4489,6 +4520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["explain_top1_segment"] = _explain_top1_segment
     q["search_highlight"] = _search_highlight
     q["search_highlight_segment"] = _search_highlight_segment
+    q["search_highlight_multifrag"] = _search_highlight_multifrag
+    q["search_highlight_multifrag_segment"] = _search_highlight_multifrag_segment
     q["search_highlight_fragment"] = _search_highlight_fragment
     q["search_highlight_fragment_segment"] = _search_highlight_fragment_segment
     q["more_like_this"] = _more_like_this
@@ -5453,6 +5486,14 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
         "dup batch scan", k=10, fragment_size=60
     )
     o["search_highlight_fragment_segment"] = o["search_highlight_fragment"]
+    from flume_elasticsearch_2_spark.operators.highlight import (
+        search_highlight_fragments_sql,
+    )
+
+    o["search_highlight_multifrag"] = search_highlight_fragments_sql(
+        "dup batch scan", k=10, number_of_fragments=3, fragment_size=24
+    )
+    o["search_highlight_multifrag_segment"] = o["search_highlight_multifrag"]
     o["more_like_this"] = more_like_this_sql(_MLT_ID, k=10)
     o["more_like_this_segment"] = o["more_like_this"]
     o["bm25_must_not"] = bm25_topk_sql("dup batch scan", k=10, must_not="slow")

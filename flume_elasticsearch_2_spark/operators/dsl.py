@@ -172,6 +172,8 @@ class _Spec:
         self.script_sort: tuple[str, str] | None = None  # (_script src, order)
         self.track_scores: bool = False  # ES track_scores on sorted search
         self.highlight: tuple[str, str] | None = None  # (pre, post)
+        # nof>=2 multi-fragment mode: (nof, fragment_size, pre, post)
+        self.highlight_frags: tuple | None = None
         self.const_score: float = 1.0  # match_all/ids/constant_score score
         self.rescore: dict | None = None  # (phrase, window, qw, rw)
         self.source: list[str] | None = None  # _source stored-field filter
@@ -1667,18 +1669,21 @@ def parse_body(
         if extra_f:
             _err(f"highlight field options {sorted(extra_f)}")
         nof = int(fopts.get("number_of_fragments", 0))
-        if nof not in (0, 1):
-            _err("highlight number_of_fragments must be 0 (whole field) or 1")
+        if nof < 0:
+            _err("highlight number_of_fragments must be >= 0")
         if nof == 0 and "fragment_size" in fopts:
-            _err("highlight fragment_size needs number_of_fragments: 1")
-        frag = int(fopts.get("fragment_size", 100)) if nof == 1 else None
+            _err("highlight fragment_size needs number_of_fragments >= 1")
+        frag = int(fopts.get("fragment_size", 100)) if nof >= 1 else None
         if frag is not None and frag <= 0:
             _err("highlight fragment_size must be positive")
-        spec.highlight = (
-            h.get("pre_tags", ["<em>"])[0],
-            h.get("post_tags", ["</em>"])[0],
-            frag,
-        )
+        pre = h.get("pre_tags", ["<em>"])[0]
+        post = h.get("post_tags", ["</em>"])[0]
+        if nof >= 2:
+            # multi-fragment mode: exploded (fragment_no, fragment) rows
+            # under the pinned non-overlap contract (operators/highlight.py)
+            spec.highlight_frags = (nof, frag, pre, post)
+        else:
+            spec.highlight = (pre, post, frag)
         if (
             spec.kind != "match"
             or spec.field not in (None, text_col)
@@ -1773,6 +1778,14 @@ def parse_body(
         or spec.fscore is not None
     ):
         _err("_script sort composes with a plain match/match_all query only")
+    if spec.highlight_frags is not None and (
+        spec.sort is not None or spec.script_sort is not None
+        or spec.rescore is not None or spec.explain or spec.track_scores
+        or spec.source is not None or spec.script_fields is not None
+        or spec.min_score is not None or spec.named is not None
+        or spec.fscore is not None or spec.from_
+    ):
+        _err("multi-fragment highlight composes with a plain match query only")
     return spec
 
 
@@ -2077,6 +2090,15 @@ def dsl_search(
             id_col=id_col,
             text_col=text_col,
         )
+    if spec.highlight_frags is not None:
+        from .highlight import search_highlight_fragments
+
+        nof, frag, pre, post = spec.highlight_frags
+        return search_highlight_fragments(
+            docs, spec.query, k=spec.size, number_of_fragments=nof,
+            fragment_size=frag, mode=spec.mode, pre_tag=pre, post_tag=post,
+            id_col=id_col, text_col=text_col,
+        )
     if spec.highlight is not None:
         pre, post, frag = spec.highlight
         return search_highlight(
@@ -2326,6 +2348,15 @@ def dsl_search_sql(
         return match_sorted_sql(
             None if spec.kind == "match_all" else spec.query,
             spec.sort, size=spec.size, from_=spec.from_, mode=spec.mode, table=table,
+        )
+    if spec.highlight_frags is not None:
+        from .highlight import search_highlight_fragments_sql
+
+        nof, frag, pre, post = spec.highlight_frags
+        return search_highlight_fragments_sql(
+            spec.query, k=spec.size, number_of_fragments=nof,
+            fragment_size=frag, mode=spec.mode, table=table,
+            pre_tag=pre, post_tag=post,
         )
     if spec.highlight is not None:
         pre, post, frag = spec.highlight
@@ -2580,7 +2611,8 @@ def dsl_search_index(
     if spec.field not in (None, text_col):
         if not multifield:
             _err(f"match on field {spec.field!r} needs a multi-field index")
-        if spec.sort is not None or spec.highlight or spec.rescore:
+        if (spec.sort is not None or spec.highlight or spec.rescore
+                or spec.highlight_frags):
             _err("field match composes with plain search options only")
         return searcher.search(
             spec.query, field=spec.field, k=spec.size, mode=spec.mode,
@@ -2600,6 +2632,14 @@ def dsl_search_index(
         return searcher.search_sorted(
             None if spec.kind == "match_all" else spec.query,
             spec.sort, size=spec.size, from_=spec.from_, mode=spec.mode,
+        )
+    if spec.highlight_frags is not None:
+        from .highlight import search_highlight_fragments_index
+
+        nof, frag, pre, post = spec.highlight_frags
+        return search_highlight_fragments_index(
+            searcher, spec.query, k=spec.size, number_of_fragments=nof,
+            fragment_size=frag, mode=spec.mode, pre_tag=pre, post_tag=post,
         )
     if spec.highlight is not None:
         pre, post, frag = spec.highlight

@@ -170,3 +170,147 @@ SELECT h.doc_id, h.score, {hl} AS highlight
 FROM ({inner}) h JOIN {table} d USING (doc_id)
 ORDER BY h.score DESC, h.doc_id ASC
 """
+
+
+# -- number_of_fragments > 1 (multi-fragment mode) ---------------------------
+#
+# ES's own fragment selection is scorer-dependent and unspecified, so (as
+# with the single-fragment mode above) the engine pins the simplest
+# deterministic contract and documents it: fragment 1 starts at the FIRST
+# pre_tag occurrence; fragment i+1 starts at the first occurrence AT OR
+# AFTER the end of fragment i (fragments never overlap); extraction stops
+# at number_of_fragments or when occurrences run out. Hits whose highlight
+# carries no occurrence yield no fragment rows (ES omits the highlight
+# field for such hits).
+#
+# This is fetch-phase work on K ROWS (exactly where ES's highlighter runs,
+# on the fetch node), so the Spark twin is a pandas UDF over the k-row hit
+# page — the one place a Python loop is the honest plan — while the DuckDB
+# oracle expresses the identical iteration as a recursive CTE. Both sides
+# index by CODE POINTS (Python str / DuckDB substr), so parity is total.
+
+
+def fragments_py(hl: str, n: int, size: int, pre_tag: str = PRE_TAG) -> list[str]:
+    """The pinned multi-fragment iteration, one highlighted string."""
+    out: list[str] = []
+    pos = hl.find(pre_tag)
+    while pos != -1 and len(out) < n:
+        out.append(hl[pos : pos + size])
+        pos = hl.find(pre_tag, pos + size)
+    return out
+
+
+def _explode_fragments(
+    hits: DataFrame, n: int, size: int, pre_tag: str
+) -> DataFrame:
+    """(doc_id, score, highlight) k-row frame -> (doc_id, score,
+    fragment_no, fragment) rows via the pinned iteration (Arrow-batched
+    pandas UDF over k rows)."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which pyspark's hint inference rejects — the legacy (fn, returnType)
+    # form pins the scalar pandas eval type explicitly
+    frag_udf = pandas_udf(
+        lambda hl: hl.map(lambda s: fragments_py(s, n, size, pre_tag)),
+        "array<string>",
+    )
+
+    return (
+        hits.select("doc_id", "score", frag_udf(F.col("highlight")).alias("_f"))
+        .select("doc_id", "score", F.posexplode(F.col("_f")).alias("_i", "fragment"))
+        .select(
+            "doc_id", "score",
+            (F.col("_i") + 1).cast("int").alias("fragment_no"),
+            "fragment",
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc(), F.col("fragment_no").asc())
+    )
+
+
+def search_highlight_fragments(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    number_of_fragments: int = 3,
+    fragment_size: int = 100,
+    mode: str = "or",
+    pre_tag: str = PRE_TAG,
+    post_tag: str = POST_TAG,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES search+highlight with ``number_of_fragments`` > 1: top-k BM25
+    hits exploded to ``(doc_id, score, fragment_no, fragment)`` rows under
+    the pinned non-overlapping-fragment contract above."""
+    if number_of_fragments < 2:
+        raise ValueError("use search_highlight for number_of_fragments 0/1")
+    if fragment_size <= 0:
+        raise ValueError("fragment_size must be positive")
+    hits = search_highlight(
+        docs, query, k=k, mode=mode, pre_tag=pre_tag, post_tag=post_tag,
+        id_col=id_col, text_col=text_col,
+    )
+    return _explode_fragments(hits, number_of_fragments, fragment_size, pre_tag)
+
+
+def search_highlight_fragments_index(
+    searcher,
+    query: str,
+    k: int = 10,
+    number_of_fragments: int = 3,
+    fragment_size: int = 100,
+    mode: str = "or",
+    pre_tag: str = PRE_TAG,
+    post_tag: str = POST_TAG,
+) -> DataFrame:
+    """Multi-fragment highlight on the SERVING path: the BMW top-k +
+    stored-docs markup of ``IndexSearcher.search_highlight``, then the SAME
+    pinned explode over the k-row page."""
+    if number_of_fragments < 2:
+        raise ValueError("use search_highlight for number_of_fragments 0/1")
+    if fragment_size <= 0:
+        raise ValueError("fragment_size must be positive")
+    hits = searcher.search_highlight(query, k=k, mode=mode, pre_tag=pre_tag, post_tag=post_tag)
+    return _explode_fragments(hits, number_of_fragments, fragment_size, pre_tag)
+
+
+def search_highlight_fragments_sql(
+    query: str,
+    k: int = 10,
+    number_of_fragments: int = 3,
+    fragment_size: int = 100,
+    mode: str = "or",
+    table: str = "documents",
+    pre_tag: str = PRE_TAG,
+    post_tag: str = POST_TAG,
+) -> str:
+    """DuckDB oracle for :func:`search_highlight_fragments` — the identical
+    iteration as a recursive CTE (1-based ``pos``; the next occurrence is
+    probed with ``instr`` over the suffix starting at ``pos + size``, so
+    fragments never overlap, exactly the Python twin's ``find(tag, pos +
+    size)``)."""
+    if number_of_fragments < 2:
+        raise ValueError("use search_highlight_sql for number_of_fragments 0/1")
+    if fragment_size <= 0:
+        raise ValueError("fragment_size must be positive")
+    inner = search_highlight_sql(query, k=k, mode=mode, table=table,
+                                 pre_tag=pre_tag, post_tag=post_tag)
+    n, size, tag = int(number_of_fragments), int(fragment_size), pre_tag
+    nxt = f"instr(substr(hl, pos + {size}), '{tag}')"
+    return f"""
+WITH RECURSIVE hits AS ({inner}),
+frags AS (
+  SELECT doc_id, score, highlight AS hl, 1 AS fragment_no,
+         instr(highlight, '{tag}') AS pos
+  FROM hits WHERE instr(highlight, '{tag}') > 0
+  UNION ALL
+  SELECT doc_id, score, hl, fragment_no + 1, pos + {size} - 1 + {nxt}
+  FROM frags
+  WHERE fragment_no < {n} AND {nxt} > 0
+)
+SELECT doc_id, score, CAST(fragment_no AS INT) AS fragment_no,
+       substr(hl, pos, {size}) AS fragment
+FROM frags
+ORDER BY score DESC, doc_id ASC, fragment_no ASC
+"""

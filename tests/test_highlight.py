@@ -165,11 +165,102 @@ def test_dsl_highlight_rejects_bad_options():
     base = {"query": {"match": {"text": "dup"}}}
     for h in (
         {"fields": {"text": {}}, "encoder": "html"},
-        {"fields": {"text": {"fragment_size": 50}}},         # needs nof: 1
-        {"fields": {"text": {"number_of_fragments": 5}}},    # 0 or 1 only
+        {"fields": {"text": {"fragment_size": 50}}},         # needs nof >= 1
+        {"fields": {"text": {"number_of_fragments": -1}}},   # negative
         {"fields": {"text": {"fragment_size": 0,
                              "number_of_fragments": 1}}},    # positive
         {"fields": {"text": {"order": "score"}}},            # unknown field opt
     ):
         with pytest.raises(ValueError, match="unsupported DSL"):
             parse_body({**base, "highlight": h})
+
+
+# -- number_of_fragments > 1 --------------------------------------------------
+
+
+def test_fragments_py_contract():
+    from flume_elasticsearch_2_spark.operators.highlight import fragments_py
+
+    hl = "aa <em>x</em> bb <em>y</em> cc <em>z</em>"
+    # window covers the next tag -> it is skipped (non-overlap rule)
+    assert fragments_py(hl, 5, 20, "<em>") == [hl[3:23], hl[31:51]]
+    assert fragments_py(hl, 5, 20, "<em>")[1] == "<em>z</em>"
+    assert fragments_py(hl, 1, 20, "<em>") == [hl[3:23]]
+    assert fragments_py("no tags here", 3, 10, "<em>") == []
+    # tiny window: every occurrence becomes its own fragment
+    assert fragments_py(hl, 9, 5, "<em>") == ["<em>x", "<em>y", "<em>z"]
+
+
+def test_multi_fragment_matches_duckdb(documents, duck):
+    """nof=3, small window: the pinned non-overlap iteration byte-identical
+    between the pandas-UDF twin and the recursive-CTE oracle."""
+    from flume_elasticsearch_2_spark.operators.highlight import (
+        search_highlight_fragments,
+        search_highlight_fragments_sql,
+    )
+
+    got = [
+        tuple(r)
+        for r in search_highlight_fragments(
+            documents, "dup batch scan", k=8, number_of_fragments=3,
+            fragment_size=24,
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in duck.execute(
+            search_highlight_fragments_sql(
+                "dup batch scan", k=8, number_of_fragments=3, fragment_size=24
+            )
+        ).fetchall()
+    ]
+    assert got == want and got
+    assert any(r[2] > 1 for r in got)  # multiple fragments actually occur
+    assert all(len(r[3]) <= 24 for r in got)
+
+
+def test_multi_fragment_serving_equals_declarative(spark, documents, tmp_path_factory):
+    from flume_elasticsearch_2_spark.operators.highlight import (
+        search_highlight_fragments,
+        search_highlight_fragments_index,
+    )
+    from flume_elasticsearch_2_spark.plans.build_index import build_segments_partial
+    from flume_elasticsearch_2_spark.plans.query_index import IndexSearcher
+
+    d = str(tmp_path_factory.mktemp("hlfrag") / "segidx")
+    build_segments_partial(
+        spark, documents, d, n_shards=4, orig_ids=documents.select("doc_id", "text")
+    )
+    s = IndexSearcher(spark, d)
+    got = [
+        tuple(r)
+        for r in search_highlight_fragments_index(
+            s, "dup batch scan", k=8, number_of_fragments=3, fragment_size=24
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in search_highlight_fragments(
+            documents, "dup batch scan", k=8, number_of_fragments=3, fragment_size=24
+        ).collect()
+    ]
+    assert got == want and got
+
+
+def test_multi_fragment_dsl_routing(documents, duck):
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search, dsl_search_sql
+
+    body = {
+        "query": {"match": {"text": "dup batch"}},
+        "size": 5,
+        "highlight": {"fields": {"text": {"fragment_size": 30,
+                                          "number_of_fragments": 3}}},
+    }
+    got = [tuple(r) for r in dsl_search(documents, body).collect()]
+    want = [tuple(r) for r in duck.execute(dsl_search_sql(body)).fetchall()]
+    assert got == want and got
+    # composition guard: from_ with multi-fragment refuses
+    from flume_elasticsearch_2_spark.operators.dsl import parse_body
+
+    with pytest.raises(ValueError, match="multi-fragment highlight"):
+        parse_body({**body, "from": 5})
