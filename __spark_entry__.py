@@ -1099,6 +1099,19 @@ def _es_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze(spark, "The QUICK-brown fox_42, jumps; over!")
 
 
+def _es_analyze_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_analyze under a composed chain (stopwords + s-stem + edge_ngram):
+    the full analyzer family as one queryable surface — the oracle composes
+    the identical DuckDB chain, pinning that _analyze can never drift from
+    what the index build does. operators/percolate.py analyze."""
+    from flume_elasticsearch_2_spark.operators.percolate import analyze
+
+    return analyze(
+        spark, "The QUICK-brown foxes_42 jump over the dogs!",
+        stopwords=["the"], analyzer="ascii_sstem_edge2_5",
+    )
+
+
 def _percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES percolate (reverse search): which registered queries match the
     incoming doc — one narrow scan of the analyzed query table."""
@@ -4169,6 +4182,7 @@ _R3_NEW = [
     "field_stats_segment",
     "search_highlight_multifrag",
     "search_highlight_multifrag_segment",
+    "es_analyze_chain",
     "es_segments",
     "search_exists_api",
     "refine_corpus",
@@ -4494,6 +4508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["indices_query_none"] = _indices_query_none
     q["indices_query_all"] = _indices_query_all
     q["es_analyze"] = _es_analyze
+    q["es_analyze_chain"] = _es_analyze_chain
     q["percolate_matches"] = _percolate_matches
     q["dsl_query_string"] = _dsl_query_string
     q["dsl_query_string_segment"] = _dsl_query_string_segment
@@ -5093,6 +5108,10 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
         "doc_id % 2 = 0", "dup batch scan", no_match_query="all", k=10
     )
     o["es_analyze"] = analyze_sql("The QUICK-brown fox_42, jumps; over!")
+    o["es_analyze_chain"] = analyze_sql(
+        "The QUICK-brown foxes_42 jump over the dogs!",
+        stopwords=["the"], analyzer="ascii_sstem_edge2_5",
+    )
     _perc_rows = " UNION ALL ".join(
         "SELECT {} AS query_id, '{}' AS mode, {} AS terms".format(
             qid, mode, "[" + ", ".join(f"'{t}'" for t in sorted(set(_tok(q)))) + "]"
