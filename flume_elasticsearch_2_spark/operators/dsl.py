@@ -2546,6 +2546,8 @@ def dsl_search_index(
         # serving twin: match ids from postings doc streams + the SAME
         # compiled JVM Column over the stored-docs sidecar (structural
         # parity — no second arithmetic implementation to drift)
+        if not hasattr(searcher, "search_script_sorted"):
+            _err("_script sort needs a single-field index searcher")
         src, order = spec.script_sort
         return searcher.search_script_sorted(
             None if spec.kind == "match_all" else spec.query,
@@ -2636,6 +2638,8 @@ def dsl_search_index(
     if spec.highlight_frags is not None:
         from .highlight import search_highlight_fragments_index
 
+        if not hasattr(searcher, "search_highlight"):
+            _err("multi-fragment highlight needs a single-field index searcher")
         nof, frag, pre, post = spec.highlight_frags
         return search_highlight_fragments_index(
             searcher, spec.query, k=spec.size, number_of_fragments=nof,
