@@ -170,6 +170,29 @@ def duckdb_token_pattern(analyzer: str = "ascii") -> str:
     return _RE2_PATTERNS[_base_name(analyzer)]
 
 
+def duckdb_tokens_expr(
+    analyzer: str = "ascii",
+    stopwords: "list[str] | None" = None,
+    text_expr: str = "text",
+) -> str:
+    """The COMPLETE analyzer chain as one DuckDB list expression — the
+    single source of truth for oracle SQL generators, composing exactly as
+    :func:`tokenize` does: pattern → stopwords → s-stem → edge grams. A
+    generator that inlines only the bare pattern silently diverges for
+    ``_sstem``/``_edge`` analyzer names (the drift class a review pass
+    found in three separate generators)."""
+    expr = f"regexp_extract_all(lower({text_expr}), '{duckdb_token_pattern(analyzer)}')"
+    if stopwords:
+        stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
+        expr = f"list_filter({expr}, t -> t NOT IN ({stop_list}))"
+    edge = edge_params(analyzer)
+    if (edge[0] if edge else analyzer).endswith("_sstem"):
+        expr = f"list_transform({expr}, t -> {duckdb_stem_case('t')})"
+    if edge:
+        expr = duckdb_edge_transform(expr, edge[1], edge[2])
+    return expr
+
+
 def tokenize(
     text: str, stopwords: list[str] | None = None, analyzer: str = "ascii"
 ) -> list[str]:

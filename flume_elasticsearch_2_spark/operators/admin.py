@@ -288,6 +288,20 @@ def field_stats(docs: DataFrame, fields: list[str]) -> DataFrame:
     missing = sorted(set(fields) - set(docs.columns))
     if missing:
         raise ValueError(f"field_stats fields {missing} not in {sorted(docs.columns)}")
+    # string rendering is part of the contract, so only types whose
+    # to-string form is engine-independent are accepted: integral types,
+    # strings, dates. Float ('1.0E-4' vs '0.0001'), boolean ('true' vs
+    # 'True') and timestamp renderings diverge between Spark and SQL
+    # engines — refused loudly instead of silently hash-mismatching
+    # (review finding).
+    ok_types = {"tinyint", "smallint", "int", "bigint", "string", "date"}
+    dt = dict(docs.dtypes)
+    bad = sorted(f for f in fields if dt[f] not in ok_types)
+    if bad:
+        raise ValueError(
+            f"field_stats fields {bad} have non-portable-render types "
+            f"({[dt[f] for f in bad]}); supported: {sorted(ok_types)}"
+        )
     aggs = []
     for i, f in enumerate(sorted(fields)):
         aggs += [
@@ -407,6 +421,18 @@ class IndexTemplateRegistry:
                 f"template settings {sorted(extra)} unsupported "
                 f"(supported: {sorted(self._SETTINGS)})"
             )
+        # value TYPES refuse loudly too (review finding): a JSON string
+        # "false" would otherwise coerce to bool("false") == True at build
+        if "number_of_shards" in settings:
+            v = settings["number_of_shards"]
+            if not isinstance(v, int) or isinstance(v, bool) or v < 1:
+                raise ValueError(f"number_of_shards must be a positive int, got {v!r}")
+        if "store_positions" in settings and not isinstance(
+            settings["store_positions"], bool
+        ):
+            raise ValueError(
+                f"store_positions must be a bool, got {settings['store_positions']!r}"
+            )
         self._templates[name] = {
             "template": template,
             "settings": dict(settings),
@@ -455,7 +481,11 @@ class IndexTemplateRegistry:
 
         reg = cls()
         with open(path) as f:
-            reg._templates = _json.load(f)
+            loaded = _json.load(f)
+        # re-validate through put() so a hand-edited cluster-state file
+        # cannot smuggle in values save() would never have written
+        for name, t in loaded.items():
+            reg.put(name, t["template"], t["settings"], t.get("order", 0))
         return reg
 
 

@@ -68,10 +68,11 @@ def _match_sql(
     terms = sorted(set(tokenize(query, stopwords, analyzer)))
     if not terms:
         return "FALSE"
-    tok_expr = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
-    if stopwords:
-        stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
-        tok_expr = f"list_filter({tok_expr}, t -> t NOT IN ({stop_list}))"
+    # full analyzer chain, never the bare pattern (tokens_col composes
+    # stem/edge on the Spark side — the oracle must match)
+    from ..functions.tokenizer import duckdb_tokens_expr
+
+    tok_expr = duckdb_tokens_expr(analyzer, stopwords)
     lst = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
     fn = "list_has_any" if mode == "or" else "list_has_all"
     return f"{fn}({tok_expr}, {lst})"

@@ -45,24 +45,13 @@ def analyze_sql(
     text: str, stopwords: list[str] | None = None, analyzer: str = "ascii"
 ) -> str:
     """DuckDB oracle for :func:`analyze` (unnest WITH ORDINALITY analog)."""
+    from ..functions.tokenizer import duckdb_tokens_expr
+
     esc = text.replace("'", "''")
-    tok_expr = f"regexp_extract_all(lower('{esc}'), '{duckdb_token_pattern(analyzer)}')"
-    if stopwords:
-        stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
-        tok_expr = f"list_filter({tok_expr}, t -> t NOT IN ({stop_list}))"
-    # compose the full analyzer chain exactly as tokenize() does — a bare
-    # pattern here would silently diverge for _sstem/_edge analyzer names
-    from ..functions.tokenizer import edge_params
-
-    edge = edge_params(analyzer)
-    if (edge[0] if edge else analyzer).endswith("_sstem"):
-        from ..functions.tokenizer import duckdb_stem_case
-
-        tok_expr = f"list_transform({tok_expr}, t -> {duckdb_stem_case('t')})"
-    if edge:
-        from ..functions.tokenizer import duckdb_edge_transform
-
-        tok_expr = duckdb_edge_transform(tok_expr, edge[1], edge[2])
+    # the full analyzer chain (stopwords + stem + edge) from the shared
+    # generator — a bare pattern here would silently diverge for
+    # _sstem/_edge analyzer names
+    tok_expr = duckdb_tokens_expr(analyzer, stopwords, f"'{esc}'")
     return f"""
 SELECT CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS position,
        unnest(toks) AS token

@@ -175,6 +175,14 @@ def match_script_sorted(
             "_script sort: _score is not in scope (ES skips scoring on "
             "sorted searches)"
         )
+    # front-door refusal, matching the serving twin: an unknown doc field
+    # must not surface as a deep Catalyst AnalysisException (review finding)
+    missing = sorted(set(script.fields) - set(docs.columns))
+    if missing:
+        raise ValueError(
+            f"_script sort fields {missing} are not columns of the corpus "
+            f"(available: {sorted(docs.columns)})"
+        )
     val = script.spark_col()
     return (
         docs.where(match_condition(query, mode, text_col, None, "ascii"))

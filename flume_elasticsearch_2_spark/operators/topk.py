@@ -790,23 +790,9 @@ def bm25_topk_sql(
         )
     cand_filter = f"WHERE {' AND '.join(cand_preds)}" if cand_preds else ""
     mult = f" * ({score_multiplier_sql})" if score_multiplier_sql else ""
-    from ..functions.tokenizer import duckdb_token_pattern
+    from ..functions.tokenizer import duckdb_tokens_expr
 
-    tok_expr = f"regexp_extract_all(lower({text_expr}), '{duckdb_token_pattern(analyzer)}')"
-    if stopwords:
-        stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
-        tok_expr = f"list_filter({tok_expr}, t -> t NOT IN ({stop_list}))"
-    from ..functions.tokenizer import edge_params
-
-    edge = edge_params(analyzer)
-    if (edge[0] if edge else analyzer).endswith("_sstem"):
-        from ..functions.tokenizer import duckdb_stem_case
-
-        tok_expr = f"list_transform({tok_expr}, t -> {duckdb_stem_case('t')})"
-    if edge:
-        from ..functions.tokenizer import duckdb_edge_transform
-
-        tok_expr = duckdb_edge_transform(tok_expr, edge[1], edge[2])
+    tok_expr = duckdb_tokens_expr(analyzer, stopwords, text_expr)
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest({tok_expr}) AS term
@@ -1032,13 +1018,10 @@ def match_count_sql(
     analyzer: str = "ascii",
 ) -> str:
     """DuckDB oracle for :func:`match_count`."""
-    from ..functions.tokenizer import duckdb_token_pattern
+    from ..functions.tokenizer import duckdb_tokens_expr
 
     terms = sorted(set(tokenize(query, stopwords, analyzer)))
-    tok_expr = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
-    if stopwords:
-        stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
-        tok_expr = f"list_filter({tok_expr}, t -> t NOT IN ({stop_list}))"
+    tok_expr = duckdb_tokens_expr(analyzer, stopwords)
     if not terms:
         pred = "FALSE"
     else:
@@ -1113,16 +1096,11 @@ def match_count_terminated(
     """
     if terminate_after < 1:
         raise ValueError(f"terminate_after must be >= 1, got {terminate_after}")
-    terms = sorted(set(tokenize(query, stopwords, analyzer)))
-    toks = tokens_col(text_col, stopwords, analyzer)
-    if not terms:
-        pred = F.lit(False)
-    elif mode == "and":
-        pred = F.lit(True)
-        for t in terms:
-            pred = pred & F.array_contains(toks, t)
-    else:
-        pred = F.arrays_overlap(toks, F.array(*[F.lit(t) for t in terms]))
+    # one shared predicate implementation (review finding: a third inline
+    # copy of the match predicate would drift from future semantics fixes)
+    from .facets import match_condition
+
+    pred = match_condition(query, mode, text_col, stopwords, analyzer)
     space = docs.agg((F.max(id_col) + 1).cast("long").alias("_id_space"))
     n = F.lit(int(terminate_after)).cast("long")
     per = (
@@ -1164,11 +1142,12 @@ def match_count_terminated_sql(
 
     if terminate_after < 1:
         raise ValueError(f"terminate_after must be >= 1, got {terminate_after}")
+    from ..functions.tokenizer import duckdb_tokens_expr
+
     terms = sorted(set(tokenize(query, stopwords, analyzer)))
-    tok_expr = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
-    if stopwords:
-        stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
-        tok_expr = f"list_filter({tok_expr}, t -> t NOT IN ({stop_list}))"
+    # the full analyzer chain (stopwords + stem + edge), never the bare
+    # pattern — review finding; single source of truth in tokenizer.py
+    tok_expr = duckdb_tokens_expr(analyzer, stopwords)
     if not terms:
         pred = "FALSE"
     else:

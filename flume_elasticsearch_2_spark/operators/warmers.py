@@ -18,9 +18,13 @@ silent query rewriting: warmers inherit the full parsed DSL subset AND its
 loud refusals.
 
 Scale shape: each warmer is one ordinary serving query (per-shard BMW
-scatter, k rows back); N warmers = N scatters scheduled together. The
-registry itself is driver-side JSON — metadata-scale, like ES cluster
-state.
+scatter, k rows back), run SEQUENTIALLY — each ``count()`` is a blocking
+driver action, so N warmers take N serial scatters. That is the honest
+shape at registry scale (warmers are a handful of bodies run once per
+commit point); a deployment with hundreds of warmers and idle executors
+would submit the counts as concurrent jobs instead — noted, not
+implemented. The registry itself is driver-side JSON — metadata-scale,
+like ES cluster state.
 """
 
 from __future__ import annotations

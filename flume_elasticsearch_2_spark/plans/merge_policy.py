@@ -154,7 +154,14 @@ def optimize(
     by_size = sorted(gen_dirs, key=lambda d: (-sizes[d], -order[d], d))
     keep = set(by_size[: max_num_segments - 1])
     group = [d for d in gen_dirs if d not in keep]  # oldest-first for dedup_key
-    out_dir = os.path.join(out_root, "optimized_0000")
+    # first free optimized_NNNN: a nightly re-run against the same out_root
+    # must not collide with a prior run's output (review finding — the
+    # fixed name made night 2 do the whole merge then fail at the commit
+    # rename; a prior output may itself be IN gen_dirs this round)
+    counter = 0
+    while os.path.exists(os.path.join(out_root, f"optimized_{counter:04d}")):
+        counter += 1
+    out_dir = os.path.join(out_root, f"optimized_{counter:04d}")
     merge_indexes(spark, group, out_dir, dedup_key=dedup_key)
     merged_order = max(order[d] for d in group)
     live = [(order[d], d) for d in keep] + [(merged_order, out_dir)]

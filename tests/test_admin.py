@@ -244,3 +244,35 @@ def test_build_from_templates_and_health(spark, documents, tmp_path_factory):
     assert rows["web_a"].status == "green" and rows["web_a"].n_shards == 2
     assert rows["web_b"].status == "green" and rows["web_b"].n_docs == documents.count()
     assert rows["ghost"].status == "red" and rows["ghost"].n_docs == 0
+
+
+def test_template_value_types_refuse(tmp_path):
+    """Review regression: setting VALUES refuse loudly — a JSON string
+    'false' must never coerce to store_positions=True, and load()
+    re-validates hand-edited files."""
+    import json
+
+    from flume_elasticsearch_2_spark.operators.admin import IndexTemplateRegistry
+
+    reg = IndexTemplateRegistry()
+    with pytest.raises(ValueError, match="store_positions must be a bool"):
+        reg.put("t", "x*", {"store_positions": "false"})
+    with pytest.raises(ValueError, match="number_of_shards must be a positive int"):
+        reg.put("t", "x*", {"number_of_shards": "8"})
+    with pytest.raises(ValueError, match="number_of_shards must be a positive int"):
+        reg.put("t", "x*", {"number_of_shards": 0})
+    p = str(tmp_path / "tampered.json")
+    with open(p, "w") as f:
+        json.dump({"t": {"template": "x*", "order": 0,
+                         "settings": {"store_positions": "false"}}}, f)
+    with pytest.raises(ValueError, match="store_positions must be a bool"):
+        IndexTemplateRegistry.load(p)
+
+
+def test_field_stats_refuses_nonportable_types(spark, documents):
+    from flume_elasticsearch_2_spark.operators.admin import field_stats
+    from pyspark.sql import functions as F
+
+    d = documents.withColumn("ratio", F.col("n_chars") / 7.0)
+    with pytest.raises(ValueError, match="non-portable-render"):
+        field_stats(d, ["ratio"])

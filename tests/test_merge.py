@@ -287,3 +287,18 @@ def test_optimize_noop_and_refusals(spark, uneven_generations, tmp_path_factory)
         optimize(spark, uneven_generations, root, only_expunge_deletes=True)
     with pytest.raises(ValueError, match="max_num_segments"):
         optimize(spark, uneven_generations, root, max_num_segments=0)
+
+
+def test_optimize_rerun_does_not_collide(spark, uneven_generations, tmp_path_factory):
+    """Review regression: a second optimize() against the SAME out_root
+    picks the next free optimized_NNNN instead of crashing on the commit
+    rename into the prior run's output."""
+    from flume_elasticsearch_2_spark.plans.merge_policy import optimize
+
+    root = str(tmp_path_factory.mktemp("opt_rerun"))
+    live1 = optimize(spark, uneven_generations, root, max_num_segments=2)
+    merged1 = [d for d in live1 if d.endswith("optimized_0000")]
+    assert merged1
+    # night 2: prior output participates in the next full optimize
+    live2 = optimize(spark, live1, root, max_num_segments=1)
+    assert len(live2) == 1 and live2[0].endswith("optimized_0001")

@@ -280,3 +280,30 @@ def test_search_exists_semantics_and_parity(documents, sf_dir, query, mode, want
     assert got == want
     exp = _duck(sf_dir, search_exists_sql(query, mode=mode))[0][0]
     assert got == exp
+
+
+def test_match_count_terminated_composed_analyzer(spark, documents, sf_dir):
+    """Review regression: the oracle must compose the full analyzer chain
+    (s-stem here) exactly as the Spark side's tokens_col does."""
+    from flume_elasticsearch_2_spark.operators.topk import (
+        match_count,
+        match_count_sql,
+        match_count_terminated,
+        match_count_terminated_sql,
+    )
+
+    got = match_count_terminated(
+        documents, "dup batches scans", terminate_after=7, n_shards=4,
+        analyzer="ascii_sstem",
+    ).collect()[0]
+    exp = _duck(
+        sf_dir,
+        match_count_terminated_sql(
+            "dup batches scans", terminate_after=7, n_shards=4, analyzer="ascii_sstem"
+        ),
+    )[0]
+    assert (got.n_matching, got.terminated_early) == exp and got.n_matching > 0
+    # plain _count under the composed chain stays oracle-exact too
+    got_c = match_count(documents, "scans", analyzer="ascii_sstem").collect()[0]
+    exp_c = _duck(sf_dir, match_count_sql("scans", analyzer="ascii_sstem"))[0][0]
+    assert got_c.n_matching == exp_c > 0  # 'scans' unifies with corpus 'scan'
