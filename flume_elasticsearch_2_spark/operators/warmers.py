@@ -18,13 +18,12 @@ silent query rewriting: warmers inherit the full parsed DSL subset AND its
 loud refusals.
 
 Scale shape: each warmer is one ordinary serving query (per-shard BMW
-scatter, k rows back), run SEQUENTIALLY — each ``count()`` is a blocking
-driver action, so N warmers take N serial scatters. That is the honest
-shape at registry scale (warmers are a handful of bodies run once per
-commit point); a deployment with hundreds of warmers and idle executors
-would submit the counts as concurrent jobs instead — noted, not
-implemented. The registry itself is driver-side JSON — metadata-scale,
-like ES cluster state.
+scatter, k rows back); the counts are submitted as CONCURRENT Spark jobs
+from a driver thread pool, so N warmers overlap on idle executors instead
+of serializing N blocking actions (Spark's scheduler interleaves jobs from
+separate driver threads). Body PARSING stays sequential and up front — a
+refused body aborts the warm run before any job is submitted. The registry
+itself is driver-side JSON — metadata-scale, like ES cluster state.
 """
 
 from __future__ import annotations
@@ -85,10 +84,19 @@ def run_warmers(searcher, registry: WarmerRegistry) -> DataFrame:
     serving DSL front door; returns one row per warmer ``(warmer, hits)``
     ordered by name. A body the DSL refuses propagates its ValueError —
     a warmer that cannot run is an operational signal, never skipped."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .dsl import dsl_search_index
 
-    rows = []
-    for name in sorted(registry.warmers()):
-        hits = dsl_search_index(searcher, registry.get(name)).count()
-        rows.append((name, int(hits)))
+    names = sorted(registry.warmers())
+    # parse/plan every body FIRST (sequential, loud): a refused warmer
+    # aborts before any job is submitted
+    frames = [(n, dsl_search_index(searcher, registry.get(n))) for n in names]
+    if not frames:
+        return searcher.spark.createDataFrame([], "warmer string, hits long")
+    # counts as concurrent jobs — Spark schedules jobs from separate
+    # driver threads in parallel, so warmers overlap on idle executors
+    with ThreadPoolExecutor(max_workers=min(8, len(frames))) as ex:
+        counts = list(ex.map(lambda nf: int(nf[1].count()), frames))
+    rows = [(n, c) for (n, _), c in zip(frames, counts)]
     return searcher.spark.createDataFrame(rows, "warmer string, hits long")
