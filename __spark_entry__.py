@@ -522,6 +522,35 @@ def _bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STEM_IDX_CACHE: dict[str, str] = {}  # sf_dir -> stemmed index dir
+
+
+def _bm25_stemmed_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stemmed search on the SERVING path: the index is built over the
+    STEM-RENDERED token stream (stems are [a-z0-9]+ runs, so retokenization
+    is the identity — the autocomplete gram-view trick), and the query is
+    analyzed with the same chain before the term lookup (exactly what an ES
+    mapping's analyzer does at query time). Same oracle as bm25_stemmed."""
+    import tempfile
+
+    from flume_elasticsearch_2_spark.functions.tokenizer import tokenize, tokens_col
+    from flume_elasticsearch_2_spark.plans.build_index import build_segments_partial
+    from flume_elasticsearch_2_spark.plans.query_index import IndexSearcher
+    from pyspark.sql import functions as F
+
+    if sf_dir not in _STEM_IDX_CACHE:
+        d = os.path.join(tempfile.mkdtemp(prefix="fts_stem_"), "stemidx")
+        docs = _docs(spark, sf_dir)
+        stems = docs.select(
+            "doc_id",
+            F.concat_ws(" ", tokens_col("text", analyzer="ascii_sstem")).alias("text"),
+        )
+        build_segments_partial(spark, stems, d, n_shards=4)
+        _STEM_IDX_CACHE[sf_dir] = d
+    q = " ".join(tokenize("scans windows tables", analyzer="ascii_sstem"))
+    return IndexSearcher(spark, _STEM_IDX_CACHE[sf_dir]).search(q, k=10, pruned=True)
+
+
 def _bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bool-filter semantics: candidates restricted to lang='en', idf/
     avgdl/N index-wide (operators/topk.py doc_filter)."""
@@ -4183,6 +4212,7 @@ _R3_NEW = [
     "search_highlight_multifrag",
     "search_highlight_multifrag_segment",
     "es_analyze_chain",
+    "bm25_stemmed_segment",
     "es_segments",
     "search_exists_api",
     "refine_corpus",
@@ -4433,6 +4463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_segment_phrase"] = _bm25_segment_phrase
     q["bm25_stopwords"] = _bm25_stopwords
     q["bm25_stemmed"] = _bm25_stemmed
+    q["bm25_stemmed_segment"] = _bm25_stemmed_segment
     q["bm25_unicode"] = _bm25_unicode
     q["bm25_msm"] = _bm25_msm
     q["bm25_segment_msm"] = _bm25_segment_msm
@@ -4768,6 +4799,7 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_segment_phrase"] = o["bm25_phrase"]
     o["bm25_stopwords"] = bm25_topk_sql("the dup batch scan", k=10, stopwords=EN_STOPWORDS)
     o["bm25_stemmed"] = bm25_topk_sql("scans windows tables", k=10, analyzer="ascii_sstem")
+    o["bm25_stemmed_segment"] = o["bm25_stemmed"]
     o["bm25_msm"] = bm25_topk_sql("dup batch scan small", k=10, min_should_match=2)
     o["bm25_segment_msm"] = o["bm25_msm"]
     o["bm25_boosted"] = bm25_topk_sql("dup batch scan", k=10, boosts=_BOOSTS)
