@@ -1128,6 +1128,21 @@ def _es_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze(spark, "The QUICK-brown fox_42, jumps; over!")
 
 
+def _mpercolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x _mpercolate: the whole doc batch against the registered rule
+    set in ONE job — both sides explode on term and equi-join there
+    (broadcast rules), so pairs materialize only on shared terms; the only
+    shuffle is the map-side-combined pair count. operators/percolate.py
+    mpercolate."""
+    from flume_elasticsearch_2_spark.operators.percolate import (
+        mpercolate,
+        register_queries,
+    )
+
+    q = spark.createDataFrame(_PERC_QUERIES, "query_id long, query string, mode string")
+    return mpercolate(register_queries(q), _docs(spark, sf_dir))
+
+
 def _es_analyze_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """_analyze under a composed chain (stopwords + s-stem + edge_ngram):
     the full analyzer family as one queryable surface — the oracle composes
@@ -4213,6 +4228,7 @@ _R3_NEW = [
     "search_highlight_multifrag_segment",
     "es_analyze_chain",
     "bm25_stemmed_segment",
+    "mpercolate_matches",
     "es_segments",
     "search_exists_api",
     "refine_corpus",
@@ -4540,6 +4556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["indices_query_all"] = _indices_query_all
     q["es_analyze"] = _es_analyze
     q["es_analyze_chain"] = _es_analyze_chain
+    q["mpercolate_matches"] = _mpercolate_matches
     q["percolate_matches"] = _percolate_matches
     q["dsl_query_string"] = _dsl_query_string
     q["dsl_query_string_segment"] = _dsl_query_string_segment
@@ -5151,7 +5168,9 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
         for qid, q, mode in _PERC_QUERIES
     )
     o["percolate_matches"] = percolate_sql(_PERC_DOC, table=f"({_perc_rows})")
-    o["percolate_matches"] = o["percolate_matches"]
+    from flume_elasticsearch_2_spark.operators.percolate import mpercolate_sql
+
+    o["mpercolate_matches"] = mpercolate_sql(_PERC_QUERIES)
     o["dsl_query_string"] = _dsql(_DSL_QS_BODY)
     o["dsl_query_string_segment"] = o["dsl_query_string"]
     o["dsl_filtered_1x"] = _dsql(_DSL_FILTERED_BODY)

@@ -102,6 +102,90 @@ def percolate(
     )
 
 
+def mpercolate(
+    registered: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """ES 1.x ``_mpercolate``: percolate a BATCH of documents in one job —
+    every (doc, registered query) match pair. This is the streams-vs-rules
+    join shape (new crawl batch against the alert/routing rule set), and at
+    scale it is a different plan than N single percolates: both sides
+    explode on TERM and equi-join there, so a (doc, query) pair is only
+    ever materialized if it shares a term — OR matches are exactly the
+    distinct join pairs, AND matches require the shared-term count to reach
+    the query's term count.
+
+    Plan: registered queries are the broadcast side (rule sets are small
+    next to a doc batch — beyond broadcast size use
+    :func:`build_percolator_index`'s term-keyed layout instead); the only
+    shuffle is the map-side-combined (doc_id, query_id) count of JOINED
+    rows — proportional to shared-term pairs, never |docs| × |queries|.
+    Empty-term queries cannot occur (:func:`register_queries` drops them at
+    registration, so the ES edge where an empty AND matches everything has
+    no representation here — documented, not silent).
+
+    Returns ``(doc_id, query_id)`` ordered."""
+    dterms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(tokens_col(text_col, stopwords, analyzer))
+        ).alias("term"),
+    )
+    qterms = registered.select(
+        "query_id", "mode", F.size("terms").cast("long").alias("n_terms"),
+        F.explode("terms").alias("term"),
+    )
+    return (
+        dterms.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "query_id", "mode", "n_terms")
+        .agg(F.count("*").alias("_shared"))
+        .where((F.col("mode") != "and") | (F.col("_shared") == F.col("n_terms")))
+        .select("doc_id", "query_id")
+        .orderBy("doc_id", "query_id")
+    )
+
+
+def mpercolate_sql(
+    queries: list[tuple],
+    table: str = "documents",
+    stopwords: list[str] | None = None,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB oracle for :func:`mpercolate` — ``queries`` is the raw
+    (query_id, query_string, mode) list; analysis (and the empty-term drop)
+    runs here with the same tokenizer, the join/count logic is the
+    identical SQL formulation."""
+    rows = []
+    for qid, qs, mode in queries:
+        terms = sorted(set(tokenize(qs, stopwords, analyzer)))
+        if not terms:
+            continue  # register_queries drops empty-term queries
+        lst = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+        rows.append(f"({int(qid)}, '{mode}', {lst})")
+    if not rows:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS query_id WHERE FALSE"
+    from ..functions.tokenizer import duckdb_tokens_expr
+
+    tok = duckdb_tokens_expr(analyzer, stopwords)
+    return f"""
+WITH reg(query_id, mode, terms) AS (VALUES {", ".join(rows)}),
+dt AS (SELECT doc_id, unnest(list_distinct({tok})) AS term FROM {table}),
+qt AS (SELECT query_id, mode, len(terms) AS n_terms, unnest(terms) AS term FROM reg),
+m AS (
+  SELECT doc_id, query_id, any_value(mode) AS mode,
+         any_value(n_terms) AS n_terms, count(*) AS shared
+  FROM dt JOIN qt USING (term) GROUP BY doc_id, query_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(query_id AS BIGINT) AS query_id
+FROM m WHERE mode <> 'and' OR shared = n_terms
+ORDER BY doc_id, query_id
+"""
+
+
 def build_percolator_index(registered: DataFrame, out_dir: str) -> None:
     """Materialize a TERM-KEYED percolator index (the scale shape for huge
     registered-query sets, SURVEY §2.5 Q24): the flat analyzed-query scan is

@@ -127,3 +127,65 @@ def test_percolate_indexed_plan_has_no_join(spark, perc_dir):
     )
     # denormalized (mode, n_terms) => prune -> group -> filter, never a join
     assert "Join" not in plan, plan
+
+
+# -- _mpercolate (batch percolation) -----------------------------------------
+
+
+def test_mpercolate_matches_duckdb(spark, documents, sf_dir):
+    import duckdb
+
+    from flume_elasticsearch_2_spark.operators.percolate import (
+        mpercolate,
+        mpercolate_sql,
+        register_queries,
+    )
+
+    qs = [(1, "dup batch", "or"), (2, "dup batch", "and"),
+          (3, "zzz absent", "or"), (4, "scan", "or"),
+          (5, "batch scan small", "and"), (6, "...", "or")]  # 6 drops (empty)
+    qdf = spark.createDataFrame(qs, "query_id long, query string, mode string")
+    got = [tuple(r) for r in mpercolate(register_queries(qdf), documents).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = [tuple(r) for r in con.sql(mpercolate_sql(qs)).fetchall()]
+    assert got == want and got
+
+
+def test_mpercolate_consistent_with_single(spark, documents):
+    """Batch pairs for one doc == the single-doc percolate of that doc."""
+    from flume_elasticsearch_2_spark.operators.percolate import (
+        mpercolate,
+        percolate,
+        register_queries,
+    )
+
+    qs = [(1, "dup batch", "or"), (2, "dup batch", "and"), (4, "scan", "or")]
+    qdf = register_queries(
+        spark.createDataFrame(qs, "query_id long, query string, mode string")
+    )
+    one = documents.where("doc_id = 3")
+    text = one.select("text").collect()[0][0]
+    batch = sorted(r.query_id for r in mpercolate(qdf, one).collect())
+    single = sorted(r.query_id for r in percolate(qdf, text).collect())
+    assert batch == single
+
+
+def test_mpercolate_broadcast_plan(spark, documents):
+    """Plan pin: the rule side broadcasts — no SortMergeJoin of doc terms
+    against query terms; the only wide exchange is the pair-count groupBy."""
+    from flume_elasticsearch_2_spark.operators.percolate import (
+        mpercolate,
+        register_queries,
+    )
+
+    qdf = register_queries(
+        spark.createDataFrame(
+            [(1, "dup batch", "or")], "query_id long, query string, mode string"
+        )
+    )
+    df = mpercolate(qdf, documents)
+    jvm = df.sparkSession._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
