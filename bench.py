@@ -407,6 +407,29 @@ def main() -> None:
         percolate_indexed(spark, pidx, perc_doc).count()
         timings[f"percolate_idx_{tag}"] = time.time() - t0
 
+    # 5b2. _mpercolate (continuation-3): the whole doc batch against a 50k
+    # rule set in ONE term-keyed broadcast join — pairs materialize only on
+    # shared terms, never |docs| x |queries|
+    from flume_elasticsearch_2_spark.operators.percolate import mpercolate
+
+    reg_m = register_queries(_synth_queries(50_000))
+    mpercolate(reg_m, docs).count()  # warm
+    t0 = time.time()
+    mpercolate(reg_m, docs).count()
+    timings["mpercolate_50k_rules"] = time.time() - t0
+
+    # 5b3. terminate_after count + edge-gram autocomplete (continuation-3)
+    from flume_elasticsearch_2_spark.operators.topk import match_count_terminated
+
+    t0 = time.time()
+    match_count_terminated(docs, "batch small scan", terminate_after=100,
+                           n_shards=max(4, int(CPUS) // 4)).collect()
+    timings["count_terminated"] = time.time() - t0
+    t0 = time.time()
+    bm25_topk(docs, "bat", k=10, analyzer="ascii_edge1_6",
+              search_analyzer="ascii").collect()
+    timings["autocomplete_search"] = time.time() - t0
+
     # 5c. training-data shaping (round 3): packing is the sequential
     # applyInPandas recurrence (one group exchange), chunking is the
     # zero-shuffle JVM explode, keywords the term-keyed tf-idf join
