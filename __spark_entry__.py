@@ -1186,6 +1186,20 @@ def _dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_paragraphs(_docs(spark, sf_dir), chunk_tokens=20, sep=" ")
 
 
+def _contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REVERSE contamination direction: per benchmark item, how many of
+    its distinct n-grams (and distinct training docs) hit the training
+    corpus — the report eval owners read to EXCLUDE compromised eval items.
+    Benchmark grams broadcast; both aggregates map-side-combined.
+    operators/cleaning.py contamination_report."""
+    from flume_elasticsearch_2_spark.operators.cleaning import contamination_report
+
+    docs = _docs(spark, sf_dir)
+    return contamination_report(
+        docs.where("doc_id % 17 <> 3"), docs.where("doc_id % 17 = 3"), n=8
+    )
+
+
 def _decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 n-gram protocol): training docs
     flagged by distinct n-gram overlap with a held-out benchmark slice
@@ -4229,6 +4243,7 @@ _R3_NEW = [
     "es_analyze_chain",
     "bm25_stemmed_segment",
     "mpercolate_matches",
+    "contamination_report",
     "es_segments",
     "search_exists_api",
     "refine_corpus",
@@ -4548,6 +4563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["clean_corpus"] = _clean_corpus
     q["dedup_paragraphs"] = _dedup_paragraphs
     q["decontaminate_docs"] = _decontaminate_docs
+    q["contamination_report"] = _contamination_report
     q["bm25_rescore"] = _bm25_rescore
     q["bm25_rescore_segment"] = _bm25_rescore_segment
     q["bm25_generations"] = _bm25_generations
@@ -5132,6 +5148,13 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
 
     o["dedup_paragraphs"] = dedup_paragraphs_sql(chunk_tokens=20, sep=" ")
     o["decontaminate_docs"] = decontaminate_sql(
+        "doc_id % 17 = 3", "doc_id % 17 <> 3", n=8
+    )
+    from flume_elasticsearch_2_spark.operators.cleaning import (
+        contamination_report_sql,
+    )
+
+    o["contamination_report"] = contamination_report_sql(
         "doc_id % 17 = 3", "doc_id % 17 <> 3", n=8
     )
     from flume_elasticsearch_2_spark.operators.percolate import (

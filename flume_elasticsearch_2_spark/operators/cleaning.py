@@ -616,6 +616,93 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """The REVERSE direction of :func:`decontaminate` — per BENCHMARK item:
+    how many of its distinct n-grams occur anywhere in the training corpus,
+    and how many distinct training docs share at least one gram with it.
+    This is the report eval owners actually read (which benchmark items are
+    compromised and must be excluded from the eval), where decontaminate's
+    per-train-doc view drives the training-side drop.
+
+    Scale shape: the benchmark side is tiny, so its exploded grams
+    broadcast; the training side streams through ONE gram-keyed join, and
+    both aggregates are map-side-combined at the (bench_id, ...) grain —
+    ≤ |bench grams| rows ever shuffle. Clean items report 0/0 via the
+    LEFT join back. Returns (bench_id, n_hit_grams, n_hit_docs) ordered."""
+    grams = F.array_distinct(_ngrams_col(tokens_col(text_col, analyzer=analyzer), n))
+    bench_grams = benchmark.select(
+        F.col(id_col).alias("bench_id"), F.explode(grams).alias("gram")
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("bench_id")
+        .agg(
+            F.countDistinct("gram").cast("long").alias("n_hit_grams"),
+            F.countDistinct("doc_id").cast("long").alias("n_hit_docs"),
+        )
+    )
+    return (
+        benchmark.select(F.col(id_col).alias("bench_id"))
+        .join(hits, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+            F.coalesce("n_hit_docs", F.lit(0)).cast("long").alias("n_hit_docs"),
+        )
+        .orderBy("bench_id")
+    )
+
+
+def contamination_report_sql(
+    bench_pred: str,
+    docs_pred: str = "TRUE",
+    n: int = 13,
+    table: str = "documents",
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB oracle for :func:`contamination_report` over the same
+    predicate-carved benchmark/train slices as :func:`decontaminate_sql`."""
+    tok = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    grams = (
+        f"CASE WHEN len({tok}) < {n} THEN [] "
+        f"ELSE list_transform(range(1, len({tok}) - {n} + 2), "
+        f"i -> array_to_string({tok}[i:i+{n - 1}], ' ')) END"
+    )
+    return f"""
+WITH bench_grams AS (
+  SELECT DISTINCT doc_id AS bench_id, unnest(list_distinct({grams})) AS gram
+  FROM {table} WHERE {bench_pred}
+),
+doc_grams AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({grams})) AS gram
+  FROM {table} WHERE {docs_pred}
+),
+hits AS (
+  SELECT b.bench_id,
+         CAST(count(DISTINCT b.gram) AS BIGINT) AS n_hit_grams,
+         CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_hit_docs
+  FROM bench_grams b JOIN doc_grams d USING (gram)
+  GROUP BY b.bench_id
+)
+SELECT t.bench_id,
+       CAST(coalesce(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+       CAST(coalesce(h.n_hit_docs, 0) AS BIGINT) AS n_hit_docs
+FROM (SELECT doc_id AS bench_id FROM {table} WHERE {bench_pred}) t
+LEFT JOIN hits h ON h.bench_id = t.bench_id
+ORDER BY t.bench_id
+"""
+
+
 def decontaminate_sql(
     bench_pred: str,
     docs_pred: str = "TRUE",

@@ -290,3 +290,41 @@ def test_decontaminate_semantics(spark):
     got = {r.doc_id: (r.n_contaminated, r.contaminated) for r in decontaminate(train, bench, n=3).collect()}
     # bench has 3-grams {abc, bcd}; doc 1 contains both (distinct), doc 2 none
     assert got == {1: (2, True), 2: (0, False)}
+
+
+def test_contamination_report_matches_duckdb(spark, documents, sf_dir):
+    """Reverse contamination direction: per-benchmark-item hit-gram and
+    hit-doc counts match the DuckDB oracle; clean items report 0/0."""
+    import duckdb
+
+    from flume_elasticsearch_2_spark.operators.cleaning import (
+        contamination_report,
+        contamination_report_sql,
+    )
+
+    got = [
+        tuple(r)
+        for r in contamination_report(
+            documents.where("doc_id % 17 <> 3"),
+            documents.where("doc_id % 17 = 3"),
+            n=8,
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = [
+        tuple(r)
+        for r in con.sql(
+            contamination_report_sql("doc_id % 17 = 3", "doc_id % 17 <> 3", n=8)
+        ).fetchall()
+    ]
+    assert got == want and got
+    assert any(r[1] > 0 for r in got)  # contaminated items exist (dup docs)
+    # duality with decontaminate: bench grams hit somewhere <-> train docs hit
+    from flume_elasticsearch_2_spark.operators.cleaning import decontaminate
+
+    flagged_train = decontaminate(
+        documents.where("doc_id % 17 <> 3"),
+        documents.where("doc_id % 17 = 3"), n=8,
+    ).where("contaminated").count()
+    assert (flagged_train > 0) == any(r[2] > 0 for r in got)
