@@ -1200,6 +1200,22 @@ def _contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _contamination_report_sstem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contamination_report with the s-stemmed analyzer — the exact config
+    the driver-advice drift hit (oracle built from the bare token pattern
+    reported 0 hit-grams while the Spark twin stemmed both sides); the
+    oracle now composes duckdb_tokens_expr so both engines stem."""
+    from flume_elasticsearch_2_spark.operators.cleaning import contamination_report
+
+    docs = _docs(spark, sf_dir)
+    return contamination_report(
+        docs.where("doc_id % 17 <> 3"),
+        docs.where("doc_id % 17 = 3"),
+        n=5,
+        analyzer="ascii_sstem",
+    )
+
+
 def _decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 n-gram protocol): training docs
     flagged by distinct n-gram overlap with a held-out benchmark slice
@@ -4223,10 +4239,55 @@ def _c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# first-50 priority for the driver's truncated correctness artifact: round-3
-# entries first, then everything CORRECTNESS_r02.json did not record (the
-# judge's r2 finding: the artifact silently covered only the first 50 keys);
-# the committed GATE_r03 transcript records the full set regardless
+# Driver-window rotation (judge r3 "Next round" #1): the driver's CORRECTNESS
+# artifact truncates at 50 keys in queries() dict order, so each round the
+# front of the dict should hold the least-recently-driver-verified entries —
+# at 50/round the full registry converts from self-reported gate greens into
+# hard driver signal in ~5 rounds.  _driver_rotation_order() reads every
+# committed CORRECTNESS_r*.json next to this file and sorts: never-recorded
+# entries first (this round's NEW entries front-loaded within that block so
+# new operators get a hard row immediately), then ascending by the last round
+# that recorded the entry.  The committed full-gate transcript (GATE_r{N})
+# still covers the whole set regardless of ordering.
+_R4_NEW: list[str] = [
+    "bm25_porter",
+    "bm25_porter_segment",
+    "bm25_synonym_indexed",
+    "bm25_synonym_indexed_segment",
+    "routed_single_exchange_search",
+    "contamination_report_sstem",
+]
+
+
+def _driver_rotation_order(names: list[str]) -> list[str]:
+    import glob as _glob
+    import json as _json
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = _re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                rows = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        rnd = int(m.group(1))
+        for k in rows:
+            last[k] = max(last.get(k, 0), rnd)
+    newpos = {k: i for i, k in enumerate(_R4_NEW)}
+    pos = {k: i for i, k in enumerate(names)}
+    return sorted(names, key=lambda k: (last.get(k, 0), newpos.get(k, len(newpos)), pos[k]))
+
+
+# retained for provenance: the r3 static priority lists (now subsumed by
+# _driver_rotation_order, which derives the same information from the
+# committed CORRECTNESS artifacts instead of hand-maintained lists)
 _R3_NEW = [
     "match_count_terminated",
     "match_count_terminated_segment",
@@ -4564,6 +4625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_paragraphs"] = _dedup_paragraphs
     q["decontaminate_docs"] = _decontaminate_docs
     q["contamination_report"] = _contamination_report
+    q["contamination_report_sstem"] = _contamination_report_sstem
     q["bm25_rescore"] = _bm25_rescore
     q["bm25_rescore_segment"] = _bm25_rescore_segment
     q["bm25_generations"] = _bm25_generations
@@ -4812,10 +4874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["refine_corpus"] = _refine_corpus
     q["search_exists_api"] = _search_exists
     q["es_segments"] = _es_segments
-    # newest-first, then previously-unrecorded: the driver artifact truncates
-    # at 50 keys in dict order (judge r2 finding #1)
-    priority = _R3_NEW + _R2_UNRECORDED
-    ordered = priority + [k for k in q if k not in set(priority)]
+    # least-recently-driver-verified first: the driver artifact truncates at
+    # 50 keys in dict order (judge r2 finding #1, r3 "Next round" #1)
+    ordered = _driver_rotation_order(list(q))
     assert set(ordered) == set(q), sorted(set(ordered) ^ set(q))
     return {k: q[k] for k in ordered}
 
@@ -5156,6 +5217,9 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
 
     o["contamination_report"] = contamination_report_sql(
         "doc_id % 17 = 3", "doc_id % 17 <> 3", n=8
+    )
+    o["contamination_report_sstem"] = contamination_report_sql(
+        "doc_id % 17 = 3", "doc_id % 17 <> 3", n=5, analyzer="ascii_sstem"
     )
     from flume_elasticsearch_2_spark.operators.percolate import (
         analyze_sql,

@@ -285,6 +285,10 @@ def field_stats(docs: DataFrame, fields: list[str]) -> DataFrame:
     the wire per partition. The SERVING form is this function over the
     index's column-pruned stored-docs sidecar (zero postings reads), which
     is precisely what ES reads from doc values."""
+    if not fields:
+        # zero aggregates would surface as an opaque py4j error from
+        # docs.agg(); refuse loudly like every other invalid input
+        raise ValueError("field_stats requires at least one field")
     missing = sorted(set(fields) - set(docs.columns))
     if missing:
         raise ValueError(f"field_stats fields {missing} not in {sorted(docs.columns)}")
@@ -541,7 +545,14 @@ def cluster_health(spark, indexes: dict[str, str]) -> DataFrame:
         if ok:
             for e in os.listdir(docs_dir):
                 if e.startswith("shard="):
-                    s = int(e.split("=", 1)[1])
+                    # a malformed shard dir (shard=__HIVE_DEFAULT_PARTITION__,
+                    # a stray temp name) IS the unhealthy state this probe
+                    # exists to detect — report red, never throw
+                    try:
+                        s = int(e.split("=", 1)[1])
+                    except ValueError:
+                        ok = False
+                        continue
                     if not (0 <= s < int(m["n_shards"])):
                         ok = False
         rows.append(

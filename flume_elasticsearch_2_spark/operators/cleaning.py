@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..functions.tokenizer import duckdb_token_pattern, tokens_col
+from ..functions.tokenizer import duckdb_token_pattern, duckdb_tokens_expr, tokens_col
 
 # RE2 ∩ Java-regex dialect; order matters (email before phone: an email's
 # digits must not be half-eaten as a phone number)
@@ -116,7 +116,7 @@ def repetition_metrics_sql(
     n: int = 3, table: str = "documents", analyzer: str = "ascii"
 ) -> str:
     """DuckDB oracle for :func:`repetition_metrics`."""
-    tok = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    tok = duckdb_tokens_expr(analyzer)
     grams = (
         f"CASE WHEN len({tok}) < {n} THEN [] "
         f"ELSE list_transform(range(1, len({tok}) - {n} + 2), "
@@ -160,7 +160,7 @@ def duplicated_ngrams_sql(
     n: int = 5, min_df: int = 2, table: str = "documents", analyzer: str = "ascii"
 ) -> str:
     """DuckDB oracle for :func:`duplicated_ngrams`."""
-    tok = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    tok = duckdb_tokens_expr(analyzer)
     grams = (
         f"CASE WHEN len({tok}) < {n} THEN [] "
         f"ELSE list_transform(range(1, len({tok}) - {n} + 2), "
@@ -223,7 +223,7 @@ def doc_dup_fraction_sql(
     n: int = 5, min_df: int = 2, table: str = "documents", analyzer: str = "ascii"
 ) -> str:
     """DuckDB oracle for :func:`doc_dup_fraction`."""
-    tok = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    tok = duckdb_tokens_expr(analyzer)
     grams = (
         f"CASE WHEN len({tok}) < {n} THEN [] "
         f"ELSE list_distinct(list_transform(range(1, len({tok}) - {n} + 2), "
@@ -460,7 +460,7 @@ def _paras_sql(splitter: str | None, chunk_tokens: int | None,
             f"list_filter(regexp_split_to_array(text, '{splitter}'), p -> p <> '')"
         )
     w = int(chunk_tokens)
-    tok = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    tok = duckdb_tokens_expr(analyzer)
     return (
         f"list_transform(range(1, len({tok}) + 1, {w}), "
         f"i -> array_to_string({tok}[i:i+{w - 1}], ' '))"
@@ -671,8 +671,14 @@ def contamination_report_sql(
     analyzer: str = "ascii",
 ) -> str:
     """DuckDB oracle for :func:`contamination_report` over the same
-    predicate-carved benchmark/train slices as :func:`decontaminate_sql`."""
-    tok = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    predicate-carved benchmark/train slices as :func:`decontaminate_sql`.
+
+    The gram token expression comes from :func:`duckdb_tokens_expr` — the
+    FULL analyzer chain — so ``_sstem``/``_edge`` analyzer names stay in
+    lockstep with the Spark twin's ``tokens_col`` (driver-advice drift
+    class: a bare ``duckdb_token_pattern`` here silently skipped the stem
+    step while the Spark side stemmed both sides)."""
+    tok = duckdb_tokens_expr(analyzer)
     grams = (
         f"CASE WHEN len({tok}) < {n} THEN [] "
         f"ELSE list_transform(range(1, len({tok}) - {n} + 2), "
@@ -712,8 +718,10 @@ def decontaminate_sql(
 ) -> str:
     """DuckDB oracle for :func:`decontaminate` where the benchmark is the
     ``bench_pred`` slice of ``table`` and the scored docs are the
-    ``docs_pred`` slice (how the driver entry carves the synthetic corpus)."""
-    tok = f"regexp_extract_all(lower(text), '{duckdb_token_pattern(analyzer)}')"
+    ``docs_pred`` slice (how the driver entry carves the synthetic corpus).
+    Token expression = :func:`duckdb_tokens_expr` (full chain), matching
+    :func:`decontaminate`'s ``tokens_col`` for every analyzer name."""
+    tok = duckdb_tokens_expr(analyzer)
     grams = (
         f"CASE WHEN len({tok}) < {n} THEN [] "
         f"ELSE list_transform(range(1, len({tok}) - {n} + 2), "

@@ -72,9 +72,17 @@ class WarmerRegistry:
 
     @classmethod
     def load(cls, path: str) -> "WarmerRegistry":
+        """Re-validates every loaded body through :meth:`put` (mirroring
+        ``IndexTemplateRegistry.load``): a hand-edited cluster-state file
+        cannot smuggle a value ``save()`` would never write — a non-dict
+        or empty body refuses at load time, not later at warm time."""
         reg = cls()
         with open(path) as f:
-            reg._warmers = json.load(f)
+            loaded = json.load(f)
+        if not isinstance(loaded, dict):
+            raise ValueError(f"warmer state file {path!r} must hold a JSON object")
+        for name, body in loaded.items():
+            reg.put(name, body)
         return reg
 
 

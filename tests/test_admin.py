@@ -276,3 +276,31 @@ def test_field_stats_refuses_nonportable_types(spark, documents):
     d = documents.withColumn("ratio", F.col("n_chars") / 7.0)
     with pytest.raises(ValueError, match="non-portable-render"):
         field_stats(d, ["ratio"])
+
+
+def test_cluster_health_malformed_shard_dir_is_red(spark, documents, tmp_path_factory):
+    """Driver-advice r3: a docs/ entry named shard=<non-integer> (e.g.
+    shard=__HIVE_DEFAULT_PARTITION__) must report red, never raise — a
+    health probe cannot throw on the unhealthy state it detects."""
+    import os
+
+    from flume_elasticsearch_2_spark.operators.admin import cluster_health
+    from flume_elasticsearch_2_spark.plans.build_index import build_segments_partial
+
+    d = str(tmp_path_factory.mktemp("sick") / "idx")
+    build_segments_partial(
+        spark, documents, d, n_shards=2,
+        orig_ids=documents.select("doc_id", "lang", "text"),
+    )
+    os.makedirs(os.path.join(d, "docs", "shard=__HIVE_DEFAULT_PARTITION__"))
+    rows = {r["index"]: r for r in cluster_health(spark, {"sick": d}).collect()}
+    assert rows["sick"].status == "red"
+
+
+def test_field_stats_empty_fields_refuses(documents):
+    """Driver-advice r3: zero fields must refuse loudly, not die inside
+    docs.agg() with an opaque py4j error."""
+    from flume_elasticsearch_2_spark.operators.admin import field_stats
+
+    with pytest.raises(ValueError, match="at least one field"):
+        field_stats(documents, [])

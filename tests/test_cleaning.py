@@ -328,3 +328,38 @@ def test_contamination_report_matches_duckdb(spark, documents, sf_dir):
         documents.where("doc_id % 17 = 3"), n=8,
     ).where("contaminated").count()
     assert (flagged_train > 0) == any(r[2] > 0 for r in got)
+
+
+def test_contamination_report_sstem_oracle_parity(spark, documents, sf_dir):
+    """Driver-advice r3 (medium): with analyzer='ascii_sstem' the oracle
+    must stem too — the old bare-token-pattern oracle reported 0 hit-grams
+    while the Spark twin stemmed both sides. Now both generators compose
+    duckdb_tokens_expr, so the stemmed configs agree AND find hits."""
+    import duckdb
+
+    from flume_elasticsearch_2_spark.operators.cleaning import (
+        contamination_report,
+        contamination_report_sql,
+    )
+
+    got = [
+        tuple(r)
+        for r in contamination_report(
+            documents.where("doc_id % 17 <> 3"),
+            documents.where("doc_id % 17 = 3"),
+            n=5,
+            analyzer="ascii_sstem",
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = [
+        tuple(r)
+        for r in con.sql(
+            contamination_report_sql(
+                "doc_id % 17 = 3", "doc_id % 17 <> 3", n=5, analyzer="ascii_sstem"
+            )
+        ).fetchall()
+    ]
+    assert got == want and got
+    assert any(r[1] > 0 for r in got)  # the stemmed oracle actually finds hits

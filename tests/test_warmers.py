@@ -69,3 +69,19 @@ def test_unrunnable_warmer_raises(searcher):
     reg.put("bad", {"query": {"match": {"no_such_field": "x"}}})
     with pytest.raises((ValueError, KeyError)):
         run_warmers(searcher, reg)
+
+
+def test_load_revalidates_bodies(tmp_path):
+    """A hand-edited state file cannot smuggle bodies put() would refuse
+    (driver-advice r3: load used to assign the parsed JSON directly)."""
+    import json
+
+    p = str(tmp_path / "warmers.json")
+    with open(p, "w") as f:
+        json.dump({"ok": {"query": {"match_all": {}}}, "bad": []}, f)
+    with pytest.raises(ValueError, match="non-empty dict"):
+        WarmerRegistry.load(p)
+    with open(p, "w") as f:
+        json.dump(["not", "a", "dict"], f)
+    with pytest.raises(ValueError, match="JSON object"):
+        WarmerRegistry.load(p)
