@@ -50,6 +50,40 @@ for _base in ("ascii", "unicode"):
     _JAVA_PATTERNS[f"{_base}_sstem"] = _JAVA_PATTERNS[_base]
     _RE2_PATTERNS[f"{_base}_sstem"] = _RE2_PATTERNS[_base]
 
+# Opt-in full English stemming: the Porter algorithm (functions/porter.py;
+# Porter 1980 + the reference-implementation departures Lucene applies).
+# Analyzer name "<base>_porter" composes with either token class; "english"
+# is the ES-1.x `analyzer: "english"` chain = ascii tokens + the Lucene
+# classic English stop set + Porter (EnglishAnalyzer order: stop filter
+# BEFORE the stemmer). Documented divergence from real ES: the [a-z0-9]+
+# tokenizer splits "porter's" into (porter, s) where Lucene's possessive
+# filter strips "'s" entirely — the trailing s-token survives (length<=2
+# tokens pass Porter unchanged).
+for _base in ("ascii", "unicode"):
+    _PY_RES[f"{_base}_porter"] = _PY_RES[_base]
+    _JAVA_PATTERNS[f"{_base}_porter"] = _JAVA_PATTERNS[_base]
+    _RE2_PATTERNS[f"{_base}_porter"] = _RE2_PATTERNS[_base]
+_PY_RES["english"] = _PY_RES["ascii"]
+_JAVA_PATTERNS["english"] = _JAVA_PATTERNS["ascii"]
+_RE2_PATTERNS["english"] = _RE2_PATTERNS["ascii"]
+
+# Lucene StopAnalyzer.ENGLISH_STOP_WORDS_SET (the classic 33-word list the
+# ES 1.x `english` analyzer defaults to)
+ENGLISH_STOPWORDS: frozenset = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+
+def _is_porter(base: str) -> bool:
+    return base.endswith("_porter") or base == "english"
+
+
+def _merge_stopwords(base: str, stopwords: "list[str] | None") -> "list[str] | None":
+    if base != "english":
+        return stopwords
+    return sorted(ENGLISH_STOPWORDS | set(stopwords or ()))
+
 
 def s_stem(t: str) -> str:
     """Harman S-stemmer, one token. First matching rule wins."""
@@ -182,12 +216,18 @@ def duckdb_tokens_expr(
     ``_sstem``/``_edge`` analyzer names (the drift class a review pass
     found in three separate generators)."""
     expr = f"regexp_extract_all(lower({text_expr}), '{duckdb_token_pattern(analyzer)}')"
+    edge = edge_params(analyzer)
+    base = edge[0] if edge else analyzer
+    stopwords = _merge_stopwords(base, stopwords)
     if stopwords:
         stop_list = ", ".join(f"'{t}'" for t in sorted(set(stopwords)))
         expr = f"list_filter({expr}, t -> t NOT IN ({stop_list}))"
-    edge = edge_params(analyzer)
-    if (edge[0] if edge else analyzer).endswith("_sstem"):
+    if base.endswith("_sstem"):
         expr = f"list_transform({expr}, t -> {duckdb_stem_case('t')})"
+    if _is_porter(base):
+        from .porter import duckdb_porter_case
+
+        expr = f"list_transform({expr}, t -> {duckdb_porter_case('t')})"
     if edge:
         expr = duckdb_edge_transform(expr, edge[1], edge[2])
     return expr
@@ -204,11 +244,16 @@ def tokenize(
     edge = edge_params(analyzer)
     base = edge[0] if edge else analyzer
     toks = _PY_RES[base].findall(text.lower())
+    stopwords = _merge_stopwords(base, stopwords)
     if stopwords:
         stop = set(stopwords)
         toks = [t for t in toks if t not in stop]
     if base.endswith("_sstem"):
         toks = [s_stem(t) for t in toks]
+    if _is_porter(base):
+        from .porter import porter_stem
+
+        toks = [porter_stem(t) for t in toks]
     if edge:
         _, mn, mx = edge
         toks = [t[:i] for t in toks if len(t) >= mn for i in range(mn, min(mx, len(t)) + 1)]
@@ -232,10 +277,19 @@ def tokens_col(
     edge = edge_params(analyzer)
     base = edge[0] if edge else analyzer
     toks = F.regexp_extract_all(F.lower(c), F.lit(_JAVA_PATTERNS[base]), F.lit(0))
+    stopwords = _merge_stopwords(base, stopwords)
     if stopwords:
         toks = F.filter(toks, lambda t: ~t.isin(list(stopwords)))
     if base.endswith("_sstem"):
         toks = F.transform(toks, _s_stem_col)
+    if _is_porter(base):
+        # the one Arrow-batched stage of the chain (functions/porter.py
+        # docstring: the full Porter rule set is deliberately NOT a
+        # codegen CASE chain); memoized per batch, vectorized, never
+        # per-row Python
+        from .porter import porter_col
+
+        toks = porter_col(toks)
     if edge:
         toks = edge_ngrams_col(toks, edge[1], edge[2])
     return toks

@@ -418,21 +418,27 @@ def _make_partial_builder_multi(
     return build
 
 
-def _make_run_merge_encoder(id_space: int, n_shards: int, docs_dir: str | None = None):
+def _make_run_merge_encoder(
+    id_space: int, n_shards: int, docs_dir: str | None = None, routed: bool = False
+):
     """mapInPandas body: input hash-partitioned by (shard, term) and sorted
-    by (shard, term, run_min); key column is 'shard\\x00term'. Merges each
-    group's runs (ordered concat; stable argsort fallback if ranges ever
-    interleave) and block-encodes. Carries the trailing group across Arrow
-    batches like the occurrence encoder."""
+    by (shard, term, run_min); key column is 'shard\\x00term' — or
+    'route\\x00shard\\x00term' with ``routed=True``, in which case each
+    group's doc lengths are read from ``docs_dir/route=<r>`` (the routed
+    build rides the SAME single-exchange kernel with route as a leading key;
+    plans/routing.py). Merges each group's runs (ordered concat; stable
+    argsort fallback if ranges ever interleave) and block-encodes. Carries
+    the trailing group across Arrow batches like the occurrence encoder."""
 
-    dl_cache: dict[int, np.ndarray] = {}
+    dl_cache: dict[tuple, np.ndarray] = {}
 
-    def _shard_dls(shard: int) -> np.ndarray | None:
-        if docs_dir is None:
+    def _shard_dls(ddir: str | None, shard: int) -> np.ndarray | None:
+        if ddir is None:
             return None
-        if shard not in dl_cache:
-            dl_cache[shard] = _shard_dl_dense(docs_dir, shard, id_space, n_shards)
-        return dl_cache[shard]
+        key = (ddir, shard)
+        if key not in dl_cache:
+            dl_cache[key] = _shard_dl_dense(ddir, shard, id_space, n_shards)
+        return dl_cache[key]
 
     def _merge_groups(pdf: pd.DataFrame) -> pd.DataFrame:
         keys = pdf["term"].to_numpy()
@@ -442,7 +448,13 @@ def _make_run_merge_encoder(id_space: int, n_shards: int, docs_dir: str | None =
         rows: list[dict[str, Any]] = []
         for s, e in zip(starts, ends):
             key = keys[s]
-            shard = int(key.split("\x00", 1)[0])
+            if routed:
+                route_s, shard_s = key.split("\x00", 2)[:2]
+                shard = int(shard_s)
+                ddir = None if docs_dir is None else f"{docs_dir}/route={int(route_s)}"
+            else:
+                shard = int(key.split("\x00", 1)[0])
+                ddir = docs_dir
             base = shard_start(shard, id_space, n_shards)
             ids = np.concatenate(
                 [np.frombuffer(b, dtype=np.uint32) for b in pdf["ids"].iloc[s:e]]
@@ -464,7 +476,7 @@ def _make_run_merge_encoder(id_space: int, n_shards: int, docs_dir: str | None =
                         [poscat[bounds[i] : bounds[i + 1]] for i in o]
                     )
                 ids, fs = ids[o], fs[o]
-            dl_dense = _shard_dls(shard)
+            dl_dense = _shard_dls(ddir, shard)
             enc = encode_postings(
                 ids, fs, None if dl_dense is None else dl_dense[ids]
             )
