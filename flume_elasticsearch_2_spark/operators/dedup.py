@@ -511,6 +511,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: (doc_id, cluster_id)
     where cluster_id = the smallest doc id reachable through the pair graph
@@ -524,31 +525,37 @@ def connected_components(
     when no label changes. Rounds = graph diameter, which for near-dup
     clusters is tiny (clusters are near-cliques: LSH links most member
     pairs directly). Each round is ONE key join + ONE map-side-combined min
-    aggregation; frames are ``localCheckpoint``ed so the plan stays flat
-    instead of growing a 25-join lineage. The alternating large-star/
+    aggregation; frames are lineage-truncated each round so the plan stays
+    flat instead of growing a 25-join lineage — ``localCheckpoint`` by
+    default (executor-local blocks: fine single-node, but one lost
+    executor mid-iteration kills the job), or a RELIABLE ``checkpoint()``
+    into ``checkpoint_dir`` when given (the 1000-executor contract;
+    plans/lineage.py iterative_checkpointer). The alternating large-star/
     small-star variant (Kiveris et al., "Connected Components in MapReduce
     and Beyond") halves round counts on high-diameter graphs — documented
     as the upgrade path; min-label is exact regardless. Raises after
     ``max_iter`` rounds instead of silently returning partial clusters.
     """
+    from ..plans.lineage import iterative_checkpointer
+
     spark = pairs.sparkSession
+    ck = iterative_checkpointer(spark, checkpoint_dir)
     sa, sb = F.col(a_col).cast("long"), F.col(b_col).cast("long")
-    edges = (
+    edges = ck(
         pairs.select(sa.alias("s"), sb.alias("d"))
         .union(pairs.select(sb.alias("s"), sa.alias("d")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = ck(
         edges.select(F.col("s").alias("v")).distinct().withColumn("label", F.col("v"))
-    ).localCheckpoint()
+    )
     for _ in range(int(max_iter)):
         msgs = edges.join(labels, edges["s"] == labels["v"]).select(
             F.col("d").alias("v"), F.col("label")
         )
-        new = (
+        new = ck(
             labels.union(msgs).groupBy("v").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        )
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "v")
@@ -637,6 +644,7 @@ def connected_components_star(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_rounds: int = 40,
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """Alternating large-star / small-star connected components (Kiveris et
     al., "Connected Components in MapReduce and Beyond") — the
@@ -656,24 +664,27 @@ def connected_components_star(
     Fixpoint = the edge set stops changing; the surviving edges form stars
     (member → component root = the component's smallest id), so the output
     matches :func:`connected_components` exactly (pinned by test). Frames
-    are ``localCheckpoint``ed per round; non-convergence raises."""
+    are lineage-truncated per round (``checkpoint_dir`` selects reliable
+    checkpointing exactly as in :func:`connected_components`);
+    non-convergence raises."""
+    from ..plans.lineage import iterative_checkpointer
+
     spark = pairs.sparkSession
+    ck = iterative_checkpointer(spark, checkpoint_dir)
     sa, sb = F.col(a_col).cast("long"), F.col(b_col).cast("long")
     # canonical undirected edge list, self-loops dropped
-    edges = (
+    edges = ck(
         pairs.select(F.least(sa, sb).alias("u"), F.greatest(sa, sb).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
     # node universe from the UNFILTERED pairs: a node appearing only in a
     # self-pair must still come out as its own singleton cluster (min-label
     # keeps it; dropping self-loop edges must not drop the node)
-    nodes = (
+    nodes = ck(
         pairs.select(sa.alias("n"))
         .union(pairs.select(sb.alias("n")))
         .distinct()
-        .localCheckpoint()
     )
 
     def sym(e: DataFrame) -> DataFrame:
@@ -684,19 +695,18 @@ def connected_components_star(
         # m(u) = min over the closed neighborhood
         mins = s.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
         # large-star: (x, m(u)) for every neighbor x > u
-        ls = (
+        ls = ck(
             s.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.least(F.col("v"), F.col("m")).alias("u"),
                     F.greatest(F.col("v"), F.col("m")).alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
         s2 = sym(ls)
         mins2 = s2.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
         # small-star: (x, m(u)) for neighbors x <= u, plus (u, m(u))
-        ss = (
+        ss = ck(
             s2.join(mins2, "u")
             .where(F.col("v") <= F.col("u"))
             .select(F.col("v").alias("x"), F.col("m"))
@@ -705,7 +715,6 @@ def connected_components_star(
                     F.greatest(F.col("x"), F.col("m")).alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
         changed = ss.exceptAll(edges).count() + edges.exceptAll(ss).count()
         edges = ss

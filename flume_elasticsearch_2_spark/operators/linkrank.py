@@ -86,14 +86,20 @@ def pagerank(
     id_col: str = "doc_id",
     degree: int = 4,
     seed: int = 7,
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """Top-``k`` nodes by fixed-point PageRank after ``iters`` iterations.
 
     Returns (node, rank_fp) — rank_fp is the EXACT int64 fixed-point rank
     (units of 1/SCALE), ordered by (rank_fp DESC, node ASC). Integer output
     keeps the driver compare bit-exact; callers wanting a float divide by
-    SCALE themselves.
+    SCALE themselves. ``checkpoint_dir`` selects RELIABLE per-iteration
+    checkpointing (executor-loss-safe; plans/lineage.py
+    iterative_checkpointer) over the default ``localCheckpoint``.
     """
+    from ..plans.lineage import iterative_checkpointer
+
+    ck = iterative_checkpointer(docs.sparkSession, checkpoint_dir)
     n = docs.count()
     if n == 0:
         return docs.sparkSession.createDataFrame([], "node long, rank_fp long")
@@ -113,13 +119,12 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
+        ranks = ck(
             nodes.join(contrib, nodes.node == contrib.dst, "left")
             .select(
                 "node",
                 (F.lit(base) + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("r"),
             )
-            .localCheckpoint()
         )
     edges.unpersist()
     return (

@@ -95,3 +95,19 @@ def test_pagerank_mass_and_skew(docs):
 def test_pagerank_empty(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert pagerank(empty).count() == 0
+
+
+def test_pagerank_reliable_checkpoint_identical(spark, documents, tmp_path):
+    """checkpoint_dir variant is bit-identical to the localCheckpoint
+    default (int64 fixed-point ranks)."""
+    from flume_elasticsearch_2_spark.operators.linkrank import pagerank
+
+    docs = documents.limit(60)
+    want = [tuple(r) for r in pagerank(docs, iters=3, k=10).collect()]
+    got = [
+        tuple(r)
+        for r in pagerank(
+            docs, iters=3, k=10, checkpoint_dir=str(tmp_path / "ckpr")
+        ).collect()
+    ]
+    assert got == want
