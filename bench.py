@@ -161,6 +161,22 @@ def main() -> None:
     bm25_topk(docs, "dup batch scan", k=10).collect()
     timings["bm25_dataframe"] = time.time() - t0
 
+    # 3a'. round-4 analyzer additions: the english chain (stopwords +
+    # Porter via the Arrow-batched memoized stemmer — the one non-JVM
+    # analysis stage) and index-time synonyms (expansion-in-corpus,
+    # df/idf reshaped; JVM map lookup + flatten)
+    t0 = time.time()
+    bm25_topk(docs, "queries merged tables values", k=10, analyzer="english").collect()
+    timings["bm25_english_porter"] = time.time() - t0
+
+    from flume_elasticsearch_2_spark.operators.synonyms import bm25_synonym_indexed
+
+    t0 = time.time()
+    bm25_synonym_indexed(
+        docs, "dup batch", ["dup => dup, group", "batch, fast"], k=10
+    ).collect()
+    timings["bm25_synonym_indexed"] = time.time() - t0
+
     # 3b. match_phrase, declarative (Lucene ExactPhraseScorer semantics)
     from flume_elasticsearch_2_spark.operators.topk import bm25_phrase_topk
 
