@@ -939,6 +939,36 @@ def _dsl_bool_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_BOOL_BODY)
 
 
+_DSL_ANALYZER_BODY = {
+    "query": {
+        "match": {
+            "text": {"query": "queries tables scans", "analyzer": "ascii_sstem"}
+        }
+    },
+    "size": 10,
+}
+
+
+def _dsl_match_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 1.x per-query analyzer override (match option "analyzer"):
+    parse-time rewrite to the rendered custom-analyzed token stream, all
+    three engines consistent with zero executor changes — the s-stemmed
+    plural query hits the singular corpus terms through a default-chain
+    index ("english"/Porter names route the same way; tests pin both)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_ANALYZER_BODY)
+
+
+def _dsl_match_analyzer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same body on the SERVING path: the custom-analyzed terms hit the
+    default-chain index's postings directly (exactly ES: a query-side
+    analyzer never re-analyzes the corpus)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_ANALYZER_BODY)
+
+
 def _dsl_legacy_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES 1.x legacy range spellings: the numeric_range filter alias with
     from/to + include_upper bounds, normalized at parse — declarative path."""
@@ -4338,6 +4368,8 @@ _R4_NEW: list[str] = [
     "bm25_synonym_indexed",
     "bm25_synonym_indexed_segment",
     "contamination_report_sstem",
+    "dsl_match_analyzer",
+    "dsl_match_analyzer_segment",
     # (the single-exchange routed build is driver-verified through the
     # existing routed_search / routed_search_all entries, which build
     # through plans/routing.py build_routed_index)
@@ -4734,6 +4766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_nested_agg_segment"] = _dsl_nested_agg_segment
     q["dsl_bool"] = _dsl_bool
     q["dsl_bool_segment"] = _dsl_bool_segment
+    q["dsl_match_analyzer"] = _dsl_match_analyzer
+    q["dsl_match_analyzer_segment"] = _dsl_match_analyzer_segment
     q["dsl_field_query"] = _dsl_field_query
     q["dsl_field_query_segment"] = _dsl_field_query_segment
     q["dsl_span_term"] = _dsl_span_term
@@ -5723,6 +5757,8 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["dsl_common"] = dsl_search_sql(_DSL_COMMON_BODY)
     o["dsl_bool"] = dsl_search_sql(_DSL_BOOL_BODY)
     o["dsl_bool_segment"] = o["dsl_bool"]
+    o["dsl_match_analyzer"] = dsl_search_sql(_DSL_ANALYZER_BODY)
+    o["dsl_match_analyzer_segment"] = o["dsl_match_analyzer"]
     o["dsl_field_query"] = dsl_search_sql(_DSL_FIELD_QUERY_BODY)
     o["dsl_field_query_segment"] = o["dsl_field_query"]
     o["dsl_span_term"] = dsl_search_sql(_DSL_SPAN_TERM_BODY)

@@ -236,6 +236,28 @@ def _parse_match(
         spec.query = val
         return
     spec.query = val["query"]
+    if "analyzer" in val:
+        # ES 1.x per-query analyzer override (match option "analyzer"):
+        # analyze the query text with the NAMED chain here at parse time
+        # and rewrite spec.query to the rendered token stream — rendered
+        # tokens are [a-z0-9]+ runs, so every downstream executor's
+        # default analysis is the identity and all three engines see the
+        # custom-analyzed terms with zero executor changes. Index-side
+        # stats stay the index's own (exactly ES: a query-side analyzer
+        # never re-analyzes the corpus). Unknown names refuse loudly.
+        name = str(val["analyzer"])
+        from ..functions.tokenizer import _PY_RES, edge_params
+
+        try:
+            base = (edge_params(name) or (name,))[0]
+        except (KeyError, ValueError) as e:
+            _err(f"match analyzer {name!r}: {e}")
+        if base not in _PY_RES:
+            _err(
+                f"match analyzer {name!r} (known: "
+                f"{sorted(_PY_RES)} + '<base>_edge{{min}}_{{max}}')"
+            )
+        spec.query = " ".join(tokenize(str(spec.query), analyzer=name))
     spec.mode = {"or": "or", "and": "and"}[val.get("operator", "or")]
     if "minimum_should_match" in val:
         spec.msm = int(val["minimum_should_match"])
@@ -246,7 +268,8 @@ def _parse_match(
     if ztq not in ("none", "all"):
         _err(f"match zero_terms_query {ztq!r} (none / all)")
     extra = set(val) - {
-        "query", "operator", "minimum_should_match", "boost", "zero_terms_query"
+        "query", "operator", "minimum_should_match", "boost", "zero_terms_query",
+        "analyzer",
     }
     if extra:
         _err(f"match options {sorted(extra)}")

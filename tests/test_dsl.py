@@ -2216,3 +2216,48 @@ def test_track_scores_on_sorted_search(documents, duck, searcher):
         dsl_search(documents, {"query": {"match_all": {}},
                                "sort": [{"n_chars": "desc"}],
                                "track_scores": True})
+
+
+def test_match_analyzer_option(spark, documents, duck):
+    """ES 1.x per-query analyzer override: parse-time rewrite to the
+    rendered custom-analyzed stream — declarative == oracle; the english
+    chain removes stopwords pre-stem; unknown names refuse loudly."""
+    from flume_elasticsearch_2_spark.operators.dsl import (
+        dsl_search,
+        dsl_search_sql,
+        parse_body,
+    )
+
+    body = {
+        "query": {"match": {"text": {"query": "queries tables scans",
+                                     "analyzer": "ascii_sstem"}}},
+        "size": 8,
+    }
+    got = [tuple(r) for r in dsl_search(documents, body).collect()]
+    want = [tuple(r) for r in duck.execute(dsl_search_sql(body)).fetchall()]
+    assert got == want and got
+
+    # rewrite semantics: spec.query holds the rendered custom tokens
+    spec = parse_body({"query": {"match": {"text": {
+        "query": "The running queries", "analyzer": "english"}}}})
+    assert spec.query == "run queri"  # stopword gone, Porter applied
+
+    # zero_terms_query interacts correctly: an all-stopword query under
+    # english analyzes to zero tokens -> ztq=all rewrites to match_all
+    spec = parse_body({"query": {"match": {"text": {
+        "query": "the and of", "analyzer": "english",
+        "zero_terms_query": "all"}}}})
+    assert spec.kind == "match_all"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="analyzer"):
+        parse_body({"query": {"match": {"text": {
+            "query": "x", "analyzer": "klingon"}}}})
+    with _pytest.raises(ValueError, match="analyzer"):
+        parse_body({"query": {"match": {"text": {
+            "query": "x", "analyzer": "ascii_edge9_2"}}}})  # bad bounds
+    # edge names accepted and applied
+    spec = parse_body({"query": {"match": {"text": {
+        "query": "query", "analyzer": "ascii_edge2_3"}}}})
+    assert spec.query == "qu que"
