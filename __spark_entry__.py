@@ -1876,6 +1876,18 @@ _DSL_SOURCE_BODY = {
     "_source": ["lang", "n_chars"],
     "size": 5,
 }
+_DSL_SCRIPT_TERNARY_BODY = {
+    "query": {"function_score": {
+        "query": {"match": {"text": "batch scan"}},
+        "script_score": {
+            # round-4 MVEL widening: ternary + Math. statics + % through
+            # the same typed compiler (functions/scripts.py)
+            "script": "_score * (doc['n_chars'].value % 2.0 == 0.0 ? 1.5 : 1.0)"
+            " + Math.sqrt(Math.abs(doc['n_chars'].value)) / 100.0"
+        },
+    }},
+    "size": 10,
+}
 _DSL_SCRIPT_SCORE_BODY = {
     "query": {"function_score": {
         "query": {"match": {"text": "batch scan"}},
@@ -2116,6 +2128,15 @@ def _dsl_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flume_elasticsearch_2_spark.operators.dsl import dsl_search
 
     return dsl_search(_docs(spark, sf_dir), _DSL_SCRIPT_SCORE_BODY)
+
+
+def _dsl_script_ternary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """script_score with the round-4 MVEL constructs (ternary conditional,
+    %, Math. spellings): one typed parse -> JVM when/CASE twin columns;
+    still zero UDFs, still whole-stage codegen."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    return dsl_search(_docs(spark, sf_dir), _DSL_SCRIPT_TERNARY_BODY)
 
 
 def _dsl_script_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4370,6 +4391,7 @@ _R4_NEW: list[str] = [
     "contamination_report_sstem",
     "dsl_match_analyzer",
     "dsl_match_analyzer_segment",
+    "dsl_script_ternary",
     # (the single-exchange routed build is driver-verified through the
     # existing routed_search / routed_search_all entries, which build
     # through plans/routing.py build_routed_index)
@@ -4825,6 +4847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_should_match"] = _dsl_should_match
     q["dsl_should_match_segment"] = _dsl_should_match_segment
     q["dsl_script_score"] = _dsl_script_score
+    q["dsl_script_ternary"] = _dsl_script_ternary
     q["dsl_script_fields"] = _dsl_script_fields
     q["dsl_script_fields_segment"] = _dsl_script_fields_segment
     q["dsl_track_scores"] = _dsl_track_scores
@@ -5867,6 +5890,7 @@ SELECT CAST(rk // 100 AS BIGINT) AS page, doc_id FROM r
     o["dsl_should_match"] = dsl_search_sql(_DSL_SHOULD_MATCH_BODY)
     o["dsl_should_match_segment"] = o["dsl_should_match"]
     o["dsl_script_score"] = dsl_search_sql(_DSL_SCRIPT_SCORE_BODY)
+    o["dsl_script_ternary"] = dsl_search_sql(_DSL_SCRIPT_TERNARY_BODY)
     o["dsl_script_fields"] = dsl_search_sql(_DSL_SCRIPT_FIELDS_BODY)
     o["dsl_script_fields_segment"] = o["dsl_script_fields"]
     o["dsl_track_scores"] = dsl_search_sql(_DSL_TRACK_SCORES_BODY)

@@ -13,14 +13,17 @@ the same reason) — and compiles each script ONCE, at parse time, into BOTH
 
 so the two engines evaluate bit-for-bit the same float64 expression.
 
-Grammar (recursive descent, no eval, no names outside the allowlist)::
+Grammar (recursive descent, no eval, no names outside the allowlist; the
+full typed grammar incl. the round-4 MVEL widening — ternary conditionals,
+``%``, ``Math.`` static spellings — is documented on :class:`_Parser`)::
 
     expr    := term (('+'|'-') term)*
-    term    := unary (('*'|'/') unary)*
+    term    := unary (('*'|'/'|'%') unary)*
     unary   := '-' unary | primary
     primary := NUMBER | '(' expr ')' | FUNC '(' expr (',' expr)* ')'
              | '_score' | doc['FIELD'].value
-    FUNC    := log | log1p | sqrt | abs | min | max | pow
+    FUNC    := log | log1p | sqrt | abs | exp | floor | ceil
+             | min | max | pow        (each also as Math.<name>)
 
 ``log`` is the NATURAL log (Lucene expressions' ``ln``/ES MVEL ``log`` — both
 engines emit ln). ``doc['f'].value`` follows ES 1.x doc-values semantics:
@@ -49,17 +52,20 @@ from pyspark.sql import functions as F
 
 __all__ = ["Script", "parse_predicate", "parse_script"]
 
-_FUNCS_1 = {"log", "log1p", "sqrt", "abs"}
+_FUNCS_1 = {"log", "log1p", "sqrt", "abs", "exp", "floor", "ceil"}
 _FUNCS_2 = {"min", "max", "pow"}
 _FUNCS = _FUNCS_1 | _FUNCS_2
 
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)"
     r"|(?P<doc>doc\[\s*'(?P<field>[A-Za-z_][A-Za-z0-9_]*)'\s*\]\s*\.\s*value)"
+    # MVEL scripts spell the functions as java.lang.Math statics
+    # (Math.log(...)); the alias lexes to the same name token
+    r"|Math\s*\.\s*(?P<mathfn>[A-Za-z_][A-Za-z0-9_]*)"
     r"|(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
     # multi-char comparison/boolean operators before their single-char
     # prefixes, or `>=` lexes as `>` `=` and fails
-    r"|(?P<op>>=|<=|==|!=|&&|\|\||[-+*/(),><!]))"
+    r"|(?P<op>>=|<=|==|!=|&&|\|\||[-+*/%(),><!?:]))"
 )
 
 
@@ -77,6 +83,14 @@ def _lex(src: str) -> list[tuple[str, str]]:
             toks.append(("num", m.group("num")))
         elif m.group("doc") is not None:
             toks.append(("field", m.group("field")))
+        elif m.group("mathfn") is not None:
+            fn = m.group("mathfn")
+            if fn not in _FUNCS:
+                raise ValueError(
+                    f"script: Math.{fn} is not supported (functions: "
+                    f"{sorted(_FUNCS)})"
+                )
+            toks.append(("name", fn))
         elif m.group("name") is not None:
             toks.append(("name", m.group("name")))
         else:
@@ -109,7 +123,35 @@ class Script:
         return _to_sql(self.ast, score_expr, qualifier)
 
 
+_CMP_OPS = (">", "<", ">=", "<=", "==", "!=")
+
+
 class _Parser:
+    """One TYPED grammar for both script contexts (round 4 unification —
+    previously an arithmetic parser plus a boolean subclass with
+    backtracking; the typed grammar subsumes both and adds the MVEL
+    constructs real 1.x scripts use: ternary conditionals, ``%``, and the
+    ``Math.`` spellings)::
+
+        full    := ternary
+        ternary := bor ('?' ternary ':' ternary)?      # cond must be bool,
+                                                       # branches num
+        bor     := band ('||' band)*                   # bool operands
+        band    := bnot ('&&' bnot)*
+        bnot    := '!' bnot | rel
+        rel     := expr (CMP expr)?        # bool if CMP present, else num
+        expr    := term (('+'|'-') term)*
+        term    := unary (('*'|'/'|'%') unary)*
+        unary   := '-' unary | primary
+        primary := NUMBER | '(' full ')' | FUNC '(' full (',' full)* ')'
+                 | '_score' | doc['FIELD'].value
+
+    Every production returns ``(ast, type)`` with type ``num`` | ``bool``;
+    a type mismatch (``1 + (a > b)``, ``x ? .. : ..`` with numeric x,
+    ``!5``) raises at parse time — the no-silent-best-effort contract.
+    Operands stay NULL-free (doc fields coalesce to 0.0), so boolean
+    parity with the SQL twin has no three-valued-logic surface."""
+
     def __init__(self, toks: list[tuple[str, str]]):
         self.toks = toks
         self.i = 0
@@ -131,52 +173,109 @@ class _Parser:
         if t != ("op", op):
             raise ValueError(f"script: expected {op!r}, got {t[1]!r}")
 
-    def expr(self) -> tuple:
-        node = self.term()
-        while self.peek() in (("op", "+"), ("op", "-")):
-            op = self.take()[1]
-            node = ("bin", op, node, self.term())
+    @staticmethod
+    def _want(node_type: tuple, want: str, ctx: str):
+        node, typ = node_type
+        if typ != want:
+            raise ValueError(f"script: {ctx} requires a {want} operand, got {typ}")
         return node
 
-    def term(self) -> tuple:
-        node = self.unary()
-        while self.peek() in (("op", "*"), ("op", "/")):
+    def full(self) -> tuple:
+        return self.ternary()
+
+    def ternary(self) -> tuple:
+        node, typ = self.bor()
+        if self.peek() == ("op", "?"):
+            self.take()
+            cond = node if typ == "bool" else None
+            if cond is None:
+                raise ValueError("script: '?:' condition must be boolean")
+            a = self._want(self.ternary(), "num", "'?:' branch")
+            self.expect_op(":")
+            b = self._want(self.ternary(), "num", "'?:' branch")
+            return ("ternary", cond, a, b), "num"
+        return node, typ
+
+    def bor(self) -> tuple:
+        node, typ = self.band()
+        while self.peek() == ("op", "||"):
+            self.take()
+            l = self._want((node, typ), "bool", "'||'")
+            node, typ = ("or", l, self._want(self.band(), "bool", "'||'")), "bool"
+        return node, typ
+
+    def band(self) -> tuple:
+        node, typ = self.bnot()
+        while self.peek() == ("op", "&&"):
+            self.take()
+            l = self._want((node, typ), "bool", "'&&'")
+            node, typ = ("and", l, self._want(self.bnot(), "bool", "'&&'")), "bool"
+        return node, typ
+
+    def bnot(self) -> tuple:
+        if self.peek() == ("op", "!"):
+            self.take()
+            return ("not", self._want(self.bnot(), "bool", "'!'")), "bool"
+        return self.rel()
+
+    def rel(self) -> tuple:
+        node, typ = self.expr()
+        t = self.peek()
+        if t is not None and t[0] == "op" and t[1] in _CMP_OPS:
+            self.take()
+            l = self._want((node, typ), "num", "comparison")
+            r = self._want(self.expr(), "num", "comparison")
+            return ("cmp", t[1], l, r), "bool"
+        return node, typ
+
+    def expr(self) -> tuple:
+        node, typ = self.term()
+        while self.peek() in (("op", "+"), ("op", "-")):
             op = self.take()[1]
-            node = ("bin", op, node, self.unary())
-        return node
+            l = self._want((node, typ), "num", f"{op!r}")
+            node, typ = ("bin", op, l, self._want(self.term(), "num", f"{op!r}")), "num"
+        return node, typ
+
+    def term(self) -> tuple:
+        node, typ = self.unary()
+        while self.peek() in (("op", "*"), ("op", "/"), ("op", "%")):
+            op = self.take()[1]
+            l = self._want((node, typ), "num", f"{op!r}")
+            node, typ = ("bin", op, l, self._want(self.unary(), "num", f"{op!r}")), "num"
+        return node, typ
 
     def unary(self) -> tuple:
         if self.peek() == ("op", "-"):
             self.take()
-            return ("neg", self.unary())
+            return ("neg", self._want(self.unary(), "num", "unary '-'")), "num"
         return self.primary()
 
     def primary(self) -> tuple:
         kind, val = self.take()
         if kind == "num":
-            return ("num", float(val))
+            return ("num", float(val)), "num"
         if kind == "field":
             self.fields.add(val)
-            return ("field", val)
+            return ("field", val), "num"
         if kind == "op" and val == "(":
-            node = self.expr()
+            node, typ = self.full()
             self.expect_op(")")
-            return node
+            return node, typ
         if kind == "name":
             if val == "_score":
                 self.uses_score = True
-                return ("score",)
+                return ("score",), "num"
             if val in _FUNCS:
                 self.expect_op("(")
-                args = [self.expr()]
+                args = [self._want(self.full(), "num", f"{val}()")]
                 while self.peek() == ("op", ","):
                     self.take()
-                    args.append(self.expr())
+                    args.append(self._want(self.full(), "num", f"{val}()"))
                 self.expect_op(")")
                 want = 1 if val in _FUNCS_1 else 2
                 if len(args) != want:
                     raise ValueError(f"script: {val}() takes {want} arg(s), got {len(args)}")
-                return ("call", val, args)
+                return ("call", val, args), "num"
             raise ValueError(
                 f"script: unknown name {val!r} (fields are doc['f'].value; "
                 f"functions: {sorted(_FUNCS)})"
@@ -184,75 +283,17 @@ class _Parser:
         raise ValueError(f"script: unexpected token {val!r}")
 
 
-_CMP_OPS = (">", "<", ">=", "<=", "==", "!=")
-
-
-class _PredParser(_Parser):
-    """Boolean-predicate layer over the arithmetic grammar — the ES 1.x
-    ``script`` FILTER context (a script returning true/false)::
-
-        bpred   := bterm ('||' bterm)*
-        bterm   := bfactor ('&&' bfactor)*
-        bfactor := '!' bfactor | cmp | '(' bpred ')'
-        cmp     := expr ('>'|'<'|'>='|'<='|'=='|'!=') expr
-
-    A leading ``(`` is ambiguous (arithmetic vs boolean group); the parser
-    tries the comparison first and backtracks to the boolean group on
-    failure, restoring the field/_score bookkeeping so a failed attempt
-    leaves no trace. Operands are the arithmetic grammar's — doc fields
-    coalesce NULL to 0.0, so no comparison ever evaluates to NULL and the
-    Spark/DuckDB boolean parity is total (no three-valued-logic surface)."""
-
-    def bpred(self) -> tuple:
-        node = self.bterm()
-        while self.peek() == ("op", "||"):
-            self.take()
-            node = ("or", node, self.bterm())
-        return node
-
-    def bterm(self) -> tuple:
-        node = self.bfactor()
-        while self.peek() == ("op", "&&"):
-            self.take()
-            node = ("and", node, self.bfactor())
-        return node
-
-    def bfactor(self) -> tuple:
-        if self.peek() == ("op", "!"):
-            self.take()
-            return ("not", self.bfactor())
-        if self.peek() == ("op", "("):
-            state = (self.i, set(self.fields), self.uses_score)
-            try:
-                return self.cmp()
-            except ValueError:
-                self.i, self.fields, self.uses_score = state
-            self.take()  # '('
-            node = self.bpred()
-            self.expect_op(")")
-            return node
-        return self.cmp()
-
-    def cmp(self) -> tuple:
-        l = self.expr()
-        t = self.peek()
-        if t is None or t[0] != "op" or t[1] not in _CMP_OPS:
-            raise ValueError(
-                f"script predicate: expected a comparison operator, got "
-                f"{t[1]!r}" if t else "script predicate: expected a comparison"
-            )
-        self.take()
-        return ("cmp", t[1], l, self.expr())
-
-
 def parse_script(src: str) -> Script:
-    """Parse ``src`` into a :class:`Script`; raises ``ValueError`` on anything
-    outside the documented grammar."""
+    """Parse a NUMERIC script (``script_score`` / ``script_fields`` /
+    ``_script`` sort sources) into a :class:`Script`; raises ``ValueError``
+    on anything outside the documented grammar or a boolean result."""
     p = _Parser(_lex(src))
-    ast = p.expr()
+    node, typ = p.full()
     if p.peek() is not None:
         raise ValueError(f"script: trailing input at {p.peek()[1]!r}")
-    return Script(source=src, ast=ast, fields=p.fields, uses_score=p.uses_score)
+    if typ != "num":
+        raise ValueError("script: a scoring script must evaluate to a number")
+    return Script(source=src, ast=node, fields=p.fields, uses_score=p.uses_score)
 
 
 def parse_predicate(src: str) -> Script:
@@ -260,13 +301,15 @@ def parse_predicate(src: str) -> Script:
     :class:`Script` whose ``spark_col()``/``sql()`` yield a boolean
     Column/predicate. ``_score`` is rejected — ES filter context is
     non-scoring and has no score in scope."""
-    p = _PredParser(_lex(src))
-    ast = p.bpred()
+    p = _Parser(_lex(src))
+    node, typ = p.full()
     if p.peek() is not None:
         raise ValueError(f"script predicate: trailing input at {p.peek()[1]!r}")
+    if typ != "bool":
+        raise ValueError("script predicate: a filter script must evaluate to a boolean")
     if p.uses_score:
         raise ValueError("script predicate: _score is not in scope in filter context")
-    return Script(source=src, ast=ast, fields=p.fields, uses_score=False)
+    return Script(source=src, ast=node, fields=p.fields, uses_score=False)
 
 
 def _to_spark(node: tuple, score: Column | None) -> Column:
@@ -282,7 +325,12 @@ def _to_spark(node: tuple, score: Column | None) -> Column:
         return -_to_spark(node[1], score)
     if kind == "bin":
         op, l, r = node[1], _to_spark(node[2], score), _to_spark(node[3], score)
-        return {"+": l + r, "-": l - r, "*": l * r, "/": l / r}[op]
+        # % is Java remainder (sign of dividend) in Spark AND DuckDB — parity
+        return {"+": l + r, "-": l - r, "*": l * r, "/": l / r, "%": l % r}[op]
+    if kind == "ternary":
+        return F.when(
+            _to_spark(node[1], score), _to_spark(node[2], score)
+        ).otherwise(_to_spark(node[3], score))
     if kind == "cmp":
         op, l, r = node[1], _to_spark(node[2], score), _to_spark(node[3], score)
         # operands are coalesced doubles/literals — never NULL, so != is safe
@@ -312,6 +360,13 @@ def _to_spark(node: tuple, score: Column | None) -> Column:
             return F.greatest(*args)
         if fn == "pow":
             return F.pow(*args)
+        if fn == "exp":
+            return F.exp(args[0])
+        # Spark floor/ceil return LONG; cast to match DuckDB's double
+        if fn == "floor":
+            return F.floor(args[0]).cast("double")
+        if fn == "ceil":
+            return F.ceil(args[0]).cast("double")
     raise AssertionError(f"unreachable AST node {node!r}")
 
 
@@ -329,6 +384,11 @@ def _to_sql(node: tuple, score_expr: str | None, qual: str) -> str:
         l = _to_sql(node[2], score_expr, qual)
         r = _to_sql(node[3], score_expr, qual)
         return f"({l} {node[1]} {r})"
+    if kind == "ternary":
+        c = _to_sql(node[1], score_expr, qual)
+        a = _to_sql(node[2], score_expr, qual)
+        b = _to_sql(node[3], score_expr, qual)
+        return f"(CASE WHEN {c} THEN {a} ELSE {b} END)"
     if kind == "cmp":
         l = _to_sql(node[2], score_expr, qual)
         r = _to_sql(node[3], score_expr, qual)
@@ -357,4 +417,10 @@ def _to_sql(node: tuple, score_expr: str | None, qual: str) -> str:
             return f"greatest({args[0]}, {args[1]})"
         if fn == "pow":
             return f"power({args[0]}, {args[1]})"
+        if fn == "exp":
+            return f"exp({args[0]})"
+        if fn == "floor":
+            return f"CAST(floor({args[0]}) AS DOUBLE)"
+        if fn == "ceil":
+            return f"CAST(ceil({args[0]}) AS DOUBLE)"
     raise AssertionError(f"unreachable AST node {node!r}")

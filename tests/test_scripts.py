@@ -73,7 +73,7 @@ def test_missing_field_reads_as_zero_in_sql():
         "",  # empty
         "1 +",  # dangling operator
         "foo",  # unknown name
-        "exp(1)",  # unsupported function
+        "sinh(1)",  # unsupported function (exp/floor/ceil joined in r4)
         "min(1)",  # arity
         "pow(1, 2, 3)",  # arity
         "doc['a'].count",  # only .value is doc-values access
@@ -181,3 +181,75 @@ def test_predicate_spark_twin_matches_sql(spark):
 def test_bad_predicates_raise(bad):
     with pytest.raises(ValueError):
         parse_predicate(bad)
+
+
+# -- round-4 MVEL widening: ternary, %, Math. spellings, exp/floor/ceil ------
+
+
+@pytest.mark.parametrize(
+    "src",
+    [
+        "doc['n_chars'].value > 100 ? 1.5 : 0.5",
+        "doc['n_chars'].value % 7.0",
+        "-7.5 % 2.0",
+        "Math.log(doc['n_chars'].value + 1.0) * Math.sqrt(4.0)",
+        "exp(1.0) + floor(2.7) - ceil(2.2)",
+        "doc['n_chars'].value > 50 && doc['n_chars'].value < 500 ? "
+        "Math.pow(2.0, 3.0) : Math.abs(-1.0)",
+        "(doc['n_chars'].value % 2.0 == 0.0 ? 10.0 : 1.0) + _score",
+    ],
+)
+def test_r4_constructs_parity(spark, documents, sf_dir, src):
+    """New constructs evaluate bit-identically in Spark and DuckDB over the
+    real docs table (same harness as the base grammar parity test)."""
+    from pyspark.sql import functions as F
+
+    from flume_elasticsearch_2_spark.functions.scripts import parse_script
+
+    duck = duckdb.connect()
+    duck.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    sc = parse_script(src)
+    got = {
+        r.doc_id: r.v
+        for r in documents.select(
+            "doc_id", sc.spark_col(score=F.lit(2.0)).alias("v")
+        ).collect()
+    }
+    want = dict(
+        duck.execute(
+            f"SELECT doc_id, {sc.sql(score_expr='2.0')} AS v FROM documents"
+        ).fetchall()
+    )
+    # transcendentals (exp/log) differ by ULPs between JVM and DuckDB libm —
+    # the same 1e-12 contract the base twin test pins (scores round to 6
+    # decimals before any driver hash, so ULPs never surface there)
+    assert sorted(got) == sorted(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], rel=1e-12, abs=1e-12), (src, k)
+
+
+def test_r4_type_errors_raise():
+    from flume_elasticsearch_2_spark.functions.scripts import (
+        parse_predicate,
+        parse_script,
+    )
+
+    for bad in [
+        "1 ? 2.0 : 3.0",             # numeric condition
+        "1 + (doc['a'].value > 2)",  # bool into arithmetic
+        "!5",                        # bool negation of a number
+        "doc['a'].value > 1 ? (2 > 1) : 0.0",  # bool branch
+        "Math.sinh(1)",              # unknown Math static
+    ]:
+        with pytest.raises(ValueError):
+            parse_script(bad)
+    # a scoring script must be numeric; a filter script must be boolean
+    with pytest.raises(ValueError, match="must evaluate to a number"):
+        parse_script("doc['a'].value > 1")
+    with pytest.raises(ValueError, match="must evaluate to a boolean"):
+        parse_predicate("doc['a'].value + 1")
+    # ternary INSIDE a predicate comparison is fine (numeric subexpr)
+    p = parse_predicate("(doc['a'].value > 1 ? 2.0 : 0.0) > 1.0")
+    assert p.fields == {"a"}
