@@ -542,7 +542,8 @@ def test_dsl_mlt_routes(documents, searcher):
                                       "script_score": {"script": "_score * 2"},
                                       "random_score": {"seed": 1}}}},
         {"query": {"function_score": {"query": {"match": {"text": "a"}},
-                                      "script_score": {"script": "exp(_score)"}}}},
+                                      # exp() became supported in r4; sinh stays out
+                                      "script_score": {"script": "sinh(_score)"}}}},
         {"query": {"function_score": {"query": {"match": {"text": "a"}},
                                       "script_score": {"script": "_source.text"}}}},
         # decay: ONE function, numeric origins only, params validated

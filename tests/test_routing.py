@@ -202,19 +202,22 @@ def test_build_job_count_insensitive_to_route_cardinality(spark, documents, tmp_
     route is a leading key of the one posting exchange, and the route=K/
     trees come from partitionBy writes + driver renames, not per-route
     sub-builds."""
-    tracker = spark.sparkContext.statusTracker()
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
 
     def n_jobs_for(n_routes, d):
-        before = len(tracker.getJobIdsForGroup(None) or []) + len(
-            tracker.getJobIdsForGroup("") or []
-        )
-        before_all = len(tracker.getJobIdsForGroup() or [])
-        build_routed_index(
-            spark, documents, str(d), routing_field="lang", n_routes=n_routes,
-            n_shards=2,
-        )
-        after_all = len(tracker.getJobIdsForGroup() or [])
-        return after_all - before_all
+        # an exclusive job group isolates the count from any stray jobs
+        # other tests' lingering streams might schedule concurrently
+        group = f"routed-jobcount-{n_routes}"
+        sc.setJobGroup(group, "job-count pin")
+        try:
+            build_routed_index(
+                spark, documents, str(d), routing_field="lang",
+                n_routes=n_routes, n_shards=2,
+            )
+        finally:
+            sc.setJobGroup(None, None)
+        return len(tracker.getJobIdsForGroup(group) or [])
 
     j2 = n_jobs_for(2, tmp_path / "r2")
     j8 = n_jobs_for(8, tmp_path / "r8")
