@@ -1310,6 +1310,16 @@ def _doc_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_dup_fraction(_docs(spark, sf_dir), n=5, min_df=2)
 
 
+def _duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL duplicated token spans (Lee et al. exact-substring dedup,
+    span-level output): hit positions of corpus-duplicated 6-grams merged
+    by gaps-and-islands into (doc_id, start_token, end_token, n_grams).
+    operators/cleaning.py duplicated_spans."""
+    from flume_elasticsearch_2_spark.operators.cleaning import duplicated_spans
+
+    return duplicated_spans(_docs(spark, sf_dir), n=6, min_df=2)
+
+
 _DSL_QS_BODY = {"query": {"query_string": {"query": "dup batch -slow"}}}
 _DSL_FILTERED_BODY = {
     "query": {
@@ -4392,6 +4402,7 @@ _R4_NEW: list[str] = [
     "dsl_match_analyzer",
     "dsl_match_analyzer_segment",
     "dsl_script_ternary",
+    "duplicated_spans",
     # (the single-exchange routed build is driver-verified through the
     # existing routed_search / routed_search_all entries, which build
     # through plans/routing.py build_routed_index)
@@ -4764,6 +4775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["repetition_metrics"] = _repetition_metrics
     q["duplicated_ngrams"] = _duplicated_ngrams
     q["doc_dup_fraction"] = _doc_dup_fraction
+    q["duplicated_spans"] = _duplicated_spans
     q["clean_corpus"] = _clean_corpus
     q["dedup_paragraphs"] = _dedup_paragraphs
     q["decontaminate_docs"] = _decontaminate_docs
@@ -5351,6 +5363,9 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     from flume_elasticsearch_2_spark.operators.cleaning import doc_dup_fraction_sql
 
     o["doc_dup_fraction"] = doc_dup_fraction_sql(n=5, min_df=2)
+    from flume_elasticsearch_2_spark.operators.cleaning import duplicated_spans_sql
+
+    o["duplicated_spans"] = duplicated_spans_sql(n=6, min_df=2)
     from flume_elasticsearch_2_spark.operators.cleaning import clean_corpus_sql
 
     o["clean_corpus"] = clean_corpus_sql()

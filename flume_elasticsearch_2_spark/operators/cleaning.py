@@ -219,6 +219,111 @@ def doc_dup_fraction(
     )
 
 
+def duplicated_spans(
+    docs: DataFrame,
+    n: int = 10,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """MAXIMAL duplicated token spans per doc — the span-level output of
+    exact-substring dedup ("Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2022: remove the duplicated SUBSTRING, not
+    the whole document). Every position whose n-gram occurs in >= ``min_df``
+    docs is a hit; overlapping/adjacent hit windows merge into maximal
+    spans via the gaps-and-islands idiom (a new island opens when
+    ``pos > prev_pos + n``). Returns ``(doc_id, start_token, end_token,
+    n_grams)`` ordered — token-index spans the caller slices out of the
+    analyzed stream (or maps to char offsets via its own tokenizer).
+
+    Scale shape: df comes from ONE map-side-combined aggregation over
+    per-doc-DISTINCT grams; hits are a gram-keyed shuffle join (the dup
+    gram set is never assumed broadcastable); the island window is
+    partitioned by doc — per-partition state bounded by dl, and the doc
+    shuffle carries only hit positions, never text."""
+    from pyspark.sql.window import Window
+
+    toks = tokens_col(text_col, analyzer=analyzer)
+    grams = _ngrams_col(toks, n)
+    base = docs.select(F.col(id_col).alias("doc_id"), grams.alias("grams"))
+    pos_grams = base.select(
+        "doc_id", F.posexplode("grams").alias("pos", "gram")
+    )
+    dup = (
+        base.select("doc_id", F.explode(F.array_distinct(F.col("grams"))).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("gdf"))
+        .where(F.col("gdf") >= int(min_df))
+        .select("gram")
+    )
+    hits = pos_grams.join(dup, "gram", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = (
+        F.when(F.lag("pos").over(w).isNull(), F.lit(0))
+        .when(F.col("pos") > F.lag("pos").over(w) + int(n), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    isl = hits.withColumn(
+        "island",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("start_token"),
+            (F.max("pos") + int(n) - 1).cast("long").alias("end_token"),
+            F.count("*").cast("long").alias("n_grams"),
+        )
+        .select("doc_id", "start_token", "end_token", "n_grams")
+        .orderBy("doc_id", "start_token")
+    )
+
+
+def duplicated_spans_sql(
+    n: int = 10, min_df: int = 2, table: str = "documents", analyzer: str = "ascii"
+) -> str:
+    """DuckDB oracle for :func:`duplicated_spans` — identical grams, df
+    rule, and gaps-and-islands window arithmetic."""
+    tok = duckdb_tokens_expr(analyzer)
+    pg = (
+        f"CASE WHEN len({tok}) < {n} THEN [] "
+        f"ELSE list_transform(range(1, len({tok}) - {n} + 2), "
+        f"i -> {{'pos': i - 1, 'gram': array_to_string({tok}[i:i+{n - 1}], ' ')}}) END"
+    )
+    return f"""
+WITH pos_grams AS (
+  SELECT doc_id, u.pos AS pos, u.gram AS gram
+  FROM (SELECT doc_id, unnest({pg}) AS u FROM {table})
+),
+dup AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM pos_grams)
+  GROUP BY gram HAVING count(*) >= {int(min_df)}
+),
+hits AS (
+  SELECT doc_id, pos FROM pos_grams WHERE gram IN (SELECT gram FROM dup)
+),
+w AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL THEN 0
+              WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {n} THEN 1
+              ELSE 0 END AS brk
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+  FROM w
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS start_token,
+       CAST(max(pos) + {n} - 1 AS BIGINT) AS end_token,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, start_token
+"""
+
+
 def doc_dup_fraction_sql(
     n: int = 5, min_df: int = 2, table: str = "documents", analyzer: str = "ascii"
 ) -> str:

@@ -363,3 +363,52 @@ def test_contamination_report_sstem_oracle_parity(spark, documents, sf_dir):
     ]
     assert got == want and got
     assert any(r[1] > 0 for r in got)  # the stemmed oracle actually finds hits
+
+
+def test_duplicated_spans_matches_duckdb(documents, duck):
+    from flume_elasticsearch_2_spark.operators.cleaning import (
+        duplicated_spans,
+        duplicated_spans_sql,
+    )
+
+    for n, mdf in ((6, 2), (4, 3)):
+        got = [tuple(r) for r in duplicated_spans(documents, n=n, min_df=mdf).collect()]
+        want = [
+            tuple(r) for r in duck.execute(duplicated_spans_sql(n=n, min_df=mdf)).fetchall()
+        ]
+        assert got == want and got, (n, mdf)
+
+
+def test_duplicated_spans_semantics(spark):
+    """Crafted corpus: two docs share the exact phrase 'a b c d e f' (two
+    overlapping 5-grams -> ONE maximal span covering tokens 6 tokens wide);
+    a doc with two far-apart duplicated windows yields TWO islands; unique
+    text yields none."""
+    from flume_elasticsearch_2_spark.operators.cleaning import duplicated_spans
+
+    shared = "a b c d e f"
+    far = "a b c d e x0 x1 x2 x3 x4 x5 x6 x7 b c d e f"
+    rows = [
+        (1, f"{shared} tail one"),
+        (2, f"lead two {shared}"),
+        (3, far),
+        (4, "totally unique text here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.start_token, r.end_token, r.n_grams)
+        for r in duplicated_spans(docs, n=5, min_df=2).collect()
+    }
+    # doc 1: grams at pos 0 ('a b c d e') and 1 ('b c d e f') merge -> [0, 5]
+    assert got[1] == (0, 5, 2)
+    # doc 2: same two grams shifted by the 2-token lead -> [2, 7]
+    assert got[2] == (2, 7, 2)
+    # doc 3 holds both shared windows: 'a b c d e' at 0 and 'b c d e f' at
+    # 13 — gap 13 > 0 + 5, so two separate islands
+    d3 = sorted(
+        (r.start_token, r.end_token)
+        for r in duplicated_spans(docs, n=5, min_df=2).collect()
+        if r.doc_id == 3
+    )
+    assert d3 == [(0, 4), (13, 17)]
+    assert 4 not in got or got[4] is None  # unique doc: no spans
