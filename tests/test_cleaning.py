@@ -412,3 +412,55 @@ def test_duplicated_spans_semantics(spark):
     )
     assert d3 == [(0, 4), (13, 17)]
     assert 4 not in got or got[4] is None  # unique doc: no spans
+
+
+def test_duplicated_spans_properties(spark):
+    """Structural invariants on a randomized (seeded) corpus: spans are
+    per-doc sorted and NON-overlapping with gaps > n between them (maximal
+    merge really merged), every span lies inside its doc's token range, and
+    n_grams == span_width - n + 1 exactly when the span is gap-free inside
+    (always true post-merge: islands are by construction runs of hits no
+    more than n apart, so gram count is bounded by width but at least the
+    island's hit count)."""
+    import random
+
+    from flume_elasticsearch_2_spark.functions.tokenizer import tokenize
+    from flume_elasticsearch_2_spark.operators.cleaning import duplicated_spans
+
+    rng = random.Random(404)
+    vocab = [f"w{i}" for i in range(30)]
+    shared_a = "p q r s t u v"         # 7 tokens, planted in several docs
+    shared_b = "m n o p2 q2"           # 5 tokens
+    rows = []
+    for i in range(40):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(8, 40))]
+        text = " ".join(toks)
+        if i % 4 == 0:
+            cut = rng.randint(0, len(toks))
+            text = " ".join(toks[:cut]) + " " + shared_a + " " + " ".join(toks[cut:])
+        if i % 5 == 0:
+            text = shared_b + " " + text
+        rows.append((i, text.strip()))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 4
+    spans = duplicated_spans(docs, n=n, min_df=2).collect()
+    assert spans
+    dl = {i: len(tokenize(t)) for i, t in rows}
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, ss in by_doc.items():
+        ss = sorted(ss, key=lambda r: r.start_token)
+        prev_end = None
+        for r in ss:
+            assert 0 <= r.start_token <= r.end_token < dl[d], (d, r)
+            width = r.end_token - r.start_token + 1
+            assert width >= n and 1 <= r.n_grams <= width - n + 1, (d, r)
+            if prev_end is not None:
+                # maximality: the next span's first hit must NOT have been
+                # mergeable into the previous island
+                assert r.start_token > prev_end - n + 1 + n, (d, ss)
+            prev_end = r.end_token
+    # the planted 7-token shared phrase shows up as a span of width >= 7
+    planted = [r for r in spans if r.end_token - r.start_token + 1 >= 7]
+    assert planted
