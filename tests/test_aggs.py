@@ -330,6 +330,76 @@ def test_serving_extended_stats_empty_scope(agg_searcher, documents):
     assert got == want and got[0][0] == 0
 
 
+# -- round-5 mergeable-partial serving forms ----------------------------------
+
+
+@pytest.mark.parametrize("query,mode", CASES)
+def test_serving_percentiles_identical(agg_searcher, documents, query, mode):
+    """facet_percentiles (per-shard value-stream partials + exact merge)
+    must equal the declarative exact form bit-for-bit."""
+    got = [tuple(r) for r in agg_searcher.facet_percentiles(
+        query, "n_chars", percents=(5.0, 50.0, 95.0), mode=mode
+    ).collect()]
+    want = [tuple(r) for r in percentiles_facet(
+        documents, query, "n_chars", percents=(5.0, 50.0, 95.0), mode=mode
+    ).collect()]
+    assert got == want and (got or query == "zzzznotaterm")
+
+
+def test_serving_percentiles_empty_match(agg_searcher, documents):
+    got = [tuple(r) for r in agg_searcher.facet_percentiles(
+        "zzzznotaterm", "n_chars"
+    ).collect()]
+    want = [tuple(r) for r in percentiles_facet(
+        documents, "zzzznotaterm", "n_chars"
+    ).collect()]
+    assert got == want == []
+
+
+@pytest.mark.parametrize("query,mode", CASES)
+def test_serving_top_hits_identical(agg_searcher, documents, query, mode):
+    """facet_top_hits (per-shard ≤k rank windows, final re-rank) must equal
+    the declarative window form, both sort directions."""
+    from flume_elasticsearch_2_spark.operators.aggs import top_hits_agg
+
+    for asc in (False, True):
+        got = [tuple(r) for r in agg_searcher.facet_top_hits(
+            query, "lang", 2, "n_chars", ascending=asc, mode=mode
+        ).collect()]
+        want = [tuple(r) for r in top_hits_agg(
+            documents, query, "lang", 2, "n_chars", ascending=asc, mode=mode
+        ).collect()]
+        assert got == want, (query, mode, asc)
+
+
+@pytest.mark.parametrize("query,mode", [c for c in CASES if c[0]])
+def test_serving_significant_terms_identical(agg_searcher, documents, query, mode):
+    """facet_significant_terms (per-shard postings sweep + metadata bg
+    join) must equal the declarative exploded-distinct pass: same JLH
+    scores, same ordering, same fg/bg counts."""
+    got = [tuple(r) for r in agg_searcher.facet_significant_terms(
+        query, size=10, mode=mode
+    ).collect()]
+    want = [tuple(r) for r in significant_terms_facet(
+        documents, query, size=10, mode=mode
+    ).collect()]
+    assert got == want, (query, mode)
+
+
+def test_serving_significant_terms_empty_and_min_count(agg_searcher, documents):
+    got = [tuple(r) for r in agg_searcher.facet_significant_terms(
+        "zzzznotaterm"
+    ).collect()]
+    assert got == []
+    got2 = [tuple(r) for r in agg_searcher.facet_significant_terms(
+        "dup batch", min_doc_count=3
+    ).collect()]
+    want2 = [tuple(r) for r in significant_terms_facet(
+        documents, "dup batch", min_doc_count=3
+    ).collect()]
+    assert got2 == want2 and all(r[1] >= 3 for r in got2)
+
+
 # -- deterministic HLL cardinality ----------------------------------------------
 
 

@@ -264,6 +264,55 @@ BODIES: list[tuple[str, dict, bool]] = [
         True,
     ),
     (
+        # round 5: GENERAL or filter — cross-field disjunction of
+        # conjunctions (the most common still-refusing 1.x body shape,
+        # delegation site ElasticsearchSink.java:54)
+        "or_filter_cross_field",
+        {"query": {"filtered": {
+            "query": {"match": {"text": "dup batch scan"}},
+            "filter": {"or": [
+                {"term": {"lang": "en"}},
+                {"and": [{"range": {"n_chars": {"gte": 900}}},
+                         {"term": {"source": "web"}}]},
+            ]}}},
+         "size": 10},
+        True,
+    ),
+    (
+        # or long form {"filters": [...]} + nested not-inside-or branch
+        "or_filter_long_form",
+        {"query": {"filtered": {
+            "query": {"match": {"text": "batch scan"}},
+            "filter": {"or": {"filters": [
+                {"not": {"term": {"lang": "en"}}},
+                {"prefix": {"source": "we"}},
+            ]}}}},
+         "size": 10},
+        True,
+    ),
+    (
+        # not over a compound (NOT node): De-Morgan-free general negation
+        "not_over_or_filter",
+        {"query": {"filtered": {
+            "query": {"match": {"text": "dup batch scan"}},
+            "filter": {"not": {"or": [
+                {"term": {"lang": "en"}},
+                {"range": {"n_chars": {"lt": 400}}},
+            ]}}}},
+         "size": 10},
+        True,
+    ),
+    (
+        # not long form {"not": {"filter": {...}}} (NotFilterParser)
+        "not_filter_long_form",
+        {"query": {"filtered": {
+            "query": {"match": {"text": "dup batch scan"}},
+            "filter": {"not": {"filter": {"range": {"n_chars": {"gte": 200,
+                                                                "lt": 2000}}}}}}},
+         "size": 10},
+        True,
+    ),
+    (
         "toplevel_exists",
         {"query": {"exists": {"field": "lang"}}, "size": 6},
         False,
@@ -1679,6 +1728,35 @@ def test_not_filter_keeps_docs_missing_the_field(documents):
             for r in with_nulls.where(F.col("doc_id").isin(list(got)))
             .select("maybe").collect()
         )
+
+
+def test_not_over_compound_keeps_docs_missing_the_field(documents):
+    """Round 5: the general NOT node coalesces the inner conjunction to
+    FALSE before negating, so docs missing ANY inner field are KEPT (ES
+    `not` semantics) — pinned with synthesized nulls on both an or-inner
+    and a range-inner, against the DuckDB twin of the same body."""
+    import duckdb as _duck
+
+    from pyspark.sql import functions as F
+
+    with_nulls = documents.withColumn(
+        "maybe", F.when(F.col("doc_id") % 4 == 0, F.col("n_chars"))
+    )
+    con = _duck.connect()
+    con.register("documents_arrow", with_nulls.toPandas())
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_arrow")
+    null_ids = {r.doc_id for r in with_nulls.where(F.col("maybe").isNull())
+                .select("doc_id").collect()}
+    for flt in (
+        {"not": {"or": [{"term": {"lang": "zz"}},
+                        {"range": {"maybe": {"gte": 0}}}]}},
+        {"not": {"range": {"maybe": {"gte": 0, "lt": 10**9}}}},
+    ):
+        body = {"query": {"filtered": {"filter": flt}}, "size": 100000}
+        got = {r.doc_id for r in dsl_search(with_nulls, body).collect()}
+        want = {r[0] for r in con.execute(dsl_search_sql(body)).fetchall()}
+        assert null_ids <= got, flt  # every missing-field doc kept
+        assert got == want, flt
 
 
 def test_post_filter_rejected_where_filters_cannot_apply(documents, searcher, duck):

@@ -39,6 +39,25 @@ filter_st = st.lists(
         st.tuples(st.integers(0, 3000), st.integers(0, 4000)).map(
             lambda lo_hi: {"range": {"n_chars": {"gte": lo_hi[0], "lt": lo_hi[0] + lo_hi[1] + 1}}}
         ),
+        # round 5: general cross-field or (conjunction branches), nested
+        # not-inside-or, and not-over-or — the compound filter nodes
+        st.tuples(st.sampled_from(LANGS), st.integers(0, 3000)).map(
+            lambda lv: {"or": [{"term": {"lang": lv[0]}},
+                               {"range": {"n_chars": {"gte": lv[1]}}}]}
+        ),
+        st.tuples(
+            st.sampled_from(LANGS), st.sampled_from(LANGS), st.integers(0, 2500)
+        ).map(
+            lambda t: {"or": [
+                {"and": [{"term": {"lang": t[0]}},
+                         {"range": {"n_chars": {"lt": t[2]}}}]},
+                {"not": {"term": {"lang": t[1]}}},
+            ]}
+        ),
+        st.tuples(st.sampled_from(LANGS), st.integers(0, 3000)).map(
+            lambda lv: {"not": {"or": [{"term": {"lang": lv[0]}},
+                                       {"range": {"n_chars": {"lt": lv[1]}}}]}}
+        ),
     ),
     max_size=2,
 )

@@ -59,6 +59,12 @@ def body_st(draw):
         if draw(st.booleans()):
             lo = draw(st.integers(0, 2000))
             flt.append({"range": {"n_chars": {"gte": lo, "lt": lo + draw(st.integers(1, 4000))}}})
+        if draw(st.booleans()):
+            # round 5: general or / not-over-or nodes on the serving path
+            inner = [{"term": {"lang": draw(st.sampled_from(LANGS))}},
+                     {"range": {"n_chars": {"gte": draw(st.integers(0, 2500))}}}]
+            flt.append({"or": inner} if draw(st.booleans())
+                       else {"not": {"or": inner}})
         if flt:
             b["filter"] = flt
         if draw(st.booleans()):
