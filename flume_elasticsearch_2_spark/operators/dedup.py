@@ -549,12 +549,14 @@ def connected_components(
     labels = ck(
         edges.select(F.col("s").alias("v")).distinct().withColumn("label", F.col("v"))
     )
+    released = None  # labels from TWO rounds back: dead once round N lands
     for _ in range(int(max_iter)):
         msgs = edges.join(labels, edges["s"] == labels["v"]).select(
             F.col("d").alias("v"), F.col("label")
         )
         new = ck(
-            labels.union(msgs).groupBy("v").agg(F.min("label").alias("label"))
+            labels.union(msgs).groupBy("v").agg(F.min("label").alias("label")),
+            supersedes=released,
         )
         changed = (
             new.alias("n")
@@ -562,6 +564,7 @@ def connected_components(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        released = labels  # still needed above for `changed`; dead next round
         labels = new
         if changed == 0:
             break
@@ -690,6 +693,8 @@ def connected_components_star(
     def sym(e: DataFrame) -> DataFrame:
         return e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
+    released = None  # edge set from the PREVIOUS round: dead once its
+    # convergence check has run (read after ck(ss), so freed one ck later)
     for _ in range(int(max_rounds)):
         s = sym(edges)
         # m(u) = min over the closed neighborhood
@@ -701,11 +706,13 @@ def connected_components_star(
             .select(F.least(F.col("v"), F.col("m")).alias("u"),
                     F.greatest(F.col("v"), F.col("m")).alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
+            .distinct(),
+            supersedes=released,
         )
         s2 = sym(ls)
         mins2 = s2.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-        # small-star: (x, m(u)) for neighbors x <= u, plus (u, m(u))
+        # small-star: (x, m(u)) for neighbors x <= u, plus (u, m(u));
+        # ls is fully consumed by this checkpoint — freed here
         ss = ck(
             s2.join(mins2, "u")
             .where(F.col("v") <= F.col("u"))
@@ -714,9 +721,11 @@ def connected_components_star(
             .select(F.least(F.col("x"), F.col("m")).alias("u"),
                     F.greatest(F.col("x"), F.col("m")).alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
+            .distinct(),
+            supersedes=ls,
         )
         changed = ss.exceptAll(edges).count() + edges.exceptAll(ss).count()
+        released = edges
         edges = ss
         if changed == 0:
             break

@@ -119,12 +119,15 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        # the previous ranks frame is fully consumed by this checkpoint —
+        # its checkpoint files are freed once the new one materializes
         ranks = ck(
             nodes.join(contrib, nodes.node == contrib.dst, "left")
             .select(
                 "node",
                 (F.lit(base) + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("r"),
-            )
+            ),
+            supersedes=ranks,
         )
     edges.unpersist()
     return (

@@ -63,6 +63,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .fscommit import COMMIT_FS
 from ..codec import BLOCK_SIZE, encode_positions, encode_postings
 from ..functions.tokenizer import tokens_col
 
@@ -564,9 +565,7 @@ def build_segments_partial(
         spark, partials, tmp, n_shards, id_space, orig_ids, store_positions, t0
     )
     partials.unpersist()
-    if os.path.exists(index_dir):
-        shutil.rmtree(index_dir)
-    os.rename(tmp, index_dir)
+    COMMIT_FS.publish(tmp, index_dir)
     return manifest
 
 
@@ -779,9 +778,7 @@ def build_multifield_index(
     }
     with open(f"{tmp}/manifest.json", "w") as fh:
         json.dump(manifest, fh, indent=1)
-    if os.path.exists(index_dir):
-        shutil.rmtree(index_dir)
-    os.rename(tmp, index_dir)
+    COMMIT_FS.publish(tmp, index_dir)
     return manifest
 
 
@@ -896,10 +893,8 @@ def build_segments(
     }
     with open(f"{tmp}/manifest.json", "w") as fh:
         json.dump(manifest, fh, indent=1)
-    # atomic-ish commit: manifest written last inside tmp, then dir rename
-    if os.path.exists(index_dir):
-        shutil.rmtree(index_dir)
-    os.rename(tmp, index_dir)
+    # commit: manifest written last inside tmp, then one publish swap
+    COMMIT_FS.publish(tmp, index_dir)
     return manifest
 
 

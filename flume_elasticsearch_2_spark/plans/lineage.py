@@ -27,6 +27,8 @@ import tempfile
 import time
 from typing import Any
 
+from .fscommit import COMMIT_FS
+
 
 class LineageLog:
     def __init__(self, log_dir: str):
@@ -38,7 +40,7 @@ class LineageLog:
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             json.dump(rec, fh)
-        os.rename(tmp, os.path.join(self.log_dir, f"chunk_{chunk_id}.json"))
+        COMMIT_FS.publish_file(tmp, os.path.join(self.log_dir, f"chunk_{chunk_id}.json"))
 
     def load(self) -> dict[str, dict[str, Any]]:
         out: dict[str, dict[str, Any]] = {}
@@ -69,8 +71,51 @@ def iterative_checkpointer(spark, checkpoint_dir: "str | None"):
     A directory -> RELIABLE ``checkpoint()``: blocks are written to the
     (HDFS/S3/shared-fs) dir and survive executor loss — the contract a
     1000-executor, 100 TB run needs. The dir is registered on the
-    SparkContext once; passing a different dir later re-registers."""
+    SparkContext once; passing a different dir later re-registers.
+
+    Checkpoint GARBAGE (advice r4 fix): Spark does NOT remove superseded
+    checkpoint RDD directories by default (``spark.cleaner
+    .referenceTracking.cleanCheckpoints`` is off), so a long iterative run
+    accumulates one fully materialized frame per round — a real storage
+    leak at 100 TB.  The returned callable therefore accepts an optional
+    ``supersedes=<frame>`` keyword: a frame PREVIOUSLY returned by this
+    checkpointer whose checkpoint files are no longer needed once the new
+    checkpoint is materialized (``checkpoint()`` is eager).  Deletion goes
+    through the Hadoop FileSystem API, so local / HDFS / S3A checkpoint
+    dirs all work.  Explicit-handle design, not "delete the previous
+    call's dirs": iterative loops hold frames with DIFFERENT lifetimes
+    (connected_components' ``edges`` is read every round; a convergence
+    check reads round N-1 after round N is checkpointed), and only the
+    loop knows when a frame is dead.  The in-repo loops (operators/
+    dedup.py, operators/linkrank.py) pass it, bounding checkpoint storage
+    to O(1) frames; callers that omit it keep today's keep-everything
+    behavior."""
     if checkpoint_dir is None:
-        return lambda df: df.localCheckpoint()
-    spark.sparkContext.setCheckpointDir(str(checkpoint_dir))
-    return lambda df: df.checkpoint()
+        return lambda df, supersedes=None: df.localCheckpoint()
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(checkpoint_dir))
+    jvm = spark._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    dirs_of: dict[int, set] = {}  # id(checkpointed frame) -> its rdd dirs
+
+    def _list(root: str) -> set:
+        p = jvm.org.apache.hadoop.fs.Path(root)
+        fs = p.getFileSystem(hconf)
+        if not fs.exists(p):
+            return set()
+        return {st.getPath().toString() for st in fs.listStatus(p)}
+
+    def _ckpt(df, supersedes=None):
+        # Spark puts rdd-<id> dirs under <checkpoint_dir>/<session-uuid>/
+        root = sc.getCheckpointDir()
+        before = _list(root)
+        out = df.checkpoint()  # eager: materialized before anything is dropped
+        new = _list(root) - before
+        dirs_of[id(out)] = new
+        if supersedes is not None:
+            for old in dirs_of.pop(id(supersedes), set()) - new:
+                p = jvm.org.apache.hadoop.fs.Path(old)
+                p.getFileSystem(hconf).delete(p, True)
+        return out
+
+    return _ckpt

@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .fscommit import COMMIT_FS
 from ..codec import BLOCK_SIZE, decode_positions, svb_decode
 from .build_index import (
     PARTIAL_SCHEMA,
@@ -299,9 +300,7 @@ def merge_indexes(
     }
     with open(f"{tmp}/manifest.json", "w") as fh:
         json.dump(manifest, fh, indent=1)
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
-    os.rename(tmp, out_dir)
+    COMMIT_FS.publish(tmp, out_dir)
     return manifest
 
 

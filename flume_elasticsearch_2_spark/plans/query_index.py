@@ -1078,6 +1078,11 @@ class IndexSearcher:
         ds = pads.dataset(
             f"{self.index_dir}/postings", format="parquet", partitioning="hive"
         )
+        if "term" not in ds.schema.names:
+            # an index with zero postings (every doc tokenized to nothing —
+            # e.g. a routed sub-index whose route's docs are all symbols)
+            # has an EMPTY postings dir with no schema: no term matches
+            return {}, {}
         tbl = ds.to_table(columns=["shard", "term", "n"], filter=pads.field("term").isin(terms))
         dfreq: dict[str, int] = {}
         term_shards: dict[str, set[int]] = {}

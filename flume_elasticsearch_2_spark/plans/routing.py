@@ -33,6 +33,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .fscommit import COMMIT_FS
 from ..functions.text import MD5_LONG_SQL, md5_long_col
 
 ROUTING_MANIFEST = "routing.json"
@@ -221,9 +222,7 @@ def build_routed_index(
         }
         with open(os.path.join(tmp, ROUTING_MANIFEST), "w") as f:
             json.dump(meta, f)
-        if os.path.exists(index_dir):
-            shutil.rmtree(index_dir)
-        os.rename(tmp, index_dir)
+        COMMIT_FS.publish(tmp, index_dir)
         return {**meta, "routes": {}}
     (
         docs_rt.repartition(max(n_shards, len(present)), "route", "shard")
@@ -307,9 +306,17 @@ def build_routed_index(
     for r in present:
         root = os.path.join(tmp, f"route={r}")
         os.makedirs(root, exist_ok=True)
-        os.rename(f"{stage}/docs/route={r}", os.path.join(root, "docs"))
-        os.rename(f"{stage}/postings/route={r}", os.path.join(root, "postings"))
-        os.rename(f"{stage}/terms/route={r}", os.path.join(root, "terms"))
+        for sub in ("docs", "postings", "terms"):
+            staged = f"{stage}/{sub}/route={r}"
+            if os.path.isdir(staged):
+                COMMIT_FS.move(staged, os.path.join(root, sub))
+            else:
+                # a route whose docs ALL tokenize to zero tokens has DL
+                # sentinel rows (so it is in `present` with a docs
+                # partition) but no postings/terms rows — partitionBy never
+                # wrote those partitions; an empty dir keeps the route tree
+                # self-contained and readable (advice r4 fix)
+                COMMIT_FS.ensure_dir(os.path.join(root, sub))
         per_shard = sorted(per_route_shards.get(r, []))
         n_docs_r, avgdl_r = stats[r]
         m = {
@@ -331,7 +338,7 @@ def build_routed_index(
         with open(os.path.join(root, "manifest.json"), "w") as fh:
             json.dump(m, fh, indent=1)
         manifests[int(r)] = m
-    shutil.rmtree(stage, ignore_errors=True)
+    COMMIT_FS.remove(stage)
 
     meta = {
         "routing_field": routing_field,
@@ -342,9 +349,7 @@ def build_routed_index(
     }
     with open(os.path.join(tmp, ROUTING_MANIFEST), "w") as f:
         json.dump(meta, f)
-    if os.path.exists(index_dir):
-        shutil.rmtree(index_dir)
-    os.rename(tmp, index_dir)
+    COMMIT_FS.publish(tmp, index_dir)
     return {**meta, "routes": manifests}
 
 

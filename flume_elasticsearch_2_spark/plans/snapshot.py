@@ -24,6 +24,8 @@ import json
 import os
 import shutil
 
+from .fscommit import COMMIT_FS
+
 _SECTIONS = ("docs", "postings", "terms")
 
 
@@ -62,7 +64,7 @@ def snapshot_index(index_dir: str, snapshot_dir: str) -> dict:
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     shutil.copytree(index_dir, tmp)
-    os.rename(tmp, snapshot_dir)
+    COMMIT_FS.publish(tmp, snapshot_dir)
     return manifest
 
 
@@ -86,13 +88,12 @@ def restore_index(snapshot_dir: str, index_dir: str, overwrite: bool = False) ->
         # the old or the new index at `index_dir` (plus at worst a stale
         # .restore-* dir to garbage-collect), never nothing
         old = index_dir + ".restore-old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(index_dir, old)
-        os.rename(tmp, index_dir)
-        shutil.rmtree(old)
+        COMMIT_FS.remove(old)
+        COMMIT_FS.move(index_dir, old)
+        COMMIT_FS.move(tmp, index_dir)
+        COMMIT_FS.remove(old)
     else:
-        os.rename(tmp, index_dir)
+        COMMIT_FS.move(tmp, index_dir)
     return manifest
 
 

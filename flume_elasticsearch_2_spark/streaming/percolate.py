@@ -4,17 +4,20 @@ live classification on an ingest feed; the reference's pipeline is exactly
 a continuous doc feed into ES, ElasticsearchSink.java:62, and 1.x clients
 percolate at index time via ``?percolate=*``).
 
-Two Spark-first forms, both reusing the BATCH percolation kernel
-(:func:`~..operators.percolate.mpercolate` — term-exploded equi-join,
-rules broadcast, never |docs|x|queries|):
+Two Spark-first forms (the foreachBatch one reuses the BATCH percolation
+kernel :func:`~..operators.percolate.mpercolate` — term-exploded
+equi-join + per-batch dedup, rules broadcast):
 
 * :func:`percolate_matches_stream` — a fully DECLARATIVE streaming plan:
-  stream docs explode on term and stream-static-join the registered terms
-  table; per ES OR-mode rules a doc matches when ANY term overlaps, so the
-  join + per-(doc, query) dedup needs no cross-batch state. AND-mode rules
-  need the per-pair distinct-term count, a streaming aggregation — rather
-  than silently emitting under weaker semantics the declarative form
-  REFUSES and-mode rule tables and points at the foreachBatch form.
+  stream docs join the broadcast rule table on ``arrays_overlap`` (the ES
+  OR-mode predicate itself), which emits exactly ONE row per matching
+  (doc, rule) pair — no dedup operator anywhere in the plan, so the state
+  store stays empty by construction and a doc re-ingested in a later
+  batch (an update) re-matches, as ES's index-time percolation does.
+  AND-mode rules need the per-pair distinct-term count, a streaming
+  aggregation — rather than silently emitting under weaker semantics the
+  declarative form REFUSES and-mode rule tables and points at the
+  foreachBatch form.
 * :func:`percolate_stream_foreach` — the reference's own batch-drain model
   (SURVEY B2: take a batch from the channel, process, commit): every
   micro-batch runs the full batch kernel (both modes, identical semantics
@@ -47,12 +50,24 @@ def percolate_matches_stream(
     """Declarative streaming percolation for OR-mode rule tables: returns
     an append-mode streaming DataFrame of ``(doc_id, query_id)`` matches.
 
-    The plan is stream-side explode-on-term -> stream-static equi-join
-    against the exploded registered terms (static side broadcast) ->
-    ``dropDuplicates`` on (doc, query) WITHIN the batch (a doc's multiple
-    shared terms must emit one match). No watermark needed: matching is
-    stateless across batches. AND-mode rules refuse loudly — use
-    :func:`percolate_stream_foreach`, which runs the exact batch kernel."""
+    The plan is a stream-static BROADCAST join on the OR-mode predicate
+    itself — ``arrays_overlap(doc_tokens, rule_terms)`` — so each matching
+    (doc, rule) pair yields exactly one row and the plan needs NO
+    deduplication operator.  (The obvious explode-on-term equi-join needs a
+    per-(doc, query) dedup, and ``dropDuplicates`` on a STREAMING frame is
+    a GLOBAL stateful dedup: unbounded state growth, and a doc re-ingested
+    in a later batch would be silently suppressed instead of re-matched.
+    This shape avoids the operator entirely.)  Matching is genuinely
+    stateless across batches: a doc that reappears (an update) re-matches,
+    exactly as ES index-time percolation re-percolates updated docs.
+
+    Cost shape: each stream row evaluates ``arrays_overlap`` against every
+    broadcast rule (|batch| x |rules| predicate evaluations, JVM-side) —
+    the ES percolator's own model (every doc runs the registered queries).
+    Rule sets beyond broadcast size belong on
+    :func:`percolate_stream_foreach`, whose batch kernel uses the
+    term-keyed equi-join + SAFE per-batch dedup.  AND-mode rules refuse
+    loudly — same pointer."""
     if not stream_docs.isStreaming:
         raise ValueError("percolate_matches_stream needs a streaming DataFrame")
     n_and = registered.where(F.col("mode") == "and").limit(1).count()
@@ -62,19 +77,17 @@ def percolate_matches_stream(
             "form supports OR rules only (AND needs a per-pair streaming "
             "aggregation) — use percolate_stream_foreach for full semantics"
         )
-    rule_terms = registered.select(
-        "query_id", F.explode("terms").alias("term")
-    )
-    doc_terms = stream_docs.select(
+    rules = registered.select("query_id", F.col("terms").alias("__rule_terms"))
+    toks = stream_docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(tokens_col(text_col, stopwords, analyzer))
-        ).alias("term"),
+        tokens_col(text_col, stopwords, analyzer).alias("__doc_terms"),
     )
     return (
-        doc_terms.join(F.broadcast(rule_terms), "term")
+        toks.join(
+            F.broadcast(rules),
+            F.arrays_overlap(F.col("__doc_terms"), F.col("__rule_terms")),
+        )
         .select("doc_id", "query_id")
-        .dropDuplicates(["doc_id", "query_id"])
     )
 
 

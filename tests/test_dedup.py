@@ -375,3 +375,37 @@ def test_connected_components_reliable_checkpoint_identical(spark, tmp_path):
         ).collect()
     ]
     assert got_star == want
+
+
+def test_iterative_checkpointer_supersedes_frees_dirs(spark, tmp_path):
+    """Round-5 advice fix: ``ck(df, supersedes=old)`` deletes ``old``'s
+    checkpoint rdd dirs once the new checkpoint is materialized (Spark
+    never cleans them itself), so a supersedes-chained loop holds O(1)
+    frames in the checkpoint dir; frames NOT superseded are kept."""
+    import os
+
+    from flume_elasticsearch_2_spark.plans.lineage import iterative_checkpointer
+
+    d = str(tmp_path / "ckclean")
+    ck = iterative_checkpointer(spark, d)
+
+    def rdd_dirs() -> set[str]:
+        out = set()
+        for dirpath, dirnames, _ in os.walk(d):
+            out |= {n for n in dirnames if n.startswith("rdd-")}
+        return out
+
+    pinned = ck(spark.range(10).withColumnRenamed("id", "v"))  # never superseded
+    assert len(rdd_dirs()) == 1
+    df, seen = pinned, []
+    for i in range(4):
+        df = ck(df.selectExpr(f"v + {i + 1} AS v"),
+                supersedes=df if i > 0 else None)
+        seen.append(rdd_dirs())
+        # pinned + newest (+ the not-yet-superseded first frame on i=0)
+        assert len(seen[-1]) <= 2, seen[-1]
+    assert len(seen[-1]) == 2  # pinned + newest only
+    assert len(set().union(*seen)) == 5  # five distinct checkpoints existed
+    # the surviving frames stay fully readable
+    assert df.agg({"v": "sum"}).collect()[0][0] == sum(range(10)) + 10 * 10
+    assert pinned.count() == 10

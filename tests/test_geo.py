@@ -301,3 +301,91 @@ def test_geo_distance_range_annulus_bounds(geo_docs):
     assert {r.doc_id for r in ring} == outer
     with pytest.raises(ValueError, match="gte < lt"):
         geo_distance_range_hits(geo_docs, *CENTER, 2500.0, 800.0)
+
+
+# -- round-5 geo_shape query ---------------------------------------------------
+
+SHAPE_ENV = {"type": "envelope", "coordinates": [[-30.0, 60.0], [40.0, 20.0]]}
+SHAPE_POLY = {"type": "polygon", "coordinates": [
+    [[-30.0, 20.0], [40.0, 20.0], [40.0, 60.0], [-30.0, 60.0], [-30.0, 20.0]]
+]}
+SHAPE_PT = {"type": "point", "coordinates": [10.0, 45.0]}
+
+
+@pytest.fixture(scope="module")
+def shape_docs(documents):
+    from flume_elasticsearch_2_spark.operators.geo import geo_shape_enrich
+
+    return geo_shape_enrich(documents)
+
+
+def test_geo_shape_envelope_relations_match_duckdb(shape_docs, duck):
+    from flume_elasticsearch_2_spark.operators.geo import (
+        geo_shape_hits,
+        geo_shape_hits_sql,
+    )
+
+    for rel in ("intersects", "disjoint", "within"):
+        got = [tuple(r) for r in geo_shape_hits(shape_docs, SHAPE_ENV, rel, k=20).collect()]
+        want = [tuple(r) for r in duck.execute(geo_shape_hits_sql(SHAPE_ENV, rel, k=20)).fetchall()]
+        assert got == want and got, rel
+    # a point query shape is a zero-area envelope
+    got = [tuple(r) for r in geo_shape_hits(shape_docs, SHAPE_PT, "intersects", k=20).collect()]
+    want = [tuple(r) for r in duck.execute(geo_shape_hits_sql(SHAPE_PT, "intersects", k=20)).fetchall()]
+    assert got == want
+
+
+def test_geo_shape_relations_partition_the_corpus(shape_docs):
+    """intersects + disjoint partition all docs; within is a subset of
+    intersects (a doc envelope inside the query envelope overlaps it)."""
+    from flume_elasticsearch_2_spark.operators.geo import geo_shape_envelope_pred
+
+    n = shape_docs.count()
+    ni = shape_docs.where(geo_shape_envelope_pred(SHAPE_ENV, "intersects")).count()
+    nd = shape_docs.where(geo_shape_envelope_pred(SHAPE_ENV, "disjoint")).count()
+    nw = shape_docs.where(geo_shape_envelope_pred(SHAPE_ENV, "within")).count()
+    both = shape_docs.where(
+        geo_shape_envelope_pred(SHAPE_ENV, "within")
+        & ~geo_shape_envelope_pred(SHAPE_ENV, "intersects")
+    ).count()
+    assert ni + nd == n and 0 < nw < ni and both == 0
+
+
+def test_geo_shape_polygon_over_points_matches_duckdb_and_kernel(geo_docs, duck):
+    from flume_elasticsearch_2_spark.operators.geo import (
+        geo_polygon_hits,
+        geo_shape_point_hits,
+        geo_shape_point_hits_sql,
+    )
+
+    for rel in ("intersects", "disjoint"):
+        got = [tuple(r) for r in geo_shape_point_hits(geo_docs, SHAPE_POLY, rel, k=20).collect()]
+        want = [tuple(r) for r in duck.execute(
+            geo_shape_point_hits_sql(SHAPE_POLY, rel, k=20)
+        ).fetchall()]
+        assert got == want and got, rel
+    # the polygon path IS the geo_polygon even-odd kernel (same edge terms)
+    a = [tuple(r) for r in geo_shape_point_hits(geo_docs, SHAPE_POLY, "intersects", k=20).collect()]
+    b = [tuple(r) for r in geo_polygon_hits(
+        geo_docs, [(20.0, -30.0), (20.0, 40.0), (60.0, 40.0), (60.0, -30.0)], k=20
+    ).collect()]
+    assert a == b
+
+
+def test_geo_shape_refusals(shape_docs, geo_docs):
+    from flume_elasticsearch_2_spark.operators.geo import (
+        geo_shape_hits,
+        geo_shape_point_hits,
+    )
+
+    with pytest.raises(ValueError, match="polygon query shape over envelope"):
+        geo_shape_hits(shape_docs, SHAPE_POLY)
+    with pytest.raises(ValueError, match="measure-zero"):
+        geo_shape_point_hits(geo_docs, SHAPE_PT)
+    with pytest.raises(ValueError, match="relation"):
+        geo_shape_hits(shape_docs, SHAPE_ENV, "contains")
+    with pytest.raises(ValueError, match="minLon"):
+        geo_shape_hits(shape_docs, {"type": "envelope",
+                                    "coordinates": [[40.0, 20.0], [-30.0, 60.0]]})
+    with pytest.raises(ValueError, match="type"):
+        geo_shape_hits(shape_docs, {"coordinates": []})

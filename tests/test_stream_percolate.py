@@ -80,6 +80,46 @@ def test_declarative_or_stream_matches_static(spark, doc_dir, rules_or, tmp_path
     assert got == want and got
 
 
+def test_declarative_stream_is_stateless_across_batches(spark, rules_or, tmp_path_factory):
+    """Round-5 advice fix: the declarative plan must hold ZERO cross-batch
+    state — a doc re-ingested in a later micro-batch (an update) re-matches
+    and is emitted AGAIN, not suppressed by a global streaming dedup; and
+    the physical plan contains no stateful dedup operator."""
+    d = str(tmp_path_factory.mktemp("p3") / "docs")
+    spark.createDataFrame(
+        [(1, "a dup row")], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(
+        [(1, "a dup row updated")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(d)
+    out = percolate_matches_stream(_stream(spark, d), rules_or)
+    # plan hygiene: no dedup/aggregate state operator anywhere in the plan
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "Deduplicate" not in plan and "Aggregate" not in plan
+    ckpt = str(tmp_path_factory.mktemp("p3") / "ckpt")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("perc_restate")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r)
+        for r in spark.table("perc_restate").select("doc_id", "query_id").collect()
+    )
+    # doc 1 matches rule 10 in BOTH batches -> two emissions
+    assert got == [(1, 10), (1, 10)]
+    # and the state store really is empty
+    prog = q.lastProgress
+    if prog and prog.get("stateOperators") is not None:
+        assert all(
+            op.get("numRowsTotal", 0) == 0 for op in prog["stateOperators"]
+        )
+
+
 def test_declarative_refuses_and_rules_and_batch_input(spark, doc_dir, rules_mixed):
     with pytest.raises(ValueError, match="and-mode"):
         percolate_matches_stream(_stream(spark, doc_dir), rules_mixed)
