@@ -2104,8 +2104,15 @@ def dsl_search(
     id_col: str = "doc_id",
     text_col: str = "text",
     analyzed_fields: list[str] | None = None,
+    mapping: dict | None = None,
 ) -> DataFrame:
-    """Execute an ES search body on the DECLARATIVE path."""
+    """Execute an ES search body on the DECLARATIVE path.  ``mapping``
+    (ES 1.x properties dict) resolves not_analyzed / ``.raw`` multi-field
+    references before parsing (operators/mappings.py)."""
+    if mapping is not None:
+        from .mappings import apply_mapping
+
+        body = apply_mapping(body, mapping)
     spec = parse_body(body, text_col, analyzed_fields)
     mn = " ".join(spec.must_not_text) or None
     if spec.explain:
@@ -2365,10 +2372,15 @@ def dsl_search_sql(
     text_col: str = "text",
     analyzed_fields: list[str] | None = None,
     field_exprs: dict[str, str] | None = None,
+    mapping: dict | None = None,
 ) -> str:
     """DuckDB oracle for :func:`dsl_search` — same spec, same routing.
     ``field_exprs`` maps an analyzed field name to the SQL expression
-    producing it (derived fields)."""
+    producing it (derived fields); ``mapping`` as in :func:`dsl_search`."""
+    if mapping is not None:
+        from .mappings import apply_mapping
+
+        body = apply_mapping(body, mapping)
     spec = parse_body(body, text_col, analyzed_fields)
     mn = " ".join(spec.must_not_text) or None
     filter_sql = _filters_sql(spec.filters)
@@ -2592,12 +2604,17 @@ def _apply_source_sql(inner: str, spec: _Spec, table: str) -> str:
 def dsl_search_index(
     searcher, body: dict, text_col: str = "text",
     analyzed_fields: list[str] | None = None,
+    mapping: dict | None = None,
 ) -> DataFrame:
     """Execute an ES search body on the SERVING path — an
     :class:`~..plans.query_index.IndexSearcher`, or a
     :class:`~..plans.query_index.MultiFieldIndexSearcher` when the body
     targets non-default fields (match on a named field, multi_match,
-    dis_max)."""
+    dis_max).  ``mapping`` as in :func:`dsl_search`."""
+    if mapping is not None:
+        from .mappings import apply_mapping
+
+        body = apply_mapping(body, mapping)
     spec = parse_body(body, text_col, analyzed_fields)
     mn = " ".join(spec.must_not_text) or None
     if spec.script_filter is not None:
@@ -2723,7 +2740,25 @@ def dsl_search_index(
             query_weight=r["qw"], rescore_weight=r["rw"], mode=spec.mode,
         )
     if spec.kind in ("match_all", "ids"):
-        _err(f"{spec.kind} is declarative-only in this version")
+        # round 5: filtered match_all SERVES — the scan over the index's
+        # STORED docs table (what ES's fetch phase reads), triple filters
+        # pushed into the Parquet scan by Catalyst, constant score; the
+        # composing extras stay declarative-only
+        if (spec.kind == "ids" or spec.must_not_text or spec.source is not None
+                or spec.explain or not hasattr(searcher, "index_dir")):
+            _err(f"{spec.kind} with this body is declarative-only")
+        docs_t = searcher.spark.read.parquet(f"{searcher.index_dir}/docs")
+        pred = _filters_col(spec.filters)
+        src = docs_t if pred is None else docs_t.where(pred)
+        return (
+            src.select(
+                F.col("doc_id"),
+                F.lit(round(float(spec.const_score), 6)).alias("score"),
+            )
+            .orderBy("doc_id")
+            .offset(spec.from_)
+            .limit(spec.size)
+        )
     if spec.kind == "phrase_prefix":
         if spec.filters or mn or spec.from_:
             _err("match_phrase_prefix with filters/must_not/from")

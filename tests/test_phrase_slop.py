@@ -116,3 +116,63 @@ def test_dsl_slop_routes_both_paths(documents, duck, pos_searcher):
     assert srv == got
     with pytest.raises(ValueError, match="unsupported DSL"):
         dsl_search(documents, {"query": {"match_phrase": {"text": {"query": "a", "slop": -1}}}})
+
+
+# -- round-5 opt-in Lucene rank-parity mode ------------------------------------
+
+
+def test_lucene_sloppy_kernel_hand_checked():
+    """lucene_sloppy_freq pinned on hand-computable position lists: exact
+    adjacency weighs 1, reversed adjacency needs width 2 and weighs 1/3,
+    ordered gap g weighs 1/(1+g), matches sum."""
+    import numpy as np
+
+    from flume_elasticsearch_2_spark.operators.topk import lucene_sloppy_freq
+
+    f = lucene_sloppy_freq
+    assert f([np.array([0]), np.array([1])], 0) == 1.0
+    assert f([np.array([1]), np.array([0])], 2) == pytest.approx(1 / 3)
+    assert f([np.array([1]), np.array([0])], 1) == 0.0
+    assert f([np.array([0, 4]), np.array([1, 5])], 0) == 2.0
+    assert f([np.array([0]), np.array([3])], 4) == pytest.approx(1 / 3)
+    # 3-term: 'a c b' for query 'a b c' -> adjusted (0, 0, -1)? positions
+    # a=0, b=2, c=1 -> adj = [0-0, 2-1, 1-2] = [0, 1, -1] -> width 2 -> 1/3
+    assert f([np.array([0]), np.array([2]), np.array([1])], 2) == pytest.approx(1 / 3)
+
+
+def test_lucene_mode_rank_parity_fixture(spark):
+    """The opt-in slop_mode='lucene' on hand-checkable docs: reordered
+    phrases match (ordered mode gives them zero), nearer matches outrank
+    farther ones via the 1/(1+width) weight, and the default mode is
+    unchanged."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gap gap gap pad"),     # exact adjacent: w=0
+            (2, "beta alpha gap gap gap pad"),     # reversed: w=2
+            (3, "alpha gap beta gap gap pad"),     # ordered gap 1: w=1
+            (4, "alpha gap gap gap beta pad"),     # ordered gap 3: w=4 > slop
+            (5, "no phrase terms here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = bm25_phrase_topk(docs, "alpha beta", k=10, slop=2, slop_mode="lucene")
+    rows = [(r.doc_id, r.score) for r in got.collect()]
+    # rank: exact (pf=1) > gap1 (pf=1/2) > reversed (pf=1/3); doc4/5 absent
+    assert [d for d, _ in rows] == [1, 3, 2]
+    assert rows[0][1] > rows[1][1] > rows[2][1] > 0
+    # ordered-window default: the reversed doc must NOT match
+    ordered = {r.doc_id for r in bm25_phrase_topk(docs, "alpha beta", k=10, slop=2).collect()}
+    assert 2 not in ordered and {1, 3} <= ordered
+    # wider slop admits doc 4 in lucene mode, below doc 2
+    wide = [r.doc_id for r in bm25_phrase_topk(
+        docs, "alpha beta", k=10, slop=4, slop_mode="lucene"
+    ).collect()]
+    assert wide == [1, 3, 2, 4]
+
+
+def test_lucene_mode_refusals(spark):
+    docs = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="repeated phrase terms"):
+        bm25_phrase_topk(docs, "gap alpha gap", slop=1, slop_mode="lucene")
+    with pytest.raises(ValueError, match="slop_mode"):
+        bm25_phrase_topk(docs, "a b", slop_mode="nope")
