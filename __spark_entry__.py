@@ -3970,6 +3970,15 @@ def _dsl_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsl_aggregation(_docs(spark, sf_dir), _PRANKS_BODY)
 
 
+def _dsl_percentile_ranks_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: percentile_ranks on the SERVING path — the exact empirical
+    CDF merges losslessly from per-shard (n, count<=v) partials, one row
+    per shard over the wire.  plans/query_index.py facet_percentile_ranks."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_index
+
+    return dsl_aggregation_index(_segment_searcher(spark, sf_dir), _PRANKS_BODY)
+
+
 def _geocell_probe() -> tuple[float, float]:
     """Doc 0's deterministic (lat, lon), computed in pure Python with the
     SAME 60-bit-md5 arithmetic as geo_enrich/geo_enrich_sql — all three
@@ -4596,6 +4605,7 @@ _R5_NEW: list[str] = [
     "dsl_term_raw",
     "dsl_term_raw_segment",
     "bm25_phrase_lucene",
+    "dsl_percentile_ranks_segment",
 ]
 
 
@@ -5201,6 +5211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_fquery"] = _dsl_fquery
     q["dsl_fquery_segment"] = _dsl_fquery_segment
     q["dsl_percentile_ranks"] = _dsl_percentile_ranks
+    q["dsl_percentile_ranks_segment"] = _dsl_percentile_ranks_segment
     q["geohash_cell_search"] = _geohash_cell_search
     q["dsl_explain"] = _dsl_explain
     q["dsl_explain_segment"] = _dsl_explain_segment
@@ -5847,6 +5858,7 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["dsl_fquery"] = _dss(_FQUERY_BODY)
     o["dsl_fquery_segment"] = o["dsl_fquery"]
     o["dsl_percentile_ranks"] = _das(_PRANKS_BODY)
+    o["dsl_percentile_ranks_segment"] = o["dsl_percentile_ranks"]
     _la, _lo = _geocell_probe()
     o["geohash_cell_search"] = geohash_cell_hits_sql(_la, _lo, precision=2, k=50)
     o["dsl_explain"] = _dss(_EXPLAIN_BODY)

@@ -215,6 +215,37 @@ def main() -> None:
     searcher.facet("batch small scan", "dl", kind="stats").collect()
     timings["facet_serving_stats"] = time.time() - t0
 
+    # 3c2. round-5 serving agg partials: significant_terms = one per-shard
+    # postings sweep (fg df of every co-occurring term) + metadata bg join;
+    # percentile_ranks = one (n, count<=v) row per shard
+    t0 = time.time()
+    searcher.facet_significant_terms("batch small scan", size=10).collect()
+    timings["sig_terms_serving"] = time.time() - t0
+    t0 = time.time()
+    searcher.facet_percentile_ranks(
+        "batch small scan", "dl", (20.0, 60.0, 120.0)
+    ).collect()
+    timings["percentile_ranks_serving"] = time.time() - t0
+
+    # 3c3. round-5 general or-filter (cross-field disjunction of conjunction
+    # branches): one coalesced boolean rides the same scoring scan
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search
+
+    _or_body = {
+        "query": {"filtered": {
+            "query": {"match": {"text": "batch small scan"}},
+            "filter": {"or": [
+                {"term": {"lang": "en"}},
+                {"and": [{"range": {"n_chars": {"gte": 900}}},
+                         {"term": {"source": "web"}}]},
+            ]},
+        }},
+        "size": 10,
+    }
+    t0 = time.time()
+    dsl_search(docs, _or_body).collect()
+    timings["dsl_or_filter_dataframe"] = time.time() - t0
+
     # 3d. nested query (round 3, Q42): zero-join array-expression match over
     # the shaped array<struct> corpus — shaping pays one shuffle, every query
     # after is a pure codegen scan
@@ -251,6 +282,19 @@ def main() -> None:
     t0 = time.time()
     geohash_grid_agg(gdocs, precision=4, size=20).collect()
     timings["geohash_grid"] = time.time() - t0
+
+    # 3e2b. round-5 geo_shape: envelope-envelope interval algebra in one
+    # codegen scan over the synthesized envelope shape columns
+    from flume_elasticsearch_2_spark.operators.geo import geo_shape_enrich, geo_shape_hits
+
+    sdocs = geo_shape_enrich(docs)
+    t0 = time.time()
+    geo_shape_hits(
+        sdocs,
+        {"type": "envelope", "coordinates": [[-30.0, 60.0], [40.0, 20.0]]},
+        "intersects", k=20,
+    ).collect()
+    timings["geo_shape_envelope"] = time.time() - t0
 
     # 3e3. deterministic HLL cardinality (round 3, Q14): the only shuffle is
     # <=2^p register rows (map-side-combined max) vs the exact distinct

@@ -3326,7 +3326,13 @@ def dsl_aggregation_index(searcher, body: dict, text_col: str = "text") -> DataF
             min_doc_count=kw.get("min_doc_count", 1),
             mode=kw.get("mode", "or"),
         )
-    if kind in ("percentile_ranks", "scripted_metric", "ip_range"):
+    if kind == "percentile_ranks":
+        # exact empirical-CDF contract: per-shard (n, count<=v) partials
+        # merge losslessly — one row per shard over the wire
+        return searcher.facet_percentile_ranks(
+            q, field, kw["values"], mode=kw.get("mode", "or")
+        )
+    if kind in ("scripted_metric", "ip_range"):
         raise ValueError(
             f"agg kind {kind!r} is declarative-only (operators/aggs.py); "
             "the serving path does not silently approximate it"

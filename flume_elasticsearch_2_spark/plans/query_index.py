@@ -3089,6 +3089,92 @@ class IndexSearcher:
             .orderBy("percent")
         )
 
+    def facet_percentile_ranks(
+        self,
+        query: str | None,
+        field: str,
+        values: tuple[float, ...],
+        mode: str = "or",
+    ) -> DataFrame:
+        """ES ``percentile_ranks`` on the SERVING path (round 5): the exact
+        empirical-CDF contract (100 * avg(x <= v) over non-NULL matched
+        values, operators/aggs.percentile_ranks_facet) merges perfectly —
+        per-shard partials are (non-null count, count <= v per probe value):
+        ≤ one row per shard crosses the wire, never the match set."""
+        vs = [float(v) for v in values]
+        if not vs:
+            raise ValueError("percentile_ranks needs at least one value")
+        if len(set(vs)) != len(vs):
+            raise ValueError("duplicate percentile_ranks values")
+        vs = sorted(vs)
+        spark, index_dir = self.spark, self.index_dir
+        if query is None:
+            from ..operators.aggs import percentile_ranks_facet
+
+            docs = spark.read.parquet(f"{index_dir}/docs")
+            return percentile_ranks_facet(docs, None, field, tuple(vs))
+        terms = sorted(set(tokenize(query)))
+        dfreq, term_shards = self._query_meta_terms(terms)
+        present = [t for t in terms if t in dfreq]
+        shard_sets = [term_shards[t] for t in present]
+        if mode == "and":
+            active = sorted(set.intersection(*shard_sets)) if (
+                shard_sets and len(present) == len(terms)
+            ) else []
+        else:
+            active = sorted(set.union(*shard_sets)) if shard_sets else []
+        nv = len(vs)
+        schema = "n long, " + ", ".join(f"c{i} long" for i in range(nv))
+
+        def shard_counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for shard in pdf["shard"].tolist():
+                    ids = _facet_match_ids(index_dir, shard, present, mode)
+                    if len(ids) == 0:
+                        continue
+                    dt = (
+                        pads.dataset(
+                            f"{index_dir}/docs/shard={shard}", format="parquet"
+                        )
+                        .to_table(columns=["doc_id", field])
+                        .to_pandas()
+                    )
+                    sel = np.isin(dt["doc_id"].to_numpy(), ids, assume_unique=True)
+                    v = dt.loc[sel, field].dropna().astype(float).to_numpy()
+                    if len(v) == 0:
+                        continue
+                    row = {"n": [len(v)]}
+                    for i, probe in enumerate(vs):
+                        row[f"c{i}"] = [int((v <= probe).sum())]
+                    yield pd.DataFrame(row)
+
+        if active:
+            partials = _one_task_per_shard(spark, active).mapInPandas(
+                shard_counts, schema
+            )
+        else:
+            partials = spark.createDataFrame([], schema)
+        merged = partials.agg(
+            F.sum("n").alias("n"),
+            *[F.sum(f"c{i}").alias(f"c{i}") for i in range(nv)],
+        )
+        vlits = F.array(*[F.lit(v) for v in vs])
+        ranks = F.array(
+            *[
+                F.round(F.col(f"c{i}").cast("double") / F.col("n") * 100.0, 6)
+                for i in range(nv)
+            ]
+        )
+        return (
+            merged.where(F.col("n").isNotNull())
+            .select(F.posexplode(ranks).alias("pos", "rank"))
+            .select(
+                F.element_at(vlits, F.col("pos") + 1).alias("value"),
+                F.col("rank"),
+            )
+            .orderBy("value")
+        )
+
     def facet_top_hits(
         self,
         query: str | None,

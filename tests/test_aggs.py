@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from flume_elasticsearch_2_spark.operators.aggs import (
     cardinality_facet,
+    percentile_ranks_facet,
     cardinality_facet_sql,
     filters_facet,
     filters_facet_sql,
@@ -344,6 +345,27 @@ def test_serving_percentiles_identical(agg_searcher, documents, query, mode):
         documents, query, "n_chars", percents=(5.0, 50.0, 95.0), mode=mode
     ).collect()]
     assert got == want and (got or query == "zzzznotaterm")
+
+
+@pytest.mark.parametrize("query,mode", CASES)
+def test_serving_percentile_ranks_identical(agg_searcher, documents, query, mode):
+    """facet_percentile_ranks (per-shard (n, count<=v) partials) must equal
+    the declarative empirical-CDF form bit-for-bit, including the
+    empty-match zero-row contract."""
+    vs = (100.0, 800.0, 3000.0)
+    got = [tuple(r) for r in agg_searcher.facet_percentile_ranks(
+        query, "n_chars", vs, mode=mode
+    ).collect()]
+    want = [tuple(r) for r in percentile_ranks_facet(
+        documents, query, "n_chars", vs, mode=mode
+    ).collect()]
+    assert got == want and got, (query, mode)
+    empty = [tuple(r) for r in agg_searcher.facet_percentile_ranks(
+        "zzzznotaterm", "n_chars", vs
+    ).collect()]
+    assert empty == [tuple(r) for r in percentile_ranks_facet(
+        documents, "zzzznotaterm", "n_chars", vs
+    ).collect()] == []
 
 
 def test_serving_percentiles_empty_match(agg_searcher, documents):
