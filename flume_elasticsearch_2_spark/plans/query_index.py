@@ -933,6 +933,22 @@ def _arrow_ddl(schema, field: str) -> str:
     return _ARROW_DDL[t]
 
 
+def _triple_fields(triples: "list[tuple]") -> set:
+    """Column names referenced by a filter-triple list, descending into the
+    compound (None, 'or'/'not', ...) nodes — the read-column set for the
+    serving filters-agg kernel."""
+    out: set = set()
+    for f, op, v in triples:
+        if f is None and op == "or":
+            for b in v:
+                out |= _triple_fields(list(b))
+        elif f is None and op == "not":
+            out |= _triple_fields(list(v))
+        else:
+            out.add(f)
+    return out
+
+
 def _pd_filter_mask(dt: pd.DataFrame, triples: list[tuple]) -> np.ndarray:
     """The DSL filter-triple predicate over a pandas frame — the per-shard
     analog of operators/dsl._filters_col, with identical null semantics:
@@ -2752,7 +2768,9 @@ class IndexSearcher:
                             continue
                         if kind == "filters":
                             cols = ["doc_id"] + sorted(
-                                {f for trs in filters.values() for (f, _, _) in trs}
+                                set().union(
+                                    *[_triple_fields(trs) for trs in filters.values()]
+                                )
                             )
                         else:
                             cols = ["doc_id", field] + (

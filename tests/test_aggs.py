@@ -347,6 +347,37 @@ def test_serving_percentiles_identical(agg_searcher, documents, query, mode):
     assert got == want and (got or query == "zzzznotaterm")
 
 
+def test_filters_agg_with_or_node_three_engines(documents, sf_dir, agg_searcher):
+    """Round 5: the general OR/NOT filter nodes flow through the FILTERS
+    aggregation on all three engines (declarative Column, DuckDB SQL,
+    serving pandas mask) — the same parse tree feeds all of them."""
+    import duckdb as _d
+
+    from flume_elasticsearch_2_spark.operators.dsl import (
+        dsl_aggregation,
+        dsl_aggregation_index,
+        dsl_aggregation_sql,
+    )
+
+    body = {
+        "query": {"match": {"text": "batch scan"}},
+        "aggs": {"byf": {"filters": {"filters": {
+            "en_or_big": {"or": [{"term": {"lang": "en"}},
+                                 {"range": {"n_chars": {"gte": 1500}}}]},
+            "not_small_web": {"not": {"or": [
+                {"range": {"n_chars": {"lt": 300}}},
+                {"term": {"source": "web"}}]}},
+        }}}},
+    }
+    got = [tuple(r) for r in dsl_aggregation(documents, body).collect()]
+    con = _d.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = [tuple(r) for r in con.execute(dsl_aggregation_sql(body)).fetchall()]
+    assert got == want and all(c > 0 for _, c in got), got
+    srv = [tuple(r) for r in dsl_aggregation_index(agg_searcher, body).collect()]
+    assert srv == got
+
+
 @pytest.mark.parametrize("query,mode", CASES)
 def test_serving_percentile_ranks_identical(agg_searcher, documents, query, mode):
     """facet_percentile_ranks (per-shard (n, count<=v) partials) must equal
