@@ -3646,10 +3646,30 @@ def _dsl_metric_avg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dsl_metric_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES metric agg with a script value: the script compiles once to a
-    JVM column riding the scan (declarative+oracle; serving refuses)."""
+    JVM column riding the scan."""
     from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation
 
     return dsl_aggregation(_docs(spark, sf_dir), _DSL_METRIC_SCRIPT_BODY)
+
+
+def _dsl_metric_script_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: script-valued metric agg on the SERVING path — the script
+    AST's third (NumPy) engine runs inside the shard tasks over just the
+    referenced stored columns; (cnt, mn, mx, sm) partials merge losslessly
+    for every reduce.  plans/query_index.py facet_metric_script."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_index
+
+    return dsl_aggregation_index(_segment_searcher(spark, sf_dir), _DSL_METRIC_SCRIPT_BODY)
+
+
+def _dsl_scripted_metric_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: scripted_metric on the SERVING path (same kernel as
+    _dsl_metric_script_segment; avg reduce = lossless Σsm/Σcnt merge)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_index
+
+    return dsl_aggregation_index(
+        _segment_searcher(spark, sf_dir), _DSL_SCRIPTED_METRIC_BODY
+    )
 
 
 def _dsl_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4606,6 +4626,8 @@ _R5_NEW: list[str] = [
     "dsl_term_raw_segment",
     "bm25_phrase_lucene",
     "dsl_percentile_ranks_segment",
+    "dsl_metric_script_segment",
+    "dsl_scripted_metric_segment",
 ]
 
 
@@ -5120,6 +5142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_metric_avg"] = _dsl_metric_avg
     q["dsl_metric_avg_segment"] = _dsl_metric_avg_segment
     q["dsl_metric_script"] = _dsl_metric_script
+    q["dsl_metric_script_segment"] = _dsl_metric_script_segment
+    q["dsl_scripted_metric_segment"] = _dsl_scripted_metric_segment
     q["dsl_global_agg"] = _dsl_global_agg
     q["dsl_histogram_empty_buckets"] = _dsl_histogram_empty_buckets
     q["dsl_toplevel_terms"] = _dsl_toplevel_terms
@@ -5892,6 +5916,8 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.45
     o["dsl_metric_avg"] = dsl_aggregation_sql(_DSL_METRIC_BODY)
     o["dsl_metric_avg_segment"] = o["dsl_metric_avg"]
     o["dsl_metric_script"] = dsl_aggregation_sql(_DSL_METRIC_SCRIPT_BODY)
+    o["dsl_metric_script_segment"] = o["dsl_metric_script"]
+    o["dsl_scripted_metric_segment"] = o["dsl_scripted_metric"]
     o["dsl_global_agg"] = dsl_aggregation_sql(_DSL_GLOBAL_BODY)
     o["dsl_histogram_empty_buckets"] = dsl_aggregation_sql(_DSL_HISTO_EMPTY_BODY)
     o["dsl_toplevel_terms"] = dsl_search_sql(_DSL_TOPLEVEL_TERMS_BODY)

@@ -115,6 +115,14 @@ class Script:
             raise ValueError("script references _score but no score column bound")
         return _to_spark(self.ast, score)
 
+    def numpy_vals(self, env: dict, score=None):
+        """Evaluate over per-doc NumPy field arrays (round 5, the serving
+        twin): ``env`` maps each referenced doc field to a double ndarray;
+        returns an ndarray (or scalar for field-free scripts)."""
+        if self.uses_score and score is None:
+            raise ValueError("script references _score but no score array bound")
+        return _to_numpy(self.ast, env, score)
+
     def sql(self, score_expr: str | None = None, qualifier: str = "") -> str:
         """Compile to the ANSI-SQL twin. ``score_expr`` substitutes ``_score``;
         ``qualifier`` (e.g. ``"d."``) prefixes doc-field references."""
@@ -423,4 +431,82 @@ def _to_sql(node: tuple, score_expr: str | None, qual: str) -> str:
             return f"CAST(floor({args[0]}) AS DOUBLE)"
         if fn == "ceil":
             return f"CAST(ceil({args[0]}) AS DOUBLE)"
+    raise AssertionError(f"unreachable AST node {node!r}")
+
+
+def _to_numpy(node: tuple, env: dict, score):
+    """Third engine for the script AST (round 5): vectorized NumPy
+    evaluation over per-doc field arrays — the serving-path twin of
+    :func:`_to_spark`, used by the per-shard metric-agg partials.  Parity
+    pins mirrored from the other two compilers: doc fields coalesce
+    NaN→0.0, ``%`` is Java remainder (``np.fmod``: sign of dividend),
+    ``floor``/``ceil`` stay double, comparisons operate on never-NULL
+    doubles."""
+    import numpy as np
+
+    k = node[0]
+    if k == "num":
+        return float(node[1])
+    if k == "score":
+        return score
+    if k == "field":
+        return np.nan_to_num(env[node[1]], nan=0.0)
+    if k == "neg":
+        return -_to_numpy(node[1], env, score)
+    if k == "bin":
+        op = node[1]
+        l, r = _to_numpy(node[2], env, score), _to_numpy(node[3], env, score)
+        if op == "%":
+            return np.fmod(l, r)
+        if op == "+":
+            return l + r
+        if op == "-":
+            return l - r
+        if op == "*":
+            return l * r
+        return l / r
+    if k == "ternary":
+        return np.where(
+            _to_numpy(node[1], env, score),
+            _to_numpy(node[2], env, score),
+            _to_numpy(node[3], env, score),
+        )
+    if k == "cmp":
+        op = node[1]
+        l, r = _to_numpy(node[2], env, score), _to_numpy(node[3], env, score)
+        return {
+            ">": l > r, "<": l < r, ">=": l >= r, "<=": l <= r,
+            "==": l == r, "!=": l != r,
+        }[op]
+    if k == "and":
+        return np.logical_and(_to_numpy(node[1], env, score), _to_numpy(node[2], env, score))
+    if k == "or":
+        return np.logical_or(_to_numpy(node[1], env, score), _to_numpy(node[2], env, score))
+    if k == "not":
+        return np.logical_not(_to_numpy(node[1], env, score))
+    if k == "call":
+        fn = node[1]
+        args = [_to_numpy(a, env, score) for a in node[2]]
+        from functools import reduce as _reduce
+
+        if fn == "log":
+            return np.log(args[0])
+        if fn == "log1p":
+            return np.log1p(args[0])
+        if fn == "sqrt":
+            return np.sqrt(args[0])
+        if fn == "abs":
+            return np.abs(args[0])
+        if fn == "min":
+            return _reduce(np.minimum, args)
+        if fn == "max":
+            return _reduce(np.maximum, args)
+        if fn == "pow":
+            return np.power(args[0], args[1])
+        if fn == "exp":
+            return np.exp(args[0])
+        if fn == "floor":
+            return np.floor(args[0])
+        if fn == "ceil":
+            return np.ceil(args[0])
     raise AssertionError(f"unreachable AST node {node!r}")

@@ -3274,10 +3274,12 @@ def dsl_aggregation_index(searcher, body: dict, text_col: str = "text") -> DataF
     """Serving-path twin: per-shard match-set decode + partial aggs
     (IndexSearcher.facet).  Round 5 adds mergeable-partial serving forms
     for ``percentiles`` (exact, per-shard value streams), ``top_hits``
-    (per-shard rank windows) and ``significant_terms`` (per-shard postings
-    sweep + metadata bg join); ``percentile_ranks`` / ``scripted_metric``
-    / ``ip_range`` remain declarative-only — refused loudly, never
-    silently approximated."""
+    (per-shard rank windows), ``significant_terms`` (per-shard postings
+    sweep + metadata bg join), ``percentile_ranks`` (per-shard indicator
+    counts) and script-valued metrics / ``scripted_metric`` (the script
+    AST's NumPy engine inside the shard tasks).  The ONLY remaining
+    refusal is ``ip_range`` — structural (no stored index carries an ip
+    column), never a silent approximation."""
     from .subaggs import agg_tree_index, tree_shaped
 
     if tree_shaped(body):
@@ -3293,12 +3295,16 @@ def dsl_aggregation_index(searcher, body: dict, text_col: str = "text") -> DataF
             "declarative-only (operators/aggs.hll_cardinality); the serving "
             "facet computes the exact form"
         )
+    if kind == "scripted_metric":
+        # round 5: the script AST's NumPy engine runs inside the shard
+        # tasks; (cnt, mn, mx, sm) partials merge losslessly per reduce
+        return searcher.facet_metric_script(
+            q, kw["map_script"], metric=kw["reduce"], mode=kw.get("mode", "or")
+        )
     if kind == "metric":
         if kw.get("script") is not None:
-            raise ValueError(
-                "metric agg with script is declarative-only "
-                "(operators/aggs.metric_facet) — the stats partials read "
-                "only (doc_id, field)"
+            return searcher.facet_metric_script(
+                q, kw["script"], metric=kw["metric"], mode=kw.get("mode", "or")
             )
         metric = kw["metric"]
         st = searcher.facet(q, field, kind="stats", mode=kw.get("mode", "or"))
@@ -3332,9 +3338,11 @@ def dsl_aggregation_index(searcher, body: dict, text_col: str = "text") -> DataF
         return searcher.facet_percentile_ranks(
             q, field, kw["values"], mode=kw.get("mode", "or")
         )
-    if kind in ("scripted_metric", "ip_range"):
+    if kind == "ip_range":
+        # structural, not a shortcut: no stored index carries an ip column
+        # (operators/aggs.ip_range_facet docstring) — declarative-only
         raise ValueError(
-            f"agg kind {kind!r} is declarative-only (operators/aggs.py); "
+            "agg kind 'ip_range' is declarative-only (operators/aggs.py); "
             "the serving path does not silently approximate it"
         )
     if kind == "terms_stats":

@@ -3107,6 +3107,101 @@ class IndexSearcher:
             .orderBy("percent")
         )
 
+    def facet_metric_script(
+        self,
+        query: str | None,
+        script: str,
+        metric: str = "sum",
+        mode: str = "or",
+    ) -> DataFrame:
+        """Script-valued metric agg (and the ``scripted_metric`` shape) on
+        the SERVING path (round 5): the script AST's third engine —
+        :meth:`~..functions.scripts.Script.numpy_vals` — evaluates per doc
+        inside the shard task over just the referenced stored columns, and
+        one stats row (cnt, mn, mx, sm) per shard merges losslessly for
+        every reduce (sum/min/max trivially; avg = Σsm/Σcnt).  Output
+        identical to operators/aggs.metric_facet(script=...)."""
+        from ..functions.scripts import parse_script
+
+        if metric not in ("min", "max", "sum", "avg"):
+            raise ValueError(f"metric must be min/max/sum/avg, got {metric!r}")
+        sc = parse_script(script)
+        if sc.uses_score:
+            raise ValueError("metric agg scripts have no _score (no hit context)")
+        spark, index_dir = self.spark, self.index_dir
+        if query is None:
+            from ..operators.aggs import metric_facet
+
+            docs = spark.read.parquet(f"{index_dir}/docs")
+            return metric_facet(docs, None, None, metric, script=script)
+        fields = sorted(sc.fields)
+        doc_schema = pads.dataset(
+            f"{index_dir}/docs/shard=0", format="parquet"
+        ).schema.names
+        missing = [f for f in fields if f not in doc_schema]
+        if missing:
+            raise ValueError(f"script references unknown doc fields {missing}")
+        terms = sorted(set(tokenize(query)))
+        dfreq, term_shards = self._query_meta_terms(terms)
+        present = [t for t in terms if t in dfreq]
+        shard_sets = [term_shards[t] for t in present]
+        if mode == "and":
+            active = sorted(set.intersection(*shard_sets)) if (
+                shard_sets and len(present) == len(terms)
+            ) else []
+        else:
+            active = sorted(set.union(*shard_sets)) if shard_sets else []
+        src = sc.source
+
+        def shard_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ..functions.scripts import parse_script as _ps
+
+            sc_l = _ps(src)
+            for pdf in batches:
+                for shard in pdf["shard"].tolist():
+                    ids = _facet_match_ids(index_dir, shard, present, mode)
+                    if len(ids) == 0:
+                        continue
+                    dt = (
+                        pads.dataset(
+                            f"{index_dir}/docs/shard={shard}", format="parquet"
+                        )
+                        .to_table(columns=["doc_id"] + fields)
+                        .to_pandas()
+                    )
+                    sel = np.isin(dt["doc_id"].to_numpy(), ids, assume_unique=True)
+                    env = {
+                        f: dt.loc[sel, f].astype(float).to_numpy() for f in fields
+                    }
+                    v = np.asarray(
+                        sc_l.numpy_vals(env), dtype=np.float64
+                    )
+                    if v.ndim == 0:  # field-free script: constant per doc
+                        v = np.full(int(sel.sum()), float(v))
+                    yield pd.DataFrame(
+                        {
+                            "cnt": [len(v)],
+                            "mn": [float(v.min())],
+                            "mx": [float(v.max())],
+                            "sm": [float(v.sum())],
+                        }
+                    )
+
+        schema = "cnt long, mn double, mx double, sm double"
+        if active:
+            partials = _one_task_per_shard(spark, active).mapInPandas(
+                shard_stats, schema
+            )
+        else:
+            partials = spark.createDataFrame([], schema)
+        out = {
+            "min": F.min("mn"),
+            "max": F.max("mx"),
+            "sum": F.sum("sm"),
+            "avg": F.sum("sm") / F.sum("cnt"),
+        }[metric]
+        return partials.agg(F.round(out.cast("double"), 6).alias("value"))
+
     def facet_percentile_ranks(
         self,
         query: str | None,

@@ -580,8 +580,10 @@ def test_dsl_scripted_metric_route(documents, sf_dir, agg_searcher):
     got = [tuple(r) for r in dsl_aggregation(documents, body).collect()]
     want = _duck(sf_dir, dsl_aggregation_sql(body))
     assert got == want and got[0][0] > 0
-    with pytest.raises(ValueError, match="declarative-only"):
-        dsl_aggregation_index(agg_searcher, body)
+    # round 5: the serving path runs the same contract through the script
+    # AST's NumPy engine — identical scalar
+    srv = [tuple(r) for r in dsl_aggregation_index(agg_searcher, body).collect()]
+    assert srv == got
     with pytest.raises(ValueError, match="unsupported DSL"):
         dsl_aggregation_sql({"aggs": {"m": {"scripted_metric": {
             "map_script": "1", "combine_script": "x"}}}})

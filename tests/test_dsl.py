@@ -823,20 +823,28 @@ AGG_BODIES = [
     ),
 ]
 
-# round 5: percentiles / significant_terms / top_hits moved to the serving
-# parity list below (mergeable-partial serving forms, judge r4 Next #3) —
-# only kinds whose serving partials genuinely cannot honor the body remain
-AGG_BODIES_DECLARATIVE = [
+# round 5: percentiles / significant_terms / top_hits / script-valued
+# metrics all gained mergeable-partial serving forms — the declarative-only
+# list is EMPTY for this fixture (ip_range remains declarative-only but is
+# structural: no stored index carries an ip column; pinned in
+# test_dsl_aggs_serving_ip_range_refuses below)
+AGG_BODIES_DECLARATIVE: list = []
+
+AGG_BODIES_SERVING_R5 = [
     (
-        # metric agg with a script value: the stats partials on the serving
-        # path read only (doc_id, field) — declarative+oracle only
+        # metric agg with a script value: the script AST's NumPy engine
+        # runs inside the shard tasks (round 5)
         "metric_script_avg",
         {"query": {"match": {"text": "dup batch scan"}},
          "aggs": {"a": {"avg": {"script": "log1p(doc['n_chars'].value)"}}}},
     ),
-]
-
-AGG_BODIES_SERVING_R5 = [
+    (
+        "scripted_metric_sum",
+        {"query": {"match": {"text": "batch scan"}},
+         "aggs": {"m": {"scripted_metric": {
+             "map_script": "doc['n_chars'].value > 500 ? 1 : 0",
+             "reduce": "sum"}}}},
+    ),
     (
         "percentiles_scoped",
         {"query": {"match": {"text": "dup batch scan"}},
@@ -882,19 +890,14 @@ def test_dsl_aggs_match_duckdb_and_serving(documents, duck, searcher, name, body
     assert srv == got, name
 
 
-@pytest.mark.parametrize(
-    "name,body", AGG_BODIES_DECLARATIVE, ids=[b[0] for b in AGG_BODIES_DECLARATIVE]
-)
-def test_dsl_declarative_only_aggs_match_duckdb(documents, duck, searcher, name, body):
-    from flume_elasticsearch_2_spark.operators.dsl import (
-        dsl_aggregation,
-        dsl_aggregation_index,
-        dsl_aggregation_sql,
-    )
+def test_dsl_aggs_serving_ip_range_refuses(searcher):
+    """ip_range stays declarative-only STRUCTURALLY (no stored index
+    carries an ip column) — the one remaining serving agg refusal."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_aggregation_index
 
-    got = [tuple(r) for r in dsl_aggregation(documents, body).collect()]
-    want = [tuple(r) for r in duck.execute(dsl_aggregation_sql(body)).fetchall()]
-    assert got == want and got, name
+    body = {"query": {"match": {"text": "a"}},
+            "aggs": {"r": {"ip_range": {"field": "ip",
+                                        "ranges": [{"to": "10.0.0.0"}]}}}}
     with pytest.raises(ValueError, match="declarative-only"):
         dsl_aggregation_index(searcher, body)
 

@@ -253,3 +253,55 @@ def test_r4_type_errors_raise():
     # ternary INSIDE a predicate comparison is fine (numeric subexpr)
     p = parse_predicate("(doc['a'].value > 1 ? 2.0 : 0.0) > 1.0")
     assert p.fields == {"a"}
+
+
+# -- round-5 third engine: NumPy (the serving-path metric partials) ----------
+
+
+@pytest.mark.parametrize(
+    "src",
+    [
+        "log1p(doc['n_chars'].value)",
+        "doc['n_chars'].value > 100 ? 1.5 : 0.5",
+        "doc['n_chars'].value % 7.0",
+        "-7.5 % 2.0",
+        "Math.log(doc['n_chars'].value + 1.0) * Math.sqrt(4.0)",
+        "exp(1.0) + floor(2.7) - ceil(2.2)",
+        "doc['n_chars'].value > 50 && doc['n_chars'].value < 500 ? "
+        "Math.pow(2.0, 3.0) : Math.abs(-1.0)",
+        "min(doc['n_chars'].value, 300.0) + max(doc['n_chars'].value, 10.0)",
+        "sqrt(doc['n_chars'].value) % 3.0",
+    ],
+)
+def test_numpy_engine_matches_spark(spark, documents, src):
+    """Script.numpy_vals (round 5, the serving metric-partials engine) is
+    value-identical to the JVM column over the real docs table — same
+    coalesce-to-0, Java-remainder %, double floor/ceil pins."""
+    import numpy as np
+
+    from flume_elasticsearch_2_spark.functions.scripts import parse_script
+
+    sc = parse_script(src)
+    rows = documents.select(
+        "doc_id", *[c for c in sorted(sc.fields)],
+        sc.spark_col(None).alias("v"),
+    ).collect()
+    env = {
+        f: np.array([float(r[f]) if r[f] is not None else np.nan for r in rows])
+        for f in sc.fields
+    }
+    got = np.asarray(sc.numpy_vals(env), dtype=np.float64)
+    if got.ndim == 0:
+        got = np.full(len(rows), float(got))
+    want = np.array([r.v for r in rows], dtype=np.float64)
+    assert np.allclose(got, want, rtol=1e-12, atol=1e-12), src
+
+
+def test_numpy_engine_nan_coalesces_to_zero():
+    import numpy as np
+
+    from flume_elasticsearch_2_spark.functions.scripts import parse_script
+
+    sc = parse_script("doc['x'].value + 1.0")
+    out = sc.numpy_vals({"x": np.array([np.nan, 2.0])})
+    assert out.tolist() == [1.0, 3.0]
