@@ -143,3 +143,52 @@ def test_apply_mapping_leaves_unmapped_bodies_untouched():
     assert apply_mapping(body, MAPPING) == body
     # and a body without mapping param keeps pre-round-5 behavior: handled
     # by every other DSL test in the suite running mapping-less
+
+
+# -- property fuzz: random mapped bodies --------------------------------------
+
+
+def test_mapping_fuzz_random_bodies(documents, duck):
+    """Randomized mapped bodies (seeded, no hypothesis dependency needed):
+    any combination of .raw / not_analyzed filter references inside
+    and/or/not compounds must agree with the DuckDB twin after the same
+    rewrite."""
+    import random
+
+    rng = random.Random(57)
+    langs = ["en", "fr", "de", "zh", "es"]
+
+    def leaf():
+        k = rng.choice(["term_lang", "range", "prefix_src", "terms_lang"])
+        if k == "term_lang":
+            return {"term": {"lang": rng.choice(langs)}}
+        if k == "terms_lang":
+            return {"terms": {"lang": sorted(rng.sample(langs, 2))}}
+        if k == "prefix_src":
+            return {"prefix": {"source": rng.choice(["we", "ne", "bo"])}}
+        lo = rng.randrange(0, 2500)
+        return {"range": {"n_chars": {"gte": lo, "lt": lo + rng.randrange(1, 3000)}}}
+
+    def compound(depth):
+        if depth == 0 or rng.random() < 0.4:
+            return leaf()
+        kind = rng.choice(["and", "or", "not"])
+        if kind == "not":
+            return {"not": compound(depth - 1)}
+        return {kind: [compound(depth - 1) for _ in range(rng.randrange(2, 4))]}
+
+    for _ in range(25):
+        body = {
+            "query": {"filtered": {
+                "query": {"match": {"text": rng.choice(
+                    ["dup batch", "batch scan", "join filter window"]
+                )}},
+                "filter": compound(2),
+            }},
+            "size": rng.randrange(1, 15),
+        }
+        got = [tuple(r) for r in dsl_search(documents, body, mapping=MAPPING).collect()]
+        want = [tuple(r) for r in duck.execute(
+            dsl_search_sql(body, mapping=MAPPING)
+        ).fetchall()]
+        assert got == want, body
