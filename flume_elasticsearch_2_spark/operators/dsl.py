@@ -1852,18 +1852,20 @@ def _filters_col(triples: list[tuple[str, str, Any]]) -> Column | None:
         "prefix": lambda c, v: c.startswith(v),
         "regexp": lambda c, v: c.rlike("^(?:" + v + ")$"),
     }
-    def coalesced(conj) -> Column:
-        # a branch / NOT-inner conjunction, nulls resolved to FALSE: under
-        # negation, Kleene NULL would otherwise propagate and drop docs that
-        # ES `not` KEEPS (doc missing the field => inner no-match => kept)
-        return F.coalesce(_filters_col(list(conj)), F.lit(False))
-
     expr = None
     for f, op, v in triples:
         if f is None and op == "or":
-            e = reduce(or_, [coalesced(b) for b in v])
+            # plain Kleene OR: a NULL branch behaves as false for row
+            # SELECTION at any depth (null|true=true, null|false=null→
+            # dropped), and keeping the expression coalesce-free lets
+            # Catalyst push the whole Or(...) tree into the Parquet scan
+            # (plan-pinned in tests/test_plan_hygiene.py)
+            e = reduce(or_, [_filters_col(list(b)) for b in v])
         elif f is None and op == "not":
-            e = ~coalesced(v)
+            # the ONE place nulls must resolve before logic: under negation
+            # Kleene NULL would propagate and drop docs that ES `not` KEEPS
+            # (doc missing a field => inner no-match => kept)
+            e = ~F.coalesce(_filters_col(list(v)), F.lit(False))
         else:
             e = ops[op](F.col(f), v)
         expr = e if expr is None else (expr & e)
@@ -1952,17 +1954,18 @@ def _filters_sql(triples: list[tuple[str, str, Any]]) -> str | None:
             return "'" + v.replace("'", "''") + "'"
         return repr(v)
 
-    def coalesced(conj) -> str:
-        # SQL twin of _filters_col's branch handling: NULL -> FALSE before
-        # any negation, so `not` keeps docs missing the inner fields
-        return f"COALESCE(({_filters_sql(list(conj))}), FALSE)"
-
     preds = []
     for f, op, v in triples:
         if f is None and op == "or":
-            preds.append("(" + " OR ".join(coalesced(b) for b in v) + ")")
+            # plain Kleene OR, exactly as the Column twin (null branch ==
+            # false for selection); COALESCE only under NOT below
+            preds.append(
+                "(" + " OR ".join(f"({_filters_sql(list(b))})" for b in v) + ")"
+            )
         elif f is None and op == "not":
-            preds.append(f"NOT {coalesced(v)}")
+            # SQL twin of the Column path's one coalesce point: NULL ->
+            # FALSE before negation, so `not` keeps docs missing the fields
+            preds.append(f"NOT COALESCE(({_filters_sql(list(v))}), FALSE)")
         elif op == "in":
             preds.append(f"{f} IN ({', '.join(q(x) for x in v)})")
         elif op == "==":

@@ -588,3 +588,24 @@ def test_script_sort_take_ordered_no_join(spark, documents):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_or_filter_node_pushes_into_parquet_scan(spark, documents):
+    """Round 5: the general OR compound filter compiles coalesce-free, so
+    Catalyst pushes the WHOLE Or(leaf, And(leaf, leaf)) tree into the
+    Parquet scan — a disjunctive filter that still prunes row groups at
+    100 TB (the NOT node keeps its single COALESCE, the one place null
+    resolution is semantically required)."""
+    from flume_elasticsearch_2_spark.operators.dsl import (
+        _filter_triples,
+        _filters_col,
+    )
+
+    t = _filter_triples([{"or": [
+        {"term": {"lang": "en"}},
+        {"and": [{"range": {"n_chars": {"gte": 900}}},
+                 {"term": {"source": "web"}}]},
+    ]}])
+    plan = _plan(documents.where(_filters_col(t)).select("doc_id"))
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "Or(EqualTo(lang,en)" in pushed and "GreaterThanOrEqual(n_chars,900)" in pushed, plan
