@@ -884,6 +884,17 @@ def _dsl_custom_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsl_search(_docs(spark, sf_dir), _DSL_CUSTOM_SCORE_BODY)
 
 
+def _dsl_custom_score_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: custom_score (== function_score.script_score) on the
+    SERVING path — the script AST's NumPy engine re-scores candidates
+    in-shard with _score bound to the base BM25 and doc fields read as
+    dense arrays from the shard's stored columns.  plans/query_index.py
+    search_function_score(script=...)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_CUSTOM_SCORE_BODY)
+
+
 def _dsl_custom_boost_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES 1.x custom_boost_factor query: score × constant (rank-preserving
     scale) — alias-rewritten to script_score at parse."""
@@ -4628,6 +4639,7 @@ _R5_NEW: list[str] = [
     "dsl_percentile_ranks_segment",
     "dsl_metric_script_segment",
     "dsl_scripted_metric_segment",
+    "dsl_custom_score_segment",
 ]
 
 
@@ -5030,6 +5042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_legacy_range"] = _dsl_legacy_range
     q["dsl_legacy_range_segment"] = _dsl_legacy_range_segment
     q["dsl_custom_score"] = _dsl_custom_score
+    q["dsl_custom_score_segment"] = _dsl_custom_score_segment
     q["dsl_custom_boost_factor"] = _dsl_custom_boost_factor
     q["dsl_prefix_filter"] = _dsl_prefix_filter
     q["dsl_prefix_filter_segment"] = _dsl_prefix_filter_segment
@@ -6063,6 +6076,7 @@ ORDER BY doc_id LIMIT 20
     o["dsl_legacy_range"] = dsl_search_sql(_DSL_LEGACY_RANGE_BODY)
     o["dsl_legacy_range_segment"] = o["dsl_legacy_range"]
     o["dsl_custom_score"] = dsl_search_sql(_DSL_CUSTOM_SCORE_BODY)
+    o["dsl_custom_score_segment"] = o["dsl_custom_score"]
     o["dsl_custom_boost_factor"] = dsl_search_sql(_DSL_CUSTOM_BOOST_BODY)
     o["dsl_prefix_filter"] = dsl_search_sql(_DSL_PREFIX_FILTER_BODY)
     o["dsl_prefix_filter_segment"] = o["dsl_prefix_filter"]

@@ -2659,14 +2659,19 @@ def dsl_search_index(
         # field-driven forms (field_value_factor / decay) serve exactly:
         # per-shard full candidate scoring with the factor from the shard's
         # own stored docs column (BMW off — the factor invalidates the
-        # bound). random_score / script_score stay declarative-only.
-        if spec.fscore_seed is not None or spec.fscore_script is not None:
-            _err("random_score/script_score are declarative-only on the serving path")
+        # bound). Round 5: script_score serves too (the script AST's NumPy
+        # engine re-scores in-shard); random_score stays declarative-only.
+        if spec.fscore_seed is not None:
+            _err("random_score is declarative-only on the serving path")
         if spec.filters or mn or spec.from_:
             _err("function_score with filters/must_not/from")
         q, fmode, field, factor, modifier, missing, boost_mode = spec.fscore
         if multifield:
             searcher = searcher.field_searcher(searcher.fields[0])
+        if spec.fscore_script is not None:
+            return searcher.search_function_score(
+                q, script=spec.fscore_script, k=spec.size, mode=fmode,
+            )
         if spec.fscore_functions is not None:
             funcs, sm = spec.fscore_functions
             return searcher.search_function_score(

@@ -186,9 +186,28 @@ def _score_shard(
     present[local_doc] = True
 
     fsv = None
+    fsv_script = None
     if fsv_spec is not None:
         pruned = False  # the re-rank factor invalidates the BMW bound
-        fsv = _fsv_dense(docs, span, base, fsv_spec)
+        if fsv_spec["kind"] == "script":
+            # ES function_score script_score (round 5): the script AST's
+            # NumPy engine re-scores candidates in-shard — _score bound to
+            # the base BM25, doc fields read as dense span arrays from the
+            # shard's own stored columns (absent docs NaN -> the engine's
+            # coalesce-to-0, matching the declarative NULL->0)
+            from ..functions.scripts import parse_script
+
+            sc_ = parse_script(fsv_spec["script"])
+            dense_fields = {}
+            for fname in sorted(sc_.fields):
+                a = np.full(span, np.nan, dtype=np.float64)
+                a[local_doc] = pd.to_numeric(
+                    docs[fname], errors="coerce"
+                ).to_numpy(np.float64)
+                dense_fields[fname] = a
+            fsv_script = (sc_, dense_fields)
+        else:
+            fsv = _fsv_dense(docs, span, base, fsv_spec)
 
     terms = []
     for row in postings.itertuples(index=False):
@@ -319,7 +338,21 @@ def _score_shard(
             continue
         pos = scores > 0.0  # candidate eligibility is on the BASE score
         ids, scores = ids[pos], scores[pos]
-        if fsv is not None:
+        if fsv_script is not None:
+            # script REPLACES the score (the declarative combine contract:
+            # combined = script(_score=base, doc)); eligibility stayed on
+            # the base score above
+            sc_, dense_fields = fsv_script
+            scores = np.broadcast_to(
+                np.asarray(
+                    sc_.numpy_vals(
+                        {f: d[ids] for f, d in dense_fields.items()}, score=scores
+                    ),
+                    dtype=np.float64,
+                ),
+                scores.shape,
+            ).copy()
+        elif fsv is not None:
             scores = (
                 scores * fsv[ids] if boost_mode == "multiply" else scores + fsv[ids]
             )
@@ -3570,6 +3603,7 @@ class IndexSearcher:
         mode: str = "or",
         functions: tuple | None = None,
         score_mode: str = "multiply",
+        script: str | None = None,
     ) -> DataFrame:
         """ES ``function_score`` on the SERVING path — the two field-driven
         function forms (``field_value_factor`` and a decay function; the
@@ -3582,11 +3616,62 @@ class IndexSearcher:
         scores its full candidate set (pruned=False) — the same work the
         declarative plan does, but shard-local with only k rows gathered;
         the value column rides the existing docs read (column-pruned
-        pyarrow), no join. ``random_score``/``script_score`` stay
-        declarative-only (a seeded hash / arbitrary-field script has no
-        dense-array form worth pinning here)."""
+        pyarrow), no join.
+
+        Round 5: ``script`` serves ``script_score`` through the script
+        AST's NumPy engine — the script REPLACES the candidate's score
+        (``_score`` bound to base BM25, doc fields as dense arrays from
+        the shard's stored columns), exactly the declarative combine
+        contract.  ``random_score`` stays declarative-only (the seeded
+        hash is a deterministic fixture device, not a serving feature)."""
         from ..operators.topk import FVF_MODIFIERS, _decay_params
 
+        if script is not None:
+            if field is not None or decay is not None or functions is not None:
+                raise ValueError("script_score excludes field/decay/functions")
+            from ..functions.scripts import parse_script
+
+            sc = parse_script(script)
+            need_cols = sorted(sc.fields)
+            doc_schema = pads.dataset(
+                f"{self.index_dir}/docs/shard=0", format="parquet"
+            ).schema
+            missing_c = [c for c in need_cols if c not in doc_schema.names]
+            if missing_c:
+                raise ValueError(
+                    f"script doc fields {missing_c} are not stored docs "
+                    "columns of this index (pass them via orig_ids at build)"
+                )
+            spark = self.spark
+            q_terms = tokenize(query)
+            empty = spark.createDataFrame([], "doc_id long, score double")
+            if not q_terms:
+                return empty
+            weights = {t: float(c) for t, c in Counter(q_terms).items()}
+            dfreq, active_shards = self._query_meta(sorted(weights))
+            present = sorted(t for t in weights if t in dfreq)
+            if not present or (mode == "and" and len(present) < len(weights)):
+                return empty
+            kwargs = dict(
+                weights=weights,
+                dfreq=dfreq,
+                n_docs=self.n_docs,
+                avgdl=self.avgdl,
+                id_space=self.id_space,
+                n_shards=self.n_shards,
+                k=k,
+                mode=mode,
+                pruned=False,
+                fsv_spec={"kind": "script", "script": script},
+            )
+            rows = self._scatter_direct(
+                active_shards, present, kwargs, extra_doc_cols=need_cols
+            ).collect()
+            rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+            return spark.createDataFrame(
+                [(int(r["doc_id"]), round_half_up6(r["score"])) for r in rows[:k]],
+                "doc_id long, score double",
+            )
         if functions is not None:
             # ES weighted functions array: per-doc factor from the shard's
             # stored filter columns (_fsv_dense kind="functions"); every

@@ -1701,7 +1701,7 @@ def test_function_score_serving_equals_declarative(documents, searcher, modifier
     assert got == want and len(got) == 10, (modifier, boost_mode)
 
 
-def test_function_score_serving_missing_field_and_guards(searcher):
+def test_function_score_serving_missing_field_and_guards(documents, searcher):
     from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
 
     with pytest.raises(ValueError, match="stored docs column"):
@@ -1712,10 +1712,19 @@ def test_function_score_serving_missing_field_and_guards(searcher):
         dsl_search_index(searcher, {"query": {"function_score": {
             "query": {"match": {"text": "dup"}},
             "random_score": {"seed": 7}}}})
-    with pytest.raises(ValueError, match="declarative-only"):
+    # round 5: script_score SERVES (the NumPy script engine in-shard) —
+    # parity with the declarative plan
+    body_ss = {"query": {"function_score": {
+        "query": {"match": {"text": "dup batch"}},
+        "script_score": {"script": "_score * log1p(doc['n_chars'].value)"}}},
+        "size": 10}
+    got_ss = [tuple(r) for r in dsl_search_index(searcher, body_ss).collect()]
+    want_ss = [tuple(r) for r in dsl_search(documents, body_ss).collect()]
+    assert got_ss == want_ss and got_ss
+    with pytest.raises(ValueError, match="stored docs"):
         dsl_search_index(searcher, {"query": {"function_score": {
             "query": {"match": {"text": "dup"}},
-            "script_score": {"script": "_score * 2"}}}})
+            "script_score": {"script": "doc['nope_col'].value"}}}})
 
 
 def test_not_filter_keeps_docs_missing_the_field(documents):
