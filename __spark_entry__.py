@@ -2185,6 +2185,15 @@ def _dsl_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsl_search(_docs(spark, sf_dir), _DSL_BOOSTING_BODY)
 
 
+def _dsl_boosting_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: boosting on the SERVING path — the negative match set
+    decodes per shard from its own postings doc streams and the demotion
+    factor applies in-shard (plans/query_index.py search_boosting)."""
+    from flume_elasticsearch_2_spark.operators.dsl import dsl_search_index
+
+    return dsl_search_index(_segment_searcher(spark, sf_dir), _DSL_BOOSTING_BODY)
+
+
 def _dsl_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene span_near (in_order) over span_terms: routed to the pinned
     ordered-window slop contract (Q29) — declarative nested-lambda plan."""
@@ -4640,6 +4649,7 @@ _R5_NEW: list[str] = [
     "dsl_metric_script_segment",
     "dsl_scripted_metric_segment",
     "dsl_custom_score_segment",
+    "dsl_boosting_segment",
 ]
 
 
@@ -5102,6 +5112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_source_filtered"] = _dsl_source_filtered
     q["dsl_source_filtered_segment"] = _dsl_source_filtered_segment
     q["dsl_boosting"] = _dsl_boosting
+    q["dsl_boosting_segment"] = _dsl_boosting_segment
     q["dsl_function_score"] = _dsl_function_score
     q["dsl_fscore_weights"] = _dsl_fscore_weights
     q["dsl_fscore_weights_segment"] = _dsl_fscore_weights_segment
@@ -6187,6 +6198,7 @@ SELECT CAST(rk // 100 AS BIGINT) AS page, doc_id FROM r
     o["dsl_source_filtered"] = dsl_search_sql(_DSL_SOURCE_BODY)
     o["dsl_source_filtered_segment"] = o["dsl_source_filtered"]
     o["dsl_boosting"] = dsl_search_sql(_DSL_BOOSTING_BODY)
+    o["dsl_boosting_segment"] = o["dsl_boosting"]
     o["dsl_function_score"] = dsl_search_sql(_DSL_FSCORE_BODY)
     o["dsl_fscore_weights"] = dsl_search_sql(_DSL_FSCORE_WEIGHTS_BODY)
     o["dsl_fscore_weights_segment"] = o["dsl_fscore_weights"]

@@ -2651,9 +2651,15 @@ def dsl_search_index(
                                     mode=spec.mode, boosts=spec.boosts)
     multifield = hasattr(searcher, "field_searcher")
     if spec.kind == "boosting":
-        _err(
-            "boosting is declarative-only in this version (the demoted "
-            "candidate set cannot be filtered server-side yet)"
+        # round 5: serves — negative match set decoded per shard from its
+        # own postings doc streams, demotion factor applied in-shard
+        if spec.filters or mn or spec.from_:
+            _err("boosting with filters/must_not/from")
+        pq, nq, nb, bmode = spec.boosting
+        if multifield:
+            searcher = searcher.field_searcher(searcher.fields[0])
+        return searcher.search_boosting(
+            pq, nq, negative_boost=nb, k=spec.size, mode=bmode
         )
     if spec.kind == "function_score":
         # field-driven forms (field_value_factor / decay) serve exactly:

@@ -206,6 +206,17 @@ def _score_shard(
                 ).to_numpy(np.float64)
                 dense_fields[fname] = a
             fsv_script = (sc_, dense_fields)
+        elif fsv_spec["kind"] == "neg_boost":
+            # ES boosting query (round 5): docs matching any NEGATIVE term
+            # keep rank eligibility but score × negative_boost — the neg
+            # match set decodes from this shard's own postings doc streams
+            fsv = np.ones(span, dtype=np.float64)
+            neg_ids = _facet_match_ids(
+                fsv_spec["index_dir"], shard, fsv_spec["neg_terms"], "or"
+            )
+            loc = neg_ids - base
+            loc = loc[(loc >= 0) & (loc < span)]
+            fsv[loc] = float(fsv_spec["nb"])
         else:
             fsv = _fsv_dense(docs, span, base, fsv_spec)
 
@@ -356,6 +367,11 @@ def _score_shard(
             scores = (
                 scores * fsv[ids] if boost_mode == "multiply" else scores + fsv[ids]
             )
+            if fsv_spec is not None and fsv_spec["kind"] == "neg_boost":
+                # declarative boosting drops combined-zero rows
+                # (negative_boost = 0.0 demotes to exclusion)
+                pos2 = scores > 0.0
+                ids, scores = ids[pos2], scores[pos2]
         if len(ids) > k:  # vectorized per-segment top-k: (-score, doc_id) lexsort
             sel = np.lexsort((ids, -scores))[:k]
             ids, scores = ids[sel], scores[sel]
@@ -3589,6 +3605,59 @@ class IndexSearcher:
 
         partials = _one_task_per_shard(spark, active).mapInPandas(shard_tops, ddl)
         return partials.orderBy(*order_cols).offset(int(from_)).limit(int(size))
+
+    def search_boosting(
+        self,
+        positive: str,
+        negative: str,
+        negative_boost: float = 0.5,
+        k: int = 10,
+        mode: str = "or",
+    ) -> DataFrame:
+        """ES ``boosting`` query on the SERVING path (round 5): positive
+        candidates and base scores exactly as :meth:`search`; docs matching
+        any analyzed negative term are DEMOTED (score × negative_boost, not
+        excluded).  The negative match set decodes per shard from its own
+        postings doc streams — no extra reads beyond the negative terms'
+        doc-id streams; pruning is off because the demotion invalidates a
+        lower-bounded theta cut (same policy as every fsv form).  Rank- and
+        score-identical to operators/topk.bm25_boosting_topk."""
+        if not 0.0 <= float(negative_boost) <= 1.0:
+            raise ValueError("negative_boost must be in [0, 1]")
+        spark = self.spark
+        q_terms = tokenize(positive)
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        if not q_terms:
+            return empty
+        neg_terms = sorted(set(tokenize(negative)))
+        weights = {t: float(c) for t, c in Counter(q_terms).items()}
+        dfreq, active_shards = self._query_meta(sorted(weights))
+        present = sorted(t for t in weights if t in dfreq)
+        if not present or (mode == "and" and len(present) < len(weights)):
+            return empty
+        kwargs = dict(
+            weights=weights,
+            dfreq=dfreq,
+            n_docs=self.n_docs,
+            avgdl=self.avgdl,
+            id_space=self.id_space,
+            n_shards=self.n_shards,
+            k=k,
+            mode=mode,
+            pruned=False,
+            fsv_spec={
+                "kind": "neg_boost",
+                "neg_terms": neg_terms,
+                "nb": float(negative_boost),
+                "index_dir": self.index_dir,
+            },
+        )
+        rows = self._scatter_direct(active_shards, present, kwargs).collect()
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        return spark.createDataFrame(
+            [(int(r["doc_id"]), round_half_up6(r["score"])) for r in rows[:k]],
+            "doc_id long, score double",
+        )
 
     def search_function_score(
         self,

@@ -1302,9 +1302,20 @@ def test_boosting_demotes_not_excludes(documents, duck):
     assert [tuple(r) for r in hits] == want2
 
 
-def test_boosting_rejected_on_serving(searcher):
-    with pytest.raises(ValueError, match="declarative-only"):
-        dsl_search_index(searcher, BOOSTING_BODY)
+def test_boosting_serving_equals_declarative(documents, searcher):
+    """Round 5: boosting SERVES — the negative match set decodes per shard
+    from its own postings doc streams; parity with the declarative plan,
+    including negative_boost=0.0 (demote-to-exclusion)."""
+    for body in (
+        BOOSTING_BODY,
+        {"query": {"boosting": {
+            "positive": {"match": {"text": "batch small scan"}},
+            "negative": {"match": {"text": "dup"}},
+            "negative_boost": 0.0}}},
+    ):
+        got = [tuple(r) for r in dsl_search_index(searcher, body).collect()]
+        want = [tuple(r) for r in dsl_search(documents, body).collect()]
+        assert got == want and got, body
 
 
 def _fscore_body(modifier: str, boost_mode: str, **fvf_extra) -> dict:
