@@ -697,3 +697,24 @@ def test_ip_range_dsl_refuses_extra_options(documents):
     with pytest.raises(ValueError, match="ip_range options"):
         dsl_aggregation(documents, {"aggs": {"r": {"ip_range": {
             "field": "ip", "ranges": [{"to": "10.0.0.1"}], "keyed": True}}}})
+
+
+def test_serving_metric_script_match_all_scope(agg_searcher, documents):
+    """facet_metric_script with query=None (match_all scope) routes to the
+    declarative kernel over the index's stored docs — identical value."""
+    from flume_elasticsearch_2_spark.operators.aggs import metric_facet
+
+    got = [tuple(r) for r in agg_searcher.facet_metric_script(
+        None, "log1p(doc['n_chars'].value)", metric="avg"
+    ).collect()]
+    want = [tuple(r) for r in metric_facet(
+        documents, None, None, "avg", script="log1p(doc['n_chars'].value)"
+    ).collect()]
+    assert got == want and got[0][0] is not None
+
+
+def test_serving_metric_script_unknown_field_refuses(agg_searcher):
+    with pytest.raises(ValueError, match="unknown doc fields"):
+        agg_searcher.facet_metric_script(
+            "batch", "doc['nope'].value", metric="sum"
+        ).collect()

@@ -2371,3 +2371,15 @@ def test_match_analyzer_option(spark, documents, duck):
     spec = parse_body({"query": {"match": {"text": {
         "query": "query", "analyzer": "ascii_edge2_3"}}}})
     assert spec.query == "qu que"
+
+
+def test_boosting_and_mode_serving_parity(documents, searcher):
+    """boosting with an AND-mode positive query: serving == declarative
+    (the AND candidate constraint and the demotion compose)."""
+    body = {"query": {"boosting": {
+        "positive": {"match": {"text": {"query": "batch scan", "operator": "and"}}},
+        "negative": {"match": {"text": "dup"}},
+        "negative_boost": 0.4}}, "size": 10}
+    got = [tuple(r) for r in dsl_search_index(searcher, body).collect()]
+    want = [tuple(r) for r in dsl_search(documents, body).collect()]
+    assert got == want and got
